@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the Graft engine (Spark-native GridDB-capability
+  * analytics). Sized for local[32] testing but configured the way a large
+  * cluster run would be: AQE on, sensible shuffle partitioning, UTC.
+  *
+  * Reference: GridDB boots an EventEngine pool per service
+  * (/root/reference/server/sql_service.cpp:774); Spark's equivalent of that
+  * whole machinery is the SparkSession + scheduler, so this is intentionally
+  * thin.
+  */
+object GraftSession {
+
+  /** Apply graft-standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
+      // natively (µs); read as LongType nanos and convert in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / tools. */
+  def local(cores: Int = 32): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      shufflePartitions = math.max(cores, 8)
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(spark)
+    spark
+  }
+
+  /** Ensure graft function registry + confs are present on an externally
+    * created session (e.g. the driver's Verify/Bench session). Idempotent. */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // read TIMESTAMP(NANOS) parquet (events.ts) as LongType nanos
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftFunctions.registerAll(spark)
+    spark
+  }
+}

@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Container kinds, mirroring GridDB's ContainerType
+  * (/root/reference/server/data_store_common.h:219-222). */
+sealed trait ContainerKind
+case object Collection extends ContainerKind
+case object TimeSeries extends ContainerKind
+
+/** One registered container: a DataFrame plus GridDB-style metadata
+  * (kind, row-key columns, time column for TimeSeries). */
+final case class Container(
+    name: String,
+    df: DataFrame,
+    kind: ContainerKind,
+    keyColumns: Seq[String] = Nil,
+    timeColumn: Option[String] = None)
+
+/** Loader / catalog for the driver-provided TESTDATA star schema.
+  *
+  * The `events` table models a GridDB TimeSeries container (TIMESTAMP row
+  * key, time-ordered); the TPC-H-ish tables model Collections. The parquet
+  * `ts` column is TIMESTAMP(NANOS), which Spark reads (under
+  * `nanosAsLong`) as LongType — we surface BOTH:
+  *   - `ts`: TimestampType truncated to microseconds (Spark-native), and
+  *   - `ts_ns`: the original int64 nanos (lossless, GridDB NanoTimestamp
+  *     parity — /root/reference/server/data_type.h:78).
+  */
+object Tables {
+
+  val collectionNames: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+
+  /** Read one raw parquet table from the sf dir. */
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events TimeSeries with `ts` as a proper TimestampType (µs). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = read(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == LongType) {
+      raw
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    } else {
+      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+        .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    }
+  }
+
+  def container(spark: SparkSession, sfDir: String, name: String): Container =
+    name match {
+      case "events" =>
+        Container("events", events(spark, sfDir), TimeSeries,
+          keyColumns = Seq("ts"), timeColumn = Some("ts"))
+      case n =>
+        Container(n, read(spark, sfDir, n), Collection)
+    }
+
+  /** Register every TESTDATA table as a temp view in the session. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    (collectionNames :+ "events").foreach { n =>
+      container(spark, sfDir, n).df.createOrReplaceTempView(n)
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.types._
+
+/** GridDB-dialect SQL functions registered into the session's
+  * FunctionRegistry so `spark.sql` accepts GridDB names unchanged.
+  *
+  * Reference registries: TQL /root/reference/server/function_map.cpp:42-105;
+  * SQL /root/reference/server/sql_expression_string.h,
+  * sql_expression_numeric.h, sql_expression_time.h, sql_expression_aggr.h.
+  * Everything here composes existing codegen'd Catalyst expressions — no
+  * Scala UDFs in the hot path.
+  */
+object GridDbScalarFunctions {
+
+  private def one(args: Seq[Expression], n: String): Expression = {
+    require(args.size == 1, s"$n expects 1 argument"); args.head
+  }
+
+  /** SQLite-style glob pattern -> anchored Java regex. */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb ++= "(?s:.*)"
+      case '?' => sb ++= "(?s:.)"
+      case c => sb ++= java.util.regex.Pattern.quote(c.toString)
+    }
+    sb += '$'
+    sb.toString
+  }
+
+  /** C-strftime -> java DateTimeFormatter pattern (common subset). */
+  def strftimeToJava(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        out ++= (fmt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'S' => "ss"
+          case 'j' => "DDD"
+          case '%' => "%"
+          case other => other.toString
+        })
+        i += 2
+      } else {
+        // literal chars need quoting if alphabetic
+        val c = fmt(i)
+        if (c.isLetter) { out += '\''; out += c; out += '\'' } else out += c
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def litString(e: Expression, ctx: String): String = e match {
+    case Literal(v, StringType) => v.toString
+    case other => throw new IllegalArgumentException(s"$ctx expects a string literal, got $other")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def tmp(name: String)(builder: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+
+    // ---- time (function_timestamp.h, sql_expression_time.h) ----
+    tmp("to_epoch_ms")(a => UnixMillis(Cast(one(a, "TO_EPOCH_MS"), TimestampType)))
+    tmp("to_timestamp_ms")(a => MillisToTimestamp(one(a, "TO_TIMESTAMP_MS")))
+    tmp("from_timestamp")(a => Cast(one(a, "FROM_TIMESTAMP"), StringType))
+    tmp("timestamp_trunc")(a => TruncTimestamp(a(0), Cast(a(1), TimestampType)))
+    tmp("make_timestamp_by_date") { a =>
+      require(a.size == 3, "MAKE_TIMESTAMP_BY_DATE(y,m,d)")
+      Cast(MakeDate(a(0), a(1), a(2)), TimestampType)
+    }
+    tmp("strftime") { a =>
+      require(a.size == 2, "STRFTIME(fmt, ts)")
+      DateFormatClass(Cast(a(1), TimestampType),
+        Literal(strftimeToJava(litString(a(0), "STRFTIME"))))
+    }
+
+    // ---- string (function_string.h, sql_expression_string.h) ----
+    tmp("hex_to_dec")(a => Cast(Conv(one(a, "HEX_TO_DEC"), Literal(16), Literal(10)), LongType))
+    tmp("glob") { a =>
+      require(a.size == 2, "GLOB(pattern, str)")
+      RLike(a(1), Literal(globToRegex(litString(a(0), "GLOB"))))
+    }
+    tmp("quote") { a =>
+      val e = one(a, "QUOTE")
+      Concat(Seq(Literal("'"),
+        StringReplace(Cast(e, StringType), Literal("'"), Literal("''")),
+        Literal("'")))
+    }
+    tmp("substr_with_bounds") { a =>
+      require(a.size == 3, "SUBSTR_WITH_BOUNDS(s, pos, len)")
+      Substring(a(0), a(1), a(2))
+    }
+
+    // ---- numeric (sql_expression_numeric.h) ----
+    tmp("trunc_number") { a =>
+      // SQLite TRUNC: toward zero
+      val e = one(a, "TRUNC_NUMBER")
+      Cast(Cast(e, LongType), DoubleType)
+    }
+
+    // ---- aggregates (sql_expression_aggr.h) ----
+    // TOTAL: SQLite-style double sum, 0.0 (not NULL) on empty input
+    tmp("total") { a =>
+      Coalesce(Seq(
+        Sum(Cast(one(a, "TOTAL"), DoubleType)).toAggregateExpression(),
+        Literal(0.0)))
+    }
+    // STDDEV0 / VARIANCE0: 0 instead of NULL when n <= 1
+    tmp("stddev0") { a =>
+      Coalesce(Seq(StddevSamp(Cast(one(a, "STDDEV0"), DoubleType)).toAggregateExpression(),
+        Literal(0.0)))
+    }
+    tmp("variance0") { a =>
+      Coalesce(Seq(VarianceSamp(Cast(one(a, "VARIANCE0"), DoubleType)).toAggregateExpression(),
+        Literal(0.0)))
+    }
+    // GROUP_CONCAT(x[, sep]) — input-order concat; deterministic form uses
+    // sorted order, matching our oracle strategy
+    tmp("group_concat") { a =>
+      val sep = if (a.size > 1) a(1) else Literal(",")
+      ArrayJoin(SortArray(CollectList(Cast(a.head, StringType)).toAggregateExpression(),
+        Literal(true)), sep, None)
+    }
+    // MEDIAN (exact interpolated — GridDB server/sql_expression_aggr.h:128)
+    tmp("griddb_median") { a =>
+      new Percentile(Cast(one(a, "MEDIAN"), DoubleType), Literal(0.5)).toAggregateExpression()
+    }
+  }
+
+  /** Drop all registrations (test hygiene). */
+  def unregister(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
+      "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
+      "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
+      "group_concat", "griddb_median")
+      .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+  }
+}

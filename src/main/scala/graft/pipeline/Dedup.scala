@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators for training-data pipelines.
+  *
+  * All operators are pure DataFrame transforms built from codegen'd
+  * `functions._` higher-order functions — no Scala UDFs — so they stay
+  * inside whole-stage codegen and scale to 100 TB via ordinary shuffles:
+  *   - exact:    hash-groupBy on a content digest (1 shuffle)
+  *   - minhash:  shingle → k minhashes → banded LSH bucket join (candidate
+  *               generation is a self-equi-join on (band, bucket-hash), so
+  *               only near-duplicates ever meet in a reducer)
+  *   - simhash:  64-bit sign-of-projection sketch + banded hamming join
+  *   - ngramJaccard: exact n-gram Jaccard verification for candidate pairs
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest (md5). */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .filter(col("n") > 1)
+
+  /** Word tokens, lowercased. */
+  def tokens(textCol: String): Column = split(lower(col(textCol)), " ")
+
+  /** Word n-gram shingles of `text` (falls back to the whole text when there
+    * are fewer than n tokens). */
+  def shingles(textCol: String, n: Int): Column = {
+    val t = tokens(textCol)
+    when(size(t) >= n,
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", t)))
+  }
+
+  /** k minhash values over the shingle set; hash family = xxhash64 with a
+    * per-function salt (deterministic across runs and partitions). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleCol, sh => xxhash64(sh, s))))
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
+    *
+    * @param k     signature length (minhashes)
+    * @param bands LSH bands (rows per band = k / bands); a pair collides in
+    *              some band with prob 1-(1-j^r)^b for true Jaccard j.
+    * @param minEstSim keep pairs whose signature-agreement >= this
+    * Output: (a, b, est_jaccard), a < b. */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        minEstSim: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(textCol, shingleN), k).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", transform(slice(col("sig"), b * lit(r) + 1, lit(r)),
+          v => v.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("a"), col("sig").as("sig_a"))
+    val rgt = banded.select(col("band"), col("bucket"),
+      col("id").as("b"), col("sig").as("sig_b"))
+    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          v => v === 1)).cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstSim)
+  }
+
+  /** 64-bit SimHash per document: sign of per-bit weighted sums of token
+    * hashes. Implemented as explode + 64 literal-shift aggregates so the
+    * whole computation is one codegen'd hash-aggregate. */
+  def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"), explode(tokens(textCol)).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val agged = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64)
+      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col("id"), sim.as("sh"))
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bits, found via banded
+    * LSH on 16-bit chunks (a pair within hamming d<=3 of 64 bits must agree
+    * exactly on at least one of the 4 chunks). Output (a, b, hamming). */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhashDf(docs, textCol, idCol)
+    val chunks = (0 until 4).map(b =>
+      shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
+    val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("sh_a"))
+    val rgt = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("sh_b"))
+    l.join(rgt, Seq("band", "chunk")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
+    * (Candidate generation by inverted index join; exact verify by count.) */
+  def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        minJaccard: Double): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
+      .distinct()
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = tok.select(col("id").as("a"), col("w"))
+      .join(tok.select(col("id").as("b"), col("w")), "w")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

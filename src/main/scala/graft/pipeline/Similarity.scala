@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query set
+  *   against the corpus; one pass, no shuffle of the corpus. The dot product
+  *   folds left-to-right in double precision (deterministic).
+  * - `lshTopK`: sign-random-projection LSH — corpus and queries are bucketed
+  *   by a b-bit signature; only same-bucket pairs are scored. At 100 TB the
+  *   bucket join replaces the O(N*Q) cross product with a shuffle on the
+  *   signature key.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact cosine top-k of corpus vectors for each query vector.
+    * Ties broken by corpus id; self-matches excluded; cosine rounded to
+    * `roundTo` digits BEFORE ranking so results are reproducible across
+    * engines. Output: (q_id, c_id, cos, rk). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     roundTo: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (bits x dim), seeded. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** b-bit sign-random-projection signature of a double-array column. */
+  def signature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.indices.map { i =>
+      val plane = array(planes(i).map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate cosine top-k: candidates limited to same-LSH-bucket pairs.
+    * Recall < 1.0 by construction; multi-probe = `probes` extra buckets with
+    * one signature bit flipped. Output: (q_id, c_id, cos, rk). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              bits: Int = 8, probes: Int = 4, roundTo: Int = 4): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(bits, dim)
+    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("bucket", signature(col("cv"), planes))
+    // queries probe their own bucket + `probes` single-bit-flip neighbors
+    val probeBuckets = (c0: Column) =>
+      array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1 << i)))): _*)
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("bucket", explode(probeBuckets(signature(col("qv"), planes))))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

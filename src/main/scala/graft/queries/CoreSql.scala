@@ -1,0 +1,299 @@
+package graft.queries
+
+/** SQL-engine parity queries (SURVEY.md §2.2-§2.6): scan/project/filter,
+  * aggregation, every join type, set ops, DISTINCT aggregates, GROUP_CONCAT,
+  * variance/stddev family, MEDIAN/PERCENTILE_CONT, window functions
+  * (ROWS + time-RANGE frames), limit/top-k, subqueries (scalar/IN/EXISTS/
+  * correlated), scalar function surface, LIKE/ESCAPE.
+  *
+  * Numeric policy for oracle parity: money-like doubles are cast to
+  * DECIMAL(18,2) before SUM (exact, order-independent), then cast back to
+  * DOUBLE; irreducibly-floating aggregates (avg/var/percentile) are rounded
+  * to 4 digits on both sides.
+  */
+object CoreSql {
+
+  private val discPrice =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- aggregation over scan (OP_GROUP + OP_SCAN; TPC-H Q1 shape) ----
+    Q.sql("q1_agg",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($discPrice * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      bench = true),
+
+    // ---- multi-join + agg + top-k (TPC-H Q3 shape) ----
+    Q.sql("q3_join_agg_topk",
+      s"""SELECT l_orderkey,
+         |  CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+      bench = true),
+
+    // ---- 6-table join with region filter (TPC-H Q5 shape) ----
+    Q.sql("q5_join_region",
+      s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+      bench = true),
+
+    // ---- outer joins ----
+    Q.sql("q_join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    Q.sql("q_join_full",
+      """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nationkey""".stripMargin),
+
+    Q.sql("q_join_cross",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin),
+
+    // ---- semi / anti joins (EXISTS / NOT EXISTS decorrelation) ----
+    Q.sql("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q.sql("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 470000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- set operators (UNION/INTERSECT/EXCEPT are DISTINCT-semantics) ----
+    Q.sql("q_union",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin),
+
+    Q.sql("q_union_all",
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin),
+
+    Q.sql("q_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        |INTERSECT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+        |ORDER BY nationkey""".stripMargin),
+
+    Q.sql("q_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+        |ORDER BY nationkey""".stripMargin),
+
+    // ---- DISTINCT aggregates ----
+    Q.sql("q_distinct_agg",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sd_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- GROUP_CONCAT (deterministic: sorted element order) ----
+    Q.sql("q_group_concat",
+      """SELECT n_name,
+        |  array_join(sort_array(collect_list(c_name)), ',') AS names
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9500
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+      duck = """SELECT n_name, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 9500
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // ---- variance / stddev family ----
+    Q.sql("q_stats_var_stddev",
+      """SELECT l_returnflag,
+        |  ROUND(var_samp(l_quantity), 4) AS v_samp,
+        |  ROUND(var_pop(l_quantity), 4) AS v_pop,
+        |  ROUND(stddev_samp(l_quantity), 4) AS s_samp,
+        |  ROUND(stddev_pop(l_quantity), 4) AS s_pop
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- MEDIAN / PERCENTILE_CONT (exact interpolated) ----
+    Q.sql("q_percentile_median",
+      """SELECT l_returnflag,
+        |  ROUND(median(l_extendedprice), 4) AS med_price,
+        |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+        |  ROUND(percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- window functions: ROW_NUMBER / LAG / LEAD / running SUM ----
+    Q.sql("q_window_row_number",
+      """SELECT o_custkey, o_orderkey, rn, prev_price, next_price, running
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER w AS rn,
+        |    lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |    lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) t WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+      bench = true),
+
+    // ---- window with time-RANGE frame (24h trailing avg per user) ----
+    Q.sql("q_window_range_time",
+      """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w AS avg_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY unix_millis(ts)
+        |    RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+      duck = """SELECT event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / COUNT(*) OVER w AS avg_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- rank / dense_rank / ntile ----
+    Q.sql("q_window_rank",
+      """SELECT s_nationkey, s_suppkey,
+        |  rank() OVER w AS rk, dense_rank() OVER w AS drk, ntile(4) OVER w AS nt
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin),
+
+    // ---- top-k (TakeOrderedAndProject) ----
+    Q.sql("q_topk_order_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+
+    // ---- OFFSET paging ----
+    Q.sql("q_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 5""".stripMargin),
+
+    // ---- subqueries ----
+    Q.sql("q_subquery_scalar",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) * 1.9 FROM customer)
+        |ORDER BY c_custkey""".stripMargin),
+
+    Q.sql("q_subquery_in",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  AND o_totalprice > 430000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    Q.sql("q_subquery_correlated",
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ---- scalar string functions ----
+    Q.sql("q_scalar_string_funcs",
+      """SELECT p_partkey,
+        |  length(p_name) AS len,
+        |  upper(p_brand) AS ub,
+        |  lower(p_type) AS lt,
+        |  substr(p_name, 3, 8) AS sub,
+        |  replace(p_name, 'e', '*') AS repl,
+        |  instr(p_name, 'ol') AS pos,
+        |  translate(p_type, 'AEO', 'aeo') AS tr,
+        |  concat(p_brand, '#', p_type) AS cc,
+        |  lpad(CAST(p_size AS VARCHAR(8)), 4, '0') AS padded,
+        |  ascii(p_name) AS a0
+        |FROM part WHERE p_partkey <= 300 ORDER BY p_partkey""".stripMargin),
+
+    // ---- scalar math + conditional ----
+    Q.sql("q_scalar_math_case",
+      """SELECT o_orderkey,
+        |  abs(o_totalprice - 250000.0) AS dist,
+        |  ROUND(sqrt(o_totalprice), 4) AS sq,
+        |  ROUND(ln(o_totalprice), 4) AS lg,
+        |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS fl,
+        |  CAST(ceil(o_totalprice / 1000) AS BIGINT) AS ce,
+        |  o_orderkey % 7 AS md,
+        |  CASE WHEN o_totalprice > 400000 THEN 'big'
+        |       WHEN o_totalprice > 200000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+        |  greatest(o_totalprice, 150000.0) AS gr,
+        |  least(o_totalprice, 150000.0) AS le
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin),
+
+    // ---- time scalar functions (shared dialect subset) ----
+    Q.sql("q_time_funcs",
+      """SELECT o_orderkey,
+        |  extract(year FROM o_orderdate) AS y,
+        |  extract(month FROM o_orderdate) AS m,
+        |  extract(day FROM o_orderdate) AS d,
+        |  date_trunc('month', o_orderdate) AS mon,
+        |  o_orderdate + INTERVAL 36 HOUR AS plus36h
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin),
+
+    // ---- GridDB-dialect time functions (different names across engines) ----
+    Q.sql("q_time_funcs_epoch",
+      """SELECT o_orderkey,
+        |  unix_millis(CAST(o_orderdate AS TIMESTAMP)) AS ep_ms,
+        |  (dayofweek(o_orderdate) - 1) AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  epoch_ms(o_orderdate) AS ep_ms,
+        |  dayofweek(o_orderdate) AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
+        |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin),
+
+    // ---- LIKE with ESCAPE ----
+    Q.sql("q_like_escape",
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_name LIKE '%wid%' AND p_type LIKE '%ALL%'
+        |  AND 'a_b' LIKE 'a!_b' ESCAPE '!'
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---- CASE-insensitive containment + IN list (filter pushdown shapes) ----
+    Q.sql("q_filter_in_between",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_quantity BETWEEN 10 AND 12
+        |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  )
+}

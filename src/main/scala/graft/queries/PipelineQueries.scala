@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators over documents/embeddings (beyond the
+  * reference's own surface; graded as first-class). DuckDB oracles where the
+  * computation is engine-portable; rows-only where the hash family (xxhash64)
+  * is Spark-specific — those get ScalaTest fixture coverage instead. */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.read(s, dir, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.read(s, dir, "embeddings")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- exact dedup: corpus stats by content digest ----
+    Q.sql("q_dedup_exact",
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+        |FROM documents""".stripMargin,
+      bench = true),
+
+    // ---- canonicalized exact dedup (bag-of-words digest groups) ----
+    Q.sql("q_dedup_exact_groups",
+      """SELECT md5(array_join(sort_array(split(lower(text), ' ')), ' ')) AS h,
+        |  COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY md5(array_join(sort_array(split(lower(text), ' ')), ' '))
+        |HAVING COUNT(*) > 1
+        |ORDER BY h""".stripMargin,
+      duck = """SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS h,
+        |  COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents
+        |GROUP BY md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+        |HAVING COUNT(*) > 1
+        |ORDER BY h""".stripMargin),
+
+    // ---- exact token-set Jaccard near-dup pairs (inverted-index join) ----
+    Q.df("q_dedup_jaccard_token",
+      duck = """WITH tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id)
+        |SELECT a, b, CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.tokenJaccardPairs(docs(s, dir), "text", "doc_id", minJaccard = 0.8)
+        .select(col("a"), col("b"), col("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ---- MinHash + LSH near-dup candidates (xxhash64 family: rows-only) ----
+    Q.rowsOnly("q_dedup_minhash", bench = true) { (s, dir) =>
+      Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
+        .orderBy("a", "b")
+    },
+
+    // ---- SimHash near-dup pairs (rows-only) ----
+    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+        .orderBy("a", "b")
+    },
+
+    // ---- brute-force cosine top-k ----
+    Q.df("q_sim_cosine_topk",
+      duck = """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos,
+        |  rk
+        |FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC,
+        |               c.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5) r
+        |JOIN embeddings q ON q.vec_id = r.qid
+        |JOIN embeddings c ON c.vec_id = r.cid
+        |WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin,
+      bench = true) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- LSH-bucketed approximate NN (rows-only; recall tested in spec) ----
+    Q.rowsOnly("q_sim_lsh_ann") { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- text quality metrics ----
+    Q.df("q_text_quality",
+      duck = """SELECT doc_id,
+        |  len(string_split(lower(text), ' ')) AS n_tokens,
+        |  CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS avg_token_len,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS uniq_ratio,
+        |  CAST(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / len(string_split(lower(text), ' ')) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / length(text) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      bench = true) { (s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+    },
+
+    // ---- heuristic language id ----
+    Q.df("q_text_langid",
+      duck = {
+        val hit = (ws: Seq[String]) =>
+          s"len(list_filter(string_split(lower(text), ' '), w -> w IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        val en = hit(TextAnalysis.stopwordsEn); val es = hit(TextAnalysis.stopwordsEs)
+        val fr = hit(TextAnalysis.stopwordsFr); val de = hit(TextAnalysis.stopwordsDe)
+        s"""SELECT doc_id,
+           |  CASE WHEN best = 0 THEN 'und'
+           |       WHEN s_en = best THEN 'en' WHEN s_es = best THEN 'es'
+           |       WHEN s_fr = best THEN 'fr' ELSE 'de' END AS pred_lang
+           |FROM (SELECT doc_id, $en AS s_en, $es AS s_es, $fr AS s_fr, $de AS s_de,
+           |        greatest($en, $es, $fr, $de) AS best
+           |      FROM documents) t
+           |ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+    },
+
+    // ---- token counting per source ----
+    Q.df("q_text_tokens",
+      duck = """SELECT source,
+        |  CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+        |  COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir), "text", "source").orderBy("source")
+    },
+
+    // ---- document fingerprinting (xxhash64 min-sketch: rows-only) ----
+    Q.rowsOnly("q_text_fingerprint") { (s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")
+    },
+
+    // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----
+    Q.rowsOnly("q_multimodal_features") { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.fromText(docs(s, dir), "doc_id", "text", "source"))
+        .toDF().select("media_id", "n_bytes", "checksum", "width", "height")
+        .orderBy("media_id")
+    }
+  )
+}

@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.engine.Tables
+import graft.ts.{GroupByRange, TimeSeriesOps => T}
+
+/** GridDB TimeSeries operator queries (SURVEY.md §2.1 selection/aggregation
+  * functions + §2.3 OP_GROUP_RANGE). Spark side uses the graft.ts operators;
+  * oracles are hand-derived DuckDB SQL with identical epoch-µs arithmetic.
+  *
+  * NOTE on timestamps: events.parquet is TIMESTAMP(NANOS); Spark carries µs.
+  * All outputs use epoch milliseconds (BIGINT) and all ordering/intervals use
+  * epoch µs so both engines see identical values.
+  */
+object TimeSeriesQueries {
+
+  private val t0 = "2024-01-15 00:00:00"
+  private val tI = "2024-01-15 12:00:00"
+
+  private def evs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.events(s, dir)
+
+  private val rowCols = Seq(
+    col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("user_id"),
+    col("event_type"), col("value"))
+
+  private def rowSelect(where: String, order: String, limit: Int) =
+    s"""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+       |FROM events WHERE $where ORDER BY $order LIMIT $limit""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- TIME_WINDOW_AGG: tumbling 1h windows ----
+    Q.df("q_ts_time_window_agg",
+      duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      bench = true) { (s, dir) =>
+      T.timeWindowAgg(evs(s, dir), "ts", "1 hour", Seq(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_value")))
+    },
+
+    // ---- TIME_NEXT / TIME_NEXT_ONLY / TIME_PREV / TIME_PREV_ONLY ----
+    Q.df("q_ts_time_next",
+      duck = rowSelect(s"ts >= TIMESTAMP '$t0'", "epoch_us(ts), event_id", 1)) {
+      (s, dir) =>
+        T.timeNext(evs(s, dir), "ts", lit(t0).cast("timestamp"),
+          tieBreak = Seq("event_id")).select(rowCols: _*)
+    },
+
+    Q.df("q_ts_time_next_only",
+      duck = rowSelect(s"ts > TIMESTAMP '$t0'", "epoch_us(ts), event_id", 1)) {
+      (s, dir) =>
+        T.timeNext(evs(s, dir), "ts", lit(t0).cast("timestamp"), only = true,
+          tieBreak = Seq("event_id")).select(rowCols: _*)
+    },
+
+    Q.df("q_ts_time_prev",
+      duck = rowSelect(s"ts <= TIMESTAMP '$t0'", "epoch_us(ts) DESC, event_id DESC", 1)) {
+      (s, dir) =>
+        T.timePrev(evs(s, dir), "ts", lit(t0).cast("timestamp"),
+          tieBreak = Seq("event_id")).select(rowCols: _*)
+    },
+
+    Q.df("q_ts_time_prev_only",
+      duck = rowSelect(s"ts < TIMESTAMP '$t0'", "epoch_us(ts) DESC, event_id DESC", 1)) {
+      (s, dir) =>
+        T.timePrev(evs(s, dir), "ts", lit(t0).cast("timestamp"), only = true,
+          tieBreak = Seq("event_id")).select(rowCols: _*)
+    },
+
+    // ---- TIME_INTERPOLATED(value, t) ----
+    Q.df("q_ts_time_interpolated",
+      duck = s"""SELECT epoch_ms(TIMESTAMP '$tI') AS ts_ms,
+        |  CASE WHEN n.t = p.t THEN p.v
+        |    ELSE p.v + (n.v - p.v) *
+        |      (CAST(epoch_us(TIMESTAMP '$tI') - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE))
+        |  END AS value
+        |FROM (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |      WHERE ts <= TIMESTAMP '$tI' ORDER BY ts DESC, event_id DESC LIMIT 1) p,
+        |     (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |      WHERE ts >= TIMESTAMP '$tI' ORDER BY ts, event_id LIMIT 1) n""".stripMargin) {
+      (s, dir) =>
+        T.timeInterpolated(evs(s, dir), "ts", "value", lit(tI).cast("timestamp"))
+          .select(col("ts_ms"), col("value"))
+    },
+
+    // ---- TIME_SAMPLING(value, start, end, 6h grid) ----
+    Q.df("q_ts_time_sampling",
+      duck = """SELECT epoch_ms(g.gt) AS ts_ms,
+        |  CASE WHEN n.t = p.t THEN p.v
+        |    ELSE p.v + (n.v - p.v) *
+        |      (CAST(epoch_us(g.gt) - p.t AS DOUBLE) / CAST(n.t - p.t AS DOUBLE))
+        |  END AS value
+        |FROM (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |        TIMESTAMP '2024-01-30 00:00:00', INTERVAL 6 HOUR)) AS gt) g,
+        |  LATERAL (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |           WHERE ts <= g.gt ORDER BY ts DESC, event_id DESC LIMIT 1) p,
+        |  LATERAL (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |           WHERE ts >= g.gt ORDER BY ts, event_id LIMIT 1) n
+        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
+      T.timeSampling(evs(s, dir), "ts", "value",
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-30 00:00:00").cast("timestamp"),
+          intervalUs = 6L * 3600 * 1000 * 1000)
+        .select(col("ts_ms"), col("value"))
+    },
+
+    // ---- TIME_AVG: time-weighted average, per series key ----
+    Q.df("q_ts_time_avg",
+      duck = """WITH t AS (
+        |  SELECT event_type, value, epoch_us(ts) AS tu,
+        |    lag(epoch_us(ts))  OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS pt,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS nt
+        |  FROM events)
+        |SELECT event_type,
+        |  ROUND(SUM(value * w) / SUM(w), 4) AS time_avg_value
+        |FROM (SELECT event_type, value,
+        |        CASE WHEN pt IS NULL AND nt IS NULL THEN 1.0
+        |             WHEN pt IS NULL THEN CAST(nt - tu AS DOUBLE) / 2.0
+        |             WHEN nt IS NULL THEN CAST(tu - pt AS DOUBLE) / 2.0
+        |             ELSE CAST(nt - pt AS DOUBLE) / 2.0 END AS w
+        |      FROM t) x
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      T.timeAvg(evs(s, dir), "ts", "value", keys = Seq("event_type"))
+        .select(col("event_type"), round(col("time_avg_value"), 4).as("time_avg_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- MAX_ROWS / MIN_ROWS ----
+    Q.df("q_ts_max_rows",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events WHERE value = (SELECT max(value) FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      T.extremeRows(evs(s, dir), "value", isMax = true)
+        .select(rowCols: _*).orderBy("event_id")
+    },
+
+    Q.df("q_ts_min_rows",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events WHERE value = (SELECT min(value) FROM events)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      T.extremeRows(evs(s, dir), "value", isMax = false)
+        .select(rowCols: _*).orderBy("event_id")
+    }
+  ) ++ FillQueries.qs
+}
+
+/** GROUP BY RANGE(ts) EVERY(2,HOUR) FILL(...) over [2024-01-01, 2024-01-30].
+  * Reference: /root/reference/server/sql_operator_group.h:181-441. */
+object FillQueries {
+  private val startMs = 1704067200000L // 2024-01-01 00:00:00 UTC
+  private val endMs   = 1706572800000L // 2024-01-30 00:00:00 UTC
+  private val everyMs = 2L * 3600 * 1000
+
+  private def duckFill(body: String): String =
+    s"""WITH g AS (SELECT unnest(generate_series($startMs, $endMs, $everyMs)) AS ts_ms),
+       |a AS (SELECT $startMs + (epoch_ms(ts) - $startMs) // $everyMs * $everyMs AS ts_ms,
+       |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+       |             COUNT(*) AS n
+       |      FROM events
+       |      WHERE epoch_ms(ts) >= $startMs AND epoch_ms(ts) <= $endMs
+       |      GROUP BY 1),
+       |j AS (SELECT g.ts_ms, a.avg_value, a.n FROM g LEFT JOIN a ON g.ts_ms = a.ts_ms)
+       |$body""".stripMargin
+
+  private def build(s: org.apache.spark.sql.SparkSession, dir: String,
+                    fill: GroupByRange.Fill, withCount: Boolean) = {
+    val exactAvg = (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+      count(lit(1))).as("avg_value")
+    val aggs =
+      if (withCount) Seq(exactAvg, count(lit(1)).as("n")) else Seq(exactAvg)
+    GroupByRange(Tables.events(s, dir), "ts", startMs, endMs, everyMs, aggs, fill)
+  }
+
+  val qs: Seq[Q] = Seq(
+    Q.df("q_ts_range_fill_none",
+      duck = duckFill(
+        """SELECT ts_ms, avg_value, n FROM j
+          |WHERE avg_value IS NOT NULL ORDER BY ts_ms""".stripMargin)) { (s, dir) =>
+      build(s, dir, GroupByRange.FillNone, withCount = true)
+        .select(col("ts_ms"), col("avg_value"), col("n"))
+    },
+
+    Q.df("q_ts_range_fill_null",
+      duck = duckFill(
+        """SELECT ts_ms, avg_value, n FROM j ORDER BY ts_ms""".stripMargin)) {
+      (s, dir) =>
+        build(s, dir, GroupByRange.FillNull, withCount = true)
+          .select(col("ts_ms"), col("avg_value"), col("n"))
+    },
+
+    Q.df("q_ts_range_fill_previous",
+      duck = duckFill(
+        """SELECT ts_ms,
+          |  COALESCE(avg_value,
+          |    last_value(avg_value IGNORE NULLS) OVER
+          |      (ORDER BY ts_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS avg_value,
+          |  COALESCE(n, last_value(n IGNORE NULLS) OVER
+          |      (ORDER BY ts_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS n
+          |FROM j ORDER BY ts_ms""".stripMargin)) { (s, dir) =>
+      build(s, dir, GroupByRange.FillPrevious, withCount = true)
+        .select(col("ts_ms"), col("avg_value"), col("n"))
+    },
+
+    Q.df("q_ts_range_fill_linear",
+      duck = duckFill(
+        """SELECT ts_ms,
+          |  CASE WHEN avg_value IS NOT NULL THEN avg_value
+          |    WHEN pt IS NOT NULL AND nt IS NOT NULL THEN
+          |      pv + (nv - pv) * (CAST(ts_ms - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+          |    ELSE NULL END AS avg_value
+          |FROM (SELECT ts_ms, avg_value,
+          |  last_value(CASE WHEN avg_value IS NOT NULL THEN ts_ms END IGNORE NULLS)
+          |    OVER wp AS pt,
+          |  last_value(avg_value IGNORE NULLS) OVER wp AS pv,
+          |  last_value(CASE WHEN avg_value IS NOT NULL THEN ts_ms END IGNORE NULLS)
+          |    OVER wn AS nt,
+          |  last_value(avg_value IGNORE NULLS) OVER wn AS nv
+          |  FROM j
+          |  WINDOW wp AS (ORDER BY ts_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          |         wn AS (ORDER BY ts_ms DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |) f ORDER BY ts_ms""".stripMargin),
+      bench = true) { (s, dir) =>
+      build(s, dir, GroupByRange.FillLinear, withCount = false)
+        .select(col("ts_ms"), col("avg_value"))
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.tql.TqlCompiler
+
+/** End-to-end TQL queries (parse -> compile -> DataFrame) with DuckDB SQL
+  * oracles derived from the TQL semantics. */
+object TqlQueries {
+
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.container(s, dir, "events")
+
+  val qs: Seq[Q] = Seq(
+
+    Q.df("q_tql_filter_order_limit",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type, value
+        |FROM events
+        |WHERE value > 150.0 AND event_type = 'click'
+        |ORDER BY epoch_us(ts) DESC, event_id DESC LIMIT 20""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select * where value > 150.0 and event_type = 'click' " +
+            "order by ts desc, event_id desc limit 20")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), col("event_type"), col("value"))
+    },
+
+    Q.df("q_tql_agg_avg",
+      duck = """SELECT ROUND(avg(value), 4) AS avg_value FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_type <> 'error'""".stripMargin) {
+      (s, dir) =>
+        TqlCompiler.run(events(s, dir),
+            "select avg(value) where ts >= TIMESTAMP('2024-01-10T00:00:00Z') " +
+              "and event_type <> 'error'")
+          .select(round(col("avg"), 4).as("avg_value"))
+    },
+
+    Q.df("q_tql_count_like",
+      duck = """SELECT COUNT(*) AS count FROM events
+        |WHERE event_type LIKE 's%' AND value BETWEEN 50 AND 150""".stripMargin) {
+      (s, dir) =>
+        TqlCompiler.run(events(s, dir),
+          "select count(*) where event_type like 's%' and value >= 50 and value <= 150")
+    },
+
+    Q.df("q_tql_arith_projection_filter",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events
+        |WHERE value * 2.0 + 1.0 > 399.0 AND NOT (user_id % 2 = 0)
+        |ORDER BY event_id LIMIT 50""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select * where value * 2.0 + 1.0 > 399.0 and not (user_id % 2 = 0) " +
+            "order by event_id limit 50")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+    },
+
+    Q.df("q_tql_time_prev_sel",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-20 06:30:00'
+        |ORDER BY epoch_us(ts) DESC LIMIT 1""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select time_prev(TIMESTAMP('2024-01-20T06:30:00Z'))")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+    },
+
+    Q.df("q_tql_max_rows",
+      duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events
+        |WHERE value = (SELECT max(value) FROM events WHERE event_type = 'purchase')
+        |  AND event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select max_rows(value) where event_type = 'purchase'")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .orderBy("event_id")
+    }
+  )
+}

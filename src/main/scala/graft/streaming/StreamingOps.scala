@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming parity for the reference's time-series features.
+  *
+  * The reference has no continuous-query engine — its streaming-ish surface
+  * is TimeSeries ingestion (TimeSeries.append/put,
+  * /root/reference/java_client/.../TimeSeries.java:136,198), event triggers
+  * firing on put (/root/reference/server/transaction_service_base.cpp:5058),
+  * and TTL expiry. Here those become: readStream ingestion, windowed
+  * aggregation with watermarks (continuous TIME_WINDOW_AGG / GROUP BY RANGE),
+  * and foreachBatch callbacks (trigger parity). Batch semantics stay the
+  * source of truth; these operators reuse the same expressions.
+  */
+object StreamingOps {
+
+  /** Continuous TIME_WINDOW_AGG: tumbling-window aggregation with a
+    * watermark for late data. Output: keys..., bucket_ms, aggs... */
+  def timeWindowAggStream(stream: DataFrame, tsCol: String, every: String,
+                          watermark: String, aggs: Seq[Column],
+                          keys: Seq[String] = Nil): DataFrame = {
+    val agged = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), every) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      (unix_millis(col("window.start")).as("bucket_ms") +:
+        agged.columns.filter(_ != "window").map(col).toSeq): _*)
+  }
+
+  /** Sliding-window variant (window length + slide). */
+  def slidingWindowAggStream(stream: DataFrame, tsCol: String, length: String,
+                             slide: String, watermark: String,
+                             aggs: Seq[Column], keys: Seq[String] = Nil): DataFrame = {
+    val agged = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), length, slide) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      (unix_millis(col("window.start")).as("bucket_ms") +:
+        agged.columns.filter(_ != "window").map(col).toSeq): _*)
+  }
+
+  /** Event-trigger parity: run `onBatch` for every micro-batch of rows
+    * matching `condition` (the reference fires a notification per put on a
+    * trigger-registered container). */
+  def withTrigger(stream: DataFrame, condition: Column)
+                 (onBatch: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.filter(condition).writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
+
+  /** Ingest a stream into an in-memory sink table (smoke/testing) and block
+    * until all available data is processed. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+}

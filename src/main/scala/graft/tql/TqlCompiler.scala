@@ -1,0 +1,202 @@
+package graft.tql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.Container
+import graft.ts.TimeSeriesOps
+
+/** Compiles a parsed TQL query into a DataFrame pipeline over a container.
+  *
+  * Mirrors the reference execution path (QueryForCollection/TimeSeries::
+  * doQuery + doSelection, /root/reference/server/query_collection.cpp:172,507)
+  * declaratively: WHERE -> filter, ORDER BY/LIMIT/OFFSET -> orderBy/limit,
+  * aggregations -> agg, selection functions -> graft.ts operators. Index
+  * selection (DNF + B+tree probing in the reference) is Catalyst's job —
+  * filters push down to the parquet scan.
+  */
+object TqlCompiler {
+  import TqlAst._
+
+  def run(container: Container, tql: String): DataFrame =
+    compile(container, TqlParser.parse(tql))
+
+  def compile(container: Container, q: Query): DataFrame = {
+    val df0 = container.df
+    val filtered = q.where.map(w => df0.filter(toColumn(w))).getOrElse(df0)
+
+    q.selection match {
+      case Star =>
+        var out = filtered
+        if (q.orderBy.nonEmpty)
+          out = out.orderBy(q.orderBy.map { case (c, asc) =>
+            if (asc) col(c).asc else col(c).desc }: _*)
+        q.offset.foreach(o => out = out.offset(o.toInt))
+        q.limit.foreach(l => out = out.limit(l.toInt))
+        out
+
+      case FuncSelection(f) => selection(container, filtered, q, f)
+    }
+  }
+
+  private def tsCol(container: Container): String =
+    container.timeColumn.getOrElse(
+      throw new TqlParseException(
+        s"${container.name} is not a TimeSeries container"))
+
+  private def selection(container: Container, df: DataFrame, q: Query, f: FuncCall): DataFrame = {
+    def arg(i: Int): Expr = f.args(i)
+    def argCol(i: Int): Column = toColumn(arg(i))
+    def argName(i: Int): String = arg(i) match {
+      case ColRef(n) => n
+      case other => throw new TqlParseException(s"expected column, got $other")
+    }
+    def tsArg(i: Int): Column = arg(i) match {
+      case TsLit(us) => timestamp_micros(lit(us))
+      case other => throw new TqlParseException(s"expected TIMESTAMP(), got $other")
+    }
+
+    f.name match {
+      // ---- aggregations (server/aggregation_func.h:918-930) ----
+      case "COUNT" =>
+        df.agg((if (f.star) count(lit(1)) else count(argCol(0))).as("count"))
+      case "SUM" => df.agg(sum(argCol(0)).as("sum"))
+      case "AVG" => df.agg(avg(argCol(0)).as("avg"))
+      case "MIN" => df.agg(min(argCol(0)).as("min"))
+      case "MAX" => df.agg(max(argCol(0)).as("max"))
+      case "VARIANCE" | "VARIANCE_SAMP" => df.agg(var_samp(argCol(0)).as("variance"))
+      case "VARIANCE_POP" => df.agg(var_pop(argCol(0)).as("variance"))
+      case "STDDEV" | "STDDEV_SAMP" => df.agg(stddev_samp(argCol(0)).as("stddev"))
+      case "STDDEV_POP" => df.agg(stddev_pop(argCol(0)).as("stddev"))
+      case "TIME_AVG" =>
+        TimeSeriesOps.timeAvg(df, tsCol(container), argName(0))
+
+      // ---- selection functions (server/selection_func.h) ----
+      case "TIME_NEXT" => TimeSeriesOps.timeNext(df, tsCol(container), tsArg(0))
+      case "TIME_NEXT_ONLY" => TimeSeriesOps.timeNext(df, tsCol(container), tsArg(0), only = true)
+      case "TIME_PREV" => TimeSeriesOps.timePrev(df, tsCol(container), tsArg(0))
+      case "TIME_PREV_ONLY" => TimeSeriesOps.timePrev(df, tsCol(container), tsArg(0), only = true)
+      case "TIME_INTERPOLATED" =>
+        TimeSeriesOps.timeInterpolated(df, tsCol(container), argName(0), tsArg(1))
+      case "TIME_SAMPLING" =>
+        // TIME_SAMPLING(col, start, end, interval, unit)
+        val unitUs = timeUnitMicros(arg(4))
+        val n = arg(3) match {
+          case NumLit(v, _) => v.toLong
+          case other => throw new TqlParseException(s"expected number, got $other")
+        }
+        TimeSeriesOps.timeSampling(df, tsCol(container), argName(0),
+          tsArg(1), tsArg(2), n * unitUs)
+      case "MAX_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = true)
+      case "MIN_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = false)
+
+      case other => throw new TqlParseException(s"unknown selection/aggregation: $other")
+    }
+  }
+
+  private def timeUnitMicros(e: Expr): Long = e match {
+    case ColRef(u) => u.toUpperCase match {
+      case "DAY" => 86400000000L
+      case "HOUR" => 3600000000L
+      case "MINUTE" => 60000000L
+      case "SECOND" => 1000000L
+      case "MILLISECOND" => 1000L
+      case other => throw new TqlParseException(s"unsupported unit $other")
+    }
+    case other => throw new TqlParseException(s"expected time unit, got $other")
+  }
+
+  /** Expression translation (TQL scalar surface, server/function_map.cpp). */
+  def toColumn(e: Expr): Column = e match {
+    case ColRef(n) => col(n)
+    case NumLit(v, isInt) => if (isInt) lit(v.toLong) else lit(v)
+    case StrLit(s) => lit(s)
+    case BoolLit(b) => lit(b)
+    case NullLit => lit(null)
+    case TsLit(us) => timestamp_micros(lit(us))
+    case Un("not", x) => !toColumn(x)
+    case Un("neg", x) => -toColumn(x)
+    case Un(op, _) => throw new TqlParseException(s"unknown unary $op")
+    case Bin(op, l, r) =>
+      val (a, b) = (toColumn(l), toColumn(r))
+      op match {
+        case "and" => a && b
+        case "or" => a || b
+        case "xor" => a =!= b
+        case "=" => a === b
+        case "<>" | "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+        case other => throw new TqlParseException(s"unknown operator $other")
+      }
+    case LikeExpr(x, StrLit(p), esc, not) =>
+      val c = esc match {
+        case Some(ch) if ch.length == 1 =>
+          likeWithEscape(toColumn(x), p, ch.head)
+        case _ => toColumn(x).like(p)
+      }
+      if (not) !c else c
+    case LikeExpr(_, p, _, _) =>
+      throw new TqlParseException(s"LIKE pattern must be a string literal, got $p")
+    case IsNullExpr(x, not) =>
+      if (not) toColumn(x).isNotNull else toColumn(x).isNull
+    case FuncCall(name, args, _) =>
+      def a(i: Int) = toColumn(args(i))
+      name match {
+        // string (server/function_string.h)
+        case "CHAR_LENGTH" => length(a(0))
+        case "STRING" => a(0).cast("string")
+        case "CONCAT" => concat(args.map(toColumn): _*)
+        case "SUBSTRING" =>
+          if (args.size >= 3) substring(a(0), posInt(args(1)), posInt(args(2)))
+          else a(0).substr(a(1), length(a(0)))
+        case "UPPER" => upper(a(0))
+        case "LOWER" => lower(a(0))
+        // math (server/function_float.h)
+        case "ROUND" => round(a(0))
+        case "CEILING" => ceil(a(0))
+        case "FLOOR" => floor(a(0))
+        // time (server/function_timestamp.h)
+        case "NOW" => current_timestamp()
+        case "TO_EPOCH_MS" => unix_millis(a(0))
+        case "TO_TIMESTAMP_MS" => timestamp_millis(a(0))
+        // array (server/function_array.h) — GridDB ELEMENT is 0-based
+        case "ARRAY_LENGTH" => size(a(0))
+        case "ELEMENT" => element_at(a(0), (a(1) + lit(1)).cast("int"))
+        case other => throw new TqlParseException(s"unknown function $other")
+      }
+  }
+
+  /** LIKE with an ESCAPE char, via regex translation (whole-string match,
+    * %% -> .*, _ -> ., escaped chars literal). */
+  private def likeWithEscape(c: Column, pattern: String, esc: Char): Column = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      val ch = pattern(i)
+      if (ch == esc && i + 1 < pattern.length) {
+        sb ++= java.util.regex.Pattern.quote(pattern(i + 1).toString); i += 2
+      } else {
+        ch match {
+          case '%' => sb ++= "(?s:.*)"
+          case '_' => sb ++= "(?s:.)"
+          case o => sb ++= java.util.regex.Pattern.quote(o.toString)
+        }
+        i += 1
+      }
+    }
+    sb += '$'
+    c.rlike(sb.toString)
+  }
+
+  private def posInt(e: Expr): Int = e match {
+    case NumLit(v, true) => v.toInt
+    case other => throw new TqlParseException(s"expected integer literal, got $other")
+  }
+}

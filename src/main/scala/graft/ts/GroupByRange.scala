@@ -1,0 +1,100 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GridDB `GROUP BY RANGE(ts) EVERY (n, unit) FILL (mode)` — tumbling time
+  * buckets over [start, end], including EMPTY bucket generation and gap fill.
+  *
+  * Reference: OP_GROUP_RANGE / GroupRangeMerge
+  * (/root/reference/server/sql_operator_group.h:181-441, fill selection
+  * /root/reference/server/sql_operator_group.cpp:603-640; grammar rules
+  * 226-233 /root/reference/server/sql_internal_parser.cpp:1060-1067).
+  *
+  * Fill modes (applied to every aggregated column):
+  *  - NONE:     only non-empty buckets are returned.
+  *  - NULL:     empty buckets present with NULL aggregates.
+  *  - PREVIOUS: empty buckets take the previous non-empty bucket's value
+  *              (leading gaps stay NULL).
+  *  - LINEAR:   empty buckets linearly interpolate between the neighboring
+  *              non-empty buckets; gaps before the first / after the last
+  *              anchor stay NULL (the reference fills only between anchors).
+  *
+  * Scale notes: the aggregation is a plain hash groupBy on (keys, bucket) —
+  * partial aggregation + AQE handle skew; the grid is tiny ((end-start)/every
+  * rows per key) so the fill join broadcasts, and the fill window partitions
+  * by `keys`.
+  */
+object GroupByRange {
+
+  sealed trait Fill
+  case object FillNone extends Fill
+  case object FillNull extends Fill
+  case object FillPrevious extends Fill
+  case object FillLinear extends Fill
+
+  /** @param startMs,endMs  range bounds (epoch ms, inclusive)
+    * @param everyMs        bucket width ms
+    * @param aggs           aggregate columns (must be aliased)
+    * @param fill           fill mode
+    * @param keys           optional series keys (empty = whole container)
+    * Output: keys..., ts_ms (bucket start, epoch ms), aggregated columns. */
+  def apply(df: DataFrame, tsCol: String, startMs: Long, endMs: Long,
+            everyMs: Long, aggs: Seq[Column], fill: Fill,
+            keys: Seq[String] = Nil): DataFrame = {
+    require(everyMs > 0, "EVERY must be positive")
+    val keyCols = keys.map(col)
+    val ms = unix_millis(col(tsCol))
+    val bucket = (floor((ms - lit(startMs)) / lit(everyMs)) * lit(everyMs) + lit(startMs)).as("ts_ms")
+    val inRange = df.filter(ms >= startMs && ms <= endMs)
+    val agged = inRange.groupBy((bucket +: keyCols): _*).agg(aggs.head, aggs.tail: _*)
+    if (fill == FillNone)
+      return agged.orderBy((keyCols :+ col("ts_ms")): _*)
+
+    val aggNames = agged.columns.filterNot(c => c == "ts_ms" || keys.contains(c)).toSeq
+    val spark = df.sparkSession
+    val nBuckets = (endMs - startMs) / everyMs + 1
+    val gridTimes = explode(sequence(lit(startMs), lit(startMs + (nBuckets - 1) * everyMs), lit(everyMs))).as("ts_ms")
+    val grid =
+      if (keys.isEmpty) spark.range(1).select(gridTimes)
+      else df.select(keyCols: _*).distinct().select((keyCols :+ gridTimes): _*)
+
+    val joined = grid.join(agged, keys :+ "ts_ms", "left")
+      .withColumn("__empty", aggNames.map(col(_).isNull).reduce(_ && _))
+
+    fill match {
+      case FillNull | FillNone =>
+        joined.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
+      case FillPrevious =>
+        val w = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val filled = aggNames.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, when(col("__empty"),
+            last(when(!col("__empty"), col(c)), ignoreNulls = true).over(w))
+            .otherwise(col(c)))
+        }
+        filled.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
+      case FillLinear =>
+        val wp = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val anchorT = when(!col("__empty"), col("ts_ms"))
+        val base = joined
+          .withColumn("__pt", last(anchorT, ignoreNulls = true).over(wp))
+          .withColumn("__nt", last(anchorT, ignoreNulls = true).over(wn))
+        val filled = aggNames.foldLeft(base) { (d, c) =>
+          val pv = last(when(!col("__empty"), col(c)), ignoreNulls = true).over(wp)
+          val nv = last(when(!col("__empty"), col(c)), ignoreNulls = true).over(wn)
+          d.withColumn(c, when(!col("__empty"), col(c))
+            .when(col("__pt").isNotNull && col("__nt").isNotNull,
+              pv.cast("double") + (nv.cast("double") - pv.cast("double")) *
+                ((col("ts_ms") - col("__pt")).cast("double") /
+                  (col("__nt") - col("__pt")).cast("double")))
+            .otherwise(lit(null)))
+        }
+        filled.drop("__empty", "__pt", "__nt").orderBy((keyCols :+ col("ts_ms")): _*)
+    }
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 0
+    (2L, "completely different words about spark catalyst optimizer plans"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (4L, "spark catalyst optimizer")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate pair") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n") == 2 && g(0).getAs[Long]("keeper") == 0L)
+  }
+
+  test("minhash signature of identical docs matches; est_jaccard 1.0") {
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", minEstSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L)
+    assert(exact.isDefined && exact.get._3 == 1.0)
+    // near-dup 0-1 should be caught with high estimate
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 0.5))
+    // unrelated docs never pair
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("simhash: identical -> 0 hamming; near-dup small; unrelated far") {
+    val sh = Dedup.simhashDf(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    val hamNear = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hamFar = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamNear < hamFar)
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("tokenJaccardPairs computes exact jaccard") {
+    val pairs = Dedup.tokenJaccardPairs(docs, "text", "doc_id", minJaccard = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    // doc0 tokens: {the,quick,brown,fox,jumps,over,lazy,dog,near,river,bank} (11)
+    // doc1 same but bend instead of bank: inter=10, union=12
+    assert(math.abs(pairs((0L, 1L)) - 10.0 / 12.0) < 1e-12)
+    assert(pairs((2L, 4L)) == 3.0 / 8.0)
+  }
+
+  test("fingerprint: identical docs share fp, different docs differ") {
+    val fp = TextAnalysis.fingerprint(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(3L))
+    assert(fp(0L) != fp(2L))
+  }
+
+  test("langId votes stopwords; quality metrics sane") {
+    val lang = Seq((1L, "the cat of the house is in it"), (2L, "el gato de la casa es un gato"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(lang, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+
+    val q = TextAnalysis.quality(docs, "text", "doc_id")
+      .filter($"doc_id" === 4L).collect()(0)
+    assert(q.getAs[Int]("n_tokens") == 3)
+    assert(q.getAs[Double]("uniq_ratio") == 1.0)
+  }
+
+  test("cosine similarity: self-similarity is 1, orthogonal is 0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("c_id"), r.getAs[Double]("cos"), r.getAs[Int]("rk")))
+    assert(top.toSeq == Seq((2L, 1.0, 1), (3L, 0.7071, 2), (1L, 0.0, 3)))
+  }
+
+  test("lsh ANN recall against brute force on real embeddings") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, bits = 6, probes = 6)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.{GroupByRange, TimeSeriesOps => T}
+
+class TimeSeriesOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ts at whole seconds from 2024-01-01 00:00:00 UTC (epoch 1704067200)
+  private def series(rows: (Long, Double)*) =
+    rows.toSeq.toDF("sec", "value")
+      .select(timestamp_seconds(lit(1704067200L) + col("sec")).as("ts"),
+        col("value"), col("sec").as("event_id"))
+
+  private def at(sec: Long) = timestamp_seconds(lit(1704067200L + sec))
+
+  test("timeNext / timePrev with only-variants") {
+    val df = series(0L -> 1.0, 10L -> 2.0, 20L -> 3.0)
+    assert(T.timeNext(df, "ts", at(10)).select("value").as[Double].head() == 2.0)
+    assert(T.timeNext(df, "ts", at(10), only = true).select("value").as[Double].head() == 3.0)
+    assert(T.timePrev(df, "ts", at(10)).select("value").as[Double].head() == 2.0)
+    assert(T.timePrev(df, "ts", at(10), only = true).select("value").as[Double].head() == 1.0)
+    assert(T.timeNext(df, "ts", at(21)).count() == 0)
+  }
+
+  test("timeInterpolated: midpoint, exact hit, out of range") {
+    val df = series(0L -> 1.0, 10L -> 3.0)
+    val mid = T.timeInterpolated(df, "ts", "value", at(5)).select("value").as[Double].head()
+    assert(math.abs(mid - 2.0) < 1e-12)
+    val exact = T.timeInterpolated(df, "ts", "value", at(10)).select("value").as[Double].head()
+    assert(exact == 3.0)
+    assert(T.timeInterpolated(df, "ts", "value", at(11)).count() == 0)
+    val quarter = T.timeInterpolated(df, "ts", "value", at(2)).select("value").as[Double].head()
+    assert(math.abs(quarter - 1.4) < 1e-12)
+  }
+
+  test("timeSampling: grid with interpolation, exact rows, range clipping") {
+    val df = series(5L -> 10.0, 15L -> 20.0, 25L -> 30.0)
+    val out = T.timeSampling(df, "ts", "value", at(0), at(30), intervalUs = 5000000L)
+      .orderBy("ts_ms").select("ts_ms", "value").as[(Long, Double)].collect()
+    // grid 0,5,..,30 s; points before 5s and after 25s are dropped
+    val base = 1704067200000L
+    assert(out.map(_._1).toSeq == Seq(5000L, 10000L, 15000L, 20000L, 25000L).map(_ + base))
+    assert(out.map(_._2).toSeq == Seq(10.0, 15.0, 20.0, 25.0, 30.0))
+  }
+
+  test("timeAvg: trapezoid-equivalent weighting") {
+    // rows at 0, 10, 40 s: weights 5, 20, 15 -> (1*5+2*20+3*15)/40 = 2.25
+    val df = series(0L -> 1.0, 10L -> 2.0, 40L -> 3.0)
+    val got = T.timeAvg(df, "ts", "value").as[Double].head()
+    assert(math.abs(got - 2.25) < 1e-12)
+    // single row -> plain value
+    assert(T.timeAvg(series(7L -> 9.5), "ts", "value").as[Double].head() == 9.5)
+  }
+
+  test("extremeRows returns all tied rows") {
+    val df = series(0L -> 5.0, 10L -> 9.0, 20L -> 9.0, 30L -> 1.0)
+    val mx = T.extremeRows(df, "value", isMax = true).select("event_id")
+      .as[Long].collect().sorted
+    assert(mx.toSeq == Seq(10L, 20L))
+    val mn = T.extremeRows(df, "value", isMax = false).select("event_id").as[Long].collect()
+    assert(mn.toSeq == Seq(30L))
+  }
+
+  test("GroupByRange fill modes incl. leading/trailing gap semantics") {
+    val base = 1704067200000L
+    // buckets of 10s over [0, 60s]: data in buckets 1 (v=2), 4 (v=8)
+    val df = series(10L -> 2.0, 44L -> 8.0)
+    def run(fill: GroupByRange.Fill) =
+      GroupByRange(df, "ts", base, base + 60000L, 10000L,
+        Seq(avg(col("value")).as("v")), fill)
+        .select("ts_ms", "v").as[(Long, Option[Double])].collect()
+        .sortBy(_._1).map { case (t, v) => ((t - base) / 10000L, v) }
+
+    assert(run(GroupByRange.FillNone).toSeq == Seq(1L -> Some(2.0), 4L -> Some(8.0)))
+    assert(run(GroupByRange.FillNull).toSeq == Seq(
+      0L -> None, 1L -> Some(2.0), 2L -> None, 3L -> None,
+      4L -> Some(8.0), 5L -> None, 6L -> None))
+    assert(run(GroupByRange.FillPrevious).toSeq == Seq(
+      0L -> None, 1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(2.0),
+      4L -> Some(8.0), 5L -> Some(8.0), 6L -> Some(8.0)))
+    assert(run(GroupByRange.FillLinear).toSeq == Seq(
+      0L -> None, 1L -> Some(2.0), 2L -> Some(4.0), 3L -> Some(6.0),
+      4L -> Some(8.0), 5L -> None, 6L -> None))
+  }
+
+  test("timeWindowAgg buckets align to epoch") {
+    val df = series(0L -> 1.0, 30L -> 3.0, 61L -> 5.0)
+    val out = T.timeWindowAgg(df, "ts", "1 minute", Seq(count(lit(1)).as("n")))
+      .orderBy("bucket_ms").select("n").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 1L))
+  }
+}
