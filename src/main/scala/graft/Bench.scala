@@ -13,9 +13,12 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/parquet footings once so timings measure the queries
-    graft.engine.Tables.registerAll(spark, sfDir)
-    spark.sql("SELECT COUNT(*) FROM lineitem").collect()
+    // Warm the JVM once per query shape at the smallest SF so the timed runs
+    // measure steady-state execution, not whole-stage-codegen JIT compiles.
+    val warmDir = "/root/testdata/sf0.001"
+    Registry.benchQueries.foreach { q =>
+      try q.build(spark, warmDir).count() catch { case _: Throwable => () }
+    }
 
     val results = Registry.benchQueries.map { q =>
       val t0 = System.nanoTime()
