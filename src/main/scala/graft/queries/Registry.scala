@@ -3,7 +3,8 @@ package graft.queries
 /** All registered queries, keyed by name. */
 object Registry {
   lazy val all: Seq[Q] =
-    CoreSql.qs ++ TimeSeriesQueries.qs ++ PipelineQueries.qs ++ TqlQueries.qs
+    CoreSql.qs ++ TimeSeriesQueries.qs ++ PipelineQueries.qs ++ TqlQueries.qs ++
+      MatchRecognizeQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

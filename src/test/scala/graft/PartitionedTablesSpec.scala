@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.{PartitionedTables => PT, Tables}
+
+class PartitionedTablesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_pt").toString
+
+  test("interval partitioning: layout, pruning, row parity") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir)
+    val dayMs = 86400000L
+    PT.write(ev, dir, PT.Interval("ts", 7 * dayMs))
+
+    val back = PT.read(spark, dir)
+    assert(back.count() == ev.count())
+
+    // partition pruning: filter on __itv must reduce files read
+    val pruned = PT.timeRangeFilter(back, "ts", 7 * dayMs,
+      fromMs = 1704672000000L, untilMs = 1705276800000L) // [Jan 8, Jan 15)
+    val expected = ev.filter(
+      unix_millis($"ts") >= 1704672000000L && unix_millis($"ts") < 1705276800000L).count()
+    assert(pruned.count() == expected)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("__itv"), "partition filter should reach the scan")
+
+    // TTL drop: remove partitions before Jan 15
+    val dropped = PT.dropPartitionsBefore(spark, dir, 1705276800000L)
+    assert(dropped.nonEmpty)
+    val after = PT.read(spark, dir)
+    assert(after.count() < ev.count())
+    assert(after.agg(min(unix_millis($"ts"))).as[Long].head() >= 1704585600000L)
+  }
+
+  test("hash partitioning spreads rows over n buckets") {
+    val dir = tmpDir()
+    val cust = Tables.read(spark, sfDir, "customer")
+    PT.write(cust, dir, PT.Hash("c_custkey", 8))
+    val back = PT.read(spark, dir)
+    assert(back.count() == cust.count())
+    val buckets = back.select("__p").distinct().as[Int].collect().sorted
+    assert(buckets.length == 8 && buckets.forall(b => b >= 0 && b < 8))
+  }
+
+  test("interval-hash composite layout") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir)
+    PT.write(ev, dir, PT.IntervalHash("ts", 7 * 86400000L, "user_id", 4))
+    val back = PT.read(spark, dir)
+    assert(back.count() == ev.count())
+    assert(back.columns.contains("__itv") && back.columns.contains("__p"))
+    // a point query prunes on both partition columns
+    val (itv, p) = back.select($"__itv", $"__p").as[(Long, Int)].head()
+    val q = back.filter($"__itv" === itv && $"__p" === p)
+    assert(q.count() > 0)
+  }
+}
