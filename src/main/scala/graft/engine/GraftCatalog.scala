@@ -91,6 +91,31 @@ final class GraftCatalog(spark: SparkSession) {
     register(c.copy(df = mat))
   }
 
+  /** SQL UPDATE ... SET ... WHERE (DMLProcessor semantics,
+    * /root/reference/server/sql_processor_dml.h:39): assignments applied to
+    * matching rows, others untouched. */
+  def update(name: String, assignments: Map[String, org.apache.spark.sql.Column],
+             where: org.apache.spark.sql.Column): Container = {
+    val c = get(name)
+    val updated = assignments.foldLeft(c.df) { case (d, (colName, v)) =>
+      d.withColumn(colName, when(where, v).otherwise(col(colName)))
+    }
+    val mat = spark.createDataFrame(updated.collectAsList(), updated.schema)
+    register(c.copy(df = mat))
+  }
+
+  /** SQL DELETE ... WHERE. */
+  def deleteWhere(name: String, where: org.apache.spark.sql.Column): Container = {
+    val c = get(name)
+    val remaining = c.df.filter(!coalesce(where, lit(false)))
+    val mat = spark.createDataFrame(remaining.collectAsList(), remaining.schema)
+    register(c.copy(df = mat))
+  }
+
+  /** CREATE [OR REPLACE] VIEW name AS <sql> (grammar rule 74). */
+  def createView(name: String, sql: String): Unit =
+    spark.sql(sql).createOrReplaceTempView(name)
+
   /** Metadata table `#tables` (meta_type.h TYPE_CONTAINER). */
   def metaTables: DataFrame = {
     import spark.implicits._

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** NANO_TIMESTAMP (TIMESTAMP(9)) parity — GridDB carries 9-digit precision
+  * (/root/reference/server/data_type.h:78-108); Spark timestamps are µs, so
+  * the engine surfaces the lossless int64 nanos as `ts_ns` next to the µs
+  * `ts` (see Tables.events).
+  *
+  * NOTE: DuckDB 1.0 reads TIMESTAMP(NANOS) parquet truncated to µs, so the
+  * full-fidelity query is rows-only (NanoSpec asserts sub-µs digits survive);
+  * the bucketing query is oracle-checked at µs resolution.
+  */
+object NanoQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    Q.rowsOnly("q_nano_precision") { (s, dir) =>
+      Tables.events(s, dir).filter(col("event_id") < 100)
+        .select(col("event_id"), col("ts_ns"),
+          (col("ts_ns") % 1000).as("sub_us_ns"),
+          expr("ts_ns div 1000000000").as("epoch_sec"))
+        .orderBy("event_id")
+    },
+
+    Q.df("q_nano_window_agg",
+      duck = """SELECT epoch_us(ts) // 86400000000 AS day_bucket,
+        |  COUNT(*) AS n,
+        |  MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(expr("ts_ns div 86400000000000").as("day_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+        .orderBy("day_bucket")
+    }
+  )
+}

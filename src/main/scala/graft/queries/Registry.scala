@@ -4,7 +4,7 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     CoreSql.qs ++ TimeSeriesQueries.qs ++ PipelineQueries.qs ++ TqlQueries.qs ++
-      MatchRecognizeQueries.qs
+      MatchRecognizeQueries.qs ++ NanoQueries.qs ++ GeoQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

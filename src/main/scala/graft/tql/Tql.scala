@@ -34,7 +34,8 @@ object TqlAst {
       where: Option[Expr],
       orderBy: Seq[(String, Boolean)], // (col, ascending)
       limit: Option[Long],
-      offset: Option[Long])
+      offset: Option[Long],
+      explain: Int = 0) // 0 = none, 1 = EXPLAIN, 2 = EXPLAIN ANALYZE
 }
 
 final class TqlParseException(msg: String) extends RuntimeException(msg)
@@ -100,6 +101,9 @@ object TqlParser {
       throw new TqlParseException(s"$msg at token ${pos} ('${peek.text}')")
 
     def query(): Query = {
+      // EXPLAIN [ANALYZE] select ... (reference rules 4-5, server/tql.cpp:203-204)
+      val explain =
+        if (eatKw("explain")) { if (eatKw("analyze")) 2 else 1 } else 0
       expectKw("select")
       val sel =
         if (peek.kind == "op" && peek.text == "*") { next(); Star }
@@ -133,7 +137,7 @@ object TqlParser {
         if (eatKw("offset")) offset = Some(next().text.toLong)
       }
       if (peek.kind != "eof") fail("trailing input")
-      Query(sel, from, where, order, limit, offset)
+      Query(sel, from, where, order, limit, offset, explain)
     }
 
     def expr(): Expr = orExpr()

@@ -21,6 +21,7 @@ object TqlCompiler {
     compile(container, TqlParser.parse(tql))
 
   def compile(container: Container, q: Query): DataFrame = {
+    if (q.explain > 0) return explain(container, q)
     val df0 = container.df
     val filtered = q.where.map(w => df0.filter(toColumn(w))).getOrElse(df0)
 
@@ -36,6 +37,18 @@ object TqlCompiler {
 
       case FuncSelection(f) => selection(container, filtered, q, f)
     }
+  }
+
+  /** EXPLAIN [ANALYZE]: the compiled plan as rows (ANALYZE runs the query
+    * first so the formatted plan carries final AQE stats). */
+  private def explain(container: Container, q: Query): DataFrame = {
+    val inner = compile(container, q.copy(explain = 0))
+    if (q.explain == 2) inner.count()
+    val text = inner.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val spark = container.df.sparkSession
+    import spark.implicits._
+    text.linesIterator.toSeq.toDF("plan")
   }
 
   private def tsCol(container: Container): String =

@@ -1,0 +1,59 @@
+package graft
+
+import graft.engine.{GraftSql, Tables}
+
+class GraftSqlSpec extends SparkTestBase {
+
+  test("hint rewrite: INDEX_JOIN -> BROADCAST, advisory hints stripped") {
+    assert(GraftSql.rewrite("SELECT /*+ INDEX_JOIN(nation) */ * FROM t")
+      == "SELECT /*+ BROADCAST(nation) */ * FROM t")
+    assert(GraftSql.rewrite("SELECT /*+ NO_INDEX_JOIN(a) */ 1")
+      == "SELECT /*+ MERGE(a) */ 1")
+    assert(GraftSql.rewrite(
+      "SELECT /*+ MAX_DEGREE_OF_PARALLELISM(4) LEADING(a b) */ x FROM t")
+      == "SELECT  x FROM t")
+    assert(GraftSql.rewrite("SELECT 1") == "SELECT 1")
+    assert(GraftSql.rewrite(
+      "SELECT /*+ TABLE_ROW_COUNT(t 100) INDEX_JOIN(dim) */ * FROM t")
+      == "SELECT /*+ BROADCAST(dim) */ * FROM t")
+  }
+
+  test("hinted GridDB SQL executes and broadcasts the hinted side") {
+    Tables.registerAll(spark, sfDir)
+    val df = GraftSql.sql(spark,
+      """SELECT /*+ INDEX_JOIN(nation) MAX_DEGREE_OF_PARALLELISM(8) */
+        |  n_name, COUNT(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)
+    assert(df.count() > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
+  test("TQL EXPLAIN returns a plan; EXPLAIN ANALYZE runs first") {
+    val ev = Tables.container(spark, sfDir, "events")
+    val plan = graft.tql.TqlCompiler.run(ev, "explain select * where value > 100")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("Scan parquet") || plan.contains("PushedFilters"))
+    val plan2 = graft.tql.TqlCompiler.run(ev,
+      "explain analyze select count(*) where value > 100")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan2.contains("HashAggregate"))
+  }
+
+  test("catalog UPDATE / DELETE WHERE / views") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cat = new graft.engine.GraftCatalog(spark)
+    cat.register(graft.engine.Container("u1",
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"),
+      graft.engine.Collection, Seq("id")))
+    cat.update("u1", Map("v" -> (col("v") * 2)), col("id") >= 2)
+    assert(cat.get("u1").df.orderBy("id").select("v").as[Double].collect().toSeq
+      == Seq(10.0, 40.0, 60.0))
+    cat.deleteWhere("u1", col("v") > 50)
+    assert(cat.get("u1").df.count() == 2)
+    cat.createView("u1_big", "SELECT id FROM u1 WHERE v > 15")
+    assert(spark.sql("SELECT COUNT(*) FROM u1_big").collect()(0).getLong(0) == 1)
+  }
+}
