@@ -39,9 +39,9 @@ object Tables {
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events TimeSeries with `ts` as a proper TimestampType (µs). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = read(spark, sfDir, "events")
+  /** Normalize a raw events frame (batch or streaming): surface `ts` as
+    * TimestampType (µs) and `ts_ns` as the lossless int64 nanos. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
     if (raw.schema("ts").dataType == LongType) {
       raw
         .withColumnRenamed("ts", "ts_ns")
@@ -52,6 +52,10 @@ object Tables {
         .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
     }
   }
+
+  /** The events TimeSeries with `ts` as a proper TimestampType (µs). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeEvents(read(spark, sfDir, "events"))
 
   def container(spark: SparkSession, sfDir: String, name: String): Container =
     name match {

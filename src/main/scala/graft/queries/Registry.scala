@@ -4,7 +4,8 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     CoreSql.qs ++ TimeSeriesQueries.qs ++ PipelineQueries.qs ++ TqlQueries.qs ++
-      MatchRecognizeQueries.qs ++ NanoQueries.qs ++ GeoQueries.qs
+      MatchRecognizeQueries.qs ++ NanoQueries.qs ++ GeoQueries.qs ++
+      StreamingQueries.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

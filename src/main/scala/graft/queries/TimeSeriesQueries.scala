@@ -209,6 +209,31 @@ object FillQueries {
         .select(col("ts_ms"), col("avg_value"), col("n"))
     },
 
+    // keyed variant: one series per event_type, fill PREVIOUS per key
+    Q.df("q_ts_range_fill_keyed",
+      duck = s"""WITH g0 AS (SELECT unnest(generate_series($startMs, $endMs, ${6 * 3600 * 1000})) AS ts_ms),
+        |k AS (SELECT DISTINCT event_type FROM events),
+        |g AS (SELECT k.event_type AS event_type, g0.ts_ms AS ts_ms FROM k, g0),
+        |a AS (SELECT event_type,
+        |        $startMs + (epoch_ms(ts) - $startMs) // ${6 * 3600 * 1000} * ${6 * 3600 * 1000} AS ts_ms,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+        |      FROM events
+        |      WHERE epoch_ms(ts) >= $startMs AND epoch_ms(ts) <= $endMs
+        |      GROUP BY 1, 2),
+        |j AS (SELECT g.event_type, g.ts_ms, a.avg_value
+        |      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.ts_ms = a.ts_ms)
+        |SELECT event_type, ts_ms,
+        |  COALESCE(avg_value, last_value(avg_value IGNORE NULLS) OVER
+        |    (PARTITION BY event_type ORDER BY ts_ms
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS avg_value
+        |FROM j ORDER BY event_type, ts_ms""".stripMargin) { (s, dir) =>
+      val exactAvg = (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_value")
+      GroupByRange(Tables.events(s, dir), "ts", startMs, endMs, 6L * 3600 * 1000,
+        Seq(exactAvg), GroupByRange.FillPrevious, keys = Seq("event_type"))
+        .select(col("event_type"), col("ts_ms"), col("avg_value"))
+    },
+
     Q.df("q_ts_range_fill_linear",
       duck = duckFill(
         """SELECT ts_ms,

@@ -179,6 +179,29 @@ object TqlCompiler {
         case "NOW" => current_timestamp()
         case "TO_EPOCH_MS" => unix_millis(a(0))
         case "TO_TIMESTAMP_MS" => timestamp_millis(a(0))
+        case "TIMESTAMP_MS" | "TIMESTAMP_US" | "TIMESTAMP_NS" =>
+          // ISO string -> timestamp (ns truncates to Spark's µs)
+          to_timestamp(a(0))
+        case "FROM_TIMESTAMP" => a(0).cast("string")
+        case "TIMESTAMP_ADD" | "TIMESTAMPADD" =>
+          val unit = unitName(args(0))
+          val n = args(2) match {
+            case NumLit(v, true) => v.toLong
+            case other => throw new TqlParseException(s"expected integer count, got $other")
+          }
+          a(1) + expr(s"INTERVAL '$n' $unit")
+        case "TIMESTAMP_DIFF" | "TIMESTAMPDIFF" =>
+          val us = unix_micros(a(1)) - unix_micros(a(2))
+          unitName(args(0)) match {
+            case "MILLISECOND" => (us / 1000L).cast("long")
+            case "SECOND" => (us / 1000000L).cast("long")
+            case "MINUTE" => (us / 60000000L).cast("long")
+            case "HOUR" => (us / 3600000000L).cast("long")
+            case "DAY" => (us / 86400000000L).cast("long")
+            case "MONTH" => floor(months_between(a(1), a(2))).cast("long")
+            case "YEAR" => floor(months_between(a(1), a(2)) / 12.0).cast("long")
+            case other => throw new TqlParseException(s"unsupported unit $other")
+          }
         // array (server/function_array.h) — GridDB ELEMENT is 0-based
         case "ARRAY_LENGTH" => size(a(0))
         case "ELEMENT" => element_at(a(0), (a(1) + lit(1)).cast("int"))
@@ -206,6 +229,14 @@ object TqlCompiler {
     }
     sb += '$'
     c.rlike(sb.toString)
+  }
+
+  private val timeUnits =
+    Set("YEAR", "MONTH", "DAY", "HOUR", "MINUTE", "SECOND", "MILLISECOND")
+
+  private def unitName(e: Expr): String = e match {
+    case ColRef(u) if timeUnits.contains(u.toUpperCase) => u.toUpperCase
+    case other => throw new TqlParseException(s"expected time unit, got $other")
   }
 
   private def posInt(e: Expr): Int = e match {

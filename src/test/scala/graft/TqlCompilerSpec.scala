@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.engine.{Collection, Container, TimeSeries}
+import graft.tql.TqlCompiler
+
+class TqlCompilerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def coll(df: org.apache.spark.sql.DataFrame) =
+    Container("t", df, Collection)
+
+  test("xor, like-escape, is null compile correctly") {
+    val df = Seq(("a_b", Some(1)), ("axb", None), ("ayb", Some(3)))
+      .toDF("s", "v")
+    val got = TqlCompiler.run(coll(df),
+      "select * where s like 'a!_b' escape '!' xor v is null order by s")
+      .select("s").as[String].collect()
+    // a_b: like=T, isnull=F -> T ; axb: F xor T -> T ; ayb: F xor F -> F
+    assert(got.toSeq == Seq("a_b", "axb"))
+  }
+
+  test("ELEMENT is 0-based; ARRAY_LENGTH works") {
+    val df = Seq((Seq(10, 20, 30), 1L), (Seq(5), 2L)).toDF("arr", "id")
+    val got = TqlCompiler.run(coll(df),
+      "select * where array_length(arr) = 3 and element(arr, 1) = 20")
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("string and math functions") {
+    val df = Seq(("Hello World", 2.6)).toDF("s", "x")
+    val out = TqlCompiler.run(coll(df),
+      "select * where char_length(s) = 11 and upper(s) = 'HELLO WORLD' " +
+        "and substring(s, 7, 5) = 'World' and round(x) = 3.0 and floor(x) = 2.0")
+    assert(out.count() == 1)
+  }
+
+  test("timestamp_add / timestamp_diff") {
+    val df = Seq((Timestamp.valueOf("2024-01-10 00:00:00"), 1L))
+      .toDF("ts", "id")
+    val c = Container("ts", df, TimeSeries, Seq("ts"), Some("ts"))
+    val r1 = TqlCompiler.run(c,
+      "select * where timestamp_add(HOUR, ts, 36) = TIMESTAMP('2024-01-11T12:00:00Z')")
+    assert(r1.count() == 1)
+    val r2 = TqlCompiler.run(c,
+      "select * where timestamp_diff(DAY, ts, TIMESTAMP('2024-01-01T00:00:00Z')) = 9")
+    assert(r2.count() == 1)
+    val r3 = TqlCompiler.run(c,
+      "select * where timestamp_ms('2024-01-10 00:00:00') = ts")
+    assert(r3.count() == 1)
+  }
+
+  test("explain returns plan rows with pushed filters") {
+    val ev = graft.engine.Tables.container(spark, sfDir, "events")
+    val plan = TqlCompiler.run(ev, "explain select * where value > 100 and event_type = 'click'")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("GreaterThan(value,100") || plan.contains("value"), plan)
+  }
+}
