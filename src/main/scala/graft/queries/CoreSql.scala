@@ -83,6 +83,49 @@ object CoreSql {
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin),
 
+    Q.sql("q_join_right",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    Q.sql("q_join_natural",
+      """SELECT nationkey, n_name, COUNT(*) AS n_cust
+        |FROM (SELECT c_nationkey AS nationkey, c_custkey FROM customer) c
+        |NATURAL JOIN (SELECT n_nationkey AS nationkey, n_name FROM nation) n
+        |GROUP BY nationkey, n_name ORDER BY nationkey""".stripMargin),
+
+    // ---- HAVING ----
+    Q.sql("q_having",
+      """SELECT l_suppkey, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_suppkey HAVING COUNT(*) > 80
+        |ORDER BY l_suppkey""".stripMargin),
+
+    // ---- GridDB-registered functions through spark.sql ----
+    Q.sql("q_fn_compat",
+      """SELECT o_orderkey,
+        |  strftime('%Y-%m', o_orderdate) AS ym,
+        |  hex_to_dec('ff') AS h,
+        |  glob('1*', CAST(o_orderkey AS STRING)) AS g
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  255 AS h,
+        |  (CAST(o_orderkey AS VARCHAR) LIKE '1%') AS g
+        |FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""".stripMargin),
+
+    Q.sql("q_agg_compat",
+      """SELECT l_returnflag,
+        |  ROUND(total(l_quantity), 2) AS tot,
+        |  ROUND(stddev0(l_quantity), 4) AS sd,
+        |  ROUND(variance0(l_quantity), 4) AS vr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      duck = """SELECT l_returnflag,
+        |  ROUND(COALESCE(SUM(l_quantity), 0), 2) AS tot,
+        |  ROUND(COALESCE(stddev_samp(l_quantity), 0), 4) AS sd,
+        |  ROUND(COALESCE(var_samp(l_quantity), 0), 4) AS vr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- semi / anti joins (EXISTS / NOT EXISTS decorrelation) ----
     Q.sql("q_join_semi",
       """SELECT c_custkey, c_name FROM customer c
