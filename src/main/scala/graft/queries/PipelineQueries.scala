@@ -153,6 +153,42 @@ object PipelineQueries {
       TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")
     },
 
+    // ---- end-to-end curation: quality gate + near-dup removal ----
+    // keep docs passing quality thresholds; among surviving near-dup pairs
+    // (token Jaccard >= 0.8) drop the higher doc_id (keep-first)
+    Q.df("q_pipeline_curation",
+      duck = """WITH tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |qual AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 10
+        |    AND CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |        / len(string_split(lower(text), ' ')) >= 0.3),
+        |pairs AS (
+        |  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id),
+        |dup AS (
+        |  SELECT DISTINCT p.b FROM pairs p
+        |  JOIN sz sa ON sa.doc_id = p.a JOIN sz sb ON sb.doc_id = p.b
+        |  JOIN qual qa ON qa.doc_id = p.a JOIN qual qb ON qb.doc_id = p.b
+        |  WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.8)
+        |SELECT doc_id FROM qual WHERE doc_id NOT IN (SELECT b FROM dup)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val qual = TextAnalysis.quality(d, "text", "doc_id")
+        .filter(col("n_tokens") >= 10 && col("uniq_ratio") >= 0.3)
+        .select("doc_id")
+      val pairs = Dedup.tokenJaccardPairs(d, "text", "doc_id", minJaccard = 0.8)
+      val dup = pairs
+        .join(qual.withColumnRenamed("doc_id", "a"), "a")
+        .join(qual.withColumnRenamed("doc_id", "b"), "b")
+        .select(col("b").as("doc_id")).distinct()
+      qual.join(dup, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    },
+
     // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----
     Q.rowsOnly("q_multimodal_features") { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s

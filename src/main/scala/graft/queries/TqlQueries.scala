@@ -62,6 +62,18 @@ object TqlQueries {
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
     },
 
+    Q.df("q_tql_time_window_agg",
+      duck = """SELECT 1704067200000 + (epoch_ms(ts) - 1704067200000) // 43200000 * 43200000 AS ts_ms,
+        |  MIN(value) AS min
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) <= 1706572800000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+        "select time_window_agg(value, TIMESTAMP('2024-01-01T00:00:00Z'), " +
+          "TIMESTAMP('2024-01-30T00:00:00Z'), 12, HOUR, MIN)")
+        .select(col("ts_ms"), col("min"))
+    },
+
     Q.df("q_tql_max_rows",
       duck = """SELECT event_id, epoch_ms(ts) AS ts_ms, value FROM events
         |WHERE value = (SELECT max(value) FROM events WHERE event_type = 'purchase')

@@ -101,6 +101,32 @@ object TqlCompiler {
           tsArg(1), tsArg(2), n * unitUs)
       case "MAX_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = true)
       case "MIN_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = false)
+      case "TIME_WINDOW_AGG" =>
+        // TIME_WINDOW_AGG(col, start, end, interval, unit, AGG)
+        val unitMs = timeUnitMicros(arg(3 + 1)) / 1000L
+        val n = arg(3) match {
+          case NumLit(v, _) => v.toLong
+          case other => throw new TqlParseException(s"expected number, got $other")
+        }
+        val aggName = arg(5) match {
+          case ColRef(a0) => a0.toUpperCase
+          case other => throw new TqlParseException(s"expected aggregation name, got $other")
+        }
+        val vc = col(argName(0))
+        val aggCol = aggName match {
+          case "AVG" => avg(vc).as("avg")
+          case "SUM" => sum(vc).as("sum")
+          case "COUNT" => count(vc).as("count")
+          case "MIN" => min(vc).as("min")
+          case "MAX" => max(vc).as("max")
+          case other => throw new TqlParseException(s"unsupported agg $other")
+        }
+        def msOf(i: Int): Long = arg(i) match {
+          case TsLit(us) => us / 1000L
+          case other => throw new TqlParseException(s"expected TIMESTAMP(), got $other")
+        }
+        graft.ts.GroupByRange(df, tsCol(container), msOf(1), msOf(2),
+          n * unitMs, Seq(aggCol), graft.ts.GroupByRange.FillNone)
 
       case other => throw new TqlParseException(s"unknown selection/aggregation: $other")
     }
