@@ -58,6 +58,63 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** literal array-of-structs (cid, cv) for a centroid set. */
+  private def centroidsCol(cents: Array[Array[Double]]): Column =
+    array(cents.indices.map(i =>
+      struct(lit(i).as("cid"), array(cents(i).map(lit): _*).as("cv"))): _*)
+
+  /** squared-L2 distances to every centroid as array<struct(d, cid)> —
+    * array_min / array_sort on it give argmin / probe order without any
+    * shuffle (struct comparison is lexicographic). */
+  private def distances(vec: Column, cents: Array[Array[Double]]): Column =
+    transform(centroidsCol(cents), c =>
+      struct(
+        aggregate(zip_with(vec, c.getField("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d"),
+        c.getField("cid").as("cid")))
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Coarse quantizer: nLists seed centroids (first ids, deterministic) +
+    * one distributed Lloyd refinement; centroids are collected to the driver
+    * (nLists x dim doubles — constant-size, standard for IVF) and shipped as
+    * literals, so cluster assignment is a shuffle-free projection. Queries
+    * probe the nProbe nearest lists; scoring joins only same-list pairs.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              roundTo: Int = 4): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val dim = c0.select(size(col("cv"))).head().getInt(0)
+    val seeds = c0.orderBy("c_id").limit(nLists)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    // one Lloyd iteration, distributed: assign to nearest seed, average
+    val assigned0 = c0.withColumn("cluster",
+      array_min(distances(col("cv"), seeds)).getField("cid"))
+    val dimAvgs = (0 until dim).map(i =>
+      avg(element_at(col("cv"), i + 1)).as(s"d$i"))
+    val refined = assigned0.groupBy("cluster").agg(dimAvgs.head, dimAvgs.tail: _*)
+      .orderBy("cluster").collect()
+      .map(r => (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+    val cents = if (refined.length == nLists) refined else seeds
+
+    val c = c0
+      .withColumn("cluster", array_min(distances(col("cv"), cents)).getField("cid"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cluster",
+        explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, nProbe),
+          d => d.getField("cid"))))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Approximate cosine top-k: candidates limited to same-LSH-bucket pairs.
     * Recall < 1.0 by construction; multi-probe = `probes` extra buckets with
     * one signature bit flipped. Output: (q_id, c_id, cos, rk). */

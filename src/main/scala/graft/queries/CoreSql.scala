@@ -223,6 +223,7 @@ object CoreSql {
         |WINDOW w AS (PARTITION BY user_id ORDER BY unix_millis(ts)
         |    RANGE BETWEEN 86400000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+      bench = true,
       duck = """SELECT event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
         |        / COUNT(*) OVER w AS avg_24h

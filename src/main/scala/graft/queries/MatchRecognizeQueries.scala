@@ -27,7 +27,8 @@ object MatchRecognizeQueries {
         |      FROM g)
         |SELECT v.user_id AS user_id, v.event_id AS event_id, m.match_num, 'V' AS classifier
         |FROM v JOIN m ON v.user_id = m.user_id AND v.grp = m.grp
-        |ORDER BY v.user_id, m.match_num, v.event_id""".stripMargin) { (s, dir) =>
+        |ORDER BY v.user_id, m.match_num, v.event_id""".stripMargin,
+      bench = true) { (s, dir) =>
       MatchRecognize.allRowsPerMatch(
           Tables.events(s, dir), keys = Seq("user_id"),
           orderCols = Seq("ts", "event_id"),

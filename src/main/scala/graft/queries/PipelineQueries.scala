@@ -102,6 +102,13 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
+    // ---- IVF approximate NN (rows-only; recall tested in spec) ----
+    Q.rowsOnly("q_sim_ivf_ann") { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rk")
+    },
+
     // ---- text quality metrics ----
     Q.df("q_text_quality",
       duck = """SELECT doc_id,
@@ -187,6 +194,14 @@ object PipelineQueries {
         .join(qual.withColumnRenamed("doc_id", "b"), "b")
         .select(col("b").as("doc_id")).distinct()
       qual.join(dup, Seq("doc_id"), "left_anti").orderBy("doc_id")
+    },
+
+    // ---- approximate distinct (HLL sketch; tolerance-tested in spec) ----
+    Q.rowsOnly("q_approx_distinct") { (s, dir) =>
+      Tables.events(s, dir).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("value"), 0.02).as("approx_values"))
+        .orderBy("event_type")
     },
 
     // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----

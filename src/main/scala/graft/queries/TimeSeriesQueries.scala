@@ -104,7 +104,8 @@ object TimeSeriesQueries {
         |           WHERE ts <= g.gt ORDER BY ts DESC, event_id DESC LIMIT 1) p,
         |  LATERAL (SELECT epoch_us(ts) AS t, value AS v FROM events
         |           WHERE ts >= g.gt ORDER BY ts, event_id LIMIT 1) n
-        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
+        |ORDER BY ts_ms""".stripMargin,
+      bench = true) { (s, dir) =>
       T.timeSampling(evs(s, dir), "ts", "value",
           lit("2024-01-01 00:00:00").cast("timestamp"),
           lit("2024-01-30 00:00:00").cast("timestamp"),

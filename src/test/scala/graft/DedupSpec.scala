@@ -86,6 +86,18 @@ class DedupSpec extends SparkTestBase {
     assert(top.toSeq == Seq((2L, 1.0, 1), (3L, 0.7071, 2), (1L, 0.0, 3)))
   }
 
+  test("ivf ANN recall against brute force on real embeddings") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = 4)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf recall $recall too low")
+  }
+
   test("lsh ANN recall against brute force on real embeddings") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 3)
