@@ -137,6 +137,12 @@ object GridDbScalarFunctions {
     tmp("griddb_median") { a =>
       new Percentile(Cast(one(a, "MEDIAN"), DoubleType), Literal(0.5)).toAggregateExpression()
     }
+
+    // ---- graft-native (codegen'd) ----
+    tmp("graft_cosine") { a =>
+      require(a.size == 2, "graft_cosine(a, b)")
+      CosineSimilarity(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
+    }
   }
 
   /** Drop all registrations (test hygiene). */
@@ -145,7 +151,7 @@ object GridDbScalarFunctions {
     Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
       "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
-      "group_concat", "griddb_median")
+      "group_concat", "griddb_median", "graft_cosine")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
   }
 }

@@ -25,6 +25,13 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** codegen'd fused cosine (graft.functions.CosineSimilarity); bit-equal to
+    * dot/(norm*norm) with left-to-right folds. */
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  private def ensureFns(df: DataFrame): Unit =
+    graft.functions.GridDbScalarFunctions.register(df.sparkSession)
+
   /** Exact cosine top-k of corpus vectors for each query vector.
     * Ties broken by corpus id; self-matches excluded; cosine rounded to
     * `roundTo` digits BEFORE ranking so results are reproducible across
@@ -32,13 +39,12 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4): DataFrame = {
+    ensureFns(corpus)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
@@ -84,6 +90,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
               roundTo: Int = 4): DataFrame = {
+    ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = c0.select(size(col("cv"))).head().getInt(0)
     val seeds = c0.orderBy("c_id").limit(nLists)
@@ -100,16 +107,14 @@ object Similarity {
 
     val c = c0
       .withColumn("cluster", array_min(distances(col("cv"), cents)).getField("cid"))
-      .withColumn("cn", norm(col("cv")))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
       .withColumn("cluster",
         explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, nProbe),
           d => d.getField("cid"))))
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -123,19 +128,18 @@ object Similarity {
               bits: Int = 8, probes: Int = 4, roundTo: Int = 4): DataFrame = {
     val dim = 64
     val planes = hyperplanes(bits, dim)
+    ensureFns(corpus)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", norm(col("cv")))
       .withColumn("bucket", signature(col("cv"), planes))
     // queries probe their own bucket + `probes` single-bit-flip neighbors
     val probeBuckets = (c0: Column) =>
       array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1 << i)))): _*)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", norm(col("qv")))
       .withColumn("bucket", explode(probeBuckets(signature(col("qv"), planes))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), roundTo).as("cos"))
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
