@@ -1,0 +1,23 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.GridDbScalarFunctions
+
+/** SparkSessionExtensions entry point: makes every GridDB-dialect function
+  * available in any session built with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.engine.GraftExtensions` — the deployment
+  * shape for a shared cluster, where the session is created by the platform
+  * rather than by graft code. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GridDbScalarFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GridDbScalarFunctions", name),
+        builder))
+    }
+  }
+}

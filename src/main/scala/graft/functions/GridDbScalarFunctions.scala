@@ -66,10 +66,11 @@ object GridDbScalarFunctions {
     case other => throw new IllegalArgumentException(s"$ctx expects a string literal, got $other")
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** All GridDB-dialect function builders (name -> expression builder). */
+  lazy val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def tmp(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      out += (name -> builder)
 
     // ---- time (function_timestamp.h, sql_expression_time.h) ----
     tmp("to_epoch_ms")(a => UnixMillis(Cast(one(a, "TO_EPOCH_MS"), TimestampType)))
@@ -142,6 +143,15 @@ object GridDbScalarFunctions {
     tmp("graft_cosine") { a =>
       require(a.size == 2, "graft_cosine(a, b)")
       CosineSimilarity(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
+    }
+    out.result()
+  }
+
+  /** Register into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 

@@ -210,6 +210,29 @@ object FillQueries {
         .select(col("ts_ms"), col("avg_value"), col("n"))
     },
 
+    // GridDB SQL-dialect text through GraftSql (GROUP BY RANGE clause)
+    Q.df("q_sql_group_by_range",
+      duck = """WITH g AS (SELECT unnest(generate_series(1704067200000, 1704412800000, 21600000)) AS ts_ms),
+        |a AS (SELECT 1704067200000 + (epoch_ms(ts) - 1704067200000) // 21600000 * 21600000 AS ts_ms,
+        |             COUNT(*) AS n, MIN(value) AS min_value
+        |      FROM events
+        |      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00'
+        |        AND epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) <= 1704412800000
+        |      GROUP BY 1)
+        |SELECT g.ts_ms,
+        |  COALESCE(a.n, last_value(a.n IGNORE NULLS) OVER w) AS n,
+        |  COALESCE(a.min_value, last_value(a.min_value IGNORE NULLS) OVER w) AS min_value
+        |FROM g LEFT JOIN a ON g.ts_ms = a.ts_ms
+        |WINDOW w AS (ORDER BY g.ts_ms ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY g.ts_ms""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      graft.engine.GraftSql.sql(s,
+        """SELECT ts, count(*) AS n, min(value) AS min_value FROM events
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
+          |GROUP BY RANGE(ts) EVERY (6, HOUR) FILL (PREVIOUS)""".stripMargin)
+        .select(col("ts_ms"), col("n"), col("min_value"))
+    },
+
     // keyed variant: one series per event_type, fill PREVIOUS per key
     Q.df("q_ts_range_fill_keyed",
       duck = s"""WITH g0 AS (SELECT unnest(generate_series($startMs, $endMs, ${6 * 3600 * 1000})) AS ts_ms),

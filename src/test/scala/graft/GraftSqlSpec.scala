@@ -41,6 +41,26 @@ class GraftSqlSpec extends SparkTestBase {
     assert(plan2.contains("HashAggregate"))
   }
 
+  test("GROUP BY RANGE ... EVERY ... FILL as GridDB SQL text") {
+    Tables.registerAll(spark, sfDir)
+    val df = GraftSql.sql(spark,
+      """SELECT ts, avg(value) AS avg_value, count(*) AS n FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY RANGE(ts) EVERY (6, HOUR) FILL (PREVIOUS)""".stripMargin)
+    val rows = df.orderBy("ts_ms").collect()
+    assert(rows.length == 17) // 4 days / 6h + 1
+    assert(rows.head.getLong(0) == 1704067200000L)
+    // FILL(PREVIOUS): after the first non-empty bucket nothing is null
+    val vals = rows.map(r => Option(r.get(1)))
+    assert(vals.dropWhile(_.isEmpty).forall(_.isDefined))
+    // FILL(NONE) drops empty buckets
+    val none = GraftSql.sql(spark,
+      """SELECT ts, count(*) AS n FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'
+        |GROUP BY RANGE(ts) EVERY (6, HOUR)""".stripMargin)
+    assert(none.count() <= 17)
+  }
+
   test("catalog UPDATE / DELETE WHERE / views") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
