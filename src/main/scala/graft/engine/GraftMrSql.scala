@@ -1,0 +1,95 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Textual lowering of GridDB's MATCH_RECOGNIZE SQL clause (grammar rules
+  * 162-194, /root/reference/server/sql_internal_parser.cpp:996-1028) onto
+  * graft.mr.MatchRecognize.
+  *
+  * Supported form:
+  * {{{
+  * SELECT * FROM <table> MATCH_RECOGNIZE (
+  *   [PARTITION BY c1, c2]
+  *   ORDER BY o1 [, o2 ...]
+  *   [ALL ROWS PER MATCH | ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   PATTERN ( <row-pattern regex> )
+  *   DEFINE V1 AS <cond>, V2 AS <cond> ...
+  * )
+  * }}}
+  * DEFINE conditions are Spark SQL boolean expressions over the row; the
+  * pattern-navigation call `PREV(col [, n])` is supported and translated to
+  * a `lag` window over (PARTITION BY, ORDER BY) — evaluated before the
+  * match, which matches the reference's single-pass semantics for
+  * conditions that only look backward.
+  */
+object GraftMrSql {
+
+  private val mrRe =
+    """(?is)^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*;?\s*$""".r
+  private val partRe = """(?is)PARTITION\s+BY\s+(.*?)(?=ORDER\s+BY|PATTERN|MEASURES|ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|DEFINE|$)""".r
+  private val orderRe = """(?is)ORDER\s+BY\s+(.*?)(?=PATTERN|MEASURES|ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|DEFINE|$)""".r
+  private val patternRe = """(?is)PATTERN\s*\(((?:[^()]|\([^()]*\))*)\)""".r
+  private val defineRe = """(?is)DEFINE\s+(.*)$""".r
+  private val oneRowRe = """(?is)ONE\s+ROW\s+PER\s+MATCH""".r
+  private val skipNextRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r
+  private val prevRe = """(?i)PREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+
+  def matches(sql: String): Boolean = mrRe.findFirstIn(sql).isDefined
+
+  def run(spark: SparkSession, sql: String): DataFrame = sql match {
+    case mrRe(table, body) =>
+      val keys = partRe.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val orderCols = orderRe.findFirstMatchIn(body)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE requires ORDER BY"))
+      val pattern = patternRe.findFirstMatchIn(body)
+        .map(_.group(1).trim)
+        .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE requires PATTERN"))
+      val defBody = defineRe.findFirstMatchIn(body)
+        .map(_.group(1).trim)
+        .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE requires DEFINE"))
+      val oneRow = oneRowRe.findFirstIn(body).isDefined
+      val skipPast = skipNextRe.findFirstIn(body).isEmpty
+
+      var df = spark.table(table)
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+
+      // translate PREV(col[, n]) -> materialized lag columns
+      var prevCols = Map.empty[(String, Int), String]
+      def translatePrev(cond: String): String =
+        prevRe.replaceAllIn(cond, m => {
+          val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
+          val name = prevCols.getOrElse((c, n), {
+            val nm = s"__prev_${c}_$n"
+            prevCols += ((c, n) -> nm)
+            nm
+          })
+          name
+        })
+
+      // DEFINE V AS cond, V2 AS cond2 ... (split on top-level commas)
+      val defs = GraftSql.splitSelectList(defBody).map { d =>
+        val parts = d.split("(?i)\\s+AS\\s+", 2)
+        require(parts.length == 2, s"bad DEFINE entry: $d")
+        parts(0).trim -> translatePrev(parts(1).trim)
+      }
+      prevCols.foreach { case ((c, n), nm) =>
+        df = df.withColumn(nm, lag(col(c), n).over(w))
+      }
+      val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
+
+      val out =
+        if (oneRow)
+          graft.mr.MatchRecognize.oneRowPerMatch(df, keys, orderCols, pattern, defines, skipPast)
+        else
+          graft.mr.MatchRecognize.allRowsPerMatch(df, keys, orderCols, pattern, defines, skipPast)
+      out.drop(prevCols.values.toSeq: _*)
+
+    case _ => throw new IllegalArgumentException("not a MATCH_RECOGNIZE statement")
+  }
+}

@@ -85,6 +85,7 @@ object GraftSql {
   }
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case _ if GraftMrSql.matches(text) => GraftMrSql.run(spark, text)
     case rangeRe(selectList, table, where, tsCol, n, unit, fill) =>
       val bounds = tsLitRe.findAllMatchIn(where).map(m => epochMs(m.group(1))).toSeq
       require(bounds.size >= 2,

@@ -61,6 +61,43 @@ class GraftSqlSpec extends SparkTestBase {
     assert(none.count() <= 17)
   }
 
+  test("MATCH_RECOGNIZE as GridDB SQL text with PREV()") {
+    import spark.implicits._
+    Seq(("k1", 1L, 5.0), ("k1", 2L, 4.0), ("k1", 3L, 3.0), ("k1", 4L, 4.0),
+      ("k1", 5L, 5.0), ("k2", 1L, 1.0), ("k2", 2L, 2.0))
+      .toDF("k", "seq", "value").createOrReplaceTempView("mr_t")
+    val out = GraftSql.sql(spark,
+      """SELECT * FROM mr_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  ALL ROWS PER MATCH
+        |  PATTERN ( DOWN{2,} UP{2,} )
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+        |)""".stripMargin)
+      .select("k", "seq", "match_num", "classifier")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSet == Set(
+      ("k1", 2L, 1L, "DOWN"), ("k1", 3L, 1L, "DOWN"),
+      ("k1", 4L, 1L, "UP"), ("k1", 5L, 1L, "UP")))
+
+    val one = GraftSql.sql(spark,
+      """SELECT * FROM mr_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  ONE ROW PER MATCH
+        |  PATTERN ( DOWN{2,} UP{2,} )
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+        |)""".stripMargin).collect()
+    assert(one.length == 1)
+
+    // grouped alternation in PATTERN
+    val alt = GraftSql.sql(spark,
+      """SELECT * FROM mr_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  PATTERN ( (DOWN|UP)+ )
+        |  DEFINE DOWN AS value < PREV(value), UP AS value > PREV(value)
+        |)""".stripMargin).collect()
+    assert(alt.nonEmpty)
+  }
+
   test("catalog UPDATE / DELETE WHERE / views") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
