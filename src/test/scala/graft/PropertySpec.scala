@@ -1,0 +1,87 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.GridDbScalarFunctions
+import graft.mr.PatternRegex
+
+class PropertySpec extends SparkTestBase {
+
+  /** deterministic sampling loop over scalacheck generators */
+  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  // ---- glob translation vs a direct recursive matcher ----
+  private def globMatch(p: String, s: String): Boolean = (p, s) match {
+    case ("", "") => true
+    case ("", _) => false
+    case _ if p.head == '*' =>
+      globMatch(p.tail, s) || (s.nonEmpty && globMatch(p, s.tail))
+    case _ if s.isEmpty => false
+    case _ if p.head == '?' => globMatch(p.tail, s.tail)
+    case _ => p.head == s.head && globMatch(p.tail, s.tail)
+  }
+
+  private val globChar = Gen.oneOf('a', 'b', 'c', '*', '?', '.', '(')
+  private val strChar = Gen.oneOf('a', 'b', 'c', '.', '(')
+
+  test("globToRegex agrees with a reference glob matcher") {
+    forAll(Gen.listOfN(6, globChar).map(_.mkString),
+      Gen.listOfN(8, strChar).map(_.mkString)) { (pat: String, s: String) =>
+      val viaRegex = s.matches(GridDbScalarFunctions.globToRegex(pat))
+      assert(viaRegex == globMatch(pat, s), s"pattern=$pat s=$s")
+    }
+  }
+
+  // ---- TQL numeric expression translation vs direct evaluation ----
+  test("TQL arithmetic comparisons match Scala semantics") {
+    import spark.implicits._
+    val df = Seq((3.0, 7.0)).toDF("x", "y")
+    val c = graft.engine.Container("t", df, graft.engine.Collection)
+    forAll(Gen.chooseNum(-20.0, 20.0), Gen.chooseNum(-20.0, 20.0),
+      Gen.chooseNum(1.0, 5.0)) { (a: Double, b: Double, m: Double) =>
+      val expected = a * m + b > 3.0 * m - b
+      val got = graft.tql.TqlCompiler.run(c,
+        f"select count(*) where $a%.4f * $m%.4f + $b%.4f > x * $m%.4f - $b%.4f")
+        .collect()(0).getLong(0) == 1
+      assert(got == expected, s"a=$a b=$b m=$m")
+    }
+  }
+
+  // ---- pattern regex: quantifier counting over uniform symbols ----
+  test("Rep{n,m} matches between n and m symbols greedily") {
+    forAll(Gen.chooseNum(0, 4), Gen.chooseNum(0, 4), Gen.chooseNum(0, 6)) {
+      (lo0: Int, extra: Int, avail: Int) =>
+      val lo = lo0
+      val hi = lo0 + extra
+      val node = PatternRegex.Rep(PatternRegex.Sym("A"), lo, hi)
+      val res = PatternRegex.matchAt(node, 0, avail, (_, _) => true)
+      if (avail >= lo) {
+        assert(res.isDefined)
+        assert(res.get.size == math.min(hi, avail)) // greedy
+      } else assert(res.isEmpty)
+    }
+  }
+
+  // ---- LIKE-escape translation matches Spark's own LIKE for plain cases ----
+  test("TQL LIKE with escape behaves like standard LIKE when no escape used") {
+    import spark.implicits._
+    val strs = Seq("abc", "a_c", "axc", "ab", "abcd", "")
+    val df = strs.toDF("s")
+    val c = graft.engine.Container("t", df, graft.engine.Collection)
+    forAll(Gen.listOfN(4, Gen.oneOf('a', 'b', 'c', '%', '_')).map(_.mkString)) {
+      (pat: String) =>
+      val viaTql = graft.tql.TqlCompiler.run(c,
+        s"select count(*) where s like '$pat' escape '!'")
+        .collect()(0).getLong(0)
+      val viaSpark = df.filter($"s".like(pat)).count()
+      assert(viaTql == viaSpark, s"pattern=$pat")
+    }
+  }
+}
