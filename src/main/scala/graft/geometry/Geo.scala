@@ -58,4 +58,17 @@ object Geo {
 
   /** ST_GETSRID — GridDB CE default SRID is 0. */
   def stGetSrid(wkt: Column): Column = when(wkt.isNotNull, lit(0)).otherwise(lit(null))
+
+  /** ST_MAKERECT as WKT (keeps the TQL geometry surface string-uniform). */
+  def stMakeRectWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    concat(lit("POLYGON(("),
+      x1.cast("string"), lit(" "), y1.cast("string"), lit(", "),
+      x2.cast("string"), lit(" "), y1.cast("string"), lit(", "),
+      x2.cast("string"), lit(" "), y2.cast("string"), lit(", "),
+      x1.cast("string"), lit(" "), y2.cast("string"), lit(", "),
+      x1.cast("string"), lit(" "), y1.cast("string"), lit("))"))
+
+  /** MBR-intersection over two WKT strings. */
+  def stMbrIntersectsWkt(a: Column, b: Column): Column =
+    stMbrIntersects(stMbr(a), stMbr(b))
 }

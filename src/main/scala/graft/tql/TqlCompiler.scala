@@ -231,6 +231,12 @@ object TqlCompiler {
         // array (server/function_array.h) — GridDB ELEMENT is 0-based
         case "ARRAY_LENGTH" => size(a(0))
         case "ELEMENT" => element_at(a(0), (a(1) + lit(1)).cast("int"))
+        // geometry (server/function_map.cpp:52-105) — WKT-string surface
+        case "POINT" => graft.geometry.Geo.stPoint(a(0), a(1))
+        case "ST_GEOMFROMTEXT" => graft.geometry.Geo.stGeomFromText(a(0))
+        case "ST_MAKERECT" => graft.geometry.Geo.stMakeRectWkt(a(0), a(1), a(2), a(3))
+        case "ST_MBRINTERSECTS" => graft.geometry.Geo.stMbrIntersectsWkt(a(0), a(1))
+        case "ST_GETSRID" => graft.geometry.Geo.stGetSrid(a(0))
         case other => throw new TqlParseException(s"unknown function $other")
       }
   }

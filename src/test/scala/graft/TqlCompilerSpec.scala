@@ -52,6 +52,26 @@ class TqlCompilerSpec extends SparkTestBase {
     assert(r3.count() == 1)
   }
 
+  test("geometry predicates in TQL WHERE (WKT surface)") {
+    val df = Seq((1L, "POINT(5 5)"), (2L, "POINT(20 20)"),
+      (3L, "LINESTRING(8 8, 30 30)")).toDF("id", "geom")
+    val got = TqlCompiler.run(coll(df),
+      "select * where st_mbrintersects(geom, st_makerect(0, 0, 10, 10)) order by id")
+      .select("id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 3L))
+    val built = TqlCompiler.run(coll(df),
+      "select * where st_mbrintersects(point(1, 2), geom) is not null limit 1")
+    assert(built.count() == 1)
+  }
+
+  test("approx_count_distinct within tolerance of exact") {
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val approx = ev.agg(approx_count_distinct($"user_id")).as[Long].head()
+    val exact = ev.select($"user_id").distinct().count()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("explain returns plan rows with pushed filters") {
     val ev = graft.engine.Tables.container(spark, sfDir, "events")
     val plan = TqlCompiler.run(ev, "explain select * where value > 100 and event_type = 'click'")
