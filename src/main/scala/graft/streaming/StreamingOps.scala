@@ -44,6 +44,46 @@ object StreamingOps {
         agged.columns.filter(_ != "window").map(col).toSeq): _*)
   }
 
+  /** Gap-based session windows (built-in session_window — state managed by
+    * Spark, watermark bounds it). Output: keys..., session_start_ms,
+    * session_end_ms, aggs... */
+  def sessionize(stream: DataFrame, tsCol: String, gap: String,
+                 watermark: String, aggs: Seq[Column],
+                 keys: Seq[String]): DataFrame = {
+    val agged = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    agged.select(
+      (unix_millis(col("session_window.start")).as("session_start_ms") +:
+        unix_millis(col("session_window.end")).as("session_end_ms") +:
+        agged.columns.filter(_ != "session_window").map(col).toSeq): _*)
+  }
+
+  /** Custom keyed state via flatMapGroupsWithState: emits one row per input
+    * batch element carrying the running count + running sum for its key —
+    * the shape an incremental TIME_AVG / anomaly tracker uses. */
+  def runningStats(stream: DataFrame, keyCol: String, valCol: String)
+                  (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = stream.select(col(keyCol).cast("string"), col(valCol).cast("double"))
+      .as[(String, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          val out = rows.map { case (_, v) =>
+            n += 1; s += v
+            (key, n, s)
+          }.toVector
+          state.update((n, s))
+          out.iterator
+      }
+      .toDF(keyCol, "running_n", "running_sum")
+  }
+
   /** Event-trigger parity: run `onBatch` for every micro-batch of rows
     * matching `condition` (the reference fires a notification per put on a
     * trigger-registered container). */

@@ -51,6 +51,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("session windows close by gap + watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val sess = StreamingOps.sessionize(df, "ts", gap = "10 minutes",
+      watermark = "1 hour", aggs = Seq(count(lit(1)).as("n")), keys = Seq("k"))
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:05:00"), "a", 2.0), // same session
+      (Timestamp.valueOf("2024-01-01 00:30:00"), "a", 3.0), // new session
+      (Timestamp.valueOf("2024-01-01 09:00:00"), "a", 9.0)) // advance watermark
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_out").orderBy("session_start_ms")
+        .select("n").as[Long].collect()
+      assert(out.take(2).toSeq == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState running stats") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val input = MemoryStream[(String, Double)]
+    val df = input.toDF().toDF("k", "v")
+    val stats = StreamingOps.runningStats(df, "k", "v")
+    val q = stats.writeStream.format("memory").queryName("stats_out")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0)) // state persists across batches
+      q.processAllAvailable()
+      val out = spark.table("stats_out")
+        .orderBy("k", "running_n")
+        .as[(String, Long, Double)].collect()
+      assert(out.toSeq == Seq(("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 6.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
