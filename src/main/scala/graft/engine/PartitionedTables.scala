@@ -66,6 +66,18 @@ object PartitionedTables {
       unix_millis(col(tsCol)) >= fromMs && unix_millis(col(tsCol)) < untilMs)
   }
 
+  /** Write as a bucketed + sorted catalog table: joins/aggregations on the
+    * bucket key become exchange-free (co-located), the Spark analogue of the
+    * reference pinning scan tasks to the data-owning node
+    * (/root/reference/server/sql_execution.cpp:1296). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** TTL / ALTER TABLE ... DROP PARTITION FOR: delete interval partitions
     * entirely before the watermark (epoch ms). Returns dropped bucket ids. */
   def dropPartitionsBefore(spark: SparkSession, path: String,

@@ -46,6 +46,29 @@ class PartitionedTablesSpec extends SparkTestBase {
     assert(buckets.length == 8 && buckets.forall(b => b >= 0 && b < 8))
   }
 
+  test("bucketed tables join without exchange") {
+    val cust = Tables.read(spark, sfDir, "customer")
+    val ords = Tables.read(spark, sfDir, "orders")
+      .withColumnRenamed("o_custkey", "c_custkey")
+    PT.writeBucketed(cust, "b_customer", "c_custkey", 8)
+    PT.writeBucketed(ords, "b_orders", "c_custkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    val joined = spark.table("b_customer").join(spark.table("b_orders"), "c_custkey")
+    try assert(joined.count() > 0)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    // co-located: no shuffle exchange feeding the join
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"expected no shuffle, got:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+  }
+
   test("interval-hash composite layout") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sfDir)
