@@ -13,14 +13,13 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM once per query shape at the smallest SF so the timed runs
-    // measure steady-state execution, not whole-stage-codegen JIT compiles.
+    // Warm each query immediately before timing it (same plan shape at the
+    // smallest SF) so the timed run measures steady-state execution, not
+    // whole-stage-codegen JIT compiles — the generated-class cache is
+    // LRU-bounded, so warming all queries up front evicts the early ones.
     val warmDir = "/root/testdata/sf0.001"
-    Registry.benchQueries.foreach { q =>
-      try q.build(spark, warmDir).count() catch { case _: Throwable => () }
-    }
-
     val results = Registry.benchQueries.map { q =>
+      try q.build(spark, warmDir).count() catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
