@@ -80,6 +80,25 @@ final class GraftCatalog(spark: SparkSession) {
     c.df.filter(cond)
   }
 
+  /** Batch point lookup — GridStore.multiGet
+    * (/root/reference/java_client/.../GridStore.java:2174): one filter over
+    * the key set (an IN-predicate scan, not N point reads). */
+  def multiGet(name: String, keys: Seq[Any]): DataFrame = {
+    val c = get(name)
+    require(c.keyColumns.size == 1, s"$name needs a single-column row key")
+    c.df.filter(col(c.keyColumns.head).isin(keys: _*))
+  }
+
+  /** RowKeyPredicate range scan (java_client/.../RowKeyPredicate.java):
+    * inclusive start, exclusive finish, either optional. */
+  def keyRange(name: String, from: Option[Any], until: Option[Any]): DataFrame = {
+    val c = get(name)
+    require(c.keyColumns.size == 1, s"$name needs a single-column row key")
+    val k = col(c.keyColumns.head)
+    val conds = from.map(k >= lit(_)).toSeq ++ until.map(k < lit(_)).toSeq
+    conds.foldLeft(c.df)((d, cond) => d.filter(cond))
+  }
+
   /** DELETE by key (REMOVE semantics). */
   def remove(name: String, keyValues: Seq[Any]): Container = {
     val c = get(name)

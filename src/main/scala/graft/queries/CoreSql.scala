@@ -332,6 +332,23 @@ object CoreSql {
         |  AND 'a_b' LIKE 'a!_b' ESCAPE '!'
         |ORDER BY p_partkey""".stripMargin),
 
+    // ---- NULL tri-state semantics via outer-join-produced nulls ----
+    Q.sql("q_null_semantics",
+      """WITH big AS (SELECT o_custkey, MAX(o_totalprice) AS maxp
+        |             FROM orders WHERE o_totalprice > 470000 GROUP BY o_custkey)
+        |SELECT c_custkey,
+        |  b.maxp AS maxp,
+        |  COALESCE(b.maxp, -1.0) AS maxp_or,
+        |  IFNULL(b.maxp, 0.0) AS maxp_if,
+        |  NULLIF(COALESCE(b.maxp, -1.0), -1.0) AS renulled,
+        |  (b.maxp IS NULL) AS is_missing,
+        |  (b.maxp > 480000) AS gt_unknown,
+        |  CASE WHEN b.maxp IS NULL THEN 'none'
+        |       WHEN b.maxp > 490000 THEN 'huge' ELSE 'big' END AS cls
+        |FROM customer LEFT JOIN big b ON c_custkey = b.o_custkey
+        |WHERE c_custkey <= 400
+        |ORDER BY c_custkey""".stripMargin),
+
     // ---- CASE-insensitive containment + IN list (filter pushdown shapes) ----
     Q.sql("q_filter_in_between",
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

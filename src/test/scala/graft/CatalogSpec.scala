@@ -56,6 +56,17 @@ class CatalogSpec extends SparkTestBase {
     assert(c(0).getBoolean(5)) // id is key
   }
 
+  test("multiGet and keyRange batch APIs") {
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("mg", schema, keyColumns = Seq("id"))
+    cat.put("mg", (1L to 10L).map(i => (i, s"n$i", i * 1.5)).toDF("id", "name", "v"))
+    assert(cat.multiGet("mg", Seq(2L, 5L, 99L)).count() == 2)
+    assert(cat.keyRange("mg", Some(3L), Some(7L)).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(3L, 4L, 5L, 6L))
+    assert(cat.keyRange("mg", None, Some(3L)).count() == 2)
+    assert(cat.keyRange("mg", Some(9L), None).count() == 2)
+  }
+
   test("drop removes container and view") {
     val cat = new GraftCatalog(spark)
     cat.createCollection("d1", schema)
