@@ -21,6 +21,11 @@ object TqlCompiler {
     compile(container, TqlParser.parse(tql))
 
   def compile(container: Container, q: Query): DataFrame = {
+    // TQL is per-container: an explicit FROM must name this container
+    q.from.filterNot(_.equalsIgnoreCase(container.name)).foreach { f =>
+      throw new TqlParseException(
+        s"FROM $f does not match container ${container.name}")
+    }
     if (q.explain > 0) return explain(container, q)
     val df0 = container.df
     val filtered = q.where.map(w => df0.filter(toColumn(w))).getOrElse(df0)

@@ -52,6 +52,18 @@ class TqlCompilerSpec extends SparkTestBase {
     assert(r3.count() == 1)
   }
 
+  test("FROM clause must match the container; types map both ways") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val c = graft.engine.Container("mytable", df, graft.engine.Collection)
+    assert(TqlCompiler.run(c, "select * from mytable").count() == 1)
+    intercept[graft.tql.TqlParseException](
+      TqlCompiler.run(c, "select * from other"))
+    import graft.engine.GridDbTypes._
+    assert(toSpark("NANO_TIMESTAMP") == org.apache.spark.sql.types.LongType)
+    assert(fromSpark(org.apache.spark.sql.types.DoubleType) == "DOUBLE")
+    assert(fromSpark(arrayType("STRING")) == "STRING_ARRAY")
+  }
+
   test("geometry predicates in TQL WHERE (WKT surface)") {
     val df = Seq((1L, "POINT(5 5)"), (2L, "POINT(20 20)"),
       (3L, "LINESTRING(8 8, 30 30)")).toDF("id", "geom")
