@@ -150,7 +150,7 @@ final class GraftCatalog(spark: SparkSession) {
     import spark.implicits._
     containers.values.toSeq.flatMap { c =>
       c.df.schema.fields.zipWithIndex.map { case (f, i) =>
-        (c.name, i, f.name, f.dataType.simpleString.toUpperCase, f.nullable,
+        (c.name, i, f.name, GridDbTypes.fromSpark(f.dataType), f.nullable,
           c.keyColumns.contains(f.name))
       }
     }.toDF("TABLE_NAME", "ORDINAL", "COLUMN_NAME", "TYPE_NAME", "NULLABLE", "KEY")

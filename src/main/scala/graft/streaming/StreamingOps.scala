@@ -44,6 +44,17 @@ object StreamingOps {
         agged.columns.filter(_ != "window").map(col).toSeq): _*)
   }
 
+  /** Streaming exact dedup: drop rows whose digest was already seen, with
+    * state bounded by the watermark (the streaming face of Dedup.exactGroups
+    * — what a continuous ingestion pipeline runs before writing). */
+  def dedupStream(stream: DataFrame, tsCol: String, textCol: String,
+                  watermark: String): DataFrame =
+    stream
+      .withColumn("__digest", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("__digest")
+      .drop("__digest")
+
   /** Gap-based session windows (built-in session_window — state managed by
     * Spark, watermark bounds it). Output: keys..., session_start_ms,
     * session_end_ms, aggs... */

@@ -92,6 +92,25 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeated content across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = StreamingOps.dedupStream(df, "ts", "text", "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "hello"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "world"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "hello")) // dup in-batch
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 00:10:00"), "hello")) // dup across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
