@@ -332,6 +332,44 @@ object CoreSql {
         |  AND 'a_b' LIKE 'a!_b' ESCAPE '!'
         |ORDER BY p_partkey""".stripMargin),
 
+    // ---- bit operators (OP_SHIFT_*, OP_BIT_*) ----
+    Q.sql("q_bit_ops",
+      """SELECT o_orderkey,
+        |  shiftleft(o_orderkey, 2) AS shl,
+        |  shiftright(o_orderkey, 1) AS shr,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  CAST(~o_orderkey AS BIGINT) AS bnot,
+        |  o_orderkey ^ 1023 AS bxor
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  o_orderkey << 2 AS shl,
+        |  o_orderkey >> 1 AS shr,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  ~o_orderkey AS bnot,
+        |  xor(o_orderkey, 1023) AS bxor
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin),
+
+    // ---- CAST conversion matrix (GridDB/SQLite truncation semantics) ----
+    Q.sql("q_cast_matrix",
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderkey AS VARCHAR(20)) AS BIGINT) AS roundtrip_int,
+        |  CAST(o_totalprice AS BIGINT) AS dbl_to_int,
+        |  CAST(o_totalprice AS VARCHAR(32)) AS dbl_to_str,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR(32)) AS dec_to_str,
+        |  CAST(o_orderkey AS DOUBLE) AS int_to_dbl,
+        |  CAST(o_orderkey % 2 AS BOOLEAN) AS int_to_bool
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+      duck = """SELECT o_orderkey,
+        |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS roundtrip_int,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS dbl_to_int,
+        |  CAST(o_totalprice AS VARCHAR) AS dbl_to_str,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS dec_to_str,
+        |  CAST(o_orderkey AS DOUBLE) AS int_to_dbl,
+        |  CAST(o_orderkey % 2 AS BOOLEAN) AS int_to_bool
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin),
+
     // ---- NULL tri-state semantics via outer-join-produced nulls ----
     Q.sql("q_null_semantics",
       """WITH big AS (SELECT o_custkey, MAX(o_totalprice) AS maxp
