@@ -53,7 +53,7 @@ object GraftSql {
   // timestamp literals in WHERE as [start, end].
   private val rangeRe =
     """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+(\w+)\s+WHERE\s+(.*?)\s+GROUP\s+BY\s+RANGE\s*\(\s*(\w+)\s*\)\s*EVERY\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*(?:FILL\s*\(\s*(\w+)\s*\))?\s*;?\s*$""".r
-  private val tsLitRe = """(?i)TIMESTAMP\s*'([^']+)'""".r
+  private val tsLit = """TIMESTAMP\s*'([^']+)'"""
 
   private def unitMsOf(u: String): Long = u.toUpperCase match {
     case "DAY" => 86400000L
@@ -64,10 +64,56 @@ object GraftSql {
     case other => throw new IllegalArgumentException(s"unsupported EVERY unit $other")
   }
 
-  private def epochMs(lit: String): Long =
-    java.time.LocalDateTime
-      .parse(lit.trim.replace(" ", "T"))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  /** Epoch ms of a TIMESTAMP literal; naked literals are UTC, and
+    * 'Z'/±hh:mm offset suffixes are honored. */
+  private def epochMs(lit: String): Long = {
+    val t = lit.trim.replace(" ", "T")
+    if (t.matches(""".*(Z|[+-]\d{2}:\d{2})$"""))
+      java.time.OffsetDateTime.parse(t).toInstant.toEpochMilli
+    else
+      java.time.LocalDateTime.parse(t)
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  /** [start, end] (epoch ms, inclusive) for GROUP BY RANGE, derived ONLY
+    * from comparisons that bound the ranged column (`col op TIMESTAMP'..'`,
+    * `TIMESTAMP'..' op col`, `col BETWEEN TIMESTAMP'..' AND TIMESTAMP'..'`).
+    * Exclusive bounds are tightened by 1 ms; timestamp literals bound to
+    * other columns are ignored. Errors when either bound is missing. */
+  private[graft] def rangeBounds(where: String, tsCol: String): (Long, Long) = {
+    val lows = scala.collection.mutable.ArrayBuffer[Long]()
+    val highs = scala.collection.mutable.ArrayBuffer[Long]()
+    val betweenRe = (s"""(?i)\\b$tsCol\\s+BETWEEN\\s+$tsLit\\s+AND\\s+$tsLit""").r
+    val colOpRe = (s"""(?i)\\b$tsCol\\s*(<=|>=|<|>|=)\\s*$tsLit""").r
+    val opColRe = (s"""(?i)$tsLit\\s*(<=|>=|<|>|=)\\s*$tsCol\\b""").r
+    betweenRe.findAllMatchIn(where).foreach { m =>
+      lows += epochMs(m.group(1)); highs += epochMs(m.group(2))
+    }
+    colOpRe.findAllMatchIn(where).foreach { m =>
+      val v = epochMs(m.group(2))
+      m.group(1) match {
+        case ">=" => lows += v
+        case ">"  => lows += v + 1
+        case "<=" => highs += v
+        case "<"  => highs += v - 1
+        case "="  => lows += v; highs += v
+      }
+    }
+    opColRe.findAllMatchIn(where).foreach { m =>
+      val v = epochMs(m.group(1))
+      m.group(2) match {
+        case "<=" => lows += v
+        case "<"  => lows += v + 1
+        case ">=" => highs += v
+        case ">"  => highs += v - 1
+        case "="  => lows += v; highs += v
+      }
+    }
+    require(lows.nonEmpty && highs.nonEmpty,
+      s"GROUP BY RANGE requires the WHERE clause to bound $tsCol below and " +
+        "above with TIMESTAMP literals")
+    (lows.max, highs.min) // tightest enclosing range
+  }
 
   /** Split a select list on top-level commas. */
   private[engine] def splitSelectList(s: String): Seq[String] = {
@@ -87,10 +133,7 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case _ if GraftMrSql.matches(text) => GraftMrSql.run(spark, text)
     case rangeRe(selectList, table, where, tsCol, n, unit, fill) =>
-      val bounds = tsLitRe.findAllMatchIn(where).map(m => epochMs(m.group(1))).toSeq
-      require(bounds.size >= 2,
-        "GROUP BY RANGE requires the WHERE clause to bound the ranged column with two timestamps")
-      val (startMs, endMs) = (bounds.min, bounds.max)
+      val (startMs, endMs) = rangeBounds(where, tsCol)
       val everyMs = n.toLong * unitMsOf(unit)
       val fillMode = Option(fill).map(_.toUpperCase).getOrElse("NONE") match {
         case "NONE" => graft.ts.GroupByRange.FillNone

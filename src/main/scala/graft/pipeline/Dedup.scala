@@ -66,24 +66,34 @@ object Dedup {
                         minEstSim: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // persisted: consumed by both sides of the candidate self-join
+    // persisted: consumed by both sides of the candidate self-join;
+    // released below once the candidate list is materialized
     val sig = minhashSignatures(docs, textCol, idCol, shingleN, k).persist()
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
-    }
-    val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("a"), col("sig").as("sig_a"))
-    val rgt = banded.select(col("band"), col("bucket"),
-      col("id").as("b"), col("sig").as("sig_b"))
-    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / k).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= minEstSim)
+    try {
+      val bandCols = (0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
+      }
+      val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val l = banded.select(col("band"), col("bucket"),
+        col("id").as("a"), col("sig").as("sig_a"))
+      val rgt = banded.select(col("band"), col("bucket"),
+        col("id").as("b"), col("sig").as("sig_b"))
+      // static-k agreement count: k comparisons summed inline stay in
+      // whole-stage codegen (zip_with/filter HOFs are interpreted per pair)
+      val agree = (0 until k)
+        .map(i => (col("sig_a").getItem(i) === col("sig_b").getItem(i)).cast("int"))
+        .reduce(_ + _)
+      val out = l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= minEstSim)
+      // eager, lineage-truncating materialization (candidate list is tiny
+      // next to the signature table) so the signature cache can be released
+      // before returning — a long-lived session would otherwise leak it
+      out.localCheckpoint(eager = true)
+    } finally sig.unpersist(false)
   }
 
   /** 64-bit SimHash per document: sign of per-bit weighted sums of token

@@ -126,9 +126,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
               bits: Int = 8, probes: Int = 4, roundTo: Int = 4): DataFrame = {
-    val dim = 64
-    val planes = hyperplanes(bits, dim)
     ensureFns(corpus)
+    // derive dim from the data (as ivfTopK does): a mismatched hyperplane
+    // length would null-pad in zip_with and collapse every signature to 0
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(bits, dim)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", signature(col("cv"), planes))
     // queries probe their own bucket + `probes` single-bit-flip neighbors

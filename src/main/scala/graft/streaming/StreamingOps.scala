@@ -46,13 +46,17 @@ object StreamingOps {
 
   /** Streaming exact dedup: drop rows whose digest was already seen, with
     * state bounded by the watermark (the streaming face of Dedup.exactGroups
-    * — what a continuous ingestion pipeline runs before writing). */
+    * — what a continuous ingestion pipeline runs before writing).
+    *
+    * Uses dropDuplicatesWithinWatermark so digest state is evicted once the
+    * watermark passes it: plain dropDuplicates("__digest") would keep every
+    * digest forever because the event-time column is not part of the key. */
   def dedupStream(stream: DataFrame, tsCol: String, textCol: String,
                   watermark: String): DataFrame =
     stream
       .withColumn("__digest", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("__digest")
+      .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
   /** Gap-based session windows (built-in session_window — state managed by

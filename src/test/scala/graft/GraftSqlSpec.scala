@@ -61,6 +61,42 @@ class GraftSqlSpec extends SparkTestBase {
     assert(none.count() <= 17)
   }
 
+  test("GROUP BY RANGE bounds come only from the ranged column's comparisons") {
+    val d0 = 1704067200000L // 2024-01-01T00:00:00Z
+    val d5 = 1704412800000L // 2024-01-05T00:00:00Z
+    // BETWEEN
+    assert(GraftSql.rangeBounds(
+      "ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'",
+      "ts") == (d0, d5))
+    // explicit comparisons, 'Z'-suffixed literal
+    assert(GraftSql.rangeBounds(
+      "ts >= TIMESTAMP '2024-01-01T00:00:00Z' AND ts <= TIMESTAMP '2024-01-05 00:00:00'",
+      "ts") == (d0, d5))
+    // exclusive bounds tighten by 1 ms; reversed operand order
+    assert(GraftSql.rangeBounds(
+      "TIMESTAMP '2024-01-01 00:00:00' < ts AND ts < TIMESTAMP '2024-01-05 00:00:00'",
+      "ts") == (d0 + 1, d5 - 1))
+    // a timestamp predicate on ANOTHER column must not widen/narrow the range
+    assert(GraftSql.rangeBounds(
+      "ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND created_ts > TIMESTAMP '1999-01-01 00:00:00'",
+      "ts") == (d0, d5))
+    // offset literal
+    assert(GraftSql.rangeBounds(
+      "ts >= TIMESTAMP '2024-01-01 09:00:00+09:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00'",
+      "ts") == (d0, d5))
+    // missing upper bound errors
+    intercept[IllegalArgumentException] {
+      GraftSql.rangeBounds("ts >= TIMESTAMP '2024-01-01 00:00:00'", "ts")
+    }
+    // literal on a different column only → still errors
+    intercept[IllegalArgumentException] {
+      GraftSql.rangeBounds(
+        "other_ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'",
+        "ts")
+    }
+  }
+
   test("MATCH_RECOGNIZE as GridDB SQL text with PREV()") {
     import spark.implicits._
     Seq(("k1", 1L, 5.0), ("k1", 2L, 4.0), ("k1", 3L, 3.0), ("k1", 4L, 4.0),
