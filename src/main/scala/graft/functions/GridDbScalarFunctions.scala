@@ -144,6 +144,19 @@ object GridDbScalarFunctions {
       require(a.size == 2, "graft_cosine(a, b)")
       CosineSimilarity(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
     }
+    def litInt(e: Expression, n: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case _ => throw new IllegalArgumentException(s"$n must be an integer literal")
+    }
+    tmp("graft_minhash_sig") { a =>
+      require(a.size == 3, "graft_minhash_sig(text, shingleN, k)")
+      MinhashSignature(Cast(a(0), StringType),
+        litInt(a(1), "shingleN"), litInt(a(2), "k"))
+    }
+    tmp("graft_simhash64") { a =>
+      require(a.size == 1, "graft_simhash64(text)")
+      Simhash64(Cast(a(0), StringType))
+    }
     out.result()
   }
 
@@ -161,7 +174,8 @@ object GridDbScalarFunctions {
     Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
       "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
-      "group_concat", "griddb_median", "graft_cosine")
+      "group_concat", "griddb_median", "graft_cosine", "graft_minhash_sig",
+      "graft_simhash64")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
   }
 }

@@ -36,22 +36,20 @@ object Dedup {
       .otherwise(array(concat_ws(" ", t)))
   }
 
-  /** k-minhash signatures per document. Implemented as explode +
-    * k `min(xxhash64(shingle, seed))` aggregates — a single codegen'd
-    * hash-aggregate with map-side partials (the nested higher-order-function
-    * formulation is interpreted row-at-a-time and recomputes the shingle
-    * array per seed; ~20x slower). Output: (id, sig: array<long>[k]). */
+  /** k-minhash signatures per document, computed whole-signature-per-row by
+    * the codegen'd `graft_minhash_sig` kernel (functions/TextSketch.scala) —
+    * no shingle explode, no shuffle: the signature job is a pure map over
+    * input splits, which is what survives at 100 TB. Hash values are
+    * bit-identical to the earlier explode + k `min(xxhash64(h, s))`
+    * formulation (DedupSpec asserts the parity).
+    * Output: (id, sig: array<long>[k]). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, k: Int): DataFrame = {
-    // hash each shingle string ONCE, then derive the k-member hash family by
-    // re-hashing the 8-byte value with a per-member salt (16x cheaper than
-    // hashing the string per member)
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(textCol, shingleN)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (0 until k).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_minhash_sig",
+          lower(col(textCol)), lit(shingleN), lit(k)).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
@@ -66,51 +64,42 @@ object Dedup {
                         minEstSim: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // persisted: consumed by both sides of the candidate self-join;
-    // released below once the candidate list is materialized
-    val sig = minhashSignatures(docs, textCol, idCol, shingleN, k).persist()
-    try {
-      val bandCols = (0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
-      }
-      val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val l = banded.select(col("band"), col("bucket"),
-        col("id").as("a"), col("sig").as("sig_a"))
-      val rgt = banded.select(col("band"), col("bucket"),
-        col("id").as("b"), col("sig").as("sig_b"))
-      // static-k agreement count: k comparisons summed inline stay in
-      // whole-stage codegen (zip_with/filter HOFs are interpreted per pair)
-      val agree = (0 until k)
-        .map(i => (col("sig_a").getItem(i) === col("sig_b").getItem(i)).cast("int"))
-        .reduce(_ + _)
-      val out = l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
-        .distinct()
-        .filter(col("est_jaccard") >= minEstSim)
-      // eager, lineage-truncating materialization (candidate list is tiny
-      // next to the signature table) so the signature cache can be released
-      // before returning — a long-lived session would otherwise leak it
-      out.localCheckpoint(eager = true)
-    } finally sig.unpersist(false)
+    // signatures are a pure per-row map now (no shuffle, no explode), so the
+    // self-join can recompute them on each side — no persist to leak, and at
+    // 100 TB no cache pressure; the only shuffle left is the (band, bucket)
+    // candidate join itself
+    val sig = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
+    }
+    val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"),
+      col("id").as("a"), col("sig").as("sig_a"))
+    val rgt = banded.select(col("band"), col("bucket"),
+      col("id").as("b"), col("sig").as("sig_b"))
+    // static-k agreement count: k comparisons summed inline stay in
+    // whole-stage codegen (zip_with/filter HOFs are interpreted per pair)
+    val agree = (0 until k)
+      .map(i => (col("sig_a").getItem(i) === col("sig_b").getItem(i)).cast("int"))
+      .reduce(_ + _)
+    l.join(rgt, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstSim)
   }
 
   /** 64-bit SimHash per document: sign of per-bit weighted sums of token
-    * hashes. Implemented as explode + 64 literal-shift aggregates so the
-    * whole computation is one codegen'd hash-aggregate. */
+    * hashes, computed whole-sketch-per-row by the codegen'd
+    * `graft_simhash64` kernel (functions/TextSketch.scala) — no token
+    * explode, no shuffle; bit-identical to the earlier explode + 64
+    * bit-sum-aggregate formulation (DedupSpec asserts the parity). */
   def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = docs
-      .select(col(idCol).as("id"), explode(tokens(textCol)).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    val agged = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64)
-      .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    agged.select(col("id"), sim.as("sh"))
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("graft_simhash64", lower(col(textCol))).as("sh"))
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, found via banded

@@ -43,6 +43,45 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("minhash/simhash kernels are bit-identical to the exploded formulations") {
+    // the sf0.001 documents table gives realistic text (punctuation, repeated
+    // tokens, short docs); assert the per-row kernels reproduce the original
+    // explode+aggregate pipelines hash-for-hash
+    val real = graft.engine.Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+    val (n, k) = (3, 16)
+    val oldSig = {
+      val sh = real
+        .select($"doc_id".as("id"), explode(Dedup.shingles("text", n)).as("sh"))
+        .select($"id", xxhash64($"sh").as("h"))
+      val aggs = (0 until k).map(s => min(xxhash64($"h", lit(s))).as(s"m$s"))
+      sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+        .select($"id", array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    }
+    val newSig = Dedup.minhashSignatures(real, "text", "doc_id", n, k)
+    assert(newSig.join(oldSig, "id")
+      .filter(newSig("sig") =!= oldSig("sig")).count() == 0)
+    assert(newSig.count() == oldSig.count())
+
+    val oldSim = {
+      val tok = real.select($"doc_id".as("id"), explode(Dedup.tokens("text")).as("t"))
+        .withColumn("h", xxhash64($"t"))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(shiftright($"h", i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i")
+      }
+      val agged = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 64)
+        .map(i => when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      agged.select($"id", sim.as("sh"))
+    }
+    val newSim = Dedup.simhashDf(real, "text", "doc_id")
+    assert(newSim.join(oldSim, "id")
+      .filter(newSim("sh") =!= oldSim("sh")).count() == 0)
+    assert(newSim.count() == oldSim.count())
+  }
+
   test("tokenJaccardPairs computes exact jaccard") {
     val pairs = Dedup.tokenJaccardPairs(docs, "text", "doc_id", minJaccard = 0.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
