@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   * SELECT * FROM <table> MATCH_RECOGNIZE (
   *   [PARTITION BY c1, c2]
   *   ORDER BY o1 [, o2 ...]
+  *   [MEASURES m1 AS n1, m2 AS n2, ...]
   *   [ALL ROWS PER MATCH | ONE ROW PER MATCH]
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
+  *    | AFTER MATCH SKIP TO <var>]
   *   PATTERN ( <row-pattern regex> )
   *   DEFINE V1 AS <cond>, V2 AS <cond> ...
   * )
@@ -24,6 +26,14 @@ import org.apache.spark.sql.functions._
   * a `lag` window over (PARTITION BY, ORDER BY) — evaluated before the
   * match, which matches the reference's single-pass semantics for
   * conditions that only look backward.
+  *
+  * MEASURES (reference rules 163-168) implies ONE ROW PER MATCH output:
+  * partition keys + match_num + the measures. Measure expressions may use
+  * the pattern-navigation functions `FIRST(col)`, `LAST(col)`,
+  * `CLASSIFIER()`, `MATCH_NUMBER()` (reference
+  * /root/reference/server/sql_type.h:193-198) and var-scoped column
+  * references `VAR.col` inside ordinary aggregates (e.g. `SUM(B.value)`),
+  * which lower to classifier-filtered aggregates.
   */
 object GraftMrSql {
 
@@ -31,11 +41,17 @@ object GraftMrSql {
     """(?is)^\s*SELECT\s+\*\s+FROM\s+(\w+)\s+MATCH_RECOGNIZE\s*\((.*)\)\s*;?\s*$""".r
   private val partRe = """(?is)PARTITION\s+BY\s+(.*?)(?=ORDER\s+BY|PATTERN|MEASURES|ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|DEFINE|$)""".r
   private val orderRe = """(?is)ORDER\s+BY\s+(.*?)(?=PATTERN|MEASURES|ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|DEFINE|$)""".r
+  private val measuresRe = """(?is)MEASURES\s+(.*?)(?=ALL\s+ROWS|ONE\s+ROW|AFTER\s+MATCH|PATTERN|DEFINE|$)""".r
   private val patternRe = """(?is)PATTERN\s*\(((?:[^()]|\([^()]*\))*)\)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val oneRowRe = """(?is)ONE\s+ROW\s+PER\s+MATCH""".r
   private val skipNextRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r
+  private val skipToVarRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+(\w+)""".r
   private val prevRe = """(?i)PREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  private val firstRe = """(?i)FIRST\s*\(([^()]*)\)""".r
+  private val lastRe = """(?i)LAST\s*\(([^()]*)\)""".r
+  private val classifierRe = """(?i)CLASSIFIER\s*\(\s*\)""".r
+  private val matchNumberRe = """(?i)MATCH_NUMBER\s*\(\s*\)""".r
 
   def matches(sql: String): Boolean = mrRe.findFirstIn(sql).isDefined
 
@@ -53,7 +69,13 @@ object GraftMrSql {
         .map(_.group(1).trim)
         .getOrElse(throw new IllegalArgumentException("MATCH_RECOGNIZE requires DEFINE"))
       val oneRow = oneRowRe.findFirstIn(body).isDefined
-      val skipPast = skipNextRe.findFirstIn(body).isEmpty
+      val skip: graft.mr.MatchRecognize.AfterMatchSkip =
+        if (skipNextRe.findFirstIn(body).isDefined)
+          graft.mr.MatchRecognize.AfterMatchSkip.ToNextRow
+        else skipToVarRe.findFirstMatchIn(body) match {
+          case Some(m) => graft.mr.MatchRecognize.AfterMatchSkip.ToVar(m.group(1))
+          case None => graft.mr.MatchRecognize.AfterMatchSkip.PastLastRow
+        }
 
       var df = spark.table(table)
       val w = Window.partitionBy(keys.map(col): _*)
@@ -83,13 +105,48 @@ object GraftMrSql {
       }
       val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
 
+      // MEASURES m AS n, ... (rules 163-168; bare measures get m1, m2, ...)
+      val measureAsRe = """(?is)^(.*)\s+AS\s+(\w+)\s*$""".r
+      val ms: Seq[(String, String)] =
+        measuresRe.findFirstMatchIn(body).map(_.group(1).trim) match {
+          case Some(mtext) if mtext.nonEmpty =>
+            GraftSql.splitSelectList(mtext).zipWithIndex.map {
+              case (measureAsRe(e, n), _) => n.trim -> e.trim
+              case (e, idx) => s"m${idx + 1}" -> e.trim
+            }
+          case _ => Nil
+        }
+      val varNames = defs.map(_._1)
+
       val out =
-        if (oneRow)
-          graft.mr.MatchRecognize.oneRowPerMatch(df, keys, orderCols, pattern, defines, skipPast)
+        if (ms.nonEmpty) {
+          val cols = ms.map { case (n, e) =>
+            n -> expr(translateMeasure(e, varNames))
+          }
+          graft.mr.MatchRecognize.measures(df, keys, orderCols, pattern, defines, cols, skip)
+        } else if (oneRow)
+          graft.mr.MatchRecognize.oneRowPerMatch(df, keys, orderCols, pattern, defines, skip)
         else
-          graft.mr.MatchRecognize.allRowsPerMatch(df, keys, orderCols, pattern, defines, skipPast)
+          graft.mr.MatchRecognize.allRowsPerMatch(df, keys, orderCols, pattern, defines, skip)
       out.drop(prevCols.values.toSeq: _*)
 
     case _ => throw new IllegalArgumentException("not a MATCH_RECOGNIZE statement")
+  }
+
+  /** Lower a MEASURES expression to a Spark SQL aggregate over the match's
+    * rows: FIRST/LAST become position-ordered min_by/max_by, CLASSIFIER /
+    * MATCH_NUMBER their per-match aggregates, and `VAR.col` references
+    * classifier-filtered columns (so `SUM(B.value)` sums only B-rows).
+    * FIRST/LAST take plain (unscoped) columns. */
+  private def translateMeasure(e: String, vars: Seq[String]): String = {
+    val pos = graft.mr.MatchRecognize.PosCol
+    var t = firstRe.replaceAllIn(e, m => s"min_by(${m.group(1).trim}, $pos)")
+    t = lastRe.replaceAllIn(t, m => s"max_by(${m.group(1).trim}, $pos)")
+    t = classifierRe.replaceAllIn(t, s"max_by(classifier, $pos)")
+    t = matchNumberRe.replaceAllIn(t, "max(match_num)")
+    for (v <- vars)
+      t = t.replaceAll(s"(?i)\\b$v\\.(\\w+)",
+        s"(CASE WHEN classifier = '$v' THEN $$1 END)")
+    t
   }
 }

@@ -18,20 +18,57 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * + mapPartitions (one shuffle, streaming group detection; only the current
   * group is buffered — at 100 TB one series per key stays executor-local).
   *
-  * AFTER MATCH SKIP PAST LAST ROW (default) or SKIP TO NEXT ROW.
+  * AFTER MATCH SKIP PAST LAST ROW (default), SKIP TO NEXT ROW, or
+  * SKIP TO <var> (reference rule 174; SQL-standard SKIP TO LAST semantics).
   * Output = ALL ROWS PER MATCH: input columns + match_num (per key, 1-based)
   * + classifier (matched DEFINE variable). `oneRowPerMatch` aggregates that
-  * into per-match summary rows.
+  * into per-match summary rows; `measures` evaluates MEASURES aggregate
+  * expressions per match (helpers in [[Measures]]).
   */
 object MatchRecognize {
 
+  /** AFTER MATCH SKIP modes (reference rules 172-174). */
+  sealed trait AfterMatchSkip
+  object AfterMatchSkip {
+    case object PastLastRow extends AfterMatchSkip
+    case object ToNextRow extends AfterMatchSkip
+    /** Resume matching AT the last row the finished match assigned to
+      * `variable` (SQL-standard SKIP TO [LAST] semantics — matches may
+      * overlap). If that row is the match's first row (no progress possible)
+      * or the variable matched no row, advances one row instead. */
+    final case class ToVar(variable: String) extends AfterMatchSkip
+  }
+
+  /** Name of the internal per-match row-position column carried by
+    * [[matchedWithPos]] (0-based offset of the row within its match). */
+  val PosCol = "__mr_pos"
+
   def allRowsPerMatch(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                       pattern: String, defines: Map[String, Column],
-                      skipPastLastRow: Boolean = true): DataFrame = {
+                      skipPastLastRow: Boolean = true): DataFrame =
+    allRowsPerMatch(df, keys, orderCols, pattern, defines,
+      if (skipPastLastRow) AfterMatchSkip.PastLastRow else AfterMatchSkip.ToNextRow)
+
+  def allRowsPerMatch(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                      pattern: String, defines: Map[String, Column],
+                      skip: AfterMatchSkip): DataFrame =
+    matchedWithPos(df, keys, orderCols, pattern, defines, skip).drop(PosCol)
+
+  /** ALL ROWS PER MATCH plus the internal `__mr_pos` column (0-based row
+    * offset within the match) that [[measures]] aggregates order by. */
+  private[graft] def matchedWithPos(
+      df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      pattern: String, defines: Map[String, Column],
+      skip: AfterMatchSkip): DataFrame = {
     require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
     val node = PatternRegex.parse(pattern)
     val vars = PatternRegex.variables(node)
     vars.foreach(v => require(defines.contains(v), s"no DEFINE for pattern variable $v"))
+    skip match {
+      case AfterMatchSkip.ToVar(v) =>
+        require(vars.contains(v), s"AFTER MATCH SKIP TO $v: no such pattern variable")
+      case _ =>
+    }
 
     val defNames = defines.keys.toSeq.sorted
     val withDefs = defNames.foldLeft(df) { (d, v) =>
@@ -47,7 +84,7 @@ object MatchRecognize {
     val defIdx = defNames.map(v => v -> schema.fieldIndex(s"__def_$v")).toMap
     val outSchema = StructType(schema.fields)
       .add("match_num", LongType).add("classifier", StringType)
-    val skip = skipPastLastRow
+      .add(PosCol, LongType)
 
     val matched = sorted.mapPartitions { it =>
       new Iterator[Row] {
@@ -74,10 +111,16 @@ object MatchRecognize {
                 var j = 0
                 while (j < assign.size) {
                   val r = rows(i + j)
-                  out += Row.fromSeq(r.toSeq :+ matchNum :+ assign(j))
+                  out += Row.fromSeq(r.toSeq :+ matchNum :+ assign(j) :+ j.toLong)
                   j += 1
                 }
-                i = if (skip) i + assign.size else i + 1
+                i = skip match {
+                  case AfterMatchSkip.PastLastRow => i + assign.size
+                  case AfterMatchSkip.ToNextRow => i + 1
+                  case AfterMatchSkip.ToVar(v) =>
+                    // resume AT the last row assigned to v; guarantee progress
+                    i + math.max(assign.lastIndexOf(v), 1)
+                }
               case _ => i += 1
             }
           }
@@ -93,14 +136,39 @@ object MatchRecognize {
     * per-match row count. */
   def oneRowPerMatch(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
                      pattern: String, defines: Map[String, Column],
-                     skipPastLastRow: Boolean = true): DataFrame = {
-    val all = allRowsPerMatch(df, keys, orderCols, pattern, defines, skipPastLastRow)
+                     skipPastLastRow: Boolean = true): DataFrame =
+    oneRowPerMatch(df, keys, orderCols, pattern, defines,
+      if (skipPastLastRow) AfterMatchSkip.PastLastRow else AfterMatchSkip.ToNextRow)
+
+  def oneRowPerMatch(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                     pattern: String, defines: Map[String, Column],
+                     skip: AfterMatchSkip): DataFrame = {
+    val all = allRowsPerMatch(df, keys, orderCols, pattern, defines, skip)
     val oc = orderCols.head
     all.groupBy((keys :+ "match_num").map(col): _*)
       .agg(
         min(col(oc)).as(s"start_$oc"),
         max(col(oc)).as(s"end_$oc"),
         count(lit(1)).as("n_rows"))
+  }
+
+  /** MEASURES (reference rules 163-168): one output row per match carrying
+    * the partition keys, `match_num`, and each named aggregate evaluated
+    * over that match's rows. Measure Columns are ordinary Spark aggregate
+    * expressions over the matched rows — `classifier` and the match-order
+    * position are in scope via the [[Measures]] helpers, so the whole
+    * per-match evaluation is one codegen'd hash-aggregate (the only shuffle
+    * beyond the match itself, and it is keyed by (keys, match_num) so it
+    * scales with match count, not row count). */
+  def measures(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+               pattern: String, defines: Map[String, Column],
+               ms: Seq[(String, Column)],
+               skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    require(ms.nonEmpty, "MEASURES requires at least one measure")
+    val all = matchedWithPos(df, keys, orderCols, pattern, defines, skip)
+    val aggs = ms.map { case (name, c) => c.as(name) }
+    all.groupBy((keys :+ "match_num").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Streams a sorted partition iterator as per-key row groups. */
@@ -123,4 +191,29 @@ object MatchRecognize {
       buf.result()
     }
   }
+}
+
+/** Builders for MEASURES aggregate expressions (reference pattern-navigation
+  * functions FIRST/LAST/CLASSIFIER/MATCH_NUMBER,
+  * /root/reference/server/sql_type.h:193-198), for use inside
+  * [[MatchRecognize.measures]]. */
+object Measures {
+  import MatchRecognize.PosCol
+
+  /** FIRST(col): value on the first row of the match. */
+  def firstVal(c: Column): Column = min_by(c, col(PosCol))
+
+  /** LAST(col): value on the last row of the match. */
+  def lastVal(c: Column): Column = max_by(c, col(PosCol))
+
+  /** CLASSIFIER(): pattern variable of the last matched row. */
+  def classifier: Column = max_by(col("classifier"), col(PosCol))
+
+  /** MATCH_NUMBER(): constant within the group (it is a grouping key). */
+  def matchNumber: Column = max(col("match_num"))
+
+  /** Scope a column to rows matched as `variable` (VAR.col references):
+    * e.g. `sum(Measures.ofVar("B", col("value")))` = SUM(B.value). */
+  def ofVar(variable: String, c: Column): Column =
+    when(col("classifier") === variable, c)
 }

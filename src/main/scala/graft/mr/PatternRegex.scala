@@ -5,7 +5,10 @@ package graft.mr
   * Grammar (reference rules 162-194,
   * /root/reference/server/sql_internal_parser.cpp:996-1028): variables
   * composed with concatenation, alternation `|`, grouping `()`, quantifiers
-  * `* + ? {n} {n,} {n,m}` (greedy). Matching is greedy backtracking —
+  * `* + ? {n} {n,} {n,m} {,m}` (greedy), and the zero-width anchors
+  * `^` (partition start, prefix on a base — rule 190 `rp_base ::= CARET
+  * rp_base`) and `$` (partition end, postfix on a factor — rule 187
+  * `rp_factor ::= rp_factor DOLLAR`). Matching is greedy backtracking —
   * quantifiers prefer the longest alternative first, per SQL row-pattern
   * semantics.
   */
@@ -16,6 +19,8 @@ object PatternRegex {
   final case class Cat(parts: Seq[Node]) extends Node
   final case class Alt(choices: Seq[Node]) extends Node
   final case class Rep(child: Node, min: Int, max: Int) extends Node // max = Int.MaxValue for unbounded
+  case object Start extends Node // `^`: matches the empty string at partition start
+  case object End extends Node   // `$`: matches the empty string at partition end
 
   final class PatternParseException(msg: String) extends RuntimeException(msg)
 
@@ -43,18 +48,35 @@ object PatternRegex {
       var go = true
       while (go) {
         peek match {
-          case c if c.isLetter || c == '_' => parts += quantified(symbol())
-          case '(' =>
-            i += 1
-            val inner = alt()
-            if (peek != ')') fail("expected )")
-            i += 1
-            parts += quantified(inner)
+          case c if c.isLetter || c == '_' || c == '(' || c == '^' =>
+            parts += factor()
           case _ => go = false
         }
       }
       if (parts.isEmpty) fail("empty pattern term")
       if (parts.size == 1) parts.head else Cat(parts.toSeq)
+    }
+
+    // factor ::= base quantifier? ('$')*  — `$` binds after the quantifier
+    // (reference rule 187), so `A*$` anchors the whole repetition's end.
+    private def factor(): Node = {
+      var node = quantified(base())
+      while (peek == '$') { i += 1; node = Cat(Seq(node, End)) }
+      node
+    }
+
+    // base ::= '^' base | '(' alt ')' | symbol  — `^` binds before the
+    // quantifier (reference rule 190), so `^A+` requires the run to begin
+    // at the partition's first row.
+    private def base(): Node = peek match {
+      case '^' => i += 1; Cat(Seq(Start, base()))
+      case '(' =>
+        i += 1
+        val inner = alt()
+        if (peek != ')') fail("expected )")
+        i += 1
+        inner
+      case _ => symbol()
     }
 
     private def symbol(): Node = {
@@ -70,7 +92,8 @@ object PatternRegex {
       case '?' => i += 1; Rep(n, 0, 1)
       case '{' =>
         i += 1
-        val lo = number()
+        // `{,m}` (reference rule 186) = `{0,m}`
+        val lo = if (peek == ',') 0 else number()
         val node = peek match {
           case ',' =>
             i += 1
@@ -103,6 +126,7 @@ object PatternRegex {
     case Cat(ps) => ps.flatMap(variables).distinct
     case Alt(cs) => cs.flatMap(variables).distinct
     case Rep(c, _, _) => variables(c)
+    case Start | End => Nil
   }
 
   /** Greedy backtracking match of `node` against rows [start, n) where
@@ -116,6 +140,12 @@ object PatternRegex {
     def go(nd: Node, pos: Int, acc: Vector[String],
            k: (Int, Vector[String]) => Option[Vector[String]]): Option[Vector[String]] =
       nd match {
+        // reference semantics (sql_operator_sort.cpp:6879): the top anchor
+        // requires the MATCH to begin at partition position 0 (firstPos_
+        // check), not the anchor's own NFA position — so `^V+` (which parses
+        // as `(^V)+` per rules 180/190) still matches the whole leading run.
+        case Start => if (start == 0) k(pos, acc) else None
+        case End => if (pos == n) k(pos, acc) else None
         case Sym(v) =>
           if (pos < n && sym(pos, v)) k(pos + 1, acc :+ v) else None
         case Cat(parts) =>

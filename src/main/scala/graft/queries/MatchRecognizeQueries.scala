@@ -3,10 +3,10 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
-import graft.mr.MatchRecognize
+import graft.mr.{MatchRecognize, Measures}
 
-/** MATCH_RECOGNIZE queries. The run-detection pattern has an exact
-  * gaps-and-islands SQL oracle; the V-shape pattern is rows-only (covered by
+/** MATCH_RECOGNIZE queries. Run-detection, anchors and MEASURES have exact
+  * gaps-and-islands SQL oracles; the V-shape pattern is rows-only (covered by
   * hand-computed fixtures in MatchRecognizeSpec). */
 object MatchRecognizeQueries {
 
@@ -36,6 +36,84 @@ object MatchRecognizeQueries {
           defines = Map("V" -> (col("event_type") === "view")))
         .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
         .orderBy("user_id", "match_num", "event_id")
+    },
+
+    // MEASURES over the same view-run pattern: per-match FIRST/LAST/COUNT/
+    // SUM(V.value)/CLASSIFIER (reference rules 163-168)
+    Q.df("q_mr_measures",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE event_type = 'view'),
+        |g AS (SELECT user_id, grp, MIN(rn) AS start_rn,
+        |        arg_min(event_id, rn) AS start_event, arg_max(event_id, rn) AS end_event,
+        |        COUNT(*) AS n_rows,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |      FROM v GROUP BY user_id, grp HAVING COUNT(*) >= 3)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY start_rn) AS match_num,
+        |  start_event, end_event, n_rows, sum_value, 'V' AS cls
+        |FROM g ORDER BY user_id, match_num""".stripMargin) { (s, dir) =>
+      MatchRecognize.measures(
+          Tables.events(s, dir), keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          pattern = "V{3,}",
+          defines = Map("V" -> (col("event_type") === "view")),
+          ms = Seq(
+            "start_event" -> Measures.firstVal(col("event_id")),
+            "end_event" -> Measures.lastVal(col("event_id")),
+            "n_rows" -> count(lit(1)),
+            "sum_value" -> sum(Measures.ofVar("V", col("value")).cast("decimal(18,6)")).cast("double"),
+            "cls" -> Measures.classifier))
+        .orderBy("user_id", "match_num")
+    },
+
+    // `^V+`: the run of views that begins at the partition's FIRST row
+    // (start anchor, reference rule 190) — at most one match per user
+    Q.df("q_mr_anchor_start",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE event_type = 'view')
+        |SELECT user_id, event_id, CAST(1 AS BIGINT) AS match_num, 'V' AS classifier
+        |FROM v WHERE grp = 0
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      MatchRecognize.allRowsPerMatch(
+          Tables.events(s, dir), keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          pattern = "^V+",
+          defines = Map("V" -> (col("event_type") === "view")))
+        .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // `V+$`: the run of views that reaches the partition's LAST row
+    // (end anchor, reference rule 187) — at most one match per user
+    Q.df("q_mr_anchor_end",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_all
+        |  FROM events),
+        |v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE event_type = 'view'),
+        |t AS (SELECT user_id, grp FROM v GROUP BY user_id, grp
+        |      HAVING MAX(rn) = MAX(n_all))
+        |SELECT v.user_id AS user_id, v.event_id AS event_id,
+        |  CAST(1 AS BIGINT) AS match_num, 'V' AS classifier
+        |FROM v JOIN t ON v.user_id = t.user_id AND v.grp = t.grp
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      MatchRecognize.allRowsPerMatch(
+          Tables.events(s, dir), keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          pattern = "V+$",
+          defines = Map("V" -> (col("event_type") === "view")))
+        .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
+        .orderBy("user_id", "event_id")
     },
 
     // V-shape in value per user: strictly-down runs then strictly-up runs

@@ -85,4 +85,106 @@ class MatchRecognizeSpec extends SparkTestBase {
       .select("seq", "classifier").as[(Long, String)].collect().toSet
     assert(out == Set((1L, "HI"), (2L, "HI")))
   }
+
+  test("pattern regex parses anchors and {,m} bound") {
+    import PatternRegex._
+    assert(parse("^A+") == Rep(Cat(Seq(Start, Sym("A"))), 1, Int.MaxValue))
+    assert(parse("A+$") == Cat(Seq(Rep(Sym("A"), 1, Int.MaxValue), End)))
+    assert(parse("A{,3}") == Rep(Sym("A"), 0, 3))
+    // ^ is zero-width: `^A` consumes one row only at partition start
+    def sym(i: Int, v: String): Boolean = true
+    assert(matchAt(parse("^A"), 0, 3, sym).contains(Vector("A")))
+    assert(matchAt(parse("^A"), 1, 3, sym).isEmpty)
+    // $ only succeeds when the match reaches the partition end
+    assert(matchAt(parse("A$"), 2, 3, sym).contains(Vector("A")))
+    assert(matchAt(parse("A$"), 0, 3, sym).isEmpty)
+    assert(matchAt(parse("A+$"), 0, 3, sym).contains(Vector("A", "A", "A")))
+  }
+
+  test("start/end anchors bound matches to partition edges") {
+    // k1 starts with two 'v' rows; k2 starts with 'x' but ends with 'v' run
+    val df = Seq(("k1", 1L, "v"), ("k1", 2L, "v"), ("k1", 3L, "x"), ("k1", 4L, "v"),
+      ("k2", 1L, "x"), ("k2", 2L, "v"), ("k2", 3L, "v"))
+      .toDF("k", "seq", "t")
+    val startRuns = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"),
+      "^V+", Map("V" -> ($"t" === "v")))
+      .select("k", "seq").as[(String, Long)].collect().toSet
+    assert(startRuns == Set(("k1", 1L), ("k1", 2L)))
+    val endRuns = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"),
+      "V+$", Map("V" -> ($"t" === "v")))
+      .select("k", "seq").as[(String, Long)].collect().toSet
+    assert(endRuns == Set(("k1", 4L), ("k2", 2L), ("k2", 3L)))
+  }
+
+  test("AFTER MATCH SKIP TO var resumes at the last var row (overlap)") {
+    import MatchRecognize.AfterMatchSkip
+    // A always true, B{2} bounded: skip-to-B makes each match start at the
+    // previous match's last B row -> overlapping matches sharing one row
+    val df = (1L to 7L).map(i => ("k", i)).toDF("k", "seq")
+    val out = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"),
+      "A B{2}", Map("A" -> lit(true), "B" -> lit(true)),
+      AfterMatchSkip.ToVar("B"))
+      .select("seq", "match_num").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (3L, 2L), (4L, 2L), (5L, 2L),
+      (5L, 3L), (6L, 3L), (7L, 3L)))
+    // skipping to a var that is the match's first row must still progress
+    val degenerate = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"),
+      "B{2}", Map("B" -> lit(true)), AfterMatchSkip.ToVar("B"))
+      .select("seq", "match_num").as[(Long, Long)].collect()
+    assert(degenerate.map(_._2).max >= 2) // terminated, multiple matches
+  }
+
+  test("measures evaluates per-match aggregates with FIRST/LAST/CLASSIFIER") {
+    import graft.mr.Measures
+    val df = Seq(("k", 1L, "v", 10.0), ("k", 2L, "v", 20.0), ("k", 3L, "v", 30.0),
+      ("k", 4L, "x", 99.0), ("k", 5L, "v", 1.0), ("k", 6L, "v", 2.0), ("k", 7L, "v", 3.0))
+      .toDF("k", "seq", "t", "value")
+    val out = MatchRecognize.measures(df, Seq("k"), Seq("seq"),
+      "V{3,}", Map("V" -> ($"t" === "v")),
+      ms = Seq(
+        "first_seq" -> Measures.firstVal($"seq"),
+        "last_seq" -> Measures.lastVal($"seq"),
+        "n" -> count(lit(1)),
+        "total" -> sum(Measures.ofVar("V", $"value")),
+        "cls" -> Measures.classifier))
+      .orderBy("match_num")
+      .select("match_num", "first_seq", "last_seq", "n", "total", "cls")
+      .as[(Long, Long, Long, Long, Double, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 3L, 60.0, "V"),
+      (2L, 5L, 7L, 3L, 6.0, "V")))
+  }
+
+  test("MEASURES + SKIP TO var via the SQL clause lowering") {
+    val df = Seq(("k", 1L, "v", 5.0), ("k", 2L, "v", 6.0), ("k", 3L, "v", 7.0),
+      ("k", 4L, "x", 0.0), ("k", 5L, "v", 1.0), ("k", 6L, "v", 2.0), ("k", 7L, "v", 4.0))
+      .toDF("k", "seq", "t", "value")
+    df.createOrReplaceTempView("mr_meas_t")
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_meas_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(seq) AS s0, LAST(seq) AS s1, COUNT(*) AS n,
+        |           SUM(V.value) AS sv, CLASSIFIER() AS c, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  PATTERN (V{3,})
+        |  DEFINE V AS t = 'v')""".stripMargin)
+      .orderBy("match_num")
+      .select("s0", "s1", "n", "sv", "c", "mn")
+      .as[(Long, Long, Long, Double, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 3L, 18.0, "V", 1L), (5L, 7L, 3L, 7.0, "V", 2L)))
+
+    val skipTo = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_meas_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  AFTER MATCH SKIP TO B
+        |  PATTERN (A B{2})
+        |  DEFINE A AS true, B AS true)""".stripMargin)
+      .select("seq", "match_num").as[(Long, Long)].collect().toSet
+    assert(skipTo == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (3L, 2L), (4L, 2L), (5L, 2L),
+      (5L, 3L), (6L, 3L), (7L, 3L)))
+  }
 }
