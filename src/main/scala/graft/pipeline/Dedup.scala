@@ -139,4 +139,54 @@ object Dedup {
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Exact embedding-cosine near-duplicate pairs: every (a < b) with
+    * `round(cosine, roundTo) >= minCos`. O(N²) self-join — the correctness
+    * baseline that [[embeddingCandidates]] is measured against; use only
+    * when one side fits in a broadcast. Output (a, b, cos). */
+  def embeddingDupsExact(docs: DataFrame, vecCol: String, idCol: String,
+                         minCos: Double, roundTo: Int = 4): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    val v = transform(col(vecCol), _.cast("double"))
+    val l = docs.select(col(idCol).as("a"), v.as("va"))
+    val r = docs.select(col(idCol).as("b"), v.as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Embedding-cosine near-duplicate candidates at scale: banded
+    * sign-random-projection LSH. The `bits` hyperplane signs are split into
+    * `bands`; vectors agreeing on ALL bits of at least one band meet in a
+    * (band, bucket) equi-join reducer and are verified with the exact
+    * codegen'd cosine. Like [[minhashCandidates]], the only shuffle is the
+    * bucket join — signatures are a pure per-row map, so the O(N²) cross
+    * product never materializes. Recall < 1 by construction (raise `bits` /
+    * lower `bands`' width for more precision, more bands for more recall).
+    * Output (a, b, cos). */
+  def embeddingCandidates(docs: DataFrame, vecCol: String, idCol: String,
+                          minCos: Double, bits: Int = 16, bands: Int = 4,
+                          roundTo: Int = 4): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    val r = bits / bands
+    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    val planes = Similarity.hyperplanes(bits, dim)
+    val sig = docs.select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+      .withColumn("sig", Similarity.signature(col("v"), planes))
+    val bandCols = (0 until bands).map { b =>
+      shiftright(col("sig"), b * r).bitwiseAND(lit((1 << r) - 1))
+    }
+    val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
+    val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
+    l.join(rt, Seq("band", "bucket")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()
+  }
 }

@@ -72,6 +72,24 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- embedding-cosine near-dup pairs: exact O(N²) baseline (oracle) ----
+    Q.df("q_dedup_embedding",
+      duck = """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      Dedup.embeddingDupsExact(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
+        .orderBy("a", "b")
+    },
+
+    // ---- embedding near-dup candidates at scale: banded SRP-LSH (rows-only;
+    //      recall vs the exact baseline asserted in DedupSpec) ----
+    Q.rowsOnly("q_dedup_embedding_lsh") { (s, dir) =>
+      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
+        .orderBy("a", "b")
+    },
+
     // ---- brute-force cosine top-k ----
     Q.df("q_sim_cosine_topk",
       duck = """SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -147,4 +147,20 @@ class DedupSpec extends SparkTestBase {
     val recall = (bf intersect ann).size.toDouble / bf.size
     assert(recall >= 0.4, s"recall $recall too low")
   }
+
+  test("embedding near-dup: LSH candidates subset of exact, with banded recall") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // narrow 2-bit bands x 8 -> high collision probability at cos >= 0.4
+    val cand = Dedup.embeddingCandidates(e, "embedding", "vec_id", minCos = 0.4,
+        bits = 16, bands = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // candidates are verified with the same exact cosine + threshold, so
+    // precision is 1.0 by construction
+    assert(cand.subsetOf(exact), s"non-dup pairs leaked: ${cand -- exact}")
+    val recall = cand.size.toDouble / exact.size
+    assert(recall >= 0.6, s"banded recall $recall too low (${cand.size}/${exact.size})")
+  }
 }
