@@ -46,10 +46,13 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, k: Int): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    // coalesce makes the kernel input (hence `sig`) non-nullable, so join
+    // constraint inference can't push an isnotnull(<kernel>) into the scan
+    // filter — which would evaluate the whole sketch twice per row
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         call_function("graft_minhash_sig",
-          lower(col(textCol)), lit(shingleN), lit(k)).as("sig"))
+          coalesce(lower(col(textCol)), lit("")), lit(shingleN), lit(k)).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard.
@@ -73,8 +76,13 @@ object Dedup {
       xxhash64(concat_ws(",",
         (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
     }
+    // repartition on the join keys BELOW the leg renames: both legs then
+    // share one canonically-equal Exchange subtree, so Spark plans a single
+    // shuffle (ReusedExchange) and the sketch kernel runs ONCE per row, not
+    // once per join side — at 100 TB that halves the corpus sketching work
     val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .repartition(col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a"))
     val rgt = banded.select(col("band"), col("bucket"),
@@ -97,9 +105,11 @@ object Dedup {
     * bit-sum-aggregate formulation (DedupSpec asserts the parity). */
   def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    // coalesce: same non-nullability guard as minhashSignatures
     docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        call_function("graft_simhash64", lower(col(textCol))).as("sh"))
+        call_function("graft_simhash64",
+          coalesce(lower(col(textCol)), lit(""))).as("sh"))
   }
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, found via banded
@@ -110,15 +120,17 @@ object Dedup {
     val sh = simhashDf(docs, textCol, idCol)
     val chunks = (0 until 4).map(b =>
       shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
+    // shared-Exchange self-join: see minhashCandidates
     val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+      .repartition(col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("sh_a"))
     val rgt = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("sh_b"))
     l.join(rgt, Seq("band", "chunk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
@@ -179,8 +191,10 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       shiftright(col("sig"), b * r).bitwiseAND(lit((1 << r) - 1))
     }
+    // shared-Exchange self-join: see minhashCandidates
     val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .repartition(col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
     val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
     l.join(rt, Seq("band", "bucket")).filter(col("a") < col("b"))
