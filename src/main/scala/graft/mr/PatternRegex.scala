@@ -65,9 +65,9 @@ object PatternRegex {
       node
     }
 
-    // base ::= '^' base | '(' alt ')' | symbol  — `^` binds before the
-    // quantifier (reference rule 190), so `^A+` requires the run to begin
-    // at the partition's first row.
+    // base ::= '^' base | '(' alt ')' | PERMUTE '(' alt (',' alt)* ')'
+    //        | symbol  — `^` binds before the quantifier (reference rule
+    // 190), so `^A+` requires the run to begin at the partition's first row.
     private def base(): Node = peek match {
       case '^' => i += 1; Cat(Seq(Start, base()))
       case '(' =>
@@ -76,7 +76,26 @@ object PatternRegex {
         if (peek != ')') fail("expected )")
         i += 1
         inner
-      case _ => symbol()
+      case _ =>
+        val s0 = symbol()
+        s0 match {
+          case Sym(name) if name.equalsIgnoreCase("PERMUTE") && peek == '(' =>
+            permute()
+          case other => other
+        }
+    }
+
+    // PERMUTE(p1, ..., pk) = alternation of every ordering of the elements,
+    // tried in lexical order of the permutation (SQL row-pattern semantics).
+    private def permute(): Node = {
+      i += 1 // consume '('
+      val elems = scala.collection.mutable.ArrayBuffer(alt())
+      while (peek == ',') { i += 1; elems += alt() }
+      if (peek != ')') fail("expected ) in PERMUTE")
+      i += 1
+      if (elems.size > 7) fail(s"PERMUTE of ${elems.size} elements (max 7)")
+      if (elems.size == 1) elems.head
+      else Alt(elems.toSeq.permutations.map(p => Cat(p)).toSeq)
     }
 
     private def symbol(): Node = {
@@ -118,6 +137,16 @@ object PatternRegex {
     def expectEnd(): Unit = { skipWs(); if (i < s.length) fail(s"trailing '${s.substring(i)}'") }
     private def fail(msg: String): Nothing =
       throw new PatternParseException(s"$msg at offset $i in pattern '$s'")
+  }
+
+  /** Whether the pattern uses the `^` / `$` anchors (unsupported in
+    * streaming, where the partition end is never observed). */
+  def hasAnchor(n: Node): Boolean = n match {
+    case Start | End => true
+    case Cat(ps) => ps.exists(hasAnchor)
+    case Alt(cs) => cs.exists(hasAnchor)
+    case Rep(c, _, _) => hasAnchor(c)
+    case Sym(_) => false
   }
 
   /** Variables referenced by the pattern, in first-appearance order. */

@@ -37,6 +37,51 @@ object StreamingQueries {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
       s.table(sink).orderBy("bucket_ms")
+    },
+
+    // Streaming MATCH_RECOGNIZE replay: view-runs (V{3,}) detected
+    // continuously with a 1h watermark. The oracle replicates the finality
+    // protocol: an island is emitted iff its successor row is final at the
+    // stream's final watermark (max ts - 1h) — a greedy V{3,} attempt probes
+    // exactly one row past its run, so that successor being final closes it.
+    Q.df("q_stream_mr_runs",
+      duck = """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+        |v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE event_type = 'view'),
+        |g AS (SELECT user_id, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+        |             COUNT(*) AS n_rows, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |      FROM v GROUP BY user_id, grp HAVING COUNT(*) >= 3),
+        |ok AS (SELECT g.* FROM g
+        |       JOIN x nx ON nx.user_id = g.user_id AND nx.rn = g.end_rn + 1
+        |       JOIN wm ON epoch_ms(nx.ts) <= wm.w)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY start_rn) AS match_num,
+        |  epoch_ms(start_ts) AS start_ms, epoch_ms(end_ts) AS end_ms, n_rows
+        |FROM ok ORDER BY user_id, match_num""".stripMargin) { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val schema = Tables.read(s, dir, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_mr")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        stage.resolve("events.parquet"))
+      val raw = s.readStream.schema(schema).parquet(stage.toString)
+      val ev = Tables.normalizeEvents(raw)
+      val matched = graft.streaming.StreamingMatch.matchRecognizeStream(
+        ev, "ts", "user_id", pattern = "V{3,}",
+        defines = Map("V" -> (col("event_type") === "view")),
+        watermark = "1 hour", maxSpan = "60 days")
+      val sink = "q_stream_mr_runs_sink"
+      val q = matched.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink)
+        .select(col("user_id").cast("long").as("user_id"), col("match_num"),
+          col("start_ms"), col("end_ms"), col("n_rows"))
+        .orderBy("user_id", "match_num")
     }
   )
 }

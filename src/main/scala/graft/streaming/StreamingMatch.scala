@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.mr.PatternRegex
+
+/** Continuous MATCH_RECOGNIZE over an event-time stream — the streaming face
+  * of [[graft.mr.MatchRecognize]] (reference operator: WindowMatch,
+  * /root/reference/server/sql_operator_sort.cpp:4323+; the reference itself
+  * has no streaming engine, so this is additive Spark-native surface).
+  *
+  * Spark-first design: DEFINE predicates are ordinary row-local Columns,
+  * evaluated by codegen BEFORE the stateful stage, so per-key state carries
+  * only (event-time, define-booleans) — not the payload. The NFA is the
+  * exact batch matcher ([[PatternRegex.matchAt]]); what streaming adds is a
+  * *finality* protocol deciding when a greedy match can no longer change:
+  *
+  *  - rows with ts <= watermark are "final" (withWatermark guarantees no
+  *    older arrivals); later rows are "pending" — future input can still
+  *    sort between/around them.
+  *  - a match attempt is run against the buffer with one virtual probe row
+  *    appended; any probe at a position >= the final prefix marks the
+  *    attempt "open" (its outcome could still change).
+  *  - closed successful attempts are emitted and their rows evicted
+  *    (AFTER MATCH SKIP PAST LAST ROW); closed failures evict the dead row;
+  *    the first open attempt freezes the frontier — everything after waits,
+  *    preserving batch-identical in-order semantics.
+  *
+  * So state per key is exactly the suffix of rows an in-flight match might
+  * still use, and a no-data micro-batch (event-time timeout at wm+1) drains
+  * matches as the watermark advances. `maxSpan` is a hard bound on match
+  * duration: frontier rows older than wm - maxSpan are force-evicted, which
+  * bounds state even under pathological DEFINEs (the Flink-CEP `within`
+  * contract). Patterns with `^`/`$` anchors are rejected — a stream never
+  * observes its partition end.
+  *
+  * Emission (ONE ROW PER MATCH): key, match_num (per key, 1-based),
+  * start_ms, end_ms, n_rows.
+  */
+object StreamingMatch {
+
+  // (bufferedRows as (tsMs, defineBits), matchesEmitted)
+  private type MrState = (Seq[(Long, Seq[Boolean])], Long)
+
+  def matchRecognizeStream(
+      stream: DataFrame, tsCol: String, keyCol: String,
+      pattern: String, defines: Map[String, Column],
+      watermark: String, maxSpan: String = "7 days")
+      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+
+    val node = PatternRegex.parse(pattern)
+    require(!PatternRegex.hasAnchor(node),
+      "streaming MATCH_RECOGNIZE does not support ^/$ anchors")
+    val vars = PatternRegex.variables(node)
+    vars.foreach(v => require(defines.contains(v), s"no DEFINE for pattern variable $v"))
+    val defNames = defines.keys.toSeq.sorted
+    val defIdx = defNames.zipWithIndex.toMap
+    // parse "<n> <unit>" the same way Spark's interval literals do
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(maxSpan))
+    val spanMs = iv.months.toLong * 2592000000L + iv.days.toLong * 86400000L +
+      iv.microseconds / 1000L
+
+    val typed = stream
+      .withWatermark(tsCol, watermark)
+      .select(
+        col(keyCol).cast("string").as("k"),
+        col(tsCol).as("ts"),
+        array(defNames.map(v =>
+          coalesce(defines(v).cast("boolean"), lit(false))): _*).as("defs"))
+      .as[(String, java.sql.Timestamp, Seq[Boolean])]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[MrState, (String, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp, Seq[Boolean])],
+         state: GroupState[MrState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val (oldBuf, oldMatches) = state.getOption.getOrElse((Seq.empty, 0L))
+          val buf = (oldBuf ++ rows.map(r => (r._2.getTime, r._3)))
+            .sortBy(_._1).toVector
+          val n = buf.size
+          // length of the final prefix (ts <= watermark)
+          val finalN = buf.segmentLength(_._1 <= wm)
+
+          var probedOpen = false
+          def sym(pos: Int, v: String): Boolean = {
+            if (pos >= finalN) probedOpen = true
+            pos < n && buf(pos)._2(defIdx(v))
+          }
+
+          val out = Vector.newBuilder[(String, Long, Long, Long, Long)]
+          var matchNum = oldMatches
+          var i = 0
+          var frontier = -1
+          while (i < n && frontier < 0) {
+            probedOpen = false
+            // n + 1 virtual length: a greedy attempt that runs out of rows
+            // probes position n via sym and registers as open
+            PatternRegex.matchAt(node, i, n + 1, sym) match {
+              case Some(assign) if assign.nonEmpty && !probedOpen =>
+                val end = i + assign.size - 1
+                if (buf(end)._1 - buf(i)._1 <= spanMs) {
+                  matchNum += 1
+                  out += ((key, matchNum, buf(i)._1, buf(end)._1, assign.size.toLong))
+                  i += assign.size // SKIP PAST LAST ROW: consume + evict
+                } else {
+                  i += 1 // greedy match exceeds maxSpan: discard, advance
+                }
+              case _ if !probedOpen =>
+                i += 1 // closed failure: this row can never start a match
+              case _ =>
+                // open attempt: future rows may change the outcome — unless
+                // the start row is already past the span horizon
+                if (buf(i)._1 < wm - spanMs) i += 1 else frontier = i
+            }
+          }
+          val result = out.result()
+          val kept = buf.drop(i)
+          if (kept.isEmpty && matchNum == 0L) {
+            state.remove()
+          } else {
+            // matchNum is retained across drains so match_num stays a per-key
+            // sequence; the empty-buffer state is two machine words per key
+            state.update((kept, matchNum))
+            // re-examine when the watermark moves (no-data batches fire this)
+            if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          }
+          result.iterator
+      }
+      .toDF(keyCol, "match_num", "start_ms", "end_ms", "n_rows")
+  }
+}

@@ -187,4 +187,37 @@ class MatchRecognizeSpec extends SparkTestBase {
       (3L, 2L), (4L, 2L), (5L, 2L),
       (5L, 3L), (6L, 3L), (7L, 3L)))
   }
+
+  test("PERMUTE matches the elements in any order, lexical preference") {
+    import graft.mr.PatternRegex._
+    // A then B
+    assert(matchAt(parse("PERMUTE(A, B)"), 0, 2,
+      (i, v) => (i == 0 && v == "A") || (i == 1 && v == "B")) ==
+      Some(Vector("A", "B")))
+    // B then A also matches
+    assert(matchAt(parse("PERMUTE(A, B)"), 0, 2,
+      (i, v) => (i == 0 && v == "B") || (i == 1 && v == "A")) ==
+      Some(Vector("B", "A")))
+    // both orders possible (all predicates true): lexical order A B wins
+    assert(matchAt(parse("PERMUTE(A, B)"), 0, 2, (_, _) => true) ==
+      Some(Vector("A", "B")))
+    // quantified elements participate: PERMUTE(A+, B) consumes the A-run
+    assert(matchAt(parse("PERMUTE(A+, B)"), 0, 3,
+      (i, v) => if (i < 2) v == "A" else v == "B") ==
+      Some(Vector("A", "A", "B")))
+    // a variable merely named PERMUTE_X is not the operator
+    assert(variables(parse("PERMUTE_X")) == Seq("PERMUTE_X"))
+
+    // end to end over a tiny frame: pattern (V then C) in either order
+    val df = Seq(
+      (1L, 1L, "c"), (1L, 2L, "v"),   // c v -> match (C V)
+      (2L, 1L, "v"), (2L, 2L, "c"),   // v c -> match (V C)
+      (3L, 1L, "v"), (3L, 2L, "v")    // v v -> no match
+    ).toDF("k", "seq", "typ")
+    val m = MatchRecognize.oneRowPerMatch(df, Seq("k"), Seq("seq"),
+      "PERMUTE(V, C)", Map(
+        "V" -> (col("typ") === "v"), "C" -> (col("typ") === "c")))
+      .select("k", "n_rows").as[(Long, Long)].collect().toSet
+    assert(m == Set((1L, 2L), (2L, 2L)))
+  }
 }

@@ -111,6 +111,101 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE: closed matches emit, open runs wait") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "k", "typ")
+    val matched = graft.streaming.StreamingMatch.matchRecognizeStream(
+      df, "ts", "k", pattern = "V{3,}",
+      defines = Map("V" -> (col("typ") === "view")),
+      watermark = "1 hour")
+    val q = matched.writeStream.format("memory").queryName("mr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "u1", "click"))
+      q.processAllAvailable()
+      // watermark still at 0 after first batch: nothing final yet
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), "u2", "click"))
+      q.processAllAvailable() // wm -> 11:00, closes u1's run
+      val out = spark.table("mr_out")
+        .select("k", "match_num", "n_rows").as[(String, Long, Long)].collect().toSet
+      assert(out == Set(("u1", 1L, 3L)))
+
+      // a still-growing run (no terminator, touches buffer end) must NOT emit
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 13:00:00"), "u3", "view"),
+        (Timestamp.valueOf("2024-01-01 13:01:00"), "u3", "view"),
+        (Timestamp.valueOf("2024-01-01 13:02:00"), "u3", "view"))
+      input.addData((Timestamp.valueOf("2024-01-02 13:00:00"), "u2", "click"))
+      q.processAllAvailable() // wm way past u3's rows, but the run is open
+      assert(!spark.table("mr_out").select("k").as[String].collect().contains("u3"))
+
+      // terminator arrives -> u3's run closes and emits
+      input.addData((Timestamp.valueOf("2024-01-02 14:00:00"), "u3", "click"))
+      input.addData((Timestamp.valueOf("2024-01-03 14:00:00"), "u2", "click"))
+      q.processAllAvailable()
+      val out3 = spark.table("mr_out").filter($"k" === "u3")
+        .select("match_num", "n_rows").as[(Long, Long)].collect().toSeq
+      assert(out3 == Seq((1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming MATCH_RECOGNIZE matches batch on the closed region") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // deterministic pseudo-random event tape over 3 keys
+    val rnd = new scala.util.Random(7)
+    val types = Array("view", "click", "buy")
+    val tape = (0 until 300).map { i =>
+      (new Timestamp(1700000000000L + i * 60000L), s"u${rnd.nextInt(3)}", types(rnd.nextInt(3)))
+    }
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "k", "typ")
+    val defines = Map("V" -> (col("typ") === "view"), "B" -> (col("typ") === "buy"))
+    val matched = graft.streaming.StreamingMatch.matchRecognizeStream(
+      df, "ts", "k", pattern = "V V* B", defines, watermark = "10 minutes")
+    val q = matched.writeStream.format("memory").queryName("mr_eq_out")
+      .outputMode("append").start()
+    try {
+      tape.grouped(50).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("mr_eq_out")
+        .select("k", "match_num", "start_ms", "end_ms", "n_rows")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+
+      val batch = graft.mr.MatchRecognize.oneRowPerMatch(
+        tape.toDF("ts", "k", "typ"), keys = Seq("k"), orderCols = Seq("ts"),
+        pattern = "V V* B", defines)
+        .select(col("k"), col("match_num"), unix_millis(col("start_ts")).as("s"),
+          unix_millis(col("end_ts")).as("e"), col("n_rows"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+
+      // the final watermark is maxTs - 10min; a `V V* B` attempt never probes
+      // past its own B, so every batch match ending at or before the final
+      // watermark must have been emitted by the stream
+      val wmMs = tape.map(_._1.getTime).max - 600000L
+      val closedBatch = batch.filter { case (_, _, _, e, _) => e <= wmMs }
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch), s"stream emitted non-batch matches: ${streamed -- batch}")
+      assert(closedBatch.subsetOf(streamed),
+        s"closed batch matches missing from stream: ${closedBatch -- streamed}")
+    } finally q.stop()
+  }
+
+  test("streaming MATCH_RECOGNIZE rejects anchored patterns") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val df = spark.readStream.format("rate").load()
+      .selectExpr("timestamp as ts", "cast(value as string) as k", "'view' as typ")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingMatch.matchRecognizeStream(
+        df, "ts", "k", "^V+", Map("V" -> (col("typ") === "view")), "1 hour")
+    }
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
