@@ -35,9 +35,18 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
 
-  /** Read one raw parquet table from the sf dir. */
+  // (session, path) -> resolved DataFrame. spark.read.parquet resolves the
+  // footer schema eagerly (driver-side file I/O); Verify/Bench build ~90
+  // queries in one session, each re-reading the same handful of tables. A
+  // resolved DataFrame is an immutable logical plan — safe to share.
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** Read one raw parquet table from the sf dir (cached per session+path). */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    readCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
+      { case (_, path) => spark.read.parquet(path) })
 
   /** Normalize a raw events frame (batch or streaming): surface `ts` as
     * TimestampType (µs) and `ts_ns` as the lossless int64 nanos. */
@@ -66,10 +75,18 @@ object Tables {
         Container(n, read(spark, sfDir, n), Collection)
     }
 
+  // session UUID -> last registered sf dir; registering resolves every
+  // table's parquet footer eagerly, so repeat registrations of the same dir
+  // (Verify/Bench build ~90 queries in one session) are skipped
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Register every TESTDATA table as a temp view in the session. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    (collectionNames :+ "events").foreach { n =>
-      container(spark, sfDir, n).df.createOrReplaceTempView(n)
+    if (lastRegistered.put(System.identityHashCode(spark).toString, sfDir) != sfDir) {
+      (collectionNames :+ "events").foreach { n =>
+        container(spark, sfDir, n).df.createOrReplaceTempView(n)
+      }
     }
   }
 }

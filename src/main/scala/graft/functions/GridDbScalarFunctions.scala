@@ -160,16 +160,24 @@ object GridDbScalarFunctions {
     out.result()
   }
 
-  /** Register into an existing session (idempotent). */
+  private val registeredSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register into an existing session (idempotent; skipped when this
+    * session already has the registrations — operators call this on every
+    * build, and Verify/Bench build ~90 queries in one session). */
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+    if (registeredSessions.add(System.identityHashCode(spark).toString)) {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 
   /** Drop all registrations (test hygiene). */
   def unregister(spark: SparkSession): Unit = {
+    registeredSessions.remove(System.identityHashCode(spark).toString)
     val reg = spark.sessionState.functionRegistry
     Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
