@@ -31,6 +31,51 @@ object TimeSeriesQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- as-of join: batched TIME_PREV over a probe table ----
+    Q.df("q_asof_join_prev",
+      duck = """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, epoch_ms(p.ts) AS ts_ms, p.user_id,
+        |  epoch_ms(s.view_ts) AS view_ts_ms, s.view_value
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.view_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+      bench = true) { (s, dir) =>
+      val ev = evs(s, dir)
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val series = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      T.asOfJoin(probe, series, keys = Seq("user_id"),
+          probeTs = "ts", seriesTs = "ts")
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), unix_millis(col("view_ts")).as("view_ts_ms"),
+          col("view_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- as-of join, forward: batched TIME_NEXT ----
+    Q.df("q_asof_join_next",
+      duck = """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS buy_ts, value AS buy_value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, epoch_ms(p.ts) AS ts_ms, p.user_id,
+        |  epoch_ms(s.buy_ts) AS buy_ts_ms, s.buy_value
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.buy_ts >= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val ev = evs(s, dir)
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val series = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("ts").as("buy_ts"),
+          col("value").as("buy_value"))
+      T.asOfJoin(probe, series, keys = Seq("user_id"),
+          probeTs = "ts", seriesTs = "ts", forward = true)
+        .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), unix_millis(col("buy_ts")).as("buy_ts_ms"),
+          col("buy_value"))
+        .orderBy("event_id")
+    },
+
     // ---- TIME_WINDOW_AGG: tumbling 1h windows ----
     Q.df("q_ts_time_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,

@@ -145,6 +145,71 @@ object TimeSeriesOps {
     else weighted.groupBy(keys.map(col): _*).agg(agg)
   }
 
+  /** Distributed as-of join: TIME_PREV/TIME_NEXT for a whole table of probe
+    * timestamps at once (the reference answers one `t` per TQL query —
+    * /root/reference/server/selection_func.h:126; batching them is the form
+    * that matters at scale).
+    *
+    * For every probe row, attaches the payload of the latest series row
+    * at-or-before its timestamp (`forward = true`: earliest at-or-after),
+    * equi-matched on `keys`; unmatched probes keep null payload (left join).
+    *
+    * Spark-first plan: tag + union both sides, ONE shuffle on `keys`, sort
+    * within partitions, and carry payloads to probe rows with a
+    * last/first(ignoreNulls) running window — no range cross-join, no
+    * per-probe lookup; cost is linear in |probe| + |series| and the sort.
+    * `series` must contain `keys` + `seriesTs`; every other series column
+    * becomes output payload and must not collide with probe column names
+    * (rename in a prior select). `tolerance` (an interval literal, e.g.
+    * "1 hour") null-outs matches further than that from the probe time. */
+  def asOfJoin(probe: DataFrame, series: DataFrame, keys: Seq[String],
+               probeTs: String, seriesTs: String, forward: Boolean = false,
+               tolerance: Option[String] = None): DataFrame = {
+    val payload = series.columns.filterNot(c => keys.contains(c) || c == seriesTs).toSeq
+    val probeCols = probe.columns.toSeq
+    require(payload.intersect(probeCols).isEmpty,
+      s"series payload ${payload.intersect(probeCols)} collides with probe columns; rename first")
+    val t = "__asof_t"; val isP = "__asof_probe"; val mts = "__asof_mts"
+
+    val pSide = probe.select(
+      probeCols.map(col) ++
+        Seq(col(probeTs).as(t), lit(1).as(isP),
+          lit(null).cast("timestamp").as(mts)) ++
+        payload.map(c => lit(null).cast(series.schema(c).dataType).as(c)): _*)
+    val sSide = series.select(
+      probeCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(probe.schema(c).dataType).as(c)) ++
+        Seq(col(seriesTs).as(t), lit(0).as(isP), col(seriesTs).as(mts)) ++
+        payload.map(col): _*)
+
+    // ties: a series row at exactly the probe time matches in both
+    // directions, so it must sort on the window side of the probe row
+    val ord =
+      if (forward) Seq(col(t).asc, col(isP).desc) else Seq(col(t).asc, col(isP).asc)
+    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val w =
+      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def fill(c: String): Column =
+      if (forward) first(col(c), ignoreNulls = true).over(w)
+      else last(col(c), ignoreNulls = true).over(w)
+
+    val filled = (payload :+ mts).foldLeft(pSide.unionByName(sSide)) {
+      (d, c) => d.withColumn(c, fill(c))
+    }
+    val matched = filled.filter(col(isP) === 1)
+    val bounded = tolerance.fold(matched) { tol =>
+      val iv = expr(s"INTERVAL '$tol'")
+      val ok =
+        if (forward) col(mts) <= col(t) + iv else col(mts) >= col(t) - iv
+      payload.foldLeft(matched) { (d, c) =>
+        d.withColumn(c, when(col(mts).isNotNull && ok, col(c)))
+      }
+    }
+    bounded.drop(t, isP, mts)
+  }
+
   /** MAX_ROWS / MIN_ROWS: every row achieving the extreme of `valCol`. */
   def extremeRows(df: DataFrame, valCol: String, isMax: Boolean,
                   keys: Seq[String] = Nil): DataFrame = {

@@ -90,4 +90,33 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .orderBy("bucket_ms").select("n").as[Long].collect()
     assert(out.toSeq == Seq(2L, 1L))
   }
+
+  test("asOfJoin: backward/forward, keyed, exact-tie, unmatched, tolerance") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val probe = Seq((1L, "a", ts(10)), (2L, "a", ts(30)), (3L, "b", ts(10)),
+      (4L, "b", ts(5)), (5L, "c", ts(10)))
+      .toDF("id", "k", "ts")
+    val series = Seq(("a", ts(9), 1.0), ("a", ts(10), 2.0), ("a", ts(25), 3.0),
+      ("b", ts(7), 4.0), ("b", ts(11), 5.0))
+      .toDF("k", "ts", "v")
+      .select($"k", $"ts", $"ts".as("m_ts"), $"v".as("m_v"))
+
+    val back = T.asOfJoin(probe, series, Seq("k"), "ts", "ts")
+      .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+    // exact tie matches (id 1 at 10 -> series at 10); latest wins (id 2 -> 25)
+    assert(back == Map(1L -> Some(2.0), 2L -> Some(3.0), 3L -> Some(4.0),
+      4L -> None, 5L -> None))
+
+    val fwd = T.asOfJoin(probe, series, Seq("k"), "ts", "ts", forward = true)
+      .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> Some(2.0), 2L -> None, 3L -> Some(5.0),
+      4L -> Some(4.0), 5L -> None))
+
+    // tolerance: id 2's match at 25 is 5 min back -> survives "10 minutes",
+    // dies at "2 minutes"; matched rows keep their id column intact
+    val tol = T.asOfJoin(probe, series, Seq("k"), "ts", "ts",
+        tolerance = Some("2 minutes"))
+      .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+    assert(tol(1L) == Some(2.0) && tol(2L).isEmpty && tol(3L).isEmpty)
+  }
 }
