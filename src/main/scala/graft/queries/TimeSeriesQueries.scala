@@ -76,6 +76,30 @@ object TimeSeriesQueries {
         .orderBy("event_id")
     },
 
+    // ---- range join: views attributed to the hour before each purchase ----
+    Q.df("q_range_join_attrib",
+      duck = """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+        |  epoch_ms(v.ts) AS view_ts_ms
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, dir) =>
+      val ev = evs(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("view_ts"),
+          col("user_id"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL '1 hour'")).as("w_start"),
+          col("ts").as("w_end"))
+      graft.ts.RangeJoin.intervalJoin(views, "view_ts", windows,
+          "w_start", "w_end", keys = Seq("user_id"), bucket = "1 hour")
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          unix_millis(col("view_ts")).as("view_ts_ms"))
+        .orderBy("view_id", "purchase_id")
+    },
+
     // ---- TIME_WINDOW_AGG: tumbling 1h windows ----
     Q.df("q_ts_time_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,

@@ -119,4 +119,30 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
     assert(tol(1L) == Some(2.0) && tol(2L).isEmpty && tol(3L).isEmpty)
   }
+
+  test("RangeJoin.intervalJoin equals the naive BETWEEN join") {
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 200).map(i => (i.toLong, s"k${rnd.nextInt(3)}", ts(rnd.nextInt(600))))
+      .toDF("pid", "k", "pts_ts")
+    val ivs = (1 to 40).map { i =>
+      val s = rnd.nextInt(550); (i.toLong, s"k${rnd.nextInt(3)}", ts(s), ts(s + rnd.nextInt(90)))
+    }.toDF("iid", "k", "s", "e")
+
+    val fast = graft.ts.RangeJoin.intervalJoin(pts, "pts_ts", ivs, "s", "e",
+        keys = Seq("k"), bucket = "30 minutes")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .filter($"pts_ts" >= $"s" && $"pts_ts" <= $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(fast == naive && naive.nonEmpty)
+
+    // bucket boundary inclusivity: point exactly at start and at end
+    val p2 = Seq((1L, "a", ts(60)), (2L, "a", ts(120))).toDF("pid", "k", "pts_ts")
+    val i2 = Seq((9L, "a", ts(60), ts(120))).toDF("iid", "k", "s", "e")
+    val hits = graft.ts.RangeJoin.intervalJoin(p2, "pts_ts", i2, "s", "e",
+        keys = Seq("k"), bucket = "1 hour")
+      .select("pid").as[Long].collect().toSet
+    assert(hits == Set(1L, 2L))
+  }
 }
