@@ -222,6 +222,22 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- mergeable HLL sketch rollup: per-day sketches unioned to a
+    //      range-wide distinct estimate. The sketch column is what a 100 TB
+    //      pipeline materializes per partition: re-aggregation unions fixed
+    //      ~KB states instead of re-scanning raw data (rows-only; accuracy
+    //      vs exact asserted in spec) ----
+    Q.rowsOnly("q_approx_distinct_hll") { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_events"))
+      daily.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users_total"),
+        sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_days"))
+    },
+
     // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----
     Q.rowsOnly("q_multimodal_features") { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s

@@ -41,4 +41,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(globToRegex("a*b?") == "^\\Qa\\E(?s:.*)\\Qb\\E(?s:.)$")
     assert(strftimeToJava("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
   }
+
+  test("mergeable HLL rollup estimates distinct users within 3%") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Tables.events(spark, sfDir)
+    val exact = ev.select("user_id").distinct().count()
+    val est = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.03,
+      s"HLL estimate $est vs exact $exact")
+  }
 }
