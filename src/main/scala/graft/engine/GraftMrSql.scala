@@ -46,10 +46,9 @@ object GraftMrSql {
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val oneRowRe = """(?is)ONE\s+ROW\s+PER\s+MATCH""".r
   private val skipNextRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r
-  private val skipToVarRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+(\w+)""".r
+  private val skipToVarRe =
+    """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+(?:(LAST|FIRST)\s+)?(\w+)""".r
   private val prevRe = """(?i)PREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
-  private val firstRe = """(?i)FIRST\s*\(([^()]*)\)""".r
-  private val lastRe = """(?i)LAST\s*\(([^()]*)\)""".r
   private val classifierRe = """(?i)CLASSIFIER\s*\(\s*\)""".r
   private val matchNumberRe = """(?i)MATCH_NUMBER\s*\(\s*\)""".r
 
@@ -73,7 +72,11 @@ object GraftMrSql {
         if (skipNextRe.findFirstIn(body).isDefined)
           graft.mr.MatchRecognize.AfterMatchSkip.ToNextRow
         else skipToVarRe.findFirstMatchIn(body) match {
-          case Some(m) => graft.mr.MatchRecognize.AfterMatchSkip.ToVar(m.group(1))
+          case Some(m) =>
+            // SKIP TO var ≡ SKIP TO LAST var (the semantics ToVar implements)
+            require(!"FIRST".equalsIgnoreCase(m.group(1)),
+              "AFTER MATCH SKIP TO FIRST is not supported (use [LAST] var)")
+            graft.mr.MatchRecognize.AfterMatchSkip.ToVar(m.group(2))
           case None => graft.mr.MatchRecognize.AfterMatchSkip.PastLastRow
         }
 
@@ -133,15 +136,38 @@ object GraftMrSql {
     case _ => throw new IllegalArgumentException("not a MATCH_RECOGNIZE statement")
   }
 
+  /** Replace every `fname(<balanced args>)` call in `s` (nested parens
+    * allowed, unlike a regex) with `wrap(args)`; args are rewritten first so
+    * nested calls compose. */
+  private def replaceCall(s: String, fname: String, wrap: String => String): String = {
+    s"(?i)\\b$fname\\s*\\(".r.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        while (i < s.length && depth > 0) {
+          s(i) match { case '(' => depth += 1 case ')' => depth -= 1 case _ => }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parentheses in $fname(...) of '$s'")
+        val inner = replaceCall(s.substring(m.end, i - 1).trim, fname, wrap)
+        s.substring(0, m.start) + wrap(inner) + replaceCall(s.substring(i), fname, wrap)
+    }
+  }
+
   /** Lower a MEASURES expression to a Spark SQL aggregate over the match's
-    * rows: FIRST/LAST become position-ordered min_by/max_by, CLASSIFIER /
-    * MATCH_NUMBER their per-match aggregates, and `VAR.col` references
-    * classifier-filtered columns (so `SUM(B.value)` sums only B-rows).
-    * FIRST/LAST take plain (unscoped) columns. */
+    * rows: FIRST/LAST become position-ordered min_by/max_by over the rows
+    * where the argument is non-null (so they compose with `VAR.col` scoping:
+    * `FIRST(B.value)` is the first B-row's value), CLASSIFIER / MATCH_NUMBER
+    * their per-match aggregates, and `VAR.col` references classifier-filtered
+    * columns (so `SUM(B.value)` sums only B-rows). */
   private def translateMeasure(e: String, vars: Seq[String]): String = {
     val pos = graft.mr.MatchRecognize.PosCol
-    var t = firstRe.replaceAllIn(e, m => s"min_by(${m.group(1).trim}, $pos)")
-    t = lastRe.replaceAllIn(t, m => s"max_by(${m.group(1).trim}, $pos)")
+    // min_by/max_by skip rows whose ordering expression is null: ordering by
+    // pos only where the argument is non-null yields first/last non-null
+    var t = replaceCall(e, "FIRST",
+      a => s"min_by($a, CASE WHEN ($a) IS NOT NULL THEN $pos END)")
+    t = replaceCall(t, "LAST",
+      a => s"max_by($a, CASE WHEN ($a) IS NOT NULL THEN $pos END)")
     t = classifierRe.replaceAllIn(t, s"max_by(classifier, $pos)")
     t = matchNumberRe.replaceAllIn(t, "max(match_num)")
     for (v <- vars)

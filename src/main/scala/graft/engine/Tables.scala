@@ -35,18 +35,22 @@ object Tables {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings")
 
-  // (session, path) -> resolved DataFrame. spark.read.parquet resolves the
+  // session -> (path -> resolved DataFrame). spark.read.parquet resolves the
   // footer schema eagerly (driver-side file I/O); Verify/Bench build ~90
   // queries in one session, each re-reading the same handful of tables. A
-  // resolved DataFrame is an immutable logical plan — safe to share.
-  private val readCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  // resolved DataFrame is an immutable logical plan — safe to share. Weak
+  // keys: a stopped session's cache entries (which hold its sessionState)
+  // become collectable instead of pinning the session forever.
+  private val readCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
 
   /** Read one raw parquet table from the sf dir (cached per session+path). */
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
-      { case (_, path) => spark.read.parquet(path) })
+    readCache
+      .computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(s"$sfDir/$name.parquet", p => spark.read.parquet(p))
 
   /** Normalize a raw events frame (batch or streaming): surface `ts` as
     * TimestampType (µs) and `ts_ns` as the lossless int64 nanos. */
@@ -75,17 +79,23 @@ object Tables {
         Container(n, read(spark, sfDir, n), Collection)
     }
 
-  // session UUID -> last registered sf dir; registering resolves every
-  // table's parquet footer eagerly, so repeat registrations of the same dir
-  // (Verify/Bench build ~90 queries in one session) are skipped
-  private val lastRegistered =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // session -> last registered sf dir; registering resolves every table's
+  // parquet footer eagerly, so repeat registrations of the same dir
+  // (Verify/Bench build ~90 queries in one session) are skipped. Weak keys,
+  // same rationale as readCache.
+  private val lastRegistered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every TESTDATA table as a temp view in the session. */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (lastRegistered.put(System.identityHashCode(spark).toString, sfDir) != sfDir) {
-      (collectionNames :+ "events").foreach { n =>
-        container(spark, sfDir, n).df.createOrReplaceTempView(n)
+    if (lastRegistered.put(spark, sfDir) != sfDir) {
+      try {
+        (collectionNames :+ "events").foreach { n =>
+          container(spark, sfDir, n).df.createOrReplaceTempView(n)
+        }
+      } catch {
+        // don't record a half-done registration as complete
+        case e: Throwable => lastRegistered.remove(spark); throw e
       }
     }
   }

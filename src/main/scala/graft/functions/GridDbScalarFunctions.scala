@@ -160,15 +160,13 @@ object GridDbScalarFunctions {
     out.result()
   }
 
-  private val registeredSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Register into an existing session (idempotent; skipped when this
-    * session already has the registrations — operators call this on every
-    * build, and Verify/Bench build ~90 queries in one session). */
+  /** Register into an existing session (idempotent; probing the session's
+    * own registry makes the skip robust — no external memo to fall out of
+    * sync with new sessions or unregister). Operators call this on every
+    * build; Verify/Bench build ~90 queries in one session. */
   def register(spark: SparkSession): Unit = {
-    if (registeredSessions.add(System.identityHashCode(spark).toString)) {
-      val reg = spark.sessionState.functionRegistry
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
       builders.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "built-in")
       }
@@ -177,7 +175,6 @@ object GridDbScalarFunctions {
 
   /** Drop all registrations (test hygiene). */
   def unregister(spark: SparkSession): Unit = {
-    registeredSessions.remove(System.identityHashCode(spark).toString)
     val reg = spark.sessionState.functionRegistry
     Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",

@@ -200,11 +200,13 @@ object MatchRecognize {
 object Measures {
   import MatchRecognize.PosCol
 
-  /** FIRST(col): value on the first row of the match. */
-  def firstVal(c: Column): Column = min_by(c, col(PosCol))
+  /** FIRST(expr): the first non-null value of `expr` in match order — the
+    * null-skip makes it compose with [[ofVar]] scoping (`FIRST(B.value)` =
+    * first B-row's value; non-B rows are null and skipped). */
+  def firstVal(c: Column): Column = min_by(c, when(c.isNotNull, col(PosCol)))
 
-  /** LAST(col): value on the last row of the match. */
-  def lastVal(c: Column): Column = max_by(c, col(PosCol))
+  /** LAST(expr): the last non-null value of `expr` in match order. */
+  def lastVal(c: Column): Column = max_by(c, when(c.isNotNull, col(PosCol)))
 
   /** CLASSIFIER(): pattern variable of the last matched row. */
   def classifier: Column = max_by(col("classifier"), col(PosCol))

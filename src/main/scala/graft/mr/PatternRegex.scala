@@ -102,6 +102,7 @@ object PatternRegex {
       skipWs()
       val start = i
       while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      if (start == i) fail("expected pattern variable")
       Sym(s.substring(start, i))
     }
 

@@ -183,7 +183,7 @@ object Dedup {
     require(bits % bands == 0, "bands must divide bits")
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val r = bits / bands
-    val dim = docs.select(size(col(vecCol))).head().getInt(0)
+    val dim = Similarity.vecDim(docs, vecCol)
     val planes = Similarity.hyperplanes(bits, dim)
     val sig = docs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))

@@ -51,17 +51,27 @@ object Similarity {
 
   /** Deterministic pseudo-random unit-free hyperplanes (bits x dim), seeded. */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     val rnd = new scala.util.Random(seed)
     Array.fill(bits, dim)(rnd.nextGaussian())
   }
 
-  /** b-bit sign-random-projection signature of a double-array column. */
+  /** b-bit sign-random-projection signature of a double-array column
+    * (long, so up to 63 bits — an Int mask would corrupt bit 31+). */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.indices.map { i =>
       val plane = array(planes(i).map(lit): _*)
-      when(dot(vec, plane) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Dimension of the vector column, from the first row with a non-empty
+    * vector (clear error on empty/all-null input instead of a head() NPE). */
+  private[pipeline] def vecDim(df: DataFrame, vecCol: String): Int = {
+    val row = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
+    require(row.nonEmpty, s"cannot derive vector dimension: column '$vecCol' has no non-empty vectors")
+    row(0).getInt(0)
   }
 
   /** literal array-of-structs (cid, cv) for a centroid set. */
@@ -92,7 +102,7 @@ object Similarity {
               roundTo: Int = 4): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-    val dim = c0.select(size(col("cv"))).head().getInt(0)
+    val dim = vecDim(c0, "cv")
     val seeds = c0.orderBy("c_id").limit(nLists)
       .select("cv").collect().map(_.getSeq[Double](0).toArray)
     // one Lloyd iteration, distributed: assign to nearest seed, average
@@ -129,13 +139,13 @@ object Similarity {
     ensureFns(corpus)
     // derive dim from the data (as ivfTopK does): a mismatched hyperplane
     // length would null-pad in zip_with and collapse every signature to 0
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dim = vecDim(corpus, vecCol)
     val planes = hyperplanes(bits, dim)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", signature(col("cv"), planes))
     // queries probe their own bucket + `probes` single-bit-flip neighbors
     val probeBuckets = (c0: Column) =>
-      array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1 << i)))): _*)
+      array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(probeBuckets(signature(col("qv"), planes))))
     val scored = c.join(broadcast(q), Seq("bucket"))

@@ -169,19 +169,24 @@ object TimeSeriesOps {
     val probeCols = probe.columns.toSeq
     require(payload.intersect(probeCols).isEmpty,
       s"series payload ${payload.intersect(probeCols)} collides with probe columns; rename first")
-    val t = "__asof_t"; val isP = "__asof_probe"; val mts = "__asof_mts"
+    val t = "__asof_t"; val isP = "__asof_probe"; val pl = "__asof_payload"
 
+    // the whole series row (matched ts + payloads) travels as ONE struct:
+    // filling per-column would let a null payload field fall through to a
+    // DIFFERENT series row's value (struct-level ignoreNulls keeps the
+    // matched row intact — its null fields stay null, like a real join)
     val pSide = probe.select(
-      probeCols.map(col) ++
-        Seq(col(probeTs).as(t), lit(1).as(isP),
-          lit(null).cast("timestamp").as(mts)) ++
-        payload.map(c => lit(null).cast(series.schema(c).dataType).as(c)): _*)
+      probeCols.map(col) ++ Seq(
+        col(probeTs).as(t), lit(1).as(isP),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          series.schema(seriesTs).copy(name = "__mts") +:
+            payload.map(c => series.schema(c)))).as(pl)): _*)
     val sSide = series.select(
       probeCols.map(c =>
         if (keys.contains(c)) col(c)
-        else lit(null).cast(probe.schema(c).dataType).as(c)) ++
-        Seq(col(seriesTs).as(t), lit(0).as(isP), col(seriesTs).as(mts)) ++
-        payload.map(col): _*)
+        else lit(null).cast(probe.schema(c).dataType).as(c)) ++ Seq(
+        col(seriesTs).as(t), lit(0).as(isP),
+        struct(col(seriesTs).as("__mts") +: payload.map(col): _*).as(pl)): _*)
 
     // ties: a series row at exactly the probe time matches in both
     // directions, so it must sort on the window side of the probe row
@@ -191,23 +196,22 @@ object TimeSeriesOps {
     val w =
       if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: String): Column =
-      if (forward) first(col(c), ignoreNulls = true).over(w)
-      else last(col(c), ignoreNulls = true).over(w)
+    val fill =
+      if (forward) first(col(pl), ignoreNulls = true).over(w)
+      else last(col(pl), ignoreNulls = true).over(w)
 
-    val filled = (payload :+ mts).foldLeft(pSide.unionByName(sSide)) {
-      (d, c) => d.withColumn(c, fill(c))
-    }
-    val matched = filled.filter(col(isP) === 1)
-    val bounded = tolerance.fold(matched) { tol =>
+    val matched = pSide.unionByName(sSide)
+      .withColumn(pl, fill)
+      .filter(col(isP) === 1)
+    val mts = col(pl).getField("__mts")
+    val within = tolerance.fold(lit(true)) { tol =>
       val iv = expr(s"INTERVAL '$tol'")
-      val ok =
-        if (forward) col(mts) <= col(t) + iv else col(mts) >= col(t) - iv
-      payload.foldLeft(matched) { (d, c) =>
-        d.withColumn(c, when(col(mts).isNotNull && ok, col(c)))
-      }
+      if (forward) mts <= col(t) + iv else mts >= col(t) - iv
     }
-    bounded.drop(t, isP, mts)
+    val unpacked = payload.foldLeft(matched) { (d, c) =>
+      d.withColumn(c, when(within, col(pl).getField(c)))
+    }
+    unpacked.drop(t, isP, pl)
   }
 
   /** MAX_ROWS / MIN_ROWS: every row achieving the extreme of `valCol`. */

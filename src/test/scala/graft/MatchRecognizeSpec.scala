@@ -188,6 +188,45 @@ class MatchRecognizeSpec extends SparkTestBase {
       (5L, 3L), (6L, 3L), (7L, 3L)))
   }
 
+  test("MEASURES: FIRST composes with VAR scoping and nested calls") {
+    val df = Seq(("k", 1L, "a", 10.0), ("k", 2L, "b", -20.0), ("k", 3L, "b", 30.0))
+      .toDF("k", "seq", "t", "value")
+    df.createOrReplaceTempView("mr_first_t")
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_first_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(B.value) AS fb, LAST(B.value) AS lb,
+        |           FIRST(abs(value)) AS fa, FIRST(A.value) AS fav
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+      .select("fb", "lb", "fa", "fav")
+      .as[(Double, Double, Double, Double)].collect()
+    // FIRST(B.value): first B-row (seq 2), not the match's first row (A);
+    // FIRST(abs(value)): nested call translated, not Spark's first() agg
+    assert(out.toSeq == Seq((-20.0, 30.0, 10.0, 10.0)))
+  }
+
+  test("AFTER MATCH SKIP TO LAST var accepted, FIRST rejected") {
+    val df = Seq(("k", 1L, "a"), ("k", 2L, "b"), ("k", 3L, "b"))
+      .toDF("k", "seq", "t")
+    df.createOrReplaceTempView("mr_skip_t")
+    val base = """SELECT * FROM mr_skip_t MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY seq
+      |  AFTER MATCH SKIP TO %s
+      |  PATTERN (A B+)
+      |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin
+    val withLast = graft.engine.GraftMrSql.run(spark, base.format("LAST B"))
+      .select("seq").as[Long].collect().toSet
+    val bare = graft.engine.GraftMrSql.run(spark, base.format("B"))
+      .select("seq").as[Long].collect().toSet
+    assert(withLast == bare && bare == Set(1L, 2L, 3L))
+    val err = intercept[IllegalArgumentException] {
+      graft.engine.GraftMrSql.run(spark, base.format("FIRST B"))
+    }
+    assert(err.getMessage.contains("SKIP TO FIRST"))
+  }
+
   test("PERMUTE matches the elements in any order, lexical preference") {
     import graft.mr.PatternRegex._
     // A then B

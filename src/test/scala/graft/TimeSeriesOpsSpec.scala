@@ -118,6 +118,15 @@ class TimeSeriesOpsSpec extends SparkTestBase {
         tolerance = Some("2 minutes"))
       .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
     assert(tol(1L) == Some(2.0) && tol(2L).isEmpty && tol(3L).isEmpty)
+
+    // a null payload in the MATCHED row must stay null — not fall through
+    // to an older row's value (join semantics, like DuckDB ASOF)
+    val s2 = Seq(("a", ts(1), Some(5.0)), ("a", ts(2), None))
+      .toDF("k", "ts", "v").select($"k", $"ts", $"v".as("m_v"))
+    val p2 = Seq((1L, "a", ts(3))).toDF("id", "k", "ts")
+    val got = T.asOfJoin(p2, s2, Seq("k"), "ts", "ts")
+      .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+    assert(got(1L).isEmpty, s"null payload leaked an older row's value: $got")
   }
 
   test("RangeJoin.intervalJoin equals the naive BETWEEN join") {
