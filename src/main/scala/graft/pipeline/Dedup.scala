@@ -133,20 +133,53 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard similarity for all pairs sharing >= 1 token.
-    * (Candidate generation by inverted index join; exact verify by count.) */
+  /** Exact token-set Jaccard similarity for all pairs with
+    * `jaccard >= minJaccard` — candidate generation by PREFIX-FILTERED
+    * inverted index (PPJoin-style), exact verification by intersection
+    * count.
+    *
+    * A plain inverted-index self-join explodes on frequent tokens: one
+    * stop-word shared by d documents emits d² candidate rows, which is
+    * quadratic in corpus size regardless of the threshold. The prefix
+    * filter makes the index selective WITHOUT losing pairs: order each
+    * document's tokens by global document frequency (rarest first); two
+    * sets with Jaccard >= t must share a token within their first
+    * |T| - ceil(t*|T|) + 1 tokens of that shared order, so only those
+    * prefix tokens are indexed. A length filter (|A| >= t*|B|) prunes the
+    * rest. Result is IDENTICAL to the naive formulation (the DuckDB oracle
+    * runs the naive SQL) but the index join touches ~t-fraction prefixes of
+    * mostly-rare tokens — the difference between minutes and sub-second at
+    * 5k docs, and between impossible and linear-ish at 100 TB. */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
       .distinct()
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = tok.select(col("id").as("a"), col("w"))
-      .join(tok.select(col("id").as("b"), col("w")), "w")
-      .filter(col("a") < col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    // global document frequency orders tokens (rarest first, token as tie)
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df"), col("w"))))
+      .join(sizes, "id")
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("id"), col("w"), col("sz"))
+    // candidates: prefix-token collision + length filter
+    val cand = prefix.select(col("id").as("a"), col("w"), col("sz").as("sza"))
+      .join(prefix.select(col("id").as("b"), col("w"), col("sz").as("szb")), "w")
+      .filter(col("a") < col("b") &&
+        col("sza") >= ceil(col("szb") * minJaccard) &&
+        col("szb") >= ceil(col("sza") * minJaccard))
+      .select("a", "b", "sza", "szb").distinct()
+    // exact verify: intersection size over the full token sets — the second
+    // join keys on (b, w) so each candidate contributes |A∩B| rows, not
+    // |A| x |B|
+    val inter = cand
+      .join(tok.select(col("id").as("a"), col("w")), "a")
+      .join(tok.select(col("id").as("b"), col("w")), Seq("b", "w"))
+      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("id").as("a"), col("sz").as("sza")), "a")
-      .join(sizes.select(col("id").as("b"), col("sz").as("szb")), "b")
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
