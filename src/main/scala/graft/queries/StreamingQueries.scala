@@ -82,6 +82,47 @@ object StreamingQueries {
         .select(col("user_id").cast("long").as("user_id"), col("match_num"),
           col("start_ms"), col("end_ms"), col("n_rows"))
         .orderBy("user_id", "match_num")
+    },
+
+    // Streaming GROUP BY RANGE FILL(PREVIOUS) replay: per event_type, 1h
+    // epoch-aligned buckets incl. empty ones, previous-fill, emitted as the
+    // watermark closes them. Oracle rebuilds the closed grid (per-key first
+    // bucket .. last closed bucket at final watermark = max ts - 1h) and
+    // applies the same fill with an IGNORE NULLS running window.
+    Q.df("q_stream_group_range",
+      duck = """WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS ms, value FROM events),
+        |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
+        |agg AS (SELECT k, ms // 3600000 AS b, COUNT(*) AS n,
+        |               SUM(value) / COUNT(*) AS v FROM e GROUP BY 1, 2),
+        |rng AS (SELECT k, MIN(b) AS b0 FROM agg GROUP BY 1),
+        |grid AS (SELECT r.k, gs.b FROM rng r, wm,
+        |         LATERAL (SELECT unnest(generate_series(r.b0, (wm.w // 3600000) - 1)) AS b) gs),
+        |j AS (SELECT g.k, g.b, a.n, a.v FROM grid g
+        |      LEFT JOIN agg a ON a.k = g.k AND a.b = g.b)
+        |SELECT k AS event_type, b * 3600000 AS bucket_ms, n,
+        |  ROUND(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+        |  n IS NULL AS filled
+        |FROM j ORDER BY event_type, bucket_ms""".stripMargin) { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val schema = Tables.read(s, dir, "events").schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_gbr")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"),
+        stage.resolve("events.parquet"))
+      val ev = Tables.normalizeEvents(s.readStream.schema(schema).parquet(stage.toString))
+      val out = graft.streaming.StreamingGroupByRange.groupByRangeStream(
+        ev, "ts", "value", "event_type", "1 hour", "1 hour",
+        graft.ts.GroupByRange.FillPrevious)
+      val sink = "q_stream_group_range_sink"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink)
+        .select(col("event_type"), col("bucket_ms"), col("n"),
+          round(col("value"), 6).as("value"), col("filled"))
+        .orderBy("event_type", "bucket_ms")
     }
   )
 }

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.ts.GroupByRange
+
+/** Continuous GROUP BY RANGE ... EVERY ... FILL — the streaming face of
+  * [[graft.ts.GroupByRange]] (reference OP_GROUP_RANGE,
+  * /root/reference/server/sql_operator_group.h:181-441; the reference has no
+  * continuous engine, so this is additive Spark-native surface).
+  *
+  * Built-in `groupBy(window(...))` emits only NON-EMPTY buckets; GridDB's
+  * operator also materializes empty buckets and fills them. A single
+  * flatMapGroupsWithState stage keeps decomposable per-bucket partials
+  * ((n, sum) per open bucket — fixed-size state per in-flight bucket, not
+  * per row) and, as the watermark closes buckets, emits them IN ORDER with
+  * gap semantics identical to the batch operator:
+  *
+  *  - NONE:     closed empty buckets are skipped
+  *  - NULL:     emitted with null value
+  *  - PREVIOUS: emitted with the previous non-empty bucket's value
+  *              (leading gaps null)
+  *  - LINEAR:   held until the next non-empty bucket closes, then emitted
+  *              interpolated between the two anchors (leading gaps null;
+  *              trailing gaps never emit — the stream has no last anchor)
+  *
+  * The aggregate is avg(valCol) (sum/count partials — the decomposition the
+  * reference's ADVANCE_PIPE/MERGE_PIPE phases use). Output: key, bucket_ms,
+  * n (null on fills), value, filled. */
+object StreamingGroupByRange {
+
+  // (partials: bucket -> (n, sum), nextEmit, prevAnchorValue, pendingGaps)
+  private type RState =
+    (Map[Long, (Long, Double)], Option[Long], Option[Double], Seq[Long])
+
+  def groupByRangeStream(
+      stream: DataFrame, tsCol: String, valCol: String, keyCol: String,
+      every: String, watermark: String, fill: GroupByRange.Fill)
+      (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(every))
+    val everyMs = iv.months.toLong * 2592000000L + iv.days.toLong * 86400000L +
+      iv.microseconds / 1000L
+    require(everyMs > 0, s"EVERY '$every' must be a positive interval")
+
+    val typed = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
+        col(valCol).cast("double").as("v"))
+      .as[(String, java.sql.Timestamp, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[RState,
+        (String, Long, Option[Long], Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          var (partials, nextEmit, prev, gaps) =
+            state.getOption.getOrElse((Map.empty[Long, (Long, Double)], None, None, Seq.empty))
+          rows.foreach { case (_, ts, v) =>
+            val b = Math.floorDiv(ts.getTime, everyMs)
+            val (n, s) = partials.getOrElse(b, (0L, 0.0))
+            partials = partials.updated(b, (n + 1, s + v))
+          }
+          // bucket b = [b*e, (b+1)*e) is closed once wm >= (b+1)*e
+          val bMax = Math.floorDiv(wm, everyMs) - 1
+          val out = Vector.newBuilder[(String, Long, Option[Long], Option[Double], Boolean)]
+          var b = nextEmit.orElse(if (partials.nonEmpty) Some(partials.keys.min) else None)
+            .getOrElse(bMax + 1)
+          while (b <= bMax) {
+            partials.get(b) match {
+              case Some((n, s)) =>
+                val v = s / n
+                if (gaps.nonEmpty) { // LINEAR: interpolate held gaps to this anchor
+                  val p = prev.get
+                  val a0 = gaps.head - 1 // previous anchor bucket
+                  gaps.foreach { g =>
+                    val t = (g - a0).toDouble / (b - a0)
+                    out += ((key, g * everyMs, None, Some(p + (v - p) * t), true))
+                  }
+                  gaps = Seq.empty
+                }
+                out += ((key, b * everyMs, Some(n), Some(v), false))
+                prev = Some(v)
+                partials = partials.removed(b)
+              case None => fill match {
+                case GroupByRange.FillNone =>
+                case GroupByRange.FillNull =>
+                  out += ((key, b * everyMs, None, None, true))
+                case GroupByRange.FillPrevious =>
+                  out += ((key, b * everyMs, None, prev, true))
+                case GroupByRange.FillLinear =>
+                  if (prev.isDefined) gaps = gaps :+ b
+                  else out += ((key, b * everyMs, None, None, true))
+              }
+            }
+            b += 1
+          }
+          nextEmit = Some(b)
+          state.update((partials, nextEmit, prev, gaps))
+          // wake on watermark advance while buckets are still open/held
+          if (partials.nonEmpty || gaps.nonEmpty)
+            state.setTimeoutTimestamp(wm + 1)
+          out.result().iterator
+      }
+      .toDF(keyCol, "bucket_ms", "n", "value", "filled")
+  }
+}

@@ -206,6 +206,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming GROUP BY RANGE fills closed gap buckets like batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.ts.GroupByRange
+
+    // buckets (1 min): 0 -> [2,4], 1 -> empty, 2 -> empty, 3 -> [8], tail
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val data = Seq((ts(10), "k", 2.0), (ts(20), "k", 4.0), (ts(185), "k", 8.0))
+    val tail = (ts(7200), "k", 100.0) // advances watermark far past bucket 3
+
+    def run(fill: GroupByRange.Fill, sink: String): Map[Long, (Option[Double], Boolean)] = {
+      val input = MemoryStream[(Timestamp, String, Double)]
+      val df = input.toDF().toDF("ts", "k", "v")
+      val q = graft.streaming.StreamingGroupByRange
+        .groupByRangeStream(df, "ts", "v", "k", "1 minute", "1 minute", fill)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        input.addData(data); q.processAllAvailable()
+        input.addData(tail); q.processAllAvailable()
+        spark.table(sink).filter($"bucket_ms" < 7000000L)
+          .select("bucket_ms", "value", "filled")
+          .as[(Long, Option[Double], Boolean)].collect()
+          .map { case (b, v, f) => b -> (v, f) }.toMap
+      } finally q.stop()
+    }
+
+    val nul = run(GroupByRange.FillNull, "gbr_null")
+    assert(nul(0L) == (Some(3.0), false) && nul(180000L) == (Some(8.0), false))
+    assert(nul(60000L) == (None, true) && nul(120000L) == (None, true))
+
+    val prevF = run(GroupByRange.FillPrevious, "gbr_prev")
+    assert(prevF(60000L) == (Some(3.0), true) && prevF(120000L) == (Some(3.0), true))
+
+    val lin = run(GroupByRange.FillLinear, "gbr_lin")
+    // anchors avg=3.0 (bucket 0) and 8.0 (bucket 3): 1 -> 4.666.., 2 -> 6.333..
+    assert(math.abs(lin(60000L)._1.get - (3.0 + 5.0 / 3)) < 1e-9 && lin(60000L)._2)
+    assert(math.abs(lin(120000L)._1.get - (3.0 + 10.0 / 3)) < 1e-9)
+
+    val none = run(GroupByRange.FillNone, "gbr_none")
+    assert(!none.contains(60000L) && !none.contains(120000L) && none.contains(0L))
+
+    // parity with the batch operator on the closed region (NULL mode)
+    val batch = GroupByRange(data.toDF("ts", "k", "v"), "ts",
+        startMs = 0L, endMs = 239999L, everyMs = 60000L,
+        aggs = Seq(avg($"v").as("value")), fill = GroupByRange.FillNull)
+      .select("ts_ms", "value").as[(Long, Option[Double])].collect().toMap
+    assert(batch.forall { case (b, v) => nul(b)._1 == v })
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
