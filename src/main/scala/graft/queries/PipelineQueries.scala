@@ -85,7 +85,7 @@ object PipelineQueries {
 
     // ---- embedding near-dup candidates at scale: banded SRP-LSH (rows-only;
     //      recall vs the exact baseline asserted in DedupSpec) ----
-    Q.rowsOnly("q_dedup_embedding_lsh") { (s, dir) =>
+    Q.rowsOnly("q_dedup_embedding_lsh", bench = true) { (s, dir) =>
       Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
         .orderBy("a", "b")
     },

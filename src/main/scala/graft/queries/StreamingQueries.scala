@@ -93,16 +93,17 @@ object StreamingQueries {
       duck = """WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS ms, value FROM events),
         |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
         |agg AS (SELECT k, ms // 3600000 AS b, COUNT(*) AS n,
-        |               SUM(value) / COUNT(*) AS v FROM e GROUP BY 1, 2),
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v
+        |        FROM e GROUP BY 1, 2),
         |rng AS (SELECT k, MIN(b) AS b0 FROM agg GROUP BY 1),
         |grid AS (SELECT r.k, gs.b FROM rng r, wm,
         |         LATERAL (SELECT unnest(generate_series(r.b0, (wm.w // 3600000) - 1)) AS b) gs),
         |j AS (SELECT g.k, g.b, a.n, a.v FROM grid g
         |      LEFT JOIN agg a ON a.k = g.k AND a.b = g.b)
         |SELECT k AS event_type, b * 3600000 AS bucket_ms, n,
-        |  ROUND(last_value(v IGNORE NULLS) OVER (
+        |  last_value(v IGNORE NULLS) OVER (
         |    PARTITION BY k ORDER BY b
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
         |  n IS NULL AS filled
         |FROM j ORDER BY event_type, bucket_ms""".stripMargin) { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
@@ -119,9 +120,10 @@ object StreamingQueries {
       val q = out.writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally q.stop()
+      // decimal-cents accumulation makes the value exact — no rounding
       s.table(sink)
         .select(col("event_type"), col("bucket_ms"), col("n"),
-          round(col("value"), 6).as("value"), col("filled"))
+          col("value"), col("filled"))
         .orderBy("event_type", "bucket_ms")
     }
   )

@@ -78,6 +78,7 @@ object TimeSeriesQueries {
 
     // ---- range join: views attributed to the hour before each purchase ----
     Q.df("q_range_join_attrib",
+      bench = true,
       duck = """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
         |  epoch_ms(v.ts) AS view_ts_ms
         |FROM events v JOIN events p

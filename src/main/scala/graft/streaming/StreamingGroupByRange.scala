@@ -27,13 +27,16 @@ import graft.ts.GroupByRange
   *              trailing gaps never emit — the stream has no last anchor)
   *
   * The aggregate is avg(valCol) (sum/count partials — the decomposition the
-  * reference's ADVANCE_PIPE/MERGE_PIPE phases use). Output: key, bucket_ms,
-  * n (null on fills), value, filled. */
+  * reference's ADVANCE_PIPE/MERGE_PIPE phases use). The sum accumulates as
+  * decimal(18,2) scaled to Long "cents": integer addition is associative,
+  * so the result is independent of arrival/partition order — double sums
+  * would drift run-to-run and against the oracle on bigger buckets.
+  * Output: key, bucket_ms, n (null on fills), value, filled. */
 object StreamingGroupByRange {
 
-  // (partials: bucket -> (n, sum), nextEmit, prevAnchorValue, pendingGaps)
+  // (partials: bucket -> (n, sumCents), nextEmit, prevAnchorValue, pendingGaps)
   private type RState =
-    (Map[Long, (Long, Double)], Option[Long], Option[Double], Seq[Long])
+    (Map[Long, (Long, Long)], Option[Long], Option[Double], Seq[Long])
 
   def groupByRangeStream(
       stream: DataFrame, tsCol: String, valCol: String, keyCol: String,
@@ -50,8 +53,8 @@ object StreamingGroupByRange {
     val typed = stream
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
-        col(valCol).cast("double").as("v"))
-      .as[(String, java.sql.Timestamp, Double)]
+        (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, java.sql.Timestamp, Long)]
 
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[RState,
@@ -60,11 +63,11 @@ object StreamingGroupByRange {
         (key, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
           var (partials, nextEmit, prev, gaps) =
-            state.getOption.getOrElse((Map.empty[Long, (Long, Double)], None, None, Seq.empty))
-          rows.foreach { case (_, ts, v) =>
+            state.getOption.getOrElse((Map.empty[Long, (Long, Long)], None, None, Seq.empty))
+          rows.foreach { case (_, ts, cents) =>
             val b = Math.floorDiv(ts.getTime, everyMs)
-            val (n, s) = partials.getOrElse(b, (0L, 0.0))
-            partials = partials.updated(b, (n + 1, s + v))
+            val (n, s) = partials.getOrElse(b, (0L, 0L))
+            partials = partials.updated(b, (n + 1, s + cents))
           }
           // bucket b = [b*e, (b+1)*e) is closed once wm >= (b+1)*e
           val bMax = Math.floorDiv(wm, everyMs) - 1
@@ -74,7 +77,9 @@ object StreamingGroupByRange {
           while (b <= bMax) {
             partials.get(b) match {
               case Some((n, s)) =>
-                val v = s / n
+                // double(decimal sum) first, then /n — the exact sequence a
+                // CAST(SUM(decimal) AS DOUBLE)/COUNT(*) oracle performs
+                val v = (s / 100.0) / n
                 if (gaps.nonEmpty) { // LINEAR: interpolate held gaps to this anchor
                   val p = prev.get
                   val a0 = gaps.head - 1 // previous anchor bucket
