@@ -104,6 +104,34 @@ object GridDbScalarFunctions {
       Substring(a(0), a(1), a(2))
     }
 
+    // PRINTF -> format_string (sql_expression_string.h FUNC_PRINTF)
+    tmp("printf") { a =>
+      require(a.nonEmpty, "PRINTF(fmt, args...)")
+      FormatString(a: _*)
+    }
+    // UNICODE: code point of the first character (BMP — Spark chars)
+    tmp("unicode")(a => Ascii(Cast(one(a, "UNICODE"), StringType)))
+    // ZEROBLOB(n): n zero bytes (SQLite compat)
+    tmp("zeroblob") { a =>
+      Unhex(StringRepeat(Literal("00"), Cast(one(a, "ZEROBLOB"), IntegerType)))
+    }
+    // MAKE_TIMESTAMP(y, mo, d, h, mi, s) and sub-second variants
+    // (sql_expression_time.h FUNC_MAKE_TIMESTAMP*)
+    tmp("griddb_make_timestamp") { a =>
+      require(a.size == 6, "MAKE_TIMESTAMP(y, mo, d, h, mi, s)")
+      new MakeTimestamp(a(0), a(1), a(2), a(3), a(4),
+        Cast(a(5), DecimalType(16, 6)))
+    }
+    def makeTsFrac(a: Seq[Expression], n: String, denom: Long): Expression = {
+      require(a.size == 7, s"$n(y, mo, d, h, mi, s, frac)")
+      val secs = Add(Cast(a(5), DecimalType(16, 6)),
+        Divide(Cast(a(6), DecimalType(16, 6)),
+          Cast(Literal(denom), DecimalType(16, 0))))
+      new MakeTimestamp(a(0), a(1), a(2), a(3), a(4), Cast(secs, DecimalType(16, 6)))
+    }
+    tmp("make_timestamp_ms")(a => makeTsFrac(a, "MAKE_TIMESTAMP_MS", 1000L))
+    tmp("make_timestamp_us")(a => makeTsFrac(a, "MAKE_TIMESTAMP_US", 1000000L))
+
     // ---- numeric (sql_expression_numeric.h) ----
     tmp("trunc_number") { a =>
       // SQLite TRUNC: toward zero
@@ -180,7 +208,8 @@ object GridDbScalarFunctions {
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
       "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
       "group_concat", "griddb_median", "graft_cosine", "graft_minhash_sig",
-      "graft_simhash64")
+      "graft_simhash64", "printf", "unicode", "zeroblob",
+      "griddb_make_timestamp", "make_timestamp_ms", "make_timestamp_us")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
   }
 }

@@ -42,6 +42,21 @@ class FunctionsSpec extends SparkTestBase {
     assert(strftimeToJava("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
   }
 
+  test("printf/unicode/zeroblob/make_timestamp variants") {
+    assert(q1[String]("SELECT printf('%s-%03d', 'x', 7)") == "x-007")
+    assert(q1[Int]("SELECT unicode('Abc')") == 65)
+    assert(q1[Array[Byte]]("SELECT zeroblob(3)").toSeq == Seq[Byte](0, 0, 0))
+    assert(q1[java.sql.Timestamp](
+      "SELECT griddb_make_timestamp(2024, 1, 15, 12, 30, 45)").toString
+      == "2024-01-15 12:30:45.0")
+    assert(q1[java.sql.Timestamp](
+      "SELECT make_timestamp_ms(2024, 1, 15, 12, 30, 45, 250)").toString
+      == "2024-01-15 12:30:45.25")
+    assert(q1[java.sql.Timestamp](
+      "SELECT make_timestamp_us(2024, 1, 15, 12, 30, 45, 123456)").toString
+      == "2024-01-15 12:30:45.123456")
+  }
+
   test("mergeable HLL rollup estimates distinct users within 3%") {
     import org.apache.spark.sql.functions._
     val ev = graft.engine.Tables.events(spark, sfDir)
