@@ -172,6 +172,10 @@ object GridDbScalarFunctions {
       require(a.size == 2, "graft_cosine(a, b)")
       CosineSimilarity(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
     }
+    tmp("graft_dot") { a =>
+      require(a.size == 2, "graft_dot(a, b)")
+      DotProduct(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
+    }
     def litInt(e: Expression, n: String): Int = e match {
       case Literal(v: Int, IntegerType) => v
       case _ => throw new IllegalArgumentException(s"$n must be an integer literal")
@@ -208,7 +212,7 @@ object GridDbScalarFunctions {
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
       "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
       "group_concat", "griddb_median", "graft_cosine", "graft_minhash_sig",
-      "graft_simhash64", "printf", "unicode", "zeroblob",
+      "graft_simhash64", "graft_dot", "printf", "unicode", "zeroblob",
       "griddb_make_timestamp", "make_timestamp_ms", "make_timestamp_us")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
   }

@@ -58,13 +58,13 @@ object Similarity {
 
   /** b-bit sign-random-projection signature of a double-array column
     * (long, so up to 63 bits — an Int mask would corrupt bit 31+).
-    * Each bit tests the codegen'd cosine against the hyperplane instead of
-    * the interpreted `dot` HOF — same sign (norms are positive), ~20x
-    * faster per row. */
+    * Each bit tests the codegen'd graft_dot against the hyperplane — the
+    * interpreted `dot` HOF runs one lambda per element, and cosine would
+    * spend 3x the arithmetic for the same sign. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.indices.map { i =>
       val plane = array(planes(i).map(lit): _*)
-      when(call_function("graft_cosine", vec, plane) >= 0, lit(1L << i))
+      when(call_function("graft_dot", vec, plane) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }
     bits.reduce(_ + _)

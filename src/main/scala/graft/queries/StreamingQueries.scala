@@ -13,30 +13,43 @@ import graft.streaming.StreamingOps
   * line up end-to-end (SURVEY §2.8). */
 object StreamingQueries {
 
+  /** Stage the events table into a temp dir (file stream sources need a
+    * directory), replay it through `build` into a memory sink with
+    * AvailableNow, and return the sink table. One definition for every
+    * streaming query; the staged copy is removed afterwards. */
+  private def replayEvents(s: org.apache.spark.sql.SparkSession, dir: String,
+                           sink: String, outputMode: String)
+                          (build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val schema = Tables.read(s, dir, "events").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_replay")
+    val staged = stage.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), staged)
+    try {
+      val ev = Tables.normalizeEvents(s.readStream.schema(schema).parquet(stage.toString))
+      val q = build(ev).writeStream.format("memory").queryName(sink)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink)
+    } finally {
+      java.nio.file.Files.deleteIfExists(staged)
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
   val qs: Seq[Q] = Seq(
     Q.df("q_stream_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-      val schema = Tables.read(s, dir, "events").schema
-      // the file stream source wants a directory; stage the table file into one
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        stage.resolve("events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(stage.toString)
-      val ev = Tables.normalizeEvents(raw)
-      val agg = StreamingOps.timeWindowAggStream(ev, "ts", "1 hour",
-        watermark = "1 hour",
-        aggs = Seq(
-          count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")))
-      val sink = "q_stream_window_agg_sink"
-      val q = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(sink).orderBy("bucket_ms")
+      replayEvents(s, dir, "q_stream_window_agg_sink", "complete") { ev =>
+        StreamingOps.timeWindowAggStream(ev, "ts", "1 hour",
+          watermark = "1 hour",
+          aggs = Seq(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")))
+      }.orderBy("bucket_ms")
     },
 
     // Streaming MATCH_RECOGNIZE replay: view-runs (V{3,}) detected
@@ -63,23 +76,12 @@ object StreamingQueries {
         |  epoch_ms(start_ts) AS start_ms, epoch_ms(end_ts) AS end_ms, n_rows
         |FROM ok ORDER BY user_id, match_num""".stripMargin) { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      val schema = Tables.read(s, dir, "events").schema
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_mr")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        stage.resolve("events.parquet"))
-      val raw = s.readStream.schema(schema).parquet(stage.toString)
-      val ev = Tables.normalizeEvents(raw)
-      val matched = graft.streaming.StreamingMatch.matchRecognizeStream(
-        ev, "ts", "user_id", pattern = "V{3,}",
-        defines = Map("V" -> (col("event_type") === "view")),
-        watermark = "1 hour", maxSpan = "60 days")
-      val sink = "q_stream_mr_runs_sink"
-      val q = matched.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
-      s.table(sink)
-        .select(col("user_id").cast("long").as("user_id"), col("match_num"),
+      replayEvents(s, dir, "q_stream_mr_runs_sink", "append") { ev =>
+        graft.streaming.StreamingMatch.matchRecognizeStream(
+          ev, "ts", "user_id", pattern = "V{3,}",
+          defines = Map("V" -> (col("event_type") === "view")),
+          watermark = "1 hour", maxSpan = "60 days")
+      }.select(col("user_id").cast("long").as("user_id"), col("match_num"),
           col("start_ms"), col("end_ms"), col("n_rows"))
         .orderBy("user_id", "match_num")
     },
@@ -107,22 +109,12 @@ object StreamingQueries {
         |  n IS NULL AS filled
         |FROM j ORDER BY event_type, bucket_ms""".stripMargin) { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
-      val schema = Tables.read(s, dir, "events").schema
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_gbr")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"),
-        stage.resolve("events.parquet"))
-      val ev = Tables.normalizeEvents(s.readStream.schema(schema).parquet(stage.toString))
-      val out = graft.streaming.StreamingGroupByRange.groupByRangeStream(
-        ev, "ts", "value", "event_type", "1 hour", "1 hour",
-        graft.ts.GroupByRange.FillPrevious)
-      val sink = "q_stream_group_range_sink"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      try q.awaitTermination() finally q.stop()
       // decimal-cents accumulation makes the value exact — no rounding
-      s.table(sink)
-        .select(col("event_type"), col("bucket_ms"), col("n"),
+      replayEvents(s, dir, "q_stream_group_range_sink", "append") { ev =>
+        graft.streaming.StreamingGroupByRange.groupByRangeStream(
+          ev, "ts", "value", "event_type", "1 hour", "1 hour",
+          graft.ts.GroupByRange.FillPrevious)
+      }.select(col("event_type"), col("bucket_ms"), col("n"),
           col("value"), col("filled"))
         .orderBy("event_type", "bucket_ms")
     }

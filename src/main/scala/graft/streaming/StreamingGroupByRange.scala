@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -24,19 +24,25 @@ import graft.ts.GroupByRange
   *              (leading gaps null)
   *  - LINEAR:   held until the next non-empty bucket closes, then emitted
   *              interpolated between the two anchors (leading gaps null;
-  *              trailing gaps never emit — the stream has no last anchor)
+  *              a trailing run of gaps is held as a constant-size
+  *              (start, count) pair, not a growing list)
   *
-  * The aggregate is avg(valCol) (sum/count partials — the decomposition the
-  * reference's ADVANCE_PIPE/MERGE_PIPE phases use). The sum accumulates as
-  * decimal(18,2) scaled to Long "cents": integer addition is associative,
-  * so the result is independent of arrival/partition order — double sums
-  * would drift run-to-run and against the oracle on bigger buckets.
+  * Each key's grid starts at its first observed bucket and — for NULL and
+  * PREVIOUS — keeps extending as the watermark advances even when the key
+  * goes quiet (event-time timeouts re-fire), exactly like the batch
+  * operator's [start, end] grid evaluated up to the watermark.
+  *
+  * The aggregate is avg(valCol) over non-null values (null rows are
+  * ignored, like the batch avg). The sum accumulates as decimal(18,2)
+  * scaled to Long "cents": integer addition is associative, so the result
+  * is independent of arrival/partition order — double sums would drift
+  * run-to-run and against the oracle on bigger buckets.
   * Output: key, bucket_ms, n (null on fills), value, filled. */
 object StreamingGroupByRange {
 
-  // (partials: bucket -> (n, sumCents), nextEmit, prevAnchorValue, pendingGaps)
+  // (partials: bucket -> (n, sumCents), emittedUpTo, prevAnchor, gapStart, gapN)
   private type RState =
-    (Map[Long, (Long, Long)], Option[Long], Option[Double], Seq[Long])
+    (Map[Long, (Long, Long)], Option[Long], Option[Double], Option[Long], Long)
 
   def groupByRangeStream(
       stream: DataFrame, tsCol: String, valCol: String, keyCol: String,
@@ -46,14 +52,20 @@ object StreamingGroupByRange {
 
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(every))
-    val everyMs = iv.months.toLong * 2592000000L + iv.days.toLong * 86400000L +
-      iv.microseconds / 1000L
+    require(iv.months == 0,
+      s"EVERY '$every': calendar months are not fixed-width; use day/hour/... units")
+    val everyMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
     require(everyMs > 0, s"EVERY '$every' must be a positive interval")
+    val continuousFill =
+      fill == GroupByRange.FillNull || fill == GroupByRange.FillPrevious
 
     val typed = stream
       .withWatermark(tsCol, watermark)
       .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"),
         (col(valCol).cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      // null values are ignored like the batch avg; a decimal(18,2)
+      // overflow also nulls and would crash the primitive Long encoder
+      .where(col("cents").isNotNull)
       .as[(String, java.sql.Timestamp, Long)]
 
     typed.groupByKey(_._1)
@@ -62,32 +74,42 @@ object StreamingGroupByRange {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, rows, state) =>
           val wm = state.getCurrentWatermarkMs()
-          var (partials, nextEmit, prev, gaps) =
-            state.getOption.getOrElse((Map.empty[Long, (Long, Long)], None, None, Seq.empty))
+          var (partials, emittedUpTo, prev, gapStart, gapN) =
+            state.getOption.getOrElse(
+              (Map.empty[Long, (Long, Long)], None, None, None, 0L))
           rows.foreach { case (_, ts, cents) =>
             val b = Math.floorDiv(ts.getTime, everyMs)
-            val (n, s) = partials.getOrElse(b, (0L, 0L))
-            partials = partials.updated(b, (n + 1, s + cents))
+            // flatMapGroupsWithState does not drop late rows itself: a row
+            // for an already-decided bucket is discarded here (watermark
+            // contract), else its partial could never be emitted
+            if (emittedUpTo.forall(b > _)) {
+              val (n, s) = partials.getOrElse(b, (0L, 0L))
+              partials = partials.updated(b, (n + 1, s + cents))
+            }
           }
           // bucket b = [b*e, (b+1)*e) is closed once wm >= (b+1)*e
           val bMax = Math.floorDiv(wm, everyMs) - 1
           val out = Vector.newBuilder[(String, Long, Option[Long], Option[Double], Boolean)]
-          var b = nextEmit.orElse(if (partials.nonEmpty) Some(partials.keys.min) else None)
-            .getOrElse(bMax + 1)
+          // resume after the last decided bucket; a key's grid starts at its
+          // first observed bucket (min over ALL partials — a bucket can
+          // appear below a previously-seen one while both are still open)
+          val start = emittedUpTo.map(_ + 1)
+            .orElse(if (partials.nonEmpty) Some(partials.keys.min) else None)
+          var b = start.getOrElse(bMax + 1)
           while (b <= bMax) {
             partials.get(b) match {
               case Some((n, s)) =>
                 // double(decimal sum) first, then /n — the exact sequence a
                 // CAST(SUM(decimal) AS DOUBLE)/COUNT(*) oracle performs
                 val v = (s / 100.0) / n
-                if (gaps.nonEmpty) { // LINEAR: interpolate held gaps to this anchor
+                gapStart.foreach { g0 => // LINEAR: interpolate held gaps
                   val p = prev.get
-                  val a0 = gaps.head - 1 // previous anchor bucket
-                  gaps.foreach { g =>
+                  val a0 = g0 - 1 // previous anchor bucket
+                  (g0 until g0 + gapN).foreach { g =>
                     val t = (g - a0).toDouble / (b - a0)
                     out += ((key, g * everyMs, None, Some(p + (v - p) * t), true))
                   }
-                  gaps = Seq.empty
+                  gapStart = None; gapN = 0L
                 }
                 out += ((key, b * everyMs, Some(n), Some(v), false))
                 prev = Some(v)
@@ -99,16 +121,20 @@ object StreamingGroupByRange {
                 case GroupByRange.FillPrevious =>
                   out += ((key, b * everyMs, None, prev, true))
                 case GroupByRange.FillLinear =>
-                  if (prev.isDefined) gaps = gaps :+ b
-                  else out += ((key, b * everyMs, None, None, true))
+                  if (prev.isDefined) {
+                    if (gapStart.isEmpty) gapStart = Some(b)
+                    gapN += 1
+                  } else out += ((key, b * everyMs, None, None, true))
               }
             }
             b += 1
           }
-          nextEmit = Some(b)
-          state.update((partials, nextEmit, prev, gaps))
-          // wake on watermark advance while buckets are still open/held
-          if (partials.nonEmpty || gaps.nonEmpty)
+          if (start.exists(_ <= bMax)) emittedUpTo = Some(bMax)
+          state.update((partials, emittedUpTo, prev, gapStart, gapN))
+          // re-fire on watermark advance while buckets are open/held, or
+          // forever for the continuously-extending fill modes
+          if (partials.nonEmpty || gapStart.isDefined ||
+              (continuousFill && emittedUpTo.isDefined))
             state.setTimeoutTimestamp(wm + 1)
           out.result().iterator
       }
