@@ -255,6 +255,33 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.forall { case (b, v) => nul(b)._1 == v })
   }
 
+  test("streaming GROUP BY RANGE keeps filling a quiet key across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.ts.GroupByRange
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val q = graft.streaming.StreamingGroupByRange
+      .groupByRangeStream(df, "ts", "v", "k", "1 minute", "1 minute",
+        GroupByRange.FillPrevious)
+      .writeStream.format("memory").queryName("gbr_multi")
+      .outputMode("append").start()
+    try {
+      // key a gets one bucket, then only key b keeps the watermark moving
+      input.addData((ts(10), "a", 6.0)); q.processAllAvailable()
+      input.addData((ts(300), "b", 1.0)); q.processAllAvailable()
+      input.addData((ts(600), "b", 1.0)); q.processAllAvailable()
+      val aRows = spark.table("gbr_multi").filter($"k" === "a")
+        .select("bucket_ms", "value", "filled")
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+      // wm after last batch = 600s - 60s = 540s -> buckets 0..8 closed for a
+      assert(aRows.head == ((0L, Some(6.0), false)))
+      assert(aRows.length == 9, s"quiet key stopped filling: ${aRows.toSeq}")
+      assert(aRows.tail.forall { case (_, v, f) => v == Some(6.0) && f })
+    } finally q.stop()
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
