@@ -138,14 +138,20 @@ object GraftMrSql {
 
   /** Replace every `fname(<balanced args>)` call in `s` (nested parens
     * allowed, unlike a regex) with `wrap(args)`; args are rewritten first so
-    * nested calls compose. */
+    * nested calls compose. Parentheses inside single-quoted SQL string
+    * literals (with '' escapes) are not counted. */
   private def replaceCall(s: String, fname: String, wrap: String => String): String = {
     s"(?i)\\b$fname\\s*\\(".r.findFirstMatchIn(s) match {
       case None => s
       case Some(m) =>
-        var depth = 1; var i = m.end
+        var depth = 1; var i = m.end; var inQuote = false
         while (i < s.length && depth > 0) {
-          s(i) match { case '(' => depth += 1 case ')' => depth -= 1 case _ => }
+          s(i) match {
+            case '\'' => inQuote = !inQuote
+            case '(' if !inQuote => depth += 1
+            case ')' if !inQuote => depth -= 1
+            case _ =>
+          }
           i += 1
         }
         require(depth == 0, s"unbalanced parentheses in $fname(...) of '$s'")
@@ -154,20 +160,26 @@ object GraftMrSql {
     }
   }
 
+  private val varColRe = """^(\w+)\.(\w+)$""".r
+
   /** Lower a MEASURES expression to a Spark SQL aggregate over the match's
-    * rows: FIRST/LAST become position-ordered min_by/max_by over the rows
-    * where the argument is non-null (so they compose with `VAR.col` scoping:
-    * `FIRST(B.value)` is the first B-row's value), CLASSIFIER / MATCH_NUMBER
-    * their per-match aggregates, and `VAR.col` references classifier-filtered
-    * columns (so `SUM(B.value)` sums only B-rows). */
+    * rows. `FIRST(V.col)` / `LAST(V.col)` navigate by pattern variable: the
+    * value of the first/last row MAPPED TO V (null stays null, SQL:2016
+    * semantics — the row selection is by classifier, not value-nullness);
+    * unscoped `FIRST(expr)` is the match's first row's value. CLASSIFIER /
+    * MATCH_NUMBER become their per-match aggregates, and bare `VAR.col`
+    * inside other aggregates references classifier-filtered columns (so
+    * `SUM(B.value)` sums only B-rows). */
   private def translateMeasure(e: String, vars: Seq[String]): String = {
     val pos = graft.mr.MatchRecognize.PosCol
-    // min_by/max_by skip rows whose ordering expression is null: ordering by
-    // pos only where the argument is non-null yields first/last non-null
-    var t = replaceCall(e, "FIRST",
-      a => s"min_by($a, CASE WHEN ($a) IS NOT NULL THEN $pos END)")
-    t = replaceCall(t, "LAST",
-      a => s"max_by($a, CASE WHEN ($a) IS NOT NULL THEN $pos END)")
+    def nav(agg: String)(a: String): String = a match {
+      case varColRe(v0, c) if vars.exists(_.equalsIgnoreCase(v0)) =>
+        val v = vars.find(_.equalsIgnoreCase(v0)).get // classifier holds the DEFINE spelling
+        s"$agg(CASE WHEN classifier = '$v' THEN $c END, CASE WHEN classifier = '$v' THEN $pos END)"
+      case other => s"$agg($other, $pos)"
+    }
+    var t = replaceCall(e, "FIRST", nav("min_by"))
+    t = replaceCall(t, "LAST", nav("max_by"))
     t = classifierRe.replaceAllIn(t, s"max_by(classifier, $pos)")
     t = matchNumberRe.replaceAllIn(t, "max(match_num)")
     for (v <- vars)

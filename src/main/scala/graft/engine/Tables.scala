@@ -39,18 +39,25 @@ object Tables {
   // footer schema eagerly (driver-side file I/O); Verify/Bench build ~90
   // queries in one session, each re-reading the same handful of tables. A
   // resolved DataFrame is an immutable logical plan — safe to share. Weak
-  // keys: a stopped session's cache entries (which hold its sessionState)
-  // become collectable instead of pinning the session forever.
+  // keys + SOFT values: a DataFrame strongly references its session, so
+  // strong values would pin the weak key forever (value->key chain); soft
+  // references break the chain while keeping the cache effective until
+  // memory pressure.
   private val readCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]]())
 
   /** Read one raw parquet table from the sf dir (cached per session+path). */
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    readCache
-      .computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(s"$sfDir/$name.parquet", p => spark.read.parquet(p))
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val m = readCache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[DataFrame]]())
+    val path = s"$sfDir/$name.parquet"
+    Option(m.get(path)).flatMap(r => Option(r.get)).getOrElse {
+      val df = spark.read.parquet(path)
+      m.put(path, new java.lang.ref.SoftReference(df))
+      df
+    }
+  }
 
   /** Normalize a raw events frame (batch or streaming): surface `ts` as
     * TimestampType (µs) and `ts_ns` as the lossless int64 nanos. */

@@ -200,13 +200,22 @@ object MatchRecognize {
 object Measures {
   import MatchRecognize.PosCol
 
-  /** FIRST(expr): the first non-null value of `expr` in match order — the
-    * null-skip makes it compose with [[ofVar]] scoping (`FIRST(B.value)` =
-    * first B-row's value; non-B rows are null and skipped). */
-  def firstVal(c: Column): Column = min_by(c, when(c.isNotNull, col(PosCol)))
+  /** FIRST(expr): `expr` on the match's first row (null stays null —
+    * SQL:2016 row selection is positional; use [[firstOfVar]] to navigate
+    * to a pattern variable's first row). */
+  def firstVal(c: Column): Column = min_by(c, col(PosCol))
 
-  /** LAST(expr): the last non-null value of `expr` in match order. */
-  def lastVal(c: Column): Column = max_by(c, when(c.isNotNull, col(PosCol)))
+  /** LAST(expr): `expr` on the match's last row. */
+  def lastVal(c: Column): Column = max_by(c, col(PosCol))
+
+  /** FIRST(V.col): `c` on the first row mapped to `variable` — the row is
+    * selected by classifier, so a genuinely-null value stays null. */
+  def firstOfVar(variable: String, c: Column): Column =
+    min_by(ofVar(variable, c), when(col("classifier") === variable, col(PosCol)))
+
+  /** LAST(V.col): `c` on the last row mapped to `variable`. */
+  def lastOfVar(variable: String, c: Column): Column =
+    max_by(ofVar(variable, c), when(col("classifier") === variable, col(PosCol)))
 
   /** CLASSIFIER(): pattern variable of the last matched row. */
   def classifier: Column = max_by(col("classifier"), col(PosCol))

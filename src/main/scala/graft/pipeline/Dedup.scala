@@ -222,7 +222,9 @@ object Dedup {
       transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("sig", Similarity.signature(col("v"), planes))
     val bandCols = (0 until bands).map { b =>
-      shiftright(col("sig"), b * r).bitwiseAND(lit((1 << r) - 1))
+      // Long mask: (1 << r) in Int wraps for r >= 32, collapsing every
+      // bucket to 0 and degenerating the join to a full cross product
+      shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))
     }
     // shared-Exchange self-join: see minhashCandidates
     val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))

@@ -92,7 +92,8 @@ object StreamingQueries {
     // bucket .. last closed bucket at final watermark = max ts - 1h) and
     // applies the same fill with an IGNORE NULLS running window.
     Q.df("q_stream_group_range",
-      duck = """WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS ms, value FROM events),
+      duck = """WITH e AS (SELECT event_type AS k, epoch_ms(ts) AS ms, value
+        |       FROM events WHERE value IS NOT NULL),
         |wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w FROM events),
         |agg AS (SELECT k, ms // 3600000 AS b, COUNT(*) AS n,
         |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS v

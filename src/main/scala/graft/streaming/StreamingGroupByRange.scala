@@ -32,8 +32,10 @@ import graft.ts.GroupByRange
   * goes quiet (event-time timeouts re-fire), exactly like the batch
   * operator's [start, end] grid evaluated up to the watermark.
   *
-  * The aggregate is avg(valCol) over non-null values (null rows are
-  * ignored, like the batch avg). The sum accumulates as decimal(18,2)
+  * The aggregate is avg(valCol); rows whose value is null (or overflows
+  * decimal(18,2)) are ignored ENTIRELY — they contribute to neither the
+  * average nor the bucket's row count, like GridDB aggregation over null
+  * fields (a bucket of only-null rows is a fill gap). The sum accumulates as decimal(18,2)
   * scaled to Long "cents": integer addition is associative, so the result
   * is independent of arrival/partition order — double sums would drift
   * run-to-run and against the oracle on bigger buckets.
@@ -80,9 +82,11 @@ object StreamingGroupByRange {
           rows.foreach { case (_, ts, cents) =>
             val b = Math.floorDiv(ts.getTime, everyMs)
             // flatMapGroupsWithState does not drop late rows itself: a row
-            // for an already-decided bucket is discarded here (watermark
-            // contract), else its partial could never be emitted
-            if (emittedUpTo.forall(b > _)) {
+            // whose bucket the watermark has already closed is discarded
+            // (watermark contract), else its partial could never be emitted.
+            // State-independent, so it also covers keys whose state was
+            // dropped after draining.
+            if ((b + 1) * everyMs > wm) {
               val (n, s) = partials.getOrElse(b, (0L, 0L))
               partials = partials.updated(b, (n + 1, s + cents))
             }
@@ -130,12 +134,22 @@ object StreamingGroupByRange {
             b += 1
           }
           if (start.exists(_ <= bMax)) emittedUpTo = Some(bMax)
-          state.update((partials, emittedUpTo, prev, gapStart, gapN))
-          // re-fire on watermark advance while buckets are open/held, or
-          // forever for the continuously-extending fill modes
-          if (partials.nonEmpty || gapStart.isDefined ||
-              (continuousFill && emittedUpTo.isDefined))
-            state.setTimeoutTimestamp(wm + 1)
+          val live = partials.nonEmpty || gapStart.isDefined ||
+            (continuousFill && emittedUpTo.isDefined) ||
+            fill == GroupByRange.FillLinear // prev anchor must survive quiet spells
+          if (!live) {
+            // FillNone with everything emitted: drop the key's state — new
+            // data can only land in buckets past the watermark, which
+            // re-initializes correctly (no unbounded state under key churn)
+            state.remove()
+          } else {
+            state.update((partials, emittedUpTo, prev, gapStart, gapN))
+            // re-fire on watermark advance while buckets are open/held, or
+            // forever for the continuously-extending fill modes
+            if (partials.nonEmpty || gapStart.isDefined ||
+                (continuousFill && emittedUpTo.isDefined))
+              state.setTimeoutTimestamp(wm + 1)
+          }
           out.result().iterator
       }
       .toDF(keyCol, "bucket_ms", "n", "value", "filled")

@@ -34,6 +34,8 @@ object RangeJoin {
     val clash = intervals.columns.filterNot(keys.contains)
       .intersect(points.columns.filterNot(keys.contains))
     require(clash.isEmpty, s"column names $clash appear on both sides; rename first")
+    require(!points.columns.contains("__rj_b") && !intervals.columns.contains("__rj_b"),
+      "column name __rj_b is reserved by intervalJoin; rename it first")
 
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(bucket))
