@@ -207,6 +207,37 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(out.toSeq == Seq((-20.0, 30.0, 10.0, 10.0)))
   }
 
+  test("MEASURES navigation keeps genuinely-null values (SQL:2016)") {
+    // B-rows' values: [null, 30.0] -> FIRST(B.value) is NULL (first B-row),
+    // not 30.0 (first non-null); quoted parens in args must not confuse
+    // the call rewriter
+    val df = Seq(
+      ("k", 1L, "a", Some(10.0)), ("k", 2L, "b", None), ("k", 3L, "b", Some(30.0)))
+      .toDF("k", "seq", "t", "value")
+    df.createOrReplaceTempView("mr_nullnav_t")
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_nullnav_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES FIRST(B.value) AS fb, LAST(B.value) AS lb,
+        |           FIRST(concat(t, ')')) AS ft
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+      .select("fb", "lb", "ft")
+      .as[(Option[Double], Option[Double], String)].collect()
+    assert(out.toSeq == Seq((None, Some(30.0), "a)")))
+
+    // Scala API parity
+    import graft.mr.Measures
+    val m = MatchRecognize.measures(df, Seq("k"), Seq("seq"), "A B+",
+      Map("A" -> ($"t" === "a"), "B" -> ($"t" === "b")),
+      ms = Seq(
+        "fb" -> Measures.firstOfVar("B", $"value"),
+        "f0" -> Measures.firstVal($"value")))
+      .select("fb", "f0").as[(Option[Double], Option[Double])].collect()
+    assert(m.toSeq == Seq((None, Some(10.0))))
+  }
+
   test("AFTER MATCH SKIP TO LAST var accepted, FIRST rejected") {
     val df = Seq(("k", 1L, "a"), ("k", 2L, "b"), ("k", 3L, "b"))
       .toDF("k", "seq", "t")
