@@ -189,6 +189,14 @@ object GridDbScalarFunctions {
       require(a.size == 1, "graft_simhash64(text)")
       Simhash64(Cast(a(0), StringType))
     }
+    // whole SRP signature per row; hyperplanes derived deterministically
+    // from (bits, dim, seed) literals so the registry surface stays SQL
+    tmp("graft_srp_sig") { a =>
+      require(a.size == 4, "graft_srp_sig(vec, bits, dim, seed)")
+      SrpSignature(Cast(a(0), ArrayType(DoubleType)),
+        graft.pipeline.Similarity.hyperplanes(
+          litInt(a(1), "bits"), litInt(a(2), "dim"), litInt(a(3), "seed").toLong))
+    }
     out.result()
   }
 
@@ -212,7 +220,8 @@ object GridDbScalarFunctions {
       "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
       "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
       "group_concat", "griddb_median", "graft_cosine", "graft_minhash_sig",
-      "graft_simhash64", "graft_dot", "printf", "unicode", "zeroblob",
+      "graft_simhash64", "graft_dot", "graft_srp_sig", "printf", "unicode",
+      "zeroblob",
       "griddb_make_timestamp", "make_timestamp_ms", "make_timestamp_us")
       .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
   }

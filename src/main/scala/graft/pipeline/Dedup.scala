@@ -217,10 +217,9 @@ object Dedup {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val r = bits / bands
     val dim = Similarity.vecDim(docs, vecCol)
-    val planes = Similarity.hyperplanes(bits, dim)
     val sig = docs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("sig", Similarity.signature(col("v"), planes))
+      .withColumn("sig", Similarity.signatureFused(col("v"), bits, dim))
     val bandCols = (0 until bands).map { b =>
       // Long mask: (1 << r) in Int wraps for r >= 32, collapsing every
       // bucket to 0 and degenerating the join to a full cross product

@@ -60,7 +60,8 @@ object Similarity {
     * (long, so up to 63 bits — an Int mask would corrupt bit 31+).
     * Each bit tests the codegen'd graft_dot against the hyperplane — the
     * interpreted `dot` HOF runs one lambda per element, and cosine would
-    * spend 3x the arithmetic for the same sign. */
+    * spend 3x the arithmetic for the same sign. Prefer [[signatureFused]]
+    * (one kernel call per row) when the planes come from [[hyperplanes]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.indices.map { i =>
       val plane = array(planes(i).map(lit): _*)
@@ -69,6 +70,13 @@ object Similarity {
     }
     bits.reduce(_ + _)
   }
+
+  /** Whole SRP signature in ONE codegen'd kernel call (functions/
+    * SrpSignature) — bit-identical to [[signature]] over
+    * `hyperplanes(bits, dim, seed)` (same dot accumulation order, and a
+    * zero vector sets every bit in both: dot 0 >= 0). */
+  def signatureFused(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
+    call_function("graft_srp_sig", vec, lit(bits), lit(dim), lit(seed.toInt))
 
   /** Dimension of the vector column, from the first row with a non-empty
     * vector (clear error on empty/all-null input instead of a head() NPE). */
@@ -144,14 +152,13 @@ object Similarity {
     // derive dim from the data (as ivfTopK does): a mismatched hyperplane
     // length would null-pad in zip_with and collapse every signature to 0
     val dim = vecDim(corpus, vecCol)
-    val planes = hyperplanes(bits, dim)
     val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
-      .withColumn("bucket", signature(col("cv"), planes))
+      .withColumn("bucket", signatureFused(col("cv"), bits, dim))
     // queries probe their own bucket + `probes` single-bit-flip neighbors
     val probeBuckets = (c0: Column) =>
       array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", explode(probeBuckets(signature(col("qv"), planes))))
+      .withColumn("bucket", explode(probeBuckets(signatureFused(col("qv"), bits, dim))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
