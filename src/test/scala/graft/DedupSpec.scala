@@ -148,6 +148,19 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("fused SRP signature is bit-identical to the per-bit formulation") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val dim = e.select(size($"v")).head().getInt(0)
+    val planes = Similarity.hyperplanes(16, dim)
+    val both = e.select($"vec_id",
+        Similarity.signature($"v", planes).as("perBit"),
+        Similarity.signatureFused($"v", 16, dim).as("fused"))
+      .filter($"perBit" =!= $"fused")
+    assert(both.count() == 0)
+  }
+
   test("embedding near-dup: LSH candidates subset of exact, with banded recall") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.4)
