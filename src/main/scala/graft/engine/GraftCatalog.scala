@@ -52,6 +52,15 @@ final class GraftCatalog(spark: SparkSession) {
     spark.catalog.dropTempView(name)
   }
 
+  /** Cut lineage after DML without pulling rows to the driver: an eager
+    * `localCheckpoint` materializes each partition on its executor (blocks
+    * stay distributed; the ContextCleaner reclaims superseded checkpoints).
+    * Repeated put/update/delete therefore stack O(1) plan depth while the
+    * data itself never leaves the cluster — the property the reference's
+    * DMLProcessor has by writing through the chunk store
+    * (/root/reference/server/sql_processor_dml.h:39). */
+  private def materialize(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** INSERT OR REPLACE by row key (PUT semantics). Rows with keys already
     * present replace the stored rows; unkeyed containers append. */
   def put(name: String, rows: DataFrame): Container = {
@@ -66,9 +75,7 @@ final class GraftCatalog(spark: SparkSession) {
         tagged.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__gen", "__rn")
       }
-    // materialize so repeated puts don't stack lineage unboundedly
-    val mat = spark.createDataFrame(merged.collectAsList(), merged.schema)
-    register(c.copy(df = mat))
+    register(c.copy(df = materialize(merged)))
   }
 
   /** Point/row-key lookup (GET semantics). */
@@ -80,22 +87,69 @@ final class GraftCatalog(spark: SparkSession) {
     c.df.filter(cond)
   }
 
+  /** Normalize one lookup key: scalars address a single-column key; a Seq
+    * addresses a composite key (GridDB allows up to 16 key columns,
+    * MAX_COMPOSITE_COLUMN_NUM /root/reference/server/data_type.h:40). */
+  private def asKeyParts(c: Container, key: Any): Seq[Any] = key match {
+    case parts: Seq[_] =>
+      require(parts.size == c.keyColumns.size,
+        s"${c.name}: composite key needs ${c.keyColumns.size} parts, got ${parts.size}")
+      parts
+    case scalar =>
+      require(c.keyColumns.size == 1,
+        s"${c.name} has a composite key; pass a Seq of ${c.keyColumns.size} values")
+      Seq(scalar)
+  }
+
   /** Batch point lookup — GridStore.multiGet
-    * (/root/reference/java_client/.../GridStore.java:2174): one filter over
-    * the key set (an IN-predicate scan, not N point reads). */
+    * (/root/reference/java_client/.../GridStore.java:2174): ONE set-membership
+    * scan (single In predicate), not N point reads. Composite keys compare as
+    * structs with matching field names, which Spark still evaluates as a
+    * single semi-join-able In. */
   def multiGet(name: String, keys: Seq[Any]): DataFrame = {
     val c = get(name)
-    require(c.keyColumns.size == 1, s"$name needs a single-column row key")
-    c.df.filter(col(c.keyColumns.head).isin(keys: _*))
+    require(c.keyColumns.nonEmpty, s"$name has no row key")
+    if (c.keyColumns.size == 1)
+      c.df.filter(col(c.keyColumns.head).isin(keys: _*))
+    else {
+      val keyStruct = struct(c.keyColumns.map(col): _*)
+      val lits = keys.map { k =>
+        struct(asKeyParts(c, k).zip(c.keyColumns)
+          .map { case (v, n) => lit(v).as(n) }: _*)
+      }
+      c.df.filter(keyStruct.isin(lits: _*))
+    }
+  }
+
+  /** Lexicographic composite-key comparison: key strictly-less/greater than a
+    * bound prefix (bound may cover only the leading key columns). */
+  private def lexCompare(cols: Seq[org.apache.spark.sql.Column], bound: Seq[Any],
+                         less: Boolean): org.apache.spark.sql.Column = {
+    val (c0, b0) = (cols.head, lit(bound.head))
+    val strict = if (less) c0 < b0 else c0 > b0
+    if (cols.size == 1 || bound.size == 1) strict
+    else strict || (c0 === b0 && lexCompare(cols.tail, bound.tail, less))
   }
 
   /** RowKeyPredicate range scan (java_client/.../RowKeyPredicate.java):
-    * inclusive start, exclusive finish, either optional. */
+    * inclusive start, exclusive finish, either optional. Composite bounds
+    * (Seq of leading key parts) compare lexicographically, matching the
+    * reference's composite-key ordering (server/value_operator.h compareTo
+    * over key columns in order). */
   def keyRange(name: String, from: Option[Any], until: Option[Any]): DataFrame = {
     val c = get(name)
-    require(c.keyColumns.size == 1, s"$name needs a single-column row key")
-    val k = col(c.keyColumns.head)
-    val conds = from.map(k >= lit(_)).toSeq ++ until.map(k < lit(_)).toSeq
+    require(c.keyColumns.nonEmpty, s"$name has no row key")
+    val cols = c.keyColumns.map(col)
+    def boundParts(b: Any): Seq[Any] = b match {
+      case parts: Seq[_] =>
+        require(parts.nonEmpty && parts.size <= cols.size,
+          s"$name: range bound takes 1..${cols.size} leading key parts")
+        parts
+      case scalar => Seq(scalar)
+    }
+    val conds =
+      from.map(b => !lexCompare(cols, boundParts(b), less = true)).toSeq ++
+        until.map(b => lexCompare(cols, boundParts(b), less = true)).toSeq
     conds.foldLeft(c.df)((d, cond) => d.filter(cond))
   }
 
@@ -105,9 +159,7 @@ final class GraftCatalog(spark: SparkSession) {
     require(c.keyColumns.nonEmpty, s"$name has no row key")
     val cond = c.keyColumns.zip(keyValues)
       .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-    val remaining = c.df.filter(!cond)
-    val mat = spark.createDataFrame(remaining.collectAsList(), remaining.schema)
-    register(c.copy(df = mat))
+    register(c.copy(df = materialize(c.df.filter(!cond))))
   }
 
   /** SQL UPDATE ... SET ... WHERE (DMLProcessor semantics,
@@ -119,16 +171,39 @@ final class GraftCatalog(spark: SparkSession) {
     val updated = assignments.foldLeft(c.df) { case (d, (colName, v)) =>
       d.withColumn(colName, when(where, v).otherwise(col(colName)))
     }
-    val mat = spark.createDataFrame(updated.collectAsList(), updated.schema)
-    register(c.copy(df = mat))
+    register(c.copy(df = materialize(updated)))
   }
 
   /** SQL DELETE ... WHERE. */
   def deleteWhere(name: String, where: org.apache.spark.sql.Column): Container = {
     val c = get(name)
-    val remaining = c.df.filter(!coalesce(where, lit(false)))
-    val mat = spark.createDataFrame(remaining.collectAsList(), remaining.schema)
-    register(c.copy(df = mat))
+    register(c.copy(df = materialize(c.df.filter(!coalesce(where, lit(false))))))
+  }
+
+  /** ALTER TABLE name ADD [COLUMN] col type (grammar rules 103-106,
+    * /root/reference/server/sql_internal_parser.cpp:937-941). Existing rows
+    * see NULL for the new column — the reference's fixed-null fill for
+    * columns appended after rows were stored. */
+  def alterAddColumn(name: String, column: String,
+                     dataType: org.apache.spark.sql.types.DataType): Container = {
+    val c = get(name)
+    require(!c.df.columns.map(_.toLowerCase).contains(column.toLowerCase),
+      s"$name: column $column already exists")
+    register(c.copy(df = c.df.withColumn(column, lit(null).cast(dataType))))
+  }
+
+  /** ALTER TABLE name RENAME COLUMN a TO b (grammar rules 107-109,
+    * /root/reference/server/sql_internal_parser.cpp:942-943). Key/time
+    * metadata follows the rename. */
+  def alterRenameColumn(name: String, from: String, to: String): Container = {
+    val c = get(name)
+    require(c.df.columns.contains(from), s"$name: no column $from")
+    require(!c.df.columns.map(_.toLowerCase).contains(to.toLowerCase),
+      s"$name: column $to already exists")
+    register(c.copy(
+      df = c.df.withColumnRenamed(from, to),
+      keyColumns = c.keyColumns.map(k => if (k == from) to else k),
+      timeColumn = c.timeColumn.map(t => if (t == from) to else t)))
   }
 
   /** CREATE [OR REPLACE] VIEW name AS <sql> (grammar rule 74). */

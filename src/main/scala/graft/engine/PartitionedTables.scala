@@ -53,8 +53,11 @@ object PartitionedTables {
     withPartitionColumns(df, p).write
       .partitionBy(p.columns: _*).mode(mode).parquet(path)
 
+  /** Read the partitioned layout. `mergeSchema` (footer union across files)
+    * makes ALTER TABLE ADD COLUMN free: partitions written before the ALTER
+    * surface NULL for the new column. */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Predicate helper: interval-pruning filter for a time range — pushes to
     * the partition column so Spark prunes directories, plus the exact bounds

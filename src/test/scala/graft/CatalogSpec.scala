@@ -67,6 +67,97 @@ class CatalogSpec extends SparkTestBase {
     assert(cat.keyRange("mg", Some(9L), None).count() == 2)
   }
 
+  test("DML stays distributed: no driver-side collect in put/update/delete plans") {
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("dml", schema, keyColumns = Seq("id"))
+    cat.put("dml", (1L to 100L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "v"))
+    cat.update("dml", Map("v" -> ($"v" * 2)), $"id" <= 50L)
+    cat.deleteWhere("dml", $"id" > 90L)
+    // localCheckpoint keeps blocks on executors; a driver materialization
+    // would show up as LocalTableScan/LocalRelation in the stored plan.
+    val plan = cat.get("dml").df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LocalRelation"), s"driver-side materialization:\n$plan")
+    assert(cat.get("dml").df.count() == 90)
+    assert(cat.getRows("dml", Seq(10L)).collect().head.getDouble(2) == 20.0)
+    assert(cat.getRows("dml", Seq(60L)).collect().head.getDouble(2) == 60.0)
+  }
+
+  test("composite row keys: getRows/multiGet/keyRange/remove over 2- and 3-column keys") {
+    val cat = new GraftCatalog(spark)
+    val s2 = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("v", DoubleType)))
+    cat.createCollection("ck2", s2, keyColumns = Seq("a", "b"))
+    cat.put("ck2", Seq(
+      (1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0),
+      (2L, "y", 4.0), (3L, "x", 5.0)).toDF("a", "b", "v"))
+
+    // put replaces on the FULL composite key
+    cat.put("ck2", Seq((2L, "y", 44.0)).toDF("a", "b", "v"))
+    assert(cat.get("ck2").df.count() == 5)
+    assert(cat.getRows("ck2", Seq(2L, "y")).collect().head.getDouble(2) == 44.0)
+
+    // multiGet with composite tuples is one In-predicate scan
+    val mg = cat.multiGet("ck2", Seq(Seq(1L, "y"), Seq(3L, "x"), Seq(9L, "z")))
+    assert(mg.select("v").as[Double].collect().sorted.toSeq == Seq(2.0, 5.0))
+
+    // lexicographic range: [(1,"y"), (3,"x")) — full-width bounds
+    val r = cat.keyRange("ck2", Some(Seq(1L, "y")), Some(Seq(3L, "x")))
+    assert(r.select("v").as[Double].collect().sorted.toSeq == Seq(2.0, 3.0, 44.0))
+    // prefix bound: everything with a >= 2
+    assert(cat.keyRange("ck2", Some(Seq(2L)), None).count() == 3)
+
+    cat.remove("ck2", Seq(1L, "x"))
+    assert(cat.get("ck2").df.count() == 4)
+
+    // 3-column key round-trip
+    val s3 = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false),
+      StructField("c", LongType, nullable = false),
+      StructField("v", DoubleType)))
+    cat.createCollection("ck3", s3, keyColumns = Seq("a", "b", "c"))
+    cat.put("ck3", Seq((1L, "x", 1L, 1.0), (1L, "x", 2L, 2.0),
+      (1L, "y", 1L, 3.0)).toDF("a", "b", "c", "v"))
+    assert(cat.multiGet("ck3", Seq(Seq(1L, "x", 2L))).count() == 1)
+    assert(cat.keyRange("ck3", Some(Seq(1L, "x", 2L)), Some(Seq(1L, "y", 1L)))
+      .select("v").as[Double].collect().toSeq == Seq(2.0))
+    // scalar key against a composite container is rejected
+    intercept[IllegalArgumentException](cat.multiGet("ck3", Seq(1L)))
+  }
+
+  test("ALTER TABLE ADD COLUMN / RENAME COLUMN") {
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("alt", schema, keyColumns = Seq("id"))
+    cat.put("alt", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+
+    cat.alterAddColumn("alt", "tag", StringType)
+    // old rows see NULL in the new column; SQL over the view sees it too
+    val withTag = spark.sql("SELECT id, tag FROM alt ORDER BY id").collect()
+    assert(withTag.forall(_.isNullAt(1)))
+    cat.put("alt", Seq((3L, "c", 3.0, "new")).toDF("id", "name", "v", "tag"))
+    assert(spark.sql("SELECT tag FROM alt WHERE id = 3").collect().head.getString(0) == "new")
+    intercept[IllegalArgumentException](cat.alterAddColumn("alt", "TAG", StringType))
+
+    cat.alterRenameColumn("alt", "id", "pk")
+    assert(cat.get("alt").keyColumns == Seq("pk"))
+    assert(spark.sql("SELECT pk FROM alt WHERE pk = 3").count() == 1)
+    // key semantics survive the rename: put still replaces by (renamed) key
+    cat.put("alt", Seq((3L, "c2", 3.5, "upd")).toDF("pk", "name", "v", "tag"))
+    assert(cat.get("alt").df.count() == 3)
+    assert(cat.getRows("alt", Seq(3L)).collect().head.getString(1) == "c2")
+    intercept[IllegalArgumentException](cat.alterRenameColumn("alt", "gone", "x"))
+
+    // rename follows the time column on a TimeSeries
+    val ts = StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("v", DoubleType)))
+    cat.createTimeSeries("altts", ts, "ts")
+    cat.alterRenameColumn("altts", "ts", "event_time")
+    assert(cat.get("altts").timeColumn.contains("event_time"))
+  }
+
   test("drop removes container and view") {
     val cat = new GraftCatalog(spark)
     cat.createCollection("d1", schema)

@@ -69,6 +69,24 @@ class PartitionedTablesSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS b_orders")
   }
 
+  test("schema evolution: partitions written before ALTER ADD merge as NULL") {
+    val dir = tmpDir()
+    // batch 1 written before the ALTER (no `tag` column)
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .withColumn("__p", pmod(hash($"id"), lit(2)))
+      .write.partitionBy("__p").mode("overwrite").parquet(dir)
+    // batch 2 appended after ALTER TABLE ADD COLUMN tag STRING
+    Seq((3L, 30.0, "new")).toDF("id", "v", "tag")
+      .withColumn("__p", pmod(hash($"id"), lit(2)))
+      .write.partitionBy("__p").mode("append").parquet(dir)
+
+    val back = PT.read(spark, dir)
+    assert(back.columns.contains("tag"), "mergeSchema should surface the added column")
+    val rows = back.orderBy("id").select("id", "tag").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(1)) && rows(2).getString(1) == "new")
+  }
+
   test("interval-hash composite layout") {
     val dir = tmpDir()
     val ev = Tables.events(spark, sfDir)
