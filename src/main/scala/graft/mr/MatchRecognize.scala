@@ -16,7 +16,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * the predicate evaluation stays in codegen'd Spark expressions. The match
   * itself runs per partition-key group via repartition + sortWithinPartitions
   * + mapPartitions (one shuffle, streaming group detection; only the current
-  * group is buffered — at 100 TB one series per key stays executor-local).
+  * match attempt's rows are buffered — at 100 TB even a single unkeyed
+  * container-wide series streams through one task without materializing).
   *
   * AFTER MATCH SKIP PAST LAST ROW (default), SKIP TO NEXT ROW, or
   * SKIP TO <var> (reference rule 174; SQL-standard SKIP TO LAST semantics).
@@ -88,44 +89,17 @@ object MatchRecognize {
 
     val matched = sorted.mapPartitions { it =>
       new Iterator[Row] {
-        private val grouped = new GroupIterator(it, keyIdx)
+        private val rowsIt = it.buffered
         private var pending: Iterator[Row] = Iterator.empty
         override def hasNext: Boolean = {
-          while (!pending.hasNext && grouped.hasNext) {
-            pending = matchGroup(grouped.next())
+          // a group iterator that produced no (more) output has fully
+          // consumed its group's input rows, so the next head starts a group
+          while (!pending.hasNext && rowsIt.hasNext) {
+            pending = new GroupMatcher(rowsIt, keyIdx, node, defIdx, skip)
           }
           pending.hasNext
         }
         override def next(): Row = { if (!hasNext) throw new NoSuchElementException; pending.next() }
-
-        private def matchGroup(rows: Vector[Row]): Iterator[Row] = {
-          val out = Vector.newBuilder[Row]
-          val n = rows.size
-          var i = 0
-          var matchNum = 0L
-          def sym(j: Int, v: String): Boolean = rows(j).getBoolean(defIdx(v))
-          while (i < n) {
-            PatternRegex.matchAt(node, i, n, sym) match {
-              case Some(assign) if assign.nonEmpty =>
-                matchNum += 1
-                var j = 0
-                while (j < assign.size) {
-                  val r = rows(i + j)
-                  out += Row.fromSeq(r.toSeq :+ matchNum :+ assign(j) :+ j.toLong)
-                  j += 1
-                }
-                i = skip match {
-                  case AfterMatchSkip.PastLastRow => i + assign.size
-                  case AfterMatchSkip.ToNextRow => i + 1
-                  case AfterMatchSkip.ToVar(v) =>
-                    // resume AT the last row assigned to v; guarantee progress
-                    i + math.max(assign.lastIndexOf(v), 1)
-                }
-              case _ => i += 1
-            }
-          }
-          out.result().iterator
-        }
       }
     }(Encoders.row(outSchema))
 
@@ -171,25 +145,69 @@ object MatchRecognize {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Streams a sorted partition iterator as per-key row groups. */
-  private final class GroupIterator(it: Iterator[Row], keyIdx: Array[Int])
-      extends Iterator[Vector[Row]] {
-    private var lookahead: Option[Row] = None
-    override def hasNext: Boolean = lookahead.isDefined || it.hasNext
-    override def next(): Vector[Row] = {
-      val first = lookahead.getOrElse(it.next())
-      lookahead = None
-      val key = keyIdx.map(first.get)
-      val buf = Vector.newBuilder[Row]
-      buf += first
-      var done = false
-      while (!done && it.hasNext) {
-        val r = it.next()
-        if (keyIdx.map(r.get).sameElements(key)) buf += r
-        else { lookahead = Some(r); done = true }
+  /** Matches one key group, streaming: rows are pulled from the shared
+    * BufferedIterator on demand (the non-matching head row is left for the
+    * next group) and only the rows from the current match attempt's start to
+    * the furthest row the NFA has probed stay buffered — so an unkeyed
+    * (whole-container) series never materializes in memory; residency is
+    * bounded by the longest attempted match, exactly the reference's
+    * WindowMatch working set (/root/reference/server/sql_operator_sort.cpp:
+    * 4323+). Output rows for a found match are emitted eagerly per match
+    * (bounded by the match length), then the buffer advances to the skip
+    * position. */
+  private final class GroupMatcher(
+      it: scala.collection.BufferedIterator[Row], keyIdx: Array[Int],
+      node: PatternRegex.Node, defIdx: Map[String, Int],
+      skip: AfterMatchSkip) extends Iterator[Row] {
+
+    private val key: Array[Any] = keyIdx.map(it.head.get)
+    private val buf = new scala.collection.mutable.ArrayDeque[Row]()
+    private var base = 0          // group index of buf(0)
+    private var ended = false     // group end observed on the input
+    private var i = 0             // scan position (group index)
+    private var matchNum = 0L
+    private var out: Iterator[Row] = Iterator.empty
+
+    /** Pull rows until group index `j` is resident; false once past the
+      * group's last row. */
+    private def has(j: Int): Boolean = {
+      while (!ended && base + buf.size <= j) {
+        if (it.hasNext && keyIdx.map(k => it.head.get(k)).sameElements(key))
+          buf.append(it.next())
+        else ended = true
       }
-      buf.result()
+      j < base + buf.size
     }
+    private def rowAt(j: Int): Row = buf(j - base)
+    private def sym(j: Int, v: String): Boolean = rowAt(j).getBoolean(defIdx(v))
+    private def advanceTo(j: Int): Unit = { buf.dropInPlace(j - base); base = j; i = j }
+
+    override def hasNext: Boolean = {
+      while (!out.hasNext && has(i)) {
+        PatternRegex.matchAt(node, i, has _, sym _) match {
+          case Some(assign) if assign.nonEmpty =>
+            matchNum += 1
+            val m = matchNum
+            val s = i
+            out = Vector.tabulate(assign.size) { j =>
+              Row.fromSeq(rowAt(s + j).toSeq :+ m :+ assign(j) :+ j.toLong)
+            }.iterator
+            advanceTo(skip match {
+              case AfterMatchSkip.PastLastRow => s + assign.size
+              case AfterMatchSkip.ToNextRow => s + 1
+              case AfterMatchSkip.ToVar(v) =>
+                // resume AT the last row assigned to v; guarantee progress
+                s + math.max(assign.lastIndexOf(v), 1)
+            })
+          case _ => advanceTo(i + 1)
+        }
+      }
+      // when the scan loop exits without output, has(i) has already pulled
+      // and dropped every remaining group row — the shared iterator's head
+      // is the next group's first row
+      out.hasNext
+    }
+    override def next(): Row = { if (!hasNext) throw new NoSuchElementException; out.next() }
   }
 }
 

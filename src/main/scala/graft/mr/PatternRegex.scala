@@ -164,6 +164,16 @@ object PatternRegex {
     * assignment of the first (greedy-longest) match anchored at `start`,
     * or None. */
   def matchAt(node: Node, start: Int, n: Int,
+              sym: (Int, String) => Boolean): Option[Vector[String]] =
+    matchAt(node, start, (j: Int) => j < n, sym)
+
+  /** Variant for streaming row sources: `has(i)` reports whether row `i`
+    * exists, pulling it into the caller's buffer on demand — the matcher
+    * never needs the group's size up front, so a group can be matched with
+    * only the current attempt's rows resident. Row indices are probed in
+    * non-decreasing reach, and `has(i)` false means `i` is at/past the
+    * group's end (indices are contiguous). */
+  def matchAt(node: Node, start: Int, has: Int => Boolean,
               sym: (Int, String) => Boolean): Option[Vector[String]] = {
 
     // continuation-passing backtracking; assignment carried as a Vector
@@ -175,9 +185,9 @@ object PatternRegex {
         // check), not the anchor's own NFA position — so `^V+` (which parses
         // as `(^V)+` per rules 180/190) still matches the whole leading run.
         case Start => if (start == 0) k(pos, acc) else None
-        case End => if (pos == n) k(pos, acc) else None
+        case End => if (!has(pos)) k(pos, acc) else None
         case Sym(v) =>
-          if (pos < n && sym(pos, v)) k(pos + 1, acc :+ v) else None
+          if (has(pos) && sym(pos, v)) k(pos + 1, acc :+ v) else None
         case Cat(parts) =>
           def chain(idx: Int, p: Int, a: Vector[String]): Option[Vector[String]] =
             if (idx == parts.size) k(p, a)

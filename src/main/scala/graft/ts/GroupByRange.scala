@@ -55,10 +55,15 @@ object GroupByRange {
     val aggNames = agged.columns.filterNot(c => c == "ts_ms" || keys.contains(c)).toSeq
     val spark = df.sparkSession
     val nBuckets = (endMs - startMs) / everyMs + 1
-    val gridTimes = explode(sequence(lit(startMs), lit(startMs + (nBuckets - 1) * everyMs), lit(everyMs))).as("ts_ms")
     val grid =
-      if (keys.isEmpty) spark.range(1).select(gridTimes)
-      else df.select(keyCols: _*).distinct().select((keyCols :+ gridTimes): _*)
+      if (keys.isEmpty)
+        // distributed grid: one bucket per range element, no driver array
+        spark.range(nBuckets).select((col("id") * everyMs + startMs).as("ts_ms"))
+      else {
+        val gridTimes = explode(sequence(lit(startMs),
+          lit(startMs + (nBuckets - 1) * everyMs), lit(everyMs))).as("ts_ms")
+        df.select(keyCols: _*).distinct().select((keyCols :+ gridTimes): _*)
+      }
 
     val joined = grid.join(agged, keys :+ "ts_ms", "left")
       .withColumn("__empty", aggNames.map(col(_).isNull).reduce(_ && _))
@@ -66,6 +71,8 @@ object GroupByRange {
     fill match {
       case FillNull | FillNone =>
         joined.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
+      case FillPrevious | FillLinear if keys.isEmpty =>
+        fillChunked(joined, aggNames, startMs, everyMs, fill == FillLinear)
       case FillPrevious =>
         val w = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -96,5 +103,89 @@ object GroupByRange {
         }
         filled.drop("__empty", "__pt", "__nt").orderBy((keyCols :+ col("ts_ms")): _*)
     }
+  }
+
+  /** Buckets per time chunk in the unkeyed fill path (matches
+    * TimeSeriesOps.ChunkPoints: tiny stitch frame, small per-chunk window). */
+  private val ChunkBuckets = 256L
+
+  /** Unkeyed PREVIOUS/LINEAR fill, scaled out: the bucket grid is split into
+    * chunks of 256 buckets, the fill window runs per chunk, and each chunk's
+    * carry-in anchors (previous/next non-empty bucket time + per-column
+    * last/first non-null value, exactly the values the global recurrence
+    * would use) come from a second pass over the tiny one-row-per-chunk
+    * frame, broadcast-joined back. Per-row arithmetic is unchanged from the
+    * single-window formulation, so results are bit-identical. */
+  private def fillChunked(joined: DataFrame, aggNames: Seq[String],
+                          startMs: Long, everyMs: Long,
+                          linear: Boolean): DataFrame = {
+    val chunkMs = everyMs * ChunkBuckets
+    val withChunk = joined.withColumn("__chunk",
+      ((col("ts_ms") - lit(startMs)) / lit(chunkMs.toDouble)).cast("long"))
+    val notEmpty = !col("__empty")
+
+    // one row per chunk: bucket-level anchor times + per-column anchor values
+    val perChunkAggs =
+      Seq(max(when(notEmpty, col("ts_ms"))).as("__pt_l"),
+        min(when(notEmpty, col("ts_ms"))).as("__nt_f")) ++
+        aggNames.flatMap { c =>
+          val ord = when(notEmpty && col(c).isNotNull, col("ts_ms"))
+          Seq(max_by(col(c), ord).as(s"__pv_l_$c"), min_by(col(c), ord).as(s"__nv_f_$c"))
+        }
+    val perChunk = withChunk.groupBy("__chunk")
+      .agg(perChunkAggs.head, perChunkAggs.tail: _*)
+    // stitch pass over the tiny chunk frame — sequential by design
+    // (constant partition key; one row per 256 buckets)
+    val wPrevC = Window.partitionBy(pmod(col("__chunk"), lit(1))).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextC = Window.partitionBy(pmod(col("__chunk"), lit(1))).orderBy(col("__chunk"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carryCols =
+      Seq(col("__chunk"),
+        last(col("__pt_l"), ignoreNulls = true).over(wPrevC).as("__cpt"),
+        first(col("__nt_f"), ignoreNulls = true).over(wNextC).as("__cnt")) ++
+        aggNames.flatMap { c =>
+          Seq(last(col(s"__pv_l_$c"), ignoreNulls = true).over(wPrevC).as(s"__cpv_$c"),
+            first(col(s"__nv_f_$c"), ignoreNulls = true).over(wNextC).as(s"__cnv_$c"))
+        }
+    val carries = perChunk.select(carryCols: _*)
+
+    val chunked = withChunk.join(broadcast(carries), "__chunk")
+    val wp = Window.partitionBy("__chunk").orderBy(col("ts_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy("__chunk").orderBy(col("ts_ms").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled =
+      if (!linear) {
+        aggNames.foldLeft(chunked) { (d, c) =>
+          val pv = coalesce(
+            last(when(notEmpty, col(c)), ignoreNulls = true).over(wp),
+            col(s"__cpv_$c"))
+          d.withColumn(c, when(col("__empty"), pv).otherwise(col(c)))
+        }
+      } else {
+        val anchorT = when(notEmpty, col("ts_ms"))
+        val base = chunked
+          .withColumn("__pt",
+            coalesce(last(anchorT, ignoreNulls = true).over(wp), col("__cpt")))
+          .withColumn("__nt",
+            coalesce(last(anchorT, ignoreNulls = true).over(wn), col("__cnt")))
+        aggNames.foldLeft(base) { (d, c) =>
+          val pv = coalesce(
+            last(when(notEmpty, col(c)), ignoreNulls = true).over(wp), col(s"__cpv_$c"))
+          val nv = coalesce(
+            last(when(notEmpty, col(c)), ignoreNulls = true).over(wn), col(s"__cnv_$c"))
+          d.withColumn(c, when(notEmpty, col(c))
+            .when(col("__pt").isNotNull && col("__nt").isNotNull,
+              pv.cast("double") + (nv.cast("double") - pv.cast("double")) *
+                ((col("ts_ms") - col("__pt")).cast("double") /
+                  (col("__nt") - col("__pt")).cast("double")))
+            .otherwise(lit(null)))
+        }
+      }
+    filled.drop((Seq("__empty", "__chunk", "__cpt", "__cnt", "__pt", "__nt") ++
+      aggNames.flatMap(c => Seq(s"__cpv_$c", s"__cnv_$c"))): _*)
+      .orderBy(col("ts_ms"))
   }
 }

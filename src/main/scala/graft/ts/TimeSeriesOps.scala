@@ -73,21 +73,24 @@ object TimeSeriesOps {
     *
     * Implemented shuffle-lean: the grid is unioned with the data and a single
     * window pass (per key) computes the bracketing rows — no join per grid
-    * point. Scales with `keys` partitioning.
+    * point. Keyed series scale by window partitioning; the unkeyed
+    * (whole-container) case is chunked into coarse time slices with
+    * boundary-anchor stitching — see [[timeSamplingChunked]] — so a single
+    * giant series never serializes onto one core.
     */
   def timeSampling(df: DataFrame, tsCol: String, valCol: String,
                    start: Column, end: Column, intervalUs: Long,
                    keys: Seq[String] = Nil): DataFrame = {
+    if (keys.isEmpty)
+      return timeSamplingChunked(df, tsCol, valCol, start, end, intervalUs)
     val keyCols = keys.map(col)
     val data = df.select(
       (keyCols :+ usec(col(tsCol)).as("t_us")
         :+ col(valCol).cast("double").as("v")
         :+ lit(0).as("is_grid")): _*)
     val gridTimes = explode(sequence(usec(start), usec(end), lit(intervalUs))).as("t_us")
-    val grid =
-      if (keys.isEmpty) df.sparkSession.range(1).select(gridTimes, lit(null).cast("double").as("v"), lit(1).as("is_grid"))
-      else df.select(keyCols: _*).distinct()
-        .select((keyCols :+ gridTimes :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid")): _*)
+    val grid = df.select(keyCols: _*).distinct()
+      .select((keyCols :+ gridTimes :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid")): _*)
 
     // grid rows sort after data rows at the same instant (exact match wins)
     val all = data.unionByName(grid)
@@ -97,20 +100,107 @@ object TimeSeriesOps {
     val wDesc = Window.partitionBy(keyCols: _*)
       .orderBy(col("t_us").desc, col("is_grid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampleOutput(bracket(all, wAsc, wDesc), keyCols, valCol)
+  }
+
+  /** Grid points per time chunk in the unkeyed chunked paths: large enough
+    * that the per-chunk stitch frame (one row per chunk) stays tiny, small
+    * enough that one chunk is far below a task's memory. */
+  private val ChunkPoints = 256L
+
+  /** Unkeyed TIME_SAMPLING, scaled out: the series is split into coarse time
+    * chunks (256 grid intervals each), the bracketing window runs per chunk,
+    * and each chunk is seeded with two synthetic anchor rows — the last data
+    * row of any earlier chunk and the first data row of any later chunk —
+    * computed in a second pass over the tiny one-row-per-chunk frame. The
+    * per-row results are bit-identical to the single-window formulation
+    * (anchor rows reproduce exactly the neighbor each grid point would have
+    * seen), but the heavy window now partitions by chunk. */
+  private def timeSamplingChunked(df: DataFrame, tsCol: String, valCol: String,
+                                  start: Column, end: Column,
+                                  intervalUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    val chunkUs = intervalUs * ChunkPoints
+    def chunkOf(t: Column): Column = (t / lit(chunkUs.toDouble)).cast("long")
+
+    val data = df.select(usec(col(tsCol)).as("t_us"),
+      col(valCol).cast("double").as("v"), lit(0).as("is_grid"))
+    // distributed grid generation: outer explode enumerates chunks (bounded
+    // array), repartition spreads them, inner explode emits ≤256 points each
+    val bounds = spark.range(1).select(usec(start).as("s_us"), usec(end).as("e_us"))
+      .select(col("s_us"),
+        floor((col("e_us") - col("s_us")) / lit(intervalUs.toDouble)).cast("long").as("n_pts"))
+    val grid = bounds
+      .select(col("s_us"), col("n_pts"),
+        explode(sequence(lit(0L),
+          floor(col("n_pts") / lit(ChunkPoints.toDouble)).cast("long"))).as("ci"))
+      .repartition(col("ci"))
+      .select(col("s_us"),
+        explode(sequence(col("ci") * ChunkPoints,
+          least(col("ci") * ChunkPoints + (ChunkPoints - 1), col("n_pts")))).as("k"))
+      .select((col("s_us") + col("k") * intervalUs).as("t_us"),
+        lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+
+    val all = data.unionByName(grid).withColumn("__chunk", chunkOf(col("t_us")))
+
+    // pass 2 input: one row per chunk — last/first data row inside the chunk
+    val dataRow = struct(col("t_us"), col("v"))
+    val perChunk = all.filter(col("is_grid") === 0)
+      .groupBy("__chunk")
+      .agg(max_by(dataRow, col("t_us")).as("__lastRow"),
+        min_by(dataRow, col("t_us")).as("__firstRow"))
+    val chunkFrame = all.select("__chunk").distinct()
+      .join(perChunk, Seq("__chunk"), "left")
+    // the stitch frame is one row per 256 grid points — sequential by
+    // design (constant partition key keeps the tiny window off the
+    // unpartitioned-window path)
+    val wPrevC = Window.partitionBy(pmod(col("__chunk"), lit(1))).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNextC = Window.partitionBy(pmod(col("__chunk"), lit(1))).orderBy(col("__chunk"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val anchors = chunkFrame.select(col("__chunk"),
+        last(col("__lastRow"), ignoreNulls = true).over(wPrevC).as("__prevA"),
+        first(col("__firstRow"), ignoreNulls = true).over(wNextC).as("__nextA"))
+      .select(col("__chunk"),
+        explode(array(col("__prevA"), col("__nextA"))).as("__a"))
+      .filter(col("__a").isNotNull)
+      .select(col("__a").getField("t_us").as("t_us"),
+        col("__a").getField("v").as("v"), lit(0).as("is_grid"), col("__chunk"))
+
+    // anchor timestamps lie outside their target chunk's range, so they sort
+    // strictly before/after every in-chunk row — the per-chunk window sees
+    // exactly the rows the global window would
+    val seeded = all.unionByName(anchors)
+    val wAsc = Window.partitionBy("__chunk")
+      .orderBy(col("t_us").asc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy("__chunk")
+      .orderBy(col("t_us").desc, col("is_grid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampleOutput(bracket(seeded, wAsc, wDesc), Nil, valCol)
+  }
+
+  /** Shared bracketing pass: previous/next data row for every grid row. */
+  private def bracket(all: DataFrame,
+                      wAsc: org.apache.spark.sql.expressions.WindowSpec,
+                      wDesc: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
     val dataT = when(col("is_grid") === 0, col("t_us"))
-    val out = all
+    all
       .withColumn("p_us", last(dataT, ignoreNulls = true).over(wAsc))
       .withColumn("p_v", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(wAsc))
       .withColumn("n_us", last(dataT, ignoreNulls = true).over(wDesc))
       .withColumn("n_v", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(wDesc))
       .filter(col("is_grid") === 1 && col("p_us").isNotNull && col("n_us").isNotNull)
+  }
+
+  private def sampleOutput(out: DataFrame, keyCols: Seq[Column],
+                           valCol: String): DataFrame =
     out.select(
       (keyCols :+ (col("t_us") / lit(1000)).cast("long").as("ts_ms") :+
         when(col("n_us") === col("p_us"), col("p_v"))
           .otherwise(col("p_v") + (col("n_v") - col("p_v")) *
             ((col("t_us") - col("p_us")).cast("double") /
               (col("n_us") - col("p_us")).cast("double"))).as(valCol)): _*)
-  }
 
   /** TIME_WINDOW_AGG: tumbling-window aggregation (window start aligned to
     * the epoch). `aggs` are applied per (keys, bucket). */
@@ -128,6 +218,7 @@ object TimeSeriesOps {
     * span to their single neighbor. Single row per key group. */
   def timeAvg(df: DataFrame, tsCol: String, valCol: String,
               keys: Seq[String] = Nil): DataFrame = {
+    if (keys.isEmpty) return timeAvgChunked(df, tsCol, valCol)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val tus = usec(col(tsCol))
     val prevT = lag(tus, 1).over(w)
@@ -141,8 +232,50 @@ object TimeSeriesOps {
     val weighted = df.select(
       (keys.map(col) :+ col(valCol).cast("double").as("v") :+ weight.as("w")): _*)
     val agg = (sum(col("v") * col("w")) / sum(col("w"))).as(s"time_avg_$valCol")
-    if (keys.isEmpty) weighted.agg(agg)
-    else weighted.groupBy(keys.map(col): _*).agg(agg)
+    weighted.groupBy(keys.map(col): _*).agg(agg)
+  }
+
+  /** Unkeyed TIME_AVG, scaled out. The half-span weighting telescopes into
+    * the trapezoid integral over consecutive pairs divided by the series
+    * span: sum_i (t_{i+1}-t_i)(v_i+v_{i+1})/2 / (t_n-t_1) — algebraically
+    * identical to the weighted form (aggregation_func.h:780-899). Pairs are
+    * consecutive-row local, so the series chunks into coarse (1-day) time
+    * slices: in-chunk pairs via a per-chunk lag window, the one cross-chunk
+    * pair per boundary via a second pass over the tiny one-row-per-chunk
+    * frame. No unpartitioned data-sized window anywhere. */
+  private def timeAvgChunked(df: DataFrame, tsCol: String, valCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val base = df.select(usec(col(tsCol)).as("t_us"), col(valCol).cast("double").as("v"))
+      .withColumn("__chunk", (col("t_us") / lit(dayUs.toDouble)).cast("long"))
+    val w = Window.partitionBy("__chunk").orderBy(col("t_us"))
+    val paired = base
+      .withColumn("__pt", lag(col("t_us"), 1).over(w))
+      .withColumn("__pv", lag(col("v"), 1).over(w))
+    val edge = struct(col("t_us"), col("v"))
+    val inChunk = paired.groupBy("__chunk").agg(
+      sum(when(col("__pt").isNotNull,
+        (col("t_us") - col("__pt")).cast("double") * (col("v") + col("__pv")) / 2.0)).as("__area"),
+      min_by(edge, col("t_us")).as("__first"),
+      max_by(edge, col("t_us")).as("__last"),
+      count(lit(1)).as("__n"))
+    // boundary trapezoids over the tiny chunk frame (one row per day) —
+    // sequential by design, constant partition key
+    val wc = Window.partitionBy(pmod(col("__chunk"), lit(1))).orderBy(col("__chunk"))
+    val stitched = inChunk
+      .withColumn("__prevLast", lag(col("__last"), 1).over(wc))
+      .withColumn("__barea", when(col("__prevLast").isNotNull,
+        (col("__first").getField("t_us") - col("__prevLast").getField("t_us")).cast("double") *
+          (col("__first").getField("v") + col("__prevLast").getField("v")) / 2.0))
+    val t0 = col("first").getField("t_us")
+    stitched.agg(
+      sum(coalesce(col("__area"), lit(0.0)) + coalesce(col("__barea"), lit(0.0))).as("integral"),
+      min_by(col("__first"), col("__first").getField("t_us")).as("first"),
+      max(col("__last").getField("t_us")).as("t1"),
+      sum(col("__n")).as("cnt"))
+    .select(
+      when(col("cnt") === 1, col("first").getField("v"))
+        .otherwise(col("integral") / (col("t1") - t0).cast("double"))
+        .as(s"time_avg_$valCol"))
   }
 
   /** Distributed as-of join: TIME_PREV/TIME_NEXT for a whole table of probe
