@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *   [MEASURES m1 AS n1, m2 AS n2, ...]
   *   [ALL ROWS PER MATCH | ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
-  *    | AFTER MATCH SKIP TO <var>]
+  *    | AFTER MATCH SKIP TO [FIRST | LAST] <var>]
   *   PATTERN ( <row-pattern regex> )
   *   DEFINE V1 AS <cond>, V2 AS <cond> ...
   * )
@@ -45,6 +45,7 @@ object GraftMrSql {
   private val patternRe = """(?is)PATTERN\s*\(((?:[^()]|\([^()]*\))*)\)""".r
   private val defineRe = """(?is)DEFINE\s+(.*)$""".r
   private val oneRowRe = """(?is)ONE\s+ROW\s+PER\s+MATCH""".r
+  private val allRowsRe = """(?is)ALL\s+ROWS\s+PER\s+MATCH""".r
   private val skipNextRe = """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+NEXT\s+ROW""".r
   private val skipToVarRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+(?:(LAST|FIRST)\s+)?(\w+)""".r
@@ -73,10 +74,12 @@ object GraftMrSql {
           graft.mr.MatchRecognize.AfterMatchSkip.ToNextRow
         else skipToVarRe.findFirstMatchIn(body) match {
           case Some(m) =>
-            // SKIP TO var ≡ SKIP TO LAST var (the semantics ToVar implements)
-            require(!"FIRST".equalsIgnoreCase(m.group(1)),
-              "AFTER MATCH SKIP TO FIRST is not supported (use [LAST] var)")
-            graft.mr.MatchRecognize.AfterMatchSkip.ToVar(m.group(2))
+            // SKIP TO var ≡ SKIP TO LAST var; SKIP TO FIRST var resumes at
+            // the variable's first matched row (reference rule 174)
+            if ("FIRST".equalsIgnoreCase(m.group(1)))
+              graft.mr.MatchRecognize.AfterMatchSkip.ToFirstVar(m.group(2))
+            else
+              graft.mr.MatchRecognize.AfterMatchSkip.ToVar(m.group(2))
           case None => graft.mr.MatchRecognize.AfterMatchSkip.PastLastRow
         }
 
@@ -121,6 +124,10 @@ object GraftMrSql {
         }
       val varNames = defs.map(_._1)
 
+      // MEASURES implies ONE ROW PER MATCH output (scaladoc above); reject
+      // the ALL ROWS combination loudly instead of silently degrading
+      require(ms.isEmpty || allRowsRe.findFirstIn(body).isEmpty,
+        "MEASURES with ALL ROWS PER MATCH is not supported (MEASURES implies ONE ROW PER MATCH)")
       val out =
         if (ms.nonEmpty) {
           val cols = ms.map { case (n, e) =>
@@ -138,10 +145,18 @@ object GraftMrSql {
 
   /** Replace every `fname(<balanced args>)` call in `s` (nested parens
     * allowed, unlike a regex) with `wrap(args)`; args are rewritten first so
-    * nested calls compose. Parentheses inside single-quoted SQL string
-    * literals (with '' escapes) are not counted. */
+    * nested calls compose. The call token itself is located with the same
+    * quote parity used for paren counting, so `first(x)` inside a
+    * single-quoted SQL string literal (with '' escapes — each ' flips
+    * parity, a doubled '' flips twice and stays inside) is left alone. */
   private def replaceCall(s: String, fname: String, wrap: String => String): String = {
-    s"(?i)\\b$fname\\s*\\(".r.findFirstMatchIn(s) match {
+    val token = s"(?i)\\b$fname\\s*\\(".r
+    val hit = token.findAllMatchIn(s).find { m =>
+      var quotes = 0; var i = 0
+      while (i < m.start) { if (s(i) == '\'') quotes += 1; i += 1 }
+      quotes % 2 == 0
+    }
+    hit match {
       case None => s
       case Some(m) =>
         var depth = 1; var i = m.end; var inQuote = false

@@ -180,6 +180,11 @@ object GridDbScalarFunctions {
       case Literal(v: Int, IntegerType) => v
       case _ => throw new IllegalArgumentException(s"$n must be an integer literal")
     }
+    def litLong(e: Expression, n: String): Long = e match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case _ => throw new IllegalArgumentException(s"$n must be an integer/long literal")
+    }
     tmp("graft_minhash_sig") { a =>
       require(a.size == 3, "graft_minhash_sig(text, shingleN, k)")
       MinhashSignature(Cast(a(0), StringType),
@@ -195,34 +200,27 @@ object GridDbScalarFunctions {
       require(a.size == 4, "graft_srp_sig(vec, bits, dim, seed)")
       SrpSignature(Cast(a(0), ArrayType(DoubleType)),
         graft.pipeline.Similarity.hyperplanes(
-          litInt(a(1), "bits"), litInt(a(2), "dim"), litInt(a(3), "seed").toLong))
+          litInt(a(1), "bits"), litInt(a(2), "dim"), litLong(a(3), "seed")))
     }
     out.result()
   }
 
-  /** Register into an existing session (idempotent; probing the session's
-    * own registry makes the skip robust — no external memo to fall out of
-    * sync with new sessions or unregister). Operators call this on every
-    * build; Verify/Bench build ~90 queries in one session. */
+  /** Register into an existing session. Registers every builder
+    * unconditionally — createOrReplaceTempFunction is idempotent and cheap,
+    * and a per-name pass repairs a registry where individual functions were
+    * dropped/shadowed (a single sentinel probe could not). Operators call
+    * this on every build; Verify/Bench build ~90 queries in one session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
-      builders.foreach { case (name, b) =>
-        reg.createOrReplaceTempFunction(name, b, "built-in")
-      }
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
     }
   }
 
-  /** Drop all registrations (test hygiene). */
+  /** Drop all registrations (test hygiene) — derived from `builders` so the
+    * list can never drift from what register() installs. */
   def unregister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq("to_epoch_ms", "to_timestamp_ms", "from_timestamp", "timestamp_trunc",
-      "make_timestamp_by_date", "strftime", "hex_to_dec", "glob", "quote",
-      "substr_with_bounds", "trunc_number", "total", "stddev0", "variance0",
-      "group_concat", "griddb_median", "graft_cosine", "graft_minhash_sig",
-      "graft_simhash64", "graft_dot", "graft_srp_sig", "printf", "unicode",
-      "zeroblob",
-      "griddb_make_timestamp", "make_timestamp_ms", "make_timestamp_us")
-      .foreach(n => reg.dropFunction(FunctionIdentifier(n)))
+    builders.foreach { case (name, _) => reg.dropFunction(FunctionIdentifier(name)) }
   }
 }

@@ -38,6 +38,12 @@ object MatchRecognize {
       * overlap). If that row is the match's first row (no progress possible)
       * or the variable matched no row, advances one row instead. */
     final case class ToVar(variable: String) extends AfterMatchSkip
+    /** Resume matching AT the first row the finished match assigned to
+      * `variable` (SKIP TO FIRST semantics, reference grammar rule 174 —
+      * matches may overlap more aggressively than LAST). Same progress
+      * guard: a resume point at the match's first row, or a variable that
+      * matched no row, advances one row instead. */
+    final case class ToFirstVar(variable: String) extends AfterMatchSkip
   }
 
   /** Name of the internal per-match row-position column carried by
@@ -68,6 +74,8 @@ object MatchRecognize {
     skip match {
       case AfterMatchSkip.ToVar(v) =>
         require(vars.contains(v), s"AFTER MATCH SKIP TO $v: no such pattern variable")
+      case AfterMatchSkip.ToFirstVar(v) =>
+        require(vars.contains(v), s"AFTER MATCH SKIP TO FIRST $v: no such pattern variable")
       case _ =>
     }
 
@@ -198,6 +206,9 @@ object MatchRecognize {
               case AfterMatchSkip.ToVar(v) =>
                 // resume AT the last row assigned to v; guarantee progress
                 s + math.max(assign.lastIndexOf(v), 1)
+              case AfterMatchSkip.ToFirstVar(v) =>
+                // resume AT the first row assigned to v; guarantee progress
+                s + math.max(assign.indexOf(v), 1)
             })
           case _ => advanceTo(i + 1)
         }

@@ -74,9 +74,14 @@ object Similarity {
   /** Whole SRP signature in ONE codegen'd kernel call (functions/
     * SrpSignature) — bit-identical to [[signature]] over
     * `hyperplanes(bits, dim, seed)` (same dot accumulation order, and a
-    * zero vector sets every bit in both: dot 0 >= 0). */
+    * zero vector sets every bit in both: dot 0 >= 0). The full Long seed is
+    * passed through (no Int truncation). One deliberate divergence: on a
+    * vector whose length != dim this returns NULL (the row self-excludes
+    * from bucketing), while the per-bit formulation degrades to signature 0
+    * because each `graft_dot >= 0` test nulls out into its otherwise(0)
+    * branch — NULL is the safer behavior, so the fused kernel keeps it. */
   def signatureFused(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
-    call_function("graft_srp_sig", vec, lit(bits), lit(dim), lit(seed.toInt))
+    call_function("graft_srp_sig", vec, lit(bits), lit(dim), lit(seed))
 
   /** Dimension of the vector column, from the first row with a non-empty
     * vector (clear error on empty/all-null input instead of a head() NPE). */
@@ -109,23 +114,33 @@ object Similarity {
     * literals, so cluster assignment is a shuffle-free projection. Queries
     * probe the nProbe nearest lists; scoring joins only same-list pairs.
     */
+  /** Coarse-quantizer centroids: nLists seed vectors (first ids,
+    * deterministic) + one distributed Lloyd refinement. Per-cluster
+    * fallback: a cluster that drains empty after the Lloyd step keeps its
+    * seed; every surviving cluster keeps its refined mean (all-or-nothing
+    * reversion would discard good refinements). `c0` must have columns
+    * (c_id, cv: array<double>). */
+  private[graft] def ivfCentroids(c0: DataFrame, dim: Int, nLists: Int): Array[Array[Double]] = {
+    val seeds = c0.orderBy("c_id").limit(nLists)
+      .select("cv").collect().map(_.getSeq[Double](0).toArray)
+    val assigned0 = c0.withColumn("cluster",
+      array_min(distances(col("cv"), seeds)).getField("cid"))
+    val dimAvgs = (0 until dim).map(i =>
+      avg(element_at(col("cv"), i + 1)).as(s"d$i"))
+    val refinedById = assigned0.groupBy("cluster").agg(dimAvgs.head, dimAvgs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+      .toMap
+    seeds.indices.map(i => refinedById.getOrElse(i, seeds(i))).toArray
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
               roundTo: Int = 4): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
-    val seeds = c0.orderBy("c_id").limit(nLists)
-      .select("cv").collect().map(_.getSeq[Double](0).toArray)
-    // one Lloyd iteration, distributed: assign to nearest seed, average
-    val assigned0 = c0.withColumn("cluster",
-      array_min(distances(col("cv"), seeds)).getField("cid"))
-    val dimAvgs = (0 until dim).map(i =>
-      avg(element_at(col("cv"), i + 1)).as(s"d$i"))
-    val refined = assigned0.groupBy("cluster").agg(dimAvgs.head, dimAvgs.tail: _*)
-      .orderBy("cluster").collect()
-      .map(r => (0 until dim).map(i => r.getDouble(i + 1)).toArray)
-    val cents = if (refined.length == nLists) refined else seeds
+    val cents = ivfCentroids(c0, dim, nLists)
 
     val c = c0
       .withColumn("cluster", array_min(distances(col("cv"), cents)).getField("cid"))

@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 import graft.mr.{MatchRecognize, Measures}
 
-/** MATCH_RECOGNIZE queries. Run-detection, anchors and MEASURES have exact
-  * gaps-and-islands SQL oracles; the V-shape pattern is rows-only (covered by
-  * hand-computed fixtures in MatchRecognizeSpec). */
+/** MATCH_RECOGNIZE queries. Run-detection, anchors, MEASURES, the V-shape
+  * pattern and SKIP TO FIRST overlap all have exact gaps-and-islands SQL
+  * oracles. */
 object MatchRecognizeQueries {
 
   val qs: Seq[Q] = Seq(
@@ -116,8 +116,33 @@ object MatchRecognizeQueries {
         .orderBy("user_id", "event_id")
     },
 
-    // V-shape in value per user: strictly-down runs then strictly-up runs
-    Q.rowsOnly("q_mr_vshape") { (s, dir) =>
+    // V-shape in value per user: strictly-down runs then strictly-up runs.
+    // Greedy DOWN{2,} UP{2,} matches exactly the maximal D-run immediately
+    // followed by a maximal U-run (both >= 2), which islands SQL expresses:
+    // classify each row D/U/F vs its predecessor, group into maximal runs,
+    // join adjacent (D, U) run pairs.
+    Q.df("q_mr_vshape",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pv
+        |  FROM events),
+        |c AS (SELECT user_id, rn,
+        |        CASE WHEN pv IS NULL THEN 'F' WHEN value < pv THEN 'D'
+        |             WHEN value > pv THEN 'U' ELSE 'F' END AS cls
+        |      FROM x),
+        |r AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id, cls ORDER BY rn) AS grp
+        |      FROM c),
+        |runs AS (SELECT user_id, cls, grp, MIN(rn) AS srn, MAX(rn) AS ern, COUNT(*) AS len
+        |         FROM r GROUP BY user_id, cls, grp),
+        |v AS (SELECT d.user_id AS user_id, d.srn AS start_rn, d.len + u.len AS n_rows
+        |      FROM runs d JOIN runs u
+        |        ON d.user_id = u.user_id AND d.cls = 'D' AND u.cls = 'U'
+        |       AND u.srn = d.ern + 1 AND d.len >= 2 AND u.len >= 2)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY start_rn) AS match_num,
+        |  n_rows
+        |FROM v ORDER BY user_id, match_num""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val prev = lag(col("value"), 1).over(w)
@@ -130,6 +155,32 @@ object MatchRecognizeQueries {
           "UP" -> (col("value") > col("__prev"))))
         .select(col("user_id"), col("match_num"), col("n_rows"))
         .orderBy("user_id", "match_num")
+    },
+
+    // AFTER MATCH SKIP TO FIRST B over an always-true A B{2}: a sliding
+    // 3-row window per user — every position with 2 successors starts an
+    // (overlapping) match, so match_num equals the start row's ordinal
+    // (reference grammar rule 174)
+    Q.df("q_mr_skip_first",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WHERE event_type = 'view'),
+        |m AS (SELECT user_id, rn AS match_num FROM x WHERE rn + 2 <= n)
+        |SELECT x.user_id AS user_id, x.event_id AS event_id, m.match_num,
+        |  CASE WHEN x.rn = m.match_num THEN 'A' ELSE 'B' END AS classifier
+        |FROM m JOIN x ON x.user_id = m.user_id
+        |  AND x.rn BETWEEN m.match_num AND m.match_num + 2
+        |ORDER BY user_id, match_num, event_id""".stripMargin) { (s, dir) =>
+      MatchRecognize.allRowsPerMatch(
+          Tables.events(s, dir).filter(col("event_type") === "view"),
+          keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          pattern = "A B{2}",
+          defines = Map("A" -> lit(true), "B" -> lit(true)),
+          skip = MatchRecognize.AfterMatchSkip.ToFirstVar("B"))
+        .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
+        .orderBy("user_id", "match_num", "event_id")
     }
   )
 }

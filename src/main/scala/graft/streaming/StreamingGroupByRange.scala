@@ -25,7 +25,15 @@ import graft.ts.GroupByRange
   *  - LINEAR:   held until the next non-empty bucket closes, then emitted
   *              interpolated between the two anchors (leading gaps null;
   *              a trailing run of gaps is held as a constant-size
-  *              (start, count) pair, not a growing list)
+  *              (start, count) pair, not a growing list). A gap run that
+  *              never sees a next anchor is flushed by `linearFlush`: once
+  *              the run spans that much event time with no anchor, it emits
+  *              as NULL — the batch operator's beyond-the-last-anchor
+  *              semantics ("fills only between anchors") — and the previous
+  *              anchor expires, so later gaps are leading (null) until a
+  *              fresh anchor re-arms interpolation. With `linearFlush=None`
+  *              (default) the run is held indefinitely, which matches batch
+  *              exactly on bounded streams but never emits a trailing gap.
   *
   * Each key's grid starts at its first observed bucket and — for NULL and
   * PREVIOUS — keeps extending as the watermark advances even when the key
@@ -48,7 +56,8 @@ object StreamingGroupByRange {
 
   def groupByRangeStream(
       stream: DataFrame, tsCol: String, valCol: String, keyCol: String,
-      every: String, watermark: String, fill: GroupByRange.Fill)
+      every: String, watermark: String, fill: GroupByRange.Fill,
+      linearFlush: Option[String] = None)
       (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
 
@@ -58,6 +67,8 @@ object StreamingGroupByRange {
       s"EVERY '$every': calendar months are not fixed-width; use day/hour/... units")
     val everyMs = iv.days.toLong * 86400000L + iv.microseconds / 1000L
     require(everyMs > 0, s"EVERY '$every' must be a positive interval")
+    val linearFlushMs = linearFlush.map(StreamingMatch.intervalMs)
+    require(linearFlushMs.forall(_ > 0), s"linearFlush must be a positive interval")
     val continuousFill =
       fill == GroupByRange.FillNull || fill == GroupByRange.FillPrevious
 
@@ -134,6 +145,16 @@ object StreamingGroupByRange {
             b += 1
           }
           if (start.exists(_ <= bMax)) emittedUpTo = Some(bMax)
+          // LINEAR trailing-gap flush: the held run has spanned linearFlush
+          // of event time with no next anchor -> it is trailing, emit NULL
+          // (batch fills only BETWEEN anchors) and expire the prev anchor
+          for (f <- linearFlushMs; g0 <- gapStart
+               if (bMax + 1 - g0) * everyMs >= f) {
+            (g0 until g0 + gapN).foreach { g =>
+              out += ((key, g * everyMs, None, None, true))
+            }
+            gapStart = None; gapN = 0L; prev = None
+          }
           val live = partials.nonEmpty || gapStart.isDefined ||
             (continuousFill && emittedUpTo.isDefined) ||
             fill == GroupByRange.FillLinear // prev anchor must survive quiet spells

@@ -38,16 +38,30 @@ import graft.mr.PatternRegex
   *
   * Emission (ONE ROW PER MATCH): key, match_num (per key, 1-based),
   * start_ms, end_ms, n_rows.
+  *
+  * State retention: a key that ever matched keeps a tiny
+  * (emptyBuffer, matchNum) entry so match_num stays a per-key sequence.
+  * Under unbounded key churn that still grows without bound — pass
+  * `idleTTL` to drop drained keys once they have been idle past the TTL
+  * (accepted trade-off: a key that reappears later restarts match_num at 1).
   */
 object StreamingMatch {
 
   // (bufferedRows as (tsMs, defineBits), matchesEmitted)
   private type MrState = (Seq[(Long, Seq[Boolean])], Long)
 
+  private[streaming] def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    iv.months.toLong * 2592000000L + iv.days.toLong * 86400000L +
+      iv.microseconds / 1000L
+  }
+
   def matchRecognizeStream(
       stream: DataFrame, tsCol: String, keyCol: String,
       pattern: String, defines: Map[String, Column],
-      watermark: String, maxSpan: String = "7 days")
+      watermark: String, maxSpan: String = "7 days",
+      idleTTL: Option[String] = None)
       (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
 
@@ -59,10 +73,8 @@ object StreamingMatch {
     val defNames = defines.keys.toSeq.sorted
     val defIdx = defNames.zipWithIndex.toMap
     // parse "<n> <unit>" the same way Spark's interval literals do
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(maxSpan))
-    val spanMs = iv.months.toLong * 2592000000L + iv.days.toLong * 86400000L +
-      iv.microseconds / 1000L
+    val spanMs = intervalMs(maxSpan)
+    val idleTtlMs = idleTTL.map(intervalMs)
 
     val typed = stream
       .withWatermark(tsCol, watermark)
@@ -82,6 +94,12 @@ object StreamingMatch {
           val (oldBuf, oldMatches) = state.getOption.getOrElse((Seq.empty, 0L))
           val buf = (oldBuf ++ rows.map(r => (r._2.getTime, r._3)))
             .sortBy(_._1).toVector
+          // idle-TTL expiry: a drained key (empty buffer) whose TTL timeout
+          // fired with no new rows is dropped entirely
+          if (state.hasTimedOut && buf.isEmpty) {
+            state.remove()
+            Iterator.empty[(String, Long, Long, Long, Long)]
+          } else {
           val n = buf.size
           // length of the final prefix (ts <= watermark)
           val finalN = buf.segmentLength(_._1 <= wm)
@@ -126,10 +144,13 @@ object StreamingMatch {
             // matchNum is retained across drains so match_num stays a per-key
             // sequence; the empty-buffer state is two machine words per key
             state.update((kept, matchNum))
-            // re-examine when the watermark moves (no-data batches fire this)
+            // re-examine when the watermark moves (no-data batches fire this);
+            // a drained key with an idle-TTL gets an expiry timeout instead
             if (kept.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+            else idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(wm + ttl))
           }
           result.iterator
+          }
       }
       .toDF(keyCol, "match_num", "start_ms", "end_ms", "n_rows")
   }

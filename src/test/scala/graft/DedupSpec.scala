@@ -137,6 +137,26 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ivf recall $recall too low")
   }
 
+  test("ivf centroids: draining cluster keeps its seed, others keep refined means") {
+    // vectors 0 and 1 are identical, so seed 1's would-be members all tie to
+    // cluster 0 (struct (d, cid) min is lexicographic: ties go to lower cid)
+    // and cluster 1 drains empty after the Lloyd step
+    val vecs = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(10.0, 10.0)), (3L, Array(10.0, 12.0)),
+      (4L, Array(0.0, 2.0))
+    ).toDF("c_id", "cv")
+    val cents = Similarity.ivfCentroids(vecs, dim = 2, nLists = 4)
+    assert(cents.length == 4)
+    // cluster 0: members {0, 1, 4} -> refined mean (0, 2/3), not the seed
+    assert(cents(0)(0) == 0.0 && math.abs(cents(0)(1) - 2.0 / 3.0) < 1e-12)
+    // cluster 1 drained -> its seed survives (all-or-nothing would also have
+    // thrown away clusters 0/2/3's refinements)
+    assert(cents(1).toSeq == Seq(0.0, 0.0))
+    // singleton clusters refine to themselves
+    assert(cents(2).toSeq == Seq(10.0, 10.0) && cents(3).toSeq == Seq(10.0, 12.0))
+  }
+
   test("lsh ANN recall against brute force on real embeddings") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 3)

@@ -238,7 +238,7 @@ class MatchRecognizeSpec extends SparkTestBase {
     assert(m.toSeq == Seq((None, Some(10.0))))
   }
 
-  test("AFTER MATCH SKIP TO LAST var accepted, FIRST rejected") {
+  test("AFTER MATCH SKIP TO LAST/FIRST/bare var all accepted") {
     val df = Seq(("k", 1L, "a"), ("k", 2L, "b"), ("k", 3L, "b"))
       .toDF("k", "seq", "t")
     df.createOrReplaceTempView("mr_skip_t")
@@ -252,10 +252,60 @@ class MatchRecognizeSpec extends SparkTestBase {
     val bare = graft.engine.GraftMrSql.run(spark, base.format("B"))
       .select("seq").as[Long].collect().toSet
     assert(withLast == bare && bare == Set(1L, 2L, 3L))
+    // no second match here under FIRST either: the resume row (first B) is
+    // not an 'a', so the single match is identical
+    val withFirst = graft.engine.GraftMrSql.run(spark, base.format("FIRST B"))
+      .select("seq").as[Long].collect().toSet
+    assert(withFirst == bare)
+  }
+
+  test("SKIP TO FIRST var overlaps more aggressively than LAST") {
+    val df = (1L to 7L).map(i => ("k", i)).toDF("k", "seq")
+    df.createOrReplaceTempView("mr_skipfirst_t")
+    val base = """SELECT * FROM mr_skipfirst_t MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY seq
+      |  AFTER MATCH SKIP TO %s
+      |  PATTERN (A B{2})
+      |  DEFINE A AS true, B AS true)""".stripMargin
+    // LAST B resumes at each match's last row: (1,2,3),(3,4,5),(5,6,7)
+    val last = graft.engine.GraftMrSql.run(spark, base.format("LAST B"))
+      .select("seq", "match_num").as[(Long, Long)].collect().toSet
+    assert(last.map(_._2).max == 3L)
+    // FIRST B resumes at each match's first B row: 5 overlapping matches
+    val first = graft.engine.GraftMrSql.run(spark, base.format("FIRST B"))
+      .select("seq", "match_num").as[(Long, Long)].collect().toSet
+    assert(first == Set(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (2L, 2L), (3L, 2L), (4L, 2L),
+      (3L, 3L), (4L, 3L), (5L, 3L),
+      (4L, 4L), (5L, 4L), (6L, 4L),
+      (5L, 5L), (6L, 5L), (7L, 5L)))
+  }
+
+  test("measure call rewriter leaves quoted 'first(x)' literals alone; MEASURES+ALL ROWS rejected") {
+    val df = Seq(("k", 1L, "a"), ("k", 2L, "b")).toDF("k", "seq", "t")
+    df.createOrReplaceTempView("mr_quote_t")
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_quote_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES LAST(concat('first(', t, ')')) AS lbl, LAST(seq) AS s1
+        |  ONE ROW PER MATCH
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+      .select("lbl", "s1").as[(String, Long)].collect()
+    // the quoted literal 'first(' must survive the FIRST-call rewriter
+    assert(out.toSeq == Seq(("first(b)", 2L)))
+
     val err = intercept[IllegalArgumentException] {
-      graft.engine.GraftMrSql.run(spark, base.format("FIRST B"))
+      graft.engine.GraftMrSql.run(spark,
+        """SELECT * FROM mr_quote_t MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY seq
+          |  MEASURES LAST(seq) AS s1
+          |  ALL ROWS PER MATCH
+          |  PATTERN (A B)
+          |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
     }
-    assert(err.getMessage.contains("SKIP TO FIRST"))
+    assert(err.getMessage.contains("ALL ROWS PER MATCH"))
   }
 
   test("PERMUTE matches the elements in any order, lexical preference") {

@@ -155,6 +155,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE idle-TTL drops drained keys (match_num restarts)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "k", "typ")
+    val matched = graft.streaming.StreamingMatch.matchRecognizeStream(
+      df, "ts", "k", pattern = "V{3,}",
+      defines = Map("V" -> (col("typ") === "view")),
+      watermark = "1 minute", idleTTL = Some("1 hour"))
+    val q = matched.writeStream.format("memory").queryName("mr_ttl_out")
+      .outputMode("append").start()
+    try {
+      // u1 matches, then its buffer drains
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 00:00:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:01:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:02:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 00:03:00"), "u1", "click"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "u2", "click"))
+      q.processAllAvailable() // wm 00:59 closes u1's run; TTL timer starts
+      // push the watermark far past the 1h idle TTL -> u1's state drops
+      input.addData((Timestamp.valueOf("2024-01-01 03:10:00"), "u2", "click"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 03:20:00"), "u2", "click"))
+      q.processAllAvailable()
+      // u1 reappears and matches again
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 04:00:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 04:01:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 04:02:00"), "u1", "view"),
+        (Timestamp.valueOf("2024-01-01 04:03:00"), "u1", "click"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 06:00:00"), "u2", "click"))
+      q.processAllAvailable()
+      val nums = spark.table("mr_ttl_out").filter($"k" === "u1")
+        .orderBy("start_ms").select("match_num").as[Long].collect().toSeq
+      // documented TTL trade-off: the dropped key's sequence restarts at 1
+      assert(nums == Seq(1L, 1L), s"expected restart after TTL, got $nums")
+    } finally q.stop()
+  }
+
   test("streaming MATCH_RECOGNIZE matches batch on the closed region") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val s: org.apache.spark.sql.SparkSession = spark
@@ -279,6 +321,36 @@ class StreamingSpec extends SparkTestBase {
       assert(aRows.head == ((0L, Some(6.0), false)))
       assert(aRows.length == 9, s"quiet key stopped filling: ${aRows.toSeq}")
       assert(aRows.tail.forall { case (_, v, f) => v == Some(6.0) && f })
+    } finally q.stop()
+  }
+
+  test("streaming LINEAR trailing gap flushes as NULL after linearFlush") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.ts.GroupByRange
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val q = graft.streaming.StreamingGroupByRange
+      .groupByRangeStream(df, "ts", "v", "k", "1 minute", "1 minute",
+        GroupByRange.FillLinear, linearFlush = Some("5 minutes"))
+      .writeStream.format("memory").queryName("gbr_linflush")
+      .outputMode("append").start()
+    try {
+      // key a anchors bucket 0, then goes silent forever; key b drives wm
+      input.addData((ts(10), "a", 6.0)); q.processAllAvailable()
+      input.addData((ts(1200), "b", 1.0)); q.processAllAvailable()
+      input.addData((ts(2400), "b", 1.0)); q.processAllAvailable()
+      val aRows = spark.table("gbr_linflush").filter($"k" === "a")
+        .select("bucket_ms", "value", "filled")
+        .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1)
+      // without a next anchor the held run would never emit; with
+      // linearFlush=5min the trailing gaps emit as NULL (batch semantics:
+      // LINEAR fills only between anchors)
+      assert(aRows.head == ((0L, Some(6.0), false)))
+      assert(aRows.length > 5, s"held gap never flushed: ${aRows.toSeq}")
+      assert(aRows.tail.forall { case (_, v, f) => v.isEmpty && f },
+        s"trailing gaps must flush as NULL: ${aRows.toSeq}")
     } finally q.stop()
   }
 
