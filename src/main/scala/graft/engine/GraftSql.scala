@@ -40,10 +40,77 @@ object GraftSql {
 
   /** Rewrite GridDB hint comments into Spark hints (or strip them). */
   def rewrite(sql: String): String =
-    hintBlock.replaceAllIn(sql, m => {
+    rewriteTimeFns(hintBlock.replaceAllIn(sql, m => {
       val spark = translateHints(m.group(1))
       if (spark.isEmpty) "" else s"/*+ ${spark.mkString(", ")} */"
-    })
+    }))
+
+  // ---- GridDB time-function call forms -------------------------------------
+  // EXTRACT(field, ts[, tz]) / TIMESTAMP_TRUNC(unit, ts[, tz]) /
+  // TIMESTAMP[_]ADD(unit, ts, amount[, tz]) / TIMESTAMP[_]DIFF(unit, t1,
+  // t2[, tz]) take a BARE field keyword (grammar rules 267-283) and, for
+  // ADD/DIFF, a different argument order than Spark's builtins. Rewrite to
+  // the registry functions with the keyword quoted. EXTRACT(field FROM x)
+  // (no top-level comma) is Spark's own syntax and is left untouched.
+  private val timeFnTargets = Map(
+    "EXTRACT" -> "griddb_extract",
+    "TIMESTAMP_TRUNC" -> "timestamp_trunc",
+    "TIMESTAMP_ADD" -> "griddb_timestamp_add",
+    "TIMESTAMPADD" -> "griddb_timestamp_add",
+    "TIMESTAMP_DIFF" -> "griddb_timestamp_diff",
+    "TIMESTAMPDIFF" -> "griddb_timestamp_diff")
+  private val timeFnRe =
+    """(?i)\b(EXTRACT|TIMESTAMP_TRUNC|TIMESTAMP_ADD|TIMESTAMPADD|TIMESTAMP_DIFF|TIMESTAMPDIFF)\s*\(""".r
+
+  /** Quote-aware top-level comma split (commas inside parens or single-
+    * quoted literals do not split). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQ = false
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c }
+      else if (c == ',' && depth == 0 && !inQ) { out += cur.toString.trim; cur.clear() }
+      else {
+        if (!inQ) { if (c == '(') depth += 1 else if (c == ')') depth -= 1 }
+        cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString.trim
+    out.result().filter(_.nonEmpty)
+  }
+
+  private[graft] def rewriteTimeFns(s: String): String = {
+    val hit = timeFnRe.findAllMatchIn(s).find { m =>
+      s.view.slice(0, m.start).count(_ == '\'') % 2 == 0 // outside literals
+    }
+    hit match {
+      case None => s
+      case Some(m) =>
+        var depth = 1; var i = m.end; var inQ = false
+        while (i < s.length && depth > 0) {
+          s(i) match {
+            case '\'' => inQ = !inQ
+            case '(' if !inQ => depth += 1
+            case ')' if !inQ => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0, s"unbalanced parentheses in ${m.group(1)}(...)")
+        val inner = rewriteTimeFns(s.substring(m.end, i - 1))
+        val name = m.group(1).toUpperCase
+        val args = splitArgs(inner)
+        val call =
+          if (args.size < 2) s"${m.group(1)}($inner)" // EXTRACT(f FROM x) etc.
+          else {
+            val a0 = args.head
+            val q0 = if (a0.matches("(?i)[A-Z_]+")) s"'${a0.toUpperCase}'" else a0
+            s"${timeFnTargets(name)}(${(q0 +: args.tail).mkString(", ")})"
+          }
+        s.substring(0, m.start) + call + rewriteTimeFns(s.substring(i))
+    }
+  }
 
   // ---- GROUP BY RANGE(ts) EVERY(n, unit) FILL(mode) ------------------------
   // GridDB's range-grouping clause (grammar rules 226-233,

@@ -73,18 +73,73 @@ object GridDbScalarFunctions {
       out += (name -> builder)
 
     // ---- time (function_timestamp.h, sql_expression_time.h) ----
+    // Per-call timezone: most reference time functions take an optional
+    // trailing 'Z'/±hh:mm argument (grammar rules 267-283 + FLAG_OPTIONAL
+    // STRING in sql_expression_time.h:47-197; resolveTimeZone). `local`
+    // shifts the instant to that offset's wall clock before field math;
+    // `unlocal` shifts a wall-clock result back to an instant.
+    def local(ts: Expression, tz: Option[Expression]): Expression =
+      tz.fold(ts)(z => FromUTCTimestamp(ts, z))
+    def unlocal(ts: Expression, tz: Option[Expression]): Expression =
+      tz.fold(ts)(z => ToUTCTimestamp(ts, z))
+
     tmp("to_epoch_ms")(a => UnixMillis(Cast(one(a, "TO_EPOCH_MS"), TimestampType)))
     tmp("to_timestamp_ms")(a => MillisToTimestamp(one(a, "TO_TIMESTAMP_MS")))
     tmp("from_timestamp")(a => Cast(one(a, "FROM_TIMESTAMP"), StringType))
-    tmp("timestamp_trunc")(a => TruncTimestamp(a(0), Cast(a(1), TimestampType)))
+    // TIMESTAMP_TRUNC(unit, ts[, tz]): truncate on the offset's wall clock,
+    // result is still an instant
+    tmp("timestamp_trunc") { a =>
+      require(a.size == 2 || a.size == 3, "TIMESTAMP_TRUNC(unit, ts[, tz])")
+      val tz = a.lift(2)
+      unlocal(TruncTimestamp(a(0), local(Cast(a(1), TimestampType), tz)), tz)
+    }
     tmp("make_timestamp_by_date") { a =>
-      require(a.size == 3, "MAKE_TIMESTAMP_BY_DATE(y,m,d)")
-      Cast(MakeDate(a(0), a(1), a(2)), TimestampType)
+      require(a.size == 3 || a.size == 4, "MAKE_TIMESTAMP_BY_DATE(y,m,d[,tz])")
+      unlocal(Cast(MakeDate(a(0), a(1), a(2)), TimestampType), a.lift(3))
     }
     tmp("strftime") { a =>
-      require(a.size == 2, "STRFTIME(fmt, ts)")
-      DateFormatClass(Cast(a(1), TimestampType),
+      require(a.size == 2 || a.size == 3, "STRFTIME(fmt, ts[, tz])")
+      DateFormatClass(local(Cast(a(1), TimestampType), a.lift(2)),
         Literal(strftimeToJava(litString(a(0), "STRFTIME"))))
+    }
+    // EXTRACT(field, ts[, tz]) (grammar rule 267; fields rules 272-282).
+    // DAY_OF_WEEK is Sunday=0 (util/time.cpp:970 (timeDays+4)%7);
+    // MICROSECOND/NANOSECOND are sub-second totals (util/time.h:818-828).
+    tmp("griddb_extract") { a =>
+      require(a.size == 2 || a.size == 3, "EXTRACT(field, ts[, tz])")
+      val ts = local(Cast(a(1), TimestampType), a.lift(2))
+      val e: Expression = litString(a(0), "EXTRACT field").toUpperCase match {
+        case "YEAR" => Year(ts)
+        case "MONTH" => Month(ts)
+        case "DAY" => DayOfMonth(ts)
+        case "HOUR" => Hour(ts)
+        case "MINUTE" => Minute(ts)
+        case "SECOND" => Cast(Second(ts), IntegerType)
+        case "MILLISECOND" => Pmod(UnixMillis(ts), Literal(1000L))
+        case "MICROSECOND" => Pmod(UnixMicros(ts), Literal(1000000L))
+        case "NANOSECOND" =>
+          Multiply(Pmod(UnixMicros(ts), Literal(1000000L)), Literal(1000L))
+        case "DAY_OF_WEEK" => Subtract(DayOfWeek(ts), Literal(1))
+        case "DAY_OF_YEAR" => DayOfYear(ts)
+        case f => throw new IllegalArgumentException(s"EXTRACT: unknown field $f")
+      }
+      Cast(e, LongType)
+    }
+    // TIMESTAMP_ADD/DIFF(unit, ts..., [tz]) — GridDB argument order; the
+    // wall-clock wrap matters for YEAR/MONTH arithmetic at an offset
+    tmp("griddb_timestamp_add") { a =>
+      require(a.size == 3 || a.size == 4, "TIMESTAMP_ADD(unit, ts, amount[, tz])")
+      val unit = litString(a(0), "TIMESTAMP_ADD unit").toUpperCase
+      val tz = a.lift(3)
+      unlocal(TimestampAdd(unit, a(2), local(Cast(a(1), TimestampType), tz)), tz)
+    }
+    tmp("griddb_timestamp_diff") { a =>
+      require(a.size == 3 || a.size == 4, "TIMESTAMP_DIFF(unit, ts1, ts2[, tz])")
+      val unit = litString(a(0), "TIMESTAMP_DIFF unit").toUpperCase
+      val tz = a.lift(3)
+      // reference getDifference: ts1 - ts2 in `unit`
+      TimestampDiff(unit, local(Cast(a(2), TimestampType), tz),
+        local(Cast(a(1), TimestampType), tz))
     }
 
     // ---- string (function_string.h, sql_expression_string.h) ----
@@ -118,16 +173,17 @@ object GridDbScalarFunctions {
     // MAKE_TIMESTAMP(y, mo, d, h, mi, s) and sub-second variants
     // (sql_expression_time.h FUNC_MAKE_TIMESTAMP*)
     tmp("griddb_make_timestamp") { a =>
-      require(a.size == 6, "MAKE_TIMESTAMP(y, mo, d, h, mi, s)")
-      new MakeTimestamp(a(0), a(1), a(2), a(3), a(4),
-        Cast(a(5), DecimalType(16, 6)))
+      require(a.size == 6 || a.size == 7, "MAKE_TIMESTAMP(y, mo, d, h, mi, s[, tz])")
+      unlocal(new MakeTimestamp(a(0), a(1), a(2), a(3), a(4),
+        Cast(a(5), DecimalType(16, 6))), a.lift(6))
     }
     def makeTsFrac(a: Seq[Expression], n: String, denom: Long): Expression = {
-      require(a.size == 7, s"$n(y, mo, d, h, mi, s, frac)")
+      require(a.size == 7 || a.size == 8, s"$n(y, mo, d, h, mi, s, frac[, tz])")
       val secs = Add(Cast(a(5), DecimalType(16, 6)),
         Divide(Cast(a(6), DecimalType(16, 6)),
           Cast(Literal(denom), DecimalType(16, 0))))
-      new MakeTimestamp(a(0), a(1), a(2), a(3), a(4), Cast(secs, DecimalType(16, 6)))
+      unlocal(new MakeTimestamp(a(0), a(1), a(2), a(3), a(4),
+        Cast(secs, DecimalType(16, 6))), a.lift(7))
     }
     tmp("make_timestamp_ms")(a => makeTsFrac(a, "MAKE_TIMESTAMP_MS", 1000L))
     tmp("make_timestamp_us")(a => makeTsFrac(a, "MAKE_TIMESTAMP_US", 1000000L))
@@ -201,6 +257,12 @@ object GridDbScalarFunctions {
       SrpSignature(Cast(a(0), ArrayType(DoubleType)),
         graft.pipeline.Similarity.hyperplanes(
           litInt(a(1), "bits"), litInt(a(2), "dim"), litLong(a(3), "seed")))
+    }
+    // ---- geometry (function_gis.h; PV3 box test tr-cpp/TrPv3.cpp) ----
+    tmp("st_qsfmbrintersects") { a =>
+      require(a.size == 2, "st_qsfmbrintersects(qsfKey, boxMbr)")
+      graft.geometry.QsfMbrIntersects(
+        Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)))
     }
     out.result()
   }

@@ -50,10 +50,14 @@ object Geo {
       a.getField("miny") <= b.getField("maxy") &&
       b.getField("miny") <= a.getField("maxy")
 
-  /** ST_GEOMFROMTEXT: validate-and-normalize (keeps WKT; null on junk). */
+  /** ST_GEOMFROMTEXT: validate-and-normalize (keeps WKT; null on junk).
+    * Accepted types mirror the reference's WKT parser
+    * (/root/reference/server/gis_geomfromtext.h): POINT, LINESTRING,
+    * POLYGON, POLYHEDRALSURFACE, MULTIPOINT, MULTIPOLYGON,
+    * QUADRATICSURFACE. */
   def stGeomFromText(wkt: Column): Column =
     when(upper(trim(wkt)).rlike(
-      "^(POINT|LINESTRING|POLYGON|POLYHEDRALSURFACE)\\s*\\(.*\\)$"), trim(wkt))
+      "^(POINT|LINESTRING|POLYGON|POLYHEDRALSURFACE|MULTIPOINT|MULTIPOLYGON|QUADRATICSURFACE)\\s*\\(.*\\)$"), trim(wkt))
       .otherwise(lit(null))
 
   /** ST_GETSRID — GridDB CE default SRID is 0. */
@@ -71,4 +75,167 @@ object Geo {
   /** MBR-intersection over two WKT strings. */
   def stMbrIntersectsWkt(a: Column, b: Column): Column =
     stMbrIntersects(stMbr(a), stMbr(b))
+
+  // ==== 3D surface ==========================================================
+  // Reference: 3D geometry model /root/reference/server/gis_geometry.h
+  // (dimension_ = 3), box construction FunctorMakebox
+  // /root/reference/server/function_gis.h:151, QSF constructors :332-527,
+  // R-tree MBR filtering /root/reference/server/rtree_map.cpp.
+
+  /** WKT coordinate tuples as array<array<double>> (one inner array per
+    * point; the comma structure of the text gives the point arity). */
+  def wktPoints(wkt: Column): Column =
+    filter(
+      transform(split(wkt, ","),
+        chunk => transform(regexp_extract_all(chunk, lit(numRe), lit(0)), _.cast("double"))),
+      p => size(p) > 0)
+
+  /** Build `TAG(x y z, ...)` WKT from array<array<double>> points. */
+  private def wktOf(tag: String, open: String, close: String, pts: Column): Column =
+    concat(lit(tag + open),
+      array_join(transform(pts,
+        p => array_join(transform(p, _.cast("string")), " ")), ", "),
+      lit(close))
+
+  /** LINESTRING constructor from coordinate tuples. */
+  def stLineString(pts: Column): Column = wktOf("LINESTRING", "(", ")", pts)
+
+  /** POLYGON constructor (single outer ring) from coordinate tuples. */
+  def stPolygon(ring: Column): Column = wktOf("POLYGON", "((", "))", ring)
+
+  /** POLYHEDRALSURFACE constructor from an array of rings (each an
+    * array<array<double>> of 3D points). */
+  def stPolyhedralSurface(rings: Column): Column =
+    concat(lit("POLYHEDRALSURFACE("),
+      array_join(transform(rings, r =>
+        concat(lit("(("),
+          array_join(transform(r,
+            p => array_join(transform(p, _.cast("string")), " ")), ", "),
+          lit("))"))), ", "),
+      lit(")"))
+
+  /** ST_MAKEBOX(x1,y1,z1,x2,y2,z2): the axis box as a 6-face
+    * POLYHEDRALSURFACE (reference FunctorMakebox,
+    * /root/reference/server/function_gis.h:151-325). */
+  def stMakeBoxWkt(x1: Column, y1: Column, z1: Column,
+                   x2: Column, y2: Column, z2: Column): Column = {
+    val (xa, ya, za) = (least(x1, x2), least(y1, y2), least(z1, z2))
+    val (xb, yb, zb) = (greatest(x1, x2), greatest(y1, y2), greatest(z1, z2))
+    def pt(x: Column, y: Column, z: Column): Column = array(x, y, z)
+    def face(ps: Column*): Column = array(ps: _*)
+    stPolyhedralSurface(array(
+      face(pt(xa, ya, za), pt(xb, ya, za), pt(xb, yb, za), pt(xa, yb, za), pt(xa, ya, za)),
+      face(pt(xa, ya, zb), pt(xb, ya, zb), pt(xb, yb, zb), pt(xa, yb, zb), pt(xa, ya, zb)),
+      face(pt(xa, ya, za), pt(xb, ya, za), pt(xb, ya, zb), pt(xa, ya, zb), pt(xa, ya, za)),
+      face(pt(xa, yb, za), pt(xb, yb, za), pt(xb, yb, zb), pt(xa, yb, zb), pt(xa, yb, za)),
+      face(pt(xa, ya, za), pt(xa, yb, za), pt(xa, yb, zb), pt(xa, ya, zb), pt(xa, ya, za)),
+      face(pt(xb, ya, za), pt(xb, yb, za), pt(xb, yb, zb), pt(xb, ya, zb), pt(xb, ya, za))))
+  }
+
+  /** 3D MBR of a WKT geometry as array<double>(6) =
+    * (minx, miny, minz, maxx, maxy, maxz); null unless every coordinate
+    * tuple is 3D (the reference's QSF test requires a 3D argument,
+    * /root/reference/server/function_gis.h:645-648). */
+  def stMbr3d(wkt: Column): Column = {
+    val pts = wktPoints(wkt)
+    def coord(i: Int) = transform(pts, p => element_at(p, i))
+    when(size(pts) > 0 && forall(pts, p => size(p) === 3),
+      array(
+        array_min(coord(1)), array_min(coord(2)), array_min(coord(3)),
+        array_max(coord(1)), array_max(coord(2)), array_max(coord(3))))
+      .otherwise(lit(null))
+  }
+
+  /** 3D MBR overlap (closed intervals on all three axes). */
+  def stMbrIntersects3d(a: Column, b: Column): Column = {
+    def ov(lo: Int, hi: Int) =
+      element_at(a, lo) <= element_at(b, hi) && element_at(b, lo) <= element_at(a, hi)
+    ov(1, 4) && ov(2, 5) && ov(3, 6)
+  }
+
+  // ---- quadratic surfaces --------------------------------------------------
+  // Key encoding: array<double>(18) = A row-major (9), b (3), c, p (3),
+  // negative, typeCode — consumed by QsfMbrIntersects (see QsfBox).
+
+  private def key(tpe: Double, A: Seq[Column], b: Seq[Column], c: Column,
+                  p: Seq[Column]): Column =
+    array((A ++ b ++ Seq(c) ++ p ++ Seq(lit(0.0), lit(tpe))).map(_.cast("double")): _*)
+
+  private val zero3 = Seq(lit(0.0), lit(0.0), lit(0.0))
+
+  /** ST_MAKEQSF(A1..A9, b1..b3, c): general quadratic surface
+    * (reference FunctorMakeqsf, function_gis.h:332). */
+  def stMakeQsf(a: Seq[Column]): Column = {
+    require(a.size == 13, "ST_MAKEQSF takes 13 numeric arguments")
+    key(0.0, a.take(9), a.slice(9, 12), a(12), zero3)
+  }
+
+  /** ST_MAKEPLANE(px,py,pz, nx,ny,nz): half-space through p with normal n —
+    * Q(q) = nᵀ(q - p) (reference TrPv3Key_plane, TrPv3.cpp:145). */
+  def stMakePlane(px: Column, py: Column, pz: Column,
+                  nx: Column, ny: Column, nz: Column): Column =
+    key(2.0,
+      Seq.fill(9)(lit(0.0)),
+      Seq(nx / 2, ny / 2, nz / 2),
+      -(px * nx + py * ny + pz * nz),
+      Seq(px, py, pz))
+
+  /** ST_MAKESPHERE(cx,cy,cz, r): Q(q) = |q-c|² - r²
+    * (reference TrPv3Key_sphere, TrPv3.cpp:158; anchor c + r·x̂). */
+  def stMakeSphere(cx: Column, cy: Column, cz: Column, r: Column): Column =
+    key(3.0,
+      Seq(lit(1.0), lit(0.0), lit(0.0),
+        lit(0.0), lit(1.0), lit(0.0),
+        lit(0.0), lit(0.0), lit(1.0)),
+      Seq(-cx, -cy, -cz),
+      cx * cx + cy * cy + cz * cz - r * r,
+      Seq(cx + r, cy, cz))
+
+  /** ST_MAKECYLINDER(px,py,pz, ax,ay,az, r): infinite cylinder around the
+    * axis through p with direction a (reference TrPv3Key_cylinder,
+    * TrPv3.cpp:174); null on a zero axis. */
+  def stMakeCylinder(px: Column, py: Column, pz: Column,
+                     ax: Column, ay: Column, az: Column, r: Column): Column = {
+    val pp = sqrt(ax * ax + ay * ay + az * az)
+    val (nx, ny, nz) = (ax / pp, ay / pp, az / pp)
+    val np = px * nx + py * ny + pz * nz
+    val k = key(4.0,
+      Seq(lit(1.0) - nx * nx, -nx * ny, -nx * nz,
+        -ny * nx, lit(1.0) - ny * ny, -ny * nz,
+        -nz * nx, -nz * ny, lit(1.0) - nz * nz),
+      Seq(np * nx - px, np * ny - py, np * nz - pz),
+      px * px + py * py + pz * pz - np * np - r * r,
+      zero3)
+    when(pp >= 1e-8, k).otherwise(lit(null))
+  }
+
+  /** ST_MAKECONE(px,py,pz, ax,ay,az, deg): infinite double cone with apex
+    * p, axis a, half-angle deg (reference TrPv3Key_cone, TrPv3.cpp:197);
+    * null on a zero axis. */
+  def stMakeCone(px: Column, py: Column, pz: Column,
+                 ax: Column, ay: Column, az: Column, deg: Column): Column = {
+    val a2 = cos(radians(deg)) * cos(radians(deg))
+    val pp = sqrt(ax * ax + ay * ay + az * az)
+    val (nx, ny, nz) = (ax / pp, ay / pp, az / pp)
+    val np = px * nx + py * ny + pz * nz
+    val k = key(1.0,
+      Seq(a2 - nx * nx, -nx * ny, -nx * nz,
+        -ny * nx, a2 - ny * ny, -ny * nz,
+        -nz * nx, -nz * ny, a2 - nz * nz),
+      Seq(np * nx - a2 * px, np * ny - a2 * py, np * nz - a2 * pz),
+      a2 * (px * px + py * py + pz * pz) - np * np,
+      Seq(px, py, pz))
+    when(pp >= 1e-8, k).otherwise(lit(null))
+  }
+
+  /** ST_QSFMBRINTERSECTS(qsf, wkt): does the quadratic surface's inside
+    * region touch the 3D MBR of `wkt`? */
+  def stQsfMbrIntersects(qsf: Column, wkt: Column): Column =
+    stQsfMbrIntersectsMbr(qsf, stMbr3d(wkt))
+
+  /** Same over an already-computed array<double>(6) MBR (the custom
+    * expression is reached through the function registry, the repo's
+    * uniform seam for codegen'd kernels). */
+  def stQsfMbrIntersectsMbr(qsf: Column, mbr: Column): Column =
+    call_function("st_qsfmbrintersects", qsf, mbr)
 }

@@ -325,6 +325,31 @@ object CoreSql {
         |  datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since
         |FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""".stripMargin),
 
+    // ---- per-call timezone arguments (grammar rules 267-283: optional
+    // 'Z'/±hh:mm on EXTRACT/STRFTIME/TIMESTAMP_TRUNC/TIMESTAMP_ADD) — the
+    // GridDB call forms route through GraftSql's rewriter; the DuckDB
+    // oracle shifts by the fixed offset (AT TIME ZONE only takes names) ----
+    Q.df("q_time_funcs_tz",
+      duck = """SELECT event_id,
+        |  extract(hour FROM ts + INTERVAL 330 MINUTE) AS h_ist,
+        |  extract(day FROM ts - INTERVAL 480 MINUTE) AS d_pst,
+        |  dayofweek(ts + INTERVAL 540 MINUTE) AS dow_jst,
+        |  strftime(ts + INTERVAL 540 MINUTE, '%Y-%m-%d %H:%M') AS s_jst,
+        |  date_trunc('day', ts + INTERVAL 540 MINUTE) - INTERVAL 540 MINUTE AS day_start_jst,
+        |  ts + INTERVAL 2 MONTH AS plus2mo
+        |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      graft.engine.Tables.registerAll(s, dir)
+      graft.engine.GraftSql.sql(s,
+        """SELECT event_id,
+          |  EXTRACT(HOUR, ts, '+05:30') AS h_ist,
+          |  EXTRACT(DAY, ts, '-08:00') AS d_pst,
+          |  EXTRACT(DAY_OF_WEEK, ts, '+09:00') AS dow_jst,
+          |  STRFTIME('%Y-%m-%d %H:%M', ts, '+09:00') AS s_jst,
+          |  TIMESTAMP_TRUNC(DAY, ts, '+09:00') AS day_start_jst,
+          |  TIMESTAMP_ADD(MONTH, ts, 2) AS plus2mo
+          |FROM events WHERE event_id <= 300 ORDER BY event_id""".stripMargin)
+    },
+
     // ---- LIKE with ESCAPE ----
     Q.sql("q_like_escape",
       """SELECT p_partkey, p_name, p_type FROM part

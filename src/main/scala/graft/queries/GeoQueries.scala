@@ -4,11 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.geometry.Geo
 
-/** Geometry queries: WKT points derived from part attributes, filtered by
-  * MBR intersection with a constant rectangle (the reference's R-tree search
-  * shape, QueryProcessor::searchGeometry
-  * /root/reference/server/query_processor.h:59-67). Oracle = the equivalent
-  * numeric range predicate. */
+/** Geometry queries: WKT geometries derived from part attributes, filtered
+  * by MBR / quadratic-surface intersection (the reference's R-tree search
+  * shapes, QueryProcessor::searchGeometry
+  * /root/reference/server/query_processor.h:59-67; PV3 box test
+  * /root/reference/server/tr-cpp/TrPv3.cpp). Oracles = the equivalent
+  * numeric range / clamped-distance predicates, which the MBR and sphere
+  * forms reduce to exactly on data in generic position (fractional
+  * coordinates, so no tangency or boundary-coincidence ties). */
 object GeoQueries {
 
   val qs: Seq[Q] = Seq(
@@ -24,6 +27,59 @@ object GeoQueries {
         .select(col("p_partkey"),
           Geo.stPoint(col("p_size"), col("p_retailprice")).as("wkt"))
         .filter(Geo.stMbrIntersects(Geo.stMbr(col("wkt")), rect))
+        .orderBy("p_partkey")
+    },
+
+    // 3D boxes (ST_MAKEBOX -> POLYHEDRALSURFACE WKT -> 3D MBR) against a
+    // constant query box — interval-overlap arithmetic in the oracle
+    Q.df("q_geo_3d_mbr",
+      duck = """SELECT p_partkey,
+        |  CAST(p_size AS DOUBLE) AS minx, p_retailprice/100 AS miny,
+        |  (p_partkey % 23) * 0.7 AS minz
+        |FROM part
+        |WHERE p_size <= 25.0 AND 12.0 <= p_size + 4.5
+        |  AND p_retailprice/100 <= 14.0 AND 10.0 <= p_retailprice/100 + 1.5
+        |  AND (p_partkey % 23) * 0.7 <= 12.0 AND 5.0 <= (p_partkey % 23) * 0.7 + 2.1
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val part = Tables.read(s, dir, "part")
+      val x0 = col("p_size").cast("double")
+      val y0 = col("p_retailprice") / 100
+      val z0 = pmod(col("p_partkey"), lit(23)) * 0.7
+      val boxWkt = Geo.stMakeBoxWkt(x0, y0, z0, x0 + 4.5, y0 + 1.5, z0 + 2.1)
+      val queryBox = array(Seq(12.0, 10.0, 5.0, 25.0, 14.0, 12.0).map(lit): _*)
+      part
+        .withColumn("mbr", Geo.stMbr3d(boxWkt))
+        .filter(Geo.stMbrIntersects3d(col("mbr"), queryBox))
+        .select(col("p_partkey"),
+          element_at(col("mbr"), 1).as("minx"),
+          element_at(col("mbr"), 2).as("miny"),
+          element_at(col("mbr"), 3).as("minz"))
+        .orderBy("p_partkey")
+    },
+
+    // ST_QSFMBRINTERSECTS: sphere vs per-row 3D boxes. On fractional data
+    // the PV3 witness scan equals the clamped-distance test (open ball), so
+    // DuckDB can oracle it exactly
+    Q.df("q_geo_qsf_sphere",
+      duck = """WITH b AS (SELECT p_partkey,
+        |  CAST(p_size AS DOUBLE) AS x0, CAST(p_size AS DOUBLE) + 4.5 AS x1,
+        |  p_retailprice/100 AS y0, p_retailprice/100 + 1.5 AS y1,
+        |  (p_partkey % 23) * 0.7 AS z0, (p_partkey % 23) * 0.7 + 2.1 AS z1
+        |FROM part)
+        |SELECT p_partkey FROM b
+        |WHERE power(17.3 - greatest(x0, least(17.3, x1)), 2)
+        |    + power(12.6 - greatest(y0, least(12.6, y1)), 2)
+        |    + power(7.9 - greatest(z0, least(7.9, z1)), 2) < 5.3 * 5.3
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val part = Tables.read(s, dir, "part")
+      val x0 = col("p_size").cast("double")
+      val y0 = col("p_retailprice") / 100
+      val z0 = pmod(col("p_partkey"), lit(23)) * 0.7
+      val boxWkt = Geo.stMakeBoxWkt(x0, y0, z0, x0 + 4.5, y0 + 1.5, z0 + 2.1)
+      val sphere = Geo.stMakeSphere(lit(17.3), lit(12.6), lit(7.9), lit(5.3))
+      part
+        .filter(Geo.stQsfMbrIntersects(sphere, boxWkt))
+        .select("p_partkey")
         .orderBy("p_partkey")
     }
   )

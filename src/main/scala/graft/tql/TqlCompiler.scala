@@ -236,12 +236,34 @@ object TqlCompiler {
         // array (server/function_array.h) — GridDB ELEMENT is 0-based
         case "ARRAY_LENGTH" => size(a(0))
         case "ELEMENT" => element_at(a(0), (a(1) + lit(1)).cast("int"))
-        // geometry (server/function_map.cpp:52-105) — WKT-string surface
+        // geometry (server/function_map.cpp:52-105) — WKT-string surface;
+        // 3D boxes and quadratic surfaces per function_gis.h + tr-cpp/TrPv3
         case "POINT" => graft.geometry.Geo.stPoint(a(0), a(1))
         case "ST_GEOMFROMTEXT" => graft.geometry.Geo.stGeomFromText(a(0))
         case "ST_MAKERECT" => graft.geometry.Geo.stMakeRectWkt(a(0), a(1), a(2), a(3))
         case "ST_MBRINTERSECTS" => graft.geometry.Geo.stMbrIntersectsWkt(a(0), a(1))
         case "ST_GETSRID" => graft.geometry.Geo.stGetSrid(a(0))
+        case "ST_MAKEBOX" =>
+          require(args.size == 6, "ST_MAKEBOX(x1,y1,z1,x2,y2,z2)")
+          graft.geometry.Geo.stMakeBoxWkt(a(0), a(1), a(2), a(3), a(4), a(5))
+        case "ST_MAKEPLANE" =>
+          require(args.size == 6, "ST_MAKEPLANE(px,py,pz,nx,ny,nz)")
+          graft.geometry.Geo.stMakePlane(a(0), a(1), a(2), a(3), a(4), a(5))
+        case "ST_MAKESPHERE" =>
+          require(args.size == 4, "ST_MAKESPHERE(cx,cy,cz,r)")
+          graft.geometry.Geo.stMakeSphere(a(0), a(1), a(2), a(3))
+        case "ST_MAKECYLINDER" =>
+          require(args.size == 7, "ST_MAKECYLINDER(px,py,pz,ax,ay,az,r)")
+          graft.geometry.Geo.stMakeCylinder(a(0), a(1), a(2), a(3), a(4), a(5), a(6))
+        case "ST_MAKECONE" =>
+          require(args.size == 7, "ST_MAKECONE(px,py,pz,ax,ay,az,deg)")
+          graft.geometry.Geo.stMakeCone(a(0), a(1), a(2), a(3), a(4), a(5), a(6))
+        case "ST_MAKEQSF" =>
+          require(args.size == 13, "ST_MAKEQSF(A1..A9,b1..b3,c)")
+          graft.geometry.Geo.stMakeQsf(args.indices.map(a))
+        case "ST_QSFMBRINTERSECTS" =>
+          require(args.size == 2, "ST_QSFMBRINTERSECTS(qsf, geom)")
+          graft.geometry.Geo.stQsfMbrIntersects(a(0), a(1))
         case other => throw new TqlParseException(s"unknown function $other")
       }
   }

@@ -36,6 +36,77 @@ class FunctionsSpec extends SparkTestBase {
     assert(q1[String]("SELECT group_concat(s, '|') FROM fs") == "a|b|c")
   }
 
+  test("per-call timezone: extract/strftime/trunc/make/add/diff at ±hh:mm") {
+    // 2024-03-05 23:30:00 UTC = 2024-03-06 05:00 at +05:30, 03-05 15:30 at -08:00
+    val ts = "TIMESTAMP '2024-03-05 23:30:00'"
+    assert(q1[Long](s"SELECT griddb_extract('HOUR', $ts, '+05:30')") == 5L)
+    assert(q1[Long](s"SELECT griddb_extract('DAY', $ts, '+05:30')") == 6L)
+    assert(q1[Long](s"SELECT griddb_extract('HOUR', $ts, '-08:00')") == 15L)
+    assert(q1[Long](s"SELECT griddb_extract('DAY', $ts, '-08:00')") == 5L)
+    assert(q1[Long](s"SELECT griddb_extract('HOUR', $ts, 'Z')") == 23L)
+    // 2024-03-05 is a Tuesday -> DOW 2 (Sunday=0); +01:00 keeps it,
+    // +05:30 rolls into Wednesday
+    assert(q1[Long](s"SELECT griddb_extract('DAY_OF_WEEK', $ts, '+01:00')") == 3L)
+    assert(q1[Long](s"SELECT griddb_extract('DAY_OF_WEEK', $ts)") == 2L)
+    assert(q1[Long](s"SELECT griddb_extract('MICROSECOND', TIMESTAMP '2024-01-01 00:00:00.123456')")
+      == 123456L)
+    assert(q1[Long](s"SELECT griddb_extract('NANOSECOND', TIMESTAMP '2024-01-01 00:00:00.123456')")
+      == 123456000L)
+
+    assert(q1[String](s"SELECT strftime('%Y-%m-%d %H:%M', $ts, '+05:30')")
+      == "2024-03-06 05:00")
+    // trunc at +05:30: local midnight 03-06 00:00 is 03-05 18:30 UTC
+    assert(q1[java.sql.Timestamp](s"SELECT timestamp_trunc('DAY', $ts, '+05:30')")
+      .toString.startsWith("2024-03-05 18:30:00"))
+    // make_timestamp with tz: local wall time -> instant
+    assert(q1[java.sql.Timestamp](
+      "SELECT griddb_make_timestamp(2024, 3, 6, 5, 0, 0, '+05:30')").getTime
+      == q1[java.sql.Timestamp]("SELECT TIMESTAMP '2024-03-05 23:30:00'").getTime)
+
+    // GridDB arg order (unit, ts, amount); diff is ts1 - ts2
+    assert(q1[java.sql.Timestamp](s"SELECT griddb_timestamp_add('DAY', $ts, 2)")
+      .toString.startsWith("2024-03-07 23:30:00"))
+    assert(q1[Long](
+      s"SELECT griddb_timestamp_diff('HOUR', $ts, TIMESTAMP '2024-03-05 20:00:00')") == 3L)
+    assert(q1[Long](
+      s"SELECT griddb_timestamp_diff('HOUR', TIMESTAMP '2024-03-05 20:00:00', $ts)") == -3L)
+    assert(q1[Long](
+      "SELECT griddb_timestamp_diff('MONTH', TIMESTAMP '2024-05-15 00:00:00', TIMESTAMP '2024-03-10 00:00:00')") == 2L)
+    // MONTH add on the wall clock of the offset: 2024-04-30 20:00 UTC is
+    // May 1 05:00 at +09:00; +1 month -> Jun 1 05:00 local = May 31 20:00
+    // UTC, where UTC arithmetic clamps Apr 30 -> May 30
+    assert(q1[java.sql.Timestamp](
+      "SELECT griddb_timestamp_add('MONTH', TIMESTAMP '2024-04-30 20:00:00', 1, '+09:00')")
+      .toString.startsWith("2024-05-31 20:00:00"))
+    assert(q1[java.sql.Timestamp](
+      "SELECT griddb_timestamp_add('MONTH', TIMESTAMP '2024-04-30 20:00:00', 1)")
+      .toString.startsWith("2024-05-30 20:00:00"))
+  }
+
+  test("GraftSql rewrites GridDB time-function call forms") {
+    import graft.engine.GraftSql.rewriteTimeFns
+    assert(rewriteTimeFns("SELECT EXTRACT(HOUR, ts, '+05:30') FROM t")
+      == "SELECT griddb_extract('HOUR', ts, '+05:30') FROM t")
+    assert(rewriteTimeFns("SELECT TIMESTAMPADD(MONTH, ts, 2) FROM t")
+      == "SELECT griddb_timestamp_add('MONTH', ts, 2) FROM t")
+    assert(rewriteTimeFns("SELECT TIMESTAMP_DIFF(DAY, a, b, 'Z') FROM t")
+      == "SELECT griddb_timestamp_diff('DAY', a, b, 'Z') FROM t")
+    assert(rewriteTimeFns("SELECT TIMESTAMP_TRUNC(DAY, ts) FROM t")
+      == "SELECT timestamp_trunc('DAY', ts) FROM t")
+    // Spark's FROM form and quoted occurrences are untouched
+    assert(rewriteTimeFns("SELECT extract(year FROM ts) FROM t")
+      == "SELECT extract(year FROM ts) FROM t")
+    assert(rewriteTimeFns("SELECT 'extract(HOUR, x)' FROM t")
+      == "SELECT 'extract(HOUR, x)' FROM t")
+    // nested calls rewrite inside-out
+    assert(rewriteTimeFns("SELECT EXTRACT(DAY, TIMESTAMP_ADD(HOUR, ts, 9)) FROM t")
+      == "SELECT griddb_extract('DAY', griddb_timestamp_add('HOUR', ts, 9)) FROM t")
+    // end-to-end through spark.sql
+    val df = graft.engine.GraftSql.sql(spark,
+      "SELECT EXTRACT(HOUR, TIMESTAMP '2024-03-05 23:30:00', '+05:30') AS h")
+    assert(df.collect()(0).getLong(0) == 5L)
+  }
+
   test("glob/strftime pattern translators") {
     import graft.functions.GridDbScalarFunctions._
     assert(globToRegex("a*b?") == "^\\Qa\\E(?s:.*)\\Qb\\E(?s:.)$")

@@ -45,4 +45,97 @@ class GeoSpec extends SparkTestBase {
     val df = Seq("POINT(1 2)").toDF("w")
     assert(df.select(Geo.stGetSrid($"w")).as[Int].head() == 0)
   }
+
+  // ==== 3D surface ====
+
+  test("3D constructors round-trip through stMbr3d; 2D input nulls") {
+    val one = Seq(1).toDF("x")
+    val box = one.select(Geo.stMakeBoxWkt(lit(1.0), lit(2.0), lit(3.0),
+      lit(4.0), lit(6.0), lit(8.0)).as("w"))
+    val w = box.as[String].head()
+    assert(w.startsWith("POLYHEDRALSURFACE(((") && w.count(_ == ',') >= 24)
+    val m = box.select(Geo.stMbr3d($"w")).as[Seq[Double]].head()
+    assert(m == Seq(1.0, 2.0, 3.0, 4.0, 6.0, 8.0))
+
+    val ls = one.select(Geo.stLineString(
+      array(array(lit(0.0), lit(0.0), lit(0.0)), array(lit(3.0), lit(4.0), lit(5.0)))))
+      .as[String].head()
+    assert(ls == "LINESTRING(0.0 0.0 0.0, 3.0 4.0 5.0)")
+
+    // 2D WKT has no 3D MBR (the reference QSF test requires a 3D box)
+    val null2d = one.select(Geo.stMbr3d(lit("POINT(1 2)"))).as[Option[Seq[Double]]].head()
+    assert(null2d.isEmpty)
+  }
+
+  test("3D MBR overlap predicate") {
+    def mbr(v: Double*) = array(v.map(lit): _*)
+    val cases = Seq(
+      // overlap on all axes
+      (Seq(0.0, 0.0, 0.0, 2.0, 2.0, 2.0), Seq(1.0, 1.0, 1.0, 3.0, 3.0, 3.0), true),
+      // z-disjoint
+      (Seq(0.0, 0.0, 0.0, 2.0, 2.0, 2.0), Seq(1.0, 1.0, 3.0, 3.0, 3.0, 4.0), false),
+      // touching faces count (closed intervals)
+      (Seq(0.0, 0.0, 0.0, 1.0, 1.0, 1.0), Seq(1.0, 0.0, 0.0, 2.0, 1.0, 1.0), true))
+    cases.foreach { case (a, b, expect) =>
+      val got = Seq(1).toDF("x")
+        .select(Geo.stMbrIntersects3d(mbr(a: _*), mbr(b: _*))).as[Boolean].head()
+      assert(got == expect, s"$a vs $b")
+    }
+  }
+
+  test("QSF sphere vs box matches reference PV3 semantics") {
+    graft.functions.GridDbScalarFunctions.register(spark)
+    def box(v: Double*) = array(v.map(lit): _*)
+    val sphere = Geo.stMakeSphere(lit(0.0), lit(0.0), lit(0.0), lit(1.0))
+    def hit(b: Seq[Double]): Boolean = Seq(1).toDF("x")
+      .select(Geo.stQsfMbrIntersectsMbr(sphere, box(b: _*))).as[Boolean].head()
+    assert(!hit(Seq(2.0, 0.0, 0.0, 3.0, 1.0, 1.0)))   // min distance 2 > r
+    assert(hit(Seq(0.5, 0.5, 0.5, 1.5, 1.5, 1.5)))    // corner inside ball
+    assert(hit(Seq(-2.0, -2.0, -2.0, 2.0, 2.0, 2.0))) // ball strictly inside box (anchor)
+    assert(hit(Seq(-0.1, -0.1, -0.1, 0.1, 0.1, 0.1))) // box strictly inside ball
+    assert(!hit(Seq(1.0, -1.0, -1.0, 2.0, 1.0, 1.0))) // tangent: open inside, no witness
+  }
+
+  test("QSF plane/cylinder/cone vs box") {
+    graft.functions.GridDbScalarFunctions.register(spark)
+    def box(v: Double*) = array(v.map(lit): _*)
+    def one = Seq(1).toDF("x")
+    def ask(qsf: org.apache.spark.sql.Column, b: Seq[Double]): Boolean =
+      one.select(Geo.stQsfMbrIntersectsMbr(qsf, box(b: _*))).as[Boolean].head()
+
+    val planeZ = Geo.stMakePlane(lit(0.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(0.0), lit(1.0))
+    assert(!ask(planeZ, Seq(-1.0, -1.0, 1.0, 1.0, 1.0, 2.0)))  // box fully above
+    assert(ask(planeZ, Seq(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0)))  // crosses plane
+    assert(ask(planeZ, Seq(-1.0, -1.0, -2.0, 1.0, 1.0, -1.0))) // fully below = inside half-space
+
+    val cylZ = Geo.stMakeCylinder(lit(0.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(0.0), lit(1.0), lit(1.0))
+    assert(!ask(cylZ, Seq(2.0, 2.0, 0.0, 3.0, 3.0, 1.0)))      // axis distance > r
+    assert(ask(cylZ, Seq(0.2, 0.2, 0.2, 0.5, 0.5, 0.5)))       // inside cylinder
+    assert(ask(cylZ, Seq(-3.0, -0.5, -1.0, 3.0, 0.5, 1.0)))    // crosses through (edge witness)
+
+    val cone45 = Geo.stMakeCone(lit(0.0), lit(0.0), lit(0.0),
+      lit(0.0), lit(0.0), lit(1.0), lit(45.0))
+    assert(ask(cone45, Seq(-0.5, -0.5, 1.0, 0.5, 0.5, 2.0)))   // around the axis
+    assert(!ask(cone45, Seq(2.0, 2.0, 0.1, 3.0, 3.0, 0.2)))    // far outside the cone
+
+    // general QSF with the sphere's coefficients agrees with ST_MAKESPHERE
+    // (away from the anchor-only case)
+    val qsfSphere = Geo.stMakeQsf(Seq(
+      lit(1.0), lit(0.0), lit(0.0), lit(0.0), lit(1.0), lit(0.0),
+      lit(0.0), lit(0.0), lit(1.0), lit(0.0), lit(0.0), lit(0.0), lit(-1.0)))
+    assert(ask(qsfSphere, Seq(0.5, 0.5, 0.5, 1.5, 1.5, 1.5)))
+    assert(!ask(qsfSphere, Seq(2.0, 0.0, 0.0, 3.0, 1.0, 1.0)))
+  }
+
+  test("TQL surface: ST_MAKESPHERE + ST_MAKEBOX + ST_QSFMBRINTERSECTS") {
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val df = Seq((1, 0.0), (2, 5.0)).toDF("id", "off")
+    val c = graft.engine.Container("boxes", df, graft.engine.Collection)
+    val out = graft.tql.TqlCompiler.run(c,
+      "select * where ST_QSFMBRINTERSECTS(ST_MAKESPHERE(0, 0, 0, 1), " +
+        "ST_MAKEBOX(off, 0, 0, off + 0.5, 0.5, 0.5))")
+    assert(out.select("id").as[Int].collect().toSeq == Seq(1))
+  }
 }
