@@ -14,15 +14,22 @@ object Bench {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm each query immediately before timing it (same plan shape at the
-    // smallest SF) so the timed run measures steady-state execution, not
+    // smallest SF) so the timed runs measure steady-state execution, not
     // whole-stage-codegen JIT compiles — the generated-class cache is
     // LRU-bounded, so warming all queries up front evicts the early ones.
+    // Each query is then timed `iters` times and the MEDIAN is reported:
+    // sub-second entries are otherwise dominated by JVM/GC noise (a single
+    // iteration swung an unchanged trivial plan 4x between rounds).
     val warmDir = "/root/testdata/sf0.001"
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = Registry.benchQueries.map { q =>
       try q.build(spark, warmDir).count() catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      q.name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -68,13 +68,21 @@ object GroupByRange {
     val joined = grid.join(agged, keys :+ "ts_ms", "left")
       .withColumn("__empty", aggNames.map(col(_).isNull).reduce(_ && _))
 
+    // unkeyed fill is size-adaptive: the bucket count is static, so small
+    // grids (where the whole fill frame is one trivially small partition —
+    // bounded by the grid, not the data) take the plain window path under a
+    // constant partition key, and only genuinely large grids pay the chunked
+    // plan's extra stitch stages
+    val part: Seq[Column] =
+      if (keys.isEmpty) Seq(pmod(col("ts_ms"), lit(1))) else keyCols
     fill match {
       case FillNull | FillNone =>
         joined.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
-      case FillPrevious | FillLinear if keys.isEmpty =>
+      case FillPrevious | FillLinear
+          if keys.isEmpty && nBuckets > TimeSeriesOps.SmallGrid =>
         fillChunked(joined, aggNames, startMs, everyMs, fill == FillLinear)
       case FillPrevious =>
-        val w = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms"))
+        val w = Window.partitionBy(part: _*).orderBy(col("ts_ms"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val filled = aggNames.foldLeft(joined) { (d, c) =>
           d.withColumn(c, when(col("__empty"),
@@ -83,9 +91,9 @@ object GroupByRange {
         }
         filled.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
       case FillLinear =>
-        val wp = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms"))
+        val wp = Window.partitionBy(part: _*).orderBy(col("ts_ms"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy(keyCols: _*).orderBy(col("ts_ms").desc)
+        val wn = Window.partitionBy(part: _*).orderBy(col("ts_ms").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val anchorT = when(!col("__empty"), col("ts_ms"))
         val base = joined

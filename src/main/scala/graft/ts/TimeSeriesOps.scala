@@ -81,8 +81,23 @@ object TimeSeriesOps {
   def timeSampling(df: DataFrame, tsCol: String, valCol: String,
                    start: Column, end: Column, intervalUs: Long,
                    keys: Seq[String] = Nil): DataFrame = {
-    if (keys.isEmpty)
-      return timeSamplingChunked(df, tsCol, valCol, start, end, intervalUs)
+    require(intervalUs > 0, "TIME_SAMPLING interval must be positive")
+    if (keys.isEmpty) {
+      // the grid size is static whenever start/end are literals (the TQL and
+      // SQL surfaces only produce literals): small grids take the reduced
+      // cell-aggregate path — whose shuffled frame is bounded by the GRID,
+      // not the data, so it is scale-safe at any data volume — big grids the
+      // chunked one; the chunked plan's 5-6 extra stages are pure overhead
+      // against a few hundred points
+      val sized = for (s0 <- staticUs(df.sparkSession, start);
+                       e0 <- staticUs(df.sparkSession, end))
+        yield (s0, (e0 - s0) / intervalUs)
+      return sized match {
+        case Some((s0, n)) if n >= 0 && n <= SmallGrid =>
+          timeSamplingSmall(df, tsCol, valCol, s0, n, intervalUs)
+        case _ => timeSamplingChunked(df, tsCol, valCol, start, end, intervalUs)
+      }
+    }
     val keyCols = keys.map(col)
     val data = df.select(
       (keyCols :+ usec(col(tsCol)).as("t_us")
@@ -108,6 +123,82 @@ object TimeSeriesOps {
     * enough that one chunk is far below a task's memory. */
   private val ChunkPoints = 256L
 
+  /** Grid-size threshold below which the unkeyed paths use the grid-bounded
+    * single-frame formulation instead of chunking (a grid this small fits one
+    * task trivially; the chunked plan's extra stages would dominate). */
+  private[ts] val SmallGrid = 10000L
+
+  /** Statically evaluate a timestamp Column to epoch micros when it is a
+    * literal expression (all TQL/SQL surfaces produce literals). Resolution +
+    * constant folding run driver-side on a one-row plan — no job is executed.
+    * Non-foldable columns yield None. */
+  private def staticUs(spark: org.apache.spark.sql.SparkSession,
+                       c: Column): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, Literal => CLit}
+      import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+      spark.range(1).select(unix_micros(c)).queryExecution.optimizedPlan match {
+        case l: LocalRelation =>
+          l.data.headOption.collect { case r if !r.isNullAt(0) => r.getLong(0) }
+        case Project(Seq(Alias(CLit(v: Long, _), _)), _) => Some(v)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Unkeyed TIME_SAMPLING for small grids, with data-side work still fully
+    * distributed: one hash aggregation folds the series into per-grid-cell
+    * first/last/exact-hit rows (cell j = floor((t-s0)/interval)), and all
+    * window work runs on that grid-bounded frame (≤ 2 rows per touched cell
+    * + n+1 grid rows). For each grid instant g_k:
+    *   prev(g_k) = exact hit at g_k, else last row of the latest non-empty
+    *               cell ≤ k-1  (== latest row with t <= g_k);
+    *   next(g_k) = first row of the earliest non-empty cell ≥ k
+    *               (== earliest row with t >= g_k, cell k starting at g_k).
+    * Identical output to the single-window formulation. */
+  private def timeSamplingSmall(df: DataFrame, tsCol: String, valCol: String,
+                                s0Us: Long, n: Long, intervalUs: Long): DataFrame = {
+    val spark = df.sparkSession
+    val rowT = "struct<t_us:bigint,v:double>"
+    val rowS = struct(col("t_us"), col("v"))
+    val cells = df
+      .select(usec(col(tsCol)).as("t_us"), col(valCol).cast("double").as("v"))
+      .withColumn("__j",
+        floor((col("t_us") - lit(s0Us)) / lit(intervalUs.toDouble)).cast("long"))
+    val exact = pmod(col("t_us") - lit(s0Us), lit(intervalUs)) === 0
+    val cellAgg = cells.groupBy("__j").agg(
+      min(rowS).as("__first"), max(rowS).as("__last"),
+      max(when(exact, rowS)).as("__exact"))
+
+    // candidate stream: lastRow(j) becomes a prev-candidate from grid index
+    // j+1 on; exact(j) (prev) and firstRow(j) (next) from index j on; `tie`
+    // makes an exact hit override the previous cell's lastRow and keeps data
+    // candidates ahead of the grid row at the same index in both orderings
+    val nullRow = lit(null).cast(rowT)
+    val frame = cellAgg.select((col("__j") + 1).as("k"), lit(0).as("tie"),
+        col("__last").as("pc"), nullRow.as("nc"), lit(0).as("is_grid"))
+      .unionByName(cellAgg.select(col("__j").as("k"), lit(1).as("tie"),
+        col("__exact").as("pc"), col("__first").as("nc"), lit(0).as("is_grid")))
+      .unionByName(spark.range(n + 1).select(col("id").as("k"), lit(2).as("tie"),
+        nullRow.as("pc"), nullRow.as("nc"), lit(1).as("is_grid")))
+    // constant partition key: frame is grid-sized by construction
+    val cpart = pmod(col("k"), lit(1))
+    val wP = Window.partitionBy(cpart).orderBy(col("k").asc, col("tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(cpart).orderBy(col("k").desc, col("tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val g = frame
+      .withColumn("p", last(col("pc"), ignoreNulls = true).over(wP))
+      .withColumn("nx", last(col("nc"), ignoreNulls = true).over(wN))
+      .filter(col("is_grid") === 1 && col("p").isNotNull && col("nx").isNotNull)
+    val gUs = lit(s0Us) + col("k") * lit(intervalUs)
+    val (pT, pV) = (col("p").getField("t_us"), col("p").getField("v"))
+    val (nT, nV) = (col("nx").getField("t_us"), col("nx").getField("v"))
+    g.select(
+      (gUs / lit(1000)).cast("long").as("ts_ms"),
+      when(nT === pT, pV).otherwise(pV + (nV - pV) *
+        ((gUs - pT).cast("double") / (nT - pT).cast("double"))).as(valCol))
+  }
+
   /** Unkeyed TIME_SAMPLING, scaled out: the series is split into coarse time
     * chunks (256 grid intervals each), the bracketing window runs per chunk,
     * and each chunk is seeded with two synthetic anchor rows — the last data
@@ -116,9 +207,9 @@ object TimeSeriesOps {
     * per-row results are bit-identical to the single-window formulation
     * (anchor rows reproduce exactly the neighbor each grid point would have
     * seen), but the heavy window now partitions by chunk. */
-  private def timeSamplingChunked(df: DataFrame, tsCol: String, valCol: String,
-                                  start: Column, end: Column,
-                                  intervalUs: Long): DataFrame = {
+  private[graft] def timeSamplingChunked(df: DataFrame, tsCol: String, valCol: String,
+                                         start: Column, end: Column,
+                                         intervalUs: Long): DataFrame = {
     val spark = df.sparkSession
     val chunkUs = intervalUs * ChunkPoints
     def chunkOf(t: Column): Column = (t / lit(chunkUs.toDouble)).cast("long")
