@@ -18,6 +18,16 @@ import org.apache.spark.sql.types.StructType
   * as one shuffle on the key. Data lives in temp views (tests) — the same
   * API drives partitioned parquet layouts via `PartitionedTables`.
   */
+object GraftCatalog {
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, GraftCatalog]()
+
+  /** The session-scoped catalog the SQL-text front-end routes DDL/DML to
+    * (containers become temp views, so session scoping matches Spark's). */
+  def forSession(spark: SparkSession): GraftCatalog =
+    sessions.computeIfAbsent(spark, s => new GraftCatalog(s))
+}
+
 final class GraftCatalog(spark: SparkSession) {
 
   private val containers = scala.collection.mutable.LinkedHashMap[String, Container]()
@@ -229,6 +239,22 @@ final class GraftCatalog(spark: SparkSession) {
           c.keyColumns.contains(f.name))
       }
     }.toDF("TABLE_NAME", "ORDINAL", "COLUMN_NAME", "TYPE_NAME", "NULLABLE", "KEY")
+  }
+
+  /** Metadata table `#table_partitions` (meta_type.h TYPE_PARTITION). */
+  def metaTablePartitions: DataFrame = {
+    import spark.implicits._
+    containers.values.toSeq.flatMap { c =>
+      c.partitioning.map {
+        case PartitionedTables.Hash(pc, n) =>
+          (c.name, "HASH", pc, null.asInstanceOf[java.lang.Long], n)
+        case PartitionedTables.Interval(pc, e) =>
+          (c.name, "INTERVAL", pc, java.lang.Long.valueOf(e), 1)
+        case PartitionedTables.IntervalHash(tc, e, hc, n) =>
+          (c.name, "INTERVAL_HASH", s"$tc,$hc", java.lang.Long.valueOf(e), n)
+      }
+    }.toDF("TABLE_NAME", "PARTITION_TYPE", "PARTITION_COLUMN",
+      "INTERVAL_VALUE_MS", "PARTITION_DIVISION_COUNT")
   }
 
   def listContainers: Seq[String] = containers.keys.toSeq

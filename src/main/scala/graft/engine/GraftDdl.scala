@@ -1,0 +1,288 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType, TimestampType}
+
+/** SQL-text DDL/DML front-end: parses GridDB's CREATE/DROP/ALTER TABLE,
+  * CREATE VIEW, INSERT/REPLACE, UPDATE and DELETE statements and routes them
+  * to [[GraftCatalog]] / [[PartitionedTables]] — the statement surface a
+  * GridDB JDBC user sends as text.
+  *
+  * Reference grammar (/root/reference/server/sql_internal_parser.cpp):
+  *  - CREATE TABLE + column defs + PRIMARY KEY: rules 15-28 (:849-862),
+  *    USING TIMESERIES: rule 40 (:874)
+  *  - PARTITION BY HASH / RANGE EVERY / + SUBPARTITION: rules 29-31 (:863-865)
+  *  - ALTER TABLE ADD/RENAME COLUMN: rules 103-109 (:937-943)
+  *  - CREATE [FORCE] VIEW: rule 74 (:908); DROP TABLE/VIEW: rules 75-79
+  *  - DELETE/UPDATE/INSERT/REPLACE: rules 242-251 (:1076-1085)
+  *
+  * DML semantics follow the reference's DMLProcessor: INSERT errors on a
+  * row-key conflict, REPLACE / INSERT OR REPLACE upserts (PUT), UPDATE and
+  * DELETE apply a WHERE predicate. All DML stays distributed — the catalog
+  * materializes via localCheckpoint, never through the driver.
+  */
+object GraftDdl {
+
+  private val headRe = """(?is)^\s*(CREATE|DROP|ALTER|INSERT|REPLACE|UPDATE|DELETE)\b.*""".r
+
+  /** True when the statement is DDL/DML this front-end owns (anything
+    * starting with a DDL/DML verb — SELECT and friends stay in GraftSql). */
+  def handles(sqlText: String): Boolean = sqlText match {
+    case headRe(_) => true
+    case _ => false
+  }
+
+  def run(spark: SparkSession, text0: String): DataFrame =
+    run(spark, GraftCatalog.forSession(spark), text0)
+
+  def run(spark: SparkSession, cat: GraftCatalog, text0: String): DataFrame = {
+    val text = text0.trim.stripSuffix(";").trim
+    text match {
+      case createTableRe(ifNot, name) => createTable(spark, cat, text, Option(ifNot), name)
+      case dropTableRe(ifEx, name) =>
+        if (cat.exists(name)) cat.dropContainer(name)
+        else if (ifEx == null) throw new NoSuchElementException(s"table $name does not exist")
+        status(spark, "DROP TABLE", name)
+      case createViewRe(name, select) =>
+        GraftSql.sql(spark, select).createOrReplaceTempView(name)
+        status(spark, "CREATE VIEW", name)
+      case dropViewRe(name) =>
+        spark.catalog.dropTempView(name); status(spark, "DROP VIEW", name)
+      case alterAddRe(name, colName, tpe, prec) =>
+        cat.alterAddColumn(name, colName, sparkType(tpe, Option(prec).map(_.toInt)))
+        status(spark, "ALTER TABLE ADD", name)
+      case alterRenameRe(name, from, to) =>
+        cat.alterRenameColumn(name, from, to)
+        status(spark, "ALTER TABLE RENAME", name)
+      case insertRe(verb, orConf, name, colList, body) =>
+        val replace = verb.equalsIgnoreCase("REPLACE") ||
+          (orConf != null && orConf.equalsIgnoreCase("REPLACE"))
+        insert(spark, cat, name, Option(colList), body.trim, replace)
+      case updateRe(name, rest) =>
+        val (setList, where) = splitUpdateTail(rest)
+        val assignments = GraftSql.splitSelectList(setList).map { a =>
+          val eq = topLevelEq(a)
+          require(eq > 0, s"malformed SET assignment: $a")
+          a.substring(0, eq).trim -> expr(GraftSql.rewriteTimeFns(a.substring(eq + 1).trim))
+        }.toMap
+        cat.update(name, assignments,
+          where.map(w => expr(GraftSql.rewriteTimeFns(w))).getOrElse(lit(true)))
+        status(spark, "UPDATE", name)
+      case deleteRe(name, where) =>
+        cat.deleteWhere(name,
+          Option(where).map(w => expr(GraftSql.rewriteTimeFns(w))).getOrElse(lit(true)))
+        status(spark, "DELETE", name)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"unsupported DDL/DML statement: ${text.linesIterator.next()}")
+    }
+  }
+
+  // ---- statement shapes ----------------------------------------------------
+  private val createTableRe =
+    """(?is)^CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"?(\w+)"?\s*\(.*""".r
+  private val dropTableRe =
+    """(?is)^DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?$""".r
+  private val createViewRe =
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"?(\w+)"?\s+AS\s+(.*)$""".r
+  private val dropViewRe = """(?is)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"?(\w+)"?$""".r
+  private val alterAddRe =
+    """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+ADD\s+(?:COLUMN\s+)?"?(\w+)"?\s+(\w+)\s*(?:\(\s*(\d+)\s*\))?$""".r
+  private val alterRenameRe =
+    """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+RENAME\s+COLUMN\s+"?(\w+)"?\s+TO\s+"?(\w+)"?$""".r
+  private val insertRe =
+    """(?is)^(INSERT|REPLACE)(?:\s+OR\s+(REPLACE|IGNORE))?\s+INTO\s+"?(\w+)"?\s*(?:\(([^)]*)\)\s*)?(VALUES.*|SELECT.*)$""".r
+  private val updateRe = """(?is)^UPDATE\s+"?(\w+)"?\s+SET\s+(.*)$""".r
+  private val deleteRe =
+    """(?is)^DELETE\s+FROM\s+"?(\w+)"?(?:\s+WHERE\s+(.*))?$""".r
+
+  private def status(spark: SparkSession, op: String, table: String): DataFrame = {
+    import spark.implicits._
+    Seq((op, table)).toDF("operation", "table")
+  }
+
+  // ---- CREATE TABLE --------------------------------------------------------
+
+  /** GridDB SQL type name (+ optional precision) -> Spark type. TIMESTAMP(9)
+    * carries as epoch-nanos LongType (Spark timestamps are µs — same
+    * convention as Tables.events ts_ns). */
+  private[engine] def sparkType(name: String, prec: Option[Int]): DataType = {
+    val n = name.toUpperCase match {
+      case "INT" => "INTEGER"
+      case "BIGINT" => "LONG"
+      case "REAL" => "FLOAT"
+      case "BOOLEAN" => "BOOL"
+      case "VARCHAR" | "TEXT" | "CHAR" => "STRING"
+      case "DECIMAL" => "NUMERIC"
+      case other => other
+    }
+    (n, prec) match {
+      case ("TIMESTAMP", Some(9)) => LongType
+      case ("TIMESTAMP", _) => TimestampType
+      case _ => GridDbTypes.toSpark.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown column type $name"))
+    }
+  }
+
+  private val colDefRe =
+    """(?is)^"?(\w+)"?\s+(\w+)\s*(?:\(\s*(\d+)\s*\))?\s*(.*)$""".r
+  private val pkConstraintRe = """(?is)^PRIMARY\s+KEY\s*\(([^)]*)\)$""".r
+
+  private val partHashRe =
+    """(?is)\bPARTITION\s+BY\s+HASH\s*\(?\s*"?(\w+)"?\s*\)?\s+PARTITIONS\s+(\d+)""".r
+  private val partRangeRe =
+    """(?is)\bPARTITION\s+BY\s+RANGE\s*\(\s*"?(\w+)"?\s*\)\s+EVERY\s*\(\s*(\d+)\s*(?:,\s*(\w+))?\s*\)(\s+SUBPARTITION\s+BY\s+HASH\s*\(?\s*"?(\w+)"?\s*\)?\s+PARTITIONS\s+(\d+))?""".r
+
+  private def createTable(spark: SparkSession, cat: GraftCatalog, text: String,
+                          ifNotExists: Option[String], name: String): DataFrame = {
+    if (cat.exists(name)) {
+      if (ifNotExists.isDefined) return status(spark, "CREATE TABLE", name)
+      throw new IllegalArgumentException(s"table $name already exists")
+    }
+    // balanced-scan the column-def list: trailing clauses (PARTITION BY
+    // EVERY(...)) contain parens, so a greedy regex can't find the close
+    val open = text.indexOf('(')
+    var depth = 1; var i = open + 1
+    while (i < text.length && depth > 0) {
+      text(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parentheses in CREATE TABLE")
+    val colDefs = text.substring(open + 1, i - 1)
+    val tail = text.substring(i)
+
+    val pk = Seq.newBuilder[String]
+    val fields = GraftSql.splitSelectList(colDefs).flatMap {
+      case pkConstraintRe(cols) =>
+        pk ++= cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        None
+      case colDefRe(colName, tpe, prec, mods) =>
+        val m = mods.toUpperCase
+        if (m.contains("PRIMARY KEY")) pk += colName
+        Some(StructField(colName, sparkType(tpe, Option(prec).map(_.toInt)),
+          nullable = !m.contains("NOT NULL") && !m.contains("PRIMARY KEY")))
+      case other =>
+        throw new IllegalArgumentException(s"malformed column definition: $other")
+    }
+    val keyCols = pk.result()
+    val schema = StructType(fields)
+
+    val timeseries = """(?is)\bUSING\s+TIMESERIES\b""".r.findFirstIn(tail).isDefined
+    if (timeseries) {
+      require(keyCols.size == 1,
+        "USING TIMESERIES requires a single PRIMARY KEY column (the time key)")
+      require(schema(keyCols.head).dataType == TimestampType ||
+        schema(keyCols.head).dataType == LongType,
+        "TIMESERIES key must be a TIMESTAMP column")
+      cat.createTimeSeries(name, schema, keyCols.head)
+    } else cat.createCollection(name, schema, keyCols)
+
+    val partitioning: Option[PartitionedTables.Partitioning] =
+      partRangeRe.findFirstMatchIn(tail).map { m =>
+        val everyMs = m.group(2).toLong * unitMs(Option(m.group(3)).getOrElse("DAY"))
+        if (m.group(4) != null)
+          PartitionedTables.IntervalHash(m.group(1), everyMs, m.group(5), m.group(6).toInt)
+        else PartitionedTables.Interval(m.group(1), everyMs)
+      }.orElse(partHashRe.findFirstMatchIn(tail).map(m =>
+        PartitionedTables.Hash(m.group(1), m.group(2).toInt)))
+    partitioning.foreach(p => cat.register(cat.get(name).copy(partitioning = Some(p))))
+    status(spark, "CREATE TABLE", name)
+  }
+
+  private def unitMs(u: String): Long = u.toUpperCase match {
+    case "DAY" => 86400000L
+    case "HOUR" => 3600000L
+    case "MINUTE" => 60000L
+    case "SECOND" => 1000L
+    case "MILLISECOND" => 1L
+    case other => throw new IllegalArgumentException(s"unsupported EVERY unit $other")
+  }
+
+  // ---- INSERT / REPLACE ----------------------------------------------------
+
+  private def insert(spark: SparkSession, cat: GraftCatalog, name: String,
+                     colList: Option[String], body: String,
+                     replace: Boolean): DataFrame = {
+    val c = cat.get(name)
+    val target = c.df.schema
+    val cols = colList
+      .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(target.fieldNames.toSeq)
+    cols.foreach(cn => require(target.fieldNames.contains(cn),
+      s"$name has no column $cn"))
+
+    val src0 =
+      if (body.toUpperCase.startsWith("VALUES"))
+        spark.sql(s"SELECT * FROM ($body) AS __ins(${cols.mkString(", ")})")
+      else GraftSql.sql(spark, body)
+    require(src0.columns.length == cols.size,
+      s"INSERT column count ${cols.size} does not match select list ${src0.columns.length}")
+    val src = src0.toDF(cols: _*)
+
+    // align positionally-named source columns onto the full container schema,
+    // casting to the declared types; unlisted columns become NULL
+    val aligned = src.select(target.fields.toSeq.map { f =>
+      if (cols.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+    if (!replace && c.keyColumns.nonEmpty) {
+      // reference semantics: plain INSERT errors on a row-key conflict
+      // (REPLACE upserts). One distributed semi-join, same price the
+      // reference pays for its PK probe.
+      val conflicts = c.df.join(aligned, c.keyColumns, "left_semi").limit(1).count()
+      if (conflicts > 0) throw new IllegalStateException(
+        s"INSERT into $name violates PRIMARY KEY (${c.keyColumns.mkString(",")}); " +
+          "use REPLACE or INSERT OR REPLACE to upsert")
+    }
+    cat.put(name, aligned)
+    status(spark, if (replace) "REPLACE" else "INSERT", name)
+  }
+
+  // ---- UPDATE helpers ------------------------------------------------------
+
+  /** Split `setlist [WHERE cond]` at the top-level WHERE (not inside parens
+    * or quotes). */
+  private def splitUpdateTail(rest: String): (String, Option[String]) = {
+    var depth = 0; var inQ = false; var i = 0
+    val up = rest.toUpperCase
+    while (i < rest.length) {
+      rest(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case _ =>
+      }
+      if (!inQ && depth == 0 && up.startsWith("WHERE", i) &&
+        (i == 0 || rest(i - 1).isWhitespace) &&
+        (i + 5 >= rest.length || !rest(i + 5).isLetterOrDigit))
+        return (rest.substring(0, i).trim, Some(rest.substring(i + 5).trim))
+      i += 1
+    }
+    (rest.trim, None)
+  }
+
+  /** Index of the first top-level `=` (assignment split; `=` inside parens,
+    * quotes, or comparison operators is skipped). */
+  private def topLevelEq(s: String): Int = {
+    var depth = 0; var inQ = false; var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => inQ = !inQ
+        case '(' if !inQ => depth += 1
+        case ')' if !inQ => depth -= 1
+        case '=' if !inQ && depth == 0 &&
+          (i == 0 || !"<>!=".contains(s(i - 1))) &&
+          (i + 1 >= s.length || s(i + 1) != '=') => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+}

@@ -55,6 +55,30 @@ object GraftMrSql {
 
   def matches(sql: String): Boolean = mrRe.findFirstIn(sql).isDefined
 
+  /** The statement references MATCH_RECOGNIZE at all (supported or not). */
+  def mentions(sql: String): Boolean =
+    """(?is)\bMATCH_RECOGNIZE\b""".r.findFirstIn(sql).isDefined
+
+  /** MATCH_RECOGNIZE present but not in the supported lowering form — fail
+    * with a diagnostic naming the limitation instead of handing the clause
+    * to Catalyst (which has no MATCH_RECOGNIZE and errors unhelpfully). */
+  def reject(sql: String): Nothing = {
+    val why =
+      if ("""(?is)\bFROM\s*\(""".r.findFirstIn(sql).isDefined)
+        "a subquery in FROM is not supported with MATCH_RECOGNIZE"
+      else if ("""(?is)\bJOIN\b""".r.findFirstIn(sql).isDefined)
+        "a JOIN in FROM is not supported with MATCH_RECOGNIZE"
+      else if ("""(?is)^\s*SELECT\s+\*""".r.findFirstIn(sql).isEmpty)
+        "only SELECT * is supported over MATCH_RECOGNIZE (project afterwards)"
+      else
+        "statement does not match the supported form"
+    throw new IllegalArgumentException(
+      "unsupported MATCH_RECOGNIZE form: " + why + ". Supported: " +
+        "SELECT * FROM <table> MATCH_RECOGNIZE ([PARTITION BY ...] ORDER BY " +
+        "... [MEASURES ...] [ONE|ALL ROWS PER MATCH] [AFTER MATCH SKIP ...] " +
+        "PATTERN (...) DEFINE ...)")
+  }
+
   def run(spark: SparkSession, sql: String): DataFrame = sql match {
     case mrRe(table, body) =>
       val keys = partRe.findFirstMatchIn(body)

@@ -197,8 +197,34 @@ object GraftSql {
     out.result().filter(_.nonEmpty)
   }
 
+  private val mentionsRangeRe = """(?is)\bGROUP\s+BY\s+RANGE\b""".r
+
+  /** A statement contains GROUP BY RANGE but not in the supported lowering
+    * form — fail with a diagnostic naming the limitation instead of letting
+    * it fall through to Catalyst (where it parses as something else or errors
+    * unhelpfully). */
+  private def rejectRange(text: String): Nothing = {
+    val why =
+      if ("""(?is)\bFROM\s*\(""".r.findFirstIn(text).isDefined)
+        "a subquery in FROM is not supported with GROUP BY RANGE"
+      else if ("""(?is)\bJOIN\b""".r.findFirstIn(text).isDefined ||
+        """(?is)\bFROM\s+\w+\s*,""".r.findFirstIn(text).isDefined)
+        "a JOIN in FROM is not supported with GROUP BY RANGE"
+      else if ("""(?is)\bWHERE\b""".r.findFirstIn(text).isEmpty)
+        "GROUP BY RANGE requires a WHERE clause bounding the ranged column " +
+          "with TIMESTAMP literals"
+      else
+        "statement does not match the supported form"
+    throw new IllegalArgumentException(
+      "unsupported GROUP BY RANGE form: " + why + ". Supported: " +
+        "SELECT <aggs> FROM <table> WHERE <ts bounds> GROUP BY RANGE(ts) " +
+        "EVERY(n, unit) [FILL(mode)]")
+  }
+
   def sql(spark: SparkSession, text: String): DataFrame = text match {
+    case _ if GraftDdl.handles(text) => GraftDdl.run(spark, text)
     case _ if GraftMrSql.matches(text) => GraftMrSql.run(spark, text)
+    case _ if GraftMrSql.mentions(text) => GraftMrSql.reject(text)
     case rangeRe(selectList, table, where, tsCol, n, unit, fill) =>
       val (startMs, endMs) = rangeBounds(where, tsCol)
       val everyMs = n.toLong * unitMsOf(unit)
@@ -215,6 +241,7 @@ object GraftSql {
       val df = spark.table(table).where(where)
       graft.ts.GroupByRange(df, tsCol, startMs, endMs, everyMs, aggs, fillMode)
 
+    case _ if mentionsRangeRe.findFirstIn(text).isDefined => rejectRange(text)
     case _ => spark.sql(rewrite(text))
   }
 }

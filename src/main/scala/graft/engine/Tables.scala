@@ -11,13 +11,15 @@ case object Collection extends ContainerKind
 case object TimeSeries extends ContainerKind
 
 /** One registered container: a DataFrame plus GridDB-style metadata
-  * (kind, row-key columns, time column for TimeSeries). */
+  * (kind, row-key columns, time column for TimeSeries, optional SQL-level
+  * sharding declared by `CREATE TABLE ... PARTITION BY`). */
 final case class Container(
     name: String,
     df: DataFrame,
     kind: ContainerKind,
     keyColumns: Seq[String] = Nil,
-    timeColumn: Option[String] = None)
+    timeColumn: Option[String] = None,
+    partitioning: Option[PartitionedTables.Partitioning] = None)
 
 /** Loader / catalog for the driver-provided TESTDATA star schema.
   *

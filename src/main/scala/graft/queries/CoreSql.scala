@@ -418,6 +418,29 @@ object CoreSql {
         |WHERE l_returnflag IN ('A', 'R')
         |  AND l_quantity BETWEEN 10 AND 12
         |  AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // ---- SQL-text DDL/DML front-end (grammar rules 15-41, 242-251,
+    // /root/reference/server/sql_internal_parser.cpp:849-875,:1076-1085):
+    // the whole lifecycle — CREATE, INSERT, REPLACE-upsert, column-list
+    // INSERT, UPDATE, DELETE — runs as statement text; the oracle recreates
+    // the expected final state as a VALUES relation ----
+    Q.df("q_sql_ddl_dml",
+      duck = """SELECT id, name, temp FROM (VALUES
+        |  (1, 'a2', 26.0), (2, 'b', 22.0), (4, 'd', CAST(NULL AS DOUBLE)))
+        |  t(id, name, temp)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      import graft.engine.GraftSql
+      Seq(
+        "DROP TABLE IF EXISTS q_ddl_sensors",
+        "CREATE TABLE q_ddl_sensors (id INTEGER PRIMARY KEY, name STRING, temp DOUBLE)",
+        "INSERT INTO q_ddl_sensors VALUES (1,'a',20.5), (2,'b',21.0), (3,'c',19.0)",
+        "REPLACE INTO q_ddl_sensors VALUES (1,'a2',25.0)",
+        "INSERT INTO q_ddl_sensors (id, name) VALUES (4, 'd')",
+        "UPDATE q_ddl_sensors SET temp = temp + 1.0 WHERE id <= 2",
+        "DELETE FROM q_ddl_sensors WHERE name = 'c'"
+      ).foreach(GraftSql.sql(s, _))
+      GraftSql.sql(s, "SELECT id, name, temp FROM q_ddl_sensors ORDER BY id")
+    }
   )
 }

@@ -83,6 +83,22 @@ object TqlQueries {
           "select max_rows(value) where event_type = 'purchase'")
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
         .orderBy("event_id")
+    },
+
+    // ---- array functions: ARRAY_LENGTH + 0-based ELEMENT
+    // (/root/reference/server/function_map.cpp:86-87) over the embeddings
+    // container; DuckDB lists are 1-based, so ELEMENT(e, 0) == e[1] ----
+    Q.df("q_tql_array",
+      duck = """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS alen,
+        |  embedding[1] AS e0
+        |FROM embeddings
+        |WHERE len(embedding) >= 1 AND embedding[1] > 0.1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(Tables.container(s, dir, "embeddings"),
+          "select * where array_length(embedding) >= 1 " +
+            "and element(embedding, 0) > 0.1 order by vec_id")
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("alen"),
+          element_at(col("embedding"), 1).as("e0"))
     }
   )
 }

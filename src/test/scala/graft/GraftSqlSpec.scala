@@ -149,4 +149,137 @@ class GraftSqlSpec extends SparkTestBase {
     cat.createView("u1_big", "SELECT id FROM u1 WHERE v > 15")
     assert(spark.sql("SELECT COUNT(*) FROM u1_big").collect()(0).getLong(0) == 1)
   }
+
+  test("SQL-text DDL/DML round-trip: create, insert, update, delete, select") {
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS sensors;")
+    GraftSql.sql(spark,
+      """CREATE TABLE sensors (
+        |  id INTEGER PRIMARY KEY,
+        |  name STRING NOT NULL,
+        |  temp DOUBLE,
+        |  updated TIMESTAMP
+        |)""".stripMargin)
+    assert(cat.exists("sensors") && cat.get("sensors").keyColumns == Seq("id"))
+
+    GraftSql.sql(spark,
+      """INSERT INTO sensors VALUES
+        |  (1, 'a', 20.5, TIMESTAMP '2024-01-01 00:00:00'),
+        |  (2, 'b', 21.0, TIMESTAMP '2024-01-02 00:00:00'),
+        |  (3, 'c', 19.0, TIMESTAMP '2024-01-03 00:00:00')""".stripMargin)
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM sensors")
+      .collect()(0).getLong(0) == 3)
+
+    // plain INSERT on an existing key errors; REPLACE upserts
+    intercept[IllegalStateException] {
+      GraftSql.sql(spark, "INSERT INTO sensors VALUES (1, 'dup', 0.0, NULL)")
+    }
+    GraftSql.sql(spark, "REPLACE INTO sensors VALUES (1, 'a2', 25.0, NULL)")
+    assert(GraftSql.sql(spark,
+      "SELECT name FROM sensors WHERE id = 1").collect()(0).getString(0) == "a2")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM sensors")
+      .collect()(0).getLong(0) == 3)
+
+    // column-list insert fills unlisted columns with NULL
+    GraftSql.sql(spark, "INSERT INTO sensors (id, name) VALUES (4, 'd')")
+    assert(GraftSql.sql(spark,
+      "SELECT temp FROM sensors WHERE id = 4").collect()(0).isNullAt(0))
+
+    GraftSql.sql(spark, "UPDATE sensors SET temp = temp + 1.0 WHERE id <= 2")
+    assert(GraftSql.sql(spark,
+      "SELECT temp FROM sensors WHERE id = 2").collect()(0).getDouble(0) == 22.0)
+
+    GraftSql.sql(spark, "DELETE FROM sensors WHERE name = 'c'")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM sensors")
+      .collect()(0).getLong(0) == 3)
+
+    GraftSql.sql(spark,
+      "ALTER TABLE sensors ADD COLUMN loc STRING")
+    GraftSql.sql(spark, "ALTER TABLE sensors RENAME COLUMN loc TO location")
+    assert(cat.get("sensors").df.columns.contains("location"))
+
+    GraftSql.sql(spark,
+      "CREATE VIEW warm AS SELECT id FROM sensors WHERE temp > 21.0")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM warm")
+      .collect()(0).getLong(0) == 2)
+
+    GraftSql.sql(spark, "DROP TABLE sensors")
+    assert(!cat.exists("sensors"))
+    intercept[NoSuchElementException] {
+      GraftSql.sql(spark, "DROP TABLE sensors")
+    }
+  }
+
+  test("SQL-text DDL: USING TIMESERIES and PARTITION BY variants") {
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS ts_tab")
+    GraftSql.sql(spark,
+      """CREATE TABLE ts_tab (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+        |USING TIMESERIES
+        |PARTITION BY RANGE(ts) EVERY (1, DAY)
+        |SUBPARTITION BY HASH(v) PARTITIONS 4""".stripMargin)
+    val c = cat.get("ts_tab")
+    assert(c.kind == graft.engine.TimeSeries && c.timeColumn == Some("ts"))
+    assert(c.partitioning ==
+      Some(graft.engine.PartitionedTables.IntervalHash("ts", 86400000L, "v", 4)))
+    assert(cat.metaTablePartitions
+      .filter(org.apache.spark.sql.functions.col("TABLE_NAME") === "ts_tab")
+      .collect()(0).getString(1) == "INTERVAL_HASH")
+
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS h_tab")
+    GraftSql.sql(spark,
+      "CREATE TABLE h_tab (k LONG PRIMARY KEY, s STRING) PARTITION BY HASH(k) PARTITIONS 16")
+    assert(cat.get("h_tab").partitioning ==
+      Some(graft.engine.PartitionedTables.Hash("k", 16)))
+    // TIMESTAMP(9) carries as epoch-nanos LONG
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS nano_tab")
+    GraftSql.sql(spark, "CREATE TABLE nano_tab (t TIMESTAMP(9) PRIMARY KEY, v DOUBLE) USING TIMESERIES")
+    assert(cat.get("nano_tab").df.schema("t").dataType ==
+      org.apache.spark.sql.types.LongType)
+    Seq("ts_tab", "h_tab", "nano_tab").foreach(t => GraftSql.sql(spark, s"DROP TABLE $t"))
+  }
+
+  test("INSERT INTO ... SELECT routes through the GridDB dialect") {
+    Tables.registerAll(spark, sfDir)
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS big_regions")
+    GraftSql.sql(spark, "CREATE TABLE big_regions (rk LONG PRIMARY KEY, rname STRING)")
+    GraftSql.sql(spark,
+      "INSERT INTO big_regions SELECT r_regionkey, r_name FROM region WHERE r_regionkey >= 2")
+    assert(GraftSql.sql(spark, "SELECT COUNT(*) AS n FROM big_regions")
+      .collect()(0).getLong(0) == 3)
+    GraftSql.sql(spark, "DROP TABLE big_regions")
+  }
+
+  test("unsupported GROUP BY RANGE / MATCH_RECOGNIZE forms fail with diagnostics") {
+    Tables.registerAll(spark, sfDir)
+    val joinErr = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """SELECT count(*) AS n FROM events e JOIN nation ON 1=1
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-02 00:00:00'
+          |GROUP BY RANGE(ts) EVERY (6, HOUR)""".stripMargin)
+    }
+    assert(joinErr.getMessage.contains("JOIN"), joinErr.getMessage)
+
+    val subqErr = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """SELECT count(*) AS n FROM (SELECT * FROM events)
+          |WHERE ts BETWEEN TIMESTAMP '2024-01-01 00:00:00' AND TIMESTAMP '2024-01-02 00:00:00'
+          |GROUP BY RANGE(ts) EVERY (6, HOUR)""".stripMargin)
+    }
+    assert(subqErr.getMessage.contains("subquery"), subqErr.getMessage)
+
+    val noWhereErr = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM events GROUP BY RANGE(ts) EVERY (6, HOUR)")
+    }
+    assert(noWhereErr.getMessage.contains("WHERE"), noWhereErr.getMessage)
+
+    val mrErr = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """SELECT * FROM events e JOIN nation ON 1=1 MATCH_RECOGNIZE (
+          |ORDER BY ts PATTERN (A) DEFINE A AS value > 0)""".stripMargin)
+    }
+    assert(mrErr.getMessage.contains("MATCH_RECOGNIZE"), mrErr.getMessage)
+  }
 }
