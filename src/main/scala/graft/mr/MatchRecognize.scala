@@ -62,11 +62,18 @@ object MatchRecognize {
     matchedWithPos(df, keys, orderCols, pattern, defines, skip).drop(PosCol)
 
   /** ALL ROWS PER MATCH plus the internal `__mr_pos` column (0-based row
-    * offset within the match) that [[measures]] aggregates order by. */
+    * offset within the match) that [[measures]] aggregates order by.
+    *
+    * Unkeyed (whole-container) series scale out when the pattern has a
+    * finite maximum match length L (no unbounded `*`/`+`/`{n,}`): the series
+    * is chunked with an L-row overlap and matched chunk-parallel — see
+    * [[matchedUnkeyedChunked]]. Unbounded patterns stay sequential (a single
+    * match can span the entire series, so the scan is sequential by
+    * semantics — the memory-bounded streaming GroupMatcher below). */
   private[graft] def matchedWithPos(
       df: DataFrame, keys: Seq[String], orderCols: Seq[String],
       pattern: String, defines: Map[String, Column],
-      skip: AfterMatchSkip): DataFrame = {
+      skip: AfterMatchSkip, chunkRows: Int = 65536): DataFrame = {
     require(orderCols.nonEmpty, "MATCH_RECOGNIZE requires ORDER BY")
     val node = PatternRegex.parse(pattern)
     val vars = PatternRegex.variables(node)
@@ -82,6 +89,14 @@ object MatchRecognize {
     val defNames = defines.keys.toSeq.sorted
     val withDefs = defNames.foldLeft(df) { (d, v) =>
       d.withColumn(s"__def_$v", coalesce(defines(v).cast("boolean"), lit(false)))
+    }
+    if (keys.isEmpty) {
+      PatternRegex.maxMatchLen(node) match {
+        case Some(l) if l <= MaxChunkedMatchLen =>
+          return matchedUnkeyedChunked(withDefs, orderCols, node, defNames,
+            skip, math.max(l, 1), chunkRows)
+        case _ => // unbounded match length: sequential by semantics
+      }
     }
     val parted =
       if (keys.nonEmpty) withDefs.repartition(keys.map(col): _*)
@@ -112,6 +127,160 @@ object MatchRecognize {
     }(Encoders.row(outSchema))
 
     matched.drop(defNames.map(v => s"__def_$v"): _*)
+  }
+
+  /** Largest finite max-match-length still eligible for the chunked unkeyed
+    * path (the L-row overlap duplicates L/chunkRows of the data; beyond this
+    * the pattern is effectively unbounded and runs sequentially). */
+  private val MaxChunkedMatchLen = 4096
+
+  /** Rows to advance past a completed match starting at its first row
+    * (AFTER MATCH SKIP semantics; always ≥ 1 so the scan makes progress). */
+  private def skipOffset(assign: Vector[String], skip: AfterMatchSkip): Int =
+    skip match {
+      case AfterMatchSkip.PastLastRow => assign.size
+      case AfterMatchSkip.ToNextRow => 1
+      case AfterMatchSkip.ToVar(v) => math.max(assign.lastIndexOf(v), 1)
+      case AfterMatchSkip.ToFirstVar(v) => math.max(assign.indexOf(v), 1)
+    }
+
+  /** Chunk-parallel unkeyed matching for patterns with finite maximum match
+    * length L — the parallel composition of the sequential match scan:
+    *
+    *  1. rows are globally ordered (range-partitioned sort + per-partition
+    *     counts via zipWithIndex) and cut into chunks of `chunkRows`, each
+    *     chunk also receiving the next chunk's first L rows (overlap) — a
+    *     match starting at a chunk's last region row probes at most L rows
+    *     ahead, so every probe (including the `$` end-anchor's existence
+    *     check) is answered truthfully from the slice;
+    *  2. per chunk, one backward memoized pass computes, for each of the
+    *     L+1 possible scan entry offsets, where the sequential scan would
+    *     exit the chunk and how many matches it would emit — O(rows) match
+    *     attempts total, not O(rows · L);
+    *  3. the per-chunk tables (one tiny row per chunk) are folded left to
+    *     right in a single task — the same stitch discipline as the chunked
+    *     window paths — resolving each chunk's actual entry offset and
+    *     global match-number base;
+    *  4. each chunk re-runs the scan forward from its resolved entry,
+    *     emitting its region's matches with globally sequential match_num.
+    *
+    * Output is row-identical to the sequential GroupMatcher: the AFTER MATCH
+    * SKIP discipline is what the entry/exit composition reproduces exactly.
+    * Reference: WindowMatch (/root/reference/server/sql_operator_sort.cpp:
+    * 4323+) runs this scan on a single node; the chunked form is the
+    * 1000-executor layout of the same semantics. */
+  private def matchedUnkeyedChunked(
+      withDefs: DataFrame, orderCols: Seq[String], node: PatternRegex.Node,
+      defNames: Seq[String], skip: AfterMatchSkip, maxLen: Int,
+      chunkRows: Int): DataFrame = {
+    val spark = withDefs.sparkSession
+    val sorted = withDefs.sort(orderCols.map(col): _*)
+    val schema = sorted.schema
+    val defIdx = defNames.map(v => v -> schema.fieldIndex(s"__def_$v")).toMap
+    val outSchema = StructType(schema.fields)
+      .add("match_num", LongType).add("classifier", StringType)
+      .add(PosCol, LongType)
+
+    val L = maxLen
+    val C = math.max(chunkRows, 2 * L)
+    val nd = node; val sk = skip; val dIdx = defIdx
+
+    val indexed = sorted.rdd.zipWithIndex()
+    // region rows -> own chunk; the first L rows of a chunk also feed the
+    // previous chunk's overlap
+    val byChunk = indexed.flatMap { case (row, g) =>
+      val c = g / C
+      val self = (c, (g, row))
+      if (c > 0 && g % C < L) Seq((c - 1, (g, row)), self) else Seq(self)
+    }
+    val nPart = math.max(spark.sparkContext.defaultParallelism, 1)
+    val grouped = byChunk.groupByKey(nPart)
+
+    // pass 2 of 3: per chunk, entry-offset -> (global exit, match count)
+    // via one backward memoized sweep (each region position attempts one
+    // match; results chain through the skip recurrence)
+    val tables = grouped.map { case (c, rows0) =>
+      val rows = rows0.toArray.sortBy(_._1)
+      val base = c * C
+      val n = rows.length
+      val regionEnd = math.min(C.toLong, n.toLong).toInt
+      val has = (p: Int) => p >= 0 && p < n
+      val sym = (p: Int, v: String) => rows(p)._2.getBoolean(dIdx(v))
+      val partStart = if (c == 0L) 0 else Int.MinValue
+      val exitArr = new Array[Int](regionEnd)
+      val cntArr = new Array[Long](regionEnd)
+      var p = regionEnd - 1
+      while (p >= 0) {
+        PatternRegex.matchAt(nd, p, has, sym, partStart) match {
+          case Some(a) if a.nonEmpty =>
+            val s2 = p + skipOffset(a, sk)
+            exitArr(p) = if (s2 >= regionEnd) s2 else exitArr(s2)
+            cntArr(p) = 1L + (if (s2 >= regionEnd) 0L else cntArr(s2))
+          case _ =>
+            exitArr(p) = if (p + 1 >= regionEnd) p + 1 else exitArr(p + 1)
+            cntArr(p) = if (p + 1 >= regionEnd) 0L else cntArr(p + 1)
+        }
+        p -= 1
+      }
+      val exits = Array.tabulate(L + 1)(e =>
+        if (e >= regionEnd) base + e else base + exitArr(e))
+      val counts = Array.tabulate(L + 1)(e => if (e >= regionEnd) 0L else cntArr(e))
+      (c, exits, counts)
+    }
+
+    // pass 3 of 3 (stitch): fold the tiny per-chunk tables sequentially —
+    // one element per chunk in a single ordered task — resolving each
+    // chunk's actual entry offset and cumulative match-number base
+    val resolved = tables.sortBy(_._1).coalesce(1).mapPartitions { it =>
+      var entry = 0L
+      var matchBase = 0L
+      it.map { case (c, exits, counts) =>
+        val base = c * C
+        val eLoc = (entry - base).toInt
+        // scan can only enter a chunk within [0, L] of its region start
+        // (the previous chunk's last match starts before the boundary and
+        // spans at most L rows)
+        val out = (c, (eLoc, matchBase))
+        if (eLoc >= 0 && eLoc <= L) {
+          matchBase += counts(eLoc)
+          entry = exits(eLoc)
+        }
+        out
+      }
+    }
+
+    val emitted = grouped.join(resolved, nPart).flatMap {
+      case (c, (rows0, (eLoc, matchBase))) =>
+        if (eLoc < 0 || eLoc > L) Iterator.empty
+        else {
+          val rows = rows0.toArray.sortBy(_._1)
+          val n = rows.length
+          val regionEnd = math.min(C.toLong, n.toLong).toInt
+          val has = (p: Int) => p >= 0 && p < n
+          val sym = (p: Int, v: String) => rows(p)._2.getBoolean(dIdx(v))
+          val partStart = if (c == 0L) 0 else Int.MinValue
+          val out = scala.collection.mutable.ArrayBuffer[Row]()
+          var m = 0L
+          var pos = eLoc
+          while (pos < regionEnd) {
+            PatternRegex.matchAt(nd, pos, has, sym, partStart) match {
+              case Some(a) if a.nonEmpty =>
+                m += 1
+                val mn = matchBase + m
+                var j = 0
+                while (j < a.size) {
+                  out += Row.fromSeq(rows(pos + j)._2.toSeq :+ mn :+ a(j) :+ j.toLong)
+                  j += 1
+                }
+                pos += skipOffset(a, sk)
+              case _ => pos += 1
+            }
+          }
+          out.iterator
+        }
+    }
+    spark.createDataFrame(emitted, outSchema)
+      .drop(defNames.map(v => s"__def_$v"): _*)
   }
 
   /** ONE ROW PER MATCH: keys, match_num, start/end order-column values and
@@ -200,16 +369,7 @@ object MatchRecognize {
             out = Vector.tabulate(assign.size) { j =>
               Row.fromSeq(rowAt(s + j).toSeq :+ m :+ assign(j) :+ j.toLong)
             }.iterator
-            advanceTo(skip match {
-              case AfterMatchSkip.PastLastRow => s + assign.size
-              case AfterMatchSkip.ToNextRow => s + 1
-              case AfterMatchSkip.ToVar(v) =>
-                // resume AT the last row assigned to v; guarantee progress
-                s + math.max(assign.lastIndexOf(v), 1)
-              case AfterMatchSkip.ToFirstVar(v) =>
-                // resume AT the first row assigned to v; guarantee progress
-                s + math.max(assign.indexOf(v), 1)
-            })
+            advanceTo(s + skipOffset(assign, skip))
           case _ => advanceTo(i + 1)
         }
       }

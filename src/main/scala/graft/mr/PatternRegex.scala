@@ -150,6 +150,22 @@ object PatternRegex {
     case Sym(_) => false
   }
 
+  /** Maximum number of rows a single match can span — None when any
+    * quantifier is unbounded (`*`, `+`, `{n,}`), in which case one match can
+    * cover an entire series and the unkeyed scan is sequential by semantics.
+    * Finite bounds let the unkeyed scan chunk with an L-row overlap. */
+  def maxMatchLen(n: Node): Option[Int] = n match {
+    case Sym(_) => Some(1)
+    case Start | End => Some(0)
+    case Cat(ps) =>
+      ps.foldLeft(Option(0))((a, p) => for (x <- a; y <- maxMatchLen(p)) yield x + y)
+    case Alt(cs) =>
+      cs.foldLeft(Option(0))((a, c) => for (x <- a; y <- maxMatchLen(c)) yield math.max(x, y))
+    case Rep(c, _, mx) =>
+      if (mx == Int.MaxValue) None
+      else maxMatchLen(c).map(l => math.min(l.toLong * mx, Int.MaxValue.toLong).toInt)
+  }
+
   /** Variables referenced by the pattern, in first-appearance order. */
   def variables(n: Node): Seq[String] = n match {
     case Sym(v) => Seq(v)
@@ -167,24 +183,32 @@ object PatternRegex {
               sym: (Int, String) => Boolean): Option[Vector[String]] =
     matchAt(node, start, (j: Int) => j < n, sym)
 
+  def matchAt(node: Node, start: Int, has: Int => Boolean,
+              sym: (Int, String) => Boolean): Option[Vector[String]] =
+    matchAt(node, start, has, sym, partStart = 0)
+
   /** Variant for streaming row sources: `has(i)` reports whether row `i`
     * exists, pulling it into the caller's buffer on demand — the matcher
     * never needs the group's size up front, so a group can be matched with
     * only the current attempt's rows resident. Row indices are probed in
     * non-decreasing reach, and `has(i)` false means `i` is at/past the
-    * group's end (indices are contiguous). */
+    * group's end (indices are contiguous). `partStart` is the index of the
+    * partition's first row in the caller's index space (a chunk of a larger
+    * series passes the chunk-local index of the global first row, or any
+    * unreachable value when the chunk does not contain it) — the `^` anchor
+    * matches only a match starting there. */
   def matchAt(node: Node, start: Int, has: Int => Boolean,
-              sym: (Int, String) => Boolean): Option[Vector[String]] = {
+              sym: (Int, String) => Boolean, partStart: Int): Option[Vector[String]] = {
 
     // continuation-passing backtracking; assignment carried as a Vector
     def go(nd: Node, pos: Int, acc: Vector[String],
            k: (Int, Vector[String]) => Option[Vector[String]]): Option[Vector[String]] =
       nd match {
         // reference semantics (sql_operator_sort.cpp:6879): the top anchor
-        // requires the MATCH to begin at partition position 0 (firstPos_
+        // requires the MATCH to begin at the partition's first row (firstPos_
         // check), not the anchor's own NFA position — so `^V+` (which parses
         // as `(^V)+` per rules 180/190) still matches the whole leading run.
-        case Start => if (start == 0) k(pos, acc) else None
+        case Start => if (start == partStart) k(pos, acc) else None
         case End => if (!has(pos)) k(pos, acc) else None
         case Sym(v) =>
           if (has(pos) && sym(pos, v)) k(pos + 1, acc :+ v) else None

@@ -181,6 +181,39 @@ object MatchRecognizeQueries {
           skip = MatchRecognize.AfterMatchSkip.ToFirstVar("B"))
         .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
         .orderBy("user_id", "match_num", "event_id")
+    },
+
+    // ---- UNKEYED bounded-pattern match: exercises the chunk-parallel scan
+    // (no coalesce(1) — the series is chunked with an L-row overlap and the
+    // entry/exit composition reproduces the sequential AFTER MATCH SKIP
+    // discipline). H{2} = pairs of consecutive high-value events taken
+    // greedily from each run start; a run of n highs yields floor(n/2)
+    // matches. Oracle: gaps-and-islands runs, pairwise offsets ----
+    Q.df("q_mr_unkeyed_pairs",
+      duck = """WITH x AS (
+        |  SELECT event_id, value,
+        |    row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |h AS (SELECT *, rn - row_number() OVER (ORDER BY rn) AS grp
+        |      FROM x WHERE value > 150),
+        |o AS (SELECT event_id, rn, grp,
+        |        row_number() OVER (PARTITION BY grp ORDER BY rn) - 1 AS off,
+        |        count(*) OVER (PARTITION BY grp) AS len
+        |      FROM h),
+        |p AS (SELECT event_id, rn, grp, off FROM o WHERE off < 2 * (len // 2)),
+        |m AS (SELECT grp, off // 2 AS pi, MIN(rn) AS srn
+        |      FROM p GROUP BY grp, off // 2),
+        |mm AS (SELECT grp, pi, row_number() OVER (ORDER BY srn) AS match_num
+        |       FROM m)
+        |SELECT p.event_id, mm.match_num, 'H' AS classifier
+        |FROM p JOIN mm ON p.grp = mm.grp AND p.off // 2 = mm.pi
+        |ORDER BY mm.match_num, p.event_id""".stripMargin) { (s, dir) =>
+      MatchRecognize.allRowsPerMatch(
+          Tables.events(s, dir), keys = Nil, orderCols = Seq("ts", "event_id"),
+          pattern = "H{2}",
+          defines = Map("H" -> (col("value") > 150)))
+        .select(col("event_id"), col("match_num"), col("classifier"))
+        .orderBy("match_num", "event_id")
     }
   )
 }

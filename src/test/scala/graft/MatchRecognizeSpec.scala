@@ -340,4 +340,102 @@ class MatchRecognizeSpec extends SparkTestBase {
       .select("k", "n_rows").as[(Long, Long)].collect().toSet
     assert(m == Set((1L, 2L), (2L, 2L)))
   }
+
+  test("maxMatchLen: finite for bounded quantifiers, None for unbounded") {
+    import PatternRegex._
+    assert(maxMatchLen(parse("A B{1,3} C?")) == Some(5))
+    assert(maxMatchLen(parse("(A|B C){2}")) == Some(4))
+    assert(maxMatchLen(parse("^A B$")) == Some(2))
+    assert(maxMatchLen(parse("A+")).isEmpty)
+    assert(maxMatchLen(parse("A B{2,}")).isEmpty)
+    assert(maxMatchLen(parse("(A*|B)")).isEmpty)
+  }
+
+  /** Sequential-path reference output: a constant key forces the streaming
+    * GroupMatcher; output columns align after dropping the key. */
+  private def seqReference(df: org.apache.spark.sql.DataFrame, order: Seq[String],
+                           pattern: String,
+                           defines: Map[String, org.apache.spark.sql.Column],
+                           skip: MatchRecognize.AfterMatchSkip) =
+    MatchRecognize.matchedWithPos(df.withColumn("__k", lit(1)), Seq("__k"),
+        order, pattern, defines, skip)
+      .drop("__k")
+
+  test("chunked unkeyed MR is row-identical to the sequential scan (all skip modes)") {
+    val rnd = new scala.util.Random(42)
+    val df = (0 until 500).map(i => (i.toLong, rnd.nextInt(10)))
+      .toDF("seq", "v")
+    val defines = Map(
+      "A" -> (col("v") % 3 === 0),
+      "B" -> (col("v") % 2 === 1),
+      "C" -> (col("v") > 5))
+    val skips = Seq(
+      MatchRecognize.AfterMatchSkip.PastLastRow,
+      MatchRecognize.AfterMatchSkip.ToNextRow,
+      MatchRecognize.AfterMatchSkip.ToVar("B"),
+      MatchRecognize.AfterMatchSkip.ToFirstVar("B"))
+    for (skip <- skips; pattern <- Seq("A B{1,3}", "A (B|C){0,2} C")) {
+      // chunkRows=16 over 500 rows -> ~32 chunks; matches cross boundaries
+      val chunked = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), pattern,
+          defines, skip, chunkRows = 16)
+        .select("seq", "v", "match_num", "classifier", MatchRecognize.PosCol)
+        .collect().map(_.toSeq).toSeq
+      val expected = seqReference(df, Seq("seq"), pattern, defines, skip)
+        .select("seq", "v", "match_num", "classifier", MatchRecognize.PosCol)
+        .collect().map(_.toSeq).toSeq
+      assert(chunked.sortBy(_.toString) == expected.sortBy(_.toString),
+        s"mismatch for $pattern / $skip: ${chunked.size} vs ${expected.size} rows")
+      assert(expected.nonEmpty, s"degenerate test: no matches for $pattern")
+    }
+  }
+
+  test("chunked unkeyed MR: match spanning a chunk boundary is found once") {
+    // rows 0..99; exactly one A at 14 (boundary-1 for chunkRows=8 after
+    // doubling: C = max(8, 2*3)=8 -> chunks of 8; match A B B spans 14,15,16
+    // crossing the chunk 1|2 boundary at 16
+    val df = (0 until 100).map { i =>
+      val t = if (i == 14) "a" else if (i == 15 || i == 16) "b" else "x"
+      (i.toLong, t)
+    }.toDF("seq", "t")
+    val out = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), "A B{2}",
+        Map("A" -> (col("t") === "a"), "B" -> (col("t") === "b")),
+        MatchRecognize.AfterMatchSkip.PastLastRow, chunkRows = 8)
+      .select("seq", "match_num", "classifier")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((14L, 1L, "A"), (15L, 1L, "B"), (16L, 1L, "B")))
+  }
+
+  test("chunked unkeyed MR honors ^/$ anchors globally, and runs multi-partition") {
+    val df = (0 until 64).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("seq", "t")
+    val defines = Map("A" -> (col("t") === "a"), "B" -> (col("t") === "b"))
+    // ^A B: only the global first row can start the match — chunk-local
+    // starts must not re-anchor
+    val startAnchored = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"),
+        "^A B", defines, MatchRecognize.AfterMatchSkip.PastLastRow, chunkRows = 8)
+      .select("seq").as[Long].collect().sorted
+    assert(startAnchored.toSeq == Seq(0L, 1L))
+    // A B$: only the match ending at the global last row survives — a chunk's
+    // slice end must not read as partition end
+    val endAnchored = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"),
+        "A B$", defines, MatchRecognize.AfterMatchSkip.PastLastRow, chunkRows = 8)
+      .select("seq").as[Long].collect().sorted
+    assert(endAnchored.toSeq == Seq(62L, 63L))
+    // the bounded-pattern plan is chunk-parallel: no single-task bottleneck
+    val parts = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), "A B",
+        defines, MatchRecognize.AfterMatchSkip.PastLastRow, chunkRows = 8)
+      .rdd.getNumPartitions
+    assert(parts > 1, s"expected multi-partition chunked output, got $parts")
+  }
+
+  test("unkeyed match_num is globally sequential across chunks") {
+    val df = (0 until 120).map(i => (i.toLong, if (i % 10 == 3) "a" else "x"))
+      .toDF("seq", "t")
+    val out = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), "A",
+        Map("A" -> (col("t") === "a")),
+        MatchRecognize.AfterMatchSkip.PastLastRow, chunkRows = 16)
+      .select("seq", "match_num").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == (1L to 12L).toSeq)
+    assert(out.map(_._1).toSeq == (0 until 12).map(i => i * 10L + 3L))
+  }
 }
