@@ -155,12 +155,25 @@ object StreamingGroupByRange {
             }
             gapStart = None; gapN = 0L; prev = None
           }
+          // idle-TTL on the LINEAR anchor (the same trade-off as
+          // StreamingMatch's idleTTL): once the watermark is linearFlush past
+          // the anchor's bucket with nothing held, the anchor expires — so a
+          // drained key's state can drop under key churn instead of living
+          // forever. Without linearFlush the anchor is held indefinitely
+          // (batch-exact on bounded streams, unbounded state under churn).
+          for (f <- linearFlushMs
+               if fill == GroupByRange.FillLinear && partials.isEmpty &&
+                 gapStart.isEmpty && prev.isDefined;
+               e <- emittedUpTo if wm - (e + 1) * everyMs >= f)
+            prev = None
           val live = partials.nonEmpty || gapStart.isDefined ||
             (continuousFill && emittedUpTo.isDefined) ||
-            fill == GroupByRange.FillLinear // prev anchor must survive quiet spells
+            // a live LINEAR anchor must survive quiet spells (it is the
+            // interpolation base for the next closed gap)
+            (fill == GroupByRange.FillLinear && prev.isDefined)
           if (!live) {
-            // FillNone with everything emitted: drop the key's state — new
-            // data can only land in buckets past the watermark, which
+            // everything emitted and no anchor left: drop the key's state —
+            // new data can only land in buckets past the watermark, which
             // re-initializes correctly (no unbounded state under key churn)
             state.remove()
           } else {
@@ -170,6 +183,10 @@ object StreamingGroupByRange {
             if (partials.nonEmpty || gapStart.isDefined ||
                 (continuousFill && emittedUpTo.isDefined))
               state.setTimeoutTimestamp(wm + 1)
+            else for (f <- linearFlushMs)
+              // bare LINEAR anchor: fire once linearFlush of event time has
+              // passed so the expiry above can run for a quiet key
+              state.setTimeoutTimestamp(wm + f)
           }
           out.result().iterator
       }

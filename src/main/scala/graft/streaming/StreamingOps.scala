@@ -77,24 +77,38 @@ object StreamingOps {
 
   /** Custom keyed state via flatMapGroupsWithState: emits one row per input
     * batch element carrying the running count + running sum for its key —
-    * the shape an incremental TIME_AVG / anomaly tracker uses. */
-  def runningStats(stream: DataFrame, keyCol: String, valCol: String)
+    * the shape an incremental TIME_AVG / anomaly tracker uses. `idleTTL`
+    * drops a key's state after that much processing time without input
+    * (the counters restart from zero if the key returns — the price of
+    * bounded state under key churn). The default `None` keeps state forever:
+    * that is ONLY safe for bounded key domains (demos, bounded entity sets);
+    * production deployments over unbounded keys must set an idleTTL. */
+  def runningStats(stream: DataFrame, keyCol: String, valCol: String,
+                   idleTTL: Option[String] = None)
                   (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = idleTTL.map(StreamingMatch.intervalMs)
+    require(ttlMs.forall(_ > 0), "idleTTL must be a positive interval")
     val typed = stream.select(col(keyCol).cast("string"), col(valCol).cast("double"))
       .as[(String, Double)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (String, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append,
+        if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
-          val out = rows.map { case (_, v) =>
-            n += 1; s += v
-            (key, n, s)
-          }.toVector
-          state.update((n, s))
-          out.iterator
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            val out = rows.map { case (_, v) =>
+              n += 1; s += v
+              (key, n, s)
+            }.toVector
+            state.update((n, s))
+            ttlMs.foreach(t => state.setTimeoutDuration(t))
+            out.iterator
+          }
       }
       .toDF(keyCol, "running_n", "running_sum")
   }

@@ -354,6 +354,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming LINEAR drained key state drops after linearFlush (churn)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.ts.GroupByRange
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "k", "v")
+    val q = graft.streaming.StreamingGroupByRange
+      .groupByRangeStream(df, "ts", "v", "k", "1 minute", "1 minute",
+        GroupByRange.FillLinear, linearFlush = Some("5 minutes"))
+      .writeStream.format("memory").queryName("gbr_churn")
+      .outputMode("append").start()
+    try {
+      // key a anchors one bucket then churns away; key b keeps driving wm
+      input.addData((ts(10), "a", 6.0)); q.processAllAvailable()
+      input.addData((ts(1200), "b", 1.0)); q.processAllAvailable()
+      input.addData((ts(2400), "b", 1.0)); q.processAllAvailable()
+      input.addData((ts(3600), "b", 1.0)); q.processAllAvailable()
+      // a's trailing gaps flushed as NULL and its anchor expired -> its
+      // state row must be GONE (pre-fix: LINEAR state lived forever); only
+      // b's live state remains
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1, s"expected only the live key's state, got $stateRows")
+      val aRows = spark.table("gbr_churn").filter($"k" === "a")
+        .select("value").as[Option[Double]].collect()
+      assert(aRows.count(_.isDefined) == 1 && aRows.count(_.isEmpty) > 0)
+    } finally q.stop()
+  }
+
   test("file-source streaming ingest of the events table shape") {
     val schema = graft.engine.Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
