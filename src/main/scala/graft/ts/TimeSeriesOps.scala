@@ -172,12 +172,19 @@ object TimeSeriesOps {
     // candidate stream: lastRow(j) becomes a prev-candidate from grid index
     // j+1 on; exact(j) (prev) and firstRow(j) (next) from index j on; `tie`
     // makes an exact hit override the previous cell's lastRow and keeps data
-    // candidates ahead of the grid row at the same index in both orderings
+    // candidates ahead of the grid row at the same index in both orderings.
+    // Both entries explode from ONE cell row so the data-side aggregation
+    // (and the parquet scan beneath it) runs once — a union of two selects
+    // over cellAgg would be pruned into two distinct aggregates and scan the
+    // data twice.
     val nullRow = lit(null).cast(rowT)
-    val frame = cellAgg.select((col("__j") + 1).as("k"), lit(0).as("tie"),
-        col("__last").as("pc"), nullRow.as("nc"), lit(0).as("is_grid"))
-      .unionByName(cellAgg.select(col("__j").as("k"), lit(1).as("tie"),
-        col("__exact").as("pc"), col("__first").as("nc"), lit(0).as("is_grid")))
+    val frame = cellAgg.select(explode(array(
+        struct((col("__j") + 1).as("k"), lit(0).as("tie"),
+          col("__last").as("pc"), nullRow.as("nc")),
+        struct(col("__j").as("k"), lit(1).as("tie"),
+          col("__exact").as("pc"), col("__first").as("nc")))).as("e"))
+      .select(col("e.k").as("k"), col("e.tie").as("tie"),
+        col("e.pc").as("pc"), col("e.nc").as("nc"), lit(0).as("is_grid"))
       .unionByName(spark.range(n + 1).select(col("id").as("k"), lit(2).as("tie"),
         nullRow.as("pc"), nullRow.as("nc"), lit(1).as("is_grid")))
     // constant partition key: frame is grid-sized by construction
