@@ -31,6 +31,12 @@ object GraftCatalog {
 final class GraftCatalog(spark: SparkSession) {
 
   private val containers = scala.collection.mutable.LinkedHashMap[String, Container]()
+  // (index name, table, columns) — advisory metadata: Spark has no secondary
+  // indexes (Parquet stats + pushdown play that role), but the DDL must
+  // round-trip and surface in #index_info (meta_type.h TYPE_INDEX)
+  private val indexes =
+    scala.collection.mutable.LinkedHashMap[String, (String, Seq[String])]()
+  private val views = scala.collection.mutable.LinkedHashMap[String, String]()
 
   def createCollection(name: String, schema: StructType,
                        keyColumns: Seq[String] = Nil): Container = {
@@ -217,8 +223,34 @@ final class GraftCatalog(spark: SparkSession) {
   }
 
   /** CREATE [OR REPLACE] VIEW name AS <sql> (grammar rule 74). */
-  def createView(name: String, sql: String): Unit =
+  def createView(name: String, sql: String): Unit = {
     spark.sql(sql).createOrReplaceTempView(name)
+    views(name) = sql
+  }
+
+  /** Record a view definition created through another path (SQL-text DDL). */
+  private[engine] def recordView(name: String, sql: String): Unit =
+    views(name) = sql
+
+  private[engine] def dropView(name: String): Unit = views.remove(name)
+
+  /** CREATE INDEX name ON table (cols) (grammar rule 91,
+    * /root/reference/server/sql_internal_parser.cpp:925). Advisory: Spark
+    * scans carry no secondary index (Parquet column stats + predicate
+    * pushdown substitute), so the index is catalog metadata — it validates,
+    * round-trips, and surfaces in [[metaIndexInfo]]. */
+  def createIndex(indexName: String, table: String, columns: Seq[String]): Unit = {
+    val c = get(table)
+    columns.foreach(cn => require(c.df.columns.contains(cn),
+      s"$table has no column $cn"))
+    require(!indexes.contains(indexName), s"index $indexName already exists")
+    indexes(indexName) = (table, columns)
+  }
+
+  /** DROP INDEX name [ON table] (grammar rules 99-100). */
+  def dropIndex(indexName: String, ifExists: Boolean = false): Unit =
+    if (indexes.remove(indexName).isEmpty && !ifExists)
+      throw new NoSuchElementException(s"index $indexName does not exist")
 
   /** Metadata table `#tables` (meta_type.h TYPE_CONTAINER). */
   def metaTables: DataFrame = {
@@ -239,6 +271,28 @@ final class GraftCatalog(spark: SparkSession) {
           c.keyColumns.contains(f.name))
       }
     }.toDF("TABLE_NAME", "ORDINAL", "COLUMN_NAME", "TYPE_NAME", "NULLABLE", "KEY")
+  }
+
+  /** Metadata table `#primary_keys` (meta_type.h TYPE_KEY). */
+  def metaPrimaryKeys: DataFrame = {
+    import spark.implicits._
+    containers.values.toSeq.flatMap { c =>
+      c.keyColumns.zipWithIndex.map { case (k, i) => (c.name, k, i + 1) }
+    }.toDF("TABLE_NAME", "COLUMN_NAME", "KEY_SEQ")
+  }
+
+  /** Metadata table `#index_info` (meta_type.h TYPE_INDEX). */
+  def metaIndexInfo: DataFrame = {
+    import spark.implicits._
+    indexes.toSeq.flatMap { case (ix, (table, cols)) =>
+      cols.zipWithIndex.map { case (cn, i) => (table, ix, cn, i + 1) }
+    }.toDF("TABLE_NAME", "INDEX_NAME", "COLUMN_NAME", "ORDINAL")
+  }
+
+  /** Metadata table `#views` (meta_type.h TYPE_VIEW). */
+  def metaViews: DataFrame = {
+    import spark.implicits._
+    views.toSeq.toDF("VIEW_NAME", "VIEW_DEFINITION")
   }
 
   /** Metadata table `#table_partitions` (meta_type.h TYPE_PARTITION). */

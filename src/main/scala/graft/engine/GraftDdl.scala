@@ -46,9 +46,23 @@ object GraftDdl {
         status(spark, "DROP TABLE", name)
       case createViewRe(name, select) =>
         GraftSql.sql(spark, select).createOrReplaceTempView(name)
+        cat.recordView(name, select)
         status(spark, "CREATE VIEW", name)
       case dropViewRe(name) =>
-        spark.catalog.dropTempView(name); status(spark, "DROP VIEW", name)
+        spark.catalog.dropTempView(name)
+        cat.dropView(name)
+        status(spark, "DROP VIEW", name)
+      case createIndexRe(ifNot, ixName, table, cols) =>
+        val columns = cols.split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+            .replaceAll("(?i)\\s+(ASC|DESC)$", "")).toSeq
+        try cat.createIndex(ixName, table, columns)
+        catch { case e: IllegalArgumentException
+          if ifNot != null && e.getMessage.contains("already exists") => }
+        status(spark, "CREATE INDEX", table)
+      case dropIndexRe(ifEx, ixName) =>
+        cat.dropIndex(ixName, ifExists = ifEx != null)
+        status(spark, "DROP INDEX", ixName)
       case alterAddRe(name, colName, tpe, prec) =>
         cat.alterAddColumn(name, colName, sparkType(tpe, Option(prec).map(_.toInt)))
         status(spark, "ALTER TABLE ADD", name)
@@ -87,6 +101,12 @@ object GraftDdl {
   private val createViewRe =
     """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"?(\w+)"?\s+AS\s+(.*)$""".r
   private val dropViewRe = """(?is)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"?(\w+)"?$""".r
+  // grammar rule 91: CREATE INDEX ifnotexists nm ON nm (idxlist); idxlist
+  // entries allow ASC/DESC (rules 94-95, direction advisory here)
+  private val createIndexRe =
+    """(?is)^CREATE\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"?(\w+)"?\s+ON\s+"?(\w+)"?\s*\(([^)]*)\)\s*$""".r
+  private val dropIndexRe =
+    """(?is)^DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?(?:\s+ON\s+"?\w+"?)?$""".r
   private val alterAddRe =
     """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+ADD\s+(?:COLUMN\s+)?"?(\w+)"?\s+(\w+)\s*(?:\(\s*(\d+)\s*\))?$""".r
   private val alterRenameRe =

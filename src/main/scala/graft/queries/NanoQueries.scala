@@ -16,6 +16,11 @@ object NanoQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // rows-only by necessity: DuckDB's parquet reader truncates
+    // TIMESTAMP(NANOS) to µs (epoch_ns returns trailing zeros), so the
+    // sub-µs digits this query proves are exactly what the oracle cannot
+    // see — documented in COVERAGE.md Divergences; the µs-resolution view
+    // of the same column is oracle-checked by q_nano_window_agg
     Q.rowsOnly("q_nano_precision") { (s, dir) =>
       Tables.events(s, dir).filter(col("event_id") < 100)
         .select(col("event_id"), col("ts_ns"),

@@ -251,6 +251,40 @@ class GraftSqlSpec extends SparkTestBase {
     GraftSql.sql(spark, "DROP TABLE big_regions")
   }
 
+  test("CREATE/DROP INDEX round-trip and metadata tables") {
+    import org.apache.spark.sql.functions.col
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS ix_tab")
+    GraftSql.sql(spark,
+      "CREATE TABLE ix_tab (id LONG PRIMARY KEY, name STRING, v DOUBLE)")
+    GraftSql.sql(spark, "CREATE INDEX ix_name ON ix_tab (name, v DESC)")
+    val ix = cat.metaIndexInfo.filter(col("INDEX_NAME") === "ix_name")
+      .orderBy("ORDINAL").collect().map(r => (r.getString(2), r.getInt(3)))
+    assert(ix.toSeq == Seq(("name", 1), ("v", 2)))
+    // duplicate errors unless IF NOT EXISTS; unknown column errors
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE INDEX ix_name ON ix_tab (name)")
+    }
+    GraftSql.sql(spark, "CREATE INDEX IF NOT EXISTS ix_name ON ix_tab (name)")
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE INDEX ix_bad ON ix_tab (nope)")
+    }
+    // #primary_keys lists the key with its sequence
+    val pk = cat.metaPrimaryKeys.filter(col("TABLE_NAME") === "ix_tab").collect()
+    assert(pk.length == 1 && pk(0).getString(1) == "id" && pk(0).getInt(2) == 1)
+    // #views carries the definition text
+    GraftSql.sql(spark, "CREATE VIEW ix_view AS SELECT id FROM ix_tab WHERE v > 0")
+    assert(cat.metaViews.filter(col("VIEW_NAME") === "ix_view").count() == 1)
+    GraftSql.sql(spark, "DROP VIEW ix_view")
+    assert(cat.metaViews.filter(col("VIEW_NAME") === "ix_view").count() == 0)
+    GraftSql.sql(spark, "DROP INDEX ix_name")
+    intercept[NoSuchElementException] {
+      GraftSql.sql(spark, "DROP INDEX ix_name")
+    }
+    GraftSql.sql(spark, "DROP INDEX IF EXISTS ix_name") // no-op
+    GraftSql.sql(spark, "DROP TABLE ix_tab")
+  }
+
   test("unsupported GROUP BY RANGE / MATCH_RECOGNIZE forms fail with diagnostics") {
     Tables.registerAll(spark, sfDir)
     val joinErr = intercept[IllegalArgumentException] {
