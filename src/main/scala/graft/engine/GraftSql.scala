@@ -244,4 +244,27 @@ object GraftSql {
     case _ if mentionsRangeRe.findFirstIn(text).isDefined => rejectRange(text)
     case _ => spark.sql(rewrite(text))
   }
+
+  /** Execute a semicolon-separated statement batch (the shape a JDBC client
+    * sends as a script); statements run in order and the LAST statement's
+    * result is returned. Semicolons inside single-quoted literals do not
+    * split. */
+  def script(spark: SparkSession, text: String): DataFrame = {
+    val stmts = splitStatements(text)
+    require(stmts.nonEmpty, "empty SQL script")
+    stmts.map(sql(spark, _)).last
+  }
+
+  private[engine] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var inQ = false
+    val cur = new StringBuilder
+    text.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c }
+      else if (c == ';' && !inQ) { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 }

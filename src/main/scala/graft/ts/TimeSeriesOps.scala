@@ -423,17 +423,51 @@ object TimeSeriesOps {
     // directions, so it must sort on the window side of the probe row
     val ord =
       if (forward) Seq(col(t).asc, col(isP).desc) else Seq(col(t).asc, col(isP).asc)
-    val w0 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    val w =
-      if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fill =
+    def windowed(w0: org.apache.spark.sql.expressions.WindowSpec): Column = {
+      val w =
+        if (forward) w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       if (forward) first(col(pl), ignoreNulls = true).over(w)
       else last(col(pl), ignoreNulls = true).over(w)
+    }
+    val union = pSide.unionByName(sSide)
 
-    val matched = pSide.unionByName(sSide)
-      .withColumn(pl, fill)
-      .filter(col(isP) === 1)
+    val matched =
+      if (keys.nonEmpty)
+        union
+          .withColumn(pl, windowed(Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)))
+          .filter(col(isP) === 1)
+      else {
+        // unkeyed: a global window would serialize both tables onto one
+        // core. Chunk by coarse (1-day) time slices — the fill window runs
+        // per chunk, and the cross-chunk answer (last/first series payload
+        // beyond the chunk) comes from a second pass over the tiny
+        // one-row-per-chunk frame, broadcast back (the same boundary-carry
+        // stitch as the chunked fill/sampling paths).
+        val dayUs = 86400000000L
+        val withChunk = union
+          .withColumn("__chunk", (usec(col(t)) / lit(dayUs.toDouble)).cast("long"))
+        val perChunk = withChunk.filter(col(isP) === 0)
+          .groupBy("__chunk")
+          .agg(max_by(col(pl), usec(col(t))).as("__lastPl"),
+            min_by(col(pl), usec(col(t))).as("__firstPl"))
+        val chunkFrame = withChunk.select("__chunk").distinct()
+          .join(perChunk, Seq("__chunk"), "left")
+        // tiny stitch frame: one row per day — sequential by design
+        val wPrevC = Window.partitionBy(pmod(col("__chunk"), lit(1)))
+          .orderBy(col("__chunk")).rowsBetween(Window.unboundedPreceding, -1)
+        val wNextC = Window.partitionBy(pmod(col("__chunk"), lit(1)))
+          .orderBy(col("__chunk")).rowsBetween(1, Window.unboundedFollowing)
+        val carries = chunkFrame.select(col("__chunk"),
+          last(col("__lastPl"), ignoreNulls = true).over(wPrevC).as("__carryB"),
+          first(col("__firstPl"), ignoreNulls = true).over(wNextC).as("__carryF"))
+        val carry = if (forward) col("__carryF") else col("__carryB")
+        withChunk.join(broadcast(carries), "__chunk")
+          .withColumn(pl,
+            coalesce(windowed(Window.partitionBy(col("__chunk")).orderBy(ord: _*)), carry))
+          .filter(col(isP) === 1)
+          .drop("__chunk", "__carryB", "__carryF")
+      }
     val mts = col(pl).getField("__mts")
     val within = tolerance.fold(lit(true)) { tol =>
       val iv = expr(s"INTERVAL '$tol'")

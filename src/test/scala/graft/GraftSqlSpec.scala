@@ -251,6 +251,19 @@ class GraftSqlSpec extends SparkTestBase {
     GraftSql.sql(spark, "DROP TABLE big_regions")
   }
 
+  test("script executes a semicolon-separated batch, returns the last result") {
+    val out = GraftSql.script(spark,
+      """DROP TABLE IF EXISTS sc_tab;
+        |CREATE TABLE sc_tab (id INTEGER PRIMARY KEY, s STRING);
+        |INSERT INTO sc_tab VALUES (1, 'a;b'), (2, 'c');
+        |SELECT COUNT(*) AS n FROM sc_tab;""".stripMargin)
+    assert(out.collect()(0).getLong(0) == 2)
+    // the literal semicolon survived intact
+    assert(GraftSql.sql(spark, "SELECT s FROM sc_tab WHERE id = 1")
+      .collect()(0).getString(0) == "a;b")
+    GraftSql.sql(spark, "DROP TABLE sc_tab")
+  }
+
   test("CREATE/DROP INDEX round-trip and metadata tables") {
     import org.apache.spark.sql.functions.col
     val cat = graft.engine.GraftCatalog.forSession(spark)

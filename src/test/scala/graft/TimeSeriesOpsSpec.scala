@@ -170,6 +170,33 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(got(1L).isEmpty, s"null payload leaked an older row's value: $got")
   }
 
+  test("asOfJoin unkeyed: chunked path matches keyed reference across day boundaries") {
+    def ts(hour: Long) = new java.sql.Timestamp(hour * 3600000L)
+    val rnd = new scala.util.Random(5)
+    // probes/series spread over ~6 days; whole days with no series rows force
+    // cross-chunk carries
+    val probe = (1 to 120).map(i => (i.toLong, ts(rnd.nextInt(144).toLong)))
+      .toDF("id", "ts")
+    val series = (1 to 25).map { i =>
+      val h = rnd.nextInt(144)
+      (ts((if (h / 24 == 2) h + 24 else h).toLong), i.toDouble) // day 2 empty
+    }.toDF("ts", "v").select($"ts", $"ts".as("m_ts"), $"v".as("m_v"))
+
+    for (fwd <- Seq(false, true)) {
+      val unkeyed = T.asOfJoin(probe, series, Nil, "ts", "ts", forward = fwd)
+        .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+      val keyed = T.asOfJoin(probe.withColumn("k", lit(1)),
+          series.withColumn("k", lit(1)), Seq("k"), "ts", "ts", forward = fwd)
+        .select("id", "m_v").as[(Long, Option[Double])].collect().toMap
+      assert(unkeyed == keyed, s"forward=$fwd")
+      assert(unkeyed.values.exists(_.isDefined) && unkeyed.values.exists(_.isEmpty))
+    }
+    // and the unkeyed plan must not contain an unpartitioned window
+    val plan = T.asOfJoin(probe, series, Nil, "ts", "ts")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("__chunk"))
+  }
+
   test("RangeJoin.intervalJoin equals the naive BETWEEN join") {
     def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
     val rnd = new scala.util.Random(11)
