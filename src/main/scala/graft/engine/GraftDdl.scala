@@ -63,6 +63,23 @@ object GraftDdl {
       case dropIndexRe(ifEx, ixName) =>
         cat.dropIndex(ixName, ifExists = ifEx != null)
         status(spark, "DROP INDEX", ixName)
+      case alterDropPartRe(name, tsLit) =>
+        val c = cat.get(name)
+        val (tsCol, everyMs) = c.partitioning match {
+          case Some(PartitionedTables.Interval(pc, e)) => (pc, e)
+          case Some(PartitionedTables.IntervalHash(pc, e, _, _)) => (pc, e)
+          case other => throw new IllegalArgumentException(
+            s"$name: DROP PARTITION FOR requires interval partitioning, has $other")
+        }
+        // drop THE interval partition containing the literal (grammar rule
+        // 102): delete its rows — the catalog analogue of deleting the
+        // partition directory (PartitionedTables.dropPartitionsBefore)
+        val t = java.sql.Timestamp.from(java.time.Instant.parse(
+          tsLit.trim.replace(" ", "T") + (if (tsLit.trim.endsWith("Z")) "" else "Z")))
+        val b0 = Math.floorDiv(t.getTime, everyMs) * everyMs
+        cat.deleteWhere(name,
+          unix_millis(col(tsCol)) >= b0 && unix_millis(col(tsCol)) < b0 + everyMs)
+        status(spark, "ALTER TABLE DROP PARTITION", name)
       case alterAddRe(name, colName, tpe, prec) =>
         cat.alterAddColumn(name, colName, sparkType(tpe, Option(prec).map(_.toInt)))
         status(spark, "ALTER TABLE ADD", name)
@@ -107,6 +124,8 @@ object GraftDdl {
     """(?is)^CREATE\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"?(\w+)"?\s+ON\s+"?(\w+)"?\s*\(([^)]*)\)\s*$""".r
   private val dropIndexRe =
     """(?is)^DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?(?:\s+ON\s+"?\w+"?)?$""".r
+  private val alterDropPartRe =
+    """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+DROP\s+PARTITION\s+FOR\s*\(\s*TIMESTAMP\s*'([^']+)'\s*\)$""".r
   private val alterAddRe =
     """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+ADD\s+(?:COLUMN\s+)?"?(\w+)"?\s+(\w+)\s*(?:\(\s*(\d+)\s*\))?$""".r
   private val alterRenameRe =

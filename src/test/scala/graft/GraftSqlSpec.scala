@@ -231,6 +231,23 @@ class GraftSqlSpec extends SparkTestBase {
       "CREATE TABLE h_tab (k LONG PRIMARY KEY, s STRING) PARTITION BY HASH(k) PARTITIONS 16")
     assert(cat.get("h_tab").partitioning ==
       Some(graft.engine.PartitionedTables.Hash("k", 16)))
+    // DROP PARTITION FOR deletes the interval partition containing the
+    // literal (rows in [bucket, bucket+every))
+    GraftSql.script(spark,
+      """REPLACE INTO ts_tab VALUES
+        |  (TIMESTAMP '2024-01-01 05:00:00', 1.0),
+        |  (TIMESTAMP '2024-01-02 06:00:00', 2.0),
+        |  (TIMESTAMP '2024-01-03 07:00:00', 3.0)""".stripMargin)
+    GraftSql.sql(spark,
+      "ALTER TABLE ts_tab DROP PARTITION FOR (TIMESTAMP '2024-01-02 12:00:00')")
+    val left = GraftSql.sql(spark, "SELECT v FROM ts_tab ORDER BY v")
+      .collect().map(_.getDouble(0))
+    assert(left.toSeq == Seq(1.0, 3.0))
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "ALTER TABLE h_tab DROP PARTITION FOR (TIMESTAMP '2024-01-02 00:00:00')")
+    }
+
     // TIMESTAMP(9) carries as epoch-nanos LONG
     GraftSql.sql(spark, "DROP TABLE IF EXISTS nano_tab")
     GraftSql.sql(spark, "CREATE TABLE nano_tab (t TIMESTAMP(9) PRIMARY KEY, v DOUBLE) USING TIMESERIES")
