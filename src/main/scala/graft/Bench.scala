@@ -21,7 +21,7 @@ object Bench {
     // sub-second entries are otherwise dominated by JVM/GC noise (a single
     // iteration swung an unchanged trivial plan 4x between rounds).
     val warmDir = "/root/testdata/sf0.001"
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = Registry.benchQueries.map { q =>
       try q.build(spark, warmDir).count() catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
