@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -245,6 +245,43 @@ object PipelineQueries {
           Multimodal.fromText(docs(s, dir), "doc_id", "text", "source"))
         .toDF().select("media_id", "n_bytes", "checksum", "width", "height")
         .orderBy("media_id")
+    },
+
+    // ---- benchmark decontamination: training docs sharing any word 3-gram
+    //      with the pseudo-benchmark slice (doc_id % 97 == 0). Bench side
+    //      broadcast; training side one shuffle on doc id ----
+    Q.df("q_decontaminate_ngram",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |       FROM base, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
+        |       FROM base, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |       WHERE doc_id % 97 = 0)
+        |SELECT dg.doc_id, COUNT(DISTINCT dg.ng) AS n_shared_ngrams
+        |FROM dg JOIN bg ON dg.ng = bg.ng
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.ngramOverlap(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic hash sampling: 3/10 of documents by md5(doc_id)
+    //      bucket — reproducible across engines/runs/cluster sizes, same
+    //      key always lands in the same split ----
+    Q.df("q_pipeline_hash_sample",
+      duck = """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 3
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.hashSample(docs(s, dir), "doc_id", num = 3, denom = 10)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 }
