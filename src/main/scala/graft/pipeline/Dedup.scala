@@ -17,6 +17,84 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Connected components over an undirected edge list, by the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Each round is two
+    * ordinary shuffles (a groupBy-min and a join back), the edge set shrinks
+    * toward a star per component, and convergence takes O(log^2 n) rounds —
+    * no driver-side graph, no collect, so the component computation scales
+    * with the cluster like any other aggregation. `localCheckpoint` after
+    * each round truncates the iterative lineage (without it the plan doubles
+    * per round and the optimizer, not the data, becomes the bottleneck).
+    *
+    * Input: any (aCol, bCol) pair list (both directions implied; self-loops
+    * and duplicates tolerated). Output: (id, cluster) for every node that
+    * appears in an edge, where cluster = MIN node id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // decimal accumulator: a Long sum of xxhash64 values overflows under
+      // ANSI arithmetic after a handful of rows
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    // large-star: every node sends its strictly-larger neighbors to the
+    // minimum of its closed neighborhood (min(u, neighbors))
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      // v > u >= m, so no self-loops can come out of this step
+      bidir.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+    // small-star: every node sends its smaller-or-equal neighbors (and
+    // itself) to the minimum of those neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val canon = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val mins = canon.groupBy("u").agg(min(col("v")).as("m"))
+      canon.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .distinct().localCheckpoint(true)
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    // at convergence the edge set is a star per component rooted at its min:
+    // (child, root) — add (root, root) so every member gets an assignment
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .distinct()
+  }
+
+  /** Duplicate-cluster assignment for a corpus: every document labeled with
+    * the MIN doc id of its duplicate component (its own id when it has no
+    * duplicate edge). `pairs` is any near/exact-dup pair list — compose with
+    * [[tokenJaccardPairs]], [[minhashCandidates]], [[simhashPairs]] or
+    * [[exactGroups]] output. Keepers are the rows with id == cluster. */
+  def clusterAssign(docs: DataFrame, idCol: String,
+                    pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
   /** Exact duplicate groups by content digest (md5). */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))

@@ -60,6 +60,38 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- duplicate-cluster assignment: connected components over the
+    // exact Jaccard pair graph (large-star/small-star), every doc labeled
+    // with the MIN doc id of its component; oracle = transitive closure by
+    // recursive CTE over the identical pair SQL ----
+    Q.df("q_dedup_clusters",
+      duck = """WITH RECURSIVE tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id),
+        |pairs AS (
+        |  SELECT a, b FROM inter
+        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+        |SELECT d.doc_id AS id, COALESCE(m.cluster, d.doc_id) AS cluster
+        |FROM documents d
+        |LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+        |  ON m.id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.tokenJaccardPairs(d, "text", "doc_id", minJaccard = 0.8)
+      Dedup.clusterAssign(d, "doc_id", pairs, "a", "b").orderBy("id")
+    },
+
     // ---- MinHash + LSH near-dup candidates (xxhash64 family: rows-only) ----
     Q.rowsOnly("q_dedup_minhash", bench = true) { (s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")

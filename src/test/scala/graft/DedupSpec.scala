@@ -181,6 +181,53 @@ class DedupSpec extends SparkTestBase {
     assert(both.count() == 0)
   }
 
+  test("connected components: chain collapses to one star at the min") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: random graph matches driver union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(120)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val expected = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+    }
+    val cc = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == expected)
+  }
+
+  test("cluster assignment labels every doc; keepers are component minima") {
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val pairs = Dedup.tokenJaccardPairs(d, "text", "doc_id", minJaccard = 0.8)
+      .select($"a", $"b")
+    val assign = Dedup.clusterAssign(d, "doc_id", pairs, "a", "b")
+    assert(assign.count() == d.count())
+    // cluster label is always <= member id (min-of-component convention)
+    assert(assign.filter($"cluster" > $"id").count() == 0)
+    // every edge connects two docs with the same cluster label
+    val viol = pairs
+      .join(assign.withColumnRenamed("id", "a").withColumnRenamed("cluster", "ca"), "a")
+      .join(assign.withColumnRenamed("id", "b").withColumnRenamed("cluster", "cb"), "b")
+      .filter($"ca" =!= $"cb")
+    assert(viol.count() == 0)
+  }
+
   test("embedding near-dup: LSH candidates subset of exact, with banded recall") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.4)
