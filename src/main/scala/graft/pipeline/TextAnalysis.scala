@@ -63,4 +63,75 @@ object TextAnalysis {
       col(idCol),
       array_min(transform(Dedup.shingles(textCol, 4), s => xxhash64(s))).as("fp"),
       size(Dedup.shingles(textCol, 4)).as("n_shingles"))
+
+  /** Non-empty lowercased word tokens. */
+  private def cleanTokens(textCol: Column): Column =
+    filter(split(lower(textCol), " "), t => length(t) > 0)
+
+  /** Overlapping word n-grams WITH duplicates (repetition counting needs the
+    * multiplicities that [[Dedup.shingles]] deliberately drops). */
+  private def gramsWithDups(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (count, gram) of the most frequent element of `grams`, tie-broken to
+    * the lexicographically smallest gram. Single-pass run-length scan over
+    * the sorted array — a per-row O(G log G) column expression, so the whole
+    * metric is map-only (no shuffle) regardless of corpus size. */
+  private def topGram(grams: Column): Column = {
+    val sorted = array_sort(grams)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit("").as("bestg")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1))
+        // strict >: among equal counts the FIRST (lex-smallest) gram wins
+        val better = run > a.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(a.getField("best")).as("best"),
+          when(better, x).otherwise(a.getField("bestg")).as("bestg"))
+      })
+  }
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1 repetition filters). All pure
+    * column expressions — the scan is map-only at any corpus size.
+    *
+    *  - dup_word_frac:       (tokens - distinct tokens) / tokens
+    *  - dup_5gram_frac:      (5-grams - distinct 5-grams) / 5-grams
+    *  - top_2gram_char_frac: chars covered by occurrences of the most
+    *                         frequent word 2-gram / chars of the normalized
+    *                         (single-space-joined) token stream
+    *  - dup_line_frac:       (lines - distinct lines) / lines
+    *  - dup_line_char_frac:  chars in repeated line occurrences / line chars
+    *    (lines = trimmed non-empty `lineSep`-separated segments)
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String,
+                        lineSep: String = "\n"): DataFrame = {
+    val toks = cleanTokens(col(textCol))
+    val nTok = size(toks)
+    val g5 = gramsWithDups(toks, 5)
+    val g2 = gramsWithDups(toks, 2)
+    val top2 = topGram(g2)
+    val normChars = length(concat_ws(" ", toks))
+    val lines = filter(transform(split(col(textCol), lineSep), l => trim(l)),
+      l => length(l) > 0)
+    val charSum = (c: Column) => coalesce(
+      aggregate(c, lit(0L), (acc, x) => acc + length(x)), lit(0L))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    docs.select(
+      col(idCol),
+      frac(nTok - size(array_distinct(toks)), nTok).as("dup_word_frac"),
+      frac(size(g5) - size(array_distinct(g5)), size(g5)).as("dup_5gram_frac"),
+      frac(top2.getField("best") * length(top2.getField("bestg")), normChars)
+        .as("top_2gram_char_frac"),
+      frac(size(lines) - size(array_distinct(lines)), size(lines))
+        .as("dup_line_frac"),
+      frac(charSum(lines) - charSum(array_distinct(lines)), charSum(lines))
+        .as("dup_line_char_frac"))
+  }
 }

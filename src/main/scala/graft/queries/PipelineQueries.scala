@@ -160,6 +160,52 @@ object PipelineQueries {
     },
 
     // ---- text quality metrics ----
+    // ---- Gopher-style repetition metrics (Rae et al. 2021 filters) ----
+    Q.df("q_text_repetition",
+      duck = """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text, t, len(t) AS n,
+        |    length(array_to_string(t, ' ')) AS nchars,
+        |    len(list_distinct(t)) AS nd,
+        |    CASE WHEN len(t) >= 5
+        |      THEN list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))
+        |      ELSE CAST([] AS VARCHAR[]) END AS g5,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> len(l) > 0) AS lines
+        |  FROM toks),
+        |g2x AS (SELECT doc_id, unnest(g2) AS g FROM base),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g2x GROUP BY doc_id, g),
+        |top AS (SELECT doc_id, c, g,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM cnt)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.n > 0 THEN CAST(b.n - b.nd AS DOUBLE) / b.n ELSE 0.0 END
+        |    AS dup_word_frac,
+        |  CASE WHEN len(b.g5) > 0
+        |    THEN CAST(len(b.g5) - len(list_distinct(b.g5)) AS DOUBLE) / len(b.g5)
+        |    ELSE 0.0 END AS dup_5gram_frac,
+        |  CASE WHEN b.nchars > 0
+        |    THEN CAST(COALESCE(t.c, 0) * length(COALESCE(t.g, '')) AS DOUBLE) / b.nchars
+        |    ELSE 0.0 END AS top_2gram_char_frac,
+        |  CASE WHEN len(b.lines) > 0
+        |    THEN CAST(len(b.lines) - len(list_distinct(b.lines)) AS DOUBLE) / len(b.lines)
+        |    ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(b.lines, l -> length(l))) > 0
+        |    THEN CAST(list_sum(list_transform(b.lines, l -> length(l)))
+        |           - list_sum(list_transform(list_distinct(b.lines), l -> length(l))) AS DOUBLE)
+        |         / list_sum(list_transform(b.lines, l -> length(l)))
+        |    ELSE 0.0 END AS dup_line_char_frac
+        |FROM base b LEFT JOIN top t ON t.doc_id = b.doc_id AND t.rn = 1
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetitionMetrics(docs(s, dir), "text", "doc_id")
+        .orderBy("doc_id")
+    },
+
     Q.df("q_text_quality",
       duck = """SELECT doc_id,
         |  len(string_split(lower(text), ' ')) AS n_tokens,

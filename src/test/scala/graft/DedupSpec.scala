@@ -181,6 +181,30 @@ class DedupSpec extends SparkTestBase {
     assert(both.count() == 0)
   }
 
+  test("repetition metrics: hand-computed fixtures") {
+    val d = Seq(
+      // 6 tokens, 4 distinct -> dup_word 2/6; "a b" occurs 2x of 5 2-grams
+      (1L, "a b a b c d"),
+      // two identical lines of three
+      (2L, "x y\nx y\nz w"),
+      // all-unique, fewer than 5 tokens -> zero 5-gram denominator
+      (3L, "p q r"),
+      (4L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(d, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    // doc 1: tokens=6 distinct=4; 5-grams=2 distinct=2; top 2-gram "a b" x2,
+    // chars covered 2*3=6 over "a b a b c d".length=11
+    assert(m(0) == ((1L, 2.0 / 6, 0.0, 6.0 / 11, 0.0, 0.0)))
+    // doc 2: lines = [x y, x y, z w]: dup 1/3; line chars 9, distinct 6
+    // -> char frac (9-6)/9 = 1/3
+    assert(m(1)._5 == 1.0 / 3 && m(1)._6 == 1.0 / 3)
+    // doc 3: no dups; top 2-gram "p q" still covers 3 of 5 norm chars
+    assert(m(2) == ((3L, 0.0, 0.0, 3.0 / 5, 0.0, 0.0)))
+    // doc 4 (empty text): all zero, no div-by-zero
+    assert(m(3) == ((4L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("connected components: chain collapses to one star at the min") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
       .toDF("a", "b")
