@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword search for training-data curation: BM25 ranking over a
+  * document table (find the docs most relevant to a probe query — e.g. for
+  * targeted decontamination or domain sampling).
+  *
+  * Scale shape: the query-term filter is applied to the token array BEFORE
+  * exploding, so the per-doc explode emits at most |hits| rows (not |doc|);
+  * per-term document frequencies are a |Q|-row aggregate joined back by
+  * broadcast; corpus size / average length are a single-row aggregate. The
+  * only data-sized shuffle is the per-doc score sum. */
+object Search {
+
+  /** Non-empty lowercased word tokens. */
+  private def cleanTokens(textCol: String) =
+    filter(split(lower(col(textCol)), " "), t => length(t) > 0)
+
+  /** BM25 top-k: (id, score) for the k highest-scoring documents against
+    * `queryTerms` (lowercased exact token match), ties broken by id.
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones form,
+    * as in Lucene); tf saturation k1, length normalization b. */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+           queryTerms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase)
+    val toks = cleanTokens(textCol)
+    val withLen = docs.select(col(idCol).as("id"), toks.as("t"))
+      .withColumn("dl", size(col("t")))
+    // single-row corpus stats; broadcast into the score computation
+    val stats = withLen.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val hits = withLen
+      .select(col("id"), col("dl"),
+        explode(filter(col("t"), t => t.isin(terms.map(lit(_)): _*))).as("w"))
+    val tf = hits.groupBy("id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = hits.select("id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val perTerm = tf
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        (idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+    // round(4): the per-doc sum accumulates in shuffle order, so raw doubles
+    // differ by ~1 ulp run-to-run/engine-to-engine (same discipline as the
+    // var/stddev/percentile oracles)
+    perTerm.groupBy("id").agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

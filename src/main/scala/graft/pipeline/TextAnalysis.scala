@@ -96,6 +96,30 @@ object TextAnalysis {
       })
   }
 
+  /** PII patterns shared by the masker and its oracle — RE2-compatible (no
+    * backrefs/lookaround) so Java and DuckDB agree on every match. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiPhoneRe = "\\+[0-9]{7,15}"
+
+  /** PII redaction for training-data curation: masks emails, IPv4 addresses
+    * and international phone numbers with typed placeholder tokens and
+    * reports per-document match counts. Pure regexp column expressions —
+    * map-only at any corpus size. Masking order (email, ip, phone) is fixed
+    * so overlapping matches resolve identically everywhere. */
+  def maskPii(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, piiEmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, piiIpv4Re, "<IP>")
+    val t3 = regexp_replace(t2, piiPhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol),
+      t3.as("masked"),
+      regexp_count(t0, lit(piiEmailRe)).as("n_emails"),
+      regexp_count(t1, lit(piiIpv4Re)).as("n_ips"),
+      regexp_count(t2, lit(piiPhoneRe)).as("n_phones"))
+  }
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021, "Scaling
     * Language Models: ... Gopher", Table A1 repetition filters). All pure
     * column expressions — the scan is map-only at any corpus size.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -160,6 +160,66 @@ object PipelineQueries {
     },
 
     // ---- text quality metrics ----
+    // ---- BM25 keyword search top-k ----
+    Q.df("q_search_bm25",
+      duck = """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |hits AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |         WHERE w IN ('spark', 'join', 'merge')),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM tf
+        |  JOIN dfq USING (w)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id)
+        |SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10""".stripMargin) { (s, dir) =>
+      Search.bm25(docs(s, dir), "text", "doc_id",
+        Seq("spark", "join", "merge"), k = 10)
+    },
+
+    // ---- PII redaction (emails / IPv4 / intl phone) over a synthesized
+    // PII-bearing column derived identically on both engines ----
+    Q.df("q_text_pii",
+      duck = s"""WITH src AS (
+        |  SELECT doc_id,
+        |    'reach me at u' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.org or 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+        |    ' tel +15550' || CAST(doc_id AS VARCHAR) || ' ' || text AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(t, '${TextAnalysis.piiEmailRe}', '<EMAIL>', 'g') AS t1
+        |  FROM src),
+        |m2 AS (
+        |  SELECT doc_id, t, t1,
+        |    regexp_replace(t1, '${TextAnalysis.piiIpv4Re}', '<IP>', 'g') AS t2
+        |  FROM m)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '${TextAnalysis.piiPhoneRe}', '<PHONE>', 'g') AS masked,
+        |  len(regexp_extract_all(t, '${TextAnalysis.piiEmailRe}')) AS n_emails,
+        |  len(regexp_extract_all(t1, '${TextAnalysis.piiIpv4Re}')) AS n_ips,
+        |  len(regexp_extract_all(t2, '${TextAnalysis.piiPhoneRe}')) AS n_phones
+        |FROM m2 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"),
+        concat(lit("reach me at u"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 192.168."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" tel +15550"), col("doc_id").cast("string"),
+          lit(" "), col("text")).as("pii_text"))
+      TextAnalysis.maskPii(src, "pii_text", "doc_id").orderBy("doc_id")
+    },
+
     // ---- Gopher-style repetition metrics (Rae et al. 2021 filters) ----
     Q.df("q_text_repetition",
       duck = """WITH toks AS (

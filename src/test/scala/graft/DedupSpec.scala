@@ -181,6 +181,31 @@ class DedupSpec extends SparkTestBase {
     assert(both.count() == 0)
   }
 
+  test("bm25: hand-computed two-doc fixture") {
+    import graft.pipeline.Search
+    val d = Seq((1L, "spark spark fast"), (2L, "slow join"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25(d, "text", "doc_id", Seq("spark"), k = 3)
+      .as[(Long, Double)].collect()
+    // only doc 1 matches; N=3, df=1, idf=ln(1+(3-1+0.5)/1.5)=ln(8/3)
+    // tf=2, dl=3, avgdl=(3+2+3)/3; score=idf*2*2.2/(2+1.2*(.25+.75*3/avgdl))
+    val avgdl = 8.0 / 3
+    val exp = math.log(1 + 2.5 / 1.5) * 2 * 2.2 /
+      (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+    // operator rounds the score to 4 decimals (oracle-parity discipline)
+    assert(got.length == 1 && got(0)._1 == 1L && math.abs(got(0)._2 - exp) < 1e-4)
+  }
+
+  test("maskPii masks email/ip/phone and counts them") {
+    val d = Seq((1L, "mail a.b+c@x-corp.io, host 10.0.255.7, call +15551234567 now"),
+      (2L, "no pii here 1.2.3 not-an-ip a@b bad")).toDF("doc_id", "text")
+    val m = TextAnalysis.maskPii(d, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(m(0) == ((1L, "mail <EMAIL>, host <IP>, call <PHONE> now", 1, 1, 1)))
+    // "a@b" has no dotted TLD, "1.2.3" only three octets -> untouched
+    assert(m(1) == ((2L, "no pii here 1.2.3 not-an-ip a@b bad", 0, 0, 0)))
+  }
+
   test("repetition metrics: hand-computed fixtures") {
     val d = Seq(
       // 6 tokens, 4 distinct -> dup_word 2/6; "a b" occurs 2x of 5 2-grams
