@@ -61,4 +61,49 @@ object Curation {
     * string form, mod denom. */
   def hashBucket(key: Column, denom: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % denom
+
+  /** Deterministic stratified sampling: for each stratum, the `n` rows with
+    * the smallest md5(key) — i.e. a reproducible uniform quota sample per
+    * group (language, source, quality bucket), stable across runs, engines
+    * and cluster sizes.
+    *
+    * Scale shape: a naive per-stratum `row_number() <= n` funnels every row
+    * of a stratum through ONE window task — a scale-killer when a stratum is
+    * most of a 100 TB corpus. Instead the md5-prefix is prefiltered to
+    * ~`oversample`*n expected survivors per stratum (the cutoff comes from a
+    * one-row-per-stratum count aggregate, broadcast back), and only the
+    * survivors meet the window. Strata where the prefilter overshot (kept
+    * fewer than min(n, size) rows — vanishingly rare at 4x oversampling, but
+    * possible) fall back to their full row set, so the result is EXACTLY the
+    * top-n-by-hash regardless — the prefilter is a performance device, not a
+    * semantic one. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       n: Int, oversample: Double = 4.0): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string"))
+    val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+    val cut = (least(lit(1.0), lit(oversample * n) / col("__cnt"))
+      * lit(4294967296.0)).cast("long")
+    val pre = df.join(broadcast(counts), Seq(stratumCol))
+      .filter(h32 <= cut)
+    // exactness guard: strata whose survivor count fell below min(n, size)
+    // re-enter unfiltered (driver sees only a one-row-per-stratum aggregate)
+    val short = pre.groupBy(col(stratumCol)).agg(count(lit(1)).as("__surv"))
+      .join(counts, Seq(stratumCol))
+      .filter(col("__surv") < least(lit(n.toLong), col("__cnt")))
+      .select(col(stratumCol)).collect().map(_.get(0))
+    val input =
+      if (short.isEmpty) pre.drop("__cnt")
+      else pre.drop("__cnt").union(
+        df.filter(col(stratumCol).isin(short: _*))
+          .join(broadcast(counts), Seq(stratumCol))
+          .filter(h32 > cut)
+          .drop("__cnt"))
+    input
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(stratumCol)).orderBy(h, col(keyCol))))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
 }

@@ -420,6 +420,22 @@ object PipelineQueries {
       Curation.hashSample(docs(s, dir), "doc_id", num = 3, denom = 10)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- deterministic stratified sampling: per-language quota of the 20
+    // smallest md5(doc_id) — oracle is the naive full-window form; the
+    // operator's hash prefilter must not change the result ----
+    Q.df("q_sample_stratified",
+      duck = """SELECT lang, doc_id
+        |FROM (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Curation.stratifiedSample(docs(s, dir), "lang", "doc_id", n = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
     }
   )
 }

@@ -40,4 +40,31 @@ class CurationSpec extends SparkTestBase {
     val rest = df.filter(Curation.hashBucket($"id", 10) >= 3).as[Long].collect().toSet
     assert((kept ++ rest).size == 2000 && kept.intersect(rest).isEmpty)
   }
+
+  test("stratifiedSample equals the naive per-stratum top-n-by-hash") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val naive = df
+      .withColumn("rn", row_number().over(Window.partitionBy($"stratum")
+        .orderBy(md5($"id".cast("string")), $"id")))
+      .filter($"rn" <= 50).select("id", "stratum")
+      .as[(Long, String)].collect().toSet
+    val got = Curation.stratifiedSample(df, "stratum", "id", n = 50)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(got == naive && got.size == 150)
+    // tiny strata: n larger than the stratum keeps the whole stratum, and
+    // the exactness fallback path (survivors < min(n, size)) still matches
+    val small = (1L to 40L).map(i => (i, if (i <= 35) "big" else "tiny"))
+      .toDF("id", "stratum")
+    val gotSmall = Curation.stratifiedSample(small, "stratum", "id", n = 38,
+        oversample = 1.0)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(gotSmall == Map("big" -> 35L, "tiny" -> 5L))
+    // undersized prefilter (oversample < 1) forces the exactness fallback:
+    // the result must STILL equal the naive form
+    val gotForced = Curation.stratifiedSample(df, "stratum", "id", n = 50,
+        oversample = 0.2)
+      .select("id", "stratum").as[(Long, String)].collect().toSet
+    assert(gotForced == naive)
+  }
 }
