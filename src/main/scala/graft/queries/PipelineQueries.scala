@@ -352,6 +352,72 @@ object PipelineQueries {
       qual.join(dup, Seq("doc_id"), "left_anti").orderBy("doc_id")
     },
 
+    // ---- end-to-end curation v2: the full published-pipeline shape —
+    // quality gate + repetition gate + benchmark decontamination + duplicate
+    // CLUSTER keepers (connected components, not pairwise keep-first) ----
+    Q.df("q_pipeline_curation_v2",
+      duck = """WITH RECURSIVE train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |raw AS (SELECT doc_id, string_split(lower(text), ' ') AS rt FROM train),
+        |clean AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t FROM train),
+        |qual AS (SELECT doc_id FROM raw
+        |  WHERE len(rt) >= 10
+        |    AND CAST(len(list_distinct(rt)) AS DOUBLE) / len(rt) >= 0.3),
+        |rep AS (SELECT doc_id FROM clean
+        |  WHERE len(t) = 0
+        |     OR CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) <= 0.6),
+        |wbase AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |dg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |  FROM wbase, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
+        |  FROM wbase, UNNEST(generate_series(1, len(t)-2)) AS u(i)
+        |  WHERE doc_id % 97 = 0),
+        |contam AS (SELECT dg.doc_id FROM dg JOIN bg USING (ng)
+        |  GROUP BY dg.doc_id HAVING COUNT(DISTINCT dg.ng) >= 2),
+        |kept AS (SELECT q.doc_id FROM qual q JOIN rep USING (doc_id)
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM contam)),
+        |tok AS (SELECT DISTINCT t.doc_id, w
+        |  FROM kept k JOIN (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |                    FROM train) t ON t.doc_id = k.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, COUNT(*) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id < tb.doc_id
+        |  GROUP BY ta.doc_id, tb.doc_id),
+        |pairs AS (SELECT a, b FROM inter
+        |  JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |lbl AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+        |SELECT k.doc_id FROM kept k LEFT JOIN lbl ON lbl.id = k.doc_id
+        |WHERE lbl.cluster IS NULL OR lbl.cluster = k.doc_id
+        |ORDER BY k.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 97 =!= 0)
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val qual = TextAnalysis.quality(train, "text", "doc_id")
+        .filter(col("n_tokens") >= 10 && col("uniq_ratio") >= 0.3)
+        .select("doc_id")
+      val rep = TextAnalysis.repetitionMetrics(train, "text", "doc_id")
+        .filter(col("dup_word_frac") <= 0.6).select("doc_id")
+      val contam = Curation.ngramOverlap(train, "doc_id", "text", bench, "text", n = 3)
+        .filter(col("n_shared_ngrams") >= 2).select("doc_id")
+      val keptIds = qual.join(rep, "doc_id")
+        .join(contam, Seq("doc_id"), "left_anti")
+      val kept = train.join(keptIds, "doc_id")
+      val pairs = Dedup.tokenJaccardPairs(kept, "text", "doc_id", minJaccard = 0.8)
+      Dedup.clusterAssign(kept, "doc_id", pairs, "a", "b")
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id")).orderBy("doc_id")
+    },
+
     // ---- approximate distinct (HLL sketch; tolerance-tested in spec) ----
     Q.rowsOnly("q_approx_distinct") { (s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
