@@ -96,6 +96,26 @@ object TextAnalysis {
       })
   }
 
+  /** BPE-style pre-tokenizer pattern: alpha runs, digit runs, and
+    * non-alnum-non-space runs each count as one piece (the GPT-2 pre-token
+    * split shape, without the RE2-incompatible lookaheads). */
+  val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Token counts per document under both tokenization conventions a
+    * training pipeline budgets with: whitespace words and BPE-ish pieces
+    * ([[bpeishRe]]), plus chars-per-piece. Map-only column expressions. */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = size(filter(split(t, "\\s+"), x => length(x) > 0))
+    val bp = regexp_count(t, lit(bpeishRe))
+    docs.select(
+      col(idCol),
+      ws.as("n_ws_tokens"),
+      bp.as("n_bpeish_tokens"),
+      when(bp > 0, length(t).cast("double") / bp).otherwise(lit(0.0))
+        .as("chars_per_piece"))
+  }
+
   /** PII patterns shared by the masker and its oracle — RE2-compatible (no
     * backrefs/lookaround) so Java and DuckDB agree on every match. */
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -311,6 +311,27 @@ object PipelineQueries {
       TextAnalysis.tokenStats(docs(s, dir), "text", "source").orderBy("source")
     },
 
+    // ---- token counting under whitespace + BPE-ish piece conventions,
+    // over a derived column that exercises all regex classes ----
+    Q.df("q_text_token_counts",
+      duck = s"""WITH src AS (
+        |  SELECT doc_id,
+        |    source || ':' || text || ' #' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(list_filter(string_split_regex(t, '\\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+        |  len(regexp_extract_all(t, '${TextAnalysis.bpeishRe}')) AS n_bpeish_tokens,
+        |  CASE WHEN len(regexp_extract_all(t, '${TextAnalysis.bpeishRe}')) > 0
+        |    THEN CAST(length(t) AS DOUBLE)
+        |         / len(regexp_extract_all(t, '${TextAnalysis.bpeishRe}'))
+        |    ELSE 0.0 END AS chars_per_piece
+        |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"),
+        concat(col("source"), lit(":"), col("text"),
+          lit(" #"), col("doc_id").cast("string")).as("t"))
+      TextAnalysis.tokenCounts(src, "t", "doc_id").orderBy("doc_id")
+    },
+
     // ---- document fingerprinting (xxhash64 min-sketch: rows-only) ----
     Q.rowsOnly("q_text_fingerprint") { (s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir), "text", "doc_id").orderBy("doc_id")

@@ -196,6 +196,15 @@ class DedupSpec extends SparkTestBase {
     assert(got.length == 1 && got(0)._1 == 1L && math.abs(got(0)._2 - exp) < 1e-4)
   }
 
+  test("tokenCounts: whitespace words vs BPE-ish pieces") {
+    val d = Seq((1L, "hello world-42, ok!"), (2L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCounts(d, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, Int, Int, Double)].collect()
+    // pieces: hello | world | - | 42 | , | ok | !  (7); ws words: 3
+    assert(got(0) == ((1L, 3, 7, 19.0 / 7)))
+    assert(got(1) == ((2L, 0, 0, 0.0)))
+  }
+
   test("maskPii masks email/ip/phone and counts them") {
     val d = Seq((1L, "mail a.b+c@x-corp.io, host 10.0.255.7, call +15551234567 now"),
       (2L, "no pii here 1.2.3 not-an-ip a@b bad")).toDF("doc_id", "text")
