@@ -62,6 +62,100 @@ object Curation {
   def hashBucket(key: Column, denom: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % denom
 
+  /** Unigram language-model scoring (the CCNet/CC-100 quality-filter shape:
+    * score each document by its per-token negative log-likelihood under a
+    * corpus LM; unusually high NLL = noise/gibberish, unusually low =
+    * boilerplate). The LM here is the corpus' own unigram MLE —
+    * p(w) = count(w) / total_tokens — so the operator is fully deterministic
+    * and cross-engine checkable; a production pipeline would swap the
+    * frequency table for one trained on a trusted corpus (the join shape is
+    * identical).
+    *
+    * Output: (id, n_tokens, nll) where nll = avg over tokens of -ln p(w),
+    * rounded to `roundTo` digits (per-doc sums accumulate in shuffle order,
+    * so raw doubles differ by ~1 ulp engine-to-engine).
+    *
+    * Scale shape: the frequency table is vocabulary-sized and OPEN (typo
+    * tokens at 100 TB make it far bigger than a broadcast) — the token→freq
+    * join is a plain shuffle join on the token, which AQE converts to
+    * broadcast when the vocabulary is actually small; the per-doc aggregate
+    * is one more shuffle on the doc id. Token traffic is linear in corpus
+    * size, same as the dedup/minhash passes. */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")).as("__tok"))
+    val freq = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+    // single-row total; computed off the (small) frequency table, not the
+    // token stream, and broadcast into the score projection
+    val total = freq.agg(sum("__c").as("__t"))
+    toks.join(freq, "__tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("__c").cast("double") / col("__t"))), roundTo).as("nll"))
+  }
+
+  /** Temperature-weighted group sampling (the multilingual-pretraining
+    * rebalance: sample group g with probability ∝ c_g^alpha, alpha<1 upweights
+    * the tail — XLM-R style). Deterministically keeps, per group, the
+    * quota_g = min(c_g, ceil(target * c_g^alpha / Σ_h c_h^alpha)) rows with
+    * the smallest md5(key) — reproducible across runs, engines, and cluster
+    * sizes.
+    *
+    * Scale shape: group counts are a one-row-per-group aggregate; the quota
+    * share Σ c^alpha is a window over that tiny frame (constant partition
+    * key — sequential by design, one row per group); quotas broadcast-join
+    * back. The top-quota_g-by-hash selection reuses the stratified-sample
+    * discipline: an md5-prefix prefilter bounds the per-group window input to
+    * ~oversample*quota rows, with the same exactness fallback for strata the
+    * prefilter overshot. */
+  def temperatureSample(df: DataFrame, groupCol: String, keyCol: String,
+                        alpha: Double, target: Long,
+                        oversample: Double = 4.0): DataFrame = {
+    require(alpha > 0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(target > 0, "target must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
+    val wAll = Window.partitionBy(pmod(lit(0), lit(1)))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val share = pow(col("__cnt").cast("double"), alpha)
+    val quotas = counts.withColumn("__quota",
+      least(col("__cnt"),
+        ceil(lit(target.toDouble) * share / sum(share).over(wAll))))
+    topByHashPerGroup(df, groupCol, keyCol, quotas, oversample)
+  }
+
+  /** Per-group smallest-md5(key) selection with a variable per-group quota
+    * (`quotas`: groupCol, __cnt, __quota). The md5-prefix prefilter keeps
+    * the window input ~oversample*quota rows per group; groups where the
+    * prefilter overshot (survivors < min(quota, size)) fall back to their
+    * full row set, so the result is EXACTLY the top-quota-by-hash. */
+  private def topByHashPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                                quotas: DataFrame, oversample: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string"))
+    val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val cut = (least(lit(1.0), lit(oversample) * col("__quota") / col("__cnt"))
+      * lit(4294967296.0)).cast("long")
+    val pre = df.join(broadcast(quotas), Seq(groupCol)).filter(h32 <= cut)
+    val short = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("__surv"))
+      .join(quotas, Seq(groupCol))
+      .filter(col("__surv") < least(col("__quota"), col("__cnt")))
+      .select(col(groupCol)).collect().map(_.get(0))
+    val input =
+      if (short.isEmpty) pre
+      else pre.union(
+        df.filter(col(groupCol).isin(short: _*))
+          .join(broadcast(quotas), Seq(groupCol))
+          .filter(h32 > cut))
+    input
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(h, col(keyCol))))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__cnt", "__quota")
+  }
+
   /** Deterministic stratified sampling: for each stratum, the `n` rows with
     * the smallest md5(key) — i.e. a reproducible uniform quota sample per
     * group (language, source, quality bucket), stable across runs, engines
@@ -80,30 +174,8 @@ object Curation {
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        n: Int, oversample: Double = 4.0): DataFrame = {
     require(n > 0, "sample size must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val h = md5(col(keyCol).cast("string"))
-    val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
-    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
-    val cut = (least(lit(1.0), lit(oversample * n) / col("__cnt"))
-      * lit(4294967296.0)).cast("long")
-    val pre = df.join(broadcast(counts), Seq(stratumCol))
-      .filter(h32 <= cut)
-    // exactness guard: strata whose survivor count fell below min(n, size)
-    // re-enter unfiltered (driver sees only a one-row-per-stratum aggregate)
-    val short = pre.groupBy(col(stratumCol)).agg(count(lit(1)).as("__surv"))
-      .join(counts, Seq(stratumCol))
-      .filter(col("__surv") < least(lit(n.toLong), col("__cnt")))
-      .select(col(stratumCol)).collect().map(_.get(0))
-    val input =
-      if (short.isEmpty) pre.drop("__cnt")
-      else pre.drop("__cnt").union(
-        df.filter(col(stratumCol).isin(short: _*))
-          .join(broadcast(counts), Seq(stratumCol))
-          .filter(h32 > cut)
-          .drop("__cnt"))
-    input
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(stratumCol)).orderBy(h, col(keyCol))))
-      .filter(col("__rn") <= n).drop("__rn")
+    val quotas = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__quota", least(lit(n.toLong), col("__cnt")))
+    topByHashPerGroup(df, stratumCol, keyCol, quotas, oversample)
   }
 }

@@ -53,4 +53,32 @@ object Search {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** TF-IDF keyword extraction: the `k` highest-scoring terms per document
+    * (tfidf = tf * ln(N/df), ties by term), the standard per-doc topic
+    * signature used for domain tagging / cluster labeling in curation
+    * pipelines. Output: (id, term, tfidf, rk) with tfidf rounded to
+    * `roundTo` digits (ln and the tf*idf product are reproducible, but the
+    * rounding keeps the contract uniform with the other scored surfaces).
+    *
+    * Scale shape: one explode to (doc, term) counts (shuffle on the pair),
+    * document frequencies aggregated from that same counts frame (shuffle on
+    * the term — NOT broadcast: the vocabulary is open at 100 TB; AQE flips
+    * the join to broadcast when it is actually small), and the top-k window
+    * partitions per doc — fine-grained keys, no single-task funnel. */
+  def tfidfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val tf = docs
+      .select(col(idCol).as("id"), explode(cleanTokens(textCol)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        round(col("__tf") * log(col("__n").cast("double") / col("__df")), roundTo)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
 }

@@ -120,18 +120,21 @@ object Similarity {
     * seed; every surviving cluster keeps its refined mean (all-or-nothing
     * reversion would discard good refinements). `c0` must have columns
     * (c_id, cv: array<double>). */
-  private[graft] def ivfCentroids(c0: DataFrame, dim: Int, nLists: Int): Array[Array[Double]] = {
+  private[graft] def ivfCentroids(c0: DataFrame, dim: Int, nLists: Int,
+                                  steps: Int = 1): Array[Array[Double]] = {
     val seeds = c0.orderBy("c_id").limit(nLists)
       .select("cv").collect().map(_.getSeq[Double](0).toArray)
-    val assigned0 = c0.withColumn("cluster",
-      array_min(distances(col("cv"), seeds)).getField("cid"))
     val dimAvgs = (0 until dim).map(i =>
       avg(element_at(col("cv"), i + 1)).as(s"d$i"))
-    val refinedById = assigned0.groupBy("cluster").agg(dimAvgs.head, dimAvgs.tail: _*)
-      .collect()
-      .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray)
-      .toMap
-    seeds.indices.map(i => refinedById.getOrElse(i, seeds(i))).toArray
+    (1 to steps).foldLeft(seeds) { (cents, _) =>
+      val assigned = c0.withColumn("cluster",
+        array_min(distances(col("cv"), cents)).getField("cid"))
+      val refinedById = assigned.groupBy("cluster").agg(dimAvgs.head, dimAvgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1)).toArray)
+        .toMap
+      cents.indices.map(i => refinedById.getOrElse(i, cents(i))).toArray
+    }
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -155,6 +158,103 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Product-quantization codebooks: `m` subspaces of dim/m dims, `kCodes`
+    * centroids each — trained with the same deterministic seed+one-Lloyd-step
+    * discipline as [[ivfCentroids]], applied per subspace slice. Codebooks
+    * are constant-size (m x kCodes x dim/m doubles — the standard PQ
+    * training contract; a production trainer runs on a corpus SAMPLE, which
+    * is what `c0` should be at 100 TB). */
+  private[graft] def pqCodebooks(c0: DataFrame, dim: Int, m: Int,
+                                 kCodes: Int, steps: Int = 4): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val d = dim / m
+    (0 until m).map { j =>
+      val sub = c0.select(col("c_id"), slice(col("cv"), j * d + 1, d).as("cv"))
+      ivfCentroids(sub, d, kCodes, steps)
+    }.toArray
+  }
+
+  /** PQ-encoded approximate cosine top-k (asymmetric-distance form).
+    *
+    * Corpus rows are encoded ONCE to `m` small codes (argmin centroid per
+    * subspace) — at 100 TB this is the point: a 64-float embedding becomes
+    * m bytes (16-64x less scan IO), and scoring a pair costs m table lookups
+    * instead of dim multiplies. Each query row precomputes its
+    * lookup table (lut[j*kCodes+c] = <q_j, codebook[j][c]>) once on the
+    * broadcast build side; the per-pair score is then
+    *   cos ≈ Σ_j lut[code_j] / (|q| * |reconstruction|)
+    * where |reconstruction| comes from a literal norm table — no original
+    * corpus vector is touched after encoding. Output: (q_id, c_id, cos, rk);
+    * cos is the cosine of the query against the RECONSTRUCTED corpus vector
+    * (approximation error shrinks with m/kCodes; recall pinned in
+    * SimilaritySpec). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
+             steps: Int = 4, rerank: Int = 0,
+             roundTo: Int = 4): DataFrame = {
+    ensureFns(corpus)
+    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val dim = vecDim(c0, "cv")
+    val d = dim / m
+    val books = pqCodebooks(c0, dim, m, kCodes, steps)
+
+    // encode: one argmin per subspace over the literal codebook
+    val codes = array((0 until m).map { j =>
+      array_min(distances(slice(col("cv"), j * d + 1, d), books(j))).getField("cid")
+    }: _*)
+    // |reconstruction|^2 is a literal lookup per subspace — computed at
+    // encode time so the scoring side never needs the codebook again
+    val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val rnorm2 = (0 until m).map { j =>
+      element_at(array(normTable(j).map(lit): _*), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+    val enc = c0.select(col("c_id"), codes.as("codes"),
+      sqrt(rnorm2).as("rnorm"))
+
+    // query build side: flat lut of m*kCodes partial inner products,
+    // materialized once per query row before the broadcast
+    val lutCol = flatten(array((0 until m).map { j =>
+      transform(centroidsCol(books(j)), cb =>
+        dot(slice(col("qv"), j * d + 1, d), cb.getField("cv")))
+    }: _*))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("lut", lutCol)
+      .withColumn("qnorm", norm(col("qv")))
+      .drop("qv")
+
+    // per-pair: m lookups, no vector arithmetic
+    val ip = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = enc.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(ip / (col("qnorm") * col("rnorm")), roundTo).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    if (rerank <= 0)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else {
+      // refine stage (the Faiss IndexRefine shape): the ADC pass only
+      // GENERATES max(rerank, k) candidates per query; survivors re-join
+      // their true corpus vector (equi-join on the id — candidates are
+      // k-bounded per query, the join is tiny relative to the corpus scan)
+      // and the exact cosine decides the final top-k, so recall is the
+      // chance the true neighbor made the candidate pool — the quantity
+      // that actually improves with m/kCodes — not the chance ADC ranked
+      // it exactly first
+      val pool = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= math.max(rerank, k))
+        .select(col("q_id"), col("c_id"))
+      val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      val exact = pool
+        .join(c0, "c_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"),
+          round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
   }
 
   /** Approximate cosine top-k: candidates limited to same-LSH-bucket pairs.

@@ -523,6 +523,72 @@ object PipelineQueries {
       Curation.stratifiedSample(docs(s, dir), "lang", "doc_id", n = 20)
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
+    },
+
+    // ---- unigram LM perplexity proxy (CCNet-style quality filter):
+    // per-doc avg -ln p(token) under the corpus' own unigram MLE ----
+    Q.df("q_text_unigram_nll",
+      duck = """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS t FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(c AS DOUBLE) / t)), 6) AS nll
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.unigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // ---- temperature-weighted group sampling (alpha=0.5 rebalance over
+    // languages, deterministic smallest-md5 quota per group); oracle is the
+    // naive full-window form — the hash prefilter must not change it ----
+    Q.df("q_sample_temperature",
+      duck = """WITH c AS (SELECT lang, count(*) AS cg FROM documents GROUP BY lang),
+        |q AS (SELECT lang, cg,
+        |    least(cg, CAST(ceil(200 * pow(cg, 0.5)
+        |      / (SELECT sum(pow(cg, 0.5)) FROM c)) AS BIGINT)) AS quota
+        |  FROM c),
+        |r AS (SELECT d.lang, d.doc_id, q.quota,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT lang, doc_id FROM r WHERE rn <= quota
+        |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      Curation.temperatureSample(docs(s, dir), "lang", "doc_id",
+          alpha = 0.5, target = 200)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    },
+
+    // ---- TF-IDF keyword extraction: top-5 terms per doc ----
+    Q.df("q_tfidf_top_terms",
+      duck = """WITH tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    FROM documents) t GROUP BY doc_id, tok),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id AS id, term,
+        |    round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY round(tf * ln(CAST(n AS DOUBLE) / df), 6) DESC, term) AS rk
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        |SELECT id, term, tfidf, rk FROM s WHERE rk <= 5
+        |ORDER BY id, rk""".stripMargin) { (s, dir) =>
+      Search.tfidfTopTerms(docs(s, dir), "text", "doc_id", k = 5)
+        .orderBy("id", "rk")
+    },
+
+    // ---- PQ (product-quantization) ANN (rows-only; recall + compression
+    // contract tested in SamplesSpec) ----
+    Q.rowsOnly("q_sim_pq_ann") { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rk")
     }
   )
 }

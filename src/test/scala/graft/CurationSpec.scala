@@ -67,4 +67,51 @@ class CurationSpec extends SparkTestBase {
       .select("id", "stratum").as[(Long, String)].collect().toSet
     assert(gotForced == naive)
   }
+
+  test("temperatureSample: alpha=1 is proportional, alpha<1 upweights the tail") {
+    // 900 'big' + 100 'small' rows; target 100
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+      .toDF("id", "grp")
+    // alpha=1: quota_g = ceil(target * c_g / total) -> 90 / 10
+    val prop = Curation.temperatureSample(df, "grp", "id", alpha = 1.0, target = 100)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(prop == Map("big" -> 90L, "small" -> 10L))
+    // alpha=0.5: shares sqrt(900)=30, sqrt(100)=10 -> 75 / 25
+    val temp = Curation.temperatureSample(df, "grp", "id", alpha = 0.5, target = 100)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(temp == Map("big" -> 75L, "small" -> 25L))
+    // quota never exceeds the group size
+    val capped = Curation.temperatureSample(df, "grp", "id", alpha = 0.5, target = 5000)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(capped("big") <= 900L && capped("small") == 100L)
+    // deterministic: same selection both runs, and it is the smallest-md5 set
+    val a = Curation.temperatureSample(df, "grp", "id", alpha = 0.5, target = 100)
+      .select("id").as[Long].collect().toSet
+    val b = Curation.temperatureSample(df, "grp", "id", alpha = 0.5, target = 100)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // forced exactness fallback must not change the result
+    val forced = Curation.temperatureSample(df, "grp", "id", alpha = 0.5,
+        target = 100, oversample = 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(forced == a)
+  }
+
+  test("unigramNll: uniform corpus scores ln(V); rare tokens raise a doc's nll") {
+    // 4 docs over a 4-token uniform vocabulary: every token appears twice in
+    // 8 total -> p = 1/4 for each, so every doc's nll = ln 4
+    val uni = Seq((1L, "a b"), (2L, "b a"), (3L, "c d"), (4L, "d c"))
+      .toDF("doc_id", "text")
+    val all = Curation.unigramNll(uni, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(all.forall(_._2 == 2L))
+    val ln4 = BigDecimal(math.log(4.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(all.forall(r => math.abs(r._3 - ln4) < 1e-9))
+    // a doc of rare tokens scores strictly higher than a doc of common ones
+    val mixed = Seq((1L, "the the the the the the"), (2L, "zyx qwv"))
+      .toDF("doc_id", "text")
+    val nll = Curation.unigramNll(mixed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(nll(2L) > nll(1L))
+  }
 }

@@ -157,6 +157,35 @@ class DedupSpec extends SparkTestBase {
     assert(cents(2).toSeq == Seq(10.0, 10.0) && cents(3).toSeq == Seq(10.0, 12.0))
   }
 
+  test("pq ANN recall against brute force on real embeddings") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5,
+        m = 8, kCodes = 16)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall >= 0.5, s"pq recall $recall too low")
+  }
+
+  test("pq encoding reconstructs exact centroids: codebook vectors score cos 1") {
+    // corpus = the centroid grid itself in 4 dims, m=2 subspaces of 2 dims:
+    // every vector quantizes to itself, so the reconstruction is exact and
+    // the query's true nearest neighbors come back in order
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.pqTopK(vecs, vecs.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3, m = 2, kCodes = 4)
+      .collect().map(r => (r.getAs[Long]("c_id"), r.getAs[Double]("cos"), r.getAs[Int]("rk")))
+    // exact cosines: vec2 = (1,0,1,0) -> 1/sqrt(2)=0.7071; vec1,vec3 -> 0
+    assert(top.toSeq == Seq((2L, 0.7071, 1), (1L, 0.0, 2), (3L, 0.0, 3)))
+  }
+
   test("lsh ANN recall against brute force on real embeddings") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 3)
