@@ -267,22 +267,31 @@ object GridDbScalarFunctions {
     out.result()
   }
 
-  /** Register into an existing session. Registers every builder
-    * unconditionally — createOrReplaceTempFunction is idempotent and cheap,
-    * and a per-name pass repairs a registry where individual functions were
-    * dropped/shadowed (a single sentinel probe could not). Operators call
-    * this on every build; Verify/Bench build ~90 queries in one session. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+  // sessions whose registry this object has already populated — weakly
+  // held so a stopped session can be collected
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register into an existing session, once per session. Operators call
+    * this on every build (Verify/Bench build ~90 queries in one session);
+    * without the guard createOrReplaceTempFunction logs a "function
+    * replaced" WARN per name per build, flooding the logs. `unregister`
+    * clears the flag so test hygiene still works. */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.add(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      builders.foreach { case (name, b) =>
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 
   /** Drop all registrations (test hygiene) — derived from `builders` so the
     * list can never drift from what register() installs. */
-  def unregister(spark: SparkSession): Unit = {
+  def unregister(spark: SparkSession): Unit = registered.synchronized {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, _) => reg.dropFunction(FunctionIdentifier(name)) }
+    registered.remove(spark)
   }
 }

@@ -117,7 +117,11 @@ object Curation {
     require(target > 0, "target must be positive")
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__cnt"))
-    val wAll = Window.partitionBy(pmod(lit(0), lit(1)))
+    // constant-but-non-foldable partition key (GroupByRange idiom): a
+    // foldable pmod(lit(0), lit(1)) constant-folds away and WindowExec
+    // warns `No Partition Defined` — the frame is one row per group, so a
+    // single partition is by design, but it must be declared
+    val wAll = Window.partitionBy(pmod(col("__cnt"), lit(1)))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val share = pow(col("__cnt").cast("double"), alpha)
     val quotas = counts.withColumn("__quota",
@@ -130,7 +134,13 @@ object Curation {
     * (`quotas`: groupCol, __cnt, __quota). The md5-prefix prefilter keeps
     * the window input ~oversample*quota rows per group; groups where the
     * prefilter overshot (survivors < min(quota, size)) fall back to their
-    * full row set, so the result is EXACTLY the top-quota-by-hash. */
+    * full row set, so the result is EXACTLY the top-quota-by-hash. Joins on
+    * the group are null-safe (`<=>`): a NULL group is a real stratum and
+    * keeps its quota, matching groupBy's treatment of NULL as one group.
+    *
+    * Note: building this plan runs one small Spark job eagerly (the
+    * overshot-group check collects the per-group survivor counts — bounded
+    * by the number of groups) before the transform is returned. */
   private def topByHashPerGroup(df: DataFrame, groupCol: String, keyCol: String,
                                 quotas: DataFrame, oversample: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -138,17 +148,25 @@ object Curation {
     val h32 = conv(substring(h, 1, 8), 16, 10).cast("long")
     val cut = (least(lit(1.0), lit(oversample) * col("__quota") / col("__cnt"))
       * lit(4294967296.0)).cast("long")
-    val pre = df.join(broadcast(quotas), Seq(groupCol)).filter(h32 <= cut)
+    val qr = quotas.withColumnRenamed(groupCol, "__g")
+    val joined = (left: DataFrame) =>
+      left.join(broadcast(qr), left(groupCol) <=> qr("__g")).drop("__g")
+    val pre = joined(df).filter(h32 <= cut)
     val short = pre.groupBy(col(groupCol)).agg(count(lit(1)).as("__surv"))
-      .join(quotas, Seq(groupCol))
+      .drop("__cnt", "__quota")
+      .transform(joined)
       .filter(col("__surv") < least(col("__quota"), col("__cnt")))
       .select(col(groupCol)).collect().map(_.get(0))
     val input =
       if (short.isEmpty) pre
-      else pre.union(
-        df.filter(col(groupCol).isin(short: _*))
-          .join(broadcast(quotas), Seq(groupCol))
-          .filter(h32 > cut))
+      else {
+        val nonNull = short.filter(_ != null)
+        val isShort = Seq(
+          if (nonNull.nonEmpty) Some(col(groupCol).isin(nonNull: _*)) else None,
+          if (short.contains(null)) Some(col(groupCol).isNull) else None
+        ).flatten.reduce(_ || _)
+        pre.union(joined(df.filter(isShort)).filter(h32 > cut))
+      }
     input
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(h, col(keyCol))))

@@ -176,6 +176,20 @@ object Similarity {
     }.toArray
   }
 
+  /** Deterministic training subset for [[pqTopK]]: the rows whose 32-bit
+    * md5-prefix bucket (Curation.hashBucket discipline — reproducible across
+    * runs/engines/cluster sizes) falls under `fraction`. At 100 TB codebook
+    * training must NOT scan the full corpus m*steps times; a 1e-3 fraction
+    * trains statistically identical codebooks with 1000x less training IO
+    * while the full corpus still flows through encode exactly once. */
+  private def trainSlice(c0: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) c0
+    else {
+      val denom = 1 << 20
+      val num = math.max(1, math.round(fraction * denom).toInt)
+      c0.filter(Curation.hashBucket(col("c_id"), denom) < num)
+    }
+
   /** PQ-encoded approximate cosine top-k (asymmetric-distance form).
     *
     * Corpus rows are encoded ONCE to `m` small codes (argmin centroid per
@@ -186,19 +200,34 @@ object Similarity {
     * broadcast build side; the per-pair score is then
     *   cos ≈ Σ_j lut[code_j] / (|q| * |reconstruction|)
     * where |reconstruction| comes from a literal norm table — no original
-    * corpus vector is touched after encoding. Output: (q_id, c_id, cos, rk);
-    * cos is the cosine of the query against the RECONSTRUCTED corpus vector
-    * (approximation error shrinks with m/kCodes; recall pinned in
-    * SimilaritySpec). */
+    * corpus vector is touched after encoding.
+    *
+    * `rerank < 0` (the default) means AUTO: the ADC pass only GENERATES a
+    * 12*k candidate pool per query (a Faiss-IndexRefine-style k_factor —
+    * m-byte codes rank only coarsely, so the pool must be an order of
+    * magnitude over k; measured recall at the default m=8/kCodes=16 on the
+    * 64-dim test embeddings: pool 4k → 0.53, pool 12k → 0.73) and the
+    * exact cosine against the true corpus vector decides the final top-k —
+    * recall is then the chance the true neighbor made the pool, not the
+    * chance coarse ADC ranked it exactly first. `rerank = 0` disables the
+    * refine (pure ADC, for profiling the quantizer); `rerank > 0` sets the
+    * pool size explicitly. `trainFraction < 1` trains the codebooks on a
+    * deterministic hash-sampled subset (see [[trainSlice]]) — at scale,
+    * always set this; the full corpus is only ever scanned once, by encode.
+    *
+    * Output: (q_id, c_id, cos, rk); with rerank on, cos is the EXACT cosine
+    * of the survivors; with rerank off it is the cosine against the
+    * reconstructed vector (null on zero-norm, matching graft_cosine's
+    * contract, so degenerate rows sort last not first). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
-             steps: Int = 4, rerank: Int = 0,
-             roundTo: Int = 4): DataFrame = {
+             steps: Int = 4, rerank: Int = -1,
+             roundTo: Int = 4, trainFraction: Double = 1.0): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
     val d = dim / m
-    val books = pqCodebooks(c0, dim, m, kCodes, steps)
+    val books = pqCodebooks(trainSlice(c0, trainFraction), dim, m, kCodes, steps)
 
     // encode: one argmin per subspace over the literal codebook
     val codes = array((0 until m).map { j =>
@@ -229,15 +258,22 @@ object Similarity {
       zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
         (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
       lit(0.0), (acc, x) => acc + x)
+    // zero-norm guard: a zero query vector or a zero-norm reconstruction
+    // must score null (sorts LAST under desc), not NaN (which Spark sorts
+    // FIRST and would pin the degenerate row at rk=1 for every query) —
+    // same contract as graft_cosine on the exact/rerank path
+    val denom2 = col("qnorm") * col("rnorm")
     val scored = enc.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(ip / (col("qnorm") * col("rnorm")), roundTo).as("cos"))
+        when(denom2 === 0.0, lit(null))
+          .otherwise(round(ip / denom2, roundTo)).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    if (rerank <= 0)
+    val poolSize = if (rerank < 0) 12 * k else rerank
+    if (poolSize == 0)
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
     else {
       // refine stage (the Faiss IndexRefine shape): the ADC pass only
-      // GENERATES max(rerank, k) candidates per query; survivors re-join
+      // GENERATES max(poolSize, k) candidates per query; survivors re-join
       // their true corpus vector (equi-join on the id — candidates are
       // k-bounded per query, the join is tiny relative to the corpus scan)
       // and the exact cosine decides the final top-k, so recall is the
@@ -245,7 +281,7 @@ object Similarity {
       // that actually improves with m/kCodes — not the chance ADC ranked
       // it exactly first
       val pool = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= math.max(rerank, k))
+        .filter(col("rk") <= math.max(poolSize, k))
         .select(col("q_id"), col("c_id"))
       val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       val exact = pool

@@ -530,7 +530,7 @@ object PipelineQueries {
     Q.df("q_text_unigram_nll",
       duck = """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS tok
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
         |  FROM documents),
         |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |tot AS (SELECT sum(c) AS t FROM freq)

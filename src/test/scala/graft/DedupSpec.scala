@@ -166,7 +166,9 @@ class DedupSpec extends SparkTestBase {
         m = 8, kCodes = 16)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val recall = (bf intersect pq).size.toDouble / bf.size
-    assert(recall >= 0.5, s"pq recall $recall too low")
+    // 0.733 measured at the default auto-rerank pool (12*k); bar at 0.6
+    // keeps margin without tracking the exact value
+    assert(recall >= 0.6, s"pq recall $recall too low")
   }
 
   test("pq encoding reconstructs exact centroids: codebook vectors score cos 1") {
