@@ -4,22 +4,33 @@ import graft.engine.GraftSession
 import graft.queries.Registry
 
 /** Benchmark main: times the headline (bench-flagged) queries at
-  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver. */
+  * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
+  *
+  * Harness hygiene (round-4 postmortem: a 16-query x 6-run loop in one JVM
+  * inflated later queries 4-26x over their cold standalone times):
+  *  - the whole-stage-codegen class cache is raised from its 100-entry LRU
+  *    default to 1000 so one query's compiles never evict another's — the
+  *    eviction churn (recompile per iteration) was the main decay source;
+  *  - each query warms immediately before its own timed iterations (same
+  *    plan shape at the smallest SF), so the cache is hot per query no
+  *    matter how many queries precede it;
+  *  - between queries the table cache is dropped and a GC is requested so
+  *    the ContextCleaner reclaims dereferenced broadcasts instead of
+  *    letting tens of broadcast blocks accumulate across the run;
+  *  - per-iteration times go to stderr so decay is visible in the log; the
+  *    stdout contract stays ONE JSON line with the per-query MEDIAN
+  *    (sub-second entries are otherwise dominated by JVM/GC noise).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
-      shufflePartitions = cpus.toInt).getOrCreate()
+      shufflePartitions = cpus.toInt)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm each query immediately before timing it (same plan shape at the
-    // smallest SF) so the timed runs measure steady-state execution, not
-    // whole-stage-codegen JIT compiles — the generated-class cache is
-    // LRU-bounded, so warming all queries up front evicts the early ones.
-    // Each query is then timed `iters` times and the MEDIAN is reported:
-    // sub-second entries are otherwise dominated by JVM/GC noise (a single
-    // iteration swung an unchanged trivial plan 4x between rounds).
     val warmDir = "/root/testdata/sf0.001"
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = Registry.benchQueries.map { q =>
@@ -28,8 +39,14 @@ object Bench {
         val t0 = System.nanoTime()
         try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      q.name -> times(times.length / 2)
+      }
+      Console.err.println(f"[bench] ${q.name}%-28s " +
+        times.map(t => f"$t%.3f").mkString(" "))
+      // cross-query hygiene: drop cached tables and nudge the
+      // ContextCleaner (broadcast blocks are weak-ref collected)
+      spark.catalog.clearCache()
+      System.gc()
+      q.name -> times.sorted.apply(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
