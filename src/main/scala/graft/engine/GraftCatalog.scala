@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType, TimestampType}
 
 /** Container catalog: GridDB's DDL/DML surface mapped onto Spark.
   *
@@ -18,6 +18,26 @@ import org.apache.spark.sql.types.StructType
   * as one shuffle on the key. Data lives in temp views (tests) — the same
   * API drives partitioned parquet layouts via `PartitionedTables`.
   */
+/** Event-trigger definition (client surface gridstore.h GSTriggerInfo
+  * :838-870: name, REST|JMS type, uri, PUT/DELETE event flags, column set,
+  * JMS destination, credentials). The CE server itself REJECTS trigger
+  * creation (CreateDropTriggerHandler throws "Trigger not support",
+  * /root/reference/server/transaction_service_base.cpp:5078) while still
+  * shipping the #event_triggers meta table — so this surface is additive:
+  * a Spark-native notification hook, fired per ingest batch. */
+final case class TriggerDef(name: String, table: String,
+                            eventTypes: Seq[String],
+                            columns: Seq[String] = Nil,
+                            triggerType: String = "REST",
+                            uri: String = "",
+                            jmsDestinationType: Option[String] = None,
+                            jmsDestinationName: Option[String] = None,
+                            user: Option[String] = None,
+                            password: Option[String] = None)
+
+/** One trigger firing: the batch that caused it and its row count. */
+final case class TriggerEvent(trigger: TriggerDef, event: String, rows: Long)
+
 object GraftCatalog {
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, GraftCatalog]()
@@ -37,6 +57,52 @@ final class GraftCatalog(spark: SparkSession) {
   private val indexes =
     scala.collection.mutable.LinkedHashMap[String, (String, Seq[String])]()
   private val views = scala.collection.mutable.LinkedHashMap[String, String]()
+  private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerDef]()
+  // notification transport: REST/JMS fan-out is the production binding; the
+  // default (and the zero-egress test binding) records firings so specs and
+  // operators can observe them
+  private val firedLog = scala.collection.mutable.ListBuffer[TriggerEvent]()
+  @volatile private var notifier: TriggerEvent => Unit = e => firedLog.synchronized {
+    firedLog += e
+  }
+
+  /** CREATE TRIGGER (additive DDL; GSTriggerInfo semantics). */
+  def createTrigger(t: TriggerDef): Unit = {
+    require(!triggers.contains(t.name), s"trigger ${t.name} already exists")
+    require(exists(t.table), s"table ${t.table} does not exist")
+    val bad = t.eventTypes.filterNot(Set("PUT", "DELETE"))
+    require(bad.isEmpty, s"unknown trigger event types: ${bad.mkString(",")}")
+    t.columns.foreach(cn => require(get(t.table).df.columns.contains(cn),
+      s"${t.table} has no column $cn"))
+    triggers(t.name) = t
+  }
+
+  /** DROP TRIGGER. */
+  def dropTrigger(name: String, ifExists: Boolean = false): Unit =
+    if (triggers.remove(name).isEmpty && !ifExists)
+      throw new NoSuchElementException(s"trigger $name does not exist")
+
+  def listTriggers: Seq[TriggerDef] = triggers.values.toSeq
+
+  /** Replace the notification transport (e.g. an HTTP/JMS client in a real
+    * deployment). The default logs to [[firedTriggers]]. */
+  def onTrigger(f: TriggerEvent => Unit): Unit = notifier = f
+
+  /** Firings observed by the default (logging) transport. */
+  def firedTriggers: Seq[TriggerEvent] = firedLog.synchronized { firedLog.toList }
+
+  /** Fire the table's triggers for `event`. The affected-row count is
+    * computed ONCE and only when at least one trigger matches — tables
+    * without triggers pay nothing on the put/remove hot path. */
+  private def fireTriggers(table: String, event: String,
+                           affected: => DataFrame): Unit = {
+    val matching = triggers.values
+      .filter(t => t.table == table && t.eventTypes.contains(event)).toSeq
+    if (matching.nonEmpty) {
+      val n = affected.count()
+      matching.foreach(t => notifier(TriggerEvent(t, event, n)))
+    }
+  }
 
   def createCollection(name: String, schema: StructType,
                        keyColumns: Seq[String] = Nil): Container = {
@@ -91,7 +157,9 @@ final class GraftCatalog(spark: SparkSession) {
         tagged.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__gen", "__rn")
       }
-    register(c.copy(df = materialize(merged)))
+    val out = register(c.copy(df = materialize(merged)))
+    fireTriggers(name, "PUT", rows)
+    out
   }
 
   /** Point/row-key lookup (GET semantics). */
@@ -175,7 +243,10 @@ final class GraftCatalog(spark: SparkSession) {
     require(c.keyColumns.nonEmpty, s"$name has no row key")
     val cond = c.keyColumns.zip(keyValues)
       .map { case (k, v) => col(k) === lit(v) }.reduce(_ && _)
-    register(c.copy(df = materialize(c.df.filter(!cond))))
+    val removed = c.df.filter(cond)
+    val out = register(c.copy(df = materialize(c.df.filter(!cond))))
+    fireTriggers(name, "DELETE", removed)
+    out
   }
 
   /** SQL UPDATE ... SET ... WHERE (DMLProcessor semantics,
@@ -193,7 +264,10 @@ final class GraftCatalog(spark: SparkSession) {
   /** SQL DELETE ... WHERE. */
   def deleteWhere(name: String, where: org.apache.spark.sql.Column): Container = {
     val c = get(name)
-    register(c.copy(df = materialize(c.df.filter(!coalesce(where, lit(false))))))
+    val removed = c.df.filter(coalesce(where, lit(false)))
+    val out = register(c.copy(df = materialize(c.df.filter(!coalesce(where, lit(false))))))
+    fireTriggers(name, "DELETE", removed)
+    out
   }
 
   /** ALTER TABLE name ADD [COLUMN] col type (grammar rules 103-106,
@@ -309,6 +383,51 @@ final class GraftCatalog(spark: SparkSession) {
       }
     }.toDF("TABLE_NAME", "PARTITION_TYPE", "PARTITION_COLUMN",
       "INTERVAL_VALUE_MS", "PARTITION_DIVISION_COUNT")
+  }
+
+  /** Metadata table `#event_triggers` (meta_type.h TYPE_TRIGGER; ref column
+    * list meta_store.cpp:1084-1097). One row per trigger; EVENT_TYPE and
+    * COLUMN_NAME are comma-joined sets (GSTriggerInfo's flag/column sets).
+    * PASSWORD is never surfaced (null), matching credential hygiene. */
+  def metaEventTriggers: DataFrame = {
+    import spark.implicits._
+    val ordinals = scala.collection.mutable.Map[String, Int]()
+    triggers.values.toSeq.map { t =>
+      val i = ordinals.getOrElse(t.table, 0) + 1
+      ordinals(t.table) = i
+      ("public", t.table, i, t.name, t.eventTypes.mkString(","),
+        t.columns.mkString(","), t.triggerType, t.uri,
+        t.jmsDestinationType.orNull, t.jmsDestinationName.orNull,
+        t.user.orNull, null.asInstanceOf[String])
+    }.toDF("DATABASE_NAME", "TABLE_NAME", "ORDINAL_POSITION", "TRIGGER_NAME",
+      "EVENT_TYPE", "COLUMN_NAME", "TRIGGER_TYPE", "URI",
+      "JMS_DESTINATION_TYPE", "JMS_DESTINATION_NAME", "USER", "PASSWORD")
+  }
+
+  /** Metadata table `#databases` (meta_type.h TYPE_DATABASE; columns
+    * meta_store.cpp:1294-1298). A single-session Spark engine has exactly
+    * the default database, GridDB's `public` (id 0). */
+  def metaDatabases: DataFrame = {
+    import spark.implicits._
+    Seq((0L, "public")).toDF("DATABASE_ID", "DATABASE_NAME")
+  }
+
+  /** Metadata table `#sqls` — running SQL statements (meta_type.h TYPE_SQL;
+    * columns meta_store.cpp:1249-1259). The engine does not track in-flight
+    * statements (Spark's UI/event log owns that), so the frame is typed and
+    * empty — JDBC tooling introspection gets the schema, not an error. */
+  def metaSqls: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("DATABASE_NAME", StringType),
+      StructField("NODE_ADDRESS", StringType),
+      StructField("NODE_PORT", IntegerType),
+      StructField("START_TIME", TimestampType),
+      StructField("APPLICATION_NAME", StringType),
+      StructField("SQL", StringType),
+      StructField("QUERY_ID", StringType),
+      StructField("JOB_ID", StringType),
+      StructField("USER_NAME", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
   def listContainers: Seq[String] = containers.keys.toSeq

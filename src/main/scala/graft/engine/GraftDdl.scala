@@ -104,6 +104,21 @@ object GraftDdl {
         cat.deleteWhere(name,
           Option(where).map(w => expr(GraftSql.rewriteTimeFns(w))).getOrElse(lit(true)))
         status(spark, "DELETE", name)
+      case createTriggerRe(tName, table, events, colList, tType, uri, jmsKind, jmsName) =>
+        cat.createTrigger(TriggerDef(
+          name = tName, table = table,
+          eventTypes = events.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq,
+          columns = Option(colList).toSeq
+            .flatMap(_.split(",")).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty),
+          triggerType = tType.toUpperCase,
+          uri = uri,
+          jmsDestinationType = Option(jmsKind).map(_.toUpperCase),
+          jmsDestinationName = Option(jmsName)))
+        status(spark, "CREATE TRIGGER", tName)
+      case dropTriggerRe(ifEx, tName) =>
+        cat.dropTrigger(tName, ifExists = ifEx != null)
+        status(spark, "DROP TRIGGER", tName)
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported DDL/DML statement: ${text.linesIterator.next()}")
@@ -132,6 +147,17 @@ object GraftDdl {
     """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+RENAME\s+COLUMN\s+"?(\w+)"?\s+TO\s+"?(\w+)"?$""".r
   private val insertRe =
     """(?is)^(INSERT|REPLACE)(?:\s+OR\s+(REPLACE|IGNORE))?\s+INTO\s+"?(\w+)"?\s*(?:\(([^)]*)\)\s*)?(VALUES.*|SELECT.*)$""".r
+  // Additive statement (no SQL grammar for triggers exists in the
+  // reference — clients create them via the NoSQL API, gridstore.h
+  // GSTriggerInfo, and the CE server rejects even that): CREATE TRIGGER
+  // name ON table FOR PUT[,DELETE] [COLUMNS (c,..)] TYPE REST|JMS URI 'u'
+  // [JMS TOPIC|QUEUE 'dest']
+  private val createTriggerRe =
+    ("""(?is)^CREATE\s+TRIGGER\s+"?(\w+)"?\s+ON\s+"?(\w+)"?\s+FOR\s+([\w,\s]+?)""" +
+      """(?:\s+COLUMNS\s*\(([^)]*)\))?\s+TYPE\s+(REST|JMS)\s+URI\s+'([^']*)'""" +
+      """(?:\s+JMS\s+(TOPIC|QUEUE)\s+'([^']*)')?\s*$""").r
+  private val dropTriggerRe =
+    """(?is)^DROP\s+TRIGGER\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?$""".r
   private val updateRe = """(?is)^UPDATE\s+"?(\w+)"?\s+SET\s+(.*)$""".r
   private val deleteRe =
     """(?is)^DELETE\s+FROM\s+"?(\w+)"?(?:\s+WHERE\s+(.*))?$""".r

@@ -121,6 +121,23 @@ object StreamingOps {
     stream.filter(condition).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => onBatch(batch, id) }
 
+  /** Stream-to-container ingest: every micro-batch PUTs into the catalog
+    * container, after which the container's registered event triggers fire
+    * (CREATE TRIGGER DDL -> notification per micro-batch). This is the
+    * streaming face of the reference's trigger-on-put semantics
+    * (transaction_service_base.cpp:5058) — batch put and streaming ingest
+    * share one firing path, GraftCatalog.put. */
+  def intoContainer(stream: DataFrame, table: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // resolve the catalog against the DRIVING session now — inside
+    // foreachBatch the batch carries a cloned micro-batch session, which
+    // must not key a fresh (empty) catalog
+    val cat = graft.engine.GraftCatalog.forSession(stream.sparkSession)
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      cat.put(table, batch)
+      ()
+    }
+  }
+
   /** Ingest a stream into an in-memory sink table (smoke/testing) and block
     * until all available data is processed. */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -56,6 +56,66 @@ class CatalogSpec extends SparkTestBase {
     assert(c(0).getBoolean(5)) // id is key
   }
 
+  test("metadata tables #event_triggers / #databases / #sqls") {
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("mt1", schema, keyColumns = Seq("id"))
+
+    // #databases: the default database only (meta_store.cpp:1294)
+    val dbs = cat.metaDatabases.collect()
+    assert(cat.metaDatabases.columns.toSeq == Seq("DATABASE_ID", "DATABASE_NAME"))
+    assert(dbs.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((0L, "public")))
+
+    // #sqls: typed, empty (no in-flight statement tracking)
+    assert(cat.metaSqls.columns.toSeq == Seq("DATABASE_NAME", "NODE_ADDRESS",
+      "NODE_PORT", "START_TIME", "APPLICATION_NAME", "SQL", "QUERY_ID",
+      "JOB_ID", "USER_NAME"))
+    assert(cat.metaSqls.count() == 0)
+
+    // #event_triggers: columns match meta_store.cpp:1084-1097; rows appear
+    // on CREATE TRIGGER with per-table ordinals, vanish on DROP
+    assert(cat.metaEventTriggers.columns.toSeq == Seq("DATABASE_NAME",
+      "TABLE_NAME", "ORDINAL_POSITION", "TRIGGER_NAME", "EVENT_TYPE",
+      "COLUMN_NAME", "TRIGGER_TYPE", "URI", "JMS_DESTINATION_TYPE",
+      "JMS_DESTINATION_NAME", "USER", "PASSWORD"))
+    assert(cat.metaEventTriggers.count() == 0)
+    cat.createTrigger(graft.engine.TriggerDef("t_put", "mt1", Seq("PUT"),
+      columns = Seq("id"), triggerType = "REST", uri = "http://example.invalid/hook"))
+    cat.createTrigger(graft.engine.TriggerDef("t_del", "mt1", Seq("DELETE"),
+      triggerType = "JMS", uri = "jms://example.invalid",
+      jmsDestinationType = Some("TOPIC"), jmsDestinationName = Some("events")))
+    val tr = cat.metaEventTriggers.orderBy("ORDINAL_POSITION").collect()
+    assert(tr.map(r => (r.getString(3), r.getInt(2), r.getString(4))).toSeq ==
+      Seq(("t_put", 1, "PUT"), ("t_del", 2, "DELETE")))
+    assert(tr(1).getString(8) == "TOPIC" && tr(1).getString(9) == "events")
+    assert(tr.forall(_.isNullAt(11))) // PASSWORD never surfaced
+    cat.dropTrigger("t_put")
+    assert(cat.metaEventTriggers.count() == 1)
+    intercept[NoSuchElementException](cat.dropTrigger("t_put"))
+    cat.dropTrigger("t_put", ifExists = true)
+  }
+
+  test("event triggers fire on put and delete with affected-row counts") {
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("ft1", schema, keyColumns = Seq("id"))
+    cat.createTrigger(graft.engine.TriggerDef("f_both", "ft1",
+      Seq("PUT", "DELETE"), uri = "http://example.invalid/hook"))
+    cat.put("ft1", Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v"))
+    cat.remove("ft1", Seq(1L))
+    cat.deleteWhere("ft1", $"v" > 1.5)
+    val fired = cat.firedTriggers
+    assert(fired.map(e => (e.event, e.rows)) ==
+      Seq(("PUT", 2L), ("DELETE", 1L), ("DELETE", 1L)))
+    assert(fired.forall(_.trigger.name == "f_both"))
+    // unmatched event type stays silent: a PUT-only trigger on a fresh
+    // table never fires for deletes
+    cat.createCollection("ft2", schema, keyColumns = Seq("id"))
+    cat.createTrigger(graft.engine.TriggerDef("f_put", "ft2", Seq("PUT"),
+      uri = "u"))
+    cat.put("ft2", Seq((1L, "a", 1.0)).toDF("id", "name", "v"))
+    cat.deleteWhere("ft2", $"id" === 1L)
+    assert(cat.firedTriggers.count(_.trigger.name == "f_put") == 1)
+  }
+
   test("multiGet and keyRange batch APIs") {
     val cat = new GraftCatalog(spark)
     cat.createCollection("mg", schema, keyColumns = Seq("id"))

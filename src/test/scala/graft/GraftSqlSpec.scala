@@ -315,6 +315,40 @@ class GraftSqlSpec extends SparkTestBase {
     GraftSql.sql(spark, "DROP TABLE ix_tab")
   }
 
+  test("CREATE/DROP TRIGGER DDL round-trip into #event_triggers") {
+    import org.apache.spark.sql.functions.col
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS trg_tab")
+    GraftSql.sql(spark,
+      "CREATE TABLE trg_tab (id LONG PRIMARY KEY, v DOUBLE)")
+    GraftSql.sql(spark, "CREATE TRIGGER trg1 ON trg_tab FOR PUT, DELETE " +
+      "COLUMNS (v) TYPE JMS URI 'jms://example.invalid' JMS TOPIC 'events'")
+    val tr = cat.metaEventTriggers.filter(col("TRIGGER_NAME") === "trg1").collect()
+    assert(tr.length == 1)
+    assert(tr(0).getString(4) == "PUT,DELETE" && tr(0).getString(5) == "v")
+    assert(tr(0).getString(6) == "JMS" && tr(0).getString(8) == "TOPIC")
+    // firing through SQL-text DML
+    GraftSql.sql(spark, "INSERT INTO trg_tab VALUES (1, 2.0), (2, 9.0)")
+    GraftSql.sql(spark, "DELETE FROM trg_tab WHERE v > 5")
+    val fired = cat.firedTriggers.filter(_.trigger.name == "trg1")
+    assert(fired.map(e => (e.event, e.rows)) == Seq(("PUT", 2L), ("DELETE", 1L)))
+    // duplicate name / unknown table / unknown event all error
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TRIGGER trg1 ON trg_tab FOR PUT TYPE REST URI 'u'")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TRIGGER trg2 ON no_such FOR PUT TYPE REST URI 'u'")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TRIGGER trg3 ON trg_tab FOR UPSERT TYPE REST URI 'u'")
+    }
+    GraftSql.sql(spark, "DROP TRIGGER trg1")
+    assert(cat.metaEventTriggers.filter(col("TRIGGER_NAME") === "trg1").count() == 0)
+    intercept[NoSuchElementException](GraftSql.sql(spark, "DROP TRIGGER trg1"))
+    GraftSql.sql(spark, "DROP TRIGGER IF EXISTS trg1")
+    GraftSql.sql(spark, "DROP TABLE trg_tab")
+  }
+
   test("unsupported GROUP BY RANGE / MATCH_RECOGNIZE forms fail with diagnostics") {
     Tables.registerAll(spark, sfDir)
     val joinErr = intercept[IllegalArgumentException] {

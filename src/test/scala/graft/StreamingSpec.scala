@@ -51,6 +51,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming ingest into a container fires its registered triggers per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    if (cat.exists("stream_tab")) cat.dropContainer("stream_tab")
+    cat.createCollection("stream_tab", schema, keyColumns = Seq("id"))
+    cat.createTrigger(graft.engine.TriggerDef("stream_trg", "stream_tab",
+      Seq("PUT"), uri = "http://example.invalid/hook"))
+
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamingOps.intoContainer(input.toDF().toDF("id", "v"), "stream_tab").start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((2L, 2.5), (3L, 3.0))
+      q.processAllAvailable()
+      // two micro-batches -> two firings with that batch's row counts;
+      // container holds the upserted rows (PUT replaces key 2)
+      val fired = cat.firedTriggers.filter(_.trigger.name == "stream_trg")
+      assert(fired.map(e => (e.event, e.rows)) == Seq(("PUT", 2L), ("PUT", 2L)))
+      val rows = cat.get("stream_tab").df.orderBy("id").collect()
+      assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+        Seq((1L, 1.0), (2L, 2.5), (3L, 3.0)))
+    } finally q.stop()
+    cat.dropTrigger("stream_trg")
+    cat.dropContainer("stream_tab")
+  }
+
   test("session windows close by gap + watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
