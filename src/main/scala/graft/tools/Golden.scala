@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Canonical result hashing for the rows-only (no DuckDB oracle) queries.
+  *
+  * Those surfaces — sketches, banded LSH joins, ANN top-k, the multimodal
+  * decode stub — are deterministic by construction (fixed seeds, fused
+  * kernels, reproducible ties), so their sf0.01 results can be pinned as
+  * golden hashes: a regression shows up as a hash change even though DuckDB
+  * cannot express the query. GoldenSpec holds the pinned values; this main
+  * prints current ones (run it after an INTENDED output change and copy the
+  * new hashes into the spec).
+  *
+  * The hash is order-insensitive (columns sorted by name, formatted rows
+  * sorted) and renders timestamps as epoch micros so JVM default-timezone
+  * differences cannot leak into the digest.
+  */
+object Golden {
+
+  /** The CORRECTNESS no_oracle set (rows-only queries with deterministic
+    * output). Keep in sync with the `Q.rowsOnly` entries in queries/. */
+  val names: Seq[String] = Seq(
+    "q_approx_distinct", "q_approx_distinct_hll", "q_dedup_embedding_lsh",
+    "q_dedup_minhash", "q_dedup_simhash", "q_multimodal_features",
+    "q_nano_precision", "q_sim_ivf_ann", "q_sim_lsh_ann", "q_sim_pq_ann",
+    "q_text_fingerprint")
+
+  private def fmt(v: Any): String = v match {
+    case null => "␀"
+    case t: java.sql.Timestamp => s"ts:${t.getTime}"
+    case d: java.sql.Date => s"d:${d.getTime}"
+    case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)
+    case s: Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    case m: Map[_, _] =>
+      m.toSeq.map { case (k, x) => fmt(k) + "->" + fmt(x) }.sorted.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row => r.toSeq.map(fmt).mkString("(", ",", ")")
+    case x => x.toString
+  }
+
+  def resultHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val lines = df.select(cols.map(col).toSeq: _*).collect()
+      .map(_.toSeq.map(fmt).mkString("|")).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(cols.mkString(",").getBytes("UTF-8"))
+    lines.foreach(l => md.update(("\n" + l).getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = graft.engine.GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      val df = graft.queries.Registry.byName(n).build(spark, sfDir)
+      println(s"""    "$n" -> "${resultHash(df)}",""")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.tools.Golden
+
+/** Pins the sf0.01 result hashes of every rows-only (no DuckDB oracle)
+  * query. These surfaces are deterministic by construction — fixed seeds,
+  * fused sketch kernels, reproducible tie-breaks — so a hash change IS a
+  * behavior change: intended ones re-pin via `runMain graft.tools.Golden`,
+  * unintended ones fail here instead of sailing through the rows-only
+  * correctness check. Hash is order-insensitive and timezone-proof
+  * (Golden.resultHash).
+  */
+class GoldenSpec extends SparkTestBase {
+
+  private val golden = Map(
+    "q_approx_distinct" -> "248a6ded2fa807dc",
+    "q_approx_distinct_hll" -> "a8daeebd7791634a",
+    "q_dedup_embedding_lsh" -> "c306e5ebaddf2442",
+    "q_dedup_minhash" -> "f445327584e7bd8c",
+    "q_dedup_simhash" -> "df17e934ac71859a",
+    "q_multimodal_features" -> "cd83f6b20c274280",
+    "q_nano_precision" -> "6fe60356181527dd",
+    "q_sim_ivf_ann" -> "5c07d3c773d648de",
+    "q_sim_lsh_ann" -> "1ed71c69d7605a27",
+    "q_sim_pq_ann" -> "7ba54dee46531549",
+    "q_text_fingerprint" -> "79a4b8f79f48ca84")
+
+  test("golden set covers exactly the rows-only query list") {
+    assert(golden.keySet == Golden.names.toSet)
+    // and the registry agrees those queries really are oracle-less
+    val oracleLess = graft.queries.Registry.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(golden.keySet == oracleLess,
+      s"rows-only drift: spec=${golden.keySet}, registry=$oracleLess — " +
+        "re-pin via runMain graft.tools.Golden and update Golden.names")
+  }
+
+  for (name <- Golden.names) {
+    test(s"$name sf0.01 result hash is pinned") {
+      val df = graft.queries.Registry.byName(name).build(spark, "/root/testdata/sf0.01")
+      assert(Golden.resultHash(df) == golden(name),
+        s"$name output changed — if intended, re-pin via runMain graft.tools.Golden")
+    }
+  }
+}
