@@ -293,6 +293,85 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ composite approximate top-k (the Faiss IVFPQ shape, sans
+    * residual encoding): the IVF coarse quantizer restricts each query to
+    * its nProbe nearest inverted lists, and WITHIN those lists the PQ
+    * asymmetric-distance pass scores m-byte codes instead of raw vectors —
+    * so at 100 TB the scan reads nProbe/nLists of the corpus and each
+    * candidate costs m table lookups. Codebooks are SHARED across lists
+    * (per-list residual codebooks are the production refinement; the list
+    * restriction and code scoring — the two scale mechanisms — are what
+    * this operator exercises). A final exact-cosine rerank of the
+    * `rerank`-sized pool (default 12*k, as [[pqTopK]]) decides the top-k.
+    * Output: (q_id, c_id, cos, rk). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kCodes: Int = 16, steps: Int = 4,
+                rerank: Int = -1, roundTo: Int = 4,
+                trainFraction: Double = 1.0): DataFrame = {
+    ensureFns(corpus)
+    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val dim = vecDim(c0, "cv")
+    val d = dim / m
+    val train = trainSlice(c0, trainFraction)
+    val cents = ivfCentroids(train, dim, nLists)
+    val books = pqCodebooks(train, dim, m, kCodes, steps)
+
+    // corpus side: list assignment + PQ codes + reconstruction norm, all
+    // computed in the single encode pass
+    val codes = array((0 until m).map { j =>
+      array_min(distances(slice(col("cv"), j * d + 1, d), books(j))).getField("cid")
+    }: _*)
+    val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val rnorm2 = (0 until m).map { j =>
+      element_at(array(normTable(j).map(lit): _*), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+    val enc = c0.select(col("c_id"),
+      array_min(distances(col("cv"), cents)).getField("cid").as("cluster"),
+      codes.as("codes"), sqrt(rnorm2).as("rnorm"))
+
+    // query side: probe lists + flat ADC lookup table + norm
+    val lutCol = flatten(array((0 until m).map { j =>
+      transform(centroidsCol(books(j)), cb =>
+        dot(slice(col("qv"), j * d + 1, d), cb.getField("cv")))
+    }: _*))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("lut", lutCol)
+      .withColumn("qnorm", norm(col("qv")))
+      .withColumn("cluster",
+        explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, nProbe),
+          c => c.getField("cid"))))
+      .drop("qv")
+
+    val ip = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val denom2 = col("qnorm") * col("rnorm")
+    val scored = enc.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        when(denom2 === 0.0, lit(null))
+          .otherwise(round(ip / denom2, roundTo)).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    val poolSize = if (rerank < 0) 12 * k else rerank
+    if (poolSize == 0)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    else {
+      val pool = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= math.max(poolSize, k))
+        .select(col("q_id"), col("c_id"))
+      val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      val exact = pool
+        .join(c0, "c_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("c_id"),
+          round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+  }
+
   /** Approximate cosine top-k: candidates limited to same-LSH-bucket pairs.
     * Recall < 1.0 by construction; multi-probe = `probes` extra buckets with
     * one signature bit flipped. Output: (q_id, c_id, cos, rk). */

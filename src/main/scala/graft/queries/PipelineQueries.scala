@@ -589,6 +589,60 @@ object PipelineQueries {
       val e = embs(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rk")
+    },
+
+    // ---- IVF-PQ composite ANN: coarse lists restrict the scan, PQ codes
+    // score the candidates (rows-only; recall spec in DedupSpec) ----
+    Q.rowsOnly("q_sim_ivfpq_ann") { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nLists = 8, nProbe = 4)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- Gopher-style duplicated-n-gram fraction: per doc, the share of
+    // its 5-gram occurrences that appear in more than one document ----
+    Q.df("q_text_dup_ngrams",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+        |      FROM base, UNNEST(generate_series(1, len(t)-4)) AS u(i)),
+        |c AS (SELECT ng, count(DISTINCT doc_id) AS docs FROM g GROUP BY ng)
+        |SELECT g.doc_id, count(*) AS n_ngrams,
+        |  round(avg(CASE WHEN c.docs > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_ngram_frac
+        |FROM g JOIN c USING (ng)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      Curation.duplicatedNgramFraction(docs(s, dir), "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // ---- token-budget sequence packing: next-fit into 200-token packs
+    // within md5 shards; oracle replays the fold as a recursive CTE ----
+    Q.df("q_pipeline_pack_sequences",
+      duck = """WITH RECURSIVE d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS INTEGER) AS shard,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |o AS (SELECT d.*, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn
+        |      FROM d),
+        |p AS (
+        |  SELECT shard, rn, doc_id, CAST(1 AS BIGINT) AS pack_id, tok AS pack_used
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.shard, o.rn, o.doc_id,
+        |    CASE WHEN p.pack_used + o.tok <= 200 THEN p.pack_id ELSE p.pack_id + 1 END,
+        |    CASE WHEN p.pack_used + o.tok <= 200 THEN p.pack_used + o.tok ELSE o.tok END
+        |  FROM p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+        |SELECT shard, doc_id, pack_id, pack_used FROM p
+        |ORDER BY shard, doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val withTok = d.withColumn("__tok",
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long"))
+      Curation.packSequences(withTok, "doc_id", "__tok", budget = 200, shards = 4)
+        .orderBy("shard", "doc_id")
     }
   )
 }

@@ -30,6 +30,60 @@ class CurationSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L))
   }
 
+  test("duplicatedNgramFraction: shared grams counted, short docs absent") {
+    val docs = Seq(
+      (1L, "a b c"),      // grams: "a b" (shared), "b c" -> frac 0.5
+      (2L, "a b d"),      // grams: "a b" (shared), "b d" -> frac 0.5
+      (3L, "x y z w"),    // grams all unique -> frac 0.0
+      (4L, "solo")        // < n tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = Curation.duplicatedNgramFraction(docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((2L, 0.5)), 2L -> ((2L, 0.5)), 3L -> ((3L, 0.0))))
+  }
+
+  test("packSequences: next-fit invariants, determinism, oversized doc alone") {
+    val docs = (1L to 60L).map(i => (i, if (i == 7L) 500L else 20L + (i % 5) * 10L))
+      .toDF("doc_id", "tok")
+    val out = Curation.packSequences(docs, "doc_id", "tok", budget = 100, shards = 3)
+    val rows = out.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // every doc packed exactly once
+    assert(rows.map(_._2).sorted.toSeq == (1L to 60L))
+    // per (shard, pack): token sum fits the budget unless it is a single
+    // oversized doc; pack ids are contiguous from 1 per shard
+    val tokOf = (1L to 60L).map(i => i -> (if (i == 7L) 500L else 20L + (i % 5) * 10L)).toMap
+    rows.groupBy(r => (r._1, r._3)).foreach { case ((_, _), members) =>
+      val total = members.map(m => tokOf(m._2)).sum
+      assert(total <= 100 || members.length == 1,
+        s"overfull multi-doc pack: $members")
+    }
+    rows.groupBy(_._1).foreach { case (_, ms) =>
+      val packs = ms.map(_._3).distinct.sorted
+      assert(packs.toSeq == (1L to packs.length))
+    }
+    // NEXT-FIT, not premature splits: a pack only closes because the next
+    // doc would overflow it (first doc of pack p+1 has pack_used == its own
+    // tok; pack_used is monotone within a pack, so min/max identify ends)
+    rows.groupBy(_._1).foreach { case (_, ms) =>
+      val byPack = ms.groupBy(_._3)
+      byPack.keys.filter(p => byPack.contains(p + 1)).foreach { p =>
+        val lastUsed = byPack(p).map(_._4).max
+        val nextFirstTok = byPack(p + 1).map(_._4).min
+        assert(lastUsed + nextFirstTok > 100,
+          s"pack $p closed early: $lastUsed + $nextFirstTok <= 100")
+      }
+    }
+    // the 500-token doc sits alone with pack_used = its own size
+    val big = rows.find(_._2 == 7L).get
+    assert(rows.count(r => r._1 == big._1 && r._3 == big._3) == 1 && big._4 == 500L)
+    // deterministic across runs
+    val again = Curation.packSequences(docs, "doc_id", "tok", budget = 100, shards = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
+  }
+
   test("hashSample: deterministic, partitions the key space, rate sane") {
     val df = (1L to 2000L).toDF("id")
     val kept = Curation.hashSample(df, "id", 3, 10).as[Long].collect().toSet

@@ -171,6 +171,18 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"pq recall $recall too low")
   }
 
+  test("ivf-pq ANN recall against brute force on real embeddings") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5,
+        nLists = 8, nProbe = 4, m = 8, kCodes = 16)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect got).size.toDouble / bf.size
+    assert(recall >= 0.5, s"ivf-pq recall $recall too low")
+  }
+
   test("pq encoding reconstructs exact centroids: codebook vectors score cos 1") {
     // corpus = the centroid grid itself in 4 dims, m=2 subspaces of 2 dims:
     // every vector quantizes to itself, so the reconstruction is exact and

@@ -21,6 +21,7 @@ class GoldenSpec extends SparkTestBase {
     "q_multimodal_features" -> "cd83f6b20c274280",
     "q_nano_precision" -> "6fe60356181527dd",
     "q_sim_ivf_ann" -> "5c07d3c773d648de",
+    "q_sim_ivfpq_ann" -> "5f0dae0d94168546",
     "q_sim_lsh_ann" -> "1ed71c69d7605a27",
     "q_sim_pq_ann" -> "7ba54dee46531549",
     "q_text_fingerprint" -> "79a4b8f79f48ca84")
