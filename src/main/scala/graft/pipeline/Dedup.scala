@@ -279,6 +279,51 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * embeddings are coarse-clustered with the IVF centroid discipline
+    * (deterministic seeds + one Lloyd step, literal centroids — assignment
+    * is a shuffle-free projection) and exact cosine runs ONLY within a
+    * cluster, so the pair scan costs Σ n_c² instead of N². `nLists = 1`
+    * degenerates to the exact all-pairs baseline (oracle-checkable);
+    * production picks nLists so clusters are ~√N-ish. Pairs whose rounded
+    * cosine clears `minCos` come back as (a, b, cos) with a < b; pairs
+    * split across clusters are missed by construction (the SemDeDup
+    * trade-off — raise nLists for speed, lower for recall). */
+  def semanticPairs(docs: DataFrame, vecCol: String, idCol: String,
+                    minCos: Double, nLists: Int = 16,
+                    roundTo: Int = 4): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    val v = transform(col(vecCol), _.cast("double"))
+    val base = docs.select(col(idCol).as("a"), v.as("va"))
+    val assigned =
+      if (nLists <= 1) base.withColumn("__cl", lit(0))
+      else {
+        val c0 = base.select(col("a").as("c_id"), col("va").as("cv"))
+        val dim = Similarity.vecDim(c0, "cv")
+        val cents = Similarity.ivfCentroids(c0, dim, nLists)
+        base.withColumn("__cl",
+          array_min(Similarity.distances(col("va"), cents)).getField("cid"))
+      }
+    val r = assigned.select(col("__cl"), col("a").as("b"), col("va").as("vb"))
+    assigned.join(r, Seq("__cl"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Semantic dedup assignment: every row labeled with the MIN id of its
+    * semantic component (connected components over [[semanticPairs]]);
+    * keepers are rows with id == cluster. Composition of the SemDeDup pair
+    * stage with the same large-star/small-star components used for lexical
+    * cluster dedup — one pipeline for both dedup families. */
+  def semanticDedup(docs: DataFrame, vecCol: String, idCol: String,
+                    minCos: Double, nLists: Int = 16): DataFrame = {
+    val pairs = semanticPairs(docs, vecCol, idCol, minCos, nLists)
+    clusterAssign(docs, idCol, pairs, "a", "b")
+  }
+
   /** Embedding-cosine near-duplicate candidates at scale: banded
     * sign-random-projection LSH. The `bits` hyperplane signs are split into
     * `bands`; vectors agreeing on ALL bits of at least one band meet in a

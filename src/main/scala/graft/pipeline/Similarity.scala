@@ -92,14 +92,14 @@ object Similarity {
   }
 
   /** literal array-of-structs (cid, cv) for a centroid set. */
-  private def centroidsCol(cents: Array[Array[Double]]): Column =
+  private[pipeline] def centroidsCol(cents: Array[Array[Double]]): Column =
     array(cents.indices.map(i =>
       struct(lit(i).as("cid"), array(cents(i).map(lit): _*).as("cv"))): _*)
 
   /** squared-L2 distances to every centroid as array<struct(d, cid)> —
     * array_min / array_sort on it give argmin / probe order without any
     * shuffle (struct comparison is lexicographic). */
-  private def distances(vec: Column, cents: Array[Array[Double]]): Column =
+  private[pipeline] def distances(vec: Column, cents: Array[Array[Double]]): Column =
     transform(centroidsCol(cents), c =>
       struct(
         aggregate(zip_with(vec, c.getField("cv"), (x, y) => (x - y) * (x - y)),

@@ -122,6 +122,38 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- SemDeDup semantic dedup, exact form (nLists=1 degenerates to
+    // all-pairs): components over cosine>=0.45 links, keeper = min id;
+    // oracle replays pairs + reachability as a recursive CTE ----
+    Q.df("q_dedup_semantic",
+      duck = """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+        |SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
+        |FROM embeddings e
+        |LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+        |  ON m.id = e.vec_id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.semanticDedup(embs(s, dir), "embedding", "vec_id",
+          minCos = 0.45, nLists = 1)
+        .orderBy("id")
+    },
+
+    // ---- SemDeDup scale path: cluster-restricted pair scan (rows-only;
+    // subset-of-exact precision asserted in DedupSpec) ----
+    Q.rowsOnly("q_dedup_semantic_ivf") { (s, dir) =>
+      Dedup.semanticDedup(embs(s, dir), "embedding", "vec_id",
+          minCos = 0.45, nLists = 8)
+        .orderBy("id")
+    },
+
     // ---- brute-force cosine top-k ----
     Q.df("q_sim_cosine_topk",
       duck = """SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -171,6 +171,33 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"pq recall $recall too low")
   }
 
+  test("semanticPairs: nLists=1 equals the exact all-pairs baseline; clustered is a subset") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.45)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val one = Dedup.semanticPairs(e, "embedding", "vec_id", minCos = 0.45, nLists = 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(one == exact)
+    val clustered = Dedup.semanticPairs(e, "embedding", "vec_id", minCos = 0.45, nLists = 8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // cluster restriction never invents a pair (precision 1), only misses
+    // cross-cluster ones
+    assert(clustered.subsetOf(exact))
+    assert(clustered.nonEmpty)
+  }
+
+  test("semanticDedup: duplicate vectors collapse to one keeper") {
+    // 0/1/2 mutually near-identical; 3 orthogonal -> components {0,1,2},{3}
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)),
+      (2L, Array(0.998f, 0.02f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+        minCos = 0.99, nLists = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L))
+  }
+
   test("ivf-pq ANN recall against brute force on real embeddings") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val q = e.filter($"vec_id" < 3)

@@ -17,6 +17,7 @@ class GoldenSpec extends SparkTestBase {
     "q_approx_distinct_hll" -> "a8daeebd7791634a",
     "q_dedup_embedding_lsh" -> "c306e5ebaddf2442",
     "q_dedup_minhash" -> "f445327584e7bd8c",
+    "q_dedup_semantic_ivf" -> "bac5a731493a3924",
     "q_dedup_simhash" -> "df17e934ac71859a",
     "q_multimodal_features" -> "cd83f6b20c274280",
     "q_nano_precision" -> "6fe60356181527dd",
