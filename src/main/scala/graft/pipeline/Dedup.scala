@@ -104,15 +104,21 @@ object Dedup {
   /** Word tokens, lowercased. */
   def tokens(textCol: String): Column = split(lower(col(textCol)), " ")
 
-  /** Word n-gram shingles of `text` (falls back to the whole text when there
-    * are fewer than n tokens). */
-  def shingles(textCol: String, n: Int): Column = {
-    val t = tokens(textCol)
+  /** Word n-gram shingles over a PRE-SPLIT token array (falls back to the
+    * whole text when there are fewer than n tokens). Project the tokens to
+    * a column first: Catalyst does no CSE inside HOF lambdas, so a raw
+    * `tokens(text)` argument re-splits the text once per shingle (see
+    * Curation.wordNgramsOfTokens). */
+  def shinglesOfTokens(t: Column, n: Int): Column =
     when(size(t) >= n,
       array_distinct(transform(sequence(lit(0), size(t) - n),
         i => concat_ws(" ", slice(t, i + 1, lit(n))))))
       .otherwise(array(concat_ws(" ", t)))
-  }
+
+  /** Word n-gram shingles of `text` — convenience form; prefer projecting
+    * [[tokens]] then [[shinglesOfTokens]] inside operators. */
+  def shingles(textCol: String, n: Int): Column =
+    shinglesOfTokens(tokens(textCol), n)
 
   /** k-minhash signatures per document, computed whole-signature-per-row by
     * the codegen'd `graft_minhash_sig` kernel (functions/TextSketch.scala) —

@@ -57,12 +57,17 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"))
 
   /** Document fingerprint: minimum xxhash64 over word 4-gram shingles
-    * (winnowing-style min-sketch; equal fingerprints => likely overlap). */
+    * (winnowing-style min-sketch; equal fingerprints => likely overlap).
+    * Shingles are built once from a projected token column — the inline
+    * form re-tokenized per shingle (no CSE in HOF lambdas) and computed
+    * the shingle array twice. */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(
-      col(idCol),
-      array_min(transform(Dedup.shingles(textCol, 4), s => xxhash64(s))).as("fp"),
-      size(Dedup.shingles(textCol, 4)).as("n_shingles"))
+    docs.select(col(idCol), Dedup.tokens(textCol).as("__t"))
+      .select(col(idCol), Dedup.shinglesOfTokens(col("__t"), 4).as("__sh"))
+      .select(
+        col(idCol),
+        array_min(transform(col("__sh"), s => xxhash64(s))).as("fp"),
+        size(col("__sh")).as("n_shingles"))
 
   /** Non-empty lowercased word tokens. */
   private def cleanTokens(textCol: Column): Column =
@@ -155,19 +160,28 @@ object TextAnalysis {
     */
   def repetitionMetrics(docs: DataFrame, textCol: String, idCol: String,
                         lineSep: String = "\n"): DataFrame = {
-    val toks = cleanTokens(col(textCol))
+    // stage the token/gram/line arrays through projections: every one is
+    // consumed several times (and the grams reference the tokens inside a
+    // HOF lambda, where Catalyst does no CSE) — the inline form re-ran the
+    // tokenizer once per gram and the gram transform once per metric
+    val staged = docs
+      .select(col(idCol), col(textCol), cleanTokens(col(textCol)).as("__t"))
+      .select(col(idCol), col(textCol), col("__t"),
+        gramsWithDups(col("__t"), 5).as("__g5"),
+        gramsWithDups(col("__t"), 2).as("__g2"),
+        filter(transform(split(col(textCol), lineSep), l => trim(l)),
+          l => length(l) > 0).as("__lines"))
+    val toks = col("__t")
     val nTok = size(toks)
-    val g5 = gramsWithDups(toks, 5)
-    val g2 = gramsWithDups(toks, 2)
-    val top2 = topGram(g2)
+    val g5 = col("__g5")
+    val top2 = topGram(col("__g2"))
     val normChars = length(concat_ws(" ", toks))
-    val lines = filter(transform(split(col(textCol), lineSep), l => trim(l)),
-      l => length(l) > 0)
+    val lines = col("__lines")
     val charSum = (c: Column) => coalesce(
       aggregate(c, lit(0L), (acc, x) => acc + length(x)), lit(0L))
     def frac(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
-    docs.select(
+    staged.select(
       col(idCol),
       frac(nTok - size(array_distinct(toks)), nTok).as("dup_word_frac"),
       frac(size(g5) - size(array_distinct(g5)), size(g5)).as("dup_5gram_frac"),
