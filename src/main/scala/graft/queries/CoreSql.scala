@@ -441,6 +441,53 @@ object CoreSql {
         "DELETE FROM q_ddl_sensors WHERE name = 'c'"
       ).foreach(GraftSql.sql(s, _))
       GraftSql.sql(s, "SELECT id, name, temp FROM q_ddl_sensors ORDER BY id")
+    },
+
+    // ---- schema evolution as statement text: ALTER ADD COLUMN fills
+    // existing rows with NULL (the reference's fixed-null fill), RENAME
+    // COLUMN carries data + metadata; the oracle is the expected literal
+    // table ----
+    Q.df("q_sql_alter_evolution",
+      duck = """SELECT id, label, score FROM (VALUES
+        |  (1, 'x', CAST(NULL AS DOUBLE)), (2, 'y', CAST(NULL AS DOUBLE)),
+        |  (3, 'z', 7.5)) t(id, label, score)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      import graft.engine.GraftSql
+      Seq(
+        "DROP TABLE IF EXISTS q_alter_tab",
+        "CREATE TABLE q_alter_tab (id INTEGER PRIMARY KEY, tag STRING)",
+        "INSERT INTO q_alter_tab VALUES (1,'x'), (2,'y')",
+        "ALTER TABLE q_alter_tab ADD COLUMN score DOUBLE",
+        "ALTER TABLE q_alter_tab RENAME COLUMN tag TO label",
+        "INSERT INTO q_alter_tab VALUES (3,'z',7.5)"
+      ).foreach(GraftSql.sql(s, _))
+      GraftSql.sql(s, "SELECT id, label, score FROM q_alter_tab ORDER BY id")
+    },
+
+    // ---- NoSQL point APIs (Container.put/get/remove, multiGet,
+    // RowKeyPredicate range) driven end-to-end; the oracle is the expected
+    // literal survivor set ----
+    Q.df("q_api_point_ops",
+      duck = """SELECT id, name FROM (VALUES
+        |  (2, 'b2'), (3, 'c'), (4, 'd')) t(id, name)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.types._
+      val cat = graft.engine.GraftCatalog.forSession(s)
+      if (cat.exists("q_point_tab")) cat.dropContainer("q_point_tab")
+      cat.createCollection("q_point_tab", StructType(Seq(
+        StructField("id", IntegerType, nullable = false),
+        StructField("name", StringType))), keyColumns = Seq("id"))
+      import s.implicits._
+      cat.put("q_point_tab",
+        Seq((1, "a"), (2, "b"), (3, "c"), (5, "e")).toDF("id", "name"))
+      cat.put("q_point_tab", Seq((2, "b2"), (4, "d")).toDF("id", "name")) // upsert
+      cat.remove("q_point_tab", Seq(1))
+      // survivors via the batch APIs: multiGet ∪ keyRange — and get() must
+      // agree with the upsert
+      assert(cat.getRows("q_point_tab", Seq(2)).head().getString(1) == "b2")
+      cat.multiGet("q_point_tab", Seq(2, 3))
+        .unionByName(cat.keyRange("q_point_tab", from = Some(4), until = Some(5)))
+        .orderBy("id")
     }
   )
 }
