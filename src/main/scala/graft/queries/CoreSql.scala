@@ -443,6 +443,51 @@ object CoreSql {
       GraftSql.sql(s, "SELECT id, name, temp FROM q_ddl_sensors ORDER BY id")
     },
 
+    // ---- GridDB join hints: INDEX_JOIN -> broadcast, NO_INDEX_JOIN ->
+    // merge (GraftSql rewrite); a hint must change the PLAN, never the
+    // RESULT — the oracle is the unhinted join ----
+    Q.df("q_join_hint_index",
+      duck = """SELECT n_name, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      graft.engine.Tables.registerAll(s, dir)
+      graft.engine.GraftSql.sql(s,
+        """SELECT /*+ INDEX_JOIN(nation) */ n_name, COUNT(*) AS n
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+    Q.df("q_join_hint_merge",
+      duck = """SELECT n_name, count(*) AS n
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      graft.engine.Tables.registerAll(s, dir)
+      graft.engine.GraftSql.sql(s,
+        """SELECT /*+ NO_INDEX_JOIN(nation) */ n_name, COUNT(*) AS n
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    },
+
+    // ---- interval-partition drop as statement text: DROP PARTITION FOR
+    // removes the day bucket containing the literal ----
+    Q.df("q_sql_drop_partition",
+      duck = """SELECT ts, v FROM (VALUES
+        |  (TIMESTAMP '2024-01-01 05:00:00', 1.0),
+        |  (TIMESTAMP '2024-01-03 07:00:00', 3.0)) t(ts, v)
+        |ORDER BY ts""".stripMargin) { (s, _) =>
+      import graft.engine.GraftSql
+      Seq(
+        "DROP TABLE IF EXISTS q_part_ts",
+        """CREATE TABLE q_part_ts (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+          |USING TIMESERIES PARTITION BY RANGE(ts) EVERY (1, DAY)""".stripMargin,
+        """REPLACE INTO q_part_ts VALUES
+          |  (TIMESTAMP '2024-01-01 05:00:00', 1.0),
+          |  (TIMESTAMP '2024-01-02 06:00:00', 2.0),
+          |  (TIMESTAMP '2024-01-03 07:00:00', 3.0)""".stripMargin,
+        "ALTER TABLE q_part_ts DROP PARTITION FOR (TIMESTAMP '2024-01-02 12:00:00')"
+      ).foreach(GraftSql.sql(s, _))
+      GraftSql.sql(s, "SELECT ts, v FROM q_part_ts ORDER BY ts")
+    },
+
     // ---- schema evolution as statement text: ALTER ADD COLUMN fills
     // existing rows with NULL (the reference's fixed-null fill), RENAME
     // COLUMN carries data + metadata; the oracle is the expected literal
