@@ -181,6 +181,45 @@ object Curation {
         round(avg(-log(col("__c").cast("double") / col("__t"))), roundTo).as("nll"))
   }
 
+  /** Bigram language-model scoring with add-k smoothing — the next step up
+    * from [[unigramNll]] toward the CCNet 5-gram-KenLM quality filter:
+    * p(w|prev) = (c(prev,w) + k) / (c(prev,·) + k·V) under the corpus' own
+    * MLE, so the operator stays deterministic and cross-engine checkable
+    * (a production pipeline swaps the count tables for ones trained on a
+    * trusted corpus; join shape identical). Documents with fewer than two
+    * tokens have no transitions and are absent from the output.
+    *
+    * Output: (id, n_transitions, nll), nll = avg over transitions of
+    * -ln p(w|prev), rounded to `roundTo` (per-doc sums accumulate in
+    * shuffle order — same rounding discipline as unigramNll).
+    *
+    * Scale shape: transitions are token-linear; the bigram and context
+    * count tables are open-vocabulary (shuffle joins on the pair/prev —
+    * AQE broadcasts when they are small); V is a single broadcast row; one
+    * final shuffle on the doc id. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                addK: Double = 1.0, roundTo: Int = 6): DataFrame = {
+    require(addK > 0, "add-k smoothing constant must be positive")
+    val base = docs.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    val tr = base.select(col("__id"),
+        explode(when(size(col("__t")) >= 2,
+          transform(sequence(lit(1), size(col("__t")) - 1),
+            i => struct(element_at(col("__t"), i).as("p"),
+              element_at(col("__t"), i + 1).as("w"))))
+          .otherwise(array().cast("array<struct<p:string,w:string>>"))).as("__tr"))
+      .select(col("__id"), col("__tr.p").as("__p"), col("__tr.w").as("__w"))
+    val bg = tr.groupBy("__p", "__w").agg(count(lit(1)).as("__cbg"))
+    val ctx = tr.groupBy("__p").agg(count(lit(1)).as("__cp"))
+    val vocab = base.select(explode(col("__t")).as("__tok"))
+      .agg(count_distinct(col("__tok")).as("__v"))
+    tr.join(bg, Seq("__p", "__w")).join(ctx, Seq("__p"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        round(avg(-log((col("__cbg") + lit(addK)) /
+          (col("__cp") + lit(addK) * col("__v")))), roundTo).as("nll"))
+  }
+
   /** Temperature-weighted group sampling (the multilingual-pretraining
     * rebalance: sample group g with probability ∝ c_g^alpha, alpha<1 upweights
     * the tail — XLM-R style). Deterministically keeps, per group, the

@@ -574,6 +574,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- bigram LM with add-1 smoothing (next step toward the CCNet
+    // 5-gram-KenLM quality filter); docs with <2 tokens are absent ----
+    Q.df("q_text_bigram_nll",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tr AS (SELECT doc_id, t[i] AS p, t[i+1] AS w
+        |       FROM base, UNNEST(generate_series(1, len(t)-1)) AS u(i)),
+        |bg AS (SELECT p, w, count(*) AS cbg FROM tr GROUP BY p, w),
+        |ctx AS (SELECT p, count(*) AS cp FROM tr GROUP BY p),
+        |v AS (SELECT count(DISTINCT tok) AS v
+        |      FROM (SELECT unnest(t) AS tok FROM base))
+        |SELECT tr.doc_id, count(*) AS n_transitions,
+        |  round(avg(-ln((cbg + 1.0) / (cp + v))), 6) AS nll
+        |FROM tr JOIN bg USING (p, w) JOIN ctx USING (p) CROSS JOIN v
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Curation.bigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- temperature-weighted group sampling (alpha=0.5 rebalance over
     // languages, deterministic smallest-md5 quota per group); oracle is the
     // naive full-window form — the hash prefilter must not change it ----

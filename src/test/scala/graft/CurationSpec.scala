@@ -84,6 +84,17 @@ class CurationSpec extends SparkTestBase {
     assert(rows.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
   }
 
+  test("bigramNll: hand-computed add-1 fixture; short docs absent") {
+    // vocab {a,b,c,x} -> V=4; transitions: doc1 (a,a),(a,b); doc3 (x,x)x2
+    // p(a|a)=p(b|a)=(1+1)/(2+4)=1/3 -> nll=ln 3; p(x|x)=(2+1)/(2+4)=1/2 -> ln 2
+    val docs = Seq((1L, "a a b"), (2L, "c"), (3L, "x x x")).toDF("doc_id", "text")
+    val out = Curation.bigramNll(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - math.log(3.0)) < 1e-6)
+    assert(out(3L)._1 == 2L && math.abs(out(3L)._2 - math.log(2.0)) < 1e-6)
+  }
+
   test("hashSample: deterministic, partitions the key space, rate sane") {
     val df = (1L to 2000L).toDF("id")
     val kept = Curation.hashSample(df, "id", 3, 10).as[Long].collect().toSet
