@@ -69,6 +69,68 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  // ---- packSequences matches a driver-side reference next-fit fold ----
+  test("packSequences equals the reference next-fit fold on random inputs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def refPack(rows: Seq[(Long, Long)], budget: Long,
+                shards: Int): Set[(Int, Long, Long, Long)] =
+      rows.map { case (id, tok) =>
+        (java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % shards,
+          md5hex(id.toString), id, tok)
+      }.groupBy(_._1).flatMap { case (shard, members) =>
+        var pack = 0L; var used = 0L; var open = false
+        members.sortBy(m => (m._2, m._3)).map { case (_, _, id, tok) =>
+          if (open && used + tok <= budget) used += tok
+          else { pack += 1; used = tok; open = true }
+          (shard.toInt, id, pack, used)
+        }
+      }.toSet
+    val gen = Gen.zip(
+      Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(1L, 120L))),
+      Gen.chooseNum(50L, 300L))
+    forAll(gen, n = 6) { case (sizes: List[Long], budget: Long) =>
+      val rows = sizes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.pipeline.Curation
+        .packSequences(rows.toDF("id", "tok"), "id", "tok",
+          budget = budget, shards = 3)
+        .as[(Int, Long, Long, Long)].collect().toSet
+      assert(got == refPack(rows, budget, 3), s"budget=$budget sizes=$sizes")
+    }
+  }
+
+  // ---- duplicatedNgramFraction matches a naive driver computation ----
+  test("duplicatedNgramFraction equals naive counting on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc)), n = 6) {
+      (texts: List[String]) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      def grams(t: String): Seq[String] = {
+        val w = t.split("\\s+").filter(_.nonEmpty).toSeq
+        if (w.size < 2) Nil else w.sliding(2).map(_.mkString(" ")).toSeq
+      }
+      val docCount = rows.flatMap { case (id, t) => grams(t).distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val expect = rows.flatMap { case (id, t) =>
+        val g = grams(t)
+        if (g.isEmpty) None
+        else Some(id -> ((g.size.toLong,
+          BigDecimal(g.count(docCount(_) > 1).toDouble / g.size)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+      }.toMap
+      val got = graft.pipeline.Curation
+        .duplicatedNgramFraction(rows.toDF("id", "text"), "id", "text", n = 2)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expect, s"texts=$texts")
+    }
+  }
+
   // ---- LIKE-escape translation matches Spark's own LIKE for plain cases ----
   test("TQL LIKE with escape behaves like standard LIKE when no escape used") {
     import spark.implicits._
