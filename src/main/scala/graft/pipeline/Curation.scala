@@ -286,7 +286,7 @@ object Curation {
       else {
         val nonNull = short.filter(_ != null)
         val isShort = Seq(
-          if (nonNull.nonEmpty) Some(col(groupCol).isin(nonNull: _*)) else None,
+          if (nonNull.nonEmpty) Some(col(groupCol).isin(nonNull.toIndexedSeq: _*)) else None,
           if (short.contains(null)) Some(col(groupCol).isNull) else None
         ).flatten.reduce(_ || _)
         pre.union(joined(df.filter(isShort)).filter(h32 > cut))

@@ -64,7 +64,7 @@ object Similarity {
     * (one kernel call per row) when the planes come from [[hyperplanes]]. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.indices.map { i =>
-      val plane = array(planes(i).map(lit): _*)
+      val plane = array(planes(i).map(lit).toIndexedSeq: _*)
       when(call_function("graft_dot", vec, plane) >= 0, lit(1L << i))
         .otherwise(lit(0L))
     }
@@ -94,7 +94,7 @@ object Similarity {
   /** literal array-of-structs (cid, cv) for a centroid set. */
   private[pipeline] def centroidsCol(cents: Array[Array[Double]]): Column =
     array(cents.indices.map(i =>
-      struct(lit(i).as("cid"), array(cents(i).map(lit): _*).as("cv"))): _*)
+      struct(lit(i).as("cid"), array(cents(i).map(lit).toIndexedSeq: _*).as("cv"))): _*)
 
   /** squared-L2 distances to every centroid as array<struct(d, cid)> —
     * array_min / array_sort on it give argmin / probe order without any
@@ -237,7 +237,7 @@ object Similarity {
     // encode time so the scoring side never needs the codebook again
     val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
     val rnorm2 = (0 until m).map { j =>
-      element_at(array(normTable(j).map(lit): _*), element_at(codes, j + 1) + 1)
+      element_at(array(normTable(j).map(lit).toIndexedSeq: _*), element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
     val enc = c0.select(col("c_id"), codes.as("codes"),
       sqrt(rnorm2).as("rnorm"))
@@ -324,7 +324,7 @@ object Similarity {
     }: _*)
     val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
     val rnorm2 = (0 until m).map { j =>
-      element_at(array(normTable(j).map(lit): _*), element_at(codes, j + 1) + 1)
+      element_at(array(normTable(j).map(lit).toIndexedSeq: _*), element_at(codes, j + 1) + 1)
     }.reduce(_ + _)
     val enc = c0.select(col("c_id"),
       array_min(distances(col("cv"), cents)).getField("cid").as("cluster"),
