@@ -181,6 +181,37 @@ object Curation {
         round(avg(-log(col("__c").cast("double") / col("__t"))), roundTo).as("nll"))
   }
 
+  /** Overlapping token-window chunking (embedding/RAG prep: split each
+    * document into `window`-token chunks advancing by `stride` tokens, the
+    * step before batch-embedding a corpus). Chunks are rebuilt as
+    * space-joined text; the last chunk may be shorter. Empty documents
+    * produce no chunks. Output: (id, chunk_id, chunk_text, n_tokens).
+    *
+    * Map-only column expressions over a projected token array — no
+    * shuffle, token-linear work (each token appears in at most
+    * ceil(window/stride) chunks). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got $stride")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val sz = size(col("__t"))
+    // chunks fully covering the tokens: 1 + ceil(max(sz-window, 0)/stride)
+    val nChunks = lit(1) +
+      greatest(floor((sz - window + stride - 1) / stride), lit(0)).cast("int")
+    val chunks = when(sz > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => struct(
+          i.cast("long").as("chunk_id"),
+          array_join(slice(col("__t"), i * stride + 1, lit(window)), " ").as("chunk_text"),
+          least(lit(window), sz - i * stride).cast("long").as("n_tokens"))))
+      .otherwise(array().cast("array<struct<chunk_id:bigint,chunk_text:string,n_tokens:bigint>>"))
+    base.select(col(idCol), explode(chunks).as("__c"))
+      .select(col(idCol), col("__c.chunk_id").as("chunk_id"),
+        col("__c.chunk_text").as("chunk_text"), col("__c.n_tokens").as("n_tokens"))
+  }
+
   /** Bigram language-model scoring with add-k smoothing — the next step up
     * from [[unigramNll]] toward the CCNet 5-gram-KenLM quality filter:
     * p(w|prev) = (c(prev,w) + k) / (c(prev,·) + k·V) under the corpus' own

@@ -574,6 +574,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- overlapping token-window chunking (embedding/RAG prep):
+    // 20-token windows advancing by 10 ----
+    Q.df("q_pipeline_chunk",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS sz,
+        |        1 + greatest(CAST(floor((len(t) - 20 + 9) / 10.0) AS BIGINT), 0) AS nc
+        |      FROM base WHERE len(t) > 0)
+        |SELECT doc_id, i AS chunk_id,
+        |  array_to_string(t[i*10+1 : i*10+20], ' ') AS chunk_text,
+        |  least(20, sz - i*10) AS n_tokens
+        |FROM n, UNNEST(generate_series(0, nc-1)) AS u(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Curation.chunkDocuments(docs(s, dir), "doc_id", "text",
+          window = 20, stride = 10)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- bigram LM with add-1 smoothing (next step toward the CCNet
     // 5-gram-KenLM quality filter); docs with <2 tokens are absent ----
     Q.df("q_text_bigram_nll",

@@ -84,6 +84,21 @@ class CurationSpec extends SparkTestBase {
     assert(rows.sortBy(_._2).toSeq == again.sortBy(_._2).toSeq)
   }
 
+  test("chunkDocuments: overlap, short tail, short/empty docs") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"),  // window 3 stride 2 -> [w1..w3], [w3..w5]
+      (2L, "a b"),             // shorter than window -> one whole chunk
+      (3L, "")                 // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "doc_id", "text", window = 3, stride = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, "w1 w2 w3", 3L), (1L, 1L, "w3 w4 w5", 3L),
+      (2L, 0L, "a b", 2L)))
+    intercept[IllegalArgumentException](
+      Curation.chunkDocuments(docs, "doc_id", "text", window = 3, stride = 4))
+  }
+
   test("bigramNll: hand-computed add-1 fixture; short docs absent") {
     // vocab {a,b,c,x} -> V=4; transitions: doc1 (a,a),(a,b); doc3 (x,x)x2
     // p(a|a)=p(b|a)=(1+1)/(2+4)=1/3 -> nll=ln 3; p(x|x)=(2+1)/(2+4)=1/2 -> ln 2
