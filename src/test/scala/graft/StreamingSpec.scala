@@ -81,6 +81,31 @@ class StreamingSpec extends SparkTestBase {
     cat.dropContainer("stream_tab")
   }
 
+  test("map-only curation operators run unchanged on streams") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // stateless projections compose directly onto readStream frames:
+    // chunking (explode of per-row windows) + PII masking in one pass
+    val out = graft.pipeline.Curation
+      .chunkDocuments(stream, "doc_id", "text", window = 3, stride = 2)
+    val masked = graft.pipeline.TextAnalysis
+      .maskPii(out.withColumnRenamed("chunk_text", "text"), "text", "doc_id")
+    val q = masked.writeStream.format("memory").queryName("cur_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "w1 w2 w3 w4 w5"),
+        (2L, "mail me at a@b.co now"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM cur_stream").collect()
+      assert(rows.length == 4) // 2 chunks + 2 chunks
+      val maskedText = spark.sql(
+        "SELECT masked FROM cur_stream WHERE masked LIKE '%EMAIL%'").count()
+      assert(maskedText == 1)
+    } finally q.stop()
+  }
+
   test("session windows close by gap + watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
