@@ -109,6 +109,10 @@ object Curation {
                     budget: Long, shards: Int = 32): DataFrame = {
     require(budget > 0, "token budget must be positive")
     require(shards > 0, "shard count must be positive")
+    // a silent cast-to-null here would DROP documents from the packing
+    require(Set("byte", "short", "int", "bigint")
+        .contains(df.schema(idCol).dataType.simpleString),
+      s"packSequences needs an integral id column; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession
     import spark.implicits._
     val prep = df.select(col(idCol).cast("long").as("_1"),
