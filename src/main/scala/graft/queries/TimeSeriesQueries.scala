@@ -349,6 +349,35 @@ object FillQueries {
       bench = true) { (s, dir) =>
       build(s, dir, GroupByRange.FillLinear, withCount = false)
         .select(col("ts_ms"), col("avg_value"))
+    },
+
+    // ---- gap-based sessionization (30-min inactivity gap per user) ----
+    Q.df("q_sessionize",
+      duck = """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |  epoch_ms(min(ts)) AS s_start_ms, epoch_ms(max(ts)) AS s_end_ms,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      T.sessionize(Tables.events(s, dir), "ts", gapMs = 30L * 60 * 1000,
+          keys = Seq("user_id"), tieBreak = Seq("event_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_millis(min(col("ts"))).as("s_start_ms"),
+          unix_millis(max(col("ts"))).as("s_end_ms"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "session_id")
     }
   )
 }

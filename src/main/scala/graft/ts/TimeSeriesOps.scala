@@ -491,4 +491,35 @@ object TimeSeriesOps {
       df.join(broadcast(m), keys).filter(col(valCol) === col("__ext")).drop("__ext")
     }
   }
+
+  /** Gap-based sessionization: per `keys`, assign each row a 1-based
+    * `session_id` that increments whenever the gap from the previous row
+    * (by `tsCol` asc, then `tieBreak`) STRICTLY exceeds `gapMs` — an event
+    * landing exactly `gapMs` after its predecessor stays in the session.
+    *
+    * Plan shape: both window passes (the lag boundary flag and the running
+    * sum) share one partitioning+ordering, so the whole operator costs a
+    * single Exchange on `keys` plus one sort — scale-safe at one series
+    * per user/device. With `keys = Nil` the chain is sequential by
+    * semantics (any row can extend its predecessor's session) and runs in
+    * a single partition via a non-foldable constant key, like unkeyed
+    * unbounded MATCH_RECOGNIZE. The streaming counterpart is Spark's
+    * native `session_window(ts, gap)` aggregation.
+    */
+  def sessionize(df: DataFrame, tsCol: String, gapMs: Long,
+                 keys: Seq[String] = Nil, tieBreak: Seq[String] = Nil,
+                 sessionCol: String = "session_id"): DataFrame = {
+    val part: Seq[Column] =
+      if (keys.nonEmpty) keys.map(col)
+      else Seq(pmod(usec(col(tsCol)), lit(1)))
+    val w = Window.partitionBy(part: _*)
+      .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
+    val prevUs = lag(usec(col(tsCol)), 1).over(w)
+    df.withColumn("__open",
+        when(prevUs.isNull || usec(col(tsCol)) - prevUs > gapMs * 1000L,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn(sessionCol, sum(col("__open"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__open")
+  }
 }

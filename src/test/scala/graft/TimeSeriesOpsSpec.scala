@@ -222,4 +222,28 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       .select("pid").as[Long].collect().toSet
     assert(hits == Set(1L, 2L))
   }
+
+  test("sessionize: strict-gap boundary, keyed and unkeyed, tie-break") {
+    // gaps: 10s (in), exactly 30s (in — strict >), 31s (new session)
+    val df = series(0L -> 1.0, 10L -> 2.0, 40L -> 3.0, 71L -> 4.0)
+    val ids = T.sessionize(df, "ts", gapMs = 30000L, tieBreak = Seq("event_id"))
+      .orderBy("ts").select("session_id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 1L, 1L, 2L))
+
+    // keyed: each key's chain restarts at 1, sessions never cross keys
+    val keyed = Seq(("a", 0L), ("a", 100L), ("b", 5L), ("b", 10L))
+      .toDF("k", "sec")
+      .select(col("k"), timestamp_seconds(lit(1704067200L) + col("sec")).as("ts"),
+        col("sec").as("event_id"))
+    val got = T.sessionize(keyed, "ts", gapMs = 30000L,
+        keys = Seq("k"), tieBreak = Seq("event_id"))
+      .orderBy("k", "ts").select("k", "session_id").as[(String, Long)].collect().toSeq
+    assert(got == Seq("a" -> 1L, "a" -> 2L, "b" -> 1L, "b" -> 1L))
+
+    // simultaneous rows tie-break on event_id; zero gap stays in-session
+    val ties = series(0L -> 1.0, 0L -> 2.0, 50L -> 3.0)
+    val n = T.sessionize(ties, "ts", gapMs = 30000L, tieBreak = Seq("event_id"))
+      .select(max(col("session_id"))).as[Long].head()
+    assert(n == 2L)
+  }
 }
