@@ -118,6 +118,44 @@ object StreamingQueries {
       }.select(col("event_type"), col("bucket_ms"), col("n"),
           col("value"), col("filled"))
         .orderBy("event_type", "bucket_ms")
+    },
+
+    // Streaming gap sessions via the native session_window aggregation.
+    // session_window merges events whose gap is STRICTLY under the gap
+    // duration (window end = last event + gap), so the oracle opens a new
+    // session on gap >= 30 min — one tick stricter than the batch
+    // sessionize's strict-> semantics (both documented). Complete-mode
+    // replay emits every session, so no watermark-finality protocol is
+    // needed in the oracle.
+    Q.df("q_stream_sessionize",
+      duck = """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(opens) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  epoch_ms(min(ts)) AS session_start_ms,
+        |  epoch_ms(max(ts)) + 1800000 AS session_end_ms,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_sessionize_sink", "complete") { ev =>
+        StreamingOps.sessionize(ev, "ts", gap = "30 minutes",
+          watermark = "1 hour",
+          aggs = Seq(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")),
+          keys = Seq("user_id"))
+      }.select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "session_start_ms")
     }
   )
 }
