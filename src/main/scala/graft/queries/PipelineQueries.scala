@@ -794,6 +794,22 @@ object PipelineQueries {
         size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long"))
       Curation.packSequences(withTok, "doc_id", "__tok", budget = 200, shards = 4)
         .orderBy("shard", "doc_id")
+    },
+
+    // ---- one-pass column profiling (data-quality summary) ----
+    Q.df("q_profile_events",
+      duck = Seq("event_id", "user_id", "value").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_value,
+           |  CAST(max($c) AS DOUBLE) AS max_value,
+           |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count($c) AS avg_value
+           |FROM events""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY \"column\"")) { (s, dir) =>
+      graft.pipeline.Profile.profile(
+          Tables.events(s, dir), Seq("event_id", "user_id", "value"))
+        .orderBy("column")
     }
   )
 }

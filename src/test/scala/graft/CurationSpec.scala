@@ -194,4 +194,20 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
     assert(nll(2L) > nll(1L))
   }
+
+  test("profile: one-pass counts, nulls, distincts, numeric stats") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 10.0), (2L, 20.0), (2L, null), (null, 40.0))
+      .toDF("id", "v")
+    val p = graft.pipeline.Profile.profile(df, Seq("id", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = p("id")
+    assert(id.getLong(1) == 4L && id.getLong(2) == 1L && id.getLong(3) == 2L)
+    assert(id.getDouble(4) == 1.0 && id.getDouble(5) == 2.0)
+    assert(math.abs(id.getDouble(6) - 5.0 / 3) < 1e-9)
+    val v = p("v")
+    assert(v.getLong(2) == 1L && v.getLong(3) == 3L)
+    assert(v.getDouble(4) == 10.0 && v.getDouble(5) == 40.0)
+    assert(math.abs(v.getDouble(6) - 70.0 / 3) < 1e-9)
+  }
 }
