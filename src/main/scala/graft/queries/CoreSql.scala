@@ -533,6 +533,60 @@ object CoreSql {
       cat.multiGet("q_point_tab", Seq(2, 3))
         .unionByName(cat.keyRange("q_point_tab", from = Some(4), until = Some(5)))
         .orderBy("id")
-    }
+    },
+
+    // ---- GROUP BY ROLLUP: subtotal grades with GROUPING markers ----
+    Q.sql("q_rollup_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin),
+
+    // ---- GROUP BY CUBE: all grouping-set combinations ----
+    Q.sql("q_cube_agg",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin),
+
+    // ---- PIVOT: per-user event-type counts as columns (fixed value list
+    // keeps the schema static — required for a deterministic plan at scale;
+    // the oracle is the portable CASE-sum form) ----
+    Q.df("q_pivot_events",
+      duck = """SELECT user_id,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.engine.Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // ---- equi-width histogram (profiling companion): fixed-width value
+    // bins via integer floor arithmetic — identical FP semantics in both
+    // engines because bin edges are exact multiples of the width ----
+    Q.sql("q_histogram_value",
+      """SELECT CAST(FLOOR(value / 25.0) AS INT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
