@@ -587,6 +587,17 @@ object CoreSql {
         |  COUNT(*) AS n,
         |  CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
         |FROM events WHERE value IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- bivariate statistics: correlation / covariance / regression
+    // slope (irreducibly floating → rounded to 4 on both sides, the
+    // var/stddev policy) ----
+    Q.sql("q_stats_corr",
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+        |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 }
