@@ -796,6 +796,42 @@ object PipelineQueries {
         .orderBy("shard", "doc_id")
     },
 
+    // ---- unpivot (melt) to long form + aggregate ----
+    Q.df("q_unpivot_lineitem",
+      duck = """WITH m AS (
+        |  SELECT l_returnflag, 'qty' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'disc', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.read(s, dir, "lineitem")
+        .select(col("l_returnflag"), expr(
+          "stack(3, 'qty', l_quantity, 'price', l_extendedprice, " +
+            "'disc', l_discount) AS (measure, v)"))
+        .groupBy("l_returnflag", "measure")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 2))).cast("double").as("sum_v"))
+        .orderBy("l_returnflag", "measure")
+    },
+
+    // ---- array higher-order functions: per-vector L2 norm via a codegen'd
+    // sequential fold (transform + aggregate), matching DuckDB's list fold
+    // order so the doubles are bit-identical before rounding ----
+    Q.df("q_array_norms",
+      duck = """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      embs(s, dir).select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(sqrt(aggregate(transform(col("embedding"), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x * x)), 4).as("l2"))
+        .orderBy("vec_id")
+    },
+
     // ---- one-pass column profiling (data-quality summary) ----
     Q.df("q_profile_events",
       duck = Seq("event_id", "user_id", "value").map { c =>
