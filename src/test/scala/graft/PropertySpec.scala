@@ -146,4 +146,39 @@ class PropertySpec extends SparkTestBase {
       assert(viaTql == viaSpark, s"pattern=$pat")
     }
   }
+
+  // ---- sessionize vs a reference sequential fold ----
+  test("sessionize equals the reference gap fold on random keyed series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 500L))),
+      Gen.choose(20L, 120L))
+    forAll(gen, n = 15) { case (rows, gapSec) =>
+      val distinct = rows.distinct // unique (key, sec) so ordering is total
+      val df = distinct.zipWithIndex
+        .map { case ((k, sec), i) => (k, sec, i.toLong) }
+        .toDF("k", "sec", "event_id")
+        .select($"k", timestamp_seconds(lit(1704067200L) + $"sec").as("ts"),
+          $"sec", $"event_id")
+      val got = graft.ts.TimeSeriesOps
+        .sessionize(df, "ts", gapMs = gapSec * 1000, keys = Seq("k"),
+          tieBreak = Seq("event_id"))
+        .select("k", "sec", "session_id").as[(String, Long, Long)]
+        .collect().toSet
+      // reference: per key, sort by (sec, event_id), fold with strict > gap
+      val expect = distinct.zipWithIndex
+        .map { case ((k, sec), i) => (k, sec, i.toLong) }
+        .groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+          val sorted = rs.sortBy(r => (r._2, r._3))
+          var sid = 0L; var prev = Long.MinValue
+          sorted.map { case (_, sec, _) =>
+            if (prev == Long.MinValue || sec - prev > gapSec) sid += 1
+            prev = sec
+            (k, sec, sid)
+          }
+        }.toSet
+      assert(got == expect, s"gap=$gapSec")
+    }
+  }
 }
