@@ -240,6 +240,15 @@ object CoreSql {
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_nationkey, s_suppkey""".stripMargin),
 
+    // ---- distribution windows: percent_rank / cume_dist ----
+    Q.sql("q_window_pct",
+      """SELECT s_nationkey, s_suppkey,
+        |  ROUND(percent_rank() OVER w, 6) AS prk,
+        |  ROUND(cume_dist() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin),
+
     // ---- top-k (TakeOrderedAndProject) ----
     Q.sql("q_topk_order_limit",
       """SELECT o_orderkey, o_totalprice FROM orders
