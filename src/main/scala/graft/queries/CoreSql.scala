@@ -598,6 +598,15 @@ object CoreSql {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- boolean aggregates: bool_and / bool_or / count_if ----
+    Q.sql("q_agg_bool",
+      """SELECT event_type,
+        |  bool_and(value > 0) AS all_pos,
+        |  bool_or(value > 190) AS any_high,
+        |  CAST(count_if(value > 100) AS BIGINT) AS n_over_100
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- bivariate statistics: correlation / covariance / regression
     // slope (irreducibly floating → rounded to 4 on both sides, the
     // var/stddev policy) ----
