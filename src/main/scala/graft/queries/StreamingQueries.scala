@@ -120,6 +120,23 @@ object StreamingQueries {
         .orderBy("event_type", "bucket_ms")
     },
 
+    // Streaming exact dedup: dropDuplicatesWithinWatermark on a content
+    // digest (state evicted as the watermark passes). Which physical row
+    // survives per key is processing-order dependent, so the query projects
+    // only columns functionally determined by the dedup key — making the
+    // result the exact distinct set.
+    Q.df("q_stream_dedup",
+      duck = """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_dedup_sink", "append") { ev =>
+        StreamingOps.dedupStream(
+          ev.withColumn("__pair",
+            concat_ws("|", col("user_id"), col("event_type"))),
+          "ts", "__pair", watermark = "1 hour")
+          .select(col("user_id"), col("event_type"))
+      }.orderBy("user_id", "event_type")
+    },
+
     // Streaming gap sessions via the native session_window aggregation.
     // session_window merges events whose gap is STRICTLY under the gap
     // duration (window end = last event + gap), so the oracle opens a new
