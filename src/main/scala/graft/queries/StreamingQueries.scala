@@ -120,6 +120,26 @@ object StreamingQueries {
         .orderBy("event_type", "bucket_ms")
     },
 
+    // Sliding windows (2h length, 1h slide): every event lands in exactly
+    // two hour-aligned windows, which the oracle materializes as a
+    // two-branch UNION ALL before re-aggregating.
+    Q.df("q_stream_sliding_window",
+      duck = """WITH x AS (
+        |  SELECT epoch_ms(date_trunc('hour', ts)) AS h, value FROM events
+        |), m AS (
+        |  SELECT h AS ws, value FROM x
+        |  UNION ALL SELECT h - 3600000 AS ws, value FROM x)
+        |SELECT ws AS bucket_ms, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_sliding_window_sink", "complete") { ev =>
+        StreamingOps.slidingWindowAggStream(ev, "ts", "2 hours", "1 hour",
+          watermark = "1 hour",
+          aggs = Seq(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value")))
+      }.orderBy("bucket_ms")
+    },
+
     // Streaming exact dedup: dropDuplicatesWithinWatermark on a content
     // digest (state evicted as the watermark passes). Which physical row
     // survives per key is processing-order dependent, so the query projects
