@@ -796,6 +796,25 @@ object PipelineQueries {
         .orderBy("shard", "doc_id")
     },
 
+    // ---- corpus frequent-bigram mining: global top-k with a total
+    // (count DESC, ngram ASC) tie-break so the cut is deterministic;
+    // TakeOrderedAndProject bounds the result without a full sort ----
+    Q.df("q_text_top_ngrams",
+      duck = """WITH base AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (SELECT array_to_string(t[i:i+1], ' ') AS ngram
+        |      FROM base, UNNEST(generate_series(1, len(t)-1)) AS u(i))
+        |SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+        |ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(explode(Curation.wordNgrams(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram"))
+        .limit(20)
+    },
+
     // ---- unpivot (melt) to long form + aggregate ----
     Q.df("q_unpivot_lineitem",
       duck = """WITH m AS (
