@@ -51,4 +51,32 @@ class EdgeCasesSpec extends SparkTestBase {
       minCos = 0.9, nLists = 1).as[(Long, Long)].collect()
     assert(got.toSeq == Seq((7L, 7L))) // its own keeper
   }
+
+  test("sessionize and profile on degenerate inputs") {
+    import org.apache.spark.sql.functions._
+    val emptyEv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("k", StringType),
+        StructField("ts", TimestampType))))
+    assert(graft.ts.TimeSeriesOps
+      .sessionize(emptyEv, "ts", gapMs = 1000L, keys = Seq("k")).count() == 0)
+    assert(graft.ts.TimeSeriesOps
+      .sessionize(emptyEv, "ts", gapMs = 1000L).count() == 0) // unkeyed
+
+    // all-null column: zero distincts, null numeric stats, no throw
+    val nulls = Seq[(Long, Option[Double])]((1L, None), (2L, None))
+      .toDF("id", "v")
+    val row = graft.pipeline.Profile.profile(nulls, Seq("v")).collect()(0)
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2L && row.getLong(3) == 0L)
+    assert(row.isNullAt(4) && row.isNullAt(5) && row.isNullAt(6))
+
+    // single row: a session of one, exact profile stats
+    val oneEv = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "ts")
+    val sid = graft.ts.TimeSeriesOps
+      .sessionize(oneEv, "ts", gapMs = 1000L, keys = Seq("k"))
+      .select("session_id").as[Long].head()
+    assert(sid == 1L)
+  }
 }
