@@ -598,6 +598,18 @@ object CoreSql {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- multiset set operators: INTERSECT ALL / EXCEPT ALL keep
+    // per-key multiplicity (min / difference of counts) ----
+    Q.sql("q_set_ops_all",
+      """SELECT 'ia' AS op, n FROM (
+        |  SELECT c_nationkey AS n FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) ia
+        |UNION ALL
+        |SELECT 'ea' AS op, n FROM (
+        |  SELECT c_nationkey AS n FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) ea
+        |ORDER BY op, n""".stripMargin),
+
     // ---- boolean aggregates: bool_and / bool_or / count_if ----
     Q.sql("q_agg_bool",
       """SELECT event_type,
