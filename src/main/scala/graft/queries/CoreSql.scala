@@ -598,6 +598,17 @@ object CoreSql {
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // ---- correlated LATERAL join with per-group ORDER BY/LIMIT (top-N
+    // per key as a join, decorrelated by Catalyst) ----
+    Q.sql("q_lateral_topn",
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c.c_custkey <= 50
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+
     // ---- multiset set operators: INTERSECT ALL / EXCEPT ALL keep
     // per-key multiplicity (min / difference of counts) ----
     Q.sql("q_set_ops_all",
