@@ -18,8 +18,10 @@ import graft.queries.Registry
   *    the ContextCleaner reclaims dereferenced broadcasts instead of
   *    letting tens of broadcast blocks accumulate across the run;
   *  - per-iteration times go to stderr so decay is visible in the log; the
-  *    stdout contract stays ONE JSON line with the per-query MEDIAN
-  *    (sub-second entries are otherwise dominated by JVM/GC noise).
+  *    stdout contract stays ONE JSON line, now with per-query
+  *    {"median": m, "min": n}. Min is the robust statistic for CPU-bound
+  *    repeats — a median > 2x its min marks the measurement as
+  *    noise-dominated (environment interference), not a plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -46,11 +48,12 @@ object Bench {
       // ContextCleaner (broadcast blocks are weak-ref collected)
       spark.catalog.clearCache()
       System.gc()
-      q.name -> times.sorted.apply(times.length / 2)
+      q.name -> ((times.sorted.apply(times.length / 2), times.min))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val qs = results.map { case (k, (med, mn)) =>
+        "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn + "}"
+      }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -66,23 +66,29 @@ final class GraftCatalog(spark: SparkSession) {
     firedLog += e
   }
 
-  /** CREATE TRIGGER (additive DDL; GSTriggerInfo semantics). */
+  /** CREATE TRIGGER (additive DDL; GSTriggerInfo semantics). Trigger-map
+    * access is synchronized throughout: DDL mutates on the driver while
+    * streaming foreachBatch threads fire/enumerate concurrently. */
   def createTrigger(t: TriggerDef): Unit = {
-    require(!triggers.contains(t.name), s"trigger ${t.name} already exists")
     require(exists(t.table), s"table ${t.table} does not exist")
     val bad = t.eventTypes.filterNot(Set("PUT", "DELETE"))
     require(bad.isEmpty, s"unknown trigger event types: ${bad.mkString(",")}")
     t.columns.foreach(cn => require(get(t.table).df.columns.contains(cn),
       s"${t.table} has no column $cn"))
-    triggers(t.name) = t
+    triggers.synchronized {
+      require(!triggers.contains(t.name), s"trigger ${t.name} already exists")
+      triggers(t.name) = t
+    }
   }
 
   /** DROP TRIGGER. */
   def dropTrigger(name: String, ifExists: Boolean = false): Unit =
-    if (triggers.remove(name).isEmpty && !ifExists)
-      throw new NoSuchElementException(s"trigger $name does not exist")
+    triggers.synchronized {
+      if (triggers.remove(name).isEmpty && !ifExists)
+        throw new NoSuchElementException(s"trigger $name does not exist")
+    }
 
-  def listTriggers: Seq[TriggerDef] = triggers.values.toSeq
+  def listTriggers: Seq[TriggerDef] = triggers.synchronized { triggers.values.toSeq }
 
   /** Replace the notification transport (e.g. an HTTP/JMS client in a real
     * deployment). The default logs to [[firedTriggers]]. */
@@ -96,8 +102,9 @@ final class GraftCatalog(spark: SparkSession) {
     * without triggers pay nothing on the put/remove hot path. */
   private def fireTriggers(table: String, event: String,
                            affected: => DataFrame): Unit = {
-    val matching = triggers.values
-      .filter(t => t.table == table && t.eventTypes.contains(event)).toSeq
+    val matching = triggers.synchronized {
+      triggers.values.filter(t => t.table == table && t.eventTypes.contains(event)).toSeq
+    }
     if (matching.nonEmpty) {
       val n = affected.count()
       matching.foreach(t => notifier(TriggerEvent(t, event, n)))
@@ -392,7 +399,7 @@ final class GraftCatalog(spark: SparkSession) {
   def metaEventTriggers: DataFrame = {
     import spark.implicits._
     val ordinals = scala.collection.mutable.Map[String, Int]()
-    triggers.values.toSeq.map { t =>
+    triggers.synchronized { triggers.values.toSeq }.map { t =>
       val i = ordinals.getOrElse(t.table, 0) + 1
       ordinals(t.table) = i
       ("public", t.table, i, t.name, t.eventTypes.mkString(","),

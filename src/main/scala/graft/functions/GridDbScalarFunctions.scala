@@ -277,10 +277,13 @@ object GridDbScalarFunctions {
     * this on every build (Verify/Bench build ~90 queries in one session);
     * without the guard createOrReplaceTempFunction logs a "function
     * replaced" WARN per name per build, flooding the logs. `unregister`
-    * clears the flag so test hygiene still works. */
+    * clears the flag so test hygiene still works, and a cheap sentinel
+    * probe self-repairs if something other than unregister() dropped the
+    * functions out from under us. */
   def register(spark: SparkSession): Unit = registered.synchronized {
-    if (registered.add(spark)) {
-      val reg = spark.sessionState.functionRegistry
+    val reg = spark.sessionState.functionRegistry
+    val fresh = registered.add(spark)
+    if (fresh || !reg.functionExists(FunctionIdentifier(builders.head._1))) {
       builders.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "built-in")
       }

@@ -110,7 +110,8 @@ object Curation {
     require(budget > 0, "token budget must be positive")
     require(shards > 0, "shard count must be positive")
     // a silent cast-to-null here would DROP documents from the packing
-    require(Set("byte", "short", "int", "bigint")
+    // (Spark renders ByteType/ShortType as "tinyint"/"smallint")
+    require(Set("tinyint", "smallint", "int", "bigint")
         .contains(df.schema(idCol).dataType.simpleString),
       s"packSequences needs an integral id column; '$idCol' is ${df.schema(idCol).dataType.simpleString}")
     val spark = df.sparkSession

@@ -163,14 +163,18 @@ object Dedup {
     // repartition on the join keys BELOW the leg renames: both legs then
     // share one canonically-equal Exchange subtree, so Spark plans a single
     // shuffle (ReusedExchange) and the sketch kernel runs ONCE per row, not
-    // once per join side — at 100 TB that halves the corpus sketching work
+    // once per join side — at 100 TB that halves the corpus sketching work.
+    // The shuffle_hash hint pins that invariant: without it the planner may
+    // stack a BroadcastExchange on one leg (size permitting), which keeps
+    // BOTH sketch subtrees live and silently doubles the sketching cost
+    // (DedupSpec asserts the executed plan reuses a single exchange)
     val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .repartition(col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
-      col("id").as("a"), col("sig").as("sig_a"))
+      col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("bucket"),
-      col("id").as("b"), col("sig").as("sig_b"))
+      col("id").as("b"), col("sig").as("sig_b")).hint("shuffle_hash")
     // static-k agreement count: k comparisons summed inline stay in
     // whole-stage codegen (zip_with/filter HOFs are interpreted per pair)
     val agree = (0 until k)
@@ -204,12 +208,14 @@ object Dedup {
     val sh = simhashDf(docs, textCol, idCol)
     val chunks = (0 until 4).map(b =>
       shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
-    // shared-Exchange self-join: see minhashCandidates
+    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
     val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
       .repartition(col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("sh_a"))
+      .hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("sh_b"))
+      .hint("shuffle_hash")
     l.join(rgt, Seq("band", "chunk")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
@@ -291,23 +297,27 @@ object Dedup {
     * (deterministic seeds + one Lloyd step, literal centroids — assignment
     * is a shuffle-free projection) and exact cosine runs ONLY within a
     * cluster, so the pair scan costs Σ n_c² instead of N². `nLists = 1`
-    * degenerates to the exact all-pairs baseline (oracle-checkable);
-    * production picks nLists so clusters are ~√N-ish. Pairs whose rounded
-    * cosine clears `minCos` come back as (a, b, cos) with a < b; pairs
-    * split across clusters are missed by construction (the SemDeDup
-    * trade-off — raise nLists for speed, lower for recall). */
+    * degenerates to the exact all-pairs baseline (oracle-checkable); the
+    * default (`nLists <= 0` = AUTO) derives ~√N clusters from a corpus
+    * count (Similarity.autoLists), so within-cluster cost stays bounded as
+    * the corpus grows instead of degrading toward all-pairs at a fixed
+    * list count. Pairs whose rounded cosine clears `minCos` come back as
+    * (a, b, cos) with a < b; pairs split across clusters are missed by
+    * construction (the SemDeDup trade-off — raise nLists for speed, lower
+    * for recall). */
   def semanticPairs(docs: DataFrame, vecCol: String, idCol: String,
-                    minCos: Double, nLists: Int = 16,
+                    minCos: Double, nLists: Int = -1,
                     roundTo: Int = 4): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
     val base = docs.select(col(idCol).as("a"), v.as("va"))
+    val lists = if (nLists > 0) nLists else Similarity.resolveLists(docs, nLists)
     val assigned =
-      if (nLists <= 1) base.withColumn("__cl", lit(0))
+      if (lists <= 1) base.withColumn("__cl", lit(0))
       else {
         val c0 = base.select(col("a").as("c_id"), col("va").as("cv"))
         val dim = Similarity.vecDim(c0, "cv")
-        val cents = Similarity.ivfCentroids(c0, dim, nLists)
+        val cents = Similarity.ivfCentroids(c0, dim, lists)
         base.withColumn("__cl",
           array_min(Similarity.distances(col("va"), cents)).getField("cid"))
       }
@@ -325,7 +335,7 @@ object Dedup {
     * stage with the same large-star/small-star components used for lexical
     * cluster dedup — one pipeline for both dedup families. */
   def semanticDedup(docs: DataFrame, vecCol: String, idCol: String,
-                    minCos: Double, nLists: Int = 16): DataFrame = {
+                    minCos: Double, nLists: Int = -1): DataFrame = {
     val pairs = semanticPairs(docs, vecCol, idCol, minCos, nLists)
     clusterAssign(docs, idCol, pairs, "a", "b")
   }
@@ -354,12 +364,14 @@ object Dedup {
       // bucket to 0 and degenerating the join to a full cross product
       shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))
     }
-    // shared-Exchange self-join: see minhashCandidates
+    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
     val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .repartition(col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
+      .hint("shuffle_hash")
     val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
+      .hint("shuffle_hash")
     l.join(rt, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))

@@ -83,6 +83,23 @@ object Similarity {
   def signatureFused(vec: Column, bits: Int, dim: Int, seed: Long = 42L): Column =
     call_function("graft_srp_sig", vec, lit(bits), lit(dim), lit(seed))
 
+  /** AUTO list-count rule for IVF-style coarse quantizers: ~sqrt(N)
+    * clusters (the docstring discipline — within-list work is then ~sqrt(N)
+    * per list, the balanced point for Σ n_c² pair scans and probe scans),
+    * floored at 16 and capped at 4096 because centroids ship to every task
+    * as literal expressions (nLists x dim doubles inside one codegen'd
+    * transform) — past that a hierarchical/trained quantizer is the right
+    * tool, and the cap keeps the plan compilable rather than silently slow. */
+  private[graft] def autoLists(n: Long): Int =
+    math.min(4096L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Resolve an nLists parameter: positive = explicit, AUTO (<= 0) derives
+    * ~sqrt(corpus count) via [[autoLists]] — one count job (a parquet
+    * metadata count on a plain scan), so the default no longer degrades
+    * toward all-pairs/full-scan as the corpus grows past the old fixed 16. */
+  private[graft] def resolveLists(corpus: DataFrame, nLists: Int): Int =
+    if (nLists > 0) nLists else autoLists(corpus.count())
+
   /** Dimension of the vector column, from the first row with a non-empty
     * vector (clear error on empty/all-null input instead of a head() NPE). */
   private[pipeline] def vecDim(df: DataFrame, vecCol: String): Int = {
@@ -138,12 +155,12 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+              vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
               roundTo: Int = 4): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
-    val cents = ivfCentroids(c0, dim, nLists)
+    val cents = ivfCentroids(c0, dim, resolveLists(corpus, nLists))
 
     val c = c0
       .withColumn("cluster", array_min(distances(col("cv"), cents)).getField("cid"))
@@ -305,7 +322,7 @@ object Similarity {
     * `rerank`-sized pool (default 12*k, as [[pqTopK]]) decides the top-k.
     * Output: (q_id, c_id, cos, rk). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+                vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
                 m: Int = 8, kCodes: Int = 16, steps: Int = 4,
                 rerank: Int = -1, roundTo: Int = 4,
                 trainFraction: Double = 1.0): DataFrame = {
@@ -314,7 +331,7 @@ object Similarity {
     val dim = vecDim(c0, "cv")
     val d = dim / m
     val train = trainSlice(c0, trainFraction)
-    val cents = ivfCentroids(train, dim, nLists)
+    val cents = ivfCentroids(train, dim, resolveLists(corpus, nLists))
     val books = pqCodebooks(train, dim, m, kCodes, steps)
 
     // corpus side: list assignment + PQ codes + reconstruction norm, all

@@ -187,7 +187,10 @@ object PipelineQueries {
     // ---- IVF approximate NN (rows-only; recall tested in spec) ----
     Q.rowsOnly("q_sim_ivf_ann") { (s, dir) =>
       val e = embs(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      // nLists pinned to 16 (the pre-AUTO default) — the result is
+      // golden-pinned and the AUTO ~sqrt(N) rule would shift it with SF
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nLists = 16)
         .orderBy("q_id", "rk")
     },
 

@@ -511,7 +511,9 @@ object TimeSeriesOps {
                  sessionCol: String = "session_id"): DataFrame = {
     val part: Seq[Column] =
       if (keys.nonEmpty) keys.map(col)
-      else Seq(pmod(usec(col(tsCol)), lit(1)))
+      // coalesce: pmod(NULL, 1) is NULL, so null-ts rows would otherwise
+      // form a second partition with its own session numbering
+      else Seq(coalesce(pmod(usec(col(tsCol)), lit(1L)), lit(0L)))
     val w = Window.partitionBy(part: _*)
       .orderBy(col(tsCol).asc +: tieBreak.map(col(_).asc): _*)
     val prevUs = lag(usec(col(tsCol)), 1).over(w)

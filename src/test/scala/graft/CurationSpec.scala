@@ -210,4 +210,30 @@ class CurationSpec extends SparkTestBase {
     assert(v.getDouble(4) == 10.0 && v.getDouble(5) == 40.0)
     assert(math.abs(v.getDouble(6) - 70.0 / 3) < 1e-9)
   }
+
+  test("profile: approxDistinct path agrees within HLL tolerance, no Expand") {
+    val ev = graft.engine.Tables.read(spark, sfDir, "events")
+    val cols = Seq("user_id", "value", "event_id")
+    val exact = graft.pipeline.Profile.profile(ev, cols)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approxDf = graft.pipeline.Profile.profile(ev, cols, approxDistinct = true)
+    val approx = approxDf.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c).toDouble, approx(c).toDouble)
+      assert(math.abs(a - e) <= math.max(2.0, 0.15 * e),
+        s"approx n_distinct for $c: $a vs exact $e")
+    }
+    // the point of the flag: no multi-distinct Expand — rows scanned once
+    // regardless of how many columns are profiled
+    assert(!approxDf.queryExecution.executedPlan.toString.contains("Expand"),
+      "approxDistinct profile should not plan an Expand")
+  }
+
+  test("profile: column names with dots, spaces, and quotes survive") {
+    val df = Seq((1L, 2.0), (3L, 4.0)).toDF("a.b c", "it's")
+    val p = graft.pipeline.Profile.profile(df, Seq("a.b c", "it's"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("a.b c").getLong(1) == 2L && p("a.b c").getDouble(4) == 1.0)
+    assert(p("it's").getLong(3) == 2L && p("it's").getDouble(5) == 4.0)
+  }
 }

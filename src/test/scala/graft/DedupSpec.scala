@@ -356,6 +356,46 @@ class DedupSpec extends SparkTestBase {
     assert(viol.count() == 0)
   }
 
+  test("sketch-once invariant: LSH self-joins reuse one exchange, never broadcast") {
+    // PLANS.md's core perf claim: the banded self-join's two legs share ONE
+    // canonically-equal repartition Exchange, so the sketch kernel runs once
+    // per row. The shuffle_hash hint pins it — without the pin the planner
+    // may stack a BroadcastExchange on one leg, keeping BOTH sketch subtrees
+    // live and silently doubling the sketching cost at scale.
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    for ((name, plan) <- Seq(
+        "minhashCandidates" ->
+          executedPlan(Dedup.minhashCandidates(d, "text", "doc_id", minEstSim = 0.5)),
+        "simhashPairs" ->
+          executedPlan(Dedup.simhashPairs(d, "text", "doc_id", maxHamming = 3)),
+        "embeddingCandidates" ->
+          executedPlan(Dedup.embeddingCandidates(e, "embedding", "vec_id", minCos = 0.4)))) {
+      assert(!plan.contains("BroadcastExchange"),
+        s"$name: broadcast leg would duplicate the sketch subtree\n$plan")
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage") ||
+          plan.contains("reuses"),
+        s"$name: executed plan shows no exchange reuse — sketch runs twice\n$plan")
+    }
+  }
+
+  test("autoLists: AUTO nLists grows ~sqrt(N), floored at 16, capped at 4096") {
+    assert(Similarity.autoLists(0) == 16)
+    assert(Similarity.autoLists(100) == 16)
+    assert(Similarity.autoLists(1_000_000) == 1000)
+    assert(Similarity.autoLists(100_000_000L) == 4096)
+    // behavioral: the default (-1) derives from the corpus count; explicit wins
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val n = e.count()
+    assert(Similarity.resolveLists(e, -1) == Similarity.autoLists(n))
+    assert(Similarity.resolveLists(e, -1) > 16 == (n > 256))
+    assert(Similarity.resolveLists(e, 8) == 8)
+  }
+
   test("embedding near-dup: LSH candidates subset of exact, with banded recall") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.4)
