@@ -62,9 +62,9 @@ final class GraftCatalog(spark: SparkSession) {
   // default (and the zero-egress test binding) records firings so specs and
   // operators can observe them
   private val firedLog = scala.collection.mutable.ListBuffer[TriggerEvent]()
-  @volatile private var notifier: TriggerEvent => Unit = e => firedLog.synchronized {
-    firedLog += e
-  }
+  private def logTransport: TriggerEvent => Unit =
+    e => firedLog.synchronized { firedLog += e; () }
+  @volatile private var notifier: TriggerEvent => Unit = logTransport
 
   /** CREATE TRIGGER (additive DDL; GSTriggerInfo semantics). Trigger-map
     * access is synchronized throughout: DDL mutates on the driver while
@@ -90,9 +90,12 @@ final class GraftCatalog(spark: SparkSession) {
 
   def listTriggers: Seq[TriggerDef] = triggers.synchronized { triggers.values.toSeq }
 
-  /** Replace the notification transport (e.g. an HTTP/JMS client in a real
-    * deployment). The default logs to [[firedTriggers]]. */
+  /** Replace the notification transport (e.g. [[RestTriggerNotifier]] in a
+    * real deployment). The default logs to [[firedTriggers]]. */
   def onTrigger(f: TriggerEvent => Unit): Unit = notifier = f
+
+  /** Restore the default in-process logging transport (test hygiene). */
+  def resetTriggerTransport(): Unit = notifier = logTransport
 
   /** Firings observed by the default (logging) transport. */
   def firedTriggers: Seq[TriggerEvent] = firedLog.synchronized { firedLog.toList }

@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * match, which matches the reference's single-pass semantics for
   * conditions that only look backward.
   *
-  * MEASURES (reference rules 163-168) implies ONE ROW PER MATCH output:
-  * partition keys + match_num + the measures. Measure expressions may use
-  * the pattern-navigation functions `FIRST(col)`, `LAST(col)`,
+  * MEASURES (reference rules 163-168) defaults to ONE ROW PER MATCH output:
+  * partition keys + match_num + the measures. With ALL ROWS PER MATCH, the
+  * per-match (FINAL) measure values are instead duplicated onto every
+  * matched row alongside the input columns, match_num and classifier —
+  * the reference executor's combination semantics (WindowMatch,
+  * /root/reference/server/sql_operator_sort.cpp:4323). Measure expressions
+  * may use the pattern-navigation functions `FIRST(col)`, `LAST(col)`,
   * `CLASSIFIER()`, `MATCH_NUMBER()` (reference
   * /root/reference/server/sql_type.h:193-198) and var-scoped column
   * references `VAR.col` inside ordinary aggregates (e.g. `SUM(B.value)`),
@@ -148,12 +152,23 @@ object GraftMrSql {
         }
       val varNames = defs.map(_._1)
 
-      // MEASURES implies ONE ROW PER MATCH output (scaladoc above); reject
-      // the ALL ROWS combination loudly instead of silently degrading
-      require(ms.isEmpty || allRowsRe.findFirstIn(body).isEmpty,
-        "MEASURES with ALL ROWS PER MATCH is not supported (MEASURES implies ONE ROW PER MATCH)")
+      val allRows = allRowsRe.findFirstIn(body).isDefined
       val out =
-        if (ms.nonEmpty) {
+        if (ms.nonEmpty && allRows) {
+          // ALL ROWS PER MATCH + MEASURES (reference combination, rules
+          // 162-194; executor duplicates the per-match measure values onto
+          // every matched row — FINAL semantics): each aggregate inside the
+          // translated measure is windowized over (keys, match_num), so
+          // compound measures (LAST(v) - FIRST(v)) lower to arithmetic over
+          // window aggregates and the operator costs one window Exchange
+          val partText = (keys :+ "match_num").mkString(", ")
+          val all = graft.mr.MatchRecognize.matchedWithPos(
+            df, keys, orderCols, pattern, defines, skip)
+          ms.foldLeft(all) { case (d, (n, e)) =>
+            d.withColumn(n,
+              expr(windowizeAggs(translateMeasure(e, varNames), partText)))
+          }.drop(graft.mr.MatchRecognize.PosCol)
+        } else if (ms.nonEmpty) {
           val cols = ms.map { case (n, e) =>
             n -> expr(translateMeasure(e, varNames))
           }
@@ -200,6 +215,26 @@ object GraftMrSql {
   }
 
   private val varColRe = """^(\w+)\.(\w+)$""".r
+
+  /** Aggregate heads a translated MEASURES expression can contain (the nav
+    * translations emit min_by/max_by/max; user measures use the reference's
+    * aggregate set). Closed set on purpose: windowization must touch exactly
+    * the aggregate calls, and the reference grammar's MEASURES aggregates
+    * are enumerable (sql_internal_parser.cpp rules 163-168). */
+  private val aggHeads = Seq(
+    "min_by", "max_by", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+    "stddev", "variance", "avg", "sum", "count", "min", "max",
+    "first", "last", "collect_list", "collect_set")
+
+  /** Rewrite every aggregate call in `e` to a window aggregate over
+    * `PARTITION BY partText` — the ALL ROWS PER MATCH + MEASURES lowering:
+    * the measure keeps its compound shape (arithmetic over aggregates is
+    * fine once each aggregate is a window function) and evaluates per
+    * (keys, match_num) frame, duplicated onto every row of the match. */
+  private def windowizeAggs(e: String, partText: String): String =
+    aggHeads.foldLeft(e) { (t, fn) =>
+      replaceCall(t, fn, inner => s"$fn($inner) OVER (PARTITION BY $partText)")
+    }
 
   /** Lower a MEASURES expression to a Spark SQL aggregate over the match's
     * rows. `FIRST(V.col)` / `LAST(V.col)` navigate by pattern variable: the

@@ -322,6 +322,34 @@ object MatchRecognize {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** ALL ROWS PER MATCH combined with MEASURES (reference WindowMatch,
+    * /root/reference/server/sql_operator_sort.cpp:4323+; grammar allows the
+    * combination, rules 162-194): every matched row is emitted with its
+    * input columns, `match_num`, `classifier`, AND each measure evaluated
+    * over the COMPLETE match duplicated onto the row — FINAL measure
+    * semantics, matching the reference executor (the per-row classifier is
+    * still available as the `classifier` column).
+    *
+    * Each measure Column must be a single aggregate call (e.g. the
+    * [[Measures]] helpers); it is evaluated as a window aggregate over
+    * (keys, match_num), so the whole operator adds ONE window Exchange over
+    * the matched rows — no join back to a per-match aggregate (which would
+    * re-run the match scan on the second plan branch), no second shuffle.
+    * Compose/cast measures AFTER this operator (`LAST(v) - FIRST(v)` =
+    * two measures and a post-select); the SQL front-end (GraftMrSql) lowers
+    * compound measure expressions that way automatically. */
+  def allRowsWithMeasures(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+                          pattern: String, defines: Map[String, Column],
+                          ms: Seq[(String, Column)],
+                          skip: AfterMatchSkip = AfterMatchSkip.PastLastRow): DataFrame = {
+    require(ms.nonEmpty, "MEASURES requires at least one measure")
+    val all = matchedWithPos(df, keys, orderCols, pattern, defines, skip)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "match_num").map(col): _*)
+    ms.foldLeft(all) { case (d, (name, c)) => d.withColumn(name, c.over(w)) }
+      .drop(PosCol)
+  }
+
   /** Matches one key group, streaming: rows are pulled from the shared
     * BufferedIterator on demand (the non-matching head row is left for the
     * next group) and only the rows from the current match attempt's start to

@@ -70,6 +70,43 @@ object MatchRecognizeQueries {
         .orderBy("user_id", "match_num")
     },
 
+    // ALL ROWS PER MATCH + MEASURES (reference combination, rules 162-194):
+    // every matched row carries the input columns, match_num, classifier,
+    // AND the per-match FINAL measure values duplicated onto it
+    Q.df("q_mr_all_rows_measures",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |v AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE event_type = 'view'),
+        |g AS (SELECT user_id, grp, MIN(rn) AS start_rn,
+        |        arg_min(event_id, rn) AS start_event, arg_max(event_id, rn) AS end_event,
+        |        COUNT(*) AS n_rows,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |      FROM v GROUP BY user_id, grp HAVING COUNT(*) >= 3),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY start_rn) AS match_num
+        |      FROM g)
+        |SELECT v.user_id AS user_id, v.event_id AS event_id, m.match_num,
+        |  'V' AS classifier, m.start_event, m.end_event, m.n_rows, m.sum_value
+        |FROM v JOIN m ON v.user_id = m.user_id AND v.grp = m.grp
+        |ORDER BY user_id, match_num, event_id""".stripMargin) { (s, dir) =>
+      MatchRecognize.allRowsWithMeasures(
+          Tables.events(s, dir), keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          pattern = "V{3,}",
+          defines = Map("V" -> (col("event_type") === "view")),
+          ms = Seq(
+            "start_event" -> Measures.firstVal(col("event_id")),
+            "end_event" -> Measures.lastVal(col("event_id")),
+            "n_rows" -> count(lit(1)),
+            "sum_value" -> sum(Measures.ofVar("V", col("value")).cast("decimal(18,6)"))))
+        .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"),
+          col("start_event"), col("end_event"), col("n_rows"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("user_id", "match_num", "event_id")
+    },
+
     // `^V+`: the run of views that begins at the partition's FIRST row
     // (start anchor, reference rule 190) — at most one match per user
     Q.df("q_mr_anchor_start",

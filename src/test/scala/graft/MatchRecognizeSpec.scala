@@ -282,7 +282,7 @@ class MatchRecognizeSpec extends SparkTestBase {
       (5L, 5L), (6L, 5L), (7L, 5L)))
   }
 
-  test("measure call rewriter leaves quoted 'first(x)' literals alone; MEASURES+ALL ROWS rejected") {
+  test("measure call rewriter leaves quoted 'first(x)' literals alone") {
     val df = Seq(("k", 1L, "a"), ("k", 2L, "b")).toDF("k", "seq", "t")
     df.createOrReplaceTempView("mr_quote_t")
     val out = graft.engine.GraftMrSql.run(spark,
@@ -295,17 +295,43 @@ class MatchRecognizeSpec extends SparkTestBase {
       .select("lbl", "s1").as[(String, Long)].collect()
     // the quoted literal 'first(' must survive the FIRST-call rewriter
     assert(out.toSeq == Seq(("first(b)", 2L)))
+  }
 
-    val err = intercept[IllegalArgumentException] {
-      graft.engine.GraftMrSql.run(spark,
-        """SELECT * FROM mr_quote_t MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY seq
-          |  MEASURES LAST(seq) AS s1
-          |  ALL ROWS PER MATCH
-          |  PATTERN (A B)
-          |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
-    }
-    assert(err.getMessage.contains("ALL ROWS PER MATCH"))
+  test("ALL ROWS PER MATCH + MEASURES duplicates FINAL measures onto every row") {
+    val df = Seq(("k", 1L, "a", 10.0), ("k", 2L, "b", 20.0), ("k", 3L, "b", 30.0),
+      ("k", 4L, "x", 0.0), ("k", 5L, "a", 1.0), ("k", 6L, "b", 2.0))
+      .toDF("k", "seq", "t", "value")
+    df.createOrReplaceTempView("mr_allrows_meas_t")
+    // compound measure LAST(value) - FIRST(value) exercises the per-aggregate
+    // windowization (arithmetic over two window aggregates)
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_allrows_meas_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES LAST(value) - FIRST(value) AS delta, SUM(B.value) AS sb,
+        |           COUNT(*) AS n, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+      .select("seq", "match_num", "classifier", "delta", "sb", "n", "mn")
+      .as[(Long, Long, String, Double, Double, Long, Long)].collect().sortBy(_._1)
+    // match 1 = rows 1-3 (delta 30-10=20, sum B 50, n 3); match 2 = rows 5-6
+    assert(out.toSeq == Seq(
+      (1L, 1L, "A", 20.0, 50.0, 3L, 1L),
+      (2L, 1L, "B", 20.0, 50.0, 3L, 1L),
+      (3L, 1L, "B", 20.0, 50.0, 3L, 1L),
+      (5L, 2L, "A", 1.0, 2.0, 2L, 2L),
+      (6L, 2L, "B", 1.0, 2.0, 2L, 2L)))
+
+    // API form: single-aggregate measures over (keys, match_num) windows
+    val api = graft.mr.MatchRecognize.allRowsWithMeasures(
+        df, Seq("k"), Seq("seq"), "A B+",
+        Map("A" -> (col("t") === "a"), "B" -> (col("t") === "b")),
+        ms = Seq("s0" -> graft.mr.Measures.firstVal(col("seq")),
+                 "nb" -> count(graft.mr.Measures.ofVar("B", col("seq")))))
+      .select("seq", "match_num", "s0", "nb")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(api.toSeq == Seq((1L, 1L, 1L, 2L), (2L, 1L, 1L, 2L), (3L, 1L, 1L, 2L),
+      (5L, 2L, 5L, 1L), (6L, 2L, 5L, 1L)))
   }
 
   test("PERMUTE matches the elements in any order, lexical preference") {

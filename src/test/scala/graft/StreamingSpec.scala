@@ -81,6 +81,66 @@ class StreamingSpec extends SparkTestBase {
     cat.dropContainer("stream_tab")
   }
 
+  test("REST trigger transport POSTs GSTriggerInfo payloads; failures dead-letter") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        received.put(new String(ex.getRequestBody.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        ex.sendResponseHeaders(200, -1)
+        ex.close()
+      }
+    })
+    server.start()
+    val port = server.getAddress.getPort
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    val notifier = new graft.engine.RestTriggerNotifier().install(cat)
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+      if (cat.exists("rest_tab")) cat.dropContainer("rest_tab")
+      cat.createCollection("rest_tab", schema, keyColumns = Seq("id"))
+      cat.createTrigger(graft.engine.TriggerDef("rest_trg", "rest_tab",
+        Seq("PUT"), columns = Seq("v"), uri = s"http://127.0.0.1:$port/hook"))
+
+      cat.put("rest_tab", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+      val body = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(body != null, "no REST notification arrived")
+      assert(body == """{"trigger":"rest_trg","container":"rest_tab",""" +
+        """"event":"PUT","rows":2,"columns":["v"]}""")
+
+      // unreachable path on the same server -> async 404 dead-letter
+      cat.createTrigger(graft.engine.TriggerDef("rest_bad", "rest_tab",
+        Seq("PUT"), uri = s"http://127.0.0.1:$port/nope"))
+      cat.put("rest_tab", Seq((3L, 3.0)).toDF("id", "v"))
+      val deadline = System.currentTimeMillis() + 10000
+      while (!notifier.deadLetters.exists(_.event.trigger.name == "rest_bad") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(notifier.deadLetters.exists(d =>
+        d.event.trigger.name == "rest_bad" && d.error.contains("404")))
+
+      // JMS transport (no broker in scope) dead-letters immediately, loudly
+      notifier.notify(graft.engine.TriggerEvent(
+        graft.engine.TriggerDef("jms_t", "rest_tab", Seq("PUT"),
+          triggerType = "JMS"), "PUT", 1))
+      assert(notifier.deadLetters.exists(d =>
+        d.event.trigger.name == "jms_t" && d.error.contains("JMS")))
+      // the good endpoint's second firing also arrived (fire-and-forget
+      // failures never block healthy triggers)
+      val second = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(second != null && second.contains("\"rows\":1"))
+    } finally {
+      server.stop(0)
+      cat.resetTriggerTransport()
+      if (cat.listTriggers.exists(_.name == "rest_trg")) cat.dropTrigger("rest_trg")
+      if (cat.listTriggers.exists(_.name == "rest_bad")) cat.dropTrigger("rest_bad")
+      if (cat.exists("rest_tab")) cat.dropContainer("rest_tab")
+    }
+  }
+
   test("map-only curation operators run unchanged on streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
