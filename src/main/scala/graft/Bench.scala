@@ -33,9 +33,17 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
-    val results = Registry.benchQueries.map { q =>
+    // scale rehearsals add non-headline queries by name, or replace the
+    // whole set (SCALING.md runs)
+    def named(env: String) = sys.env.get(env)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      .map(Registry.byName)
+    val only = named("SPARK_GRAFT_BENCH_ONLY")
+    val benchSet = if (only.nonEmpty) only
+      else Registry.benchQueries ++ named("SPARK_GRAFT_BENCH_EXTRA")
+    val results = benchSet.map { q =>
       try q.build(spark, warmDir).count() catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

@@ -321,8 +321,26 @@ object Dedup {
         base.withColumn("__cl",
           array_min(Similarity.distances(col("va"), cents)).getField("cid"))
       }
-    val r = assigned.select(col("__cl"), col("a").as("b"), col("va").as("vb"))
-    assigned.join(r, Seq("__cl"))
+    // clustered path: repartition on the cluster key below the leg renames
+    // + shuffle_hash — the same sketch-once discipline as the LSH
+    // self-joins, so the centroid assignment (an O(L·dim) expression per
+    // row) materializes through ONE reused Exchange instead of recomputing
+    // per leg. The nLists<=1 degenerate (exact all-pairs baseline) keeps
+    // the plain join: its single-valued key would collapse a pinned
+    // shuffle join to one task, while a broadcast leg parallelizes the
+    // documented O(N²) scan across the cluster.
+    val joined =
+      if (lists <= 1) {
+        val r = assigned.select(col("__cl"), col("a").as("b"), col("va").as("vb"))
+        assigned.join(r, Seq("__cl"))
+      } else {
+        val parted = assigned.repartition(col("__cl"))
+        parted.hint("shuffle_hash").join(
+          parted.select(col("__cl"), col("a").as("b"), col("va").as("vb"))
+            .hint("shuffle_hash"),
+          Seq("__cl"))
+      }
+    joined
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
@@ -340,6 +358,14 @@ object Dedup {
     clusterAssign(docs, idCol, pairs, "a", "b")
   }
 
+  /** AUTO SRP band sizing: r bits per band targets ~64 vectors per bucket
+    * (candidates ~64·N per band instead of N²/2^r with a fixed width),
+    * floored at 4 bits, capped at 15 (4 bands x 15 = 60 < the 63-bit Long
+    * signature). */
+  private[graft] def autoBandBits(n: Long, bands: Int): Int =
+    math.min(15, math.max(4,
+      math.ceil(math.log(n / 64.0) / math.log(2)).toInt)) * bands
+
   /** Embedding-cosine near-duplicate candidates at scale: banded
     * sign-random-projection LSH. The `bits` hyperplane signs are split into
     * `bands`; vectors agreeing on ALL bits of at least one band meet in a
@@ -348,17 +374,30 @@ object Dedup {
     * bucket join — signatures are a pure per-row map, so the O(N²) cross
     * product never materializes. Recall < 1 by construction (raise `bits` /
     * lower `bands`' width for more precision, more bands for more recall).
+    *
+    * `bits <= 0` (the default) = AUTO: per-band width grows with the corpus
+    * so buckets stay selective — with r-bit bands a band contributes
+    * ~N²/2^r candidate pairs, so a FIXED width degrades quadratically as
+    * the corpus grows (measured in the sf1 rehearsal: 8.5x wall time at 10x
+    * rows with the old fixed 16/4). AUTO picks r = max(4, ceil(log2(N/64)))
+    * (~64 vectors per bucket, candidates ~64·N per band) capped at 15.
+    * Per-band recall at similarity s falls as ((1+s)/2)^r ≈ (1-θ/π)^r, so
+    * when AUTO widens the bands, raise `bands` to recover recall (the
+    * standard LSH b·r trade: bands cost linearly, band width exponentially).
     * Output (a, b, cos). */
   def embeddingCandidates(docs: DataFrame, vecCol: String, idCol: String,
-                          minCos: Double, bits: Int = 16, bands: Int = 4,
+                          minCos: Double, bits: Int = -1, bands: Int = 4,
                           roundTo: Int = 4): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
-    val r = bits / bands
+    val resolvedBits =
+      if (bits > 0) bits else autoBandBits(math.max(docs.count(), 1L), bands)
+    require(resolvedBits % bands == 0, "bands must divide bits")
+    require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
+    val r = resolvedBits / bands
     val dim = Similarity.vecDim(docs, vecCol)
     val sig = docs.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("sig", Similarity.signatureFused(col("v"), bits, dim))
+      .withColumn("sig", Similarity.signatureFused(col("v"), resolvedBits, dim))
     val bandCols = (0 until bands).map { b =>
       // Long mask: (1 << r) in Int wraps for r >= 32, collapsing every
       // bucket to 0 and degenerating the join to a full cross product

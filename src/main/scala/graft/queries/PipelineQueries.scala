@@ -118,7 +118,10 @@ object PipelineQueries {
     // ---- embedding near-dup candidates at scale: banded SRP-LSH (rows-only;
     //      recall vs the exact baseline asserted in DedupSpec) ----
     Q.rowsOnly("q_dedup_embedding_lsh", bench = true) { (s, dir) =>
-      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
+      // bits pinned to 16 (the pre-AUTO default) — golden-pinned result;
+      // the AUTO band-width rule would shift buckets (hence recall) with SF
+      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45,
+          bits = 16)
         .orderBy("a", "b")
     },
 

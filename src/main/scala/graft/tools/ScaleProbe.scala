@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.{GraftSession, Tables}
+import graft.pipeline.Dedup
+
+/** Times the SCALE-PATH variants of the rehearsal's two quadratic-by-pin
+  * queries (SCALING.md): the registry forms pin their hyperparameters for
+  * golden/oracle stability (q_dedup_embedding_lsh: bits=16;
+  * q_pipeline_curation_v3's SemDeDup stage: nLists=1 = the exact all-pairs
+  * oracle baseline), so at sf1 those measure the pinned small-SF config,
+  * not what a production pipeline would run. This probe runs the same
+  * operators with their AUTO sizing (band width ~log2(N), nLists ~sqrt(N))
+  * on the same corpus. Usage: runMain graft.tools.ScaleProbe [sfDir] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/scaledata/sf1")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master("local[32]").appName("graft-scaleprobe"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val e = Tables.read(spark, dir, "embeddings")
+    // warm the scan
+    e.count()
+    time("embedding_lsh AUTO bits") {
+      Dedup.embeddingCandidates(e, "embedding", "vec_id", minCos = 0.45).count()
+    }
+    time("embedding_lsh bits=16 (pin)") {
+      Dedup.embeddingCandidates(e, "embedding", "vec_id", minCos = 0.45, bits = 16).count()
+    }
+    time("semanticDedup AUTO nLists") {
+      Dedup.semanticDedup(e, "embedding", "vec_id", minCos = 0.45).count()
+    }
+
+    // token-Jaccard at 0.8 on the 30-word-vocab corpus is OUTPUT-quadratic
+    // (~24% of all pairs clear the threshold), so the full sf1 run is
+    // pointless; the subset curve shows the quadratic directly
+    import org.apache.spark.sql.functions.col
+    val d = Tables.read(spark, dir, "documents")
+    d.count()
+    for (n <- Seq(2500, 5000, 10000)) {
+      time(s"tokenJaccard 0.8 n=$n") {
+        Dedup.tokenJaccardPairs(d.filter(col("doc_id") < n), "text", "doc_id", 0.8).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -383,6 +383,14 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("autoBandBits: SRP band width grows with corpus, floored and Long-safe") {
+    assert(Dedup.autoBandBits(100, 4) == 16)            // floor: 4 bits/band
+    assert(Dedup.autoBandBits(2000, 4) == 20)           // 5 bits/band at 2k
+    assert(Dedup.autoBandBits(20000, 4) == 36)          // 9 bits/band at 20k
+    assert(Dedup.autoBandBits(100_000_000L, 4) == 60)   // cap: 15 bits/band
+    assert(Dedup.autoBandBits(100_000_000L, 4) <= 63)
+  }
+
   test("autoLists: AUTO nLists grows ~sqrt(N), floored at 16, capped at 4096") {
     assert(Similarity.autoLists(0) == 16)
     assert(Similarity.autoLists(100) == 16)
