@@ -258,6 +258,24 @@ object GridDbScalarFunctions {
         graft.pipeline.Similarity.hyperplanes(
           litInt(a(1), "bits"), litInt(a(2), "dim"), litLong(a(3), "seed")))
     }
+    // nearest-centroid assignment kernel (pipeline coarse quantizers): the
+    // centroid matrix arrives as a foldable nested-array literal and is
+    // extracted ONCE at plan time into the kernel's reference object — the
+    // literal never reaches codegen, so the generated source stays small at
+    // any list count
+    tmp("graft_argmin_center") { a =>
+      require(a.size == 2, "graft_argmin_center(vec, centersLiteral)")
+      val cents = a(1) match {
+        case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(ArrayType(DoubleType, _), _)) =>
+          arr.toObjectArray(ArrayType(DoubleType))
+            .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray())
+        case other => throw new IllegalArgumentException(
+          s"graft_argmin_center centers must be an array<array<double>> literal, got $other")
+      }
+      ArgminCenter(Cast(a(0), ArrayType(DoubleType)), cents)
+    }
+
     // ---- geometry (function_gis.h; PV3 box test tr-cpp/TrPv3.cpp) ----
     tmp("st_qsfmbrintersects") { a =>
       require(a.size == 2, "st_qsfmbrintersects(qsfKey, boxMbr)")

@@ -318,8 +318,7 @@ object Dedup {
         val c0 = base.select(col("a").as("c_id"), col("va").as("cv"))
         val dim = Similarity.vecDim(c0, "cv")
         val cents = Similarity.ivfCentroids(c0, dim, lists)
-        base.withColumn("__cl",
-          array_min(Similarity.distances(col("va"), cents)).getField("cid"))
+        base.withColumn("__cl", Similarity.assignCluster(col("va"), cents))
       }
     // clustered path: repartition on the cluster key below the leg renames
     // + shuffle_hash — the same sketch-once discipline as the LSH

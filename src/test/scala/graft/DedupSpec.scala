@@ -238,6 +238,25 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("argmin-center kernel is bit-identical to the array_min(distances) formulation") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val c0 = e.select($"vec_id".as("c_id"), $"v".as("cv"))
+    val cents = Similarity.ivfCentroids(c0, dim = 64, nLists = 8)
+    val both = e.select($"vec_id",
+        Similarity.assignCluster($"v", cents).as("kernel"),
+        array_min(Similarity.distances($"v", cents)).getField("cid").as("interp"))
+      .filter($"kernel" =!= $"interp" || $"kernel".isNull =!= $"interp".isNull)
+    assert(both.count() == 0)
+    // null vector stays null; dimension mismatch nulls out (self-excludes)
+    val edge = Seq((1L, Some(Seq(0.1, 0.2))), (2L, None))
+      .toDF("id", "v")
+      .select($"id", Similarity.assignCluster($"v", cents).as("cl"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(edge == Map(1L -> true, 2L -> true))
+  }
+
   test("fused SRP signature is bit-identical to the per-bit formulation") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
