@@ -357,6 +357,48 @@ object Dedup {
     clusterAssign(docs, idCol, pairs, "a", "b")
   }
 
+  /** Chunk-granular exact-substring deduplication — the shuffle-friendly
+    * approximation of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"): their EXACTSUBSTR removes duplicated
+    * 50-token spans via a corpus suffix array; the distributed practice
+    * (CCNet, RefinedWeb) dedups at line/paragraph granularity instead. The
+    * unit here is consecutive `chunkTokens`-token chunks (this corpus has
+    * no paragraph structure). Every chunk whose exact text already occurred
+    * earlier in the corpus — first occurrence in (id, position) order wins,
+    * globally — is dropped, and each document is reassembled from its
+    * surviving chunks in order.
+    *
+    * Scale shape: chunking is a pure map (one explode), ranking occurrences
+    * is ONE shuffle on the chunk text (identical chunks meet in one
+    * reducer; group sizes are duplicate counts, not corpus size), reassembly
+    * is one groupBy(id) — no suffix array, no pair join, nothing quadratic.
+    * Output: (id, clean_text, n_chunks, n_kept) for every input document
+    * (clean_text = "" when every chunk was dropped or the text was empty).
+    */
+  def exactSubstringDedup(docs: DataFrame, textCol: String, idCol: String,
+                          chunkTokens: Int = 20): DataFrame = {
+    val chunks = Curation.chunkDocuments(docs, idCol, textCol,
+      window = chunkTokens, stride = chunkTokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_text")).orderBy(col(idCol), col("chunk_id"))
+    val rebuilt = chunks.withColumn("__rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__rk") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rk") === 1,
+              struct(col("chunk_id"), col("chunk_text"))))),
+            c => c.getField("chunk_text")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt.withColumnRenamed(idCol, "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** AUTO SRP band sizing: r bits per band targets ~64 vectors per bucket
     * (candidates ~64·N per band instead of N²/2^r with a fixed width),
     * floored at 4 bits, capped at 15 (4 bands x 15 = 60 < the 63-bit Long

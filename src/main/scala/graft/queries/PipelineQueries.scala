@@ -92,6 +92,37 @@ object PipelineQueries {
       Dedup.clusterAssign(d, "doc_id", pairs, "a", "b").orderBy("id")
     },
 
+    // ---- chunk-granular exact-substring dedup (Lee et al. 2021 approx):
+    // duplicated 20-token chunks dropped corpus-wide, first occurrence by
+    // (doc, position) wins, docs reassembled from the survivors ----
+    Q.df("q_dedup_substring",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS sz,
+        |        1 + greatest(CAST(floor((len(t) - 20 + 19) / 20.0) AS BIGINT), 0) AS nc
+        |      FROM base WHERE len(t) > 0),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |        array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk
+        |      FROM n, UNNEST(generate_series(0, nc-1)) AS u(i)),
+        |r AS (SELECT doc_id, chunk_id, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rk
+        |      FROM c),
+        |agg AS (SELECT doc_id,
+        |        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |        CAST(COUNT(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+        |        COALESCE(string_agg(chunk, ' ' ORDER BY chunk_id)
+        |                   FILTER (WHERE rk = 1), '') AS clean_text
+        |      FROM r GROUP BY doc_id)
+        |SELECT d.doc_id AS id, COALESCE(a.clean_text, '') AS clean_text,
+        |  COALESCE(a.n_chunks, 0) AS n_chunks, COALESCE(a.n_kept, 0) AS n_kept
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.exactSubstringDedup(docs(s, dir), "text", "doc_id", chunkTokens = 20)
+        .orderBy("id")
+    },
+
     // ---- MinHash + LSH near-dup candidates (xxhash64 family: rows-only) ----
     Q.rowsOnly("q_dedup_minhash", bench = true) { (s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")

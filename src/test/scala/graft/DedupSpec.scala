@@ -238,6 +238,22 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("exactSubstringDedup drops later occurrences of a duplicated chunk and reassembles") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // chunks of 3: "a b c", "d e f" — both first
+      (2L, "a b c x y z"),   // "a b c" already seen in doc 1 -> dropped
+      (3L, "x y z"),         // whole doc duplicates doc 2's second chunk
+      (4L, "d e")            // short doc: one partial chunk, first occurrence
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(d, "text", "doc_id", chunkTokens = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e f", 2L, 2L)))
+    assert(out(1) == ((2L, "x y z", 2L, 1L)))
+    assert(out(2) == ((3L, "", 1L, 0L)))
+    assert(out(3) == ((4L, "d e", 1L, 1L)))
+  }
+
   test("argmin-center kernel is bit-identical to the array_min(distances) formulation") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
