@@ -89,6 +89,51 @@ object Curation {
           .as("dup_ngram_frac"))
   }
 
+  /** DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by the log-likelihood ratio of its word-unigram bag under a TARGET
+    * corpus model vs the RAW corpus model —
+    * `weight(doc) = Σ_w c_w(doc) · (ln p̂_t(w) - ln p̂_r(w))` with add-1
+    * smoothed MLE unigram models over the raw vocabulary. Positive = more
+    * target-like. The paper hashes n-gram features into a fixed bucket
+    * space for constant-memory models; over a bounded vocabulary the
+    * unhashed unigram model is the same estimator and stays engine-portable
+    * for the oracle. The paper then Gumbel-samples ∝ weight — compose with
+    * [[temperatureSample]]/[[hashSample]] or a deterministic top-k for the
+    * reproducible equivalent.
+    *
+    * Output: (id, n_tokens, weight), weight rounded to `roundTo` (a
+    * sum-of-logs, rounded for cross-engine determinism like [[bigramNll]]);
+    * docs with zero tokens are absent.
+    *
+    * Scale shape: one token explode; both unigram models are word-keyed
+    * aggregates (shuffle on the word); the per-word λ table is
+    * vocabulary-sized and joins back to the token stream (AQE broadcasts it
+    * when small); one final aggregate on the doc id. Linear in corpus
+    * tokens — the same traffic class as [[unigramNll]]. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__w"))
+    val ttoks = target.select(explode(tokens(col(targetTextCol))).as("__w"))
+    val rawCnt = toks.groupBy("__w").agg(count(lit(1)).as("__cr"))
+    val tgtCnt = ttoks.groupBy("__w").agg(count(lit(1)).as("__ct"))
+    val totals = rawCnt.agg(sum(col("__cr")).as("__r"), count(lit(1)).as("__v"))
+      .crossJoin(ttoks.agg(count(lit(1)).as("__t")))
+    val lam = rawCnt.join(tgtCnt, Seq("__w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("__w"),
+        (log((coalesce(col("__ct"), lit(0L)) + 1).cast("double")
+            / (col("__t") + col("__v")).cast("double"))
+          - log((col("__cr") + 1).cast("double")
+            / (col("__r") + col("__v")).cast("double"))).as("__lam"))
+    toks.join(lam, "__w")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("__lam")), roundTo).as("weight"))
+  }
+
   /** Token-budget sequence packing (training-batch prep): deterministically
     * assign documents to fixed-budget packs — the "fill each 8k context
     * window" step before tokenization-and-concat. Documents are sharded by

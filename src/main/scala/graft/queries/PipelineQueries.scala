@@ -709,6 +709,32 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- DSIR importance weights (Xie et al. 2023): how target-like is
+    // each raw document, target = the src0 slice, raw = the whole corpus ----
+    Q.df("q_pipeline_dsir",
+      duck = """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |tt AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents WHERE source = 'src0'),
+        |rawc AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY w),
+        |tgtc AS (SELECT w, COUNT(*) AS ct FROM tt GROUP BY w),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS r,
+        |               (SELECT COUNT(*) FROM tt) AS t,
+        |               (SELECT COUNT(*) FROM rawc) AS v)
+        |SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+        |          - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + v AS DOUBLE))), 6) AS weight
+        |FROM toks JOIN rawc USING (w) LEFT JOIN tgtc USING (w) CROSS JOIN tot
+        |GROUP BY toks.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      Curation.dsirWeights(d, "doc_id", "text",
+          d.filter(col("source") === "src0"), "text")
+        .orderBy("doc_id")
+    },
+
     // ---- bigram LM with add-1 smoothing (next step toward the CCNet
     // 5-gram-KenLM quality filter); docs with <2 tokens are absent ----
     Q.df("q_text_bigram_nll",

@@ -110,6 +110,22 @@ class CurationSpec extends SparkTestBase {
     assert(out(3L)._1 == 2L && math.abs(out(3L)._2 - math.log(2.0)) < 1e-6)
   }
 
+  test("dsirWeights: hand-computed add-1 log-likelihood-ratio fixture") {
+    // raw: doc1 "a a b", doc2 "c c", doc3 "a b" -> R=7, V=3 {a:3,b:2,c:2}
+    // target = docs 1,3 -> T=5 {a:3,b:2}
+    // λ(a)=ln(4/8)-ln(4/10)=ln1.25; λ(b)=ln(3/8)-ln(3/10)=ln1.25
+    // λ(c)=ln(1/8)-ln(3/10)=ln(5/12)
+    val raw = Seq((1L, "a a b"), (2L, "c c"), (3L, "a b")).toDF("doc_id", "text")
+    val tgt = raw.filter($"doc_id" =!= 2L)
+    val out = Curation.dsirWeights(raw, "doc_id", "text", tgt, "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - 3 * math.log(1.25)) < 1e-5)
+    assert(out(2L)._1 == 2L && math.abs(out(2L)._2 - 2 * math.log(5.0 / 12)) < 1e-5)
+    assert(out(3L)._1 == 2L && math.abs(out(3L)._2 - 2 * math.log(1.25)) < 1e-5)
+    // target-like docs score above the off-target doc
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
   test("hashSample: deterministic, partitions the key space, rate sane") {
     val df = (1L to 2000L).toDF("id")
     val kept = Curation.hashSample(df, "id", 3, 10).as[Long].collect().toSet
