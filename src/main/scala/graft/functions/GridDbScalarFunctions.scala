@@ -258,6 +258,21 @@ object GridDbScalarFunctions {
         graft.pipeline.Similarity.hyperplanes(
           litInt(a(1), "bits"), litInt(a(2), "dim"), litLong(a(3), "seed")))
     }
+    // ---- RANDOM / RANDOMBLOB (sql_expression_numeric.h:89,
+    // sql_expression_string.cpp:280; SQLite-inherited semantics). Fresh
+    // plan-time seed per occurrence, per-partition streams at runtime —
+    // nondeterministic like the reference, so they stay outside the oracle
+    // set (FunctionsSpec covers range/length/independence). ----
+    tmp("random") { a =>
+      require(a.isEmpty, "random() takes no arguments")
+      GraftRandom(scala.util.Random.nextLong())
+    }
+    tmp("randomblob") { a =>
+      require(a.size <= 1, "randomblob([n])")
+      GraftRandomBlob(
+        if (a.isEmpty) Literal(1L) else Cast(a.head, LongType),
+        scala.util.Random.nextLong())
+    }
     // nearest-centroid assignment kernel (pipeline coarse quantizers): the
     // centroid matrix arrives as a foldable nested-array literal and is
     // extracted ONCE at plan time into the kernel's reference object — the

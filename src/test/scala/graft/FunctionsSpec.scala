@@ -128,6 +128,23 @@ class FunctionsSpec extends SparkTestBase {
       == "2024-01-15 12:30:45.123456")
   }
 
+  test("random/randomblob: range, independence, blob sizes, null size") {
+    val vals = spark.sql("SELECT random() AS r FROM range(400)")
+      .collect().map(_.getLong(0))
+    assert(vals.distinct.length == 400)          // 400²/2⁶⁴ collision odds ≈ 0
+    assert(vals.exists(_ < 0) && vals.exists(_ > 0))  // spans the int64 range
+    // two occurrences in one row are independent streams (plan-time seeds)
+    val pair = spark.sql("SELECT random() AS a, random() AS b").collect()(0)
+    assert(pair.getLong(0) != pair.getLong(1))
+    assert(q1[Array[Byte]]("SELECT randomblob(16)").length == 16)
+    assert(q1[Array[Byte]]("SELECT randomblob(0)").length == 1)   // max(n,1)
+    assert(q1[Array[Byte]]("SELECT randomblob(NULL)").length == 1) // ref default
+    assert(q1[Array[Byte]]("SELECT randomblob()").length == 1)
+    val blobs = spark.sql("SELECT randomblob(8) AS b FROM range(50)")
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    assert(blobs.distinct.length == 50)
+  }
+
   test("mergeable HLL rollup estimates distinct users within 3%") {
     import org.apache.spark.sql.functions._
     val ev = graft.engine.Tables.events(spark, sfDir)
