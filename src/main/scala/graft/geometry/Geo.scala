@@ -19,9 +19,15 @@ object Geo {
 
   private val numRe = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
 
+  /** Drop the GridDB-WKT `;srid` suffix (grammar `gisarg ::= gisexpr
+    * SEMICOLON INTEGER`, /root/reference/server/wkt.cpp:131-132) so
+    * coordinate extraction never reads the SRID as a coordinate. */
+  private def stripSrid(wkt: Column): Column =
+    regexp_replace(wkt, ";-?\\d+\\)\\s*$", ")")
+
   /** All numeric tokens of a WKT string as doubles (x1,y1,x2,y2,...). */
   private def coords(wkt: Column): Column =
-    transform(regexp_extract_all(wkt, lit(numRe), lit(0)), _.cast("double"))
+    transform(regexp_extract_all(stripSrid(wkt), lit(numRe), lit(0)), _.cast("double"))
 
   /** POINT(x y) constructor. */
   def stPoint(x: Column, y: Column): Column =
@@ -60,8 +66,52 @@ object Geo {
       "^(POINT|LINESTRING|POLYGON|POLYHEDRALSURFACE|MULTIPOINT|MULTIPOLYGON|QUADRATICSURFACE)\\s*\\(.*\\)$"), trim(wkt))
       .otherwise(lit(null))
 
-  /** ST_GETSRID — GridDB CE default SRID is 0. */
-  def stGetSrid(wkt: Column): Column = when(wkt.isNotNull, lit(0)).otherwise(lit(null))
+  /** ST_GETSRID — the `;srid` suffix when the geometry carries one
+    * (written by the TQL generators, [[genReTag]]), else the GridDB CE
+    * default 0. */
+  def stGetSrid(wkt: Column): Column =
+    when(wkt.isNull, lit(null))
+      .otherwise {
+        val s = regexp_extract(wkt, ";(-?\\d+)\\)\\s*$", 1)
+        when(s === "", lit(0)).otherwise(s.cast("int"))
+      }
+
+  // ==== TQL geometry generators (gis_generator.h:42-391) ====================
+  // Two forms per type tag: TAG('EMPTY') builds the empty geometry
+  // (wkt.cpp grammar rule 1: `geom ::= GISFUNC LP EMPTY RP`), and
+  // TAG(geom, srid) re-tags an existing geometry with a new SRID — for the
+  // sequence types converting a MULTIPOINT's point list into the target
+  // type (PointGenerator:67-88 single point, LineStringGenerator /
+  // LinearRingGenerator:228-249 >= 2 points, PolygonGenerator:288,
+  // PolyhedronGenerator:334, QuadraticSurfaceGenerator:379). The SRID rides
+  // as the reference's own `;srid` in-paren suffix, so re-tagged geometries
+  // stay plain WKT strings for every other operator.
+
+  /** `TAG('EMPTY')` generator form; a non-EMPTY string argument is the
+    * reference's "WKT argument is invalid" error. */
+  def genEmpty(tag: String, arg: Column): Column =
+    when(arg.isNull, lit(null).cast("string"))
+      .when(upper(trim(arg)) === "EMPTY", lit(s"$tag(EMPTY)"))
+      .otherwise(raise_error(lit("WKT argument is invalid")))
+
+  /** `TAG(geom, srid)` generator form: accepts a `srcTag` geometry whose
+    * top-level element count is within [minPts, maxPts], rewrites the type
+    * tag, and stamps the new `;srid`. Wrong source type or cardinality is
+    * the reference's "WKT argument is invalid" error; null inputs are
+    * null. */
+  def genReTag(dstTag: String, srcTag: String, wkt: Column, srid: Column,
+               minPts: Int = 0, maxPts: Int = Int.MaxValue): Column = {
+    val noSrid = stripSrid(trim(wkt))
+    val inner = regexp_extract(noSrid, "(?s)^[A-Za-z]+\\s*\\((.*)\\)\\s*$", 1)
+    val isSrc = upper(noSrid).rlike(s"^$srcTag\\s*\\(")
+    val nPts = when(upper(trim(inner)) === "EMPTY" || trim(inner) === "", lit(0))
+      .otherwise(size(split(inner, ",")))
+    when(wkt.isNull || srid.isNull, lit(null).cast("string"))
+      .when(isSrc && nPts >= minPts && nPts <= maxPts,
+        concat(lit(dstTag + "("), inner,
+          lit(";"), srid.cast("int").cast("string"), lit(")")))
+      .otherwise(raise_error(lit("WKT argument is invalid")))
+  }
 
   /** ST_MAKERECT as WKT (keeps the TQL geometry surface string-uniform). */
   def stMakeRectWkt(x1: Column, y1: Column, x2: Column, y2: Column): Column =
@@ -86,7 +136,7 @@ object Geo {
     * point; the comma structure of the text gives the point arity). */
   def wktPoints(wkt: Column): Column =
     filter(
-      transform(split(wkt, ","),
+      transform(split(stripSrid(wkt), ","),
         chunk => transform(regexp_extract_all(chunk, lit(numRe), lit(0)), _.cast("double"))),
       p => size(p) > 0)
 

@@ -238,7 +238,26 @@ object TqlCompiler {
         case "ELEMENT" => element_at(a(0), (a(1) + lit(1)).cast("int"))
         // geometry (server/function_map.cpp:52-105) — WKT-string surface;
         // 3D boxes and quadratic surfaces per function_gis.h + tr-cpp/TrPv3
-        case "POINT" => graft.geometry.Geo.stPoint(a(0), a(1))
+        // geometry generators (server/gis_generator.h:42-391):
+        // TAG('EMPTY') and TAG(geom, srid) re-tag forms only — the
+        // reference has no coordinate-argument constructors here
+        // (construction goes through ST_GEOMFROMTEXT / ST_MAKE*)
+        case "POINT" | "MULTIPOINT" | "LINESTRING" | "LINEARRING" |
+             "POLYGON" | "POLYHEDRALSURFACE" | "QUADRATICSURFACE" =>
+          val (src, minP, maxP) = name match {
+            case "POINT" => ("MULTIPOINT", 1, 1)
+            case "LINESTRING" | "LINEARRING" => ("MULTIPOINT", 2, Int.MaxValue)
+            case "MULTIPOINT" => ("MULTIPOINT", 0, Int.MaxValue)
+            case "POLYGON" => ("POLYGON", 0, Int.MaxValue)
+            case "POLYHEDRALSURFACE" => ("MULTIPOLYGON", 0, Int.MaxValue)
+            case _ => ("QUADRATICSURFACE", 0, Int.MaxValue)
+          }
+          args.size match {
+            case 1 => graft.geometry.Geo.genEmpty(name, a(0))
+            case 2 => graft.geometry.Geo.genReTag(name, src, a(0), a(1), minP, maxP)
+            case _ => throw new TqlParseException(
+              s"$name('EMPTY') or $name(geom, srid)")
+          }
         case "ST_GEOMFROMTEXT" => graft.geometry.Geo.stGeomFromText(a(0))
         case "ST_MAKERECT" => graft.geometry.Geo.stMakeRectWkt(a(0), a(1), a(2), a(3))
         case "ST_MBRINTERSECTS" => graft.geometry.Geo.stMbrIntersectsWkt(a(0), a(1))

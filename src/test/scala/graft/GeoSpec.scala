@@ -41,6 +41,35 @@ class GeoSpec extends SparkTestBase {
     got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
   }
 
+  test("TQL generators: EMPTY form, MULTIPOINT re-tag, SRID carry") {
+    val one = Seq(1).toDF("i")
+    def ev(c: org.apache.spark.sql.Column): String =
+      one.select(c.as("r")).as[String].head()
+    assert(ev(Geo.genEmpty("LINESTRING", lit("empty"))) == "LINESTRING(EMPTY)")
+    // POINT from a single-point MULTIPOINT; srid stamped and readable back
+    val p = ev(Geo.genReTag("POINT", "MULTIPOINT", lit("MULTIPOINT(1 2)"), lit(4326), 1, 1))
+    assert(p == "POINT(1 2;4326)")
+    assert(one.select(Geo.stGetSrid(lit(p))).as[Int].head() == 4326)
+    assert(one.select(Geo.stGetSrid(lit("POINT(1 2)"))).as[Int].head() == 0)
+    // LINESTRING from >= 2 points; an existing ;srid is replaced
+    assert(ev(Geo.genReTag("LINESTRING", "MULTIPOINT",
+      lit("MULTIPOINT(0 0, 3 4;7)"), lit(9), 2)) == "LINESTRING(0 0, 3 4;9)")
+    // MBR extraction ignores the srid suffix (4326 is not a coordinate)
+    val m = one.select(Geo.stMbr(lit("POINT(5 5;4326)")).as("m"))
+      .select("m.minx", "m.maxy").as[(Double, Double)].head()
+    assert(m == ((5.0, 5.0)))
+    // wrong cardinality / wrong source type -> reference's error
+    intercept[Exception] {
+      ev(Geo.genReTag("POINT", "MULTIPOINT", lit("MULTIPOINT(1 2, 3 4)"), lit(0), 1, 1))
+    }
+    intercept[Exception] {
+      ev(Geo.genReTag("POLYGON", "POLYGON", lit("POINT(1 2)"), lit(0)))
+    }
+    // nulls propagate
+    assert(one.select(Geo.genReTag("POINT", "MULTIPOINT",
+      lit(null).cast("string"), lit(1), 1, 1)).head().isNullAt(0))
+  }
+
   test("srid") {
     val df = Seq("POINT(1 2)").toDF("w")
     assert(df.select(Geo.stGetSrid($"w")).as[Int].head() == 0)

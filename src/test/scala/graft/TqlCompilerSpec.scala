@@ -71,9 +71,13 @@ class TqlCompilerSpec extends SparkTestBase {
       "select * where st_mbrintersects(geom, st_makerect(0, 0, 10, 10)) order by id")
       .select("id").as[Long].collect()
     assert(got.toSeq == Seq(1L, 3L))
+    // generator forms (gis_generator.h): TAG('EMPTY') + TAG(geom, srid)
     val built = TqlCompiler.run(coll(df),
-      "select * where st_mbrintersects(point(1, 2), geom) is not null limit 1")
+      "select * where st_getsrid(linestring(st_geomfromtext('MULTIPOINT(1 2, 3 4)'), 4326)) = 4326 limit 1")
     assert(built.count() == 1)
+    val empties = TqlCompiler.run(coll(df),
+      "select * where polygon('EMPTY') = 'POLYGON(EMPTY)' order by id")
+    assert(empties.count() == 3)
   }
 
   test("approx_count_distinct within tolerance of exact") {
