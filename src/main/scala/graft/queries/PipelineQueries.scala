@@ -735,6 +735,63 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- curation v4: exact-substring dedup feeds DSIR — documents are
+    // scrubbed of corpus-duplicated 20-token chunks, rescored against the
+    // src0 target on their CLEANED text, and only target-like (weight > 0)
+    // survivors ship ----
+    Q.df("q_pipeline_curation_v4",
+      duck = """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, t, len(t) AS sz,
+        |        1 + greatest(CAST(floor((len(t) - 20 + 19) / 20.0) AS BIGINT), 0) AS nc
+        |      FROM base WHERE len(t) > 0),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |        array_to_string(t[i*20+1 : i*20+20], ' ') AS chunk
+        |      FROM n, UNNEST(generate_series(0, nc-1)) AS u(i)),
+        |r AS (SELECT doc_id, chunk_id, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_id) AS rk
+        |      FROM c),
+        |agg AS (SELECT doc_id,
+        |        COUNT(*) FILTER (WHERE rk = 1) AS n_kept,
+        |        COALESCE(string_agg(chunk, ' ' ORDER BY chunk_id)
+        |                   FILTER (WHERE rk = 1), '') AS clean_text
+        |      FROM r GROUP BY doc_id),
+        |clean AS (
+        |  SELECT d.doc_id AS id, a.clean_text, d.source
+        |  FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |  WHERE a.n_kept > 0),
+        |toks AS (
+        |  SELECT id,
+        |    unnest(list_filter(string_split_regex(lower(clean_text), '\s+'), x -> x <> '')) AS w
+        |  FROM clean),
+        |tt AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(clean_text), '\s+'), x -> x <> '')) AS w
+        |  FROM clean WHERE source = 'src0'),
+        |rawc AS (SELECT w, COUNT(*) AS cr FROM toks GROUP BY w),
+        |tgtc AS (SELECT w, COUNT(*) AS ct FROM tt GROUP BY w),
+        |tot AS (SELECT (SELECT COUNT(*) FROM toks) AS r,
+        |               (SELECT COUNT(*) FROM tt) AS t,
+        |               (SELECT COUNT(*) FROM rawc) AS v),
+        |scored AS (
+        |  SELECT toks.id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(ln(CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / CAST(t + v AS DOUBLE))
+        |            - ln(CAST(cr + 1 AS DOUBLE) / CAST(r + v AS DOUBLE))), 6) AS weight
+        |  FROM toks JOIN rawc USING (w) LEFT JOIN tgtc USING (w) CROSS JOIN tot
+        |  GROUP BY toks.id)
+        |SELECT id, n_tokens, weight FROM scored
+        |WHERE weight > 0 ORDER BY id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val clean = Dedup.exactSubstringDedup(d, "text", "doc_id", chunkTokens = 20)
+        .filter(col("n_kept") > 0)
+        .join(d.select(col("doc_id").as("id"), col("source")), "id")
+      Curation.dsirWeights(clean, "id", "clean_text",
+          clean.filter(col("source") === "src0"), "clean_text")
+        .filter(col("weight") > 0)
+        .orderBy("id")
+    },
+
     // ---- bigram LM with add-1 smoothing (next step toward the CCNet
     // 5-gram-KenLM quality filter); docs with <2 tokens are absent ----
     Q.df("q_text_bigram_nll",
