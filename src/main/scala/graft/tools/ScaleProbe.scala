@@ -50,6 +50,16 @@ object ScaleProbe {
         Dedup.tokenJaccardPairs(d.filter(col("doc_id") < n), "text", "doc_id", 0.8).count()
       }
     }
+
+    // round-6 additions: both token-linear by design — ratios near the
+    // data ratio are the pass condition
+    time("exactSubstringDedup k=20") {
+      Dedup.exactSubstringDedup(d, "text", "doc_id", chunkTokens = 20).count()
+    }
+    time("dsirWeights src0 target") {
+      graft.pipeline.Curation.dsirWeights(d, "doc_id", "text",
+        d.filter(col("source") === "src0"), "text").count()
+    }
     spark.stop()
   }
 }
