@@ -157,6 +157,32 @@ object StreamingQueries {
       }.orderBy("user_id", "event_type")
     },
 
+    // Stream-static AS-OF join: streaming click probes enriched with the
+    // latest preceding static view reading per user — the continuous face
+    // of q_asof_join_prev, sharing its DuckDB ASOF JOIN oracle verbatim.
+    // Complete-mode replay emits every probe group.
+    Q.df("q_stream_asof_prev",
+      duck = """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, epoch_ms(p.ts) AS ts_ms, p.user_id,
+        |  epoch_ms(s.view_ts) AS view_ts_ms, s.view_value
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.view_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_asof_sink", "complete") { ev =>
+        val probe = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val series = Tables.events(s, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("value").as("view_value"))
+        StreamingOps.asOfJoinStream(probe, series, keys = Seq("user_id"),
+          probeTs = "ts", seriesTs = "view_ts")
+      }.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), unix_millis(col("view_ts")).as("view_ts_ms"),
+          col("view_value"))
+        .orderBy("event_id")
+    },
+
     // Streaming gap sessions via the native session_window aggregation.
     // session_window merges events whose gap is STRICTLY under the gap
     // duration (window end = last event + gap), so the oracle opens a new

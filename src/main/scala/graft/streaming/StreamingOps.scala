@@ -44,6 +44,48 @@ object StreamingOps {
         agged.columns.filter(_ != "window").map(col).toSeq): _*)
   }
 
+  /** Stream-static AS-OF join: every streaming probe row picks the latest
+    * static series row with `seriesTs` <= its `probeTs` for its keys — the
+    * continuous face of TimeSeriesOps.asOfJoin (batched TIME_PREV), e.g.
+    * live events enriched with the most recent reference reading.
+    *
+    * Spark-native, no custom state: the stream-static LEFT range join is
+    * stateless per micro-batch (the static side follows ordinary
+    * broadcast/shuffle size planning — broadcast when small, the 100 TB
+    * default for reference tables), and the per-probe argmax collapses
+    * through a windowed max(struct) aggregation whose event-time window
+    * rides in the grouping key, making it append-mode legal under the
+    * watermark (complete-mode replays emit everything). Probes sharing all
+    * projected columns merge — include a unique probe id.
+    *
+    * `series` must carry its own column names disjoint from the probe's
+    * (rename before the call); `keys` name probe columns with same-named
+    * series columns. Output: probe columns + the matched series payload
+    * (null when nothing preceded the probe). */
+  def asOfJoinStream(probe: DataFrame, series: DataFrame, keys: Seq[String],
+                     probeTs: String, seriesTs: String,
+                     watermark: String = "1 hour",
+                     windowSize: String = "1 hour"): DataFrame = {
+    val sren = keys.zipWithIndex.foldLeft(series) { case (df, (k, i)) =>
+      df.withColumnRenamed(k, s"__k$i")
+    }
+    val payload = sren.columns.filterNot(_.startsWith("__k")).toSeq
+    require(!payload.contains(probeTs) && probe.columns.forall(!payload.contains(_)),
+      s"series columns ${payload.mkString(",")} must be disjoint from the probe's")
+    val cond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"__k$i") }
+      .reduce(_ && _) && col(seriesTs) <= col(probeTs)
+    val joined = probe.withWatermark(probeTs, watermark)
+      .join(sren, cond, "left_outer")
+    // max(struct(seriesTs, rest...)): latest preceding row wins; an
+    // unmatched probe's all-null struct loses to any real match and
+    // surfaces as null payload fields
+    val best = struct((col(seriesTs) +: payload.filterNot(_ == seriesTs).map(col)): _*)
+    joined
+      .groupBy((window(col(probeTs), windowSize) +: probe.columns.map(col).toSeq): _*)
+      .agg(max(best).as("__best"))
+      .select((probe.columns.map(col) ++ payload.map(p => col(s"__best.$p").as(p))): _*)
+  }
+
   /** Streaming exact dedup: drop rows whose digest was already seen, with
     * state bounded by the watermark (the streaming face of Dedup.exactGroups
     * — what a continuous ingestion pipeline runs before writing).
