@@ -418,6 +418,20 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("exactSubstringDedup plan: no pair join, nothing quadratic") {
+    // PLANS.md round-6 claim: chunk explode (map) -> ONE chunk-text window
+    // shuffle -> ONE doc-id aggregate -> join back to the id list. Any
+    // cartesian/nested-loop node would mean a pair-wise formulation crept in.
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val df = Dedup.exactSubstringDedup(d, "text", "doc_id", chunkTokens = 20)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair-wise join in the substring-dedup plan\n$plan")
+    assert(plan.contains("Window"), "occurrence ranking window missing")
+  }
+
   test("autoBandBits: SRP band width grows with corpus, floored and Long-safe") {
     assert(Dedup.autoBandBits(100, 4) == 16)            // floor: 4 bits/band
     assert(Dedup.autoBandBits(2000, 4) == 20)           // 5 bits/band at 2k
