@@ -183,6 +183,31 @@ object StreamingQueries {
         .orderBy("event_id")
     },
 
+    // Stream-stream INTERVAL join: clicks attributed to same-user views of
+    // the preceding hour, both sides streaming — watermark-bounded join
+    // state, inner/append semantics. Oracle is the plain range join.
+    Q.df("q_stream_interval_join",
+      duck = """WITH p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+        |s AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, epoch_ms(p.ts) AS ts_ms, p.user_id,
+        |  epoch_ms(s.view_ts) AS view_ts_ms, s.view_value
+        |FROM p JOIN s ON p.user_id = s.user_id
+        |  AND s.view_ts >= p.ts - INTERVAL 1 HOUR AND s.view_ts <= p.ts
+        |ORDER BY p.event_id, view_ts_ms""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_interval_sink", "append") { ev =>
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("ts"), col("user_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("view_ts"),
+            col("value").as("view_value"))
+        StreamingOps.intervalJoinStream(clicks, views, keys = Seq("user_id"),
+          lTs = "ts", rTs = "view_ts", lower = "-1 hour", upper = "0 seconds")
+      }.select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+          col("user_id"), unix_millis(col("view_ts")).as("view_ts_ms"),
+          col("view_value"))
+        .orderBy("event_id", "view_ts_ms")
+    },
+
     // Streaming gap sessions via the native session_window aggregation.
     // session_window merges events whose gap is STRICTLY under the gap
     // duration (window end = last event + gap), so the oracle opens a new

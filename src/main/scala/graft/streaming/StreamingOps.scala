@@ -86,6 +86,37 @@ object StreamingOps {
       .select((probe.columns.map(col) ++ payload.map(p => col(s"__best.$p").as(p))): _*)
   }
 
+  /** Stream-stream INTERVAL join: left rows paired with right rows of the
+    * same keys whose `rTs` falls in [lTs + lower, lTs + upper] — the
+    * continuous face of ts/RangeJoin (attribute a click to the views of
+    * the preceding hour, correlate two sensor feeds within a tolerance).
+    *
+    * Spark-native stateful join: BOTH sides carry watermarks and the join
+    * condition carries the time bound, so each side's buffered state is
+    * evicted once the other side's watermark passes the bound — state is
+    * watermark-bounded, the 100 TB continuous shape. Inner join semantics:
+    * every qualifying pair is emitted exactly once (append mode, no
+    * aggregation), late rows beyond the watermark are dropped.
+    *
+    * `right` must carry column names disjoint from `left`'s except `keys`
+    * (rename before the call); `lower`/`upper` are signed durations like
+    * "-1 hour" / "0 seconds". */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keys: Seq[String],
+                         lTs: String, rTs: String,
+                         lower: String, upper: String,
+                         watermark: String = "1 hour"): DataFrame = {
+    val rren = keys.zipWithIndex.foldLeft(right.withWatermark(rTs, watermark)) {
+      case (df, (k, i)) => df.withColumnRenamed(k, s"__k$i")
+    }
+    val cond = keys.zipWithIndex.map { case (k, i) => col(k) === col(s"__k$i") }
+      .reduce(_ && _) &&
+      col(rTs) >= col(lTs) + expr(s"INTERVAL $lower") &&
+      col(rTs) <= col(lTs) + expr(s"INTERVAL $upper")
+    left.withWatermark(lTs, watermark)
+      .join(rren, cond, "inner")
+      .drop(keys.indices.map(i => s"__k$i"): _*)
+  }
+
   /** Streaming exact dedup: drop rows whose digest was already seen, with
     * state bounded by the watermark (the streaming face of Dedup.exactGroups
     * — what a continuous ingestion pipeline runs before writing).
