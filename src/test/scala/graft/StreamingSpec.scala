@@ -8,6 +8,60 @@ import graft.streaming.StreamingOps
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("stream-static as-of join updates incrementally across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val probe = input.toDF().toDF("id", "ts", "k")
+    val series = Seq(
+      ("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      ("a", Timestamp.valueOf("2024-01-01 02:00:00"), 2.0),
+      ("b", Timestamp.valueOf("2024-01-01 01:00:00"), 5.0)
+    ).toDF("k", "s_ts", "s_v")
+    val joined = StreamingOps.asOfJoinStream(probe, series, Seq("k"), "ts", "s_ts")
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 01:30:00"), "a"))
+      q.processAllAvailable()
+      val b1 = spark.table("asof_out").select("id", "s_v")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(b1 == Map(1L -> Some(1.0)))   // latest 'a' reading at 01:30 is 1.0
+      // batch 2: a probe after the 02:00 reading, one with no match, one unkeyed
+      input.addData(
+        (2L, Timestamp.valueOf("2024-01-01 03:00:00"), "a"),
+        (3L, Timestamp.valueOf("2024-01-01 00:30:00"), "b"),
+        (4L, Timestamp.valueOf("2024-01-01 01:00:00"), "z"))
+      q.processAllAvailable()
+      val b2 = spark.table("asof_out").select("id", "s_v")
+        .as[(Long, Option[Double])].collect().toMap
+      assert(b2 == Map(1L -> Some(1.0), 2L -> Some(2.0),
+        3L -> None, 4L -> None))          // no series row precedes 3; no key for 4
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs across batches, state watermark-bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lin = MemoryStream[(Long, Timestamp, String)]
+    val rin = MemoryStream[(Timestamp, String, Double)]
+    val left = lin.toDF().toDF("id", "ts", "k")
+    val right = rin.toDF().toDF("r_ts", "k", "r_v")
+    val joined = StreamingOps.intervalJoinStream(left, right, Seq("k"),
+      "ts", "r_ts", lower = "-1 hour", upper = "0 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      // right arrives first; matching left arrives a batch later
+      rin.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "a", 7.0))
+      q.processAllAvailable()
+      lin.addData((1L, Timestamp.valueOf("2024-01-01 01:30:00"), "a"),
+        (2L, Timestamp.valueOf("2024-01-01 03:00:00"), "a")) // outside the hour
+      q.processAllAvailable()
+      val out = spark.table("ij_out").select("id", "r_v")
+        .as[(Long, Double)].collect().toSeq
+      assert(out == Seq((1L, 7.0)))       // only the in-interval pair emitted
+    } finally q.stop()
+  }
+
   test("continuous TIME_WINDOW_AGG with watermark over a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
