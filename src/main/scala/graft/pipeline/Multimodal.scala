@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   *
   * Media is carried as an opaque `binary` column plus a typed metadata
   * struct — the layout a 100 TB training pipeline uses (content-addressed
-  * blobs in parquet, decoded lazily per partition). The decode itself is
-  * STUBBED (no image/audio libs in this container): `decodeStub` derives
-  * deterministic fake features from the bytes, while the Spark-side plumbing
-  * (schema, batching, partition iteration, feature schema) is real.
+  * blobs in parquet, decoded lazily per partition). Decode dispatches on
+  * the magic bytes: the uncompressed formats a bare JVM can parse are REAL
+  * (24-bit BMP → dims + color stats, PCM-16 WAV → channel/rate + RMS
+  * envelope; MultimodalSpec decodes hand-built fixtures of both), while
+  * compressed formats (JPEG/PNG/MP3/H.264 — codec libs absent from this
+  * container) fall to `decodeStub`'s deterministic pseudo-features. The
+  * Spark-side plumbing (schema, batching, partition iteration, feature
+  * schema) is real either way.
   */
 object Multimodal {
 
@@ -42,14 +46,120 @@ object Multimodal {
     * testable. Runs per-partition over the iterator — the shape a native
     * decoder (or an Arrow-batched python worker) plugs into. */
   def decodeStub(bytes: Array[Byte]): (Long, Int, Int, Array[Float]) = {
-    var cs = 1125899906842597L // deterministic FNV-ish rolling checksum
-    var i = 0
-    while (i < bytes.length) { cs = cs * 31 + bytes(i); i += 1 }
+    val cs = checksum(bytes)
     val w = 16 + (math.abs(cs) % 1024).toInt
     val h = 16 + (math.abs(cs / 1024) % 1024).toInt
     val feat = Array.tabulate(8)(j => ((cs >> (j * 8)) & 0xff).toFloat / 255f)
     (cs, w, h, feat)
   }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    var cs = 1125899906842597L // deterministic FNV-ish rolling checksum
+    var i = 0
+    while (i < bytes.length) { cs = cs * 31 + bytes(i); i += 1 }
+    cs
+  }
+
+  /** REAL decoder for uncompressed 24-bit BI_RGB BMP (pure JVM — no codec
+    * libs needed for the uncompressed formats): (width, height,
+    * [meanR, meanG, meanB, 5-bin luminance histogram]). None when the
+    * bytes are not such a BMP — compressed formats stay with the stub. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < 54 || bytes(0) != 'B' || bytes(1) != 'M') return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOff = bb.getInt(10)
+    val width = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val bpp = bb.getShort(28) & 0xffff
+    val compression = bb.getInt(30)
+    val height = math.abs(rawH)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    if (pixelOff.toLong + rowBytes.toLong * height > bytes.length) return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    val hist = new Array[Long](5)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      val row = pixelOff + y * rowBytes
+      while (x < width) {
+        val b = bytes(row + x * 3) & 0xff
+        val g = bytes(row + x * 3 + 1) & 0xff
+        val r = bytes(row + x * 3 + 2) & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        hist(math.min((lum * 5).toInt, 4)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    Some((width, height, Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      hist(0).toFloat / n, hist(1).toFloat / n, hist(2).toFloat / n,
+      hist(3).toFloat / n, hist(4).toFloat / n)))
+  }
+
+  /** REAL decoder for PCM-16 WAV (RIFF/WAVE, fmt tag 1): (channels,
+    * sampleRate, 8-segment RMS envelope of channel 0, full-scale
+    * normalized). None for anything else (compressed audio stays with the
+    * stub). */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (bytes.length < 44 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt = Option.empty[(Int, Int, Int)] // (channels, sampleRate, bits)
+    var data = Option.empty[(Int, Int)]     // (offset, size)
+    while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = bb.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(off + 8) & 0xffff
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((bb.getShort(off + 10) & 0xffff, bb.getInt(off + 12),
+          bb.getShort(off + 22) & 0xffff))
+      } else if (id == "data") data = Some((off + 8, size))
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    for ((channels, rate, bits) <- fmt; (dOff, dSize) <- data;
+         if bits == 16 && channels > 0) yield {
+      val frame = 2 * channels
+      val nFrames = dSize / frame
+      val env = new Array[Float](8)
+      if (nFrames > 0) {
+        val seg = math.max(1, nFrames / 8)
+        var s = 0
+        while (s < 8) {
+          var acc = 0.0
+          var i = s * seg
+          val end = math.min(if (s == 7) nFrames else (s + 1) * seg, nFrames)
+          while (i < end) { // channel 0 of each frame
+            val v = bb.getShort(dOff + i * frame) / 32768.0
+            acc += v * v
+            i += 1
+          }
+          env(s) = if (end > s * seg) math.sqrt(acc / (end - s * seg)).toFloat else 0f
+          s += 1
+        }
+      }
+      (channels, rate, env)
+    }
+  }
+
+  /** Dispatching decoder: real parse for the uncompressed formats the JVM
+    * can handle without codec libraries (24-bit BMP → spatial dims + color
+    * stats; PCM-16 WAV → (channels, sampleRate) in the dims slots + RMS
+    * envelope), deterministic stub for everything else (JPEG/PNG/MP3/...
+    * need codecs this container does not ship). Checksum is always the
+    * rolling byte checksum, so content addressing is format-independent. */
+  def decode(bytes: Array[Byte]): (Long, Int, Int, Array[Float]) =
+    decodeBmp(bytes).orElse(decodeWav(bytes)) match {
+      case Some((w, h, feat)) => (checksum(bytes), w, h, feat)
+      case None => decodeStub(bytes)
+    }
 
   /** Distributed decode + feature extraction: mapPartitions so a real
     * decoder could amortize per-partition init (codec contexts, model
@@ -60,7 +170,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          val (cs, w, h, feat) = decodeStub(b)
+          val (cs, w, h, feat) = decode(b)
           MediaFeatures(id, b.length.toLong, cs, w, h, feat)
         }
       }
@@ -76,7 +186,7 @@ object Multimodal {
         val step = math.max(1, b.length / math.max(frames, 1))
         (0 until math.min(frames, math.max(b.length / step, 1))).map { f =>
           val slice = b.slice(f * step, math.min((f + 1) * step, b.length))
-          val (cs, w, h, _) = decodeStub(slice)
+          val (cs, w, h, _) = decode(slice)
           (id, f, slice.length, cs, w, h)
         }
       }

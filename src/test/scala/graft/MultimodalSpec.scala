@@ -27,6 +27,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1(0).width >= 16 && f1(0).height >= 16)
   }
 
+  test("real BMP decode: dims + color stats from a hand-built 24bpp image") {
+    // 2x1 BMP: one pure-red, one pure-blue pixel (BGR order, row padded to 4)
+    val bb = java.nio.ByteBuffer.allocate(62).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(62).putInt(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(1).putShort(1).putShort(24)
+    bb.putInt(0).putInt(8).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    bb.put(Array[Byte](0, 0, -1)) // red pixel  (B=0,   G=0, R=255)
+    bb.put(Array[Byte](-1, 0, 0)) // blue pixel (B=255, G=0, R=0)
+    bb.put(Array[Byte](0, 0))     // row pad
+    val Some((w, h, feat)) = graft.pipeline.Multimodal.decodeBmp(bb.array())
+    assert(w == 2 && h == 1)
+    assert(math.abs(feat(0) - 0.5f) < 1e-6 && feat(1) == 0f &&
+      math.abs(feat(2) - 0.5f) < 1e-6)
+    // red lum 0.299 -> bin 1; blue lum 0.114 -> bin 0
+    assert(feat(3) == 0.5f && feat(4) == 0.5f && feat(5) == 0f)
+    // and the dispatching decoder routes it to the real parser
+    val (_, dw, dh, dfeat) = graft.pipeline.Multimodal.decode(bb.array())
+    assert(dw == 2 && dh == 1 && dfeat.sameElements(feat))
+  }
+
+  test("real WAV decode: PCM-16 channel/rate + RMS envelope") {
+    val n = 8
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (1 to n).foreach(_ => bb.putShort(16384)) // constant half-scale signal
+    val Some((ch, rate, env)) = graft.pipeline.Multimodal.decodeWav(bb.array())
+    assert(ch == 1 && rate == 8000)
+    env.foreach(v => assert(math.abs(v - 0.5f) < 1e-4, s"env $v"))
+    // non-PCM / truncated bytes fall back to the stub, never throw
+    assert(graft.pipeline.Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    val (_, _, _, f) = graft.pipeline.Multimodal.decode("not media".getBytes)
+    assert(f.length == 8)
+  }
+
   test("sampleFrames emits per-frame rows") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef", "v")).toDF("doc_id", "text", "source")
