@@ -134,6 +134,39 @@ object Curation {
         round(sum(col("__lam")), roundTo).as("weight"))
   }
 
+  /** Token-budget mixture sampling (training-mix prep): fill a per-domain
+    * TOKEN budget deterministically — the "mix 30B tokens of web with 5B of
+    * code" step that precedes training. Documents are ordered within their
+    * domain by (md5(id), id) — the same engine-portable order as
+    * [[hashSample]]/[[stratifiedSample]], so the selected set is stable
+    * across runs, engines, and cluster sizes — and taken while the running
+    * token total has not yet reached the domain's budget BEFORE the
+    * document (next-fit overshoot: the boundary doc that crosses the
+    * budget ships, so every non-empty budget is met, like packSequences).
+    * Domains without a configured budget use `defaultBudget`; <= 0 means
+    * drop the domain.
+    *
+    * Output: (id, domain, n_tokens, run_tokens) for the selected docs.
+    * Scale shape: ONE shuffle on the domain (window running sum) — group
+    * sizes are domain sizes; for very hot domains pre-filter with
+    * [[hashSample]] to bound the window input, same discipline as
+    * stratifiedSample's quota prefilter. */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(md5(col("id").cast("string")), col("id"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (k, v)) =>
+      when(col("domain") === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .select(col(idCol).as("id"), col(domainCol).as("domain"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("run_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("run_tokens") - col("n_tokens") < budget)
+  }
+
   /** Token-budget sequence packing (training-batch prep): deterministically
     * assign documents to fixed-budget packs — the "fill each 8k context
     * window" step before tokenization-and-concat. Documents are sharded by

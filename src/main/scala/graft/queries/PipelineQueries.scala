@@ -709,6 +709,31 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- token-budget mixture sampling: fill per-domain token budgets in
+    // the deterministic hash order (the training-mix step) ----
+    Q.df("q_pipeline_token_budget",
+      duck = """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS run_tokens
+        |  FROM t)
+        |SELECT doc_id AS id, source AS domain,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(run_tokens AS BIGINT) AS run_tokens
+        |FROM r
+        |WHERE run_tokens - n_tokens <
+        |  CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 1500 ELSE 500 END
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Curation.tokenBudgetSample(docs(s, dir), "doc_id", "text", "source",
+          budgets = Map("src0" -> 3000L, "src1" -> 1500L), defaultBudget = 500L)
+        .orderBy("id")
+    },
+
     // ---- DSIR importance weights (Xie et al. 2023): how target-like is
     // each raw document, target = the src0 slice, raw = the whole corpus ----
     Q.df("q_pipeline_dsir",

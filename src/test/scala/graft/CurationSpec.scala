@@ -110,6 +110,33 @@ class CurationSpec extends SparkTestBase {
     assert(out(3L)._1 == 2L && math.abs(out(3L)._2 - math.log(2.0)) < 1e-6)
   }
 
+  test("tokenBudgetSample: budgets met with overshoot, unbudgeted domains drop") {
+    val docs = Seq(
+      (1L, "a b c", "web"), (2L, "d e", "web"), (3L, "f g h i", "web"),
+      (4L, "x y", "code"), (5L, "z", "junk")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map("web" -> 4L, "code" -> 10L), defaultBudget = 0L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // junk has no budget -> dropped entirely
+    assert(!out.exists(_._2 == "junk"))
+    // code budget 10 > 2 available tokens -> everything ships
+    assert(out.filter(_._2 == "code").map(_._1).toSeq == Seq(4L))
+    // web: docs ship in (md5(id), id) order until the running total crosses
+    // 4 — the crossing doc ships (next-fit overshoot), later ones drop
+    val web = out.filter(_._2 == "web")
+    val shipped = web.map(_._3).sum
+    assert(shipped >= 4 && web.length < 3,
+      s"budget 4 of 9 web tokens -> partial selection, got $shipped via ${web.toSeq}")
+    // deterministic: same input, same selection
+    val again = Curation.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map("web" -> 4L, "code" -> 10L), defaultBudget = 0L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
+
   test("dsirWeights: hand-computed add-1 log-likelihood-ratio fixture") {
     // raw: doc1 "a a b", doc2 "c c", doc3 "a b" -> R=7, V=3 {a:3,b:2,c:2}
     // target = docs 1,3 -> T=5 {a:3,b:2}
