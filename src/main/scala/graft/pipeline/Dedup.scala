@@ -376,12 +376,37 @@ object Dedup {
     * (clean_text = "" when every chunk was dropped or the text was empty).
     */
   def exactSubstringDedup(docs: DataFrame, textCol: String, idCol: String,
-                          chunkTokens: Int = 20): DataFrame = {
-    val chunks = Curation.chunkDocuments(docs, idCol, textCol,
-      window = chunkTokens, stride = chunkTokens)
+                          chunkTokens: Int = 20): DataFrame =
+    unitDedup(docs, idCol,
+      Curation.chunkDocuments(docs, idCol, textCol,
+        window = chunkTokens, stride = chunkTokens), joinSep = " ")
+
+  /** Paragraph-granular variant of [[exactSubstringDedup]] for corpora with
+    * real structure: units are `sepRegex`-separated blocks (default blank
+    * lines) instead of fixed token windows — the exact formulation CCNet
+    * and RefinedWeb use for line/paragraph dedup. Same first-occurrence-
+    * wins semantics and plan shape; survivors rejoin with `joinSep`. */
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
+                     sepRegex: String = "\\n{2,}",
+                     joinSep: String = "\n\n"): DataFrame = {
+    val units = docs
+      .select(col(idCol), posexplode(
+        filter(transform(split(col(textCol), sepRegex), p => trim(p)),
+          p => p =!= "")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+    unitDedup(docs, idCol, units, joinSep)
+  }
+
+  /** Shared engine for the unit-granular exact dedups: rank every unit's
+    * occurrences corpus-wide over its TEXT (one shuffle; identical units
+    * meet in one reducer), keep rank 1, reassemble per document in unit
+    * order. `units` must carry (idCol, chunk_id, chunk_text). */
+  private def unitDedup(docs: DataFrame, idCol: String,
+                        units: DataFrame, joinSep: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("chunk_text")).orderBy(col(idCol), col("chunk_id"))
-    val rebuilt = chunks.withColumn("__rk", row_number().over(w))
+    val rebuilt = units.withColumn("__rk", row_number().over(w))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -390,7 +415,7 @@ object Dedup {
           transform(
             array_sort(collect_list(when(col("__rk") === 1,
               struct(col("chunk_id"), col("chunk_text"))))),
-            c => c.getField("chunk_text")), " ").as("clean_text"))
+            c => c.getField("chunk_text")), joinSep).as("clean_text"))
     docs.select(col(idCol).as("id"))
       .join(rebuilt.withColumnRenamed(idCol, "id"), Seq("id"), "left")
       .select(col("id"),

@@ -254,6 +254,20 @@ class DedupSpec extends SparkTestBase {
     assert(out(3) == ((4L, "d e", 1L, 1L)))
   }
 
+  test("paragraphDedup: blank-line units, duplicated paragraph dropped corpus-wide") {
+    val d = Seq(
+      (1L, "intro text\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"),   // boilerplate seen in doc 1
+      (3L, "  \n\nbody one")                    // blank unit ignored; body one dups doc 1's
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(d, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "intro text\n\nshared boilerplate\n\nbody one", 3L, 3L)))
+    assert(out(1) == ((2L, "body two", 2L, 1L)))
+    assert(out(2) == ((3L, "", 1L, 0L)))
+  }
+
   test("argmin-center kernel is bit-identical to the array_min(distances) formulation") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
