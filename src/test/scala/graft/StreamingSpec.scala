@@ -59,6 +59,10 @@ class StreamingSpec extends SparkTestBase {
       val out = spark.table("ij_out").select("id", "r_v")
         .as[(Long, Double)].collect().toSeq
       assert(out == Seq((1L, 7.0)))       // only the in-interval pair emitted
+      // state really is the symmetric hash join's watermark-bounded buffer
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty && so.exists(_.operatorName.contains("symmetricHashJoin")),
+        s"expected symmetricHashJoin state operator, got ${so.map(_.operatorName).mkString(",")}")
     } finally q.stop()
   }
 
