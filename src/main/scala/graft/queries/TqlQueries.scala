@@ -62,6 +62,8 @@ object TqlQueries {
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"), col("value"))
     },
 
+    // arg order per selection_func_impl.h:997-1084: (col, AGG, start, end,
+    // interval, unit) — the aggregation name is args[1], not last
     Q.df("q_tql_time_window_agg",
       duck = """SELECT 1704067200000 + (epoch_ms(ts) - 1704067200000) // 43200000 * 43200000 AS ts_ms,
         |  MIN(value) AS min
@@ -69,9 +71,48 @@ object TqlQueries {
         |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) <= 1706572800000
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       TqlCompiler.run(events(s, dir),
-        "select time_window_agg(value, TIMESTAMP('2024-01-01T00:00:00Z'), " +
-          "TIMESTAMP('2024-01-30T00:00:00Z'), 12, HOUR, MIN)")
+        "select time_window_agg(value, MIN, TIMESTAMP('2024-01-01T00:00:00Z'), " +
+          "TIMESTAMP('2024-01-30T00:00:00Z'), 12, HOUR)")
         .select(col("ts_ms"), col("min"))
+    },
+
+    // ---- TIME_WINDOW_AGG(*): the advertised all-columns form
+    // (selection_func.h:197-205) — AGG over every numeric non-key column ----
+    Q.df("q_tql_time_window_agg_star",
+      duck = """SELECT 1704067200000 + (epoch_ms(ts) - 1704067200000) // 43200000 * 43200000 AS ts_ms,
+        |  MIN(event_id) AS min_event_id, MIN(user_id) AS min_user_id,
+        |  MIN(value) AS min_value
+        |FROM events
+        |WHERE epoch_ms(ts) >= 1704067200000 AND epoch_ms(ts) <= 1706572800000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+        "select time_window_agg(*, MIN, TIMESTAMP('2024-01-01T00:00:00Z'), " +
+          "TIMESTAMP('2024-01-30T00:00:00Z'), 12, HOUR)")
+    },
+
+    // ---- TIME_SAMPLING(*): sample-and-hold of the whole row at each grid
+    // instant (selection_func_impl.h:599-713 — the star path emits the
+    // bracketing row's image with field 0 replaced by the grid time; no
+    // interpolation). Oracle: ASOF JOIN against the per-instant winner
+    // (max event_id — mirrors the engine's deterministic struct tie-break),
+    // grid points past the last row dropped. ----
+    Q.df("q_tql_time_sampling_star",
+      duck = """WITH d AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY ts ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |grid AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |    TIMESTAMP '2024-01-25 00:00:00', INTERVAL 6 HOUR)) AS g)
+        |SELECT epoch_ms(grid.g) AS ts_ms, d.event_id, d.user_id,
+        |  d.event_type, d.value, d.props
+        |FROM grid ASOF JOIN d ON d.ts <= grid.g
+        |WHERE grid.g <= (SELECT max(ts) FROM events)
+        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+        "select time_sampling(*, TIMESTAMP('2024-01-05T00:00:00Z'), " +
+          "TIMESTAMP('2024-01-25T00:00:00Z'), 6, HOUR)")
+        .orderBy("ts_ms")
     },
 
     Q.df("q_tql_max_rows",

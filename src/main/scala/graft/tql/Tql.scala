@@ -237,7 +237,15 @@ object TqlParser {
             } else {
               var args = Seq.empty[Expr]
               var star = false
-              if (peek.kind == "op" && peek.text == "*") { next(); star = true }
+              if (peek.kind == "op" && peek.text == "*") {
+                // FUNC(*) or FUNC(*, args...) — the reference selection
+                // grammar allows a leading * with trailing arguments
+                // (TIME_SAMPLING(*|col, start, end, ...), selection_func.h:173)
+                next(); star = true
+                val buf = scala.collection.mutable.ArrayBuffer[Expr]()
+                while (peek.kind == "op" && peek.text == ",") { next(); buf += expr() }
+                args = buf.toSeq
+              }
               else if (!(peek.kind == "op" && peek.text == ")")) {
                 val buf = scala.collection.mutable.ArrayBuffer[Expr](expr())
                 while (peek.kind == "op" && peek.text == ",") { next(); buf += expr() }

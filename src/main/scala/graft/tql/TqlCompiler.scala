@@ -96,42 +96,70 @@ object TqlCompiler {
       case "TIME_INTERPOLATED" =>
         TimeSeriesOps.timeInterpolated(df, tsCol(container), argName(0), tsArg(1))
       case "TIME_SAMPLING" =>
-        // TIME_SAMPLING(col, start, end, interval, unit)
-        val unitUs = timeUnitMicros(arg(4))
-        val n = arg(3) match {
+        // TIME_SAMPLING(*|col, start, end, interval, unit)
+        // (selection_func.h:169-186); with * the first argument is absent
+        // from the arg list and the star flag is set. The star form is
+        // sample-and-hold over every column — see TimeSeriesOps engine note.
+        val base = if (f.star) 0 else 1
+        val unitUs = timeUnitMicros(arg(base + 3))
+        val n = arg(base + 2) match {
           case NumLit(v, _) => v.toLong
           case other => throw new TqlParseException(s"expected number, got $other")
         }
-        TimeSeriesOps.timeSampling(df, tsCol(container), argName(0),
-          tsArg(1), tsArg(2), n * unitUs)
+        if (f.star)
+          TimeSeriesOps.timeSamplingHold(df, tsCol(container),
+            tsArg(base), tsArg(base + 1), n * unitUs)
+        else
+          TimeSeriesOps.timeSampling(df, tsCol(container), argName(0),
+            tsArg(1), tsArg(2), n * unitUs)
       case "MAX_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = true)
       case "MIN_ROWS" => TimeSeriesOps.extremeRows(df, argName(0), isMax = false)
       case "TIME_WINDOW_AGG" =>
-        // TIME_WINDOW_AGG(col, start, end, interval, unit, AGG)
-        val unitMs = timeUnitMicros(arg(3 + 1)) / 1000L
-        val n = arg(3) match {
+        // TIME_WINDOW_AGG(*|col, AGG, start, end, interval, unit) — argument
+        // order per the reference's parseArgument (selection_func_impl.h:
+        // 997-1084: agg name at args[1], start/end/interval at args[2..4],
+        // unit at args[5]); the header comment (selection_func.h:197-205)
+        // omits the agg argument. The reference impl additionally REJECTS the
+        // advertised * form ("column not found", selection_func_impl.h:
+        // 1020-1023); we implement it as the natural extension — AGG over
+        // every numeric non-key column — rather than reproducing the bug.
+        val base = if (f.star) 0 else 1
+        val aggName = arg(base) match {
+          case ColRef(a0) => a0.toUpperCase
+          case StrLit(a0) => a0.toUpperCase
+          case other => throw new TqlParseException(s"expected aggregation name, got $other")
+        }
+        val unitMs = timeUnitMicros(arg(base + 4)) / 1000L
+        val n = arg(base + 3) match {
           case NumLit(v, _) => v.toLong
           case other => throw new TqlParseException(s"expected number, got $other")
         }
-        val aggName = arg(5) match {
-          case ColRef(a0) => a0.toUpperCase
-          case other => throw new TqlParseException(s"expected aggregation name, got $other")
-        }
-        val vc = col(argName(0))
-        val aggCol = aggName match {
-          case "AVG" => avg(vc).as("avg")
-          case "SUM" => sum(vc).as("sum")
-          case "COUNT" => count(vc).as("count")
-          case "MIN" => min(vc).as("min")
-          case "MAX" => max(vc).as("max")
+        def mkAgg(vc: Column, outName: String): Column = aggName match {
+          case "AVG" => avg(vc).as(outName)
+          case "SUM" => sum(vc).as(outName)
+          case "COUNT" => count(vc).as(outName)
+          case "MIN" => min(vc).as(outName)
+          case "MAX" => max(vc).as(outName)
           case other => throw new TqlParseException(s"unsupported agg $other")
         }
+        val aggCols =
+          if (f.star) {
+            val ts = tsCol(container)
+            val numeric = df.schema.fields.collect {
+              case fld if fld.name != ts &&
+                fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+                fld.name
+            }.toSeq
+            if (numeric.isEmpty)
+              throw new TqlParseException("TIME_WINDOW_AGG(*): no numeric columns")
+            numeric.map(c => mkAgg(col(c), s"${aggName.toLowerCase}_$c"))
+          } else Seq(mkAgg(col(argName(0)), aggName.toLowerCase))
         def msOf(i: Int): Long = arg(i) match {
           case TsLit(us) => us / 1000L
           case other => throw new TqlParseException(s"expected TIMESTAMP(), got $other")
         }
-        graft.ts.GroupByRange(df, tsCol(container), msOf(1), msOf(2),
-          n * unitMs, Seq(aggCol), graft.ts.GroupByRange.FillNone)
+        graft.ts.GroupByRange(df, tsCol(container), msOf(base + 1), msOf(base + 2),
+          n * unitMs, aggCols, graft.ts.GroupByRange.FillNone)
 
       case other => throw new TqlParseException(s"unknown selection/aggregation: $other")
     }
@@ -254,6 +282,16 @@ object TqlCompiler {
           }
           args.size match {
             case 1 => graft.geometry.Geo.genEmpty(name, a(0))
+            // a numeric first argument means the caller is using the removed
+            // coordinate-constructor form (e.g. POINT(1, 2)); fail at parse
+            // time with a pointer to the WKT constructor instead of letting
+            // the generator raise a generic runtime WKT error
+            case _ if args.headOption.exists(_.isInstanceOf[NumLit]) =>
+              throw new TqlParseException(
+                s"$name does not take coordinates — the reference's geometry " +
+                  s"generators are $name('EMPTY') and $name(geom, srid) " +
+                  "(gis_generator.h:42-391); construct from coordinates with " +
+                  s"ST_GEOMFROMTEXT('$name(...)') or ST_MAKERECT/ST_MAKEBOX")
             case 2 => graft.geometry.Geo.genReTag(name, src, a(0), a(1), minP, maxP)
             case _ => throw new TqlParseException(
               s"$name('EMPTY') or $name(geom, srid)")

@@ -66,6 +66,24 @@ object TimeSeriesOps {
           .as(valCol))
   }
 
+  // ---- TIME_SAMPLING engine ------------------------------------------------
+  // Both sampling forms share one bracketing engine over a *payload* struct
+  // whose first field is t_us (epoch µs): struct ordering is (timestamp, then
+  // the remaining fields), so ties between rows at the same instant resolve
+  // deterministically (greatest row wins on the prev side, least on next).
+  //  - named-column form: payload = (t_us, v); the emitter interpolates.
+  //  - star form TIME_SAMPLING(*): payload = (t_us, <all held columns>); the
+  //    emitter re-emits the bracketing row's fields unchanged. This is
+  //    sample-and-hold, NOT per-column interpolation: the reference's star
+  //    path leaves the interpolated value unset (tmpRow.value stays NULL when
+  //    columnId == UNDEF_COLUMNID, selection_func_impl.h:620-673) and outputs
+  //    the previous row's full image with only field 0 replaced by the grid
+  //    instant (selection_func_impl.h:700-713).
+
+  /** Emits the output columns of one grid row from
+    * (gridInstantUs, prevPayload, nextPayload). */
+  private type SampleEmit = (Column, Column, Column) => Seq[Column]
+
   /** TIME_SAMPLING(valCol, start, end, interval): resample the series onto a
     * regular grid; at each grid instant emit the exact value if a row exists,
     * else the linear interpolation between neighbors; grid points outside the
@@ -75,12 +93,46 @@ object TimeSeriesOps {
     * window pass (per key) computes the bracketing rows — no join per grid
     * point. Keyed series scale by window partitioning; the unkeyed
     * (whole-container) case is chunked into coarse time slices with
-    * boundary-anchor stitching — see [[timeSamplingChunked]] — so a single
+    * boundary-anchor stitching — see [[sampleChunked]] — so a single
     * giant series never serializes onto one core.
     */
   def timeSampling(df: DataFrame, tsCol: String, valCol: String,
                    start: Column, end: Column, intervalUs: Long,
                    keys: Seq[String] = Nil): DataFrame = {
+    val pay = struct(usec(col(tsCol)).as("t_us"),
+      col(valCol).cast("double").as("v"))
+    sampleGeneric(df, tsCol, pay, interpEmit(valCol), start, end, intervalUs, keys)
+  }
+
+  /** TIME_SAMPLING(*): resample ALL columns onto the grid with sample-and-hold
+    * semantics — each grid instant carries the exact row if one exists there,
+    * else the latest earlier row, with the timestamp replaced by the grid
+    * instant; grid points outside the observed range produce no row. Matches
+    * the reference star path (selection_func_impl.h:599-713), which emits the
+    * bracketing row's image un-interpolated (see engine note above). Output:
+    * (keys..., ts_ms, <every non-key column held>). */
+  def timeSamplingHold(df: DataFrame, tsCol: String,
+                       start: Column, end: Column, intervalUs: Long,
+                       keys: Seq[String] = Nil): DataFrame = {
+    val held = df.columns.filterNot(c => c == tsCol || keys.contains(c)).toSeq
+    val pay = struct((usec(col(tsCol)).as("t_us") +: held.map(col)): _*)
+    sampleGeneric(df, tsCol, pay, holdEmit(held), start, end, intervalUs, keys)
+  }
+
+  private def interpEmit(valCol: String): SampleEmit = (g, p, n) => {
+    val (pT, pV) = (p.getField("t_us"), p.getField("v"))
+    val (nT, nV) = (n.getField("t_us"), n.getField("v"))
+    Seq((g / lit(1000)).cast("long").as("ts_ms"),
+      when(nT === pT, pV).otherwise(pV + (nV - pV) *
+        ((g - pT).cast("double") / (nT - pT).cast("double"))).as(valCol))
+  }
+
+  private def holdEmit(held: Seq[String]): SampleEmit = (g, p, _) =>
+    (g / lit(1000)).cast("long").as("ts_ms") +: held.map(c => p.getField(c).as(c))
+
+  private def sampleGeneric(df: DataFrame, tsCol: String, pay: Column,
+                            emit: SampleEmit, start: Column, end: Column,
+                            intervalUs: Long, keys: Seq[String]): DataFrame = {
     require(intervalUs > 0, "TIME_SAMPLING interval must be positive")
     if (keys.isEmpty) {
       // the grid size is static whenever start/end are literals (the TQL and
@@ -94,28 +146,29 @@ object TimeSeriesOps {
         yield (s0, (e0 - s0) / intervalUs)
       return sized match {
         case Some((s0, n)) if n >= 0 && n <= SmallGrid =>
-          timeSamplingSmall(df, tsCol, valCol, s0, n, intervalUs)
-        case _ => timeSamplingChunked(df, tsCol, valCol, start, end, intervalUs)
+          sampleSmall(df, tsCol, pay, emit, s0, n, intervalUs)
+        case _ => sampleChunked(df, tsCol, pay, emit, start, end, intervalUs)
       }
     }
     val keyCols = keys.map(col)
     val data = df.select(
       (keyCols :+ usec(col(tsCol)).as("t_us")
-        :+ col(valCol).cast("double").as("v")
-        :+ lit(0).as("is_grid")): _*)
+        :+ pay.as("pay") :+ lit(0).as("is_grid")): _*)
+    val payT = data.schema("pay").dataType
     val gridTimes = explode(sequence(usec(start), usec(end), lit(intervalUs))).as("t_us")
     val grid = df.select(keyCols: _*).distinct()
-      .select((keyCols :+ gridTimes :+ lit(null).cast("double").as("v") :+ lit(1).as("is_grid")): _*)
+      .select((keyCols :+ gridTimes :+ lit(null).cast(payT).as("pay") :+ lit(1).as("is_grid")): _*)
 
     // grid rows sort after data rows at the same instant (exact match wins)
     val all = data.unionByName(grid)
     val wAsc = Window.partitionBy(keyCols: _*)
-      .orderBy(col("t_us").asc, col("is_grid").asc)
+      .orderBy(col("t_us").asc, col("is_grid").asc, col("pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDesc = Window.partitionBy(keyCols: _*)
-      .orderBy(col("t_us").desc, col("is_grid").asc)
+      .orderBy(col("t_us").desc, col("is_grid").asc, col("pay").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampleOutput(bracket(all, wAsc, wDesc), keyCols, valCol)
+    bracket(all, wAsc, wDesc)
+      .select((keyCols ++ emit(col("t_us"), col("p"), col("nx"))): _*)
   }
 
   /** Grid points per time chunk in the unkeyed chunked paths: large enough
@@ -155,19 +208,19 @@ object TimeSeriesOps {
     *   next(g_k) = first row of the earliest non-empty cell ≥ k
     *               (== earliest row with t >= g_k, cell k starting at g_k).
     * Identical output to the single-window formulation. */
-  private def timeSamplingSmall(df: DataFrame, tsCol: String, valCol: String,
-                                s0Us: Long, n: Long, intervalUs: Long): DataFrame = {
+  private def sampleSmall(df: DataFrame, tsCol: String, pay: Column,
+                          emit: SampleEmit, s0Us: Long, n: Long,
+                          intervalUs: Long): DataFrame = {
     val spark = df.sparkSession
-    val rowT = "struct<t_us:bigint,v:double>"
-    val rowS = struct(col("t_us"), col("v"))
     val cells = df
-      .select(usec(col(tsCol)).as("t_us"), col(valCol).cast("double").as("v"))
+      .select(usec(col(tsCol)).as("t_us"), pay.as("pay"))
       .withColumn("__j",
         floor((col("t_us") - lit(s0Us)) / lit(intervalUs.toDouble)).cast("long"))
+    val payT = cells.schema("pay").dataType
     val exact = pmod(col("t_us") - lit(s0Us), lit(intervalUs)) === 0
     val cellAgg = cells.groupBy("__j").agg(
-      min(rowS).as("__first"), max(rowS).as("__last"),
-      max(when(exact, rowS)).as("__exact"))
+      min(col("pay")).as("__first"), max(col("pay")).as("__last"),
+      max(when(exact, col("pay"))).as("__exact"))
 
     // candidate stream: lastRow(j) becomes a prev-candidate from grid index
     // j+1 on; exact(j) (prev) and firstRow(j) (next) from index j on; `tie`
@@ -177,7 +230,7 @@ object TimeSeriesOps {
     // (and the parquet scan beneath it) runs once — a union of two selects
     // over cellAgg would be pruned into two distinct aggregates and scan the
     // data twice.
-    val nullRow = lit(null).cast(rowT)
+    val nullRow = lit(null).cast(payT)
     val frame = cellAgg.select(explode(array(
         struct((col("__j") + 1).as("k"), lit(0).as("tie"),
           col("__last").as("pc"), nullRow.as("nc")),
@@ -198,12 +251,7 @@ object TimeSeriesOps {
       .withColumn("nx", last(col("nc"), ignoreNulls = true).over(wN))
       .filter(col("is_grid") === 1 && col("p").isNotNull && col("nx").isNotNull)
     val gUs = lit(s0Us) + col("k") * lit(intervalUs)
-    val (pT, pV) = (col("p").getField("t_us"), col("p").getField("v"))
-    val (nT, nV) = (col("nx").getField("t_us"), col("nx").getField("v"))
-    g.select(
-      (gUs / lit(1000)).cast("long").as("ts_ms"),
-      when(nT === pT, pV).otherwise(pV + (nV - pV) *
-        ((gUs - pT).cast("double") / (nT - pT).cast("double"))).as(valCol))
+    g.select(emit(gUs, col("p"), col("nx")): _*)
   }
 
   /** Unkeyed TIME_SAMPLING, scaled out: the series is split into coarse time
@@ -216,13 +264,21 @@ object TimeSeriesOps {
     * seen), but the heavy window now partitions by chunk. */
   private[graft] def timeSamplingChunked(df: DataFrame, tsCol: String, valCol: String,
                                          start: Column, end: Column,
-                                         intervalUs: Long): DataFrame = {
+                                         intervalUs: Long): DataFrame =
+    sampleChunked(df, tsCol,
+      struct(usec(col(tsCol)).as("t_us"), col(valCol).cast("double").as("v")),
+      interpEmit(valCol), start, end, intervalUs)
+
+  private def sampleChunked(df: DataFrame, tsCol: String, pay: Column,
+                            emit: SampleEmit, start: Column, end: Column,
+                            intervalUs: Long): DataFrame = {
     val spark = df.sparkSession
     val chunkUs = intervalUs * ChunkPoints
     def chunkOf(t: Column): Column = (t / lit(chunkUs.toDouble)).cast("long")
 
     val data = df.select(usec(col(tsCol)).as("t_us"),
-      col(valCol).cast("double").as("v"), lit(0).as("is_grid"))
+      pay.as("pay"), lit(0).as("is_grid"))
+    val payT = data.schema("pay").dataType
     // distributed grid generation: outer explode enumerates chunks (bounded
     // array), repartition spreads them, inner explode emits ≤256 points each
     val bounds = spark.range(1).select(usec(start).as("s_us"), usec(end).as("e_us"))
@@ -237,16 +293,17 @@ object TimeSeriesOps {
         explode(sequence(col("ci") * ChunkPoints,
           least(col("ci") * ChunkPoints + (ChunkPoints - 1), col("n_pts")))).as("k"))
       .select((col("s_us") + col("k") * intervalUs).as("t_us"),
-        lit(null).cast("double").as("v"), lit(1).as("is_grid"))
+        lit(null).cast(payT).as("pay"), lit(1).as("is_grid"))
 
     val all = data.unionByName(grid).withColumn("__chunk", chunkOf(col("t_us")))
 
     // pass 2 input: one row per chunk — last/first data row inside the chunk
-    val dataRow = struct(col("t_us"), col("v"))
+    // (struct min/max = lexicographic on (t_us, rest): first/last by time,
+    // deterministic tie-break by the remaining payload fields)
     val perChunk = all.filter(col("is_grid") === 0)
       .groupBy("__chunk")
-      .agg(max_by(dataRow, col("t_us")).as("__lastRow"),
-        min_by(dataRow, col("t_us")).as("__firstRow"))
+      .agg(max(col("pay")).as("__lastRow"),
+        min(col("pay")).as("__firstRow"))
     val chunkFrame = all.select("__chunk").distinct()
       .join(perChunk, Seq("__chunk"), "left")
     // the stitch frame is one row per 256 grid points — sequential by
@@ -263,42 +320,32 @@ object TimeSeriesOps {
         explode(array(col("__prevA"), col("__nextA"))).as("__a"))
       .filter(col("__a").isNotNull)
       .select(col("__a").getField("t_us").as("t_us"),
-        col("__a").getField("v").as("v"), lit(0).as("is_grid"), col("__chunk"))
+        col("__a").as("pay"), lit(0).as("is_grid"), col("__chunk"))
 
     // anchor timestamps lie outside their target chunk's range, so they sort
     // strictly before/after every in-chunk row — the per-chunk window sees
     // exactly the rows the global window would
     val seeded = all.unionByName(anchors)
     val wAsc = Window.partitionBy("__chunk")
-      .orderBy(col("t_us").asc, col("is_grid").asc)
+      .orderBy(col("t_us").asc, col("is_grid").asc, col("pay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wDesc = Window.partitionBy("__chunk")
-      .orderBy(col("t_us").desc, col("is_grid").asc)
+      .orderBy(col("t_us").desc, col("is_grid").asc, col("pay").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampleOutput(bracket(seeded, wAsc, wDesc), Nil, valCol)
+    bracket(seeded, wAsc, wDesc)
+      .select(emit(col("t_us"), col("p"), col("nx")): _*)
   }
 
-  /** Shared bracketing pass: previous/next data row for every grid row. */
+  /** Shared bracketing pass: previous/next data payload for every grid row. */
   private def bracket(all: DataFrame,
                       wAsc: org.apache.spark.sql.expressions.WindowSpec,
                       wDesc: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
-    val dataT = when(col("is_grid") === 0, col("t_us"))
+    val dataPay = when(col("is_grid") === 0, col("pay"))
     all
-      .withColumn("p_us", last(dataT, ignoreNulls = true).over(wAsc))
-      .withColumn("p_v", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(wAsc))
-      .withColumn("n_us", last(dataT, ignoreNulls = true).over(wDesc))
-      .withColumn("n_v", last(when(col("is_grid") === 0, col("v")), ignoreNulls = true).over(wDesc))
-      .filter(col("is_grid") === 1 && col("p_us").isNotNull && col("n_us").isNotNull)
+      .withColumn("p", last(dataPay, ignoreNulls = true).over(wAsc))
+      .withColumn("nx", last(dataPay, ignoreNulls = true).over(wDesc))
+      .filter(col("is_grid") === 1 && col("p").isNotNull && col("nx").isNotNull)
   }
-
-  private def sampleOutput(out: DataFrame, keyCols: Seq[Column],
-                           valCol: String): DataFrame =
-    out.select(
-      (keyCols :+ (col("t_us") / lit(1000)).cast("long").as("ts_ms") :+
-        when(col("n_us") === col("p_us"), col("p_v"))
-          .otherwise(col("p_v") + (col("n_v") - col("p_v")) *
-            ((col("t_us") - col("p_us")).cast("double") /
-              (col("n_us") - col("p_us")).cast("double"))).as(valCol)): _*)
 
   /** TIME_WINDOW_AGG: tumbling-window aggregation (window start aligned to
     * the epoch). `aggs` are applied per (keys, bucket). */
