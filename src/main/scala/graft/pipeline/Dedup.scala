@@ -307,11 +307,13 @@ object Dedup {
     * for recall). */
   def semanticPairs(docs: DataFrame, vecCol: String, idCol: String,
                     minCos: Double, nLists: Int = -1,
-                    roundTo: Int = 4): DataFrame = {
+                    roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
     val base = docs.select(col(idCol).as("a"), v.as("va"))
-    val lists = if (nLists > 0) nLists else Similarity.resolveLists(docs, nLists)
+    val lists =
+      if (nLists > 0) nLists
+      else Similarity.resolveLists(docs, nLists, corpusSize)
     val assigned =
       if (lists <= 1) base.withColumn("__cl", lit(0))
       else {
@@ -352,8 +354,10 @@ object Dedup {
     * stage with the same large-star/small-star components used for lexical
     * cluster dedup — one pipeline for both dedup families. */
   def semanticDedup(docs: DataFrame, vecCol: String, idCol: String,
-                    minCos: Double, nLists: Int = -1): DataFrame = {
-    val pairs = semanticPairs(docs, vecCol, idCol, minCos, nLists)
+                    minCos: Double, nLists: Int = -1,
+                    corpusSize: Long = -1L): DataFrame = {
+    val pairs = semanticPairs(docs, vecCol, idCol, minCos, nLists,
+      corpusSize = corpusSize)
     clusterAssign(docs, idCol, pairs, "a", "b")
   }
 
@@ -426,11 +430,15 @@ object Dedup {
 
   /** AUTO SRP band sizing: r bits per band targets ~64 vectors per bucket
     * (candidates ~64·N per band instead of N²/2^r with a fixed width),
-    * floored at 4 bits, capped at 15 (4 bands x 15 = 60 < the 63-bit Long
-    * signature). */
-  private[graft] def autoBandBits(n: Long, bands: Int): Int =
-    math.min(15, math.max(4,
+    * floored at 4 bits (1 when even the floor would overflow the signature),
+    * capped so bands·r always fits the 63-bit Long signature regardless of
+    * `bands` — with the recommended bands >= 5 a flat 15-bit cap would
+    * resolve to > 63 total bits and throw at runtime on large corpora. */
+  private[graft] def autoBandBits(n: Long, bands: Int): Int = {
+    val perBandCap = math.max(1, math.min(15, 63 / bands))
+    math.min(perBandCap, math.max(math.min(4, perBandCap),
       math.ceil(math.log(n / 64.0) / math.log(2)).toInt)) * bands
+  }
 
   /** Embedding-cosine near-duplicate candidates at scale: banded
     * sign-random-projection LSH. The `bits` hyperplane signs are split into
@@ -453,10 +461,12 @@ object Dedup {
     * Output (a, b, cos). */
   def embeddingCandidates(docs: DataFrame, vecCol: String, idCol: String,
                           minCos: Double, bits: Int = -1, bands: Int = 4,
-                          roundTo: Int = 4): DataFrame = {
+                          roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val resolvedBits =
-      if (bits > 0) bits else autoBandBits(math.max(docs.count(), 1L), bands)
+      if (bits > 0) bits
+      else autoBandBits(
+        math.max(if (corpusSize > 0) corpusSize else docs.count(), 1L), bands)
     require(resolvedBits % bands == 0, "bands must divide bits")
     require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
     val r = resolvedBits / bands

@@ -96,9 +96,15 @@ object Similarity {
   /** Resolve an nLists parameter: positive = explicit, AUTO (<= 0) derives
     * ~sqrt(corpus count) via [[autoLists]] — one count job (a parquet
     * metadata count on a plain scan), so the default no longer degrades
-    * toward all-pairs/full-scan as the corpus grows past the old fixed 16. */
-  private[graft] def resolveLists(corpus: DataFrame, nLists: Int): Int =
-    if (nLists > 0) nLists else autoLists(corpus.count())
+    * toward all-pairs/full-scan as the corpus grows past the old fixed 16.
+    * NOTE the count job runs eagerly at plan-construction time, once per
+    * operator call, on the full upstream plan; pipelines composing several
+    * AUTO operators over the same corpus should count once and pass the
+    * size via `corpusSize` to skip it. */
+  private[graft] def resolveLists(corpus: DataFrame, nLists: Int,
+                                  corpusSize: Long = -1L): Int =
+    if (nLists > 0) nLists
+    else autoLists(if (corpusSize > 0) corpusSize else corpus.count())
 
   /** Dimension of the vector column, from the first row with a non-empty
     * vector (clear error on empty/all-null input instead of a head() NPE). */
@@ -165,11 +171,11 @@ object Similarity {
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
-              roundTo: Int = 4): DataFrame = {
+              roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
-    val cents = ivfCentroids(c0, dim, resolveLists(corpus, nLists))
+    val cents = ivfCentroids(c0, dim, resolveLists(corpus, nLists, corpusSize))
 
     val c = c0.withColumn("cluster", assignCluster(col("cv"), cents))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
@@ -333,13 +339,13 @@ object Similarity {
                 vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
                 m: Int = 8, kCodes: Int = 16, steps: Int = 4,
                 rerank: Int = -1, roundTo: Int = 4,
-                trainFraction: Double = 1.0): DataFrame = {
+                trainFraction: Double = 1.0, corpusSize: Long = -1L): DataFrame = {
     ensureFns(corpus)
     val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
     val d = dim / m
     val train = trainSlice(c0, trainFraction)
-    val cents = ivfCentroids(train, dim, resolveLists(corpus, nLists))
+    val cents = ivfCentroids(train, dim, resolveLists(corpus, nLists, corpusSize))
     val books = pqCodebooks(train, dim, m, kCodes, steps)
 
     // corpus side: list assignment + PQ codes + reconstruction norm, all

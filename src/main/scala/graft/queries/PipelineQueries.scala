@@ -156,6 +156,16 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
+    // ---- the PRODUCTION path of the same operator: AUTO band width
+    //      (r = max(4, ceil(log2(N/64))) per band — the scale-safe sizing
+    //      that keeps buckets ~64 rows as the corpus grows; SCALING.md
+    //      finding 1). Registered so the driver's correctness run executes
+    //      the plan users actually get, not only the pinned-bits golden. ----
+    Q.rowsOnly("q_dedup_embedding_lsh_auto") { (s, dir) =>
+      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
+        .orderBy("a", "b")
+    },
+
     // ---- SemDeDup semantic dedup, exact form (nLists=1 degenerates to
     // all-pairs): components over cosine>=0.45 links, keeper = min id;
     // oracle replays pairs + reachability as a recursive CTE ----
@@ -507,6 +517,31 @@ object PipelineQueries {
       val nll = Curation.bigramNll(d, "doc_id", "text")
       val keep = Dedup.semanticDedup(e, "embedding", "vec_id",
           minCos = 0.45, nLists = 1)
+        .filter(col("id") === col("cluster"))
+        .select(col("id").as("doc_id"))
+      val surv = d.select("doc_id", "text")
+        .join(dup.select(col("doc_id"), col("dup_ngram_frac")), "doc_id")
+        .join(nll.select(col("doc_id"), col("nll")), "doc_id")
+        .filter(col("dup_ngram_frac") <= 0.2 && col("nll").between(3.30, 3.45))
+        .join(keep, "doc_id")
+      val withTok = surv.withColumn("__tok",
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long"))
+      Curation.packSequences(withTok, "doc_id", "__tok", budget = 200, shards = 2)
+        .orderBy("shard", "doc_id")
+    },
+
+    // ---- curation v3, PRODUCTION SemDeDup stage: AUTO nLists (~√N
+    //      clusters, Similarity.autoLists) instead of the nLists=1 all-pairs
+    //      oracle baseline above — the Σ n_c² clustered scan is the plan a
+    //      100 TB run uses; cross-cluster pairs are missed by construction,
+    //      so the keeper set (hence the packing) differs from the exact
+    //      oracle and this registers rows-only with a pinned golden. ----
+    Q.rowsOnly("q_pipeline_curation_v3_auto") { (s, dir) =>
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val dup = Curation.duplicatedNgramFraction(d, "doc_id", "text", n = 5)
+      val nll = Curation.bigramNll(d, "doc_id", "text")
+      val keep = Dedup.semanticDedup(e, "embedding", "vec_id", minCos = 0.45)
         .filter(col("id") === col("cluster"))
         .select(col("id").as("doc_id"))
       val surv = d.select("doc_id", "text")

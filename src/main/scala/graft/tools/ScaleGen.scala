@@ -13,10 +13,18 @@ import graft.engine.GraftSession
   * and cluster sizes and the generator itself scales like any other Spark
   * job (this is how one would materialize a 100 TB rehearsal corpus too).
   *
-  * Usage: runMain graft.tools.ScaleGen <outDir> [sf]
+  * Usage: runMain graft.tools.ScaleGen <outDir> [sf] [vocab]
   *   sf = 1.0 (default) means 10x the sf0.1 corpus: 6M lineitem, 1M events
   *   (15k users), 50k documents, 20k embeddings. region/nation are the
   *   fixed-size dimensions and are copied from sf0.1.
+  *   vocab = uniform30 (default; the driver corpus's 30-word vocabulary) or
+  *   zipf: a ~50k-term Zipf(s=1) vocabulary (rank drawn by inverse CDF,
+  *   P(r) ∝ 1/r, as pure expressions) with the same exact-copy injection
+  *   plus a 5%-token-mutation near-dup band. The 30-word corpus makes
+  *   token-Jaccard OUTPUT-quadratic (~24% of all pairs are true dups —
+  *   SCALING.md finding 3), so it can never exercise the PPJoin prefix
+  *   filter; the Zipf corpus has realistic rare-token prefixes and sparse
+  *   pair density, which is what a 100 TB text corpus looks like.
   *
   * NOT driver test data: the driver's sf dirs are read-only inputs for
   * correctness; this corpus exists to measure how the bench plans scale
@@ -46,6 +54,9 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/scaledata/sf1")
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    val vocabMode = if (args.length > 2) args(2) else "uniform30"
+    require(Seq("uniform30", "zipf").contains(vocabMode),
+      s"vocab must be uniform30|zipf, got $vocabMode")
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]").appName("graft-scalegen"))
       .getOrCreate()
@@ -154,10 +165,24 @@ object ScaleGen {
       "row", "the", "agg", "key", "query", "a", "scan", "batch")
     val srcId = when(h("dd", 200, col("id")) === 0 && col("id") >= 100,
       h("dpick", 100, col("id"))).otherwise(col("id"))
-    val words = transform(sequence(lit(1), (h("dn", 91, srcId) + 10).cast("int")),
-      i => when(pmod(xxhash64(lit("dw"), srcId, i), lit(1000L)) === 0, lit("dup"))
+    val uniformDraw = (i: Column) =>
+      when(pmod(xxhash64(lit("dw"), srcId, i), lit(1000L)) === 0, lit("dup"))
         .otherwise(element_at(array(vocab.map(lit): _*),
-          (pmod(xxhash64(lit("dv"), srcId, i), lit(vocab.size.toLong)) + 1).cast("int"))))
+          (pmod(xxhash64(lit("dv"), srcId, i), lit(vocab.size.toLong)) + 1).cast("int")))
+    // Zipf(s=1) rank over V terms by inverse CDF: rank = floor((V+1)^u)
+    // gives P(r) ∝ ln((r+1)/r) ≈ 1/r — head terms ("w1", "w2") are stopword-
+    // common, the tail is rare enough for PPJoin prefixes to prune on
+    val zipfV = 50000.0
+    val zipfTerm = (tag: String, id: Column, i: Column) =>
+      concat(lit("w"), floor(pow(lit(zipfV + 1), u(tag, id, i))).cast("long"))
+    // near-dup band: copied docs redraw ~5% of tokens with their OWN id
+    // salt, so Jaccard lands in the 0.8-0.95 band instead of exactly 1
+    val zipfDraw = (i: Column) =>
+      when(srcId =!= col("id") && u("dmu", col("id"), i) < 0.05,
+        zipfTerm("dzm", col("id"), i))
+        .otherwise(zipfTerm("dzv", srcId, i))
+    val words = transform(sequence(lit(1), (h("dn", 91, srcId) + 10).cast("int")),
+      if (vocabMode == "zipf") zipfDraw else uniformDraw)
     val text = concat_ws(" ", words)
     write(spark.range(nDocs).select(
       col("id").as("doc_id"),

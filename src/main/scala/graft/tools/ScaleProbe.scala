@@ -11,10 +11,15 @@ import graft.pipeline.Dedup
   * oracle baseline), so at sf1 those measure the pinned small-SF config,
   * not what a production pipeline would run. This probe runs the same
   * operators with their AUTO sizing (band width ~log2(N), nLists ~sqrt(N))
-  * on the same corpus. Usage: runMain graft.tools.ScaleProbe [sfDir] */
+  * on the same corpus. Usage: runMain graft.tools.ScaleProbe [sfDir] [mode]
+  * mode=zipf probes ONLY the text-dedup growth curve (tokenJaccard +
+  * minhash) on a ScaleGen zipf-vocabulary corpus — the open-vocabulary
+  * measurement where the PPJoin prefix filter, not output density, bounds
+  * the candidate set (SCALING.md finding 3 follow-up). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/scaledata/sf1")
+    val mode = if (args.length > 1) args(1) else "full"
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]").appName("graft-scaleprobe"))
       .getOrCreate()
@@ -24,6 +29,25 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val n = f
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    if (mode == "zipf") {
+      import org.apache.spark.sql.functions.col
+      val d = Tables.read(spark, dir, "documents")
+      val total = d.count()
+      // doubling curve: sub-quadratic pair growth (ratio << 4x per doubling)
+      // is the pass condition — the prefix filter prunes, the output is
+      // sparse, and neither happens on the 30-word corpus
+      for (n <- Seq(total / 4, total / 2, total)) {
+        time(s"tokenJaccard 0.8 n=$n") {
+          Dedup.tokenJaccardPairs(d.filter(col("doc_id") < n), "text", "doc_id", 0.8).count()
+        }
+        time(s"minhash cands n=$n") {
+          Dedup.minhashCandidates(d.filter(col("doc_id") < n), "text", "doc_id").count()
+        }
+      }
+      spark.stop()
+      return
     }
 
     val e = Tables.read(spark, dir, "embeddings")

@@ -452,6 +452,15 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.autoBandBits(20000, 4) == 36)          // 9 bits/band at 20k
     assert(Dedup.autoBandBits(100_000_000L, 4) == 60)   // cap: 15 bits/band
     assert(Dedup.autoBandBits(100_000_000L, 4) <= 63)
+    // raising `bands` for recall (the documented b·r trade) must never
+    // overflow the 63-bit Long signature: the per-band cap is 63/bands,
+    // not a flat 15 (a flat cap resolved 5 bands x 15 = 75 bits and threw
+    // at runtime on corpora past ~262k rows)
+    for (bands <- 5 to 16; n <- Seq(1000L, 262_144L, 100_000_000L))
+      assert(Dedup.autoBandBits(n, bands) <= 63,
+        s"bands=$bands n=$n -> ${Dedup.autoBandBits(n, bands)} bits")
+    assert(Dedup.autoBandBits(100_000_000L, 5) == 60)   // 12 bits/band
+    assert(Dedup.autoBandBits(100_000_000L, 8) == 56)   // 7 bits/band
   }
 
   test("autoLists: AUTO nLists grows ~sqrt(N), floored at 16, capped at 4096") {

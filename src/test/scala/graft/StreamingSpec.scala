@@ -88,6 +88,12 @@ class StreamingSpec extends SparkTestBase {
         .select("k", "n", "s").as[(String, Long, Double)].collect()
       // first two windows are closed by the watermark advance
       assert(out.take(2).toSeq == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
+      // closed windows leave the store when they emit (append-mode windowed
+      // agg evicts at watermark): only the still-open 09:00 window remains
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 2, s"closed windows not evicted (removed=$removed)")
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum == 1)
     } finally q.stop()
   }
 
@@ -281,6 +287,19 @@ class StreamingSpec extends SparkTestBase {
       input.addData((Timestamp.valueOf("2024-01-01 00:10:00"), "hello")) // dup across batches
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == 2)
+      // state is watermark-BOUNDED, not append-only: a far-future row pushes
+      // the watermark past hello/world's 1h expiration and their digest rows
+      // must be EVICTED from the store, leaving only the live key
+      input.addData((Timestamp.valueOf("2024-01-02 12:00:00"), "future"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-02 12:01:00"), "future2"))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 2, s"expired dedup state not evicted (removed=$removed)")
+      val live = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(live <= 2, s"dedup state grew monotonically: $live rows")
+      assert(spark.table("dedup_out").count() == 4)
     } finally q.stop()
   }
 
@@ -367,6 +386,12 @@ class StreamingSpec extends SparkTestBase {
         .orderBy("start_ms").select("match_num").as[Long].collect().toSeq
       // documented TTL trade-off: the dropped key's sequence restarts at 1
       assert(nums == Seq(1L, 1L), s"expected restart after TTL, got $nums")
+      // the restart is only possible because u1's state row was physically
+      // REMOVED from the store at TTL expiry (not merely reset): the
+      // flatMapGroupsWithState operator must report the eviction
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 1, s"idle-TTL state not evicted (removed=$removed)")
     } finally q.stop()
   }
 
@@ -408,6 +433,11 @@ class StreamingSpec extends SparkTestBase {
       assert(streamed.subsetOf(batch), s"stream emitted non-batch matches: ${streamed -- batch}")
       assert(closedBatch.subsetOf(streamed),
         s"closed batch matches missing from stream: ${closedBatch -- streamed}")
+      // state is one row per LIVE key (3 here), independent of the 300-row
+      // tape length — the closed region drains out of each key's buffer as
+      // the watermark advances instead of accumulating
+      val live = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(live <= 3, s"MR state must stay per-key bounded, got $live rows")
     } finally q.stop()
   }
 
@@ -550,6 +580,9 @@ class StreamingSpec extends SparkTestBase {
       // b's live state remains
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows == 1, s"expected only the live key's state, got $stateRows")
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 1, s"drained-key state not evicted (removed=$removed)")
       val aRows = spark.table("gbr_churn").filter($"k" === "a")
         .select("value").as[Option[Double]].collect()
       assert(aRows.count(_.isDefined) == 1 && aRows.count(_.isEmpty) > 0)
