@@ -43,15 +43,24 @@ object Bench {
     val only = named("SPARK_GRAFT_BENCH_ONLY")
     val benchSet = if (only.nonEmpty) only
       else Registry.benchQueries ++ named("SPARK_GRAFT_BENCH_EXTRA")
+    // a failed query must NEVER be silently timed: an exception returns in
+    // milliseconds and reads as a 100x speedup (round 7's "fast" TS numbers
+    // were exactly this — every events-table query was throwing on an
+    // unexpected timestamp type and the harness recorded the throw time)
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = benchSet.map { q =>
       try q.build(spark, warmDir).count() catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
-        try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { q.build(spark, sfDir).count() } catch {
+          case e: Throwable => failed.getOrElseUpdate(q.name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       Console.err.println(f"[bench] ${q.name}%-28s " +
-        times.map(t => f"$t%.3f").mkString(" "))
+        times.map(t => f"$t%.3f").mkString(" ") +
+        (if (failed.contains(q.name)) "  FAILED: " + failed(q.name) else ""))
       // cross-query hygiene: drop cached tables and nudge the
       // ContextCleaner (broadcast blocks are weak-ref collected)
       spark.catalog.clearCache()
@@ -59,10 +68,16 @@ object Bench {
       q.name -> ((times.sorted.apply(times.length / 2), times.min))
     }
     val qs = results.map { case (k, (med, mn)) =>
-        "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn + "}"
+        "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn +
+          (if (failed.contains(k)) ",\"failed\":true" else "") + "}"
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) {
+      Console.err.println(s"[bench] ${failed.size} queries FAILED — timings above are throw times, not plans")
+      sys.exit(3)
+    }
     spark.stop()
   }
 }

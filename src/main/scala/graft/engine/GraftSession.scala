@@ -23,6 +23,13 @@ object GraftSession {
       // events.parquet carries TIMESTAMP(NANOS) which Spark cannot represent
       // natively (µs); read as LongType nanos and convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-less parquet timestamps (timestamp[us] with isAdjustedToUTC=false
+      // — how the driver's generator writes ts/l_shipdate/o_orderdate) read
+      // as plain TIMESTAMP, not TIMESTAMP_NTZ: under the UTC session TZ the
+      // values are identical, every time function (unix_micros & co) stays
+      // applicable, and the DuckDB oracle agrees (it treats naive parquet
+      // timestamps the same way).
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / tools. */
@@ -43,6 +50,8 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     // read TIMESTAMP(NANOS) parquet (events.ts) as LongType nanos
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // naive parquet timestamps as TIMESTAMP, not NTZ (see configure)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     GraftFunctions.registerAll(spark)
     spark
   }

@@ -70,7 +70,15 @@ object Tables {
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
     } else {
-      raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      // defensive: a caller-supplied frame may still carry TIMESTAMP_NTZ
+      // (e.g. a replay schema captured before session conf applied); under
+      // the UTC session TZ the cast is value-preserving
+      val ts =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+          col("ts").cast("timestamp")
+        else col("ts")
+      raw.withColumn("ts", ts)
+        .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
         .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
     }
   }

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Parallelism.spread
 
 /** Dataset-curation operators a large-scale training pipeline needs beyond
   * dedup/quality: benchmark decontamination and reproducible sampling.
@@ -278,7 +279,7 @@ object Curation {
     require(window > 0, "window must be positive")
     require(stride > 0 && stride <= window,
       s"stride must be in [1, window], got $stride")
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val base = spread(docs).select(col(idCol), tokens(col(textCol)).as("__t"))
     val sz = size(col("__t"))
     // chunks fully covering the tokens: 1 + ceil(max(sz-window, 0)/stride)
     val nChunks = lit(1) +

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.engine.Parallelism.spread
 
 /** Large-scale text deduplication operators for training-data pipelines.
   *
@@ -133,7 +134,7 @@ object Dedup {
     // coalesce makes the kernel input (hence `sig`) non-nullable, so join
     // constraint inference can't push an isnotnull(<kernel>) into the scan
     // filter — which would evaluate the whole sketch twice per row
-    docs.where(col(textCol).isNotNull)
+    spread(docs).where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         call_function("graft_minhash_sig",
           coalesce(lower(col(textCol)), lit("")), lit(shingleN), lit(k)).as("sig"))
@@ -194,7 +195,7 @@ object Dedup {
   def simhashDf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     // coalesce: same non-nullability guard as minhashSignatures
-    docs.where(col(textCol).isNotNull)
+    spread(docs).where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         call_function("graft_simhash64",
           coalesce(lower(col(textCol)), lit(""))).as("sh"))
@@ -242,7 +243,8 @@ object Dedup {
     * 5k docs, and between impossible and linear-ish at 100 TB. */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double): DataFrame = {
-    val tok = docs.select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
+    val tok = spread(docs)
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
       .distinct()
     val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
     // global document frequency orders tokens (rarest first, token as tie)
@@ -283,8 +285,9 @@ object Dedup {
                          minCos: Double, roundTo: Int = 4): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
-    val l = docs.select(col(idCol).as("a"), v.as("va"))
-    val r = docs.select(col(idCol).as("b"), v.as("vb"))
+    val d = spread(docs)
+    val l = d.select(col(idCol).as("a"), v.as("va"))
+    val r = d.select(col(idCol).as("b"), v.as("vb"))
     l.join(r, col("a") < col("b"))
       .select(col("a"), col("b"),
         round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
@@ -310,7 +313,7 @@ object Dedup {
                     roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
-    val base = docs.select(col(idCol).as("a"), v.as("va"))
+    val base = spread(docs).select(col(idCol).as("a"), v.as("va"))
     val lists =
       if (nLists > 0) nLists
       else Similarity.resolveLists(docs, nLists, corpusSize)
@@ -393,7 +396,7 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
                      sepRegex: String = "\\n{2,}",
                      joinSep: String = "\n\n"): DataFrame = {
-    val units = docs
+    val units = spread(docs)
       .select(col(idCol), posexplode(
         filter(transform(split(col(textCol), sepRegex), p => trim(p)),
           p => p =!= "")))
@@ -471,7 +474,7 @@ object Dedup {
     require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
     val r = resolvedBits / bands
     val dim = Similarity.vecDim(docs, vecCol)
-    val sig = docs.select(col(idCol).as("id"),
+    val sig = spread(docs).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
       .withColumn("sig", Similarity.signatureFused(col("v"), resolvedBits, dim))
     val bandCols = (0 until bands).map { b =>

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.engine.Parallelism.spread
 
 /** Embedding similarity search over an Array[Float] column.
   *
@@ -40,7 +41,7 @@ object Similarity {
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4): DataFrame = {
     ensureFns(corpus)
-    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val c = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
@@ -173,7 +174,7 @@ object Similarity {
               vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
               roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     ensureFns(corpus)
-    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val c0 = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
     val cents = ivfCentroids(c0, dim, resolveLists(corpus, nLists, corpusSize))
 
@@ -255,7 +256,7 @@ object Similarity {
              steps: Int = 4, rerank: Int = -1,
              roundTo: Int = 4, trainFraction: Double = 1.0): DataFrame = {
     ensureFns(corpus)
-    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val c0 = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
     val d = dim / m
     val books = pqCodebooks(trainSlice(c0, trainFraction), dim, m, kCodes, steps)
@@ -341,7 +342,7 @@ object Similarity {
                 rerank: Int = -1, roundTo: Int = 4,
                 trainFraction: Double = 1.0, corpusSize: Long = -1L): DataFrame = {
     ensureFns(corpus)
-    val c0 = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val c0 = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
     val d = dim / m
     val train = trainSlice(c0, trainFraction)
@@ -413,7 +414,7 @@ object Similarity {
     // derive dim from the data (as ivfTopK does): a mismatched hyperplane
     // length would null-pad in zip_with and collapse every signature to 0
     val dim = vecDim(corpus, vecCol)
-    val c = corpus.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val c = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", signatureFused(col("cv"), bits, dim))
     // queries probe their own bucket + `probes` single-bit-flip neighbors
     val probeBuckets = (c0: Column) =>

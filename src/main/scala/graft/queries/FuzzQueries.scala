@@ -1,0 +1,219 @@
+package graft.queries
+
+import scala.util.Random
+
+/** Seeded SQL grammar fuzz queries, driver-oracle-checked.
+  *
+  * Hand-written queries cover each operator once; these cover operator
+  * INTERACTIONS (predicate shapes x aggregates x grouping x windows x
+  * joins x set ops) that no single query exercises — the systematic
+  * semantics net the reference's own test void (SURVEY §5) leaves open.
+  *
+  * Every query is generated from a pinned seed as ONE text in the
+  * Spark/DuckDB intersection dialect and registered with itself as its
+  * oracle, so the driver's DuckDB run differentially checks our whole SQL
+  * path (GraftSql rewrite -> Catalyst -> execution) against an independent
+  * engine. Generation rules that keep the comparison sound:
+  *   - every query ends in ORDER BY over a deterministic non-null key set
+  *     (DuckDB sorts NULLS LAST, Spark NULLS FIRST — so sort keys are
+  *     always non-null base columns or grouped keys);
+  *   - double-typed outputs are ROUND()ed (both engines agree to 1 ulp at
+  *     4 decimals; raw double aggregation order is engine-specific);
+  *   - no integer `/` anywhere near types the dialects coerce differently;
+  *   - LIMIT only after a total order.
+  *
+  * A wider in-repo net (200 seeds vs Spark itself) runs in SqlFuzzSpec;
+  * the registered subset here is the driver-visible sample of it.
+  */
+object FuzzQueries {
+
+  /** Numeric lineitem columns safe to aggregate. */
+  private val nums = Vector("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val strs = Vector("l_returnflag", "l_linestatus")
+  private val keys = Vector("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+
+  /** The generated lineitem has NO unique key — (l_orderkey, l_linenumber)
+    * repeats (60k rows, ~46k distinct pairs) — but full rows are unique, so
+    * ordering by every column is the only total order both engines agree
+    * on. Row-order-sensitive templates (LIMIT boundaries, ROWS window
+    * frames) must use this; anything weaker is tie-broken differently by
+    * Spark and DuckDB and diverges. */
+  private val totalOrder = (keys ++ nums ++ strs :+ "l_shipdate").mkString(", ")
+
+  private def pick[T](r: Random, xs: Vector[T]): T = xs(r.nextInt(xs.size))
+
+  /** A random scalar numeric expression over lineitem (closed under both
+    * dialects; never divides, never mixes strings into arithmetic). */
+  private def numExpr(r: Random, depth: Int = 0): String = {
+    val leaf = r.nextInt(4) match {
+      case 0 => pick(r, nums)
+      case 1 => pick(r, keys)
+      case 2 => (r.nextInt(20) + 1).toString
+      case _ => f"${r.nextDouble() * 10}%.2f"
+    }
+    if (depth >= 2 || r.nextInt(3) == 0) leaf
+    else r.nextInt(4) match {
+      case 0 => s"($leaf + ${numExpr(r, depth + 1)})"
+      case 1 => s"($leaf - ${numExpr(r, depth + 1)})"
+      case 2 => s"($leaf * ${numExpr(r, depth + 1)})"
+      case _ => s"ABS($leaf - ${numExpr(r, depth + 1)})"
+    }
+  }
+
+  /** A random predicate over lineitem. */
+  private def pred(r: Random, depth: Int = 0): String = {
+    val atom = r.nextInt(6) match {
+      case 0 =>
+        val op = pick(r, Vector("<", "<=", "=", ">", ">=", "<>"))
+        s"${numExpr(r, 1)} $op ${numExpr(r, 1)}"
+      case 1 =>
+        val lo = r.nextInt(20) + 1; val hi = lo + r.nextInt(30) + 1
+        s"${pick(r, nums ++ keys)} BETWEEN $lo AND $hi"
+      case 2 =>
+        val vals = Vector("'A'", "'N'", "'R'").take(r.nextInt(2) + 1)
+        s"l_returnflag IN (${vals.mkString(", ")})"
+      case 3 => s"l_linestatus = '${pick(r, Vector("O", "F"))}'"
+      case 4 => s"${pick(r, keys)} % ${r.nextInt(7) + 2} = ${r.nextInt(2)}"
+      case _ => s"l_shipdate < TIMESTAMP '199${5 + r.nextInt(3)}-0${1 + r.nextInt(9)}-15 00:00:00'"
+    }
+    if (depth >= 2 || r.nextInt(3) == 0) atom
+    else r.nextInt(3) match {
+      case 0 => s"($atom AND ${pred(r, depth + 1)})"
+      case 1 => s"($atom OR ${pred(r, depth + 1)})"
+      case _ => s"(NOT ${pred(r, depth + 1)})"
+    }
+  }
+
+  /** Aggregate ARGUMENTS follow the q1_agg parity discipline: decimal-cast
+    * before SUM (exact, association-order-independent — Spark's tree
+    * aggregation and DuckDB's sequential sum then agree bit-for-bit), cast
+    * back to DOUBLE outside. ROUND is NOT used: the engines disagree on
+    * binary-boundary rounding, and a fuzzer WILL eventually generate a
+    * boundary value. */
+  private def aggArg(r: Random): String = {
+    def dec(c: String) = s"CAST($c AS DECIMAL(18,2))"
+    r.nextInt(3) match {
+      case 0 => dec(pick(r, nums))
+      case 1 => s"(${dec(pick(r, nums))} + ${dec(pick(r, nums))})"
+      case _ => s"(${dec(pick(r, nums))} * ${r.nextInt(19) + 1})"
+    }
+  }
+
+  /** One aggregate call (exact under both engines), with its alias. */
+  private def agg(r: Random, i: Int): (String, String) = {
+    val a = s"a$i"
+    val sql = r.nextInt(6) match {
+      case 0 => s"CAST(SUM(${aggArg(r)}) AS DOUBLE) AS $a"
+      case 1 => s"CAST(SUM(${aggArg(r)}) AS DOUBLE) / COUNT(*) AS $a" // exact AVG
+      case 2 => s"MIN(${pick(r, keys)}) AS $a"
+      case 3 => s"MAX(${pick(r, keys)}) AS $a"
+      case 4 => s"COUNT(*) AS $a"
+      case _ => s"COUNT(DISTINCT ${pick(r, keys ++ strs)}) AS $a"
+    }
+    (sql, a)
+  }
+
+  /** Grouped aggregation over a random predicate. */
+  private def groupedAgg(r: Random): String = {
+    val gs = r.shuffle(strs).take(r.nextInt(2) + 1)
+    val aggs = (0 until r.nextInt(3) + 1).map(i => agg(r, i))
+    s"""SELECT ${gs.mkString(", ")}, ${aggs.map(_._1).mkString(", ")}
+       |FROM lineitem WHERE ${pred(r)}
+       |GROUP BY ${gs.mkString(", ")}
+       |ORDER BY ${gs.mkString(", ")}""".stripMargin
+  }
+
+  /** Global aggregation (no GROUP BY) — exercises empty-group semantics. */
+  private def globalAgg(r: Random): String = {
+    val aggs = (0 until r.nextInt(3) + 2).map(i => agg(r, i))
+    // COUNT(*) included so the single row is stable even on empty input
+    s"""SELECT COUNT(*) AS cnt, ${aggs.map(_._1).mkString(", ")}
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY cnt""".stripMargin
+  }
+
+  /** Scalar projection + filter + total order + LIMIT. Per-row double
+    * arithmetic is the SAME fixed IEEE expression tree in both engines
+    * (no reassociation), so raw unrounded doubles compare bit-for-bit. */
+  private def projection(r: Random): String = {
+    val exprs = (0 until r.nextInt(3) + 1).map(i => s"(${numExpr(r)}) AS e$i")
+    val caseE = s"CASE WHEN ${pred(r, 1)} THEN '${pick(r, Vector("hi", "lo"))}'" +
+      s" ELSE '${pick(r, Vector("mid", "na"))}' END AS tag"
+    s"""SELECT l_orderkey, l_linenumber, $caseE, ${exprs.mkString(", ")}
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(400)}""".stripMargin
+  }
+
+  /** Window functions over a deterministic order. */
+  private def windowed(r: Random): String = {
+    val part = pick(r, strs)
+    val fn = r.nextInt(3) match {
+      case 0 => "ROW_NUMBER()"
+      case 1 => "RANK()"
+      case _ => "DENSE_RANK()"
+    }
+    // decimal-cast the frame sum (exact both engines) over the full total
+    // order — a ROWS frame over a non-unique order is tie-broken
+    // differently per engine and silently diverges
+    val agg2 = s"CAST(SUM(CAST(${pick(r, nums)} AS DECIMAL(18,2))) OVER " +
+      s"(PARTITION BY $part ORDER BY $totalOrder ROWS BETWEEN " +
+      s"${r.nextInt(5) + 1} PRECEDING AND CURRENT ROW) AS DOUBLE)"
+    s"""SELECT l_orderkey, l_linenumber, $part,
+       |  $fn OVER (PARTITION BY $part ORDER BY $totalOrder) AS rk,
+       |  $agg2 AS wsum
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT 500""".stripMargin
+  }
+
+  /** lineitem x orders join with per-side filters. */
+  private def joined(r: Random): String = {
+    val jt = pick(r, Vector("JOIN", "LEFT JOIN"))
+    val aggs = (0 until r.nextInt(2) + 1).map(i => agg(r, i))
+    // LEFT JOIN keeps unmatched lineitem rows; group keys stay non-null
+    s"""SELECT l_returnflag, o_orderstatus, COUNT(*) AS cnt, ${aggs.map(_._1).mkString(", ")}
+       |FROM lineitem $jt orders ON l_orderkey = o_orderkey
+       |  AND o_totalprice > ${1000 + r.nextInt(100000)}
+       |WHERE ${pred(r)}
+       |GROUP BY l_returnflag, o_orderstatus
+       |ORDER BY l_returnflag, o_orderstatus NULLS FIRST""".stripMargin
+  }
+
+  /** Set operation between two filtered projections of the same shape. */
+  private def setOp(r: Random): String = {
+    val op = pick(r, Vector("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
+    val cols = "l_orderkey, l_linenumber, l_returnflag"
+    // ORDER BY every output column: tied rows are then bit-identical, so
+    // any tie order hashes the same
+    s"""SELECT * FROM (
+       |  SELECT $cols FROM lineitem WHERE ${pred(r)}
+       |  $op
+       |  SELECT $cols FROM lineitem WHERE ${pred(r)}
+       |) t ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin
+  }
+
+  /** Generate the pinned text for seed `s` (pure function of the seed). */
+  private[graft] def genSql(s: Int): String = {
+    val r = new Random(s)
+    r.nextInt(6) match {
+      case 0 => groupedAgg(r)
+      case 1 => globalAgg(r)
+      case 2 => projection(r)
+      case 3 => windowed(r)
+      case 4 => joined(r)
+      case _ => setOp(r)
+    }
+  }
+
+  /** Seeds are pinned: the registered fuzz set must be bit-stable across
+    * rounds (golden continuity + stable driver compare), so widening means
+    * ADDING seeds, never reinterpreting old ones. */
+  private val seeds: Seq[Int] = 0 until 24
+
+  val qs: Seq[Q] = seeds.map { s =>
+    val text = genSql(s)
+    Q.df(f"q_fuzz_$s%02d", duck = text) { (spark, dir) =>
+      graft.engine.Tables.registerAll(spark, dir)
+      graft.engine.GraftSql.sql(spark, text)
+    }
+  }
+}

@@ -107,7 +107,10 @@ object TqlCompiler {
           case other => throw new TqlParseException(s"expected number, got $other")
         }
         if (f.star)
-          TimeSeriesOps.timeSamplingHold(df, tsCol(container),
+          // drop the loader's `<ts>_ns` NanoTimestamp twin: `*` carries the
+          // row's DATA columns onto the grid, not the key's nanos alias
+          TimeSeriesOps.timeSamplingHold(
+            df.drop(s"${tsCol(container)}_ns"), tsCol(container),
             tsArg(base), tsArg(base + 1), n * unitUs)
         else
           TimeSeriesOps.timeSampling(df, tsCol(container), argName(0),
@@ -145,8 +148,11 @@ object TqlCompiler {
         val aggCols =
           if (f.star) {
             val ts = tsCol(container)
+            // `<ts>_ns` is the loader's lossless NanoTimestamp twin of the
+            // row key (Tables.normalizeEvents), not a data column — `*`
+            // expands over data columns only, like the key itself
             val numeric = df.schema.fields.collect {
-              case fld if fld.name != ts &&
+              case fld if fld.name != ts && fld.name != s"${ts}_ns" &&
                 fld.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
                 fld.name
             }.toSeq
