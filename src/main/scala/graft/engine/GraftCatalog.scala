@@ -58,6 +58,19 @@ final class GraftCatalog(spark: SparkSession) {
     scala.collection.mutable.LinkedHashMap[String, (String, Seq[String])]()
   private val views = scala.collection.mutable.LinkedHashMap[String, String]()
   private val triggers = scala.collection.mutable.LinkedHashMap[String, TriggerDef]()
+  // auth DDL surface (grammar rules 78-90, sql_processor_ddl.cpp:218,554):
+  // users/roles with salted-SHA-256 password digests (never plaintext) and
+  // table-level ALL/SELECT privileges. A single-JVM Spark engine has no
+  // wire-auth boundary — the catalog carries the reference's SEMANTICS
+  // (DDL round-trip, duplicate/missing errors, #users-style metadata,
+  // checkPrivilege for an embedding layer to enforce); real authentication
+  // belongs to the cluster platform (documented divergence, COVERAGE.md).
+  private final case class UserDef(name: String, isRole: Boolean,
+                                   passwordDigest: Option[String])
+  private val users = scala.collection.mutable.LinkedHashMap[String, UserDef]()
+  // (grantee, table, privilege ALL|SELECT)
+  private val grants = scala.collection.mutable.LinkedHashSet[(String, String, String)]()
+  private val databases = scala.collection.mutable.LinkedHashSet[String]("public")
   // notification transport: REST/JMS fan-out is the production binding; the
   // default (and the zero-egress test binding) records firings so specs and
   // operators can observe them
@@ -336,6 +349,94 @@ final class GraftCatalog(spark: SparkSession) {
     if (indexes.remove(indexName).isEmpty && !ifExists)
       throw new NoSuchElementException(s"index $indexName does not exist")
 
+  // ---- auth DDL (CREATE/DROP USER|ROLE, SET PASSWORD, GRANT/REVOKE) -------
+
+  private def digest(password: String, salt: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s"$salt:$password".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def createUser(name: String, password: Option[String],
+                 isRole: Boolean = false): Unit = users.synchronized {
+    require(!users.contains(name),
+      s"${if (isRole) "role" else "user"} $name already exists")
+    users(name) = UserDef(name, isRole, password.map(digest(_, name)))
+  }
+
+  def dropUser(name: String, isRole: Boolean = false): Unit = users.synchronized {
+    val existing = users.get(name)
+    require(existing.exists(_.isRole == isRole),
+      s"${if (isRole) "role" else "user"} $name does not exist")
+    users.remove(name)
+    grants.retain(_._1 != name)
+  }
+
+  def setPassword(name: String, password: String): Unit = users.synchronized {
+    val u = users.getOrElse(name, throw new NoSuchElementException(s"user $name does not exist"))
+    require(!u.isRole, s"$name is a role; roles have no password")
+    users(name) = u.copy(passwordDigest = Some(digest(password, name)))
+  }
+
+  /** True when `name`'s password digest matches — the hook a wire layer
+    * authenticates against (never exposes the digest). */
+  def authenticate(name: String, password: String): Boolean = users.synchronized {
+    users.get(name).exists(u => !u.isRole &&
+      u.passwordDigest.contains(digest(password, name)))
+  }
+
+  def grant(privilege: String, table: String, grantee: String): Unit =
+    users.synchronized {
+      val p = privilege.toUpperCase
+      require(Set("ALL", "SELECT")(p), s"unsupported privilege $privilege")
+      require(users.contains(grantee), s"user $grantee does not exist")
+      grants += ((grantee, table, p))
+    }
+
+  def revoke(privilege: String, table: String, grantee: String): Unit =
+    users.synchronized {
+      val p = privilege.toUpperCase
+      if (!grants.remove((grantee, table, p)))
+        throw new NoSuchElementException(
+          s"$grantee has no $p grant on $table")
+    }
+
+  /** Privilege check for an enforcing layer: ALL covers writes and reads,
+    * SELECT reads only. */
+  def checkPrivilege(grantee: String, table: String, write: Boolean): Boolean =
+    users.synchronized {
+      grants.contains((grantee, table, "ALL")) ||
+        (!write && grants.contains((grantee, table, "SELECT")))
+    }
+
+  def createDatabase(name: String): Unit = users.synchronized {
+    require(!databases.contains(name), s"database $name already exists")
+    databases += name
+  }
+
+  def dropDatabase(name: String): Unit = users.synchronized {
+    require(name != "public", "cannot drop the public database")
+    if (!databases.remove(name))
+      throw new NoSuchElementException(s"database $name does not exist")
+  }
+
+  /** Metadata table `#users` (transaction_service.h USER_INFO). The digest
+    * column reports only whether a password is SET — credential hygiene. */
+  def metaUsers: DataFrame = {
+    import spark.implicits._
+    users.synchronized { users.values.toSeq }
+      .map(u => (u.name, u.isRole, u.passwordDigest.isDefined))
+      .toDF("USER_NAME", "IS_ROLE", "PASSWORD_SET")
+  }
+
+  /** Metadata table `#database_privileges` (GridDB privilege introspection
+    * surface; one row per grant). */
+  def metaPrivileges: DataFrame = {
+    import spark.implicits._
+    users.synchronized { grants.toSeq }
+      .map { case (grantee, table, priv) => ("public", table, grantee, priv) }
+      .toDF("DATABASE_NAME", "TABLE_NAME", "USER_NAME", "PRIVILEGE")
+  }
+
   /** Metadata table `#tables` (meta_type.h TYPE_CONTAINER). */
   def metaTables: DataFrame = {
     import spark.implicits._
@@ -419,7 +520,9 @@ final class GraftCatalog(spark: SparkSession) {
     * the default database, GridDB's `public` (id 0). */
   def metaDatabases: DataFrame = {
     import spark.implicits._
-    Seq((0L, "public")).toDF("DATABASE_ID", "DATABASE_NAME")
+    users.synchronized { databases.toSeq }.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }
+      .toDF("DATABASE_ID", "DATABASE_NAME")
   }
 
   /** Metadata table `#sqls` — running SQL statements (meta_type.h TYPE_SQL;

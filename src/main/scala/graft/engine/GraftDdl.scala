@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType, 
   */
 object GraftDdl {
 
-  private val headRe = """(?is)^\s*(CREATE|DROP|ALTER|INSERT|REPLACE|UPDATE|DELETE)\b.*""".r
+  private val headRe =
+    """(?is)^\s*(CREATE|DROP|ALTER|INSERT|REPLACE|UPDATE|DELETE|GRANT|REVOKE|SET\s+PASSWORD)\b.*""".r
 
   /** True when the statement is DDL/DML this front-end owns (anything
     * starting with a DDL/DML verb — SELECT and friends stay in GraftSql). */
@@ -119,6 +120,38 @@ object GraftDdl {
       case dropTriggerRe(ifEx, tName) =>
         cat.dropTrigger(tName, ifExists = ifEx != null)
         status(spark, "DROP TRIGGER", tName)
+      // ---- auth DDL (grammar rules 78-90; sql_processor_ddl.cpp:218,554) --
+      case createUserRe(name, pw) =>
+        cat.createUser(name, Option(pw))
+        status(spark, "CREATE USER", name)
+      case dropUserRe(name) =>
+        cat.dropUser(name)
+        status(spark, "DROP USER", name)
+      case createRoleRe(name) =>
+        cat.createUser(name, None, isRole = true)
+        status(spark, "CREATE ROLE", name)
+      case dropRoleRe(name) =>
+        cat.dropUser(name, isRole = true)
+        status(spark, "DROP ROLE", name)
+      case setPasswordRe(name, pw) =>
+        // `SET PASSWORD = '...'` (no FOR) targets the CURRENT user in the
+        // reference; a library session has no ambient user, so require FOR
+        val target = Option(name).getOrElse(throw new IllegalArgumentException(
+          "SET PASSWORD requires FOR <user> (no ambient session user)"))
+        cat.setPassword(target, pw)
+        status(spark, "SET PASSWORD", target)
+      case grantRe(priv, table, grantee) =>
+        cat.grant(priv, table, grantee)
+        status(spark, "GRANT", s"$priv ON $table TO $grantee")
+      case revokeRe(priv, table, grantee) =>
+        cat.revoke(priv, table, grantee)
+        status(spark, "REVOKE", s"$priv ON $table FROM $grantee")
+      case createDatabaseRe(name) =>
+        cat.createDatabase(name)
+        status(spark, "CREATE DATABASE", name)
+      case dropDatabaseRe(name) =>
+        cat.dropDatabase(name)
+        status(spark, "DROP DATABASE", name)
       case _ =>
         throw new IllegalArgumentException(
           s"unsupported DDL/DML statement: ${text.linesIterator.next()}")
@@ -133,6 +166,20 @@ object GraftDdl {
   private val createViewRe =
     """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?VIEW\s+"?(\w+)"?\s+AS\s+(.*)$""".r
   private val dropViewRe = """(?is)^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?"?(\w+)"?$""".r
+  // auth DDL statement shapes (sql_internal_parser.cpp rules 78-90)
+  private val createUserRe =
+    """(?is)^CREATE\s+USER\s+"?(\w+)"?(?:\s+IDENTIFIED\s+BY\s+'([^']*)')?$""".r
+  private val dropUserRe = """(?is)^DROP\s+USER\s+"?(\w+)"?$""".r
+  private val createRoleRe = """(?is)^CREATE\s+ROLE\s+"?(\w+)"?$""".r
+  private val dropRoleRe = """(?is)^DROP\s+ROLE\s+"?(\w+)"?$""".r
+  private val setPasswordRe =
+    """(?is)^SET\s+PASSWORD\s+(?:FOR\s+"?(\w+)"?\s+)?=\s*'([^']*)'$""".r
+  private val grantRe =
+    """(?is)^GRANT\s+(ALL|SELECT)\s+ON\s+"?(\w+)"?\s+TO\s+"?(\w+)"?$""".r
+  private val revokeRe =
+    """(?is)^REVOKE\s+(ALL|SELECT)\s+ON\s+"?(\w+)"?\s+FROM\s+"?(\w+)"?$""".r
+  private val createDatabaseRe = """(?is)^CREATE\s+DATABASE\s+"?(\w+)"?$""".r
+  private val dropDatabaseRe = """(?is)^DROP\s+DATABASE\s+"?(\w+)"?$""".r
   // grammar rule 91: CREATE INDEX ifnotexists nm ON nm (idxlist); idxlist
   // entries allow ASC/DESC (rules 94-95, direction advisory here)
   private val createIndexRe =

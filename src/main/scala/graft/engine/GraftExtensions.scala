@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.GridDbScalarFunctions", name),
         builder))
     }
+    // GridDB-dialect statement parser: hints, time-fn call forms, DDL,
+    // MATCH_RECOGNIZE and GROUP BY RANGE work through ANY sql entry point
+    // of the session — including the Thrift/JDBC server (JdbcSpec drives
+    // that end to end)
+    e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }

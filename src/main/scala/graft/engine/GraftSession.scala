@@ -13,9 +13,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply graft-standard configuration to any builder. */
+  /** Apply graft-standard configuration to any builder. The GraftExtensions
+    * attach the GridDB dialect (functions + statement parser) at session
+    * creation; getOrCreate() on an already-created session keeps that
+    * session's extensions (Spark semantics) — use `spark.sql.extensions=
+    * graft.engine.GraftExtensions` for platform-owned sessions. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -34,6 +34,14 @@ object GraftSql {
              "MAX_DEGREE_OF_EXPANSION" | "DISTRIBUTED_POLICY" |
              "INDEX_SCAN" | "NO_INDEX_SCAN" | "LEADING" | "COST_BASED_JOIN" |
              "NO_COST_BASED_JOIN" | "TABLE_ROW_COUNT" | "LEGACY_PLAN" => None
+        // Spark's own hints pass through untouched — required both for
+        // mixed-dialect users and for idempotence (the injected dialect
+        // parser re-applies rewrite() to text GraftSql.sql already rewrote)
+        case "BROADCAST" | "BROADCASTJOIN" | "MAPJOIN" | "MERGE" |
+             "SHUFFLE_MERGE" | "MERGEJOIN" | "SHUFFLE_HASH" |
+             "SHUFFLE_REPLICATE_NL" | "COALESCE" | "REPARTITION" |
+             "REPARTITION_BY_RANGE" | "REBALANCE" =>
+          Some(if (args.nonEmpty) s"$name($args)" else name)
         case _ => None
       }
     }
@@ -220,6 +228,12 @@ object GraftSql {
         "SELECT <aggs> FROM <table> WHERE <ts bounds> GROUP BY RANGE(ts) " +
         "EVERY(n, unit) [FILL(mode)]")
   }
+
+  /** Statement forms Catalyst's parser cannot express — routed through the
+    * DataFrame lowering by both [[sql]] and the injected dialect parser. */
+  private[engine] def handlesSpecial(text: String): Boolean =
+    GraftDdl.handles(text) || GraftMrSql.matches(text) ||
+      rangeRe.pattern.matcher(text).matches()
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case _ if GraftDdl.handles(text) => GraftDdl.run(spark, text)

@@ -44,16 +44,37 @@ object TqlCompiler {
     }
   }
 
-  /** EXPLAIN [ANALYZE]: the compiled plan as rows (ANALYZE runs the query
-    * first so the formatted plan carries final AQE stats). */
+  /** EXPLAIN [ANALYZE]: plan rows in the reference's explain-data shape —
+    * 6 columns (ID, DEPTH, EXP_TYPE, VALUE_TYPE, VALUE_STRING, STATEMENT),
+    * one row per plan node, DEPTH encoding the tree
+    * (Query::addExplain / makeExplainColumnInfo,
+    * /root/reference/server/query.cpp:605-621, query.h:441-445,544).
+    * EXP_TYPE is the physical operator (SCAN/FILTER/SORT/...), VALUE_STRING
+    * the operator detail (the scan rows carry PushedFilters — the TQL
+    * index-use signal). ANALYZE executes first, so the rows describe the
+    * final AQE-adapted plan. */
   private def explain(container: Container, q: Query): DataFrame = {
     val inner = compile(container, q.copy(explain = 0))
     if (q.explain == 2) inner.count()
-    val text = inner.queryExecution.explainString(
-      org.apache.spark.sql.execution.FormattedMode)
+    val rows = Seq.newBuilder[(Int, Int, String, String, String, String)]
+    var id = 0
+    def walk(node: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      rows += ((id, depth,
+        node.nodeName.toUpperCase.replaceAll("\\s+", "_"), "STRING",
+        node.simpleString(500), null))
+      id += 1
+      val kids = node match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case other => other.children
+      }
+      kids.foreach(walk(_, depth + 1))
+    }
+    walk(inner.queryExecution.executedPlan, 0)
     val spark = container.df.sparkSession
     import spark.implicits._
-    text.linesIterator.toSeq.toDF("plan")
+    rows.result().toDF("ID", "DEPTH", "EXP_TYPE", "VALUE_TYPE",
+      "VALUE_STRING", "STATEMENT")
   }
 
   private def tsCol(container: Container): String =

@@ -33,11 +33,11 @@ class GraftSqlSpec extends SparkTestBase {
   test("TQL EXPLAIN returns a plan; EXPLAIN ANALYZE runs first") {
     val ev = Tables.container(spark, sfDir, "events")
     val plan = graft.tql.TqlCompiler.run(ev, "explain select * where value > 100")
-      .collect().map(_.getString(0)).mkString("\n")
+      .collect().map(_.getString(4)).mkString("\n")
     assert(plan.contains("Scan parquet") || plan.contains("PushedFilters"))
     val plan2 = graft.tql.TqlCompiler.run(ev,
       "explain analyze select count(*) where value > 100")
-      .collect().map(_.getString(0)).mkString("\n")
+      .collect().map(_.getString(4)).mkString("\n")
     assert(plan2.contains("HashAggregate"))
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.DriverManager
+
+/** JDBC front door (round-7 verdict ask #7): the reference's NewSQL engine
+  * is JDBC-facing (/root/reference/server/sql_service.cpp:774); our
+  * equivalent is Spark's Thrift server over a GraftExtensions session —
+  * the injected GraftSqlParser makes the GridDB dialect (hints, time-fn
+  * call forms, GridDB DDL/DML, GROUP BY RANGE) work for any wire client.
+  *
+  * This spec is a real external client: it boots HiveThriftServer2 on the
+  * shared session and drives it with the stock hive-jdbc driver over a
+  * TCP socket — no graft classes on the "client side" of the connection.
+  */
+class JdbcSpec extends SparkTestBase {
+
+  private def connect(port: Int): java.sql.Connection = {
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var last: Throwable = null
+    while (System.nanoTime() < deadline) {
+      try return DriverManager.getConnection(
+        s"jdbc:hive2://localhost:$port/default;auth=noSasl")
+      catch { case e: Throwable => last = e; Thread.sleep(500) }
+    }
+    throw new AssertionError(s"thrift server did not come up on $port", last)
+  }
+
+  test("GridDB dialect end-to-end over JDBC (Thrift server + hive-jdbc)") {
+    val port = 10123
+    spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
+    spark.sqlContext.setConf("hive.server2.authentication", "NOSASL")
+    org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+      .startWithContext(spark.sqlContext)
+    val conn = connect(port)
+    try {
+      val st = conn.createStatement()
+
+      // the thrift server gives each connection an ISOLATED session — the
+      // client registers its own views over the wire, exactly as a real
+      // JDBC consumer of the library would
+      Seq("supplier", "nation", "events").foreach { t =>
+        st.execute(s"CREATE OR REPLACE TEMPORARY VIEW $t USING parquet " +
+          s"OPTIONS (path '$sfDir/$t.parquet')")
+      }
+
+      // 1. the q_sql_ddl_dml script, statement by statement as a JDBC
+      //    client sends it — GridDB DDL/DML through the injected parser
+      Seq(
+        "DROP TABLE IF EXISTS jdbc_sensors",
+        "CREATE TABLE jdbc_sensors (id INTEGER PRIMARY KEY, name STRING, temp DOUBLE)",
+        "INSERT INTO jdbc_sensors VALUES (1,'a',20.5), (2,'b',21.0), (3,'c',19.0)",
+        "REPLACE INTO jdbc_sensors VALUES (1,'a2',25.0)",
+        "INSERT INTO jdbc_sensors (id, name) VALUES (4, 'd')",
+        "UPDATE jdbc_sensors SET temp = temp + 1.0 WHERE id <= 2",
+        "DELETE FROM jdbc_sensors WHERE name = 'c'"
+      ).foreach(st.execute)
+      val rs = st.executeQuery(
+        "SELECT id, name, temp FROM jdbc_sensors ORDER BY id")
+      val rows = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getInt(1), r.getString(2),
+          Option(r.getObject(3)).map(_.toString).orNull))
+        .toList
+      assert(rows == List((1, "a2", "26.0"), (2, "b", "22.0"), (4, "d", null)),
+        rows.toString)
+
+      // 2. GridDB hint + time-function call form over the wire
+      val rs2 = st.executeQuery(
+        """SELECT /*+ INDEX_JOIN(nation) MAX_DEGREE_OF_PARALLELISM(8) */
+          |  n_name, COUNT(*) AS n,
+          |  EXTRACT(YEAR, TIMESTAMP '2024-03-05 00:00:00') AS y
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name ORDER BY n_name LIMIT 3""".stripMargin)
+      assert(rs2.next())
+      assert(rs2.getLong(3) == 2024L)
+
+      // 3. GROUP BY RANGE ... EVERY/FILL — the non-ANSI GridDB clause,
+      //    compiled by the DataFrame lowering behind the parser
+      val rs3 = st.executeQuery(
+        """SELECT avg(value) FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+          |  AND ts <= TIMESTAMP '2024-01-06 00:00:00'
+          |GROUP BY RANGE(ts) EVERY(6, HOUR) FILL(PREVIOUS)""".stripMargin)
+      var n3 = 0
+      while (rs3.next()) n3 += 1
+      assert(n3 == 5, s"expected 5 six-hour buckets over 24h inclusive, got $n3")
+
+      st.execute("DROP TABLE IF EXISTS jdbc_sensors")
+    } finally conn.close()
+  }
+}

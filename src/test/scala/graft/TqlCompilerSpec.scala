@@ -88,11 +88,19 @@ class TqlCompilerSpec extends SparkTestBase {
       s"approx=$approx exact=$exact")
   }
 
-  test("explain returns plan rows with pushed filters") {
+  test("explain returns reference-shaped plan rows with pushed filters") {
     val ev = graft.engine.Tables.container(spark, sfDir, "events")
-    val plan = TqlCompiler.run(ev, "explain select * where value > 100 and event_type = 'click'")
-      .as[String].collect().mkString("\n")
+    val df = TqlCompiler.run(ev, "explain select * where value > 100 and event_type = 'click'")
+    // the reference's 6-column explain-data schema (query.h:441-445,544)
+    assert(df.columns.toSeq ==
+      Seq("ID", "DEPTH", "EXP_TYPE", "VALUE_TYPE", "VALUE_STRING", "STATEMENT"))
+    val rows = df.collect()
+    // ids are a sequence, root depth 0, children deeper
+    assert(rows.map(_.getInt(0)).toSeq == rows.indices.toSeq)
+    assert(rows.head.getInt(1) == 0 && rows.exists(_.getInt(1) > 0))
+    val plan = rows.map(r => s"${r.getString(2)} ${r.getString(4)}").mkString("\n")
     assert(plan.contains("PushedFilters"))
     assert(plan.contains("GreaterThan(value,100") || plan.contains("value"), plan)
+    assert(rows.exists(_.getString(2).contains("SCAN")), plan)
   }
 }
