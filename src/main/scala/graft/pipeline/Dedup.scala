@@ -243,27 +243,8 @@ object Dedup {
     * 5k docs, and between impossible and linear-ish at 100 TB. */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double): DataFrame = {
-    val tok = spread(docs)
-      .select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
-      .distinct()
-    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
-    // global document frequency orders tokens (rarest first, token as tie)
-    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfreq, "w")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id")
-          .orderBy(col("df"), col("w"))))
-      .join(sizes, "id")
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
-      .select(col("id"), col("w"), col("sz"))
-    // candidates: prefix-token collision + length filter
-    val cand = prefix.select(col("id").as("a"), col("w"), col("sz").as("sza"))
-      .join(prefix.select(col("id").as("b"), col("w"), col("sz").as("szb")), "w")
-      .filter(col("a") < col("b") &&
-        col("sza") >= ceil(col("szb") * minJaccard) &&
-        col("szb") >= ceil(col("sza") * minJaccard))
-      .select("a", "b", "sza", "szb").distinct()
+    val tok = tokenSet(docs, textCol, idCol)
+    val cand = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
     // exact verify: intersection size over the full token sets — the second
     // join keys on (b, w) so each candidate contributes |A∩B| rows, not
     // |A| x |B|
@@ -275,6 +256,51 @@ object Dedup {
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    spread(docs)
+      .select(col(idCol).as("id"), explode(array_distinct(tokens(textCol))).as("w"))
+      .distinct()
+
+  /** The PPJoin candidate stage of [[tokenJaccardPairs]] — prefix-token
+    * collision + length filter + POSITIONAL filter (Xiao et al. 2008,
+    * "Efficient Similarity Joins for Near Duplicate Detection", §3.2),
+    * BEFORE exact verification. Exposed so scale probes can measure the
+    * candidate count directly: candidates, not wall seconds, are the
+    * quantity these filters bound.
+    *
+    * The positional filter is what survives vocabulary saturation: when a
+    * collision token sits at prefix positions (pa, pb), the overlap can be
+    * at most `1 + min(sza - pa, szb - pb)`; requiring that to clear the
+    * equivalent-overlap threshold α = ceil(j/(1+j)·(sza+szb)) discards the
+    * bulk of common-token collisions that the rarest-first prefix alone
+    * admits once every token's document frequency grows with the corpus.
+    * Exactness-preserving: only pairs that cannot possibly reach Jaccard j
+    * are dropped. Output (a, b, sza, szb), a < b. */
+  def tokenJaccardCandidates(docs: DataFrame, textCol: String, idCol: String,
+                             minJaccard: Double): DataFrame = {
+    val tok = tokenSet(docs, textCol, idCol)
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("sz"))
+    // global document frequency orders tokens (rarest first, token as tie)
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "w")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("df"), col("w"))))
+      .join(sizes, "id")
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("id"), col("w"), col("sz"), col("rk"))
+    // candidates: prefix-token collision + length filter + position filter
+    val alpha = ceil(lit(minJaccard / (1.0 + minJaccard)) * (col("sza") + col("szb")))
+    prefix.select(col("id").as("a"), col("w"), col("sz").as("sza"), col("rk").as("pa"))
+      .join(prefix.select(col("id").as("b"), col("w"), col("sz").as("szb"), col("rk").as("pb")), "w")
+      .filter(col("a") < col("b") &&
+        col("sza") >= ceil(col("szb") * minJaccard) &&
+        col("szb") >= ceil(col("sza") * minJaccard) &&
+        lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")) >= alpha)
+      .select("a", "b", "sza", "szb").distinct()
   }
 
   /** Exact embedding-cosine near-duplicate pairs: every (a < b) with

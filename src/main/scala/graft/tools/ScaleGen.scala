@@ -172,7 +172,16 @@ object ScaleGen {
     // Zipf(s=1) rank over V terms by inverse CDF: rank = floor((V+1)^u)
     // gives P(r) ∝ ln((r+1)/r) ≈ 1/r — head terms ("w1", "w2") are stopword-
     // common, the tail is rare enough for PPJoin prefixes to prune on
-    val zipfV = 50000.0
+    // Heaps' law: vocabulary grows with the corpus (V ≈ K·N^β, β≈0.5 for
+    // web text). A FIXED V under a growing corpus saturates — every
+    // token's document frequency rises ∝ N, so prefix-token collisions
+    // grow ∝ N² regardless of how rare the prefix tokens are: a property
+    // of the synthetic corpus, not of the operator. V ∝ N (β=1) keeps the
+    // df distribution stationary — the optimistic end. Real text sits
+    // between the two; SCALING.md records BOTH curves (fixed-V subsets =
+    // pessimistic bracket, cross-sf stationary corpora = optimistic) so
+    // the bracket, not one synthetic point, is the scale claim.
+    val zipfV = math.max(5000.0, nDocs.toDouble)
     val zipfTerm = (tag: String, id: Column, i: Column) =>
       concat(lit("w"), floor(pow(lit(zipfV + 1), u(tag, id, i))).cast("long"))
     // near-dup band: copied docs redraw ~5% of tokens with their OWN id

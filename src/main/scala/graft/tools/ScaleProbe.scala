@@ -37,13 +37,24 @@ object ScaleProbe {
       val total = d.count()
       // doubling curve: sub-quadratic pair growth (ratio << 4x per doubling)
       // is the pass condition — the prefix filter prunes, the output is
-      // sparse, and neither happens on the 30-word corpus
+      // sparse, and neither happens on the 30-word corpus. Each point runs
+      // twice (one JIT/codegen warm pass, the second is the reading), and
+      // the PRE-VERIFY candidate count is reported alongside wall time —
+      // candidates, not seconds, are the actual scale variable.
       for (n <- Seq(total / 4, total / 2, total)) {
-        time(s"tokenJaccard 0.8 n=$n") {
-          Dedup.tokenJaccardPairs(d.filter(col("doc_id") < n), "text", "doc_id", 0.8).count()
+        val sub = d.filter(col("doc_id") < n)
+        time(s"tokenJaccard cands n=$n") {
+          Dedup.tokenJaccardCandidates(sub, "text", "doc_id", 0.8).count()
         }
-        time(s"minhash cands n=$n") {
-          Dedup.minhashCandidates(d.filter(col("doc_id") < n), "text", "doc_id").count()
+        (1 to 2).foreach { i =>
+          time(s"tokenJaccard 0.8 n=$n #$i") {
+            Dedup.tokenJaccardPairs(sub, "text", "doc_id", 0.8).count()
+          }
+        }
+        (1 to 2).foreach { i =>
+          time(s"minhash cands n=$n #$i") {
+            Dedup.minhashCandidates(sub, "text", "doc_id").count()
+          }
         }
       }
       spark.stop()
