@@ -74,12 +74,25 @@ object PartitionedTables {
     * reference pinning scan tasks to the data-owning node
     * (/root/reference/server/sql_execution.cpp:1296). */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int, mode: String = "overwrite"): Unit =
+                    buckets: Int, mode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (mode == "overwrite") {
+      // overwrite means overwrite: an orphaned warehouse directory (a
+      // killed run wrote files, but the in-memory catalog entry died with
+      // its session) would otherwise fail saveAsTable with
+      // LOCATION_ALREADY_EXISTS
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(mode)
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** TTL / ALTER TABLE ... DROP PARTITION FOR: delete interval partitions
     * entirely before the watermark (epoch ms). Returns dropped bucket ids. */

@@ -1,0 +1,45 @@
+package graft
+
+import graft.engine.{GraftSql, Parallelism}
+import graft.queries.FuzzQueries
+
+class ParallelismSpec extends SparkTestBase {
+
+  test("spread repartitions a small scan to default parallelism") {
+    val docs = graft.engine.Tables.read(spark, sfDir, "documents")
+    val n = Parallelism.spread(docs).rdd.getNumPartitions
+    assert(n == spark.sparkContext.defaultParallelism,
+      s"expected ${spark.sparkContext.defaultParallelism} partitions, got $n")
+  }
+
+  test("spread leaves a large-stats input untouched") {
+    // a crossJoin's stats are the PRODUCT of the sides — far past the
+    // threshold without materializing anything
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val big = d.crossJoin(d.select(d.col("doc_id").as("other_id")))
+    assert(Parallelism.spread(big) eq big)
+  }
+
+  test("spread passes streaming inputs through untouched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val df = MemoryStream[String].toDF()
+    assert(Parallelism.spread(df) eq df)
+  }
+
+  test("GraftSql.rewrite is idempotent over the fuzz corpus and hinted forms") {
+    val texts = (0 until 200).map(FuzzQueries.genSql) ++ Seq(
+      "SELECT /*+ INDEX_JOIN(nation) */ * FROM t",
+      "SELECT /*+ NO_INDEX_JOIN(a) LEADING(a b) */ 1",
+      "SELECT /*+ BROADCAST(d) SHUFFLE_HASH(f) */ * FROM f JOIN d ON f.k = d.k",
+      "SELECT EXTRACT(YEAR, TIMESTAMP '2024-03-05 00:00:00')",
+      "SELECT TIMESTAMP_ADD(DAY, ts, 3) FROM events",
+      "SELECT TIMESTAMPDIFF(HOUR, a, b) FROM t")
+    texts.foreach { t =>
+      val once = GraftSql.rewrite(t)
+      assert(GraftSql.rewrite(once) == once,
+        s"rewrite not idempotent for:\n$t\nfirst:\n$once\nsecond:\n${GraftSql.rewrite(once)}")
+    }
+  }
+}
