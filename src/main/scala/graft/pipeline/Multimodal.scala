@@ -149,14 +149,55 @@ object Multimodal {
     }
   }
 
-  /** Dispatching decoder: real parse for the uncompressed formats the JVM
-    * can handle without codec libraries (24-bit BMP → spatial dims + color
-    * stats; PCM-16 WAV → (channels, sampleRate) in the dims slots + RMS
-    * envelope), deterministic stub for everything else (JPEG/PNG/MP3/...
-    * need codecs this container does not ship). Checksum is always the
-    * rolling byte checksum, so content addressing is format-independent. */
+  /** REAL decoder for the JDK's built-in compressed image codecs
+    * (JPEG/PNG/GIF via `javax.imageio` — part of java.desktop, shipped
+    * with every JDK, headless-safe): same feature contract as
+    * [[decodeBmp]] — (width, height, [meanR, meanG, meanB, 5-bin
+    * luminance histogram]). Magic-byte sniffed first so arbitrary blobs
+    * don't pay an ImageIO attempt; None for anything the JDK cannot
+    * decode (MP3/H.264 stay with the stub — audio/video codecs genuinely
+    * are not in the JVM). */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def magic = bytes.length >= 8 && (
+      (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte) || // JPEG SOI
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
+    if (!magic) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    val hist = new Array[Long](5)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+        hist(math.min((lum * 5).toInt, 4)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Some((w, h, Array(
+      (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat, (sb / n / 255.0).toFloat,
+      hist(0).toFloat / n, hist(1).toFloat / n, hist(2).toFloat / n,
+      hist(3).toFloat / n, hist(4).toFloat / n)))
+  }
+
+  /** Dispatching decoder: real parse for every format the JVM can decode
+    * without external libraries — 24-bit BMP and PCM-16 WAV by hand,
+    * JPEG/PNG/GIF through the JDK's own `javax.imageio` — deterministic
+    * stub only for the codecs the JVM genuinely lacks (MP3/AAC/H.264).
+    * Checksum is always the rolling byte checksum, so content addressing
+    * is format-independent. */
   def decode(bytes: Array[Byte]): (Long, Int, Int, Array[Float]) =
-    decodeBmp(bytes).orElse(decodeWav(bytes)) match {
+    decodeBmp(bytes).orElse(decodeImage(bytes)).orElse(decodeWav(bytes)) match {
       case Some((w, h, feat)) => (checksum(bytes), w, h, feat)
       case None => decodeStub(bytes)
     }

@@ -47,6 +47,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(dw == 2 && dh == 1 && dfeat.sameElements(feat))
   }
 
+  test("real PNG decode via the JDK's ImageIO: lossless dims + color stats") {
+    // 3x2 image: top row red/green/blue, bottom row black/white/gray(128)
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00); img.setRGB(2, 0, 0x0000ff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xffffff); img.setRGB(2, 1, 0x808080)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out))
+    val bytes = out.toByteArray
+    val Some((w, h, feat)) = graft.pipeline.Multimodal.decodeImage(bytes)
+    assert(w == 3 && h == 2)
+    // PNG is lossless: means are exact fractions of 255
+    val exp = (255.0 + 0 + 0 + 0 + 255 + 128) / 6 / 255.0
+    assert(math.abs(feat(0) - exp) < 1e-6, feat.mkString(","))
+    assert(math.abs(feat(1) - exp) < 1e-6 && math.abs(feat(2) - exp) < 1e-6)
+    // and the dispatcher routes PNG to the real decoder, not the stub
+    val (_, dw, dh, dfeat) = graft.pipeline.Multimodal.decode(bytes)
+    assert(dw == 3 && dh == 2 && dfeat.sameElements(feat))
+  }
+
+  test("real JPEG decode via the JDK's ImageIO: dims exact, stats near-lossless") {
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x406080)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    val bytes = out.toByteArray
+    val Some((w, h, feat)) = graft.pipeline.Multimodal.decodeImage(bytes)
+    assert(w == 16 && h == 8)
+    // JPEG is lossy: flat-color image decodes within a few 8-bit steps
+    assert(math.abs(feat(0) - 0x40 / 255.0) < 0.03, feat.mkString(","))
+    assert(math.abs(feat(1) - 0x60 / 255.0) < 0.03)
+    assert(math.abs(feat(2) - 0x80 / 255.0) < 0.03)
+  }
+
+  test("non-media bytes do not reach ImageIO: stub keeps pseudo-features") {
+    val junk = "just some text bytes, not an image".getBytes("UTF-8")
+    assert(graft.pipeline.Multimodal.decodeImage(junk).isEmpty)
+    val (cs, w, h, feat) = graft.pipeline.Multimodal.decode(junk)
+    val (cs2, w2, h2, feat2) = graft.pipeline.Multimodal.decodeStub(junk)
+    assert(cs == cs2 && w == w2 && h == h2 && feat.sameElements(feat2))
+  }
+
   test("real WAV decode: PCM-16 channel/rate + RMS envelope") {
     val n = 8
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
