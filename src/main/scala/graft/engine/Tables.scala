@@ -103,17 +103,21 @@ object Tables {
   private val lastRegistered = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession, String]())
 
-  /** Register every TESTDATA table as a temp view in the session. */
-  def registerAll(spark: SparkSession, sfDir: String): Unit = {
-    if (lastRegistered.put(spark, sfDir) != sfDir) {
-      try {
+  /** Register every TESTDATA table as a temp view in the session.
+    *
+    * Synchronized, and the marker is written only AFTER every view
+    * exists: the earlier put-then-register form was a check-then-act race
+    * — with Verify's concurrent workers, a second thread saw the marker
+    * the instant the first thread put it and ran its query against views
+    * that were not created yet (TABLE_OR_VIEW_NOT_FOUND on half the
+    * round's queries). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    lastRegistered.synchronized {
+      if (lastRegistered.get(spark) != sfDir) {
         (collectionNames :+ "events").foreach { n =>
           container(spark, sfDir, n).df.createOrReplaceTempView(n)
         }
-      } catch {
-        // don't record a half-done registration as complete
-        case e: Throwable => lastRegistered.remove(spark); throw e
+        lastRegistered.put(spark, sfDir)
       }
     }
-  }
 }
