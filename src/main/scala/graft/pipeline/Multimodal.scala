@@ -190,14 +190,64 @@ object Multimodal {
       hist(3).toFloat / n, hist(4).toFloat / n)))
   }
 
+  /** REAL decoder for the JDK's built-in audio container formats beyond
+    * hand-parsed WAV: AIFF and AU/SND via `javax.sound.sampled`
+    * (java.desktop, headless-safe). Same feature contract as
+    * [[decodeWav]] — (channels, sampleRate, 8-segment RMS envelope of
+    * channel 0). Magic-byte sniffed ('FORM'/'.snd') so arbitrary blobs
+    * don't pay an AudioSystem attempt; PCM-16 only (the JDK parses other
+    * widths but 16-bit is the shared contract with the WAV path). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    def magic = bytes.length >= 12 && (
+      (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M') || // AIFF
+      (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'))   // AU
+    if (!magic) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        if (f.getSampleSizeInBits != 16 || f.getChannels <= 0 ||
+          (enc != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)) return None
+        val pcm = in.readAllBytes()
+        val channels = f.getChannels
+        val frame = 2 * channels
+        val nFrames = pcm.length / frame
+        val bb = java.nio.ByteBuffer.wrap(pcm).order(
+          if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val env = new Array[Float](8)
+        if (nFrames > 0) {
+          val seg = math.max(1, nFrames / 8)
+          var s = 0
+          while (s < 8) {
+            var acc = 0.0
+            var i = s * seg
+            val end = math.min(if (s == 7) nFrames else (s + 1) * seg, nFrames)
+            while (i < end) {
+              val v = bb.getShort(i * frame) / 32768.0
+              acc += v * v
+              i += 1
+            }
+            env(s) = if (end > s * seg) math.sqrt(acc / (end - s * seg)).toFloat else 0f
+            s += 1
+          }
+        }
+        Some((channels, math.round(f.getSampleRate), env))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Dispatching decoder: real parse for every format the JVM can decode
     * without external libraries — 24-bit BMP and PCM-16 WAV by hand,
-    * JPEG/PNG/GIF through the JDK's own `javax.imageio` — deterministic
-    * stub only for the codecs the JVM genuinely lacks (MP3/AAC/H.264).
-    * Checksum is always the rolling byte checksum, so content addressing
-    * is format-independent. */
+    * JPEG/PNG/GIF through the JDK's own `javax.imageio`, AIFF/AU through
+    * `javax.sound.sampled` — deterministic stub only for the codecs the
+    * JVM genuinely lacks (MP3/AAC/H.264). Checksum is always the rolling
+    * byte checksum, so content addressing is format-independent. */
   def decode(bytes: Array[Byte]): (Long, Int, Int, Array[Float]) =
-    decodeBmp(bytes).orElse(decodeImage(bytes)).orElse(decodeWav(bytes)) match {
+    decodeBmp(bytes).orElse(decodeImage(bytes)).orElse(decodeWav(bytes))
+      .orElse(decodeAudio(bytes)) match {
       case Some((w, h, feat)) => (checksum(bytes), w, h, feat)
       case None => decodeStub(bytes)
     }

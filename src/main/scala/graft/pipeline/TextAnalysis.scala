@@ -192,4 +192,90 @@ object TextAnalysis {
       frac(charSum(lines) - charSum(array_distinct(lines)), charSum(lines))
         .as("dup_line_char_frac"))
   }
+
+  /** The Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Table A1) as one
+    * per-document metric + verdict row. Pure codegen'd column expressions —
+    * a map-only stage, no shuffle, token-linear at any corpus size.
+    *
+    * Metrics and the rule each feeds:
+    *  - n_words ∈ [minWords, maxWords]
+    *  - mean_word_len ∈ [3, 10]
+    *  - symbol_word_ratio ('#' or '...' occurrences / words) <= 0.1
+    *  - bullet_line_frac (lines starting with a bullet, dash, or star) <= 0.9
+    *  - ellipsis_line_frac (lines ending '...') <= 0.3
+    *  - alpha_word_frac (words with >= 1 alphabetic char) >= 0.8
+    *  - stopword_hits (of the paper's 8-word list) >= 2
+    * `gopher_pass` is the conjunction. Thresholds are the paper's; word
+    * bounds are parameters because the synthetic corpus is shorter than
+    * web pages. */
+  def gopherQuality(docs: DataFrame, textCol: String, idCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def occurrences(hay: Column, needle: String): Column =
+      ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+    val staged = docs.select(
+      col(idCol), col(textCol),
+      filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("__w"),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0).as("__l"))
+    val w = col("__w"); val l = col("__l")
+    val nWords = size(w)
+    val nLines = size(l)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    val meanLen = frac(aggregate(w, lit(0L), (acc, x) => acc + length(x)), nWords)
+    val symRatio = frac(occurrences(col(textCol), "#") + occurrences(col(textCol), "..."), nWords)
+    val bulletFrac = frac(size(filter(l, x =>
+      x.startsWith("•") || x.startsWith("-") || x.startsWith("*"))), nLines)
+    val ellipsisFrac = frac(size(filter(l, x => x.endsWith("..."))), nLines)
+    val alphaFrac = frac(size(filter(w, x => x.rlike("[a-zA-Z]"))), nWords)
+    val stopHits = size(filter(w, x => lower(x).isin(stopwords.map(lit(_)): _*)))
+    staged.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(symRatio, 4).as("symbol_word_ratio"),
+      round(bulletFrac, 4).as("bullet_line_frac"),
+      round(ellipsisFrac, 4).as("ellipsis_line_frac"),
+      round(alphaFrac, 4).as("alpha_word_frac"),
+      stopHits.cast("long").as("stopword_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanLen.between(3.0, 10.0) &&
+        symRatio <= 0.1 &&
+        bulletFrac <= 0.9 &&
+        ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 &&
+        stopHits >= 2).as("gopher_pass"))
+  }
+
+  /** C4-style line/document cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2) as a map-only stage. Line rules: keep trimmed lines that end in
+    * terminal punctuation (. ! ? ' "), carry >= minLineWords words, and do
+    * not mention javascript (the boilerplate tell). Document rules: a page
+    * containing 'lorem ipsum' or '{' is dropped wholesale (kept = false,
+    * clean_text = '').
+    * Output: (id, clean_text, n_lines, n_kept_lines, kept). */
+  def c4Filters(docs: DataFrame, textCol: String, idCol: String,
+                minLineWords: Int = 3): DataFrame = {
+    val staged = docs.select(
+      col(idCol), col(textCol),
+      filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => length(l) > 0).as("__l"))
+    val l = col("__l")
+    val keptLines = filter(l, x =>
+      (x.endsWith(".") || x.endsWith("!") || x.endsWith("?") ||
+        x.endsWith("\"") || x.endsWith("'")) &&
+      size(filter(split(x, "\\s+"), t => length(t) > 0)) >= minLineWords &&
+      !lower(x).contains("javascript"))
+    val docDrop = lower(col(textCol)).contains("lorem ipsum") ||
+      col(textCol).contains("{")
+    staged.select(
+      col(idCol),
+      when(docDrop, lit("")).otherwise(array_join(keptLines, "\n")).as("clean_text"),
+      size(l).cast("long").as("n_lines"),
+      when(docDrop, lit(0L)).otherwise(size(keptLines).cast("long")).as("n_kept_lines"),
+      (!docDrop && size(keptLines) > 0).as("kept"))
+  }
 }

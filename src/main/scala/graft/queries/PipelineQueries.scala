@@ -345,6 +345,84 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Gopher quality rules (Rae et al. 2021 Table A1): per-doc metric
+    //      row + conjunction verdict; word bounds tuned to the synthetic
+    //      corpus (web pages use 50..100k) ----
+    Q.df("q_text_gopher",
+      duck = """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words, len(l) AS n_lines,
+        |    CASE WHEN len(w) > 0 THEN CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(w) > 0 THEN CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) ELSE 0.0 END AS symbol_word_ratio,
+        |    CASE WHEN len(l) > 0 THEN CAST(len(list_filter(l, x -> starts_with(x, chr(8226)) OR starts_with(x, '-') OR starts_with(x, '*'))) AS DOUBLE) / len(l) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(l) > 0 THEN CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS DOUBLE) / len(l) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) ELSE 0.0 END AS alpha_word_frac,
+        |    len(list_filter(w, x -> lower(x) IN ('the','be','to','of','and','that','have','with'))) AS stopword_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, ROUND(mean_word_len, 4) AS mean_word_len,
+        |  ROUND(symbol_word_ratio, 4) AS symbol_word_ratio,
+        |  ROUND(bullet_line_frac, 4) AS bullet_line_frac,
+        |  ROUND(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+        |  ROUND(alpha_word_frac, 4) AS alpha_word_frac, stopword_hits,
+        |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND stopword_hits >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir), "text", "doc_id", minWords = 30)
+        .orderBy("doc_id")
+    },
+
+    // ---- C4 line/document cleaning (Raffel et al. 2020 §2.2) over a
+    //      deterministic multi-line projection of the corpus (the raw
+    //      synthetic text is one unpunctuated line — every rule branch
+    //      would be dead in both engines): ' table ' becomes a
+    //      sentence-terminated line break and 'spark' becomes 'javascript'
+    //      so line keeps, word-count drops, and boilerplate drops all
+    //      fire; docs 0 mod 17 get a '{' (template tell) and drop
+    //      wholesale ----
+    Q.df("q_text_c4",
+      duck = """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' {' ELSE
+        |      replace(replace(text, ' table ', '.' || chr(10)), 'spark', 'javascript')
+        |    END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS l
+        |  FROM src),
+        |k AS (
+        |  SELECT doc_id, text, l,
+        |    list_filter(l, x ->
+        |      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+        |        OR ends_with(x, '"') OR ends_with(x, chr(39)))
+        |      AND len(list_filter(string_split_regex(x, '\s+'), t -> length(t) > 0)) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kl,
+        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS drop_doc
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN drop_doc THEN ''
+        |    ELSE COALESCE(array_to_string(kl, chr(10)), '') END AS clean_text,
+        |  len(l) AS n_lines,
+        |  CASE WHEN drop_doc THEN 0 ELSE len(kl) END AS n_kept_lines,
+        |  (NOT drop_doc AND len(kl) > 0) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" {")))
+          .otherwise(regexp_replace(
+            regexp_replace(col("text"), " table ", ".\n"), "spark", "javascript"))
+          .as("text"))
+      TextAnalysis.c4Filters(src, "text", "doc_id").orderBy("doc_id")
+    },
+
     Q.df("q_text_quality",
       duck = """SELECT doc_id,
         |  len(string_split(lower(text), ' ')) AS n_tokens,

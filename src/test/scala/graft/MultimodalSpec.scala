@@ -109,6 +109,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.length == 8)
   }
 
+  test("real AIFF and AU decode via javax.sound: channel/rate + RMS envelope") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // constant half-scale mono PCM-16 at 8 kHz, containered by the JDK
+    // itself — the decoder must agree with the hand-parsed WAV path on
+    // the identical samples
+    val n = 64
+    val pcmBE = java.nio.ByteBuffer.allocate(2 * n).order(java.nio.ByteOrder.BIG_ENDIAN)
+    (1 to n).foreach(_ => pcmBE.putShort(16384))
+    def container(t: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBE.array()), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, t, out)
+      out.toByteArray
+    }
+    for ((name, bytes) <- Seq(
+        "AIFF" -> container(AudioFileFormat.Type.AIFF, bigEndian = true),
+        "AU" -> container(AudioFileFormat.Type.AU, bigEndian = true))) {
+      val dec = graft.pipeline.Multimodal.decodeAudio(bytes)
+      assert(dec.nonEmpty, s"$name did not decode")
+      val Some((ch, rate, env)) = dec
+      assert(ch == 1 && rate == 8000, s"$name meta ($ch, $rate)")
+      env.foreach(v => assert(math.abs(v - 0.5f) < 1e-4, s"$name env $v"))
+      // the dispatcher routes these to the real decoder, not the stub
+      val (_, w, h, feat) = graft.pipeline.Multimodal.decode(bytes)
+      assert(w == 1 && h == 8000 && feat.length == 8)
+    }
+    // junk with the right magic falls through to None, never throws
+    assert(graft.pipeline.Multimodal.decodeAudio("FORMxxxxAIFFjunk".getBytes).isEmpty)
+    assert(graft.pipeline.Multimodal.decodeAudio(".sndjunkjunkjunk".getBytes).isEmpty)
+  }
+
   test("sampleFrames emits per-frame rows") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val docs = Seq((1L, "0123456789abcdef0123456789abcdef", "v")).toDF("doc_id", "text", "source")
