@@ -6,18 +6,19 @@ import graft.queries.FuzzQueries
 class ParallelismSpec extends SparkTestBase {
 
   test("spread repartitions a mid-sized input to default parallelism") {
-    // stats land between the 4 MiB floor and the cores x 4 MiB ceiling:
-    // ~400k rows x (8-byte long + 20-byte string estimate) ≈ 11 MiB
+    // stats land between the 32 MiB floor and the ceiling:
+    // ~1.7M rows x (8-byte long + 20-byte string estimate) ≈ 48 MiB
     import spark.implicits._
-    val mid = spark.range(400000).select($"id", $"id".cast("string").as("s"))
+    val mid = spark.range(1700000).select($"id", $"id".cast("string").as("s"))
     val n = Parallelism.spread(mid.toDF()).rdd.getNumPartitions
     assert(n == spark.sparkContext.defaultParallelism,
       s"expected ${spark.sparkContext.defaultParallelism} partitions, got $n")
   }
 
-  test("spread leaves a tiny input untouched (below the 4 MiB floor)") {
+  test("spread leaves a small input untouched (below the 32 MiB floor)") {
     // round-8 bench finding: repartitioning a sub-floor input costs more
     // (exchange + extra AQE stage) than the single-task kernel it spreads
+    // — measured losing up to sf1 documents, winning 2.4x at sf10
     val docs = graft.engine.Tables.read(spark, sfDir, "documents")
     assert(Parallelism.spread(docs) eq docs)
   }
