@@ -5,7 +5,7 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreSql.qs ++ TimeSeriesQueries.qs ++ PipelineQueries.qs ++ TqlQueries.qs ++
       MatchRecognizeQueries.qs ++ NanoQueries.qs ++ GeoQueries.qs ++
-      StreamingQueries.qs ++ FuzzQueries.qs
+      StreamingQueries.qs ++ FuzzQueries.qs ++ TqlFuzz.qs
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

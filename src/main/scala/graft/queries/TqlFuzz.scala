@@ -1,0 +1,108 @@
+package graft.queries
+
+import scala.util.Random
+
+/** Seeded TQL grammar fuzz queries, driver-oracle-checked.
+  *
+  * The SQL fuzzer (FuzzQueries) differentially checks the GraftSql path;
+  * this one covers the OTHER front door — TQL parse -> compile ->
+  * DataFrame — whose hand-written queries exercise each grammar rule once.
+  * Each seed draws ONE random query as an AST-shaped pair: the TQL text
+  * and the equivalent DuckDB SQL are generated from the same draw, so any
+  * hash mismatch is a TQL parser/compiler bug (or a genuine semantics
+  * divergence), never a generator skew.
+  *
+  * Comparison-soundness rules (same discipline as FuzzQueries):
+  *  - predicates are guarded `value is not null and (...)` so three-valued
+  *    XOR/NOT never feeds an engine-specific null-ordering path;
+  *  - `SELECT *` results are projected to (event_id, user_id, event_type,
+  *    value) — the timestamp column is compared via epoch in the
+  *    hand-written queries already, and fuzz adds nothing there;
+  *  - ORDER BY always ends on the unique event_id, a total order;
+  *  - aggregates are COUNT/MIN/MAX only (exact under both engines; AVG
+  *    and double-SUM reassociate).
+  */
+object TqlFuzz {
+
+  private def pick[T](r: Random, xs: Vector[T]): T = xs(r.nextInt(xs.size))
+
+  /** One predicate as (tql, duck). */
+  private def pred(r: Random, depth: Int = 0): (String, String) = {
+    val atom: (String, String) = r.nextInt(6) match {
+      case 0 =>
+        val op = pick(r, Vector("<", "<=", ">", ">=", "<>"))
+        val v = 50 + r.nextInt(150)
+        (s"value $op $v.0", s"value $op $v.0")
+      case 1 =>
+        val k = r.nextInt(7) + 2; val m = r.nextInt(2)
+        (s"user_id % $k = $m", s"user_id % $k = $m")
+      case 2 =>
+        val p = pick(r, Vector("s%", "c%", "%or%", "%k"))
+        (s"event_type like '$p'", s"event_type LIKE '$p'")
+      case 3 =>
+        val d = 10 + r.nextInt(10)
+        (s"ts >= TIMESTAMP('2024-01-${d}T00:00:00Z')",
+          s"ts >= TIMESTAMP '2024-01-$d 00:00:00'")
+      case 4 =>
+        val t = pick(r, Vector("click", "view", "scroll", "error"))
+        (s"event_type = '$t'", s"event_type = '$t'")
+      case _ =>
+        val v = 100 + r.nextInt(100)
+        (s"not (value > $v.0)", s"NOT (value > $v.0)")
+    }
+    if (depth >= 2 || r.nextInt(3) == 0) atom
+    else {
+      val (tl, dl) = atom
+      val (tr, dr) = pred(r, depth + 1)
+      r.nextInt(3) match {
+        case 0 => (s"($tl and $tr)", s"($dl AND $dr)")
+        // XOR: TQL keyword; DuckDB spells boolean xor as <>
+        case 1 => (s"($tl xor $tr)", s"(($dl) <> ($dr))")
+        case _ => (s"($tl or $tr)", s"($dl OR $dr)")
+      }
+    }
+  }
+
+  /** Generate (tql, duckSql) for a seed — a pure function of the seed;
+    * widening the set means ADDING seeds, never reinterpreting old ones. */
+  private[graft] def gen(seed: Int): (String, String) = {
+    val r = new Random(seed)
+    val (tp, dp) = pred(r)
+    val guardT = s"value is not null and $tp"
+    val guardD = s"value IS NOT NULL AND $dp"
+    r.nextInt(3) match {
+      case 0 => // SELECT * with order/limit/offset
+        val desc = r.nextBoolean()
+        val lim = 20 + r.nextInt(80)
+        val off = if (r.nextBoolean()) r.nextInt(20) else 0
+        val dir = if (desc) "desc" else "asc"
+        val offT = if (off > 0) s" offset $off" else ""
+        val offD = if (off > 0) s" OFFSET $off" else ""
+        (s"select * where $guardT order by event_id $dir limit $lim$offT",
+          s"SELECT event_id, user_id, event_type, value FROM events " +
+            s"WHERE $guardD ORDER BY event_id ${dir.toUpperCase} LIMIT $lim$offD")
+      case 1 => // COUNT(*)
+        (s"select count(*) where $guardT",
+          s"SELECT COUNT(*) AS count FROM events WHERE $guardD")
+      case _ => // MIN/MAX
+        val fn = pick(r, Vector("min", "max"))
+        val c = pick(r, Vector("value", "user_id", "event_id"))
+        (s"select $fn($c) where $guardT",
+          s"SELECT ${fn.toUpperCase}($c) AS $fn FROM events WHERE $guardD")
+    }
+  }
+
+  private val seeds: Seq[Int] = 0 until 12
+
+  val qs: Seq[Q] = seeds.map { s =>
+    val (tql, duck) = gen(s)
+    Q.df(f"q_tqlfuzz_$s%02d", duck = duck) { (spark, dir) =>
+      import org.apache.spark.sql.functions.col
+      val out = graft.tql.TqlCompiler.run(
+        graft.engine.Tables.container(spark, dir, "events"), tql)
+      if (out.columns.contains("event_id") && out.columns.length > 4)
+        out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      else out
+    }
+  }
+}

@@ -25,6 +25,25 @@ object TqlQueries {
           col("user_id"), col("event_type"), col("value"))
     },
 
+    // ---- FetchOption.PARTIAL_EXECUTION: the range-divided cursor drained
+    //      end-to-end and compared to the plain one-shot result — the rows
+    //      served across lazily-executed ranges must be exactly the
+    //      query's rows (order normalized; partial mode itself forbids
+    //      ORDER BY, so the cursor serves partition order) ----
+    Q.df("q_tql_partial_fetch",
+      duck = """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE value > 150.0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val rows = graft.tql.PartialFetch
+        .fetch(events(s, dir), "select * where value > 150.0")
+        .toSeq
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          events(s, dir).df.schema)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+
     Q.df("q_tql_agg_avg",
       duck = """SELECT ROUND(avg(value), 4) AS avg_value FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_type <> 'error'""".stripMargin) {
