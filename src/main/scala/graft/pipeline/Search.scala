@@ -81,4 +81,49 @@ object Search {
     val w = Window.partitionBy(col("id")).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** Hybrid lexical+dense retrieval by reciprocal-rank fusion (Cormack et
+    * al. 2009): rrf(d) = Σ_arm 1/(kRrf + rank_arm(d)), a document absent
+    * from an arm contributes nothing there. The lexical arm is [[bm25]]
+    * against `queryTerms`; the dense arm is exact-cosine top-`poolK`
+    * against the embedding of `queryId` (swap in Similarity.ivfTopK /
+    * lshTopK candidates upstream for an ANN dense arm at scale — the
+    * fusion only consumes (id, rank)).
+    *
+    * Scale shape: each arm reduces the corpus to `poolK` rows BEFORE any
+    * global operator; the unpartitioned rank windows and the full-outer
+    * fusion join run on 2x poolK rows, driver-trivial at any corpus size.
+    * Output: (id, rrf, lex_rank, dense_rank) — ranks NULL where the doc
+    * missed that arm's pool. */
+  def hybridTopK(docs: DataFrame, textCol: String, idCol: String,
+                 embs: DataFrame, vecCol: String, vecIdCol: String,
+                 queryTerms: Seq[String], queryId: Long,
+                 k: Int, poolK: Int = 50, kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    val lex = bm25(docs, textCol, idCol, queryTerms, poolK)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      .select("id", "lex_rank")
+    val qv = embs.filter(col(vecIdCol) === queryId)
+      .select(transform(col(vecCol), _.cast("double")).as("qv"))
+    val dense = embs.filter(col(vecIdCol) =!= queryId)
+      .select(col(vecIdCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      .crossJoin(broadcast(qv))
+      .select(col("id"),
+        round(call_function("graft_cosine", col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(poolK)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("id"))))
+      .select("id", "dense_rank")
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)),
+          6).as("rrf"),
+        col("lex_rank"), col("dense_rank"))
+      .orderBy(col("rrf").desc, col("id")).limit(k)
+  }
 }

@@ -265,6 +265,50 @@ object PipelineQueries {
         Seq("spark", "join", "merge"), k = 10)
     },
 
+    // ---- hybrid lexical+dense retrieval: reciprocal-rank fusion of the
+    //      BM25 pool and the exact-cosine pool vs the vec_id-0 embedding
+    //      (Cormack 2009); ranks are exact integers so the fusion sum is
+    //      bit-reproducible across engines ----
+    Q.df("q_search_hybrid_rrf",
+      duck = """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |hits AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |         WHERE w IN ('spark', 'join', 'merge')),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY doc_id, w),
+        |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+        |sc AS (
+        |  SELECT tf.doc_id AS id,
+        |    ROUND(SUM(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+        |  FROM tf
+        |  JOIN dfq USING (w)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |lexpool AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 50),
+        |lex AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS lex_rank
+        |        FROM lexpool),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS id,
+        |         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(q AS DOUBLE[])), 4) AS cos
+        |       FROM embeddings, qv WHERE vec_id <> 0),
+        |densepool AS (SELECT id, cos FROM cs ORDER BY cos DESC, id LIMIT 50),
+        |dense AS (SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INT) AS dense_rank
+        |          FROM densepool)
+        |SELECT id,
+        |  ROUND(COALESCE(1.0 / (60 + lex_rank), 0) + COALESCE(1.0 / (60 + dense_rank), 0), 6) AS rrf,
+        |  lex_rank, dense_rank
+        |FROM lex FULL OUTER JOIN dense USING (id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin) { (s, dir) =>
+      Search.hybridTopK(docs(s, dir), "text", "doc_id",
+        embs(s, dir), "embedding", "vec_id",
+        Seq("spark", "join", "merge"), queryId = 0L, k = 20)
+    },
+
     // ---- PII redaction (emails / IPv4 / intl phone) over a synthesized
     // PII-bearing column derived identically on both engines ----
     Q.df("q_text_pii",
