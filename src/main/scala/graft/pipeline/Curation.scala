@@ -62,6 +62,35 @@ object Curation {
       .agg(count_distinct(col("__ng")).as("n_shared_ngrams"))
   }
 
+  /** Semantic decontamination: flag corpus documents whose embedding sits
+    * within `minCos` of ANY benchmark embedding — the paraphrase-robust
+    * complement of [[ngramOverlap]] (lexical overlap misses reworded
+    * benchmark leakage; cosine against the benchmark set catches it).
+    *
+    * Scale shape: the benchmark side is broadcast (benchmark suites are
+    * thousands of rows, the corpus is the big side), the cosine verify is
+    * the codegen'd kernel, and the per-doc aggregate takes max/count over
+    * the |docs| x |bench| broadcast-join output — no shuffle of the corpus
+    * beyond the final groupBy. For benchmark sets too large to broadcast,
+    * band the two sides through Dedup.embeddingCandidates instead.
+    * Output: (id, n_contaminated, max_cos) for flagged docs only. */
+  def embeddingOverlap(docs: DataFrame, idCol: String, vecCol: String,
+                       bench: DataFrame, benchVecCol: String,
+                       minCos: Double, roundTo: Int = 4): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
+    val d = docs.select(col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+    val b = bench.select(
+      transform(col(benchVecCol), _.cast("double")).as("__bv"))
+    d.crossJoin(broadcast(b))
+      .select(col(idCol),
+        round(call_function("graft_cosine", col("__v"), col("__bv")), roundTo)
+          .as("__cos"))
+      .filter(col("__cos") >= minCos)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated"), max(col("__cos")).as("max_cos"))
+  }
+
   /** Gopher-style duplicated-n-gram fraction: per document, the fraction of
     * its word n-gram occurrences whose gram appears in MORE THAN ONE
     * document of the corpus (the "duplicate n-grams" quality signal used to

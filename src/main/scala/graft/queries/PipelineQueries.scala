@@ -800,6 +800,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- semantic decontamination: cosine vs a held-out benchmark slice
+    //      (vec_id % 29 = 0) — the paraphrase-robust complement of the
+    //      n-gram check above; benchmark side broadcast ----
+    Q.df("q_decontaminate_embedding",
+      duck = """WITH b AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id % 29 = 0),
+        |hits AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv), 4) AS c
+        |  FROM embeddings e CROSS JOIN b
+        |  WHERE e.vec_id % 29 <> 0)
+        |SELECT vec_id, COUNT(*) AS n_contaminated, MAX(c) AS max_cos
+        |FROM hits WHERE c >= 0.35
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Curation.embeddingOverlap(
+          e.filter(col("vec_id") % 29 =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 29 === 0), "embedding", minCos = 0.35)
+        .orderBy("vec_id")
+    },
+
     // ---- deterministic hash sampling: 3/10 of documents by md5(doc_id)
     //      bucket — reproducible across engines/runs/cluster sizes, same
     //      key always lands in the same split ----
