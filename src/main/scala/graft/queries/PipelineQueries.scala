@@ -677,6 +677,76 @@ object PipelineQueries {
         .orderBy("shard", "doc_id")
     },
 
+    // ---- curation v5: the round-8 filter chain — C4 line cleaning (on
+    //      the deterministic multi-line projection) -> Gopher quality gate
+    //      on the CLEANED text -> semantic decontamination drop (embedding
+    //      overlap vs the benchmark slice, doc_id↔vec_id aligned) ----
+    Q.df("q_pipeline_curation_v5",
+      duck = """WITH src AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, ' table ', '.' || chr(10)), 'spark', 'javascript') AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS l
+        |  FROM src),
+        |c4 AS (
+        |  SELECT doc_id,
+        |    list_filter(l, x ->
+        |      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+        |        OR ends_with(x, '"') OR ends_with(x, chr(39)))
+        |      AND len(list_filter(string_split_regex(x, '\s+'), t -> length(t) > 0)) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kl
+        |  FROM lines),
+        |cleaned AS (
+        |  SELECT doc_id, COALESCE(array_to_string(kl, chr(10)), '') AS ct,
+        |    len(kl) AS n_kept_lines
+        |  FROM c4 WHERE len(kl) > 0),
+        |gw AS (
+        |  SELECT doc_id, n_kept_lines,
+        |    list_filter(string_split_regex(ct, '\s+'), x -> length(x) > 0) AS w
+        |  FROM cleaned),
+        |gopher AS (
+        |  SELECT doc_id, n_kept_lines, len(w) AS n_words
+        |  FROM gw
+        |  WHERE len(w) BETWEEN 5 AND 100000
+        |    AND CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / len(w) BETWEEN 3.0 AND 10.0
+        |    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) >= 0.8
+        |    AND len(list_filter(w, x -> lower(x) IN ('the','be','to','of','and','that','have','with'))) >= 2),
+        |b AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS bv FROM embeddings WHERE vec_id % 29 = 0),
+        |contam AS (
+        |  SELECT DISTINCT e.vec_id AS doc_id
+        |  FROM embeddings e CROSS JOIN b
+        |  WHERE e.vec_id % 29 <> 0
+        |    AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.bv), 4) >= 0.35)
+        |SELECT doc_id, n_kept_lines, n_words FROM gopher
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val src = d.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), " table ", ".\n"),
+          "spark", "javascript").as("text"))
+      val cleaned = TextAnalysis.c4Filters(src, "text", "doc_id")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("clean_text"), col("n_kept_lines"))
+      val gq = TextAnalysis.gopherQuality(
+          cleaned.select(col("doc_id"), col("clean_text").as("text")),
+          "text", "doc_id", minWords = 5)
+        .filter(col("gopher_pass"))
+        .select("doc_id", "n_words")
+      val e = embs(s, dir)
+      val contam = Curation.embeddingOverlap(
+          e.filter(col("vec_id") % 29 =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 29 === 0), "embedding", minCos = 0.35)
+        .select(col("vec_id").as("doc_id"))
+      cleaned.join(gq, "doc_id")
+        .join(contam, Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_kept_lines", "n_words")
+        .orderBy("doc_id")
+    },
+
     // ---- end-to-end curation v2: the full published-pipeline shape —
     // quality gate + repetition gate + benchmark decontamination + duplicate
     // CLUSTER keepers (connected components, not pairwise keep-first) ----

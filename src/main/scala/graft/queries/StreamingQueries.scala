@@ -37,7 +37,71 @@ object StreamingQueries {
     }
   }
 
+  /** Replay the documents table as a file stream through `build`. Same
+    * staging discipline as [[replayEvents]]. */
+  private def replayDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+                         sink: String)
+                        (build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val schema = Tables.read(s, dir, "documents").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_replay_docs")
+    val staged = stage.resolve("documents.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "documents.parquet"), staged)
+    try {
+      val docs = s.readStream.schema(schema).parquet(stage.toString)
+      val q = build(docs).writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+      s.table(sink)
+    } finally {
+      java.nio.file.Files.deleteIfExists(staged)
+      java.nio.file.Files.deleteIfExists(stage)
+    }
+  }
+
   val qs: Seq[Q] = Seq(
+
+    // Streaming C4 cleaning: the line filter is a stateless per-row map,
+    // so the continuous result must equal the batch operator row-for-row —
+    // the oracle IS q_text_c4's (same multi-line projection, same rules).
+    Q.df("q_stream_text_c4",
+      duck = """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN text || ' {' ELSE
+        |      replace(replace(text, ' table ', '.' || chr(10)), 'spark', 'javascript')
+        |    END AS text
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS l
+        |  FROM src),
+        |k AS (
+        |  SELECT doc_id, text, l,
+        |    list_filter(l, x ->
+        |      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?')
+        |        OR ends_with(x, '"') OR ends_with(x, chr(39)))
+        |      AND len(list_filter(string_split_regex(x, '\s+'), t -> length(t) > 0)) >= 3
+        |      AND NOT contains(lower(x), 'javascript')) AS kl,
+        |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS drop_doc
+        |  FROM base)
+        |SELECT doc_id,
+        |  CASE WHEN drop_doc THEN ''
+        |    ELSE COALESCE(array_to_string(kl, chr(10)), '') END AS clean_text,
+        |  len(l) AS n_lines,
+        |  CASE WHEN drop_doc THEN 0 ELSE len(kl) END AS n_kept_lines,
+        |  (NOT drop_doc AND len(kl) > 0) AS kept
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      replayDocs(s, dir, "q_stream_text_c4_sink") { d =>
+        val src = d.select(col("doc_id"),
+          when(col("doc_id") % 17 === 0, concat(col("text"), lit(" {")))
+            .otherwise(regexp_replace(
+              regexp_replace(col("text"), " table ", ".\n"), "spark", "javascript"))
+            .as("text"))
+        graft.pipeline.TextAnalysis.c4Filters(src, "text", "doc_id")
+      }.orderBy("doc_id")
+    },
+
     Q.df("q_stream_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  COUNT(*) AS n,
