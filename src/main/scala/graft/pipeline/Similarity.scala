@@ -170,6 +170,31 @@ object Similarity {
     }
   }
 
+  /** Document clustering for topic balance / mixture analysis: k-means
+    * with deterministic seeds (first k vectors by id — reproducible across
+    * runs and cluster sizes, unlike random init) and `steps` distributed
+    * Lloyd refinements, then final assignments. This is the IVF coarse
+    * quantizer exposed as a first-class operator: centroids live on the
+    * driver (k x dim doubles), assignment is the codegen'd argmin kernel —
+    * a shuffle-free projection over the corpus; each Lloyd step costs one
+    * per-cluster aggregate.
+    * Output: (id, cluster, cos_center) — cosine of each doc to its own
+    * cluster's centroid, the per-doc "centrality" used for
+    * cluster-balanced sampling and SemDeDup-style pruning. */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int = -1, steps: Int = 2, roundTo: Int = 4,
+                   corpusSize: Long = -1L): DataFrame = {
+    ensureFns(corpus)
+    val c0 = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val dim = vecDim(c0, "cv")
+    val cents = ivfCentroids(c0, dim, resolveLists(corpus, k, corpusSize), steps)
+    c0.withColumn("cluster", assignCluster(col("cv"), cents))
+      .select(col("c_id").as("id"), col("cluster"),
+        round(cosine(col("cv"),
+          element_at(centroidsCol(cents), col("cluster") + 1).getField("cv")),
+          roundTo).as("cos_center"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nLists: Int = -1, nProbe: Int = 4,
               roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {

@@ -198,6 +198,16 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // ---- k-means document clustering (the IVF coarse quantizer as a
+    //      first-class topic-balance op): deterministic seeds + 2 Lloyd
+    //      steps; argmin assignment is xxhash-free but the Lloyd means are
+    //      distributed double averages -> rows-only golden, invariants in
+    //      SimilarityClusterSpec ----
+    Q.rowsOnly("q_cluster_kmeans") { (s, dir) =>
+      Similarity.kmeansAssign(embs(s, dir), "vec_id", "embedding", k = 8)
+        .orderBy("id")
+    },
+
     // ---- brute-force cosine top-k ----
     Q.df("q_sim_cosine_topk",
       duck = """SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -22,7 +22,8 @@ object Golden {
   /** The CORRECTNESS no_oracle set (rows-only queries with deterministic
     * output). Keep in sync with the `Q.rowsOnly` entries in queries/. */
   val names: Seq[String] = Seq(
-    "q_approx_distinct", "q_approx_distinct_hll", "q_dedup_embedding_lsh",
+    "q_approx_distinct", "q_approx_distinct_hll", "q_cluster_kmeans",
+    "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features", "q_nano_precision",
     "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivfpq_ann",

@@ -15,6 +15,7 @@ class GoldenSpec extends SparkTestBase {
   private val golden = Map(
     "q_approx_distinct" -> "248a6ded2fa807dc",
     "q_approx_distinct_hll" -> "a8daeebd7791634a",
+    "q_cluster_kmeans" -> "e7ce4b4e1394ffc0",
     "q_dedup_embedding_lsh" -> "c306e5ebaddf2442",
     // AUTO band width resolves to the same 16 bits at the sf0.01 corpus
     // size, so the auto variant's hash coincides with the pinned one
