@@ -102,6 +102,21 @@ object StreamingQueries {
       }.orderBy("doc_id")
     },
 
+    // Streaming MinHash-LSH near-dup candidates (xxhash family: rows-only
+    // golden; batch parity + state eviction are spec-asserted). ts is
+    // synthesized from doc_id so arrival order follows ids and the pair
+    // orientation matches the batch operator.
+    Q.rowsOnly("q_stream_dedup_minhash") { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      replayDocs(s, dir, "q_stream_dedup_minhash_sink") { d =>
+        val withTs = d.select(col("doc_id"), col("text"),
+          timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000L).as("ts"))
+        graft.streaming.StreamingOps.minhashCandidatesStream(
+          withTs, "ts", "text", "doc_id", watermark = "1 hour")
+      }.select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .distinct().orderBy("a", "b")
+    },
+
     Q.df("q_stream_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  COUNT(*) AS n,

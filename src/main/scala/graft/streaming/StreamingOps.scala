@@ -186,6 +186,99 @@ object StreamingOps {
       .toDF(keyCol, "running_n", "running_sum")
   }
 
+  /** Streaming MinHash-LSH near-duplicate candidates — the continuous face
+    * of Dedup.minhashCandidates, for suppressing near-dups at ingestion
+    * time instead of in a nightly batch.
+    *
+    * Shape: signatures are the same codegen'd `graft_minhash_sig` kernel
+    * (a stateless projection), banded into (band, bucket) keys exactly as
+    * the batch operator; the state lives per (band, bucket) group —
+    * signatures seen in that bucket — so an arriving document compares
+    * only against its bucket cohort, never the corpus. Emits one evidence
+    * row per band collision `(a, b, band, est_jaccard, b_ts_ms)` with
+    * `a` = the EARLIER document (same orientation as the batch operator
+    * when arrival order follows ids); distinct over (a, b) downstream
+    * collapses multi-band hits.
+    *
+    * State bound: entries older than `watermark` behind the stream's
+    * event-time horizon are evicted on the group's event-time timeout, so
+    * per-bucket state is O(bucket arrival rate x watermark window). The
+    * price is the standard one: a near-dup arriving later than the
+    * watermark horizon after its original is admitted as new.
+    * StreamingSpec asserts batch parity AND that numRowsRemoved > 0 as
+    * the watermark advances. */
+  def minhashCandidatesStream(stream: DataFrame, tsCol: String,
+                              textCol: String, idCol: String,
+                              watermark: String, shingleN: Int = 3,
+                              k: Int = 16, bands: Int = 4,
+                              minEstSim: Double = 0.5)
+                             (implicit spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(k % bands == 0, "bands must divide k")
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val r = k / bands
+    val sig = stream
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("__ts"),
+        call_function("graft_minhash_sig",
+          coalesce(lower(col(textCol)), lit("")), lit(shingleN), lit(k)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
+    }
+    // the watermarked TIMESTAMP column must reach the stateful operator
+    // as-is — converting to millis upstream severs the watermark and
+    // EventTimeTimeout refuses to plan
+    val banded = sig
+      .select(col("id"), col("__ts"), col("sig"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("band"), col("bucket"), col("id"), col("__ts"), col("sig"))
+      .as[(Int, Long, Long, java.sql.Timestamp, Seq[Long])]
+    val wmMs = StreamingMatch.intervalMs(watermark)
+    banded.groupByKey(x => (x._1, x._2))
+      .flatMapGroupsWithState[
+          List[(Long, Long, Seq[Long])],          // state: (id, tsMs, sig)
+          (Long, Long, Int, Double, Long)](        // out: (a, b, band, est, b_ts_ms)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, java.sql.Timestamp, Seq[Long])],
+         state: GroupState[List[(Long, Long, Seq[Long])]]) =>
+          val horizon = state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            // evict entries the watermark has passed; drop the group when
+            // nothing younger survives
+            val kept = state.getOption.getOrElse(Nil)
+              .filter(_._2 >= horizon - wmMs)
+            if (kept.isEmpty) state.remove()
+            else { state.update(kept); state.setTimeoutTimestamp(horizon + wmMs) }
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Nil)
+            val out = Vector.newBuilder[(Long, Long, Int, Double, Long)]
+            // arrival order within the batch: event time then id, so the
+            // earlier doc is always `a` and parity with the batch operator
+            // (a < b by id under id-ordered replays) holds
+            rows.toVector.sortBy(x => (x._4.getTime, x._3)).foreach {
+              case (band, _, id, ts, sg) =>
+                val tsMs = ts.getTime
+                seen.foreach { case (pid, _, psig) =>
+                  if (pid != id) {
+                    val agree = (0 until k).count(i => psig(i) == sg(i))
+                    val est = agree.toDouble / k
+                    if (est >= minEstSim) out += ((pid, id, band, est, tsMs))
+                  }
+                }
+                seen = (id, tsMs, sg) :: seen
+            }
+            state.update(seen)
+            state.setTimeoutTimestamp(math.max(horizon, 0L) + wmMs)
+            out.result().iterator
+          }
+      }
+      .toDF("a", "b", "band", "est_jaccard", "b_ts_ms")
+  }
+
   /** Event-trigger parity: run `onBatch` for every micro-batch of rows
     * matching `condition` (the reference fires a notification per put on a
     * trigger-registered container). */

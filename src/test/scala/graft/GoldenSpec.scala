@@ -33,6 +33,9 @@ class GoldenSpec extends SparkTestBase {
     "q_sim_ivfpq_ann" -> "5f0dae0d94168546",
     "q_sim_lsh_ann" -> "1ed71c69d7605a27",
     "q_sim_pq_ann" -> "7ba54dee46531549",
+    // same hash as q_dedup_minhash — the streaming replay reproduces the
+    // batch operator's pairs exactly (the parity GoldenSpec can prove)
+    "q_stream_dedup_minhash" -> "f445327584e7bd8c",
     "q_text_fingerprint" -> "79a4b8f79f48ca84")
 
   test("golden set covers exactly the rows-only query list") {

@@ -595,4 +595,71 @@ class StreamingSpec extends SparkTestBase {
       .parquet("/tmp/graft_stream_in_*") // empty glob: just verifies plan builds
     assert(stream.isStreaming)
   }
+
+  test("streaming minhash candidates: batch parity on an id-ordered replay") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val docs = graft.engine.Tables.read(spark, sfDir, "documents")
+      .select($"doc_id", $"text")
+    val withTs = docs.select($"doc_id", $"text",
+      timestamp_millis(lit(1704067200000L) + $"doc_id" * 1000).as("ts"))
+    // batch truth on the same corpus
+    val batch = graft.pipeline.Dedup
+      .minhashCandidates(docs, "text", "doc_id")
+      .select($"a", $"b", round($"est_jaccard", 4).as("e"))
+      .as[(Long, Long, Double)].collect().toSet
+    // stream replay: stage as parquet, run through the stateful op
+    val stage = java.nio.file.Files.createTempDirectory("graft_mh_stream")
+    withTs.write.mode("overwrite").parquet(stage.toString)
+    val in = spark.readStream.schema(withTs.schema).parquet(stage.toString)
+    val out = StreamingOps.minhashCandidatesStream(
+      in, "ts", "text", "doc_id", watermark = "1 hour")
+    val q = StreamingOps.runToMemory(out, "mh_stream_out")
+    try {
+      q.awaitTermination()
+      val streamed = spark.table("mh_stream_out")
+        .select($"a", $"b", round($"est_jaccard", 4).as("e"))
+        .distinct().as[(Long, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+      assert(batch.nonEmpty) // the corpus really has near-dups to find
+    } finally q.stop()
+  }
+
+  test("streaming minhash candidates: bucket state is watermark-evicted") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingOps.minhashCandidatesStream(
+      df, "ts", "text", "doc_id", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("mh_evict_out")
+      .outputMode("append").start()
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      input.addData((Timestamp.valueOf("2024-01-01 00:00:00"), 1L, dup))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 00:02:00"), 2L, dup))
+      q.processAllAvailable()
+      // a near-dup inside the watermark window is caught
+      assert(spark.table("mh_evict_out").count() > 0)
+      // jump event time far past the horizon: doc 1/2 state must be evicted
+      input.addData((Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "something unrelated entirely here"))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 09:01:00"), 4L, "another unrelated text body"))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      assert(removed > 0, s"bucket state never evicted (removed=$removed)")
+      // the late twin of doc 1 is NOT flagged (its original aged out) —
+      // the documented price of bounded state
+      val before = spark.table("mh_evict_out").count()
+      input.addData((Timestamp.valueOf("2024-01-01 09:02:00"), 5L, dup))
+      q.processAllAvailable()
+      val flaggedLate = spark.table("mh_evict_out").filter($"b" === 5L).count()
+      assert(flaggedLate == 0,
+        s"expected the aged-out twin to be admitted as new, got $flaggedLate rows (total before=$before)")
+    } finally q.stop()
+  }
 }
