@@ -43,6 +43,25 @@ object Bench {
     val only = named("SPARK_GRAFT_BENCH_ONLY")
     val benchSet = if (only.nonEmpty) only
       else Registry.benchQueries ++ named("SPARK_GRAFT_BENCH_EXTRA")
+    // machine-drift calibration: a fixed, data-free, deterministic Spark
+    // job timed the same way as the queries. Cross-round totals are only
+    // comparable after normalizing by this — round 8 measured the SAME
+    // commit differing ~1.5-2x across days on this host (SCALING.md), so a
+    // raw r(N) vs r(N-1) total conflates code and machine. The workload
+    // (sum of id % 1000007 over 200M longs on all cores — overflow-free
+    // under ANSI mode) is pure whole-stage
+    // codegen: no I/O, no shuffle, no allocation churn.
+    val calib = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(200000000L).selectExpr("sum(id % 1000007)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm the codegen + JIT
+      val ts = Seq(once(), once(), once()).sorted
+      ts(1)
+    }
+    Console.err.println(f"[bench] calibration (fixed 200M-row sum): $calib%.3f s")
     // a failed query must NEVER be silently timed: an exception returns in
     // milliseconds and reads as a 100x speedup (round 7's "fast" TS numbers
     // were exactly this — every events-table query was throwing on an
@@ -73,7 +92,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"calib":$calib,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {
       Console.err.println(s"[bench] ${failed.size} queries FAILED — timings above are throw times, not plans")
       sys.exit(3)
