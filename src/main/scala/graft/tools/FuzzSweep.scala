@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Offline wide fuzz sweep: generate seeds [from, until) from the SQL and
+  * TQL grammar fuzzers, dump each result in graft.Verify's output format
+  * (one parquet dir per query + oracle_sql.json), and let
+  * tools/check_correctness.py differentially compare against DuckDB.
+  *
+  * The registered fuzz sets pin 24 SQL + 12 TQL seeds for the driver; this
+  * main is the wide net run ad hoc per round (hundreds to thousands of
+  * seeds) to hunt interaction bugs before they reach a user. Usage:
+  *   runMain graft.tools.FuzzSweep <sfDir> <outDir> <sqlFrom> <sqlUntil> <tqlFrom> <tqlUntil>
+  */
+object FuzzSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val (sqlFrom, sqlUntil) = (args(2).toInt, args(3).toInt)
+    val (tqlFrom, tqlUntil) = (args(4).toInt, args(5).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.engine.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.engine.GraftSession.prepare(spark)
+    graft.engine.Tables.registerAll(spark, sfDir)
+    new java.io.File(outDir).mkdirs()
+
+    val oracle = scala.collection.mutable.LinkedHashMap[String, String]()
+    var failed = 0
+
+    def dump(name: String, duck: String)(build: => org.apache.spark.sql.DataFrame): Unit =
+      try {
+        build.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        oracle(name) = duck
+      } catch { case e: Throwable =>
+        failed += 1
+        System.err.println(s"[fuzzsweep] $name BUILD FAILED: ${e.getMessage}")
+      }
+
+    for (s <- sqlFrom until sqlUntil) {
+      val text = graft.queries.FuzzQueries.genSql(s)
+      dump(f"fz_sql_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
+    }
+    for (s <- tqlFrom until tqlUntil) {
+      val (tql, duck) = graft.queries.TqlFuzz.gen(s)
+      dump(f"fz_tql_$s%04d", duck) {
+        import org.apache.spark.sql.functions.col
+        val out = graft.tql.TqlCompiler.run(
+          graft.engine.Tables.container(spark, sfDir, "events"), tql)
+        if (out.columns.contains("event_id") && out.columns.length > 4)
+          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        else out
+      }
+    }
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+      oracle.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    System.err.println(s"[fuzzsweep] ${oracle.size} dumped, $failed build failures")
+    spark.stop()
+    if (failed > 0) sys.exit(2)
+  }
+}

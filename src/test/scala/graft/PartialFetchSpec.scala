@@ -58,6 +58,18 @@ class PartialFetchSpec extends SparkTestBase {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("empty container / fully-filtered query: cursor exhausts cleanly") {
+    val empty = Container("t",
+      spark.sparkContext.parallelize(Seq.empty[Long], 4).toDF("id"), Collection)
+    val rs = PartialFetch.fetch(empty, "select *")
+    assert(!rs.hasNext)
+    intercept[NoSuchElementException] { rs.next() }
+    // a predicate matching nothing still walks every range exactly once
+    val none = PartialFetch.fetch(cont, "select * where m > 100")
+    assert(!none.hasNext)
+    assert(none.rangesExecuted == none.totalRanges)
+  }
+
   test("reference mode restrictions and size() are enforced") {
     intercept[IllegalArgumentException] {
       PartialFetch.fetch(cont, "select * order by id")
