@@ -204,14 +204,111 @@ object FuzzQueries {
     }
   }
 
+  // ---------- v2 generator: the interaction shapes v1 leaves untested —
+  // HAVING, IN / EXISTS / scalar subqueries, DISTINCT projections,
+  // CASE-in-aggregate. A SEPARATE generator, not new cases in genSql:
+  // changing genSql's draw fan-out would reinterpret every pinned seed. ----
+
+  /** Grouped aggregation gated by HAVING over exact aggregates. */
+  private def havingAgg(r: Random): String = {
+    val g = pick(r, strs)
+    val aggs = (0 until r.nextInt(2) + 1).map(i => agg(r, i))
+    val hav = r.nextInt(3) match {
+      case 0 => s"COUNT(*) > ${50 + r.nextInt(5000)}"
+      case 1 => s"MIN(${pick(r, keys)}) >= ${r.nextInt(50)}"
+      case _ => s"SUM(CAST(${pick(r, nums)} AS DECIMAL(18,2))) > ${100 + r.nextInt(10000)}"
+    }
+    s"""SELECT $g, COUNT(*) AS cnt, ${aggs.map(_._1).mkString(", ")}
+       |FROM lineitem WHERE ${pred(r)}
+       |GROUP BY $g HAVING $hav
+       |ORDER BY $g""".stripMargin
+  }
+
+  /** IN / NOT IN over an orders subquery (non-null key on both sides, so
+    * NOT IN's three-valued trap stays closed). */
+  private def inSubquery(r: Random): String = {
+    val not = if (r.nextBoolean()) "NOT " else ""
+    s"""SELECT l_returnflag, COUNT(*) AS cnt,
+       |  ${agg(r, 0)._1}
+       |FROM lineitem
+       |WHERE ${pred(r)}
+       |  AND l_orderkey ${not}IN (SELECT o_orderkey FROM orders
+       |    WHERE o_totalprice > ${1000 + r.nextInt(200000)})
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Correlated EXISTS / NOT EXISTS against orders. */
+  private def existsSubquery(r: Random): String = {
+    val not = if (r.nextBoolean()) "NOT " else ""
+    val st = pick(r, Vector("'O'", "'F'", "'P'"))
+    s"""SELECT l_linestatus, COUNT(*) AS cnt
+       |FROM lineitem
+       |WHERE ${pred(r)}
+       |  AND ${not}EXISTS (SELECT 1 FROM orders
+       |    WHERE o_orderkey = l_orderkey AND o_orderstatus = $st)
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  }
+
+  /** Scalar subquery in the predicate (exact MIN/MAX/COUNT only — an AVG
+    * here would reassociate doubles differently per engine). */
+  private def scalarSubquery(r: Random): String = {
+    val fn = pick(r, Vector("MIN", "MAX"))
+    s"""SELECT l_orderkey, l_linenumber, l_returnflag
+       |FROM lineitem
+       |WHERE ${pred(r)}
+       |  AND l_orderkey <= (SELECT $fn(o_orderkey) FROM orders
+       |    WHERE o_totalprice > ${50000 + r.nextInt(100000)})
+       |ORDER BY $totalOrder LIMIT ${100 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** DISTINCT projection over derived columns. */
+  private def distinctProj(r: Random): String = {
+    val m = r.nextInt(7) + 2
+    s"""SELECT DISTINCT l_returnflag, l_linestatus, ${pick(r, keys)} % $m AS km
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY l_returnflag, l_linestatus, km""".stripMargin
+  }
+
+  /** Conditional aggregation: SUM(CASE ...) with decimal-cast arms. */
+  private def caseAgg(r: Random): String = {
+    val g = pick(r, strs)
+    s"""SELECT $g,
+       |  CAST(SUM(CASE WHEN ${pred(r, 1)}
+       |    THEN CAST(${pick(r, nums)} AS DECIMAL(18,2))
+       |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS csum,
+       |  COUNT(*) AS cnt
+       |FROM lineitem WHERE ${pred(r)}
+       |GROUP BY $g ORDER BY $g""".stripMargin
+  }
+
+  /** v2 pinned text for seed `s` — same stability policy as genSql. */
+  private[graft] def genSql2(s: Int): String = {
+    val r = new Random(0x5EED2 + s)
+    r.nextInt(6) match {
+      case 0 => havingAgg(r)
+      case 1 => inSubquery(r)
+      case 2 => existsSubquery(r)
+      case 3 => scalarSubquery(r)
+      case 4 => distinctProj(r)
+      case _ => caseAgg(r)
+    }
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
   private val seeds: Seq[Int] = 0 until 24
+  private val seeds2: Seq[Int] = 0 until 12
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
     Q.df(f"q_fuzz_$s%02d", duck = text) { (spark, dir) =>
+      graft.engine.Tables.registerAll(spark, dir)
+      graft.engine.GraftSql.sql(spark, text)
+    }
+  } ++ seeds2.map { s =>
+    val text = genSql2(s)
+    Q.df(f"q_fuzz2_$s%02d", duck = text) { (spark, dir) =>
       graft.engine.Tables.registerAll(spark, dir)
       graft.engine.GraftSql.sql(spark, text)
     }

@@ -44,6 +44,10 @@ object FuzzSweep {
       val text = graft.queries.FuzzQueries.genSql(s)
       dump(f"fz_sql_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
     }
+    for (s <- sqlFrom until sqlUntil) {
+      val text = graft.queries.FuzzQueries.genSql2(s)
+      dump(f"fz_sql2_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
+    }
     for (s <- tqlFrom until tqlUntil) {
       val (tql, duck) = graft.queries.TqlFuzz.gen(s)
       dump(f"fz_tql_$s%04d", duck) {
