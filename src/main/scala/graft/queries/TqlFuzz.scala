@@ -92,17 +92,74 @@ object TqlFuzz {
     }
   }
 
+  /** TS-selection-function fuzz: TIME_PREV/NEXT(_ONLY) at random probes
+    * under random predicates, MAX_ROWS/MIN_ROWS, and TIME_WINDOW_AGG with
+    * random exact aggregates/grids — the most custom compiled paths in
+    * the engine. Sound because the events container's ts is UNIQUE (the
+    * GridDB TimeSeries row key), so the at-most-one-row selections need
+    * no tie-break in either engine. Exact aggregates only (MIN/MAX/COUNT)
+    * — bucket SUM/AVG of doubles reassociates differently per engine. */
+  private[graft] def genTs(seed: Int): (String, String) = {
+    val r = new Random(0x7501 + seed)
+    val (tp, dp) = pred(r)
+    val guardT = s"value is not null and $tp"
+    val guardD = s"value IS NOT NULL AND $dp"
+    val d = 2 + r.nextInt(26); val h = r.nextInt(24)
+    val probeT = f"2024-01-$d%02dT$h%02d:30:00Z"
+    val probeD = f"2024-01-$d%02d $h%02d:30:00"
+    r.nextInt(8) match {
+      case c @ (0 | 1 | 2 | 3) =>
+        val (fn, cmp, dir) = c match {
+          case 0 => ("time_prev", "<=", "DESC")
+          case 1 => ("time_next", ">=", "ASC")
+          case 2 => ("time_prev_only", "<", "DESC")
+          case _ => ("time_next_only", ">", "ASC")
+        }
+        (s"select $fn(TIMESTAMP('$probeT')) where $guardT",
+          s"SELECT event_id, user_id, event_type, value FROM events " +
+            s"WHERE $guardD AND ts $cmp TIMESTAMP '$probeD' " +
+            s"ORDER BY ts $dir LIMIT 1")
+      case c @ (4 | 5) =>
+        val (fn, mm) = if (c == 4) ("max_rows", "MAX") else ("min_rows", "MIN")
+        (s"select $fn(value) where $guardT",
+          s"SELECT event_id, user_id, event_type, value FROM events " +
+            s"WHERE $guardD AND value = (SELECT $mm(value) FROM events WHERE $guardD)")
+      case _ =>
+        val agg = pick(r, Vector("MIN", "MAX", "COUNT"))
+        val iv = pick(r, Vector(6, 12, 24)); val ivMs = iv * 3600000L
+        val startMs = 1704067200000L // 2024-01-01T00:00:00Z
+        val endD = 10 + r.nextInt(20)
+        // day-of-month endD is (endD - 1) days after Jan 1
+        val endMs = startMs + (endD - 1) * 86400000L
+        val alias = agg.toLowerCase
+        val dAgg = if (agg == "COUNT") "COUNT(value)" else s"$agg(value)"
+        (s"select time_window_agg(value, $agg, TIMESTAMP('2024-01-01T00:00:00Z'), " +
+            s"TIMESTAMP('2024-01-${endD}T00:00:00Z'), $iv, HOUR)",
+          s"SELECT $startMs + (epoch_ms(ts) - $startMs) // $ivMs * $ivMs AS ts_ms, " +
+            s"$dAgg AS $alias FROM events " +
+            s"WHERE epoch_ms(ts) >= $startMs AND epoch_ms(ts) <= $endMs " +
+            s"GROUP BY 1 ORDER BY 1")
+    }
+  }
+
   private val seeds: Seq[Int] = 0 until 12
+  private val tsSeeds: Seq[Int] = 0 until 10
+
+  private def runTql(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     tql: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = graft.tql.TqlCompiler.run(
+      graft.engine.Tables.container(spark, dir, "events"), tql)
+    if (out.columns.contains("event_id") && out.columns.length > 4)
+      out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    else out
+  }
 
   val qs: Seq[Q] = seeds.map { s =>
     val (tql, duck) = gen(s)
-    Q.df(f"q_tqlfuzz_$s%02d", duck = duck) { (spark, dir) =>
-      import org.apache.spark.sql.functions.col
-      val out = graft.tql.TqlCompiler.run(
-        graft.engine.Tables.container(spark, dir, "events"), tql)
-      if (out.columns.contains("event_id") && out.columns.length > 4)
-        out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      else out
-    }
+    Q.df(f"q_tqlfuzz_$s%02d", duck = duck)((spark, dir) => runTql(spark, dir, tql))
+  } ++ tsSeeds.map { s =>
+    val (tql, duck) = genTs(s)
+    Q.df(f"q_tqlfuzz_ts_$s%02d", duck = duck)((spark, dir) => runTql(spark, dir, tql))
   }
 }

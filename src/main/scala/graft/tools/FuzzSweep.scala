@@ -49,6 +49,15 @@ object FuzzSweep {
       dump(f"fz_sql2_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
     }
     for (s <- tqlFrom until tqlUntil) {
+      val (tqlTs, duckTs) = graft.queries.TqlFuzz.genTs(s)
+      dump(f"fz_tqlts_$s%04d", duckTs) {
+        import org.apache.spark.sql.functions.col
+        val out = graft.tql.TqlCompiler.run(
+          graft.engine.Tables.container(spark, sfDir, "events"), tqlTs)
+        if (out.columns.contains("event_id") && out.columns.length > 4)
+          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        else out
+      }
       val (tql, duck) = graft.queries.TqlFuzz.gen(s)
       dump(f"fz_tql_$s%04d", duck) {
         import org.apache.spark.sql.functions.col
