@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build ONCE (centroids + cluster-partitioned
+  * vectors on disk), query MANY times without re-clustering the corpus.
+  *
+  * [[Similarity.ivfTopK]] trains and assigns per call — right for ad-hoc
+  * queries, wrong for a serving pattern where the same 100 TB corpus is
+  * probed continuously. Build writes the inverted file FOR REAL:
+  *  - `<path>/centroids`: (cluster, cv) — nLists x dim, driver-trivial;
+  *  - `<path>/vectors`: (id, cv) **partitioned by cluster directory**, so
+  *    each IVF "inverted list" is a parquet partition and a query's
+  *    nProbe-list scan is directory-level PARTITION PRUNING — the scan
+  *    reads probed lists only, ~nProbe/nLists of the corpus, which is the
+  *    entire point of IVF on disk.
+  * Centroids use the same deterministic seeds + Lloyd discipline as
+  * [[Similarity.ivfCentroids]], so an index built from the same corpus
+  * reproduces ivfTopK's results exactly (IvfIndexSpec asserts equality
+  * and the pruned scan).
+  */
+object IvfIndex {
+
+  /** Train + write the index. Overwrites `path`. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+            nLists: Int = -1, corpusSize: Long = -1L): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val c0 = graft.engine.Parallelism.spread(corpus)
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
+    val dim = Similarity.vecDim(c0, "cv")
+    val lists = Similarity.resolveLists(corpus, nLists, corpusSize)
+    val cents = Similarity.ivfCentroids(
+      c0.select(col("id").as("c_id"), col("cv")), dim, lists)
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("cluster", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    c0.withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
+  /** Load the centroids (nLists x dim — driver-tiny by construction). */
+  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cluster")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Top-k cosine neighbors of each query row against the indexed corpus.
+    * Only the probed clusters' partitions are scanned. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+           idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
+           roundTo: Int = 4): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val cents = loadCentroids(spark, path)
+    val q = queries.select(col(idCol).as("q_id"),
+        transform(col(vecCol), _.cast("double")).as("qv"))
+      .withColumn("cluster",
+        explode(transform(slice(array_sort(Similarity.distances(col("qv"), cents)), 1, nProbe),
+          d => d.getField("cid"))))
+    // queries are broadcast-sized by contract: their probed-list union is
+    // collected so the vector scan prunes to exactly those partitions
+    val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cluster").isInCollection(probed))
+    val scored = vectors.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("c_id"),
+        round(Similarity.cosine(col("qv"), col("cv")), roundTo).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Curation, Dedup, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, IvfIndex, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -245,6 +245,18 @@ object PipelineQueries {
       // golden-pinned and the AUTO ~sqrt(N) rule would shift it with SF
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nLists = 16)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- the PERSISTED form of the same index: build the inverted file
+    //      to disk (cluster-partitioned parquet), query through partition
+    //      pruning — must hash identically to q_sim_ivf_ann ----
+    Q.rowsOnly("q_sim_ivf_indexed") { (s, dir) =>
+      val e = embs(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
+      IvfIndex.build(e, "vec_id", "embedding", path, nLists = 16)
+      IvfIndex.topK(s, path, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rk")
     },
 

@@ -102,6 +102,41 @@ object StreamingQueries {
       }.orderBy("doc_id")
     },
 
+    // Streaming Gopher quality gate: stateless per-row metric map — the
+    // continuous result equals the batch operator row-for-row and shares
+    // q_text_gopher's oracle verbatim.
+    Q.df("q_stream_text_gopher",
+      duck = """WITH base AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |      x -> length(x) > 0) AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w) AS n_words, len(l) AS n_lines,
+        |    CASE WHEN len(w) > 0 THEN CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS DOUBLE) / len(w) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(w) > 0 THEN CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE) / len(w) ELSE 0.0 END AS symbol_word_ratio,
+        |    CASE WHEN len(l) > 0 THEN CAST(len(list_filter(l, x -> starts_with(x, chr(8226)) OR starts_with(x, '-') OR starts_with(x, '*'))) AS DOUBLE) / len(l) ELSE 0.0 END AS bullet_line_frac,
+        |    CASE WHEN len(l) > 0 THEN CAST(len(list_filter(l, x -> ends_with(x, '...'))) AS DOUBLE) / len(l) ELSE 0.0 END AS ellipsis_line_frac,
+        |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w) ELSE 0.0 END AS alpha_word_frac,
+        |    len(list_filter(w, x -> lower(x) IN ('the','be','to','of','and','that','have','with'))) AS stopword_hits
+        |  FROM base)
+        |SELECT doc_id, n_words, ROUND(mean_word_len, 4) AS mean_word_len,
+        |  ROUND(symbol_word_ratio, 4) AS symbol_word_ratio,
+        |  ROUND(bullet_line_frac, 4) AS bullet_line_frac,
+        |  ROUND(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+        |  ROUND(alpha_word_frac, 4) AS alpha_word_frac, stopword_hits,
+        |  (n_words BETWEEN 30 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |   AND stopword_hits >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      replayDocs(s, dir, "q_stream_text_gopher_sink") { d =>
+        graft.pipeline.TextAnalysis.gopherQuality(d, "text", "doc_id", minWords = 30)
+      }.orderBy("doc_id")
+    },
+
     // Streaming MinHash-LSH near-dup candidates (xxhash family: rows-only
     // golden; batch parity + state eviction are spec-asserted). ts is
     // synthesized from doc_id so arrival order follows ids and the pair

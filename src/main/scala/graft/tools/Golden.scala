@@ -26,7 +26,7 @@ object Golden {
     "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features", "q_nano_precision",
-    "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivfpq_ann",
+    "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed", "q_sim_ivfpq_ann",
     "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash",
     "q_text_fingerprint")
 

@@ -30,6 +30,9 @@ class GoldenSpec extends SparkTestBase {
     "q_nano_precision" -> "391295047b0a5e05",
     "q_pipeline_curation_v3_auto" -> "61055128fc76a684",
     "q_sim_ivf_ann" -> "5c07d3c773d648de",
+    // same hash as q_sim_ivf_ann — the persisted inverted file reproduces
+    // the in-memory operator exactly (IvfIndexSpec proves it structurally)
+    "q_sim_ivf_indexed" -> "5c07d3c773d648de",
     "q_sim_ivfpq_ann" -> "5f0dae0d94168546",
     "q_sim_lsh_ann" -> "1ed71c69d7605a27",
     "q_sim_pq_ann" -> "7ba54dee46531549",

@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.{IvfIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkTestBase {
+
+  test("indexed IVF reproduces ivfTopK exactly and prunes to probed lists") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 8)
+    val indexed = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    val direct = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 2)
+
+    val a = indexed.select("q_id", "c_id", "cos", "rk").collect().toSet
+    val b = direct.select("q_id", "c_id", "cos", "rk").collect().toSet
+    assert(a == b, s"indexed vs direct diverged:\nonly-indexed=${a -- b}\nonly-direct=${b -- a}")
+    assert(a.nonEmpty)
+
+    // the inverted lists are real: the vectors scan prunes on the cluster
+    // partition directory, reading only the probed lists
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning in:\n$plan")
+  }
+
+  test("build is re-runnable (overwrite) and centroids round-trip") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx2").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 4)
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 4) // overwrite ok
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.count() == 4)
+    assert(cents.schema.fieldNames.toSeq == Seq("cluster", "cv"))
+    // every corpus vector is assigned to exactly one stored list
+    val n = spark.read.parquet(s"$path/vectors").count()
+    assert(n == e.count())
+  }
+}
