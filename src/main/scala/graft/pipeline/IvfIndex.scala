@@ -43,6 +43,23 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
+  /** Incrementally add vectors to an existing index: assign with the
+    * SAVED centroids (no retrain — the standard IVF serving pattern) and
+    * append into the cluster partitions. Centroid drift under heavy
+    * appends degrades recall, not correctness: every vector still lands
+    * in exactly one list and scans stay pruned; rebuild when the corpus
+    * has grown enough that fresh Lloyd means matter. */
+  def append(newVectors: DataFrame, idCol: String, vecCol: String,
+             path: String): Unit = {
+    val spark = newVectors.sparkSession
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val cents = loadCentroids(spark, path)
+    newVectors
+      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
+      .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+  }
+
   /** Load the centroids (nLists x dim — driver-tiny by construction). */
   private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
     spark.read.parquet(s"$path/centroids").orderBy("cluster")

@@ -28,6 +28,23 @@ class IvfIndexSpec extends SparkTestBase {
       s"expected cluster partition pruning in:\n$plan")
   }
 
+  test("append assigns with saved centroids; appended vectors are found") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") < 150)
+    val extra = e.filter(col("vec_id") >= 150)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx3").toString
+    IvfIndex.build(base, "vec_id", "embedding", path, nLists = 8)
+    IvfIndex.append(extra, "vec_id", "embedding", path)
+    assert(spark.read.parquet(s"$path/vectors").count() == e.count())
+    // an appended vector must be findable as its own exact neighbor set's
+    // member: query WITH one of the appended ids, probing all lists
+    val q = e.filter(col("vec_id") === 150)
+    val got = IvfIndex.topK(spark, path, q, "vec_id", "embedding",
+        k = 5, nProbe = 8)
+      .select("c_id").collect().map(_.getLong(0))
+    assert(got.length == 5 && !got.contains(150L))
+  }
+
   test("build is re-runnable (overwrite) and centroids round-trip") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx2").toString
