@@ -39,7 +39,14 @@ object IvfIndex {
       .map { case (cv, i) => (i, cv.toSeq) }.toSeq
       .toDF("cluster", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // repartition ON the cluster key before partitionBy: without it every
+    // input task writes a sliver into every list directory (tasks x lists
+    // tiny files — measured 14,336 files for 448 lists at sf10, making
+    // the pruned scan SLOWER than brute force on open/footer overhead
+    // alone). With it each list is one-ish compact file — the physical
+    // layout an inverted file is supposed to have.
     c0.withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
@@ -57,6 +64,7 @@ object IvfIndex {
     newVectors
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
       .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+      .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
   }
 
