@@ -57,6 +57,11 @@ object ScaleGen {
     val vocabMode = if (args.length > 2) args(2) else "uniform30"
     require(Seq("uniform30", "zipf").contains(vocabMode),
       s"vocab must be uniform30|zipf, got $vocabMode")
+    // "docs" generates only documents+embeddings: the text/vector probes at
+    // sf100 don't need a 600M-row lineitem to exist first
+    val tablesMode = if (args.length > 3) args(3) else "all"
+    require(Seq("all", "docs").contains(tablesMode),
+      s"tables must be all|docs, got $tablesMode")
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]").appName("graft-scalegen"))
       .getOrCreate()
@@ -79,6 +84,7 @@ object ScaleGen {
     }
 
     // fixed-size dimensions: copy the driver's
+    if (tablesMode == "all") {
     for (t <- Seq("region", "nation"))
       write(spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet"), t, 1)
 
@@ -156,6 +162,7 @@ object ScaleGen {
       round(lit(-50.0) * log(lit(1.0) - u("ev", col("id"))), 2).as("value"),
       concat(lit("{\"k\": "), h("ep", 100, col("id")), lit("}")).as("props")),
       "events", 8)
+    } // tablesMode == "all"
 
     // documents: 30-word uniform vocab + rare 'dup' token, 10-100 tokens,
     // ~0.5% of docs are exact copies of one of the first 100 (dedup fodder)
