@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // of the session — including the Thrift/JDBC server (JdbcSpec drives
     // that end to end)
     e.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    // SQL:2011 grand-total row for ROLLUP/CUBE over empty input (post-hoc:
+    // runs once, after grouping sets are lowered to Aggregate-over-Expand)
+    e.injectPostHocResolutionRule(_ => RollupEmptyGlobalRow)
   }
 }

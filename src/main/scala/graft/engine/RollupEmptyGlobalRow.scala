@@ -1,0 +1,129 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Standard-compliant ROLLUP/CUBE on EMPTY input.
+  *
+  * SQL:2011 (and DuckDB/Postgres, and the reference's SQLite-derived
+  * aggregation): a grouping-set query whose sets include the global set
+  * `()` returns the grand-total row even when the (filtered) input is
+  * empty — `()` aggregates like a plain global aggregate, which yields one
+  * row of COUNT=0 / SUM=NULL. Spark lowers grouping sets to
+  * Aggregate-over-Expand keyed by `spark_grouping_id`, and a keyed
+  * aggregate over zero rows yields zero groups — so Spark silently drops
+  * the grand-total row. Found by the v3 grammar fuzzer (seed 2: ROLLUP
+  * under a contradiction predicate; DuckDB 1 row, Spark 0).
+  *
+  * Fix, applied once post-analysis: rewrite
+  * {{{ Aggregate(gid-keyed, aggs, Expand(projections, out, child)) }}}
+  * to
+  * {{{ Union(original,
+  *           Project(aggs',
+  *             Filter(__cnt == 0,
+  *               Aggregate(Nil, aggs' :+ count(1) as __cnt, child)))) }}}
+  * where aggs' is aggs with every Expand-output attribute substituted by
+  * the GLOBAL grouping set's projection expressions (typed null literals
+  * for the group columns, the all-ones literal for the grouping id — so
+  * GROUPING()/GROUPING_ID() fold to their grand-total values). The guard
+  * `HAVING count(*) = 0` keeps the extra leg empty whenever the input is
+  * non-empty, so results only change in exactly the dropped-row case.
+  *
+  * Scale note: the guard leg is one extra global aggregate over the same
+  * child — map-side partials to a single row, reading only the columns the
+  * aggregates touch. No shuffle is added to the main leg, whose plan is
+  * byte-identical to stock Spark.
+  *
+  * The rewrite only fires when a projection row nulls EVERY grouping
+  * position (the global set) — explicit GROUPING SETS((a),(b)) without
+  * `()` keeps Spark's (and the standard's) zero-row behavior.
+  */
+object RollupEmptyGlobalRow extends Rule[LogicalPlan] {
+
+  private val GroupingIdName = "spark_grouping_id"
+  private val GuardName = "__graft_rollup_cnt"
+
+  /** Our own guard leg: Project(Filter(__graft_rollup_cnt = 0, Aggregate)). */
+  private def isGuardLeg(p: LogicalPlan): Boolean = p match {
+    case Project(_, Filter(cond, _: Aggregate)) =>
+      cond.references.exists(_.name == GuardName)
+    case _ => false
+  }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!plan.resolved) return plan
+    // Idempotence: every analysis pass over an already-rewritten tree (the
+    // write path re-analyzes; so does each Dataset transformation) matches
+    // the inner Aggregate again — without this set, each pass would stack
+    // one more grand-total leg (seen as 3 duplicate rows through
+    // coalesce().write()). Identity-keyed: transformUp keeps untouched
+    // subtree instances, so the Union's first child is the same object.
+    val fixed = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case u: Union if u.children.size == 2 && isGuardLeg(u.children(1)) =>
+        fixed.add(u.children.head)
+      case _ => ()
+    }
+    plan.transformUp {
+      case agg @ Aggregate(_, _, expand: Expand, _)
+          if agg.resolved && !fixed.contains(agg) &&
+            expand.output.exists(_.name == GroupingIdName) =>
+        globalProjection(expand) match {
+          case Some(globalRow) => rewrite(agg, expand, globalRow)
+          case None => agg
+        }
+    }
+  }
+
+  /** The projection row of the global grouping set `()`: every position
+    * that varies across rows is a Literal there (typed nulls for group
+    * columns; the all-excluded value for the grouping id). */
+  private def globalProjection(expand: Expand): Option[Seq[Expression]] = {
+    val nRows = expand.projections.size
+    if (nRows < 2) return None
+    val varying = expand.output.indices.filter { i =>
+      val exprs = expand.projections.map(_(i))
+      exprs.exists(e => !e.semanticEquals(exprs.head))
+    }
+    expand.projections.find { row =>
+      varying.forall { i =>
+        row(i) match {
+          case Literal(null, _) => true
+          // the grouping-id literal (all grouping bits set) is the row's
+          // non-null marker; any other non-null literal means this set
+          // keeps a column's value and is not global
+          case Literal(_, _) => expand.output(i).name == GroupingIdName
+          case _ => false
+        }
+      }
+    }
+  }
+
+  private def rewrite(agg: Aggregate, expand: Expand,
+                      globalRow: Seq[Expression]): LogicalPlan = {
+    val subst: Map[ExprId, Expression] =
+      expand.output.map(_.exprId).zip(globalRow).toMap
+
+    // aggs with Expand attrs replaced by the global set's expressions;
+    // top-level plain attrs (the group columns in the SELECT list) become
+    // literals and need re-aliasing under their original names
+    val aggsGlobal: Seq[NamedExpression] = agg.aggregateExpressions.map { ne =>
+      val s = ne.transformUp {
+        case a: Attribute if subst.contains(a.exprId) => subst(a.exprId)
+      }
+      s match {
+        case a: Alias => Alias(a.child, a.name)() // fresh exprId for leg 2
+        case n: NamedExpression if n.resolved && !subst.contains(n.exprId) => n
+        case e => Alias(e, ne.name)()
+      }
+    }
+    val cnt = Alias(Count(Seq(Literal(1))).toAggregateExpression(), GuardName)()
+    val globalAgg = Aggregate(Nil, aggsGlobal :+ cnt, expand.child, None)
+    val emptyOnly = Filter(EqualTo(cnt.toAttribute, Literal(0L)), globalAgg)
+    val leg2 = Project(aggsGlobal.map(_.toAttribute), emptyOnly)
+    Union(agg, leg2)
+  }
+}

@@ -241,6 +241,14 @@ object GridDbScalarFunctions {
       case Literal(v: Long, LongType) => v
       case _ => throw new IllegalArgumentException(s"$n must be an integer/long literal")
     }
+    // mergeable bounded top-k (see TopKByScore): partial buffers capped at
+    // k entries, so per-group "keep the best k" never windows a whole group
+    // through one task
+    tmp("graft_top_k") { a =>
+      require(a.size == 4, "graft_top_k(value, score, tie, k)")
+      TopKByScore(a(0), Cast(a(1), DoubleType), Cast(a(2), LongType),
+        litInt(a(3), "graft_top_k k"))
+    }
     tmp("graft_minhash_sig") { a =>
       require(a.size == 3, "graft_minhash_sig(text, shingleN, k)")
       MinhashSignature(Cast(a(0), StringType),

@@ -442,6 +442,29 @@ object Curation {
       .drop("__rn", "__cnt", "__quota")
   }
 
+  /** Keep the `k` best rows of each group, ranked by `scoreCol` descending
+    * with `tieCol` (a unique id) ascending — per-domain caps / per-source
+    * quality retention (RefinedWeb §3 keeps the top documents per domain).
+    *
+    * Scale shape: built on the graft_top_k mergeable aggregate, NOT a
+    * window. `row_number() OVER (PARTITION BY group ...) <= k` funnels the
+    * whole group through one task — the same scale-killer stratifiedSample
+    * documents — while the aggregate's partial buffers are capped at k
+    * entries, so the shuffle carries at most k rows per group per map task
+    * regardless of corpus size. The grouped payload is the full row struct;
+    * exploding it back restores the original schema. */
+  def capPerGroupByScore(df: DataFrame, groupCol: String, scoreCol: String,
+                         tieCol: String, k: Int): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val cols = df.columns
+    val kept = df
+      .withColumn("__payload", struct(cols.map(col).toIndexedSeq: _*))
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_top_k(__payload, CAST($scoreCol AS DOUBLE), CAST($tieCol AS BIGINT), $k)")
+        .as("__kept"))
+    kept.select(explode(col("__kept")).as("__r")).select(cols.map(c => col(s"__r.$c")).toIndexedSeq: _*)
+  }
+
   /** Deterministic stratified sampling: for each stratum, the `n` rows with
     * the smallest md5(key) — i.e. a reproducible uniform quota sample per
     * group (language, source, quality bucket), stable across runs, engines

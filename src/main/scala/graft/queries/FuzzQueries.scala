@@ -294,11 +294,114 @@ object FuzzQueries {
     }
   }
 
+  // ---------- v3 generator: the window-function shapes v1's single
+  // windowed() template never draws — LAG/LEAD with explicit defaults,
+  // FIRST/LAST_VALUE under asymmetric frames, NTILE, RANGE frames with
+  // numeric offsets (peer-group semantics make duplicate order keys safe),
+  // UNBOUNDED bounds, PERCENT_RANK/CUME_DIST, and ROLLUP/CUBE + GROUPING().
+  // Again a separate generator so old pinned seeds keep their meaning. ----
+
+  /** LAG/LEAD over the total order: the returned value is copied, not
+    * recomputed, so raw doubles compare bit-for-bit. Integer defaults keep
+    * the coercion identical in both dialects. */
+  private def lagLead(r: Random): String = {
+    val part = pick(r, strs)
+    val off = r.nextInt(4) + 1
+    val c1 = pick(r, keys); val c2 = pick(r, nums)
+    s"""SELECT l_orderkey, l_linenumber, $part,
+       |  LAG($c1, $off, ${r.nextInt(100) - 50}) OVER (PARTITION BY $part ORDER BY $totalOrder) AS lg,
+       |  LEAD($c2, ${r.nextInt(3) + 1}) OVER (PARTITION BY $part ORDER BY $totalOrder) AS ld
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** FIRST_VALUE / LAST_VALUE under explicit asymmetric ROWS frames. The
+    * frame endpoints land on specific rows of the total order, so the
+    * picked values are engine-independent. */
+  private def firstLast(r: Random): String = {
+    val part = pick(r, strs)
+    val c = pick(r, nums ++ keys)
+    val frame = r.nextInt(3) match {
+      case 0 => s"ROWS BETWEEN UNBOUNDED PRECEDING AND ${r.nextInt(4) + 1} FOLLOWING"
+      case 1 => s"ROWS BETWEEN ${r.nextInt(4) + 1} PRECEDING AND CURRENT ROW"
+      case _ => "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    }
+    s"""SELECT l_orderkey, l_linenumber, $part,
+       |  FIRST_VALUE($c) OVER (PARTITION BY $part ORDER BY $totalOrder $frame) AS fv,
+       |  LAST_VALUE($c) OVER (PARTITION BY $part ORDER BY $totalOrder $frame) AS lv
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** NTILE bucketing + partition COUNT over the same window spec. */
+  private def ntileBuckets(r: Random): String = {
+    val part = pick(r, strs)
+    s"""SELECT l_orderkey, l_linenumber, $part,
+       |  NTILE(${r.nextInt(6) + 2}) OVER (PARTITION BY $part ORDER BY $totalOrder) AS nt,
+       |  COUNT(*) OVER (PARTITION BY $part) AS pc
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** RANGE frame with numeric offsets over a single integer order key.
+    * RANGE is peer-group-based: duplicate keys all receive the same
+    * aggregate, so no tie-break divergence is possible — the one frame
+    * family where a NON-unique order is sound by construction. Aggregates
+    * stay decimal-exact. */
+  private def rangeFrame(r: Random): String = {
+    val key = pick(r, Vector("l_orderkey", "l_partkey", "l_suppkey"))
+    val lo = r.nextInt(50) + 1; val hi = r.nextInt(50) + 1
+    val frame = s"RANGE BETWEEN $lo PRECEDING AND $hi FOLLOWING"
+    s"""SELECT l_orderkey, l_linenumber, $key AS okey,
+       |  CAST(SUM(CAST(${pick(r, nums)} AS DECIMAL(18,2))) OVER (ORDER BY $key $frame) AS DOUBLE) AS rsum,
+       |  COUNT(*) OVER (ORDER BY $key $frame) AS rcnt
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** PERCENT_RANK / CUME_DIST: rank ratios are small-integer divisions —
+    * the same IEEE division in both engines, bit-identical. */
+  private def percentCume(r: Random): String = {
+    val part = pick(r, strs)
+    s"""SELECT l_orderkey, l_linenumber, $part,
+       |  PERCENT_RANK() OVER (PARTITION BY $part ORDER BY $totalOrder) AS pr,
+       |  CUME_DIST() OVER (PARTITION BY $part ORDER BY $totalOrder) AS cd
+       |FROM lineitem WHERE ${pred(r)}
+       |ORDER BY $totalOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** ROLLUP / CUBE with GROUPING() disambiguation, following the
+    * q_rollup_agg discipline (CAST GROUPING AS INT; NULLS FIRST order). */
+  private def rollupCube(r: Random): String = {
+    val op = pick(r, Vector("ROLLUP", "CUBE"))
+    val gs = r.shuffle(strs).take(2)
+    val aggs = (0 until r.nextInt(2) + 1).map(i => agg(r, i))
+    s"""SELECT ${gs.mkString(", ")}, COUNT(*) AS cnt, ${aggs.map(_._1).mkString(", ")},
+       |  ${gs.zipWithIndex.map { case (g, i) => s"CAST(GROUPING($g) AS INT) AS g$i" }.mkString(", ")}
+       |FROM lineitem WHERE ${pred(r)}
+       |GROUP BY $op(${gs.mkString(", ")})
+       |ORDER BY ${gs.indices.map(i => s"g$i").mkString(", ")}, ${gs.map(g => s"$g NULLS FIRST").mkString(", ")}""".stripMargin
+  }
+
+  /** v3 pinned text for seed `s` — same stability policy as genSql. */
+  private[graft] def genSql3(s: Int): String = {
+    val r = new Random(0x5EED3 + s)
+    r.nextInt(6) match {
+      case 0 => lagLead(r)
+      case 1 => firstLast(r)
+      case 2 => ntileBuckets(r)
+      case 3 => rangeFrame(r)
+      case 4 => percentCume(r)
+      case _ => rollupCube(r)
+    }
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
   private val seeds: Seq[Int] = 0 until 24
   private val seeds2: Seq[Int] = 0 until 12
+  private val seeds3: Seq[Int] = 0 until 12
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -309,6 +412,12 @@ object FuzzQueries {
   } ++ seeds2.map { s =>
     val text = genSql2(s)
     Q.df(f"q_fuzz2_$s%02d", duck = text) { (spark, dir) =>
+      graft.engine.Tables.registerAll(spark, dir)
+      graft.engine.GraftSql.sql(spark, text)
+    }
+  } ++ seeds3.map { s =>
+    val text = genSql3(s)
+    Q.df(f"q_fuzz3_$s%02d", duck = text) { (spark, dir) =>
       graft.engine.Tables.registerAll(spark, dir)
       graft.engine.GraftSql.sql(spark, text)
     }

@@ -942,6 +942,23 @@ object PipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // ---- per-source quality cap (RefinedWeb-style domain caps): keep the
+    // k best docs per source by score, via the mergeable graft_top_k
+    // aggregate — partial buffers capped at k, no whole-group window ----
+    Q.df("q_cap_per_source",
+      duck = """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT doc_id, lang, source, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 7
+        |ORDER BY source, n_chars DESC, doc_id""".stripMargin) { (s, dir) =>
+      Curation.capPerGroupByScore(
+        docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        groupCol = "source", scoreCol = "n_chars", tieCol = "doc_id", k = 7)
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
     // ---- unigram LM perplexity proxy (CCNet-style quality filter):
     // per-doc avg -ln p(token) under the corpus' own unigram MLE ----
     Q.df("q_text_unigram_nll",
