@@ -241,6 +241,18 @@ object GridDbScalarFunctions {
       case Literal(v: Long, LongType) => v
       case _ => throw new IllegalArgumentException(s"$n must be an integer/long literal")
     }
+    // Bloom-filter membership over 64-bit keys: the serialized filter is a
+    // plan-time binary literal, extracted once into a codegen reference
+    // object (same discipline as graft_argmin_center's centroid matrix)
+    tmp("graft_bloom_contains") { a =>
+      require(a.size == 2, "graft_bloom_contains(hash64, bloomBytesLiteral)")
+      val bytes = a(1) match {
+        case Literal(b: Array[Byte], BinaryType) => b
+        case other => throw new IllegalArgumentException(
+          s"graft_bloom_contains filter must be a binary literal, got $other")
+      }
+      BloomMightContainLong(Cast(a(0), LongType), bytes)
+    }
     // mergeable bounded top-k (see TopKByScore): partial buffers capped at
     // k entries, so per-group "keep the best k" never windows a whole group
     // through one task
@@ -248,6 +260,12 @@ object GridDbScalarFunctions {
       require(a.size == 4, "graft_top_k(value, score, tie, k)")
       TopKByScore(a(0), Cast(a(1), DoubleType), Cast(a(2), LongType),
         litInt(a(3), "graft_top_k k"))
+    }
+    // Misra-Gries frequent-items summary (see MisraGries): fixed m-counter
+    // buffers, mergeable across partitions; counts are lower bounds
+    tmp("graft_misra_gries") { a =>
+      require(a.size == 2, "graft_misra_gries(term, m)")
+      MisraGries(Cast(a(0), StringType), litInt(a(1), "graft_misra_gries m"))
     }
     tmp("graft_minhash_sig") { a =>
       require(a.size == 3, "graft_minhash_sig(text, shingleN, k)")

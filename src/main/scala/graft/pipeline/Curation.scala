@@ -62,6 +62,49 @@ object Curation {
       .agg(count_distinct(col("__ng")).as("n_shared_ngrams"))
   }
 
+  /** Bloom-filter decontamination: [[ngramOverlap]]'s fixed-memory form.
+    *
+    * The exact operator broadcasts the DISTINCT benchmark n-gram set — fine
+    * for benchmark suites, but the broadcast grows with total benchmark
+    * text. Here the benchmark side is folded into a Bloom filter over
+    * xxhash64(gram) (`df.stat.bloomFilter` — a distributed tree-aggregated
+    * build), whose size depends only on (expectedItems, fpp): ~1.2 MB per
+    * million grams at 1% regardless of gram length. The corpus side then
+    * probes the filter inside whole-stage codegen (graft_bloom_contains —
+    * a reference-object call, no join, no UDF) and only PROBABLE hits reach
+    * the per-doc aggregate.
+    *
+    * Semantics: flagged grams are a SUPERSET of the exact operator's (no
+    * false negatives); extra flags are bounded by fpp per probed gram.
+    * Budget fpp per DOCUMENT, not per gram: a doc probing g distinct grams
+    * is falsely flagged with probability ~g*fpp, so a corpus targeting a
+    * 1e-3 doc-level false-flag rate at ~100 grams/doc needs fpp ~1e-5 —
+    * which still costs only ~24 bits/entry (~30 KB per 10k benchmark
+    * grams).
+    * Deterministic: the filter's bitset is an OR-merge (partition-order
+    * independent) and hashing is seed-fixed. Output mirrors ngramOverlap:
+    * (idCol, n_flagged_ngrams) for flagged docs only.
+    *
+    * Note: building the plan runs the benchmark-side jobs eagerly (a count
+    * to size the filter, then the filter build — both over the small side). */
+  def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    val bg = bench.select(tokens(col(benchTextCol)).as("__t"))
+      .select(explode(wordNgramsOfTokens(col("__t"), n)).as("__ng"))
+      .select(xxhash64(col("__ng")).as("__h"))
+    val expected = math.max(bg.count(), 1L)
+    val bloom = bg.stat.bloomFilter("__h", expected, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val dg = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode(wordNgramsOfTokens(col("__t"), n)).as("__ng"))
+    dg.filter(call_function("graft_bloom_contains",
+        xxhash64(col("__ng")), typedLit(bos.toByteArray)))
+      .groupBy(idCol)
+      .agg(count_distinct(col("__ng")).as("n_flagged_ngrams"))
+  }
+
   /** Semantic decontamination: flag corpus documents whose embedding sits
     * within `minCos` of ANY benchmark embedding — the paraphrase-robust
     * complement of [[ngramOverlap]] (lexical overlap misses reworded

@@ -121,6 +121,40 @@ object TextAnalysis {
         .as("chars_per_piece"))
   }
 
+  /** Corpus-level heavy hitters: every token whose frequency is at least
+    * `minFrac` of all tokens, with its EXACT count — via the two-pass
+    * sketch-then-verify pattern.
+    *
+    * Pass 1 aggregates a Misra-Gries summary (fixed `m` counters per
+    * partial buffer — functions/MisraGries.scala) plus the total token
+    * count in ONE aggregate; pass 2 exact-counts ONLY the <=m candidate
+    * terms (broadcast semi-filter before the groupBy). The MG guarantee
+    * makes pass 1's candidates a superset of every token with frequency
+    * > N/(m+1), so with m >= 1/minFrac the result equals the exact
+    * HAVING-count query while the full-cardinality shuffle never happens:
+    * pass 1 shuffles m-entry buffers, pass 2 shuffles only candidate-term
+    * rows. (MG counts vary with merge order; the exact re-count is what
+    * makes the operator deterministic and oracle-checkable.)
+    *
+    * Output: (token, cnt, n_total) for qualifying tokens. */
+  def heavyHitters(docs: DataFrame, textCol: String,
+                   minFrac: Double = 0.01, m: Int = 256): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, "minFrac in (0, 1]")
+    require(m >= math.ceil(1.0 / minFrac).toInt,
+      s"m=$m too small for minFrac=$minFrac: need m >= ${math.ceil(1.0 / minFrac).toInt} for the MG superset guarantee")
+    val toks = docs.select(
+      explode(Curation.tokens(col(textCol))).as("token"))
+    val summary = toks.agg(
+      expr(s"graft_misra_gries(token, $m)").as("__hh"),
+      count(lit(1)).as("n_total"))
+    val cands = summary.select(explode(col("__hh")).as("__c"), col("n_total"))
+      .select(col("__c.term").as("token"), col("n_total"))
+    toks.join(broadcast(cands), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
+      .filter(col("cnt") >= ceil(lit(minFrac) * col("n_total")))
+  }
+
   /** PII patterns shared by the masker and its oracle — RE2-compatible (no
     * backrefs/lookaround) so Java and DuckDB agree on every match. */
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -892,6 +892,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Bloom-filter decontamination: the fixed-memory form of the
+    //      n-gram check (filter size set by (items, fpp), not benchmark
+    //      text volume). No DuckDB oracle — the probe set depends on
+    //      Spark's Bloom hashing — but deterministic (OR-merged bitset,
+    //      seed-fixed hashes); BloomDecontaminateSpec pins the exact
+    //      superset/fpp guarantees against ngramOverlap ----
+    Q.rowsOnly("q_decontaminate_bloom") { (s, dir) =>
+      val d = docs(s, dir)
+      // fpp budgeted per DOC (~100 probed grams each): 1e-5 per gram
+      // keeps doc-level false flags ~1e-3 (see bloomDecontaminate scaladoc)
+      Curation.bloomDecontaminate(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text", n = 3, fpp = 1e-5)
+        .orderBy("doc_id")
+    },
+
     // ---- semantic decontamination: cosine vs a held-out benchmark slice
     //      (vec_id % 29 = 0) — the paraphrase-robust complement of the
     //      n-gram check above; benchmark side broadcast ----
@@ -957,6 +973,26 @@ object PipelineQueries {
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
         groupCol = "source", scoreCol = "n_chars", tieCol = "doc_id", k = 7)
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
+    // ---- heavy hitters: tokens at >= 1% corpus frequency with exact
+    // counts, via Misra-Gries sketch -> exact re-count of the <= m
+    // candidates (two-pass; the full-cardinality shuffle never happens).
+    // The oracle is the plain HAVING-count query the two-pass plan must
+    // equal under the MG superset guarantee ----
+    Q.df("q_text_heavy_hitters",
+      duck = """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_total FROM toks)
+        |SELECT token, COUNT(*) AS cnt, n_total
+        |FROM toks, tot
+        |GROUP BY token, n_total
+        |HAVING COUNT(*) >= CEIL(0.01 * n_total)
+        |ORDER BY token""".stripMargin) { (s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), "text", minFrac = 0.01, m = 256)
+        .orderBy("token")
     },
 
     // ---- unigram LM perplexity proxy (CCNet-style quality filter):

@@ -16,6 +16,9 @@ class GoldenSpec extends SparkTestBase {
     "q_approx_distinct" -> "248a6ded2fa807dc",
     "q_approx_distinct_hll" -> "a8daeebd7791634a",
     "q_cluster_kmeans" -> "e7ce4b4e1394ffc0",
+    // deterministic: OR-merged bitset + seed-fixed hashing (the fpp-bound
+    // and superset semantics are BloomDecontaminateSpec's job)
+    "q_decontaminate_bloom" -> "25be80cc510f997a",
     "q_dedup_embedding_lsh" -> "c306e5ebaddf2442",
     // AUTO band width resolves to the same 16 bits at the sf0.01 corpus
     // size, so the auto variant's hash coincides with the pinned one
