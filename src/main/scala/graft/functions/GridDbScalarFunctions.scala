@@ -261,6 +261,23 @@ object GridDbScalarFunctions {
       TopKByScore(a(0), Cast(a(1), DoubleType), Cast(a(2), LongType),
         litInt(a(3), "graft_top_k k"))
     }
+    // BPE encoder with the learned merge table as a plan-time literal,
+    // extracted once into a BpeTable reference object (see BpeEncode)
+    tmp("graft_bpe_encode") { a =>
+      require(a.size == 2, "graft_bpe_encode(text, mergesLiteral)")
+      val merges = a(1) match {
+        case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(ArrayType(StringType, _), _)) =>
+          arr.toObjectArray(ArrayType(StringType)).map { p =>
+            val pair = p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            require(pair.numElements() == 2, "each merge must be a [left, right] pair")
+            (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_encode merges must be an array<array<string>> literal, got $other")
+      }
+      BpeEncode(Cast(a(0), StringType), new BpeTable(merges))
+    }
     // Misra-Gries frequent-items summary (see MisraGries): fixed m-counter
     // buffers, mergeable across partitions; counts are lower bounds
     tmp("graft_misra_gries") { a =>

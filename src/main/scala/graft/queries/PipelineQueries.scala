@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Curation, Dedup, IvfIndex, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -973,6 +973,21 @@ object PipelineQueries {
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
         groupCol = "source", scoreCol = "n_chars", tieCol = "doc_id", k = 7)
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
+    // ---- BPE subword tokenizer: train 40 merges over the corpus'
+    // distinct-word table (Sennrich 2016; per-iteration cost bounded by
+    // vocabulary, not corpus), then encode with the codegen'd kernel.
+    // No DuckDB oracle (iterative training is not SQL) — golden-pinned;
+    // BpeSpec proves round-trip, determinism and the known-corpus merge
+    // sequence ----
+    Q.rowsOnly("q_text_bpe") { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, "text", numMerges = 40)
+      Bpe.encode(d, "text", merges)
+        .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
+          array_join(slice(col("pieces"), 1, 8), "|").as("head_pieces"))
+        .orderBy("doc_id")
     },
 
     // ---- heavy hitters: tokens at >= 1% corpus frequency with exact

@@ -23,6 +23,7 @@ object Golden {
     * output). Keep in sync with the `Q.rowsOnly` entries in queries/. */
   val names: Seq[String] = Seq(
     "q_approx_distinct", "q_approx_distinct_hll", "q_cluster_kmeans",
+    "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",

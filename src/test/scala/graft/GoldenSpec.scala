@@ -42,6 +42,9 @@ class GoldenSpec extends SparkTestBase {
     // same hash as q_dedup_minhash — the streaming replay reproduces the
     // batch operator's pairs exactly (the parity GoldenSpec can prove)
     "q_stream_dedup_minhash" -> "f445327584e7bd8c",
+    // trained+encoded in one build; deterministic because the merge argmax
+    // tie-breaks on pair text (BpeSpec proves partition-independence)
+    "q_text_bpe" -> "7427a41cf8141870",
     "q_text_fingerprint" -> "79a4b8f79f48ca84")
 
   test("golden set covers exactly the rows-only query list") {
