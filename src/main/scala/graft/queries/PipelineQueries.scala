@@ -769,6 +769,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- end-to-end curation v6: quality-ranked per-source caps through
+    // the mergeable graft_top_k aggregate, then exact n-gram
+    // decontamination — the RefinedWeb shape (quality score -> domain cap
+    // -> decontaminate), fully DuckDB-oracle-checked so the top-k
+    // aggregate is exercised inside a composite, not just standalone ----
+    Q.df("q_pipeline_curation_v6",
+      duck = """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+        |      / len(string_split(lower(text), ' ')) AS score
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |capped AS (
+        |  SELECT doc_id, source, text, score FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rn FROM q)
+        |  WHERE rn <= 25),
+        |base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM capped),
+        |bb AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cg AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS ng
+        |       FROM base, UNNEST(generate_series(1, len(t)-2)) AS u(i)),
+        |bg AS (SELECT DISTINCT array_to_string(t[i:i+2], ' ') AS ng
+        |       FROM bb, UNNEST(generate_series(1, len(t)-2)) AS u(i))
+        |SELECT doc_id, source, score FROM capped
+        |WHERE doc_id NOT IN (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (ng))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 97 === 0)
+      val toks = split(lower(col("text")), " ")
+      val corpus = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      val capped = Curation.capPerGroupByScore(corpus, "source", "score", "doc_id", 25)
+      val contaminated = Curation.ngramOverlap(capped, "doc_id", "text", bench, "text", n = 3)
+        .select("doc_id")
+      capped.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "score")
+        .orderBy("doc_id")
+    },
+
     // ---- end-to-end curation v2: the full published-pipeline shape —
     // quality gate + repetition gate + benchmark decontamination + duplicate
     // CLUSTER keepers (connected components, not pairwise keep-first) ----
@@ -973,6 +1016,22 @@ object PipelineQueries {
         docs(s, dir).select("doc_id", "lang", "source", "n_chars"),
         groupCol = "source", scoreCol = "n_chars", tieCol = "doc_id", k = 7)
         .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+    },
+
+    // ---- token vocabulary with stable ids: count-pruned, ranked
+    // (count DESC, token ASC) — the id table a tokenizer or embedding
+    // layer ships with ----
+    Q.df("q_text_vocab",
+      duck = """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> len(t) > 0)) AS token
+        |  FROM documents),
+        |v AS (SELECT token, COUNT(*) AS cnt FROM toks
+        |      GROUP BY token HAVING COUNT(*) >= 2)
+        |SELECT token, cnt,
+        |  (row_number() OVER (ORDER BY cnt DESC, token)) - 1 AS token_id
+        |FROM v ORDER BY token_id""".stripMargin) { (s, dir) =>
+      Bpe.vocabBuild(docs(s, dir), "text", minCount = 2L).orderBy("token_id")
     },
 
     // ---- BPE subword tokenizer: train 40 merges over the corpus'
