@@ -396,12 +396,122 @@ object FuzzQueries {
     }
   }
 
+  // ---------- v4 generator: the TIME-TYPED family over the events table —
+  // timestamp predicates, date_trunc bucketing, RANGE BETWEEN INTERVAL
+  // frames, EXTRACT fields, LAG/cumulative windows over the (ts, event_id)
+  // order. Motivation: the round-7 NTZ regression broke exactly this
+  // family and stayed invisible because each timestamp shape had ONE
+  // hand-written query; a generator makes any timestamp-semantics drift
+  // fail dozens of driver-checked queries at once. ----
+
+  /** events' total order: event_id is unique. */
+  private val evOrder = "event_id"
+  private val evTypes = Vector("view", "click", "purchase", "signup", "error")
+
+  /** A random predicate over events (time + attribute mix). */
+  private def evPred(r: Random, depth: Int = 0): String = {
+    val atom = r.nextInt(5) match {
+      case 0 =>
+        val d = 1 + r.nextInt(27); val h = r.nextInt(24)
+        val op = pick(r, Vector("<", ">=", ">"))
+        f"ts $op TIMESTAMP '2024-01-$d%02d $h%02d:00:00'"
+      case 1 =>
+        val lo = 1 + r.nextInt(20); val hi = lo + 1 + r.nextInt(7)
+        f"ts BETWEEN TIMESTAMP '2024-01-$lo%02d 00:00:00' AND TIMESTAMP '2024-01-$hi%02d 00:00:00'"
+      case 2 =>
+        val vals = r.shuffle(evTypes).take(1 + r.nextInt(3))
+        s"event_type IN (${vals.map(v => s"'$v'").mkString(", ")})"
+      case 3 => s"value ${pick(r, Vector("<", ">", ">=", "<="))} ${50 + r.nextInt(150)}"
+      case _ => s"user_id % ${2 + r.nextInt(6)} = ${r.nextInt(2)}"
+    }
+    if (depth >= 2 || r.nextInt(3) == 0) atom
+    else r.nextInt(3) match {
+      case 0 => s"($atom AND ${evPred(r, depth + 1)})"
+      case 1 => s"($atom OR ${evPred(r, depth + 1)})"
+      case _ => s"(NOT ${evPred(r, depth + 1)})"
+    }
+  }
+
+  /** date_trunc bucketing + exact aggregates per bucket. */
+  private def truncAgg(r: Random): String = {
+    val unit = pick(r, Vector("hour", "day", "week"))
+    s"""SELECT date_trunc('$unit', ts) AS bucket, event_type, COUNT(*) AS cnt,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sval,
+       |  MIN(event_id) AS first_ev
+       |FROM events WHERE ${evPred(r)}
+       |GROUP BY bucket, event_type
+       |ORDER BY bucket, event_type""".stripMargin
+  }
+
+  /** Time-RANGE frame: peers share a ts, so the non-unique order is safe;
+    * the frame bound is a literal INTERVAL both dialects accept. */
+  private def rangeInterval(r: Random): String = {
+    val mins = 10 + r.nextInt(170)
+    val part = if (r.nextBoolean()) "PARTITION BY event_type " else ""
+    s"""SELECT event_id, event_type,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (${part}ORDER BY ts
+       |    RANGE BETWEEN INTERVAL $mins MINUTES PRECEDING AND CURRENT ROW) AS DOUBLE) AS wsum,
+       |  COUNT(*) OVER (${part}ORDER BY ts
+       |    RANGE BETWEEN INTERVAL $mins MINUTES PRECEDING AND CURRENT ROW) AS wcnt
+       |FROM events WHERE ${evPred(r)}
+       |ORDER BY $evOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** EXTRACT fields in predicate and projection. Fields restricted to the
+    * cross-dialect-identical set: DOW is Sunday=1 in Spark but Sunday=0 in
+    * DuckDB/Postgres (the first v4 sweep flagged all 11 DOW draws), so
+    * day-of-week stays out of the differential net — the GridDB-dialect
+    * DAY_OF_WEEK (Sunday=0, reference util/time.cpp:970) is separately
+    * oracle-checked through griddb_extract in q_time_funcs. */
+  private def extractShape(r: Random): String = {
+    val field = pick(r, Vector("HOUR", "MINUTE", "DAY", "MONTH"))
+    val hours = r.shuffle((0 until 24).toVector).take(4 + r.nextInt(8))
+    s"""SELECT EXTRACT($field FROM ts) AS f, event_type, COUNT(*) AS cnt,
+       |  MAX(event_id) AS last_ev
+       |FROM events
+       |WHERE ${evPred(r)} AND EXTRACT(HOUR FROM ts) IN (${hours.mkString(", ")})
+       |GROUP BY f, event_type
+       |ORDER BY f, event_type""".stripMargin
+  }
+
+  /** LAG/LEAD over the per-user time order (event_id breaks ts ties). */
+  private def evLagLead(r: Random): String = {
+    s"""SELECT event_id, user_id,
+       |  LAG(value, ${1 + r.nextInt(3)}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+       |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+       |FROM events WHERE ${evPred(r)}
+       |ORDER BY $evOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** Cumulative ROWS frame over the unique (ts, event_id) order. */
+  private def evCumulative(r: Random): String = {
+    s"""SELECT event_id, user_id,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |FROM events WHERE ${evPred(r)}
+       |ORDER BY $evOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** v4 pinned text for seed `s` — same stability policy as genSql. */
+  private[graft] def genSql4(s: Int): String = {
+    val r = new Random(0x5EED4 + s)
+    r.nextInt(5) match {
+      case 0 => truncAgg(r)
+      case 1 => rangeInterval(r)
+      case 2 => extractShape(r)
+      case 3 => evLagLead(r)
+      case _ => evCumulative(r)
+    }
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
   private val seeds: Seq[Int] = 0 until 24
   private val seeds2: Seq[Int] = 0 until 12
   private val seeds3: Seq[Int] = 0 until 12
+  private val seeds4: Seq[Int] = 0 until 12
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -418,6 +528,12 @@ object FuzzQueries {
   } ++ seeds3.map { s =>
     val text = genSql3(s)
     Q.df(f"q_fuzz3_$s%02d", duck = text) { (spark, dir) =>
+      graft.engine.Tables.registerAll(spark, dir)
+      graft.engine.GraftSql.sql(spark, text)
+    }
+  } ++ seeds4.map { s =>
+    val text = genSql4(s)
+    Q.df(f"q_fuzz4_$s%02d", duck = text) { (spark, dir) =>
       graft.engine.Tables.registerAll(spark, dir)
       graft.engine.GraftSql.sql(spark, text)
     }

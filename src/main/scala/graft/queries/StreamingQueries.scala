@@ -166,6 +166,32 @@ object StreamingQueries {
       }.orderBy("bucket_ms")
     },
 
+    // Streaming bounded top-k replay: per (1-day window, event_type) the 3
+    // highest-value events via the graft_top_k mergeable aggregate running
+    // INSIDE a streaming aggregation — its k-capped buffers are what the
+    // state store persists per group, so streaming state is bounded by
+    // k * groups, never by events seen. Complete-mode result equals the
+    // batch window oracle.
+    Q.df("q_stream_top_k",
+      duck = """SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, event_type,
+        |  event_id, value
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY date_trunc('day', ts), event_type
+        |        ORDER BY value DESC, event_id) AS rn
+        |      FROM events)
+        |WHERE rn <= 3
+        |ORDER BY bucket_ms, event_type, value DESC, event_id""".stripMargin) { (s, dir) =>
+      replayEvents(s, dir, "q_stream_top_k_sink", "complete") { ev =>
+        ev.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(expr("graft_top_k(struct(event_id, value), value, event_id, 3)").as("kept"))
+          .select(unix_millis(col("window.start")).as("bucket_ms"),
+            col("event_type"), explode(col("kept")).as("k"))
+          .select(col("bucket_ms"), col("event_type"),
+            col("k.event_id").as("event_id"), col("k.value").as("value"))
+      }.orderBy(col("bucket_ms"), col("event_type"), col("value").desc, col("event_id"))
+    },
+
     // Streaming MATCH_RECOGNIZE replay: view-runs (V{3,}) detected
     // continuously with a 1h watermark. The oracle replicates the finality
     // protocol: an island is emitted iff its successor row is final at the

@@ -66,6 +66,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming graft_top_k: state rows = groups, independent of event volume") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[(Timestamp, String, Double, Long)]
+    val ev = in.toDF().toDF("ts", "event_type", "value", "event_id")
+    val agg = ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(expr("graft_top_k(struct(event_id, value), value, event_id, 2)").as("kept"))
+    val q = agg.writeStream.format("memory").queryName("stk_out")
+      .outputMode("complete").start()
+    try {
+      // 40 events, all in ONE (day, type) group: state must hold 1 row
+      // whose buffer is k-capped, not 40 rows
+      val base = Timestamp.valueOf("2024-01-01 06:00:00").getTime
+      in.addData((0 until 40).map(i =>
+        (new Timestamp(base + i * 60000L), "view", i.toDouble, i.toLong)))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1, s"state rows $stateRows != 1 group")
+      val kept = spark.table("stk_out").select(explode(col("kept")).as("k"))
+        .select("k.event_id").as[Long].collect().toSet
+      assert(kept == Set(39L, 38L)) // top-2 by value
+    } finally q.stop()
+  }
+
   test("continuous TIME_WINDOW_AGG with watermark over a memory stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
