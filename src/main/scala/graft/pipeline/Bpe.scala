@@ -71,6 +71,23 @@ object Bpe {
     docs.withColumn("pieces",
       call_function("graft_bpe_encode", col(textCol), mergesLit(merges)))
 
+  /** Persist a learned merge table as parquet (rank, left, right) — the
+    * tokenizer artifact a training pipeline ships from the corpus job to
+    * every consumer job. */
+  def save(spark: org.apache.spark.sql.SparkSession,
+           merges: Seq[(String, String)], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, rg), i) => (i, l, rg) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table written by [[save]], in rank order. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("rank")
+      .collect().map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+
   /** Token vocabulary with stable integer ids: every token at >=`minCount`
     * occurrences, id assigned by (count DESC, token ASC) dense rank — the
     * id table an embedding layer or tokenizer ships with. One shuffle to

@@ -493,6 +493,93 @@ object FuzzQueries {
        |ORDER BY $evOrder LIMIT ${200 + r.nextInt(300)}""".stripMargin
   }
 
+  // ---------- v5 generator: MULTI-TABLE JOIN TREES — 3-table chains with
+  // mixed INNER/LEFT joins, FULL OUTER with per-side null accounting,
+  // RIGHT-join row outputs, and join-inside-subquery semi shapes. v1's
+  // joined() stops at one 2-table join; join planning (reorder, null
+  // handling through outer joins, ON-vs-WHERE placement) is the heart of
+  // an analytics engine and gets its own family. ----
+
+  private def ordPred(r: Random): String = r.nextInt(3) match {
+    case 0 => s"o_totalprice > ${1000 + r.nextInt(150000)}"
+    case 1 => s"o_orderstatus = '${pick(r, Vector("O", "F", "P"))}'"
+    case _ => s"o_orderpriority IN ('1-URGENT', '2-HIGH')"
+  }
+
+  private def custPred(r: Random): String = r.nextInt(3) match {
+    case 0 => s"c_mktsegment = '${pick(r, Vector("BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"))}'"
+    case 1 => s"c_acctbal > ${r.nextInt(5000)}"
+    case _ => s"c_nationkey < ${5 + r.nextInt(20)}"
+  }
+
+  /** L -> O -> C chain with independently drawn INNER/LEFT joins and an
+    * extra ON-side condition (semantically different from WHERE under
+    * LEFT — exactly the placement distinction worth fuzzing). */
+  private def chainAgg(r: Random): String = {
+    val jt1 = pick(r, Vector("JOIN", "LEFT JOIN"))
+    val jt2 = pick(r, Vector("JOIN", "LEFT JOIN"))
+    s"""SELECT l_returnflag, c_mktsegment, COUNT(*) AS cnt,
+       |  COUNT(c_custkey) AS n_cust,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq
+       |FROM lineitem
+       |$jt1 orders ON l_orderkey = o_orderkey AND ${ordPred(r)}
+       |$jt2 customer ON o_custkey = c_custkey AND ${custPred(r)}
+       |WHERE ${pred(r)}
+       |GROUP BY l_returnflag, c_mktsegment
+       |ORDER BY l_returnflag, c_mktsegment NULLS FIRST""".stripMargin
+  }
+
+  /** FULL OUTER join with per-side null accounting: COUNT(side key)
+    * exposes exactly which rows matched. Both inputs pre-filtered so both
+    * null-extension directions occur. */
+  private def fullOuterAgg(r: Random): String = {
+    s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+       |  COUNT(l_orderkey) AS n_left, COUNT(o_orderkey) AS n_right,
+       |  MIN(l_linenumber) AS min_ln
+       |FROM (SELECT * FROM lineitem WHERE ${pred(r, 1)}) l
+       |FULL JOIN (SELECT * FROM orders WHERE ${ordPred(r)}) o
+       |  ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus NULLS FIRST""".stripMargin
+  }
+
+  /** RIGHT JOIN row output: unmatched orders surface null lineitem
+    * columns; the ORDER BY totalizes over o_orderkey + every lineitem
+    * column NULLS FIRST (lineitem full rows are unique). */
+  private def rightJoinRows(r: Random): String = {
+    val nullsFirst = (keys ++ nums :+ "l_returnflag").map(c => s"$c NULLS FIRST")
+    s"""SELECT o_orderkey, o_orderstatus, l_orderkey, l_linenumber, l_returnflag, l_quantity
+       |FROM (SELECT * FROM lineitem WHERE ${pred(r, 1)}) l
+       |RIGHT JOIN orders ON l_orderkey = o_orderkey
+       |WHERE ${ordPred(r)}
+       |ORDER BY o_orderkey, ${nullsFirst.mkString(", ")} LIMIT ${300 + r.nextInt(300)}""".stripMargin
+  }
+
+  /** Join inside an IN-subquery: the planner must decorrelate through a
+    * 2-table join. */
+  private def semiThroughJoin(r: Random): String = {
+    val not = if (r.nextBoolean()) "NOT " else ""
+    s"""SELECT l_linestatus, COUNT(*) AS cnt,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+       |FROM lineitem
+       |WHERE ${pred(r)}
+       |  AND l_orderkey ${not}IN (SELECT o_orderkey FROM orders
+       |    JOIN customer ON o_custkey = c_custkey
+       |    WHERE ${custPred(r)} AND ${ordPred(r)})
+       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  }
+
+  /** v5 pinned text for seed `s` — same stability policy as genSql. */
+  private[graft] def genSql5(s: Int): String = {
+    val r = new Random(0x5EED5 + s)
+    r.nextInt(4) match {
+      case 0 => chainAgg(r)
+      case 1 => fullOuterAgg(r)
+      case 2 => rightJoinRows(r)
+      case _ => semiThroughJoin(r)
+    }
+  }
+
   /** v4 pinned text for seed `s` — same stability policy as genSql. */
   private[graft] def genSql4(s: Int): String = {
     val r = new Random(0x5EED4 + s)
@@ -512,6 +599,7 @@ object FuzzQueries {
   private val seeds2: Seq[Int] = 0 until 12
   private val seeds3: Seq[Int] = 0 until 12
   private val seeds4: Seq[Int] = 0 until 12
+  private val seeds5: Seq[Int] = 0 until 12
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -534,6 +622,12 @@ object FuzzQueries {
   } ++ seeds4.map { s =>
     val text = genSql4(s)
     Q.df(f"q_fuzz4_$s%02d", duck = text) { (spark, dir) =>
+      graft.engine.Tables.registerAll(spark, dir)
+      graft.engine.GraftSql.sql(spark, text)
+    }
+  } ++ seeds5.map { s =>
+    val text = genSql5(s)
+    Q.df(f"q_fuzz5_$s%02d", duck = text) { (spark, dir) =>
       graft.engine.Tables.registerAll(spark, dir)
       graft.engine.GraftSql.sql(spark, text)
     }

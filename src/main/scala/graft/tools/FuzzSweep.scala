@@ -56,6 +56,10 @@ object FuzzSweep {
       val text = graft.queries.FuzzQueries.genSql4(s)
       dump(f"fz_sql4_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
     }
+    for (s <- sqlFrom until sqlUntil) {
+      val text = graft.queries.FuzzQueries.genSql5(s)
+      dump(f"fz_sql5_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
+    }
     for (s <- tqlFrom until tqlUntil) {
       val (tqlTs, duckTs) = graft.queries.TqlFuzz.genTs(s)
       dump(f"fz_tqlts_$s%04d", duckTs) {

@@ -52,6 +52,13 @@ class BpeSpec extends SparkTestBase {
     assert(none > half && half > full, s"$none / $half / $full")
   }
 
+  test("save/load round-trips the merge table in rank order") {
+    val merges = Bpe.train(docs, "text", numMerges = 15)
+    val path = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
+    Bpe.save(spark, merges, path)
+    assert(Bpe.load(spark, path) == merges)
+  }
+
   test("encode is a map-only projection (no shuffle)") {
     val merges = Seq(("t", "h"), ("th", "e"))
     val plan = Bpe.encode(docs, "text", merges)
