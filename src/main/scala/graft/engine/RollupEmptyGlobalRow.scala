@@ -71,34 +71,43 @@ object RollupEmptyGlobalRow extends Rule[LogicalPlan] {
       case agg @ Aggregate(_, _, expand: Expand, _)
           if agg.resolved && !fixed.contains(agg) &&
             expand.output.exists(_.name == GroupingIdName) =>
-        globalProjection(expand) match {
+        globalProjection(agg, expand) match {
           case Some(globalRow) => rewrite(agg, expand, globalRow)
           case None => agg
         }
     }
   }
 
-  /** The projection row of the global grouping set `()`: every position
-    * that varies across rows is a Literal there (typed nulls for group
-    * columns; the all-excluded value for the grouping id). */
-  private def globalProjection(expand: Expand): Option[Seq[Expression]] = {
-    val nRows = expand.projections.size
-    if (nRows < 2) return None
-    val varying = expand.output.indices.filter { i =>
-      val exprs = expand.projections.map(_(i))
-      exprs.exists(e => !e.semanticEquals(exprs.head))
-    }
+  /** The projection row of the global grouping set `()`: the row that
+    * nulls EVERY grouping attribute the Aggregate keys on (gid excluded).
+    * The grouping positions come from agg.groupingExpressions — the
+    * authoritative source — NOT from which positions vary across rows:
+    * under a partial rollup (`GROUP BY a, ROLLUP(b)`) the plain keys are
+    * identical in every projection row, yet no set is global, and a
+    * variance-based check misclassifies the coarsest partial set as `()`
+    * (found in review: it rewired `a` into an ungrouped aggregate leg —
+    * MISSING_GROUP_BY on every partial-rollup query). A single-set
+    * GROUPING SETS (()) has one projection row and legitimately
+    * qualifies. */
+  private def globalProjection(agg: Aggregate, expand: Expand): Option[Seq[Expression]] = {
+    val gidIds = expand.output.filter(_.name == GroupingIdName).map(_.exprId).toSet
+    val groupIds = agg.groupingExpressions
+      .collect { case a: Attribute => a.exprId }.toSet -- gidIds
+    val groupPositions = expand.output.zipWithIndex
+      .collect { case (a, i) if groupIds.contains(a.exprId) => i }
     expand.projections.find { row =>
-      varying.forall { i =>
+      groupPositions.nonEmpty && groupPositions.forall { i =>
         row(i) match {
           case Literal(null, _) => true
-          // the grouping-id literal (all grouping bits set) is the row's
-          // non-null marker; any other non-null literal means this set
-          // keeps a column's value and is not global
-          case Literal(_, _) => expand.output(i).name == GroupingIdName
           case _ => false
         }
       }
+    }.orElse {
+      // GROUPING SETS (()) alone: no grouping columns at all, only the
+      // gid key — the single projection row IS the global set
+      if (groupPositions.isEmpty && expand.projections.nonEmpty)
+        Some(expand.projections.head)
+      else None
     }
   }
 

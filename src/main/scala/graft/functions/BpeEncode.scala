@@ -29,7 +29,20 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
   /** Encode one word into its BPE pieces. */
   def encodeWord(word: String): Seq[String] = {
     if (word.isEmpty) return Nil
-    var syms: Vector[String] = word.map(_.toString).toVector
+    // split by CODE POINT, not UTF-16 unit: per-char splitting tears
+    // supplementary-plane symbols (emoji, CJK extensions) into unpaired
+    // surrogates that UTF8String renders as '?', breaking the
+    // concat(pieces) == word invariant on wild text
+    var syms: Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -55,9 +68,12 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
     syms
   }
 
-  /** Encode whitespace-separated text: per-word pieces, concatenated. */
+  /** Encode whitespace-separated text: per-word pieces, concatenated.
+    * Lowercasing is locale-independent (ROOT) to match the
+    * `lower()`-based training tokenizer — default-locale lowercasing
+    * would drift on e.g. tr_TR JVMs (I -> dotless ı). */
   def encode(text: UTF8String): ArrayData = {
-    val words = text.toString.toLowerCase.split("\\s+")
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val out = mutable.ArrayBuffer.empty[UTF8String]
     var i = 0
     while (i < words.length) {

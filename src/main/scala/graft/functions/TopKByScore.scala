@@ -50,9 +50,19 @@ case class TopKByScore(
   override def prettyName: String = "graft_top_k"
 
   // head of the queue = the entry to EVICT first: lowest score, then
-  // highest tie (a later id loses the tie)
+  // highest tie (a later id loses the tie). Comparisons use
+  // java.lang.Double.compare — a TOTAL order where NaN ranks above every
+  // value — so NaN scores behave deterministically across partitionings
+  // and match Spark/DuckDB ORDER BY ... DESC (NaN first); IEEE `>` would
+  // admit NaN while filling but never let it win an eviction, making the
+  // result merge-order dependent (found in review).
   private val evictionOrder: Ordering[(Double, Long, Any)] =
-    Ordering.by[(Double, Long, Any), (Double, Long)](e => (-e._1, e._2))
+    new Ordering[(Double, Long, Any)] {
+      override def compare(x: (Double, Long, Any), y: (Double, Long, Any)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1) // smaller score = evict sooner
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2) // larger tie loses
+      }
+    }
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long, Any)] =
     mutable.PriorityQueue.empty(evictionOrder)
@@ -71,9 +81,10 @@ case class TopKByScore(
       buf.enqueue((s, t, if (copied) v else copyValue(v)))
     } else {
       val worst = buf.head
-      // keep iff (s, t) beats the worst: higher score, or equal score and
-      // smaller tie
-      if (s > worst._1 || (s == worst._1 && t < worst._2)) {
+      // keep iff (s, t) beats the worst under the same total order:
+      // higher score (NaN greatest), or equal score and smaller tie
+      val c = java.lang.Double.compare(s, worst._1)
+      if (c > 0 || (c == 0 && t < worst._2)) {
         buf.dequeue()
         buf.enqueue((s, t, if (copied) v else copyValue(v)))
       }
@@ -97,7 +108,13 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long, Any)]): Any = {
-    val sorted = buf.toArray.sortBy(e => (-e._1, e._2))
+    // same total order as eviction: score DESC (NaN first), tie ASC
+    val sorted = buf.toArray.sorted(new Ordering[(Double, Long, Any)] {
+      override def compare(x: (Double, Long, Any), y: (Double, Long, Any)): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+      }
+    })
     new GenericArrayData(sorted.map(_._3))
   }
 

@@ -90,9 +90,14 @@ object Curation {
   def bloomDecontaminate(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 13, fpp: Double = 0.01): DataFrame = {
+    // distinct BEFORE sizing: expectedItems must be the distinct-gram
+    // count, or benchmark boilerplate repetition inflates the filter by
+    // the duplication factor (inserting duplicates is a no-op; sizing by
+    // them is pure waste shipped to every task as the plan literal)
     val bg = bench.select(tokens(col(benchTextCol)).as("__t"))
       .select(explode(wordNgramsOfTokens(col("__t"), n)).as("__ng"))
       .select(xxhash64(col("__ng")).as("__h"))
+      .distinct()
     val expected = math.max(bg.count(), 1L)
     val bloom = bg.stat.bloomFilter("__h", expected, fpp)
     val bos = new java.io.ByteArrayOutputStream()
@@ -503,7 +508,11 @@ object Curation {
     val kept = df
       .withColumn("__payload", struct(cols.map(col).toIndexedSeq: _*))
       .groupBy(col(groupCol))
-      .agg(expr(s"graft_top_k(__payload, CAST($scoreCol AS DOUBLE), CAST($tieCol AS BIGINT), $k)")
+      // Column-based call, not expr() interpolation: a score/tie column
+      // named with a space or dot would otherwise fail to parse (or
+      // silently resolve as a struct-field access)
+      .agg(call_function("graft_top_k", col("__payload"),
+        col(scoreCol).cast("double"), col(tieCol).cast("bigint"), lit(k))
         .as("__kept"))
     kept.select(explode(col("__kept")).as("__r")).select(cols.map(c => col(s"__r.$c")).toIndexedSeq: _*)
   }

@@ -60,6 +60,39 @@ class RollupEmptySpec extends SparkTestBase {
     assert(havingGate.isEmpty)
   }
 
+  test("partial rollup GROUP BY a, ROLLUP(b): not rewritten, works, empty stays empty") {
+    // review finding: the variance-based global-set detection misread the
+    // coarsest PARTIAL set as () and broke every partial-rollup query
+    val nonEmpty = rows(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, ROLLUP(l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus NULLS FIRST""".stripMargin)
+    assert(nonEmpty.nonEmpty && nonEmpty.forall(!_.isNullAt(0)))
+    // no set is global (every set keeps l_returnflag) -> empty input
+    // yields zero rows, per the standard
+    val empty = rows(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_suppkey < l_suppkey
+        |GROUP BY l_returnflag, ROLLUP(l_linestatus)""".stripMargin)
+    assert(empty.isEmpty)
+  }
+
+  test("GROUPING SETS ((a,b),(a)) without () stays empty on empty input") {
+    val rs = rows(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_suppkey < l_suppkey
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag))""".stripMargin)
+    assert(rs.isEmpty)
+  }
+
+  test("lone GROUPING SETS (()) gains the grand-total row on empty input") {
+    val rs = rows(
+      """SELECT COUNT(*) AS cnt FROM lineitem WHERE l_suppkey < l_suppkey
+        |GROUP BY GROUPING SETS (())""".stripMargin)
+    assert(rs.size == 1 && rs.head.getLong(0) == 0L)
+  }
+
   test("idempotent across re-analysis: write path emits exactly one grand-total row") {
     graft.engine.Tables.registerAll(spark, sfDir)
     // coalesce + write re-analyze the plan twice more; the guard-leg

@@ -55,6 +55,28 @@ class SqlFuzzSpec extends SparkTestBase {
     assert(fs.isEmpty, fs.take(3).mkString("\n---\n"))
   }
 
+  test("SQL fuzz v3/v5 (windows, join trees): 100 seeds each, deterministic") {
+    Tables.registerAll(spark, sfDir)
+    val failures = Seq.newBuilder[String]
+    for (gen <- Seq[Int => String](FuzzQueries.genSql3, FuzzQueries.genSql5);
+         seed <- 0 until 100) {
+      val text = gen(seed)
+      try {
+        val a = canon(GraftSql.sql(spark, text))
+        val old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        val b = try canon(GraftSql.sql(spark, text))
+        finally spark.conf.set("spark.sql.shuffle.partitions", old)
+        if (a != b) failures += s"seed $seed NONDETERMINISTIC\n$text"
+      } catch {
+        case e: Exception =>
+          failures += s"seed $seed FAILED: ${e.getMessage.take(200)}\n$text"
+      }
+    }
+    val fs = failures.result()
+    assert(fs.isEmpty, fs.take(3).mkString("\n---\n"))
+  }
+
   test("SQL fuzz v4 (time-typed, events): 100 seeds parse, run, deterministic") {
     Tables.registerAll(spark, sfDir)
     val failures = Seq.newBuilder[String]

@@ -42,6 +42,19 @@ class TopKSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L))
   }
 
+  test("NaN scores are deterministic: total order ranks NaN above all values") {
+    import spark.implicits._
+    val df = Seq(("g", 1L, Double.NaN), ("g", 2L, 5.0), ("g", 3L, Double.NaN), ("g", 4L, 7.0))
+      .toDF("g", "id", "s")
+    // k=2: both NaNs win (NaN greatest under the total order, tie by id),
+    // and the answer must not depend on arrival/merge order
+    for (parts <- Seq(1, 4)) {
+      val kept = Curation.capPerGroupByScore(df.repartition(parts), "g", "s", "id", 2)
+        .select("id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L), s"parts=$parts")
+    }
+  }
+
   test("null score/tie/value rows are skipped, not collected") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(1.0)), (Some(3L), None), (Some(4L), Some(2.0)))
