@@ -556,6 +556,30 @@ object CoreSql {
         |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
         .stripMargin),
 
+    // ---- partial rollup: plain key + ROLLUP — no global set, so empty
+    // input yields zero rows; the RollupEmptyGlobalRow rule must leave
+    // this shape untouched (review regression, now driver-checked) ----
+    Q.sql("q_rollup_partial",
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+        |FROM lineitem
+        |GROUP BY l_returnflag, ROLLUP(l_linestatus)
+        |ORDER BY l_returnflag, g_ls, l_linestatus NULLS FIRST"""
+        .stripMargin),
+
+    // ---- explicit GROUPING SETS including (): the () set is the global
+    // aggregate, present even when a WHERE empties the input ----
+    Q.sql("q_grouping_sets_unit",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf
+        |FROM lineitem
+        |WHERE l_quantity > 10
+        |GROUP BY GROUPING SETS ((l_returnflag), ())
+        |ORDER BY g_rf, l_returnflag NULLS FIRST"""
+        .stripMargin),
+
     // ---- GROUP BY CUBE: all grouping-set combinations ----
     Q.sql("q_cube_agg",
       """SELECT o_orderstatus, o_orderpriority,
