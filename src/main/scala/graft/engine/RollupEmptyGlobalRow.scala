@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 
 /** Standard-compliant ROLLUP/CUBE on EMPTY input.
   *
@@ -43,34 +44,32 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object RollupEmptyGlobalRow extends Rule[LogicalPlan] {
 
   private val GroupingIdName = "spark_grouping_id"
-  private val GuardName = "__graft_rollup_cnt"
+  private[engine] val GuardName = "__graft_rollup_cnt"
 
-  /** Our own guard leg: Project(Filter(__graft_rollup_cnt = 0, Aggregate)). */
-  private def isGuardLeg(p: LogicalPlan): Boolean = p match {
-    case Project(_, Filter(cond, _: Aggregate)) =>
-      cond.references.exists(_.name == GuardName)
-    case _ => false
-  }
+  /** Idempotence marker on the already-rewritten Aggregate (the Union's
+    * first leg). Tags are preserved by makeCopy/withNewChildren/clone, so
+    * the marker survives plan copies that break object identity — e.g.
+    * another extension rule rewriting inside the leg, or CTE/view inlining
+    * cloning the subtree — where the previous IdentityHashMap-based
+    * tracking would re-match and stack a duplicate grand-total leg. */
+  private val RewrittenTag = TreeNodeTag[Boolean]("graft.rollupEmptyGlobalRow")
+
+  /** The guard leg duplicates expand.child as a second, independently
+    * evaluated scan. If the subtree is non-deterministic (rand()/uuid()
+    * in a filter or projection) the guard's count could disagree with the
+    * main leg — a spurious grand-total row next to real groups, or a
+    * missing one. Keep stock Spark behavior for those queries. */
+  private def childSafe(child: LogicalPlan): Boolean =
+    !child.isStreaming &&
+      !child.exists(p => p.expressions.exists(e => !e.deterministic))
 
   def apply(plan: LogicalPlan): LogicalPlan = {
     if (!plan.resolved) return plan
-    // Idempotence: every analysis pass over an already-rewritten tree (the
-    // write path re-analyzes; so does each Dataset transformation) matches
-    // the inner Aggregate again — without this set, each pass would stack
-    // one more grand-total leg (seen as 3 duplicate rows through
-    // coalesce().write()). Identity-keyed: transformUp keeps untouched
-    // subtree instances, so the Union's first child is the same object.
-    val fixed = java.util.Collections.newSetFromMap(
-      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
-    plan.foreach {
-      case u: Union if u.children.size == 2 && isGuardLeg(u.children(1)) =>
-        fixed.add(u.children.head)
-      case _ => ()
-    }
     plan.transformUp {
       case agg @ Aggregate(_, _, expand: Expand, _)
-          if agg.resolved && !fixed.contains(agg) &&
-            expand.output.exists(_.name == GroupingIdName) =>
+          if agg.resolved && agg.getTagValue(RewrittenTag).isEmpty &&
+            expand.output.exists(_.name == GroupingIdName) &&
+            childSafe(expand.child) =>
         globalProjection(agg, expand) match {
           case Some(globalRow) => rewrite(agg, expand, globalRow)
           case None => agg
@@ -133,6 +132,7 @@ object RollupEmptyGlobalRow extends Rule[LogicalPlan] {
     val globalAgg = Aggregate(Nil, aggsGlobal :+ cnt, expand.child, None)
     val emptyOnly = Filter(EqualTo(cnt.toAttribute, Literal(0L)), globalAgg)
     val leg2 = Project(aggsGlobal.map(_.toAttribute), emptyOnly)
+    agg.setTagValue(RewrittenTag, true)
     Union(agg, leg2)
   }
 }

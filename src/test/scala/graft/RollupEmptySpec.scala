@@ -120,6 +120,59 @@ class RollupEmptySpec extends SparkTestBase {
     assert(groups.forall(!_.isNullAt(0)))
   }
 
+  private def guardLegs(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    var n = 0
+    plan.foreach {
+      case u: Union if u.children.size == 2 && (u.children(1) match {
+            case Project(_, Filter(cond, _: Aggregate)) =>
+              cond.references.exists(_.name == "__graft_rollup_cnt")
+            case _ => false
+          }) => n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  test("non-deterministic child: rule bails, stock Spark behavior kept") {
+    // the guard leg re-evaluates the child; with rand() in the filter the
+    // two evaluations could disagree — skip the rewrite entirely
+    graft.engine.Tables.registerAll(spark, sfDir)
+    val df = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        |WHERE rand() < -1.0 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    assert(guardLegs(df.queryExecution.analyzed) == 0)
+    assert(df.collect().isEmpty) // stock Spark: no grand-total row
+    // deterministic control: same shape without rand() IS rewritten
+    val det = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_suppkey < 0 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+    assert(guardLegs(det.queryExecution.analyzed) == 1)
+  }
+
+  test("streaming child: rule bails (no Union of streaming aggregates)") {
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    val agg = stream.rollup("value").count()
+    assert(guardLegs(agg.queryExecution.analyzed) == 0)
+  }
+
+  test("idempotent across plan clone: tag survives copy, no duplicate leg") {
+    // a clone breaks object identity (the old IdentityHashMap tracking
+    // would re-match); the TreeNodeTag must survive makeCopy and keep the
+    // rewrite single-shot
+    graft.engine.Tables.registerAll(spark, sfDir)
+    val analyzed = spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+        |WHERE l_suppkey < 0 GROUP BY ROLLUP(l_returnflag)""".stripMargin)
+      .queryExecution.analyzed
+    assert(guardLegs(analyzed) == 1)
+    val recloned = analyzed.clone()
+    val again = graft.engine.RollupEmptyGlobalRow(recloned)
+    assert(guardLegs(again) == 1)
+    val thrice = graft.engine.RollupEmptyGlobalRow(again.clone())
+    assert(guardLegs(thrice) == 1)
+  }
+
   test("empty-leg guard: non-empty plan still aggregates once per row set") {
     // the added leg must not change the grouped values — spot-check against
     // a plain GROUP BY of the same data
