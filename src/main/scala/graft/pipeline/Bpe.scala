@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * collapses to (word, frequency) in one shuffle — bounded by vocabulary
   * size, which is millions at 100 TB while the corpus is trillions of
   * tokens — and every merge iteration is then one small aggregate over
-  * that cached table. Per iteration: encode each word with the merges
-  * learned so far (the same graft_bpe_encode kernel users run, so train
-  * and apply can never drift), explode adjacent piece pairs weighted by
-  * word frequency, take the global argmax pair. The driver holds only the
-  * merge list (numMerges pairs) and the one-row argmax per iteration.
+  * that table. The word pieces are maintained INCREMENTALLY (classic BPE:
+  * each learned merge is applied once to the current state, not replayed
+  * from scratch), with the initial code-point split coming from the same
+  * graft_bpe_encode kernel users run. Per iteration: explode adjacent
+  * piece pairs weighted by word frequency, take the global argmax pair,
+  * fuse it in place. The driver holds only the merge list (numMerges
+  * pairs) and the one-row argmax per iteration.
   *
   * Deterministic: the argmax tie-breaks on the pair text, so the learned
   * table is a pure function of the corpus.
@@ -34,10 +36,97 @@ object Bpe {
   private def mergesLit(merges: Seq[(String, String)]): Column =
     typedLit(merges.map(p => Seq(p._1, p._2)))
 
+  /** One greedy left-to-right pass fusing every non-overlapping adjacent
+    * (l, r) into l+r — the inductive step of BPE training. Fold semantics
+    * match the kernel's single-merge pass exactly: the fused symbol l+r can
+    * never re-match l (r is non-empty), so comparing the accumulator tail
+    * is equivalent to scanning the original sequence. */
+  private def applyMerge(pieces: Column, l: String, r: String): Column =
+    aggregate(
+      pieces,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x))))
+
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
-    * reaches `minPairCount` weighted occurrences. */
+    * reaches `minPairCount` weighted occurrences.
+    *
+    * Incremental (classic BPE): the encoded pieces of the distinct-word
+    * table are MAINTAINED across iterations — each merge is one
+    * single-pair pass over the current pieces, not a from-scratch replay
+    * of the growing merge table, so per-iteration cost is constant in the
+    * number of merges learned so far. This is semantically identical to
+    * re-encoding with the kernel each round: a merge's product symbol
+    * cannot be a component of a lower-rank merge (it did not exist when
+    * that merge was learned), so applying merge k to the fixpoint of
+    * merges 0..k-1 reproduces the greedy lowest-rank encoder's state
+    * ([[trainReference]] + BpeSpec pin the equivalence differentially).
+    * Every `spillEvery` iterations the state round-trips through parquet,
+    * bounding plan depth and executor memory regardless of merge count.
+    *
+    * Still one Spark job per merge — inherently sequential. A production
+    * 32k-entry vocabulary means 32k short jobs; train on a corpus sample
+    * (vocabularies converge fast) rather than the full 100 TB corpus. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L): Seq[(String, String)] = {
+            minPairCount: Long = 2L, spillEvery: Int = 16): Seq[(String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(spillEvery > 0, "spillEvery must be positive")
+    val spark = docs.sparkSession
+    val spillRoot = java.nio.file.Files.createTempDirectory("graft_bpe_train")
+    // initial symbols come from the SAME kernel users encode with (empty
+    // merge table = code-point split of the lowercased word) — the split
+    // discipline can never drift between train and apply
+    var state = docs
+      .select(explode(Curation.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(call_function("graft_bpe_encode", col("w"), mergesLit(Nil)).as("pieces"), col("n"))
+      .cache()
+    var cached: Option[DataFrame] = Some(state)
+    var lastSpill: Option[java.nio.file.Path] = None
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (!done && merges.size < numMerges) {
+        val best = state
+          .select(explode(adjacentPairs(col("pieces"))).as("p"), col("n"))
+          .groupBy("p").agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("p"))
+          .limit(1).collect()
+        if (best.isEmpty || best(0).getLong(1) < minPairCount) done = true
+        else {
+          val p = best(0).getSeq[String](0)
+          merges += ((p(0), p(1)))
+          state = state.select(applyMerge(col("pieces"), p(0), p(1)).as("pieces"), col("n"))
+          if (merges.size % spillEvery == 0) {
+            val dir = spillRoot.resolve(s"it_${merges.size}")
+            state.write.mode("overwrite").parquet(dir.toString)
+            cached.foreach(_.unpersist()); cached = None
+            lastSpill.foreach(deleteTree); lastSpill = Some(dir)
+            state = spark.read.parquet(dir.toString)
+          }
+        }
+      }
+      merges.toSeq
+    } finally {
+      cached.foreach(_.unpersist())
+      deleteTree(spillRoot)
+    }
+  }
+
+  /** The pre-incremental trainer: re-encodes every word from scratch with
+    * the full merge table each iteration (O(merges²) total work). Kept as
+    * the differential oracle for [[train]] — BpeSpec asserts both learn
+    * the identical merge sequence. */
+  private[graft] def trainReference(docs: DataFrame, textCol: String, numMerges: Int,
+                                    minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
     val vocab = docs
       .select(explode(Curation.tokens(col(textCol))).as("w"))

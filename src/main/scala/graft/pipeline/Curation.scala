@@ -500,7 +500,15 @@ object Curation {
     * documents — while the aggregate's partial buffers are capped at k
     * entries, so the shuffle carries at most k rows per group per map task
     * regardless of corpus size. The grouped payload is the full row struct;
-    * exploding it back restores the original schema. */
+    * exploding it back restores the original schema.
+    *
+    * Null semantics: rows whose score (or tie) is NULL — or fails the cast
+    * to double/bigint — are DROPPED, even in groups smaller than k. This
+    * deliberately diverges from a `row_number()` window with NULLS LAST,
+    * which would retain null-scored rows when a group has spare capacity:
+    * an unscorable document has no defensible rank, and "kept because the
+    * domain was small" is not a quality decision. Pre-coalesce the score
+    * (e.g. `coalesce(score, lit(-1e308))`) to opt in to keeping them. */
   def capPerGroupByScore(df: DataFrame, groupCol: String, scoreCol: String,
                          tieCol: String, k: Int): DataFrame = {
     require(k > 0, "cap must be positive")

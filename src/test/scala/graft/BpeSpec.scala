@@ -52,6 +52,19 @@ class BpeSpec extends SparkTestBase {
     assert(none > half && half > full, s"$none / $half / $full")
   }
 
+  test("incremental trainer matches the full-re-encode reference across the spill boundary") {
+    // train() maintains pieces incrementally (one single-merge pass per
+    // iteration) and round-trips through parquet every `spillEvery`
+    // merges; trainReference() re-encodes from scratch with the kernel
+    // each round. Both must learn the identical merge sequence — this is
+    // the differential proof that the incremental step equals the greedy
+    // lowest-rank encoder's state evolution.
+    val incremental = Bpe.train(docs, "text", numMerges = 40, spillEvery = 7)
+    val reference = Bpe.trainReference(docs, "text", numMerges = 40)
+    assert(incremental == reference)
+    assert(incremental.size > 7, "must cross at least one spill boundary")
+  }
+
   test("save/load round-trips the merge table in rank order") {
     val merges = Bpe.train(docs, "text", numMerges = 15)
     val path = java.nio.file.Files.createTempDirectory("bpe_artifact").toString
