@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes RAW to stdout/stderr (no "[info] " prefixes):
+// the driver parses Bench's one-line JSON contract from stdout, and sbt's
+// default LoggedOutput strategy was prefixing it into unparseability
+// (every BENCH_rN.json through r8 has parsed=null for exactly this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

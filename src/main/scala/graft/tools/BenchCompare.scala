@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Calib-normalized cross-round bench comparison (round-9 judge ask).
+  *
+  * Raw bench totals on this host drift 1.5-2x day to day on identical
+  * commits (SCALING.md), so r(N) vs r(N-1) raw seconds conflate code and
+  * machine. Bench emits a `calib` field — the median wall time of a fixed,
+  * data-free 200M-row codegen sum — and comparisons divide it out:
+  * {{{ norm_ratio = (cur_q / cur_calib) / (ref_q / ref_calib) }}}
+  * A query is only flagged as a regression when its NORMALIZED ratio moves,
+  * not when the whole column scales together.
+  *
+  * Usage:
+  * {{{ runMain graft.tools.BenchCompare <current> [<previous>] [<baseline>] }}}
+  * Defaults: current = newest BENCH_r*.json in the repo root, previous =
+  * second newest, baseline = BENCH_r01.json (the recorded Spark baseline
+  * the 2x gate is defined against — raw ratios there, it predates calib).
+  * Each file may be either the driver's wrapper (`{"tail": "...", ...}` —
+  * the JSON line is extracted from the tail) or a bare file whose last
+  * JSON-looking line is Bench's stdout contract.
+  */
+object BenchCompare {
+
+  final case class Run(file: String, total: Double,
+                       queries: Map[String, Double], // name -> median sec
+                       calib: Option[Double])
+
+  private def extractBenchLine(text: String): Option[String] =
+    text.linesIterator
+      .map(_.trim.stripPrefix("[info]").trim)
+      .filter(l => l.startsWith("{") && l.contains("\"metric\"") && l.contains("\"queries\""))
+      .toSeq.lastOption
+
+  /** Parse a bench artifact: driver wrapper or raw bench stdout. */
+  def load(path: String): Run = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val benchLine = JsonMethods.parseOpt(text) match {
+      case Some(JObject(fields)) if fields.exists(_._1 == "tail") =>
+        // driver wrapper: prefer `parsed` if the driver managed to parse,
+        // else dig the line out of the captured tail
+        fields.collectFirst { case ("parsed", o: JObject) => JsonMethods.compact(o) }
+          .orElse(fields.collectFirst { case ("tail", JString(t)) => t }.flatMap(extractBenchLine))
+      case Some(o: JObject) => Some(JsonMethods.compact(o)) // bare bench JSON file
+      case _ => extractBenchLine(text)
+    }
+    val line = benchLine.getOrElse(sys.error(s"$path: no bench JSON line found"))
+    val j = JsonMethods.parse(line)
+    def num(v: JValue): Option[Double] = v match {
+      case JDouble(d) => Some(d)
+      case JInt(i) => Some(i.toDouble)
+      case JDecimal(d) => Some(d.toDouble)
+      case JLong(l) => Some(l.toDouble)
+      case _ => None
+    }
+    val queries = (j \ "queries") match {
+      case JObject(fs) => fs.flatMap {
+        case (name, o: JObject) => num(o \ "median").map(name -> _)
+        case (name, v) => num(v).map(name -> _) // r1-era plain seconds
+      }.toMap
+      case _ => Map.empty[String, Double]
+    }
+    Run(path, num(j \ "value").getOrElse(queries.values.sum),
+      queries, num(j \ "calib"))
+  }
+
+  private def newestBenchFiles(): Seq[String] = {
+    val dir = new java.io.File(".")
+    dir.listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName).reverse.map(_.getPath).toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val files = newestBenchFiles()
+    val curPath = args.lift(0).orElse(files.headOption)
+      .getOrElse(sys.error("no current bench file"))
+    val prevPath = args.lift(1).orElse(files.find(_ != curPath))
+    val basePath = args.lift(2).orElse(
+      files.lastOption.filter(p => p != curPath && !prevPath.contains(p)))
+
+    val cur = load(curPath)
+    val prev = prevPath.map(load)
+    val base = basePath.map(load)
+
+    def normRatio(q: String, ref: Run): Option[(Double, Boolean)] =
+      ref.queries.get(q).map { r =>
+        (cur.calib, ref.calib) match {
+          case (Some(cc), Some(rc)) => ((cur.queries(q) / cc) / (r / rc), true)
+          case _ => (cur.queries(q) / r, false)
+        }
+      }
+
+    println(s"# BenchCompare")
+    println(s"current : ${cur.file}  total=${f(cur.total)}s  calib=${cur.calib.map(f).getOrElse("-")}")
+    prev.foreach(p => println(s"previous: ${p.file}  total=${f(p.total)}s  calib=${p.calib.map(f).getOrElse("-")}"))
+    base.foreach(b => println(s"baseline: ${b.file}  total=${f(b.total)}s  calib=${b.calib.map(f).getOrElse("-")}"))
+    println()
+    println("| query | cur s | prev s | vs prev | base s | vs base |")
+    println("|---|---|---|---|---|---|")
+    cur.queries.toSeq.sortBy(_._1).foreach { case (q, t) =>
+      val pv = prev.flatMap(_.queries.get(q))
+      val pr = prev.flatMap(normRatio(q, _))
+      val bv = base.flatMap(_.queries.get(q))
+      val br = base.flatMap(normRatio(q, _))
+      def cell(r: Option[(Double, Boolean)]) =
+        r.map { case (x, n) => f(x) + "x" + (if (n) "" else " (raw)") }.getOrElse("-")
+      println(s"| $q | ${f(t)} | ${pv.map(f).getOrElse("-")} | ${cell(pr)} | " +
+        s"${bv.map(f).getOrElse("-")} | ${cell(br)} |")
+    }
+    // shared-query totals: the honest aggregate (query sets change between
+    // rounds; a total over different sets is meaningless)
+    def sharedSummary(tag: String, ref: Run): Unit = {
+      val shared = cur.queries.keySet.intersect(ref.queries.keySet).toSeq.sorted
+      if (shared.nonEmpty) {
+        val c = shared.map(cur.queries).sum
+        val r = shared.map(ref.queries).sum
+        val raw = c / r
+        val norm = for (cc <- cur.calib; rc <- ref.calib) yield (c / cc) / (r / rc)
+        println()
+        println(s"$tag: ${shared.size} shared queries, cur ${f(c)}s vs ${f(r)}s " +
+          s"= ${f(raw)}x raw" + norm.map(n => s", ${f(n)}x calib-normalized").getOrElse(" (no calib in ref)"))
+      }
+    }
+    prev.foreach(sharedSummary("vs previous", _))
+    base.foreach(sharedSummary("vs baseline", _))
+  }
+
+  private def f(d: Double): String = "%.3f".format(d)
+}
