@@ -74,10 +74,16 @@ object IvfIndex {
       .collect().map(_.getSeq[Double](1).toArray)
 
   /** Top-k cosine neighbors of each query row against the indexed corpus.
-    * Only the probed clusters' partitions are scanned. */
+    * Only the probed clusters' partitions are scanned: the probed-list
+    * collect is bounded by nLists (distinct BEFORE collect), so pruning is
+    * safe at ANY query count. The query side itself is broadcast only up
+    * to `maxBroadcastQueries` rows (counted, not assumed — the former
+    * "broadcast-sized by contract" prose is now a measured gate); above
+    * that the per-cluster join runs as a shuffle join, same results, no
+    * driver/executor-memory cliff. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-           roundTo: Int = 4): DataFrame = {
+           roundTo: Int = 4, maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(spark)
     val cents = loadCentroids(spark, path)
     val q = queries.select(col(idCol).as("q_id"),
@@ -85,12 +91,14 @@ object IvfIndex {
       .withColumn("cluster",
         explode(transform(slice(array_sort(Similarity.distances(col("qv"), cents)), 1, nProbe),
           d => d.getField("cid"))))
-    // queries are broadcast-sized by contract: their probed-list union is
-    // collected so the vector scan prunes to exactly those partitions
+    // bounded by nLists distinct values regardless of |queries|
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isInCollection(probed))
-    val scored = vectors.join(broadcast(q), Seq("cluster"))
+    val qSide =
+      if (queries.count() <= maxBroadcastQueries) broadcast(q)
+      else q.hint("shuffle_hash")
+    val scored = vectors.join(qSide, Seq("cluster"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("c_id"),
         round(Similarity.cosine(col("qv"), col("cv")), roundTo).as("cos"))

@@ -28,6 +28,33 @@ class IvfIndexSpec extends SparkTestBase {
       s"expected cluster partition pruning in:\n$plan")
   }
 
+  test("over-limit query batch: shuffle-join fallback, same results, pruning kept") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_big").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 8)
+    val small = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2)
+    // force the over-limit path: 20 queries > maxBroadcastQueries=3
+    val big = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 5, nProbe = 2, maxBroadcastQueries = 3L)
+    assert(small.collect().toSet == big.collect().toSet)
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"over-limit path still broadcasts:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      "pruning must survive the fallback (probed-list collect is nLists-bounded)")
+  }
+
+  test("centroid cell budget: absurd nLists x dim is refused with a clear error") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val err = intercept[IllegalArgumentException] {
+      // dim is 64 at this SF -> 600k lists x 64 = 38.4M cells >> 4M budget; the
+      // guard fires in ivfCentroids before any job touches the corpus
+      Similarity.kmeansAssign(e, "vec_id", "embedding", k = 600000)
+    }
+    assert(err.getMessage.contains("centroid cells"), err.getMessage)
+  }
+
   test("append assigns with saved centroids; appended vectors are found") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val base = e.filter(col("vec_id") < 150)
