@@ -161,6 +161,35 @@ object TimeSeriesQueries {
           .select(col("ts_ms"), col("value"))
     },
 
+    // ---- TIME_INTERPOLATED, EMPTY mode (InterpolationMode.java:70): no
+    // interpolation — exact-match value or NULL, bracketing unchanged ----
+    Q.df("q_ts_time_interp_empty_hit",
+      duck = """SELECT epoch_ms(b.bt) AS ts_ms,
+        |  CASE WHEN p.t = epoch_us(b.bt) THEN p.v ELSE NULL END AS value
+        |FROM (SELECT ts AS bt FROM events WHERE event_id = 100) b,
+        |  LATERAL (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |           WHERE ts <= b.bt ORDER BY ts DESC, event_id DESC LIMIT 1) p,
+        |  LATERAL (SELECT 1 AS x FROM events WHERE ts >= b.bt LIMIT 1) n""".stripMargin) {
+      (s, dir) =>
+        // base time = an EXISTING row's timestamp -> the exact-match branch
+        val bt = evs(s, dir).filter(col("event_id") === 100)
+          .select(col("ts")).collect()(0).get(0)
+        T.timeInterpolated(evs(s, dir), "ts", "value",
+            lit(bt).cast("timestamp"), mode = "empty")
+          .select(col("ts_ms"), col("value"))
+    },
+    Q.df("q_ts_time_interp_empty_miss",
+      duck = s"""SELECT epoch_ms(TIMESTAMP '$tI') AS ts_ms,
+        |  CASE WHEN p.t = epoch_us(TIMESTAMP '$tI') THEN p.v ELSE NULL END AS value
+        |FROM (SELECT epoch_us(ts) AS t, value AS v FROM events
+        |      WHERE ts <= TIMESTAMP '$tI' ORDER BY ts DESC, event_id DESC LIMIT 1) p,
+        |     (SELECT 1 AS x FROM events WHERE ts >= TIMESTAMP '$tI' LIMIT 1) n""".stripMargin) {
+      (s, dir) =>
+        T.timeInterpolated(evs(s, dir), "ts", "value",
+            lit(tI).cast("timestamp"), mode = "empty")
+          .select(col("ts_ms"), col("value"))
+    },
+
     // ---- TIME_SAMPLING(value, start, end, 6h grid) ----
     Q.df("q_ts_time_sampling",
       duck = """SELECT epoch_ms(g.gt) AS ts_ms,

@@ -47,23 +47,41 @@ object TimeSeriesOps {
       .limit(1)
   }
 
-  /** TIME_INTERPOLATED(valCol, t): linear interpolation of valCol at time t
-    * between the neighboring rows (exact row wins if one exists at t).
+  /** TIME_INTERPOLATED(valCol, t): interpolate valCol at time t.
     * Returns (ts_ms, <valCol>) with a single row, or zero rows when t is
-    * outside the series range. */
-  def timeInterpolated(df: DataFrame, tsCol: String, valCol: String, t: Column): DataFrame = {
+    * outside the series range.
+    *
+    * Modes (reference: the client InterpolationMode,
+    * java_client/src/com/toshiba/mwcloud/gs/InterpolationMode.java:55,70):
+    *  - "linear" (default, LINEAR_OR_PREVIOUS for a numeric target): linear
+    *    interpolation between the bracketing rows; exact row wins.
+    *  - "empty" (EMPTY): NO interpolation — the exact-match row's value if
+    *    one exists at t, else the empty value. GridDB's "empty value
+    *    defined in Container" maps to SQL NULL in this engine's nullable
+    *    column model. The bracketing (in-range) condition is unchanged, as
+    *    in the reference's sampling contract ("if there is no Rows to be
+    *    referenced ... a corresponding Row is not generated",
+    *    TimeSeries.java:502-504). */
+  def timeInterpolated(df: DataFrame, tsCol: String, valCol: String, t: Column,
+                       mode: String = "linear"): DataFrame = {
+    require(Seq("linear", "empty").contains(mode),
+      s"interpolation mode must be linear|empty, got $mode")
     val prev = timePrev(df, tsCol, t)
       .select(usec(col(tsCol)).as("p_us"), col(valCol).cast("double").as("p_v"))
     val next = timeNext(df, tsCol, t)
       .select(usec(col(tsCol)).as("n_us"), col(valCol).cast("double").as("n_v"))
-    prev.crossJoin(next)
-      .select(
-        (usec(t) / lit(1000)).cast("long").as("ts_ms"),
+    val value = mode match {
+      case "linear" =>
         when(col("n_us") === col("p_us"), col("p_v"))
           .otherwise(col("p_v") + (col("n_v") - col("p_v")) *
             ((usec(t) - col("p_us")).cast("double") /
               (col("n_us") - col("p_us")).cast("double")))
-          .as(valCol))
+      case "empty" =>
+        when(col("p_us") === usec(t), col("p_v"))
+          .otherwise(lit(null).cast("double"))
+    }
+    prev.crossJoin(next)
+      .select((usec(t) / lit(1000)).cast("long").as("ts_ms"), value.as(valCol))
   }
 
   // ---- TIME_SAMPLING engine ------------------------------------------------
