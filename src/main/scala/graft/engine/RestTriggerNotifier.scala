@@ -42,27 +42,15 @@ final class RestTriggerNotifier(timeout: Duration = Duration.ofSeconds(2),
     ()
   }
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
-
-  /** GSTriggerInfo-shaped JSON payload (name, container, event, columns;
-    * `rows` is the batch's affected-row count — micro-batch granularity is
-    * this engine's documented firing unit). */
-  private[graft] def body(e: TriggerEvent): String = {
-    val cols = e.trigger.columns.map(c => "\"" + esc(c) + "\"").mkString("[", ",", "]")
-    s"""{"trigger":"${esc(e.trigger.name)}","container":"${esc(e.trigger.table)}",""" +
-      s""""event":"${esc(e.event)}","rows":${e.rows},"columns":$cols}"""
-  }
+  /** GSTriggerInfo-shaped JSON payload — shared with the JMS transport. */
+  private[graft] def body(e: TriggerEvent): String = TriggerJson.body(e)
 
   /** The transport function: POST REST triggers async; dead-letter anything
     * undeliverable. Pass to [[GraftCatalog.onTrigger]] (or use [[install]]). */
   def notify(e: TriggerEvent): Unit = {
     if (!"REST".equalsIgnoreCase(e.trigger.triggerType)) {
-      record(e, s"unsupported transport '${e.trigger.triggerType}' (REST only; JMS needs a broker)")
+      record(e, s"unsupported transport '${e.trigger.triggerType}' on the REST " +
+        "notifier — route JMS triggers to JmsTriggerNotifier (TriggerTransports.routed)")
       return
     }
     try {
