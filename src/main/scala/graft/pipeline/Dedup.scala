@@ -102,6 +102,19 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
       .filter(col("n") > 1)
 
+  /** Exact-duplicate REMOVAL: keep the smallest id of each distinct text —
+    * the keep-first companion of [[exactGroups]] (which reports only the
+    * n>1 groups and so cannot express "keep one of each"; composing a
+    * pipeline on its keepers empties a duplicate-free corpus — caught by
+    * the q_fuzz6 chain differential). One shuffle on the content digest,
+    * group sizes = duplicate counts. Returns the surviving rows with their
+    * original schema. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.join(
+      docs.groupBy(md5(col(textCol)).as("__h"))
+        .agg(min(col(idCol)).as(idCol)).select(idCol),
+      idCol)
+
   /** Word tokens, lowercased. */
   def tokens(textCol: String): Column = split(lower(col(textCol)), " ")
 

@@ -592,6 +592,141 @@ object FuzzQueries {
     }
   }
 
+  // ---------- v6 generator: LLM-pipeline operator CHAINS (round-9 ask #7).
+  // Unlike v1-v5 (one SQL text run by both engines), each draw yields a
+  // Spark PIPELINE composing the graft.pipeline operators PLUS a DuckDB
+  // CTE chain implementing identical semantics — the differential proof
+  // that the operators COMPOSE, not only pass standalone. Stage order is
+  // canonical (quality -> repetition -> exact-dedup -> per-source cap ->
+  // n-gram decontam -> sequence pack); presence and parameters are drawn
+  // per seed with at least two stages per chain. Every stage's SQL is the
+  // proven mapping from the hand-written curation oracles (v2/v5/v6 and
+  // q_pipeline_pack_sequences). The corpus is always doc_id % 97 <> 0 and
+  // the decontamination benchmark the % 97 == 0 complement, matching those
+  // oracles.
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  private[graft] def genFuzz6(s: Int): ((SparkSession, String) => DataFrame, String) = {
+    val r = new Random(0x5EED6 + s)
+    var useQuality = r.nextBoolean()
+    val minTok = Seq(5, 10, 20)(r.nextInt(3))
+    val minUniq = Seq("0.2", "0.3", "0.4")(r.nextInt(3))
+    val useRep = r.nextBoolean()
+    val maxDup = Seq("0.5", "0.6", "0.7")(r.nextInt(3))
+    val useDedup = r.nextBoolean()
+    var useCap = r.nextBoolean()
+    val capK = Seq(5, 10, 25)(r.nextInt(3))
+    val useDecon = r.nextBoolean()
+    // n >= 3: on the driver's 30-word-vocabulary corpus every document
+    // shares some BIGRAM with the benchmark slice, so n=2 decontaminates
+    // the corpus to zero rows — a degenerate (empty-vs-empty) differential
+    val deconN = Seq(3, 4, 5)(r.nextInt(3))
+    val usePack = r.nextBoolean()
+    val budget = Seq(100L, 200L)(r.nextInt(2))
+    // at least two stages, without disturbing any draw above
+    if (Seq(useQuality, useRep, useDedup, useCap, useDecon, usePack).count(identity) < 2) {
+      useQuality = true; useCap = true
+    }
+
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "c0"
+    ctes += "c0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0)"
+    def add(name: String, sql: String): Unit = { ctes += s"$name AS ($sql)"; prev = name }
+
+    if (useQuality) add("cq",
+      s"""SELECT doc_id, source, text FROM $prev
+         |  WHERE len(string_split(lower(text), ' ')) >= $minTok
+         |    AND CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+         |      / len(string_split(lower(text), ' ')) >= $minUniq""".stripMargin)
+    if (useRep) add("cr",
+      s"""SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+         |    FROM $prev)
+         |  WHERE len(t) = 0
+         |     OR CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t) <= $maxDup""".stripMargin)
+    if (useDedup) add("cd",
+      s"""SELECT doc_id, source, text FROM $prev
+         |  WHERE doc_id IN (SELECT MIN(doc_id) FROM $prev GROUP BY text)""".stripMargin)
+    if (useCap) add("cc",
+      s"""SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text, row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+         |        / len(string_split(lower(text), ' ')) DESC, doc_id) AS rn
+         |    FROM $prev)
+         |  WHERE rn <= $capK""".stripMargin)
+    if (useDecon) {
+      val m = deconN - 1
+      ctes += s"""ng_c AS (SELECT doc_id, array_to_string(t[i:i+$m], ' ') AS ng FROM
+         |    (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |     FROM $prev) b,
+         |    UNNEST(generate_series(1, len(t)-$m)) AS u(i))""".stripMargin
+      ctes += s"""ng_b AS (SELECT DISTINCT array_to_string(t[i:i+$m], ' ') AS ng FROM
+         |    (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+         |     FROM documents WHERE doc_id % 97 = 0) bb,
+         |    UNNEST(generate_series(1, len(t)-$m)) AS u(i))""".stripMargin
+      add("cx",
+        s"""SELECT doc_id, source, text FROM $prev
+           |  WHERE doc_id NOT IN (SELECT DISTINCT ng_c.doc_id FROM ng_c JOIN ng_b USING (ng))""".stripMargin)
+    }
+    val duck =
+      if (!usePack)
+        s"WITH RECURSIVE ${ctes.mkString(",\n")}\nSELECT doc_id, source FROM $prev ORDER BY doc_id"
+      else {
+        ctes += s"""pd AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4 AS INTEGER) AS shard,
+           |    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+           |  FROM $prev)""".stripMargin
+        ctes += "po AS (SELECT pd.*, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS rn FROM pd)"
+        ctes += s"""pp AS (
+           |  SELECT shard, rn, doc_id, CAST(1 AS BIGINT) AS pack_id, tok AS pack_used
+           |  FROM po WHERE rn = 1
+           |  UNION ALL
+           |  SELECT po.shard, po.rn, po.doc_id,
+           |    CASE WHEN pp.pack_used + po.tok <= $budget THEN pp.pack_id ELSE pp.pack_id + 1 END,
+           |    CASE WHEN pp.pack_used + po.tok <= $budget THEN pp.pack_used + po.tok ELSE po.tok END
+           |  FROM pp JOIN po ON po.shard = pp.shard AND po.rn = pp.rn + 1)""".stripMargin
+        s"WITH RECURSIVE ${ctes.mkString(",\n")}\nSELECT shard, doc_id, pack_id, pack_used FROM pp ORDER BY shard, doc_id"
+      }
+
+    val builder = (sp: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val all = graft.engine.Tables.read(sp, dir, "documents")
+      val bench = all.filter(col("doc_id") % 97 === 0)
+      var d = all.filter(col("doc_id") % 97 =!= 0).select("doc_id", "source", "text")
+      if (useQuality) d = d.join(
+        graft.pipeline.TextAnalysis.quality(d, "text", "doc_id")
+          .filter(col("n_tokens") >= minTok && col("uniq_ratio") >= minUniq.toDouble)
+          .select("doc_id"), "doc_id")
+      if (useRep) d = d.join(
+        graft.pipeline.TextAnalysis.repetitionMetrics(d, "text", "doc_id")
+          .filter(col("dup_word_frac") <= maxDup.toDouble).select("doc_id"), "doc_id")
+      if (useDedup) d = graft.pipeline.Dedup.exactDedup(d, "text", "doc_id")
+        .select("doc_id", "source", "text")
+      if (useCap) {
+        val toks = split(lower(col("text")), " ")
+        val scored = d.withColumn("score",
+          size(array_distinct(toks)).cast("double") / size(toks))
+        d = graft.pipeline.Curation
+          .capPerGroupByScore(scored, "source", "score", "doc_id", capK)
+          .drop("score")
+      }
+      if (useDecon) d = d.join(
+        graft.pipeline.Curation.ngramOverlap(d, "doc_id", "text", bench, "text", n = deconN)
+          .select("doc_id"), Seq("doc_id"), "left_anti")
+      if (!usePack) d.select("doc_id", "source").orderBy("doc_id")
+      else {
+        val withTok = d.withColumn("__tok",
+          size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long"))
+        graft.pipeline.Curation.packSequences(withTok, "doc_id", "__tok", budget, shards = 4)
+          .select("shard", "doc_id", "pack_id", "pack_used")
+          .orderBy("shard", "doc_id")
+      }
+    }
+    (builder, duck)
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
@@ -600,6 +735,7 @@ object FuzzQueries {
   private val seeds3: Seq[Int] = 0 until 12
   private val seeds4: Seq[Int] = 0 until 12
   private val seeds5: Seq[Int] = 0 until 12
+  private val seeds6: Seq[Int] = 0 until 10
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -631,5 +767,8 @@ object FuzzQueries {
       graft.engine.Tables.registerAll(spark, dir)
       graft.engine.GraftSql.sql(spark, text)
     }
+  } ++ seeds6.map { s =>
+    val (builder, duck) = genFuzz6(s)
+    Q.df(f"q_fuzz6_$s%02d", duck = duck)(builder)
   }
 }
