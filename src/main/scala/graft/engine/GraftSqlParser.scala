@@ -36,16 +36,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * the statement (thrown BEFORE any catalog effect — e.g. Spark-native
     * `CREATE TEMPORARY VIEW ... USING parquet`, which shares the verb
     * prefix GraftDdl.handles keys on), fall back to Catalyst. */
-  private def plan(sqlText: String, viaDelegate: String => LogicalPlan): LogicalPlan =
-    if (GraftSql.handlesSpecial(sqlText)) {
-      try GraftSql.sql(session, sqlText).queryExecution.logical
-      catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.startsWith("unsupported DDL/DML") =>
-          viaDelegate(GraftSql.rewrite(sqlText))
-      }
-    } else viaDelegate(GraftSql.rewrite(sqlText))
+  private def plan(sqlText: String, viaDelegate: String => LogicalPlan): LogicalPlan = {
+    // write gate BEFORE routing: dialect DML applies its catalog effect at
+    // parse time, so a denied write must never reach the compiler
+    GraftAuth.preCheck(session, sqlText)
+    val p =
+      if (GraftSql.handlesSpecial(sqlText)) {
+        try GraftSql.sql(session, sqlText).queryExecution.logical
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("unsupported DDL/DML") =>
+            viaDelegate(GraftSql.rewrite(sqlText))
+        }
+      } else viaDelegate(GraftSql.rewrite(sqlText))
+    // read gate on the parsed plan's referenced relations
+    GraftAuth.check(session, p)
+    p
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     plan(sqlText, delegate.parsePlan)

@@ -26,13 +26,19 @@ class JdbcSpec extends SparkTestBase {
     throw new AssertionError(s"thrift server did not come up on $port", last)
   }
 
-  test("GridDB dialect end-to-end over JDBC (Thrift server + hive-jdbc)") {
+  /** One Thrift server for the whole suite (re-starting on the same port
+    * would bind-conflict). */
+  private lazy val thriftPort: Int = {
     val port = 10123
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
     spark.sqlContext.setConf("hive.server2.authentication", "NOSASL")
     org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
       .startWithContext(spark.sqlContext)
-    val conn = connect(port)
+    port
+  }
+
+  test("GridDB dialect end-to-end over JDBC (Thrift server + hive-jdbc)") {
+    val conn = connect(thriftPort)
     try {
       val st = conn.createStatement()
 
@@ -88,5 +94,55 @@ class JdbcSpec extends SparkTestBase {
 
       st.execute("DROP TABLE IF EXISTS jdbc_sensors")
     } finally conn.close()
+  }
+
+  test("GRANT/REVOKE observably gates wire queries (round-9 ask #8)") {
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    Seq("wire_u").foreach(u => if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+    cat.createUser("wire_u", Some("pw1"))
+    cat.grant("SELECT", "auth_tab_jdbc", "wire_u")
+    // enforcement is scoped to an explicit protected set, so concurrent
+    // suites' tables are untouched
+    graft.engine.GraftAuth.install(cat, Set("auth_tab_jdbc"))
+    val conn = connect(thriftPort)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW auth_tab_jdbc USING parquet " +
+        s"OPTIONS (path '$sfDir/nation.parquet')")
+
+      def queryFails(sql: String, phrase: String): Unit = {
+        val e = intercept[java.sql.SQLException](st.executeQuery(sql))
+        assert(e.getMessage != null && e.getMessage.contains(phrase),
+          s"expected '$phrase' in: ${e.getMessage}")
+      }
+
+      // 1. no credentials -> authentication failure
+      queryFails("SELECT COUNT(*) AS n FROM auth_tab_jdbc", "authentication failed")
+      // 2. valid credentials + SELECT grant -> query flows
+      st.execute("SET graft.auth.user = wire_u")
+      st.execute("SET graft.auth.password = pw1")
+      val rs = st.executeQuery("SELECT COUNT(*) AS n FROM auth_tab_jdbc")
+      assert(rs.next() && rs.getLong(1) > 0)
+      // 3. SELECT grant does not cover writes
+      queryFails("INSERT INTO auth_tab_jdbc VALUES (99, 'x', 0, 'c')", "privilege")
+      // 4. revoke server-side -> the SAME session's next query is refused
+      cat.revoke("SELECT", "auth_tab_jdbc", "wire_u")
+      queryFails("SELECT COUNT(*) AS n FROM auth_tab_jdbc", "privilege")
+      // 5. grant back -> flows again; bad password -> refused
+      cat.grant("SELECT", "auth_tab_jdbc", "wire_u")
+      val rs2 = st.executeQuery("SELECT COUNT(*) AS n FROM auth_tab_jdbc")
+      assert(rs2.next() && rs2.getLong(1) > 0)
+      st.execute("SET graft.auth.password = wrong")
+      queryFails("SELECT COUNT(*) AS n FROM auth_tab_jdbc", "authentication failed")
+      // 6. unprotected tables are untouched by enforcement
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW open_tab_jdbc USING parquet " +
+        s"OPTIONS (path '$sfDir/region.parquet')")
+      val rs3 = st.executeQuery("SELECT COUNT(*) AS n FROM open_tab_jdbc")
+      assert(rs3.next() && rs3.getLong(1) > 0)
+    } finally {
+      graft.engine.GraftAuth.uninstall()
+      cat.dropUser("wire_u")
+      conn.close()
+    }
   }
 }
