@@ -114,3 +114,60 @@ case class BpeEncode(child: Expression, table: BpeTable) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** One BPE merge applied to a piece array: greedy left-to-right fuse of
+  * every non-overlapping adjacent (left, right) into left+right — the
+  * inductive training step. A plain JVM object (same discipline as
+  * [[BpeTable]]) so the codegen'd caller is one virtual call; the
+  * interpreted higher-order-function fold this replaced cost ~3x the FULL
+  * 40-merge kernel replay per iteration at the 5M-doc scale probe
+  * (SCALING.md round 9). */
+final class BpeMergePair(l: String, r: String) extends Serializable {
+  private val lU = UTF8String.fromString(l)
+  private val rU = UTF8String.fromString(r)
+  private val fused = UTF8String.fromString(l + r)
+
+  def apply(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && lU.equals(arr.getUTF8String(i)) &&
+          rU.equals(arr.getUTF8String(i + 1))) {
+        out += fused; i += 2
+      } else { out += arr.getUTF8String(i); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_bpe_merge_step(pieces, left, right)`: apply ONE merge to an
+  * array<string> of pieces (left/right arrive as string literals,
+  * extracted at plan time). The compiled form of classic BPE training's
+  * per-iteration state update — Bpe.train composes numMerges of these, one
+  * per learned merge. */
+case class BpeMergeStep(child: Expression, pair: BpeMergePair) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_merge_step expects array<string>, got ${t.sql}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_bpe_merge_step"
+
+  override def nullSafeEval(input: Any): Any =
+    pair(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("bpeMerge", pair, classOf[BpeMergePair].getName)
+      s"${ev.value} = $ref.apply($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -278,6 +278,18 @@ object GridDbScalarFunctions {
       }
       BpeEncode(Cast(a(0), StringType), new BpeTable(merges))
     }
+    // single BPE merge over a piece array (the compiled training step);
+    // left/right must be string literals — plan-time extraction keeps the
+    // hot loop free of per-row argument evaluation
+    tmp("graft_bpe_merge_step") { a =>
+      require(a.size == 3, "graft_bpe_merge_step(pieces, left, right)")
+      def str(e: Expression, what: String): String = e match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) => u.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_bpe_merge_step $what must be a string literal, got $other")
+      }
+      BpeMergeStep(a(0), new BpeMergePair(str(a(1), "left"), str(a(2), "right")))
+    }
     // Misra-Gries frequent-items summary (see MisraGries): fixed m-counter
     // buffers, mergeable across partitions; counts are lower bounds
     tmp("graft_misra_gries") { a =>

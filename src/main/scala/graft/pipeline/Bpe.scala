@@ -37,18 +37,13 @@ object Bpe {
     typedLit(merges.map(p => Seq(p._1, p._2)))
 
   /** One greedy left-to-right pass fusing every non-overlapping adjacent
-    * (l, r) into l+r — the inductive step of BPE training. Fold semantics
-    * match the kernel's single-merge pass exactly: the fused symbol l+r can
-    * never re-match l (r is non-empty), so comparing the accumulator tail
-    * is equivalent to scanning the original sequence. */
+    * (l, r) into l+r — the inductive step of BPE training, compiled
+    * (functions/BpeEncode BpeMergeStep). An interpreted aggregate()-fold
+    * version of this cost ~3x the full kernel replay per iteration at the
+    * 5M-doc probe; the compiled pass is what makes incremental training
+    * strictly cheaper than re-encoding (SCALING.md round 9). */
   private def applyMerge(pieces: Column, l: String, r: String): Column =
-    aggregate(
-      pieces,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x))))
+    call_function("graft_bpe_merge_step", pieces, lit(l), lit(r))
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
     * reaches `minPairCount` weighted occurrences.

@@ -20,8 +20,14 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/scaledata/sf1")
     val mode = if (args.length > 1) args(1) else "full"
+    // beyond ~2.5M docs the local 32-partition default is the binding
+    // constraint (per-partition join/aggregate state OOMs an 8g heap);
+    // scale probes set partitions with the data, as a cluster deployment
+    // would (SPARK_GRAFT_SHUFFLE_PARTITIONS + SPARK_DRIVER_MEM)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt
     val spark = GraftSession.configure(
-      SparkSession.builder().master("local[32]").appName("graft-scaleprobe"))
+      SparkSession.builder().master("local[32]").appName("graft-scaleprobe"),
+      shufflePartitions = parts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -41,7 +47,9 @@ object ScaleProbe {
       // twice (one JIT/codegen warm pass, the second is the reading), and
       // the PRE-VERIFY candidate count is reported alongside wall time —
       // candidates, not seconds, are the actual scale variable.
-      for (n <- Seq(total / 4, total / 2, total)) {
+      val points = if (args.length > 2) Seq(args(2).toLong)
+        else Seq(total / 4, total / 2, total)
+      for (n <- points) {
         val sub = d.filter(col("doc_id") < n)
         time(s"tokenJaccard cands n=$n") {
           Dedup.tokenJaccardCandidates(sub, "text", "doc_id", 0.8).count()
