@@ -60,6 +60,13 @@ object FuzzSweep {
       val text = graft.queries.FuzzQueries.genSql5(s)
       dump(f"fz_sql5_$s%04d", text)(graft.engine.GraftSql.sql(spark, text))
     }
+    // optional 7th/8th args: pipeline-chain (genFuzz6) seed range
+    if (args.length > 7) {
+      for (s <- args(6).toInt until args(7).toInt) {
+        val (builder, duck) = graft.queries.FuzzQueries.genFuzz6(s)
+        dump(f"fz_fz6_$s%04d", duck)(builder(spark, sfDir))
+      }
+    }
     for (s <- tqlFrom until tqlUntil) {
       val (tqlTs, duckTs) = graft.queries.TqlFuzz.genTs(s)
       dump(f"fz_tqlts_$s%04d", duckTs) {
