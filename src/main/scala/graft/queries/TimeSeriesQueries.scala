@@ -190,6 +190,24 @@ object TimeSeriesQueries {
           .select(col("ts_ms"), col("value"))
     },
 
+    // ---- sampling query, EMPTY mode (TimeSeries.java:497-505 +
+    // InterpolationMode.java:70): exact-match values on the grid, NULL
+    // where no row sits exactly on a grid instant, in-range rule unchanged ----
+    Q.df("q_ts_time_sampling_empty",
+      duck = """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |        TIMESTAMP '2024-01-30 00:00:00', INTERVAL 6 HOUR)) AS gt),
+        |x AS (SELECT epoch_us(ts) AS t, max(value) AS v FROM events GROUP BY 1)
+        |SELECT epoch_ms(g.gt) AS ts_ms, x.v AS value
+        |FROM g CROSS JOIN b LEFT JOIN x ON x.t = epoch_us(g.gt)
+        |WHERE epoch_us(g.gt) BETWEEN b.lo AND b.hi
+        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
+      T.timeSamplingEmpty(evs(s, dir), "ts", "value",
+          lit("2024-01-01 00:00:00"), lit("2024-01-30 00:00:00"),
+          intervalUs = 6L * 3600 * 1000000)
+        .orderBy("ts_ms")
+    },
+
     // ---- TIME_SAMPLING(value, start, end, 6h grid) ----
     Q.df("q_ts_time_sampling",
       duck = """SELECT epoch_ms(g.gt) AS ts_ms,

@@ -137,6 +137,50 @@ object TimeSeriesOps {
     sampleGeneric(df, tsCol, pay, holdEmit(held), start, end, intervalUs, keys)
   }
 
+  /** Sampling query with InterpolationMode.EMPTY (TimeSeries.java:497-505 +
+    * InterpolationMode.java:70): NO interpolation — each grid instant
+    * carries the exact-match row's value when one exists, else the empty
+    * value (SQL NULL in this engine's nullable model, as in
+    * [[timeInterpolated]]'s "empty" mode). The in-range rule matches the
+    * other sampling forms: grid points outside the series' observed
+    * [min ts, max ts] produce no row. Ties at one instant resolve to the
+    * greatest value — the same greatest-row rule the bracketing engine
+    * applies on the prev side.
+    *
+    * Shape: one tiny per-series bounds aggregate generates the clipped
+    * grid, one per-instant aggregate collapses ties, one left join lines
+    * them up — no window, no per-grid-point join. */
+  def timeSamplingEmpty(df: DataFrame, tsCol: String, valCol: String,
+                        start: Column, end: Column, intervalUs: Long,
+                        keys: Seq[String] = Nil): DataFrame = {
+    require(intervalUs > 0, "sampling interval must be positive")
+    val kcols = keys.map(col)
+    val s = usec(start.cast("timestamp"))
+    val e = usec(end.cast("timestamp"))
+    val bounds = if (keys.isEmpty)
+      df.agg(min(usec(col(tsCol))).as("__lo"), max(usec(col(tsCol))).as("__hi"))
+    else
+      df.groupBy(kcols: _*).agg(min(usec(col(tsCol))).as("__lo"), max(usec(col(tsCol))).as("__hi"))
+    // start later than end excludes every row (TimeSeries.java:495) — an
+    // empty sequence, not a descending one
+    val steps = when(e >= s,
+      sequence(lit(0L), floor((e - s).cast("double") / intervalUs).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+    val grid = bounds
+      .select((kcols :+ col("__lo") :+ col("__hi") :+ explode(steps).as("__i")): _*)
+      .select((kcols :+ (s + col("__i") * intervalUs).as("__g_us") :+
+        col("__lo") :+ col("__hi")): _*)
+      .filter(col("__g_us") >= col("__lo") && col("__g_us") <= col("__hi"))
+    val exact = (if (keys.isEmpty)
+        df.groupBy(usec(col(tsCol)).as("__g_us"))
+      else
+        df.groupBy((kcols :+ usec(col(tsCol)).as("__g_us")): _*))
+      .agg(max(col(valCol).cast("double")).as("__v"))
+    grid.join(exact, keys :+ "__g_us", "left")
+      .select((kcols :+ (col("__g_us") / lit(1000)).cast("long").as("ts_ms") :+
+        col("__v").as(valCol)): _*)
+  }
+
   private def interpEmit(valCol: String): SampleEmit = (g, p, n) => {
     val (pT, pV) = (p.getField("t_us"), p.getField("v"))
     val (nT, nV) = (n.getField("t_us"), n.getField("v"))

@@ -44,6 +44,32 @@ class TimeSeriesOpsSpec extends SparkTestBase {
     assert(out.map(_._2).toSeq == Seq(10.0, 15.0, 20.0, 25.0, 30.0))
   }
 
+  test("timeSamplingEmpty: exact hits, NULL fills, range clip, empty+keyed+tie rules") {
+    val df = series(5L -> 10.0, 15L -> 20.0, 25L -> 30.0)
+    val out = T.timeSamplingEmpty(df, "ts", "value", at(0), at(30), intervalUs = 5000000L)
+      .orderBy("ts_ms").select("ts_ms", "value").as[(Long, Option[Double])].collect()
+    val base = 1704067200000L
+    // same in-range rule as the linear form; NO interpolation at 10/20s
+    assert(out.map(_._1).toSeq == Seq(5000L, 10000L, 15000L, 20000L, 25000L).map(_ + base))
+    assert(out.map(_._2).toSeq == Seq(Some(10.0), None, Some(20.0), None, Some(30.0)))
+    // start later than end: all rows excluded (TimeSeries.java:495)
+    assert(T.timeSamplingEmpty(df, "ts", "value", at(30), at(0), 5000000L).count() == 0)
+    // ties at one instant resolve to the greatest value (bracketing rule)
+    val tied = series(5L -> 1.0, 5L -> 9.0)
+    assert(T.timeSamplingEmpty(tied, "ts", "value", at(5), at(5), 1000000L)
+      .select("value").as[Double].head() == 9.0)
+    // keyed: per-series clipping and fills
+    val keyed = Seq(("a", 0L, 1.0), ("a", 10L, 2.0), ("b", 5L, 7.0))
+      .toDF("k", "sec", "value")
+      .select(col("k"), timestamp_seconds(lit(1704067200L) + col("sec")).as("ts"), col("value"))
+    val kOut = T.timeSamplingEmpty(keyed, "ts", "value", at(0), at(10), 5000000L, keys = Seq("k"))
+      .orderBy("k", "ts_ms").select("k", "ts_ms", "value")
+      .as[(String, Long, Option[Double])].collect()
+    assert(kOut.toSeq == Seq(
+      ("a", base, Some(1.0)), ("a", base + 5000L, None), ("a", base + 10000L, Some(2.0)),
+      ("b", base + 5000L, Some(7.0))))
+  }
+
   test("timeSampling small-path parity with chunked path, and path selection") {
     // irregular series across ~700 grid points incl. exact hits and gaps
     val rnd = new scala.util.Random(7)
