@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, UnresolvedWith}
 
 /** Wire-level auth enforcement (round-9 judge ask #8): makes GRANT/REVOKE
   * observably gate queries arriving through ANY text front door of a
@@ -24,61 +24,103 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * (GraftCatalog.checkPrivilege). Statements touching only unprotected
   * tables are untouched.
   *
-  * The write gate runs BEFORE statement routing because GridDB-dialect DML
-  * executes its catalog effect at parse time (GraftSqlParser scaladoc); the
-  * read gate runs on the parsed plan's referenced relations (subqueries
-  * included).
+  * Name handling: matching against the protected set is case-insensitive
+  * (Spark identifiers are), and the privilege lookup always uses the name
+  * EXACTLY as it was passed to install() — record grants under that
+  * spelling.
+  *
+  * Gate structure — two layers, because the dialect DML executes its
+  * catalog effect at parse time (GraftSqlParser scaladoc):
+  *  - [[preCheck]] runs BEFORE statement routing and write-gates the
+  *    GridDB DML verbs by statement text (comments stripped; INSERT
+  *    INTO/OVERWRITE [TABLE], REPLACE INTO, UPDATE, DELETE FROM,
+  *    backticked or bare identifiers);
+  *  - [[check]] runs on the parsed plan: every InsertIntoStatement target
+  *    is write-gated (catching Spark-native INSERT forms the text gate
+  *    cannot see, e.g. WITH ... INSERT), every other referenced relation
+  *    is read-gated. Names bound by the statement's own CTEs are excluded
+  *    — `WITH sensors AS (...)` shadows a protected name for that query,
+  *    exactly as it shadows the real table during analysis.
+  *
+  * Known limitation (definer-style views): a view's body is gated when
+  * the view is CREATED (its plan references the protected names), but a
+  * later query on the view resolves through analysis, not this parse-time
+  * gate — so revoking after view creation does not retroactively cut off
+  * reads through that view. This matches definer-rights view semantics;
+  * drop the view on revoke if that matters operationally.
   */
 object GraftAuth {
 
   val UserKey = "graft.auth.user"
   val PasswordKey = "graft.auth.password"
 
-  @volatile private var state: Option[(GraftCatalog, Set[String])] = None
+  /** (authority, lowercase protected name -> install-cased name). */
+  @volatile private var state: Option[(GraftCatalog, Map[String, String])] = None
 
   /** Enable enforcement: `authority`'s users/grants gate every statement
-    * referencing a name in `protectedTables` (case-insensitive). */
+    * referencing a name in `protectedTables` (case-insensitive match;
+    * privileges are looked up under the spelling given here). */
   def install(authority: GraftCatalog, protectedTables: Set[String]): Unit =
-    state = Some((authority, protectedTables.map(_.toLowerCase)))
+    state = Some((authority, protectedTables.map(t => t.toLowerCase -> t).toMap))
 
   def uninstall(): Unit = state = None
 
   private def credentials(session: SparkSession): (String, String) =
     (session.conf.get(UserKey, ""), session.conf.get(PasswordKey, ""))
 
-  private def require(session: SparkSession, cat: GraftCatalog,
-                      table: String, write: Boolean): Unit = {
+  private def demand(session: SparkSession, cat: GraftCatalog,
+                     canonical: String, write: Boolean): Unit = {
     val (user, pass) = credentials(session)
     if (!cat.authenticate(user, pass))
       throw new SecurityException(
         s"authentication failed for user '$user' (SET ${UserKey} / ${PasswordKey})")
-    if (!cat.checkPrivilege(user, table, write))
+    if (!cat.checkPrivilege(user, canonical, write))
       throw new SecurityException(
-        s"user '$user' lacks ${if (write) "write (ALL)" else "SELECT"} privilege on $table")
+        s"user '$user' lacks ${if (write) "write (ALL)" else "SELECT"} privilege on $canonical")
   }
 
-  /** Target of a GridDB-dialect DML statement, when it is one. */
+  /** Strip SQL comments so a leading `/* hint */` cannot hide a DML verb
+    * from the text gate. */
+  private def stripComments(sql: String): String =
+    sql.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\\n]*", " ")
+
+  /** Target of a dialect/native DML statement, when the text leads with
+    * one: INSERT [OVERWRITE] [INTO|TABLE] t, REPLACE INTO t, UPDATE t,
+    * DELETE FROM t; bare or backticked identifier. */
   private val DmlTarget =
-    "(?is)^\\s*(?:INSERT\\s+INTO|REPLACE\\s+INTO|UPDATE|DELETE\\s+FROM)\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+    ("(?is)^\\s*(?:INSERT\\s+(?:OVERWRITE\\s+)?(?:INTO\\s+|TABLE\\s+)?(?:TABLE\\s+)?" +
+      "|REPLACE\\s+INTO\\s+|UPDATE\\s+|DELETE\\s+FROM\\s+)" +
+      "`?([A-Za-z_][A-Za-z0-9_]*)`?").r
 
   /** Pre-routing write gate: dialect DML applies its effect at parse time,
     * so the privilege check must precede routing. */
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
     case Some((cat, prot)) =>
-      DmlTarget.findFirstMatchIn(sqlText)
-        .map(_.group(1)).filter(t => prot.contains(t.toLowerCase))
-        .foreach(t => require(session, cat, t, write = true))
+      DmlTarget.findFirstMatchIn(stripComments(sqlText))
+        .flatMap(m => prot.get(m.group(1).toLowerCase))
+        .foreach(canonical => demand(session, cat, canonical, write = true))
     case None => ()
   }
 
-  /** Post-parse read gate over the plan's referenced relations. */
+  /** Post-parse gate over the plan: write targets then read relations. */
   def check(session: SparkSession, plan: LogicalPlan): Unit = state match {
     case Some((cat, prot)) =>
-      val referenced = plan.collectWithSubqueries {
+      // names bound by the statement's own CTEs shadow protected tables
+      val cteNames = plan.collectWithSubqueries {
+        case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+      }.flatten.toSet
+      def hits(names: Seq[String]): Seq[String] =
+        names.map(_.toLowerCase).distinct
+          .filterNot(cteNames.contains)
+          .flatMap(prot.get)
+      val writeTargets = plan.collectWithSubqueries {
+        case i: InsertIntoStatement => i.table
+      }.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+      hits(writeTargets).foreach(demand(session, cat, _, write = true))
+      val reads = plan.collectWithSubqueries {
         case r: UnresolvedRelation => r.multipartIdentifier.last
-      }.map(_.toLowerCase).toSet
-      referenced.intersect(prot)
-        .foreach(t => require(session, cat, t, write = false))
+      }
+      hits(reads).foreach(demand(session, cat, _, write = false))
     case None => ()
   }
 }

@@ -26,23 +26,9 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
   @transient private lazy val rank: Map[(String, String), Int] =
     merges.iterator.zipWithIndex.map { case (p, i) => p -> i }.toMap
 
-  /** Encode one word into its BPE pieces. */
-  def encodeWord(word: String): Seq[String] = {
-    if (word.isEmpty) return Nil
-    // split by CODE POINT, not UTF-16 unit: per-char splitting tears
-    // supplementary-plane symbols (emoji, CJK extensions) into unpaired
-    // surrogates that UTF8String renders as '?', breaking the
-    // concat(pieces) == word invariant on wild text
-    var syms: Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < word.length) {
-        val cp = word.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out.result()
-    }
+  /** The greedy lowest-rank loop from an arbitrary symbol sequence. */
+  private def greedy(syms0: Vector[String]): Vector[String] = {
+    var syms = syms0
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -66,6 +52,51 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
       }
     }
     syms
+  }
+
+  /** Encode one word into its BPE pieces. */
+  def encodeWord(word: String): Seq[String] = {
+    if (word.isEmpty) return Nil
+    // split by CODE POINT, not UTF-16 unit: per-char splitting tears
+    // supplementary-plane symbols (emoji, CJK extensions) into unpaired
+    // surrogates that UTF8String renders as '?', breaking the
+    // concat(pieces) == word invariant on wild text
+    val syms = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    greedy(syms)
+  }
+
+  /** Resume the greedy loop from an already-partially-merged piece array —
+    * incremental training's state update. Correctness does not depend on
+    * the state's provenance: from scratch, the lowest-rank-first loop
+    * never chooses rank k while any lower rank applies anywhere, so with
+    * table 0..k it first replays exactly the table-0..k-1 fusion sequence
+    * (reaching that table's fixpoint) and only then continues — which is
+    * precisely this call on the maintained state. A single-pair pass is
+    * NOT sufficient here: fusing the new merge can create a symbol string
+    * equal to a LOWER-rank merge's component and re-enable it (round-9
+    * review counterexample), so the full greedy loop must run. */
+  def encodePieces(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val in = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      // null elements never come from this family's kernels, but the
+      // training state round-trips through parquet, which widens the
+      // element nullability — drop nulls rather than NPE on a widened type
+      if (!arr.isNullAt(i)) in += arr.getUTF8String(i).toString
+      i += 1
+    }
+    new GenericArrayData(
+      greedy(in.result()).map(s => UTF8String.fromString(s)).toArray[Any])
   }
 
   /** Encode whitespace-separated text: per-word pieces, concatenated.
@@ -115,57 +146,32 @@ case class BpeEncode(child: Expression, table: BpeTable) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** One BPE merge applied to a piece array: greedy left-to-right fuse of
-  * every non-overlapping adjacent (left, right) into left+right — the
-  * inductive training step. A plain JVM object (same discipline as
-  * [[BpeTable]]) so the codegen'd caller is one virtual call; the
-  * interpreted higher-order-function fold this replaced cost ~3x the FULL
-  * 40-merge kernel replay per iteration at the 5M-doc scale probe
-  * (SCALING.md round 9). */
-final class BpeMergePair(l: String, r: String) extends Serializable {
-  private val lU = UTF8String.fromString(l)
-  private val rU = UTF8String.fromString(r)
-  private val fused = UTF8String.fromString(l + r)
-
-  def apply(arr: ArrayData): ArrayData = {
-    val n = arr.numElements()
-    val out = new mutable.ArrayBuffer[Any](n)
-    var i = 0
-    while (i < n) {
-      if (i < n - 1 && lU.equals(arr.getUTF8String(i)) &&
-          rU.equals(arr.getUTF8String(i + 1))) {
-        out += fused; i += 2
-      } else { out += arr.getUTF8String(i); i += 1 }
-    }
-    new GenericArrayData(out.toArray)
-  }
-}
-
-/** `graft_bpe_merge_step(pieces, left, right)`: apply ONE merge to an
-  * array<string> of pieces (left/right arrive as string literals,
-  * extracted at plan time). The compiled form of classic BPE training's
-  * per-iteration state update — Bpe.train composes numMerges of these, one
-  * per learned merge. */
-case class BpeMergeStep(child: Expression, pair: BpeMergePair) extends UnaryExpression {
+/** `graft_bpe_encode_pieces(pieces, mergesLiteral)`: resume the greedy
+  * lowest-rank loop from a piece array — incremental training's compiled
+  * state update (see [[BpeTable.encodePieces]] for why the FULL loop, not
+  * a single-pair pass, is required). Accepts nullable-element arrays
+  * because the training state round-trips through parquet (which widens
+  * element nullability); null elements are dropped, never emitted. */
+case class BpeEncodePieces(child: Expression, table: BpeTable) extends UnaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_bpe_merge_step expects array<string>, got ${t.sql}")
+        s"graft_bpe_encode_pieces expects array<string>, got ${t.sql}")
     }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
-  override def prettyName: String = "graft_bpe_merge_step"
+  override def prettyName: String = "graft_bpe_encode_pieces"
 
   override def nullSafeEval(input: Any): Any =
-    pair(input.asInstanceOf[ArrayData])
+    table.encodePieces(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val ref = ctx.addReferenceObj("bpeMerge", pair, classOf[BpeMergePair].getName)
-      s"${ev.value} = $ref.apply($a);"
+      val ref = ctx.addReferenceObj("bpeTable", table, classOf[BpeTable].getName)
+      s"${ev.value} = $ref.encodePieces($a);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -261,11 +261,18 @@ object GridDbScalarFunctions {
       TopKByScore(a(0), Cast(a(1), DoubleType), Cast(a(2), LongType),
         litInt(a(3), "graft_top_k k"))
     }
-    // BPE encoder with the learned merge table as a plan-time literal,
-    // extracted once into a BpeTable reference object (see BpeEncode)
-    tmp("graft_bpe_encode") { a =>
-      require(a.size == 2, "graft_bpe_encode(text, mergesLiteral)")
-      val merges = a(1) match {
+    // shared plan-time merge-table extraction for the BPE kernels: a
+    // typedLit arrives as a Literal, the SQL-text form array(array(..))
+    // as a foldable CreateArray — fold it rather than reject it
+    def bpeMerges(e: Expression, fn: String): Array[(String, String)] = {
+      val folded = e match {
+        case l: Literal => l
+        case other if other.foldable =>
+          Literal.create(other.eval(org.apache.spark.sql.catalyst.InternalRow.empty), other.dataType)
+        case other => throw new IllegalArgumentException(
+          s"$fn merges must be an array<array<string>> literal, got $other")
+      }
+      folded match {
         case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
             ArrayType(ArrayType(StringType, _), _)) =>
           arr.toObjectArray(ArrayType(StringType)).map { p =>
@@ -274,21 +281,21 @@ object GridDbScalarFunctions {
             (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
           }
         case other => throw new IllegalArgumentException(
-          s"graft_bpe_encode merges must be an array<array<string>> literal, got $other")
+          s"$fn merges must be an array<array<string>> literal, got $other")
       }
-      BpeEncode(Cast(a(0), StringType), new BpeTable(merges))
     }
-    // single BPE merge over a piece array (the compiled training step);
-    // left/right must be string literals — plan-time extraction keeps the
-    // hot loop free of per-row argument evaluation
-    tmp("graft_bpe_merge_step") { a =>
-      require(a.size == 3, "graft_bpe_merge_step(pieces, left, right)")
-      def str(e: Expression, what: String): String = e match {
-        case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) => u.toString
-        case other => throw new IllegalArgumentException(
-          s"graft_bpe_merge_step $what must be a string literal, got $other")
-      }
-      BpeMergeStep(a(0), new BpeMergePair(str(a(1), "left"), str(a(2), "right")))
+    // BPE encoder with the learned merge table as a plan-time literal,
+    // extracted once into a BpeTable reference object (see BpeEncode)
+    tmp("graft_bpe_encode") { a =>
+      require(a.size == 2, "graft_bpe_encode(text, mergesLiteral)")
+      BpeEncode(Cast(a(0), StringType), new BpeTable(bpeMerges(a(1), "graft_bpe_encode")))
+    }
+    // greedy re-encode from an existing piece array (incremental
+    // training's compiled state update); merge table extracted at plan
+    // time exactly as graft_bpe_encode does
+    tmp("graft_bpe_encode_pieces") { a =>
+      require(a.size == 2, "graft_bpe_encode_pieces(pieces, mergesLiteral)")
+      BpeEncodePieces(a(0), new BpeTable(bpeMerges(a(1), "graft_bpe_encode_pieces")))
     }
     // Misra-Gries frequent-items summary (see MisraGries): fixed m-counter
     // buffers, mergeable across partitions; counts are lower bounds

@@ -36,28 +36,37 @@ object Bpe {
   private def mergesLit(merges: Seq[(String, String)]): Column =
     typedLit(merges.map(p => Seq(p._1, p._2)))
 
-  /** One greedy left-to-right pass fusing every non-overlapping adjacent
-    * (l, r) into l+r — the inductive step of BPE training, compiled
-    * (functions/BpeEncode BpeMergeStep). An interpreted aggregate()-fold
-    * version of this cost ~3x the full kernel replay per iteration at the
-    * 5M-doc probe; the compiled pass is what makes incremental training
-    * strictly cheaper than re-encoding (SCALING.md round 9). */
-  private def applyMerge(pieces: Column, l: String, r: String): Column =
-    call_function("graft_bpe_merge_step", pieces, lit(l), lit(r))
+  /** Incremental training's state update: resume the greedy lowest-rank
+    * loop from the current pieces with the full table learned so far
+    * (compiled — functions/BpeEncode BpeEncodePieces). NOT a single-pair
+    * pass: fusing the new merge can produce a symbol string equal to a
+    * LOWER-rank merge's component and re-enable it, so only the full
+    * greedy loop matches the from-scratch kernel (whose lowest-rank-first
+    * order replays the previous table's fixpoint before touching the new
+    * merge — the equivalence the differential spec and ProbeBpeDiff pin).
+    * Near-fixpoint input means the loop usually fuses once and exits; an
+    * interpreted fold at this spot cost ~3x the FULL kernel replay per
+    * iteration at the 5M-doc probe (SCALING.md round 9). */
+  private def applyMerges(pieces: Column, merges: Seq[(String, String)]): Column =
+    call_function("graft_bpe_encode_pieces", pieces, mergesLit(merges))
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
     * reaches `minPairCount` weighted occurrences.
     *
     * Incremental (classic BPE): the encoded pieces of the distinct-word
     * table are MAINTAINED across iterations — each merge is one
-    * single-pair pass over the current pieces, not a from-scratch replay
-    * of the growing merge table, so per-iteration cost is constant in the
-    * number of merges learned so far. This is semantically identical to
-    * re-encoding with the kernel each round: a merge's product symbol
-    * cannot be a component of a lower-rank merge (it did not exist when
-    * that merge was learned), so applying merge k to the fixpoint of
-    * merges 0..k-1 reproduces the greedy lowest-rank encoder's state
-    * ([[trainReference]] + BpeSpec pin the equivalence differentially).
+    * greedy-resume pass over the current pieces, not a from-scratch
+    * replay over raw text, so per-iteration work is proportional to the
+    * (near-fixpoint) state, not to the number of merges learned so far.
+    * Semantically identical to re-encoding with the kernel each round by
+    * the lowest-rank-first argument: from scratch, the greedy loop never
+    * chooses the newest merge while any older one applies, so it first
+    * replays exactly the previous table's fusion sequence — reaching the
+    * maintained state — and only then continues; resuming from that state
+    * with the full table is therefore the same computation
+    * ([[trainReference]] + BpeSpec pin the equivalence differentially,
+    * and the resume runs the FULL loop because a new fusion can re-enable
+    * a lower-rank merge — BpeTable.encodePieces).
     * Every `spillEvery` iterations the state round-trips through parquet,
     * bounding plan depth and executor memory regardless of merge count.
     *
@@ -99,7 +108,7 @@ object Bpe {
         else {
           val p = best(0).getSeq[String](0)
           merges += ((p(0), p(1)))
-          state = state.select(applyMerge(col("pieces"), p(0), p(1)).as("pieces"), col("n"))
+          state = state.select(applyMerges(col("pieces"), merges.toSeq).as("pieces"), col("n"))
           if (merges.size % spillEvery == 0) {
             val dir = spillRoot.resolve(s"it_${merges.size}")
             state.write.mode("overwrite").parquet(dir.toString)

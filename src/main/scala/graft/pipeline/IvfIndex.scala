@@ -95,8 +95,12 @@ object IvfIndex {
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isInCollection(probed))
+    // limit(max+1) short-circuits: the gate never scans past the
+    // threshold, so an arbitrarily expensive query plan is not evaluated
+    // in full just to pick the join strategy
     val qSide =
-      if (queries.count() <= maxBroadcastQueries) broadcast(q)
+      if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+        broadcast(q)
       else q.hint("shuffle_hash")
     val scored = vectors.join(qSide, Seq("cluster"))
       .filter(col("q_id") =!= col("id"))

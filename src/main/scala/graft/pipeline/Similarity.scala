@@ -147,12 +147,6 @@ object Similarity {
     * literals, so cluster assignment is a shuffle-free projection. Queries
     * probe the nProbe nearest lists; scoring joins only same-list pairs.
     */
-  /** Coarse-quantizer centroids: nLists seed vectors (first ids,
-    * deterministic) + one distributed Lloyd refinement. Per-cluster
-    * fallback: a cluster that drains empty after the Lloyd step keeps its
-    * seed; every surviving cluster keeps its refined mean (all-or-nothing
-    * reversion would discard good refinements). `c0` must have columns
-    * (c_id, cv: array<double>). */
   /** Hard ceiling on driver-held/literal-shipped centroid cells
     * (nLists x dim doubles): 4M cells = 32 MB. The whole design — collect
     * to driver, ship as plan literals, codegen'd argmin over a constant
@@ -161,6 +155,12 @@ object Similarity {
     * prose contract; now a guard (round-9 judge ask #4). */
   private[graft] val MaxCentroidCells: Long = 4L << 20
 
+  /** Coarse-quantizer centroids: nLists seed vectors (first ids,
+    * deterministic) + one distributed Lloyd refinement. Per-cluster
+    * fallback: a cluster that drains empty after the Lloyd step keeps its
+    * seed; every surviving cluster keeps its refined mean (all-or-nothing
+    * reversion would discard good refinements). `c0` must have columns
+    * (c_id, cv: array<double>). */
   private[graft] def ivfCentroids(c0: DataFrame, dim: Int, nLists: Int,
                                   steps: Int = 1): Array[Array[Double]] = {
     ensureFns(c0)

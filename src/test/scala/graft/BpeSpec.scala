@@ -65,6 +65,26 @@ class BpeSpec extends SparkTestBase {
     assert(incremental.size > 7, "must cross at least one spill boundary")
   }
 
+  test("encodePieces cascades: a new fusion can re-enable a LOWER-rank merge") {
+    import spark.implicits._
+    // table: rank0 = (ab, c), rank1 = (a, b); state [a, b, c]. Fusing
+    // rank1 produces 'ab' adjacent to 'c', re-enabling rank0 — the greedy
+    // resume must reach [abc]. A single-pair pass would stop at [ab, c]
+    // (the round-9 review's counterexample shape).
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val out = spark.sql(
+      """SELECT graft_bpe_encode_pieces(array('a','b','c'),
+        |  array(array('ab','c'), array('a','b'))) AS p""".stripMargin)
+      .as[Seq[String]].collect()(0)
+    assert(out == Seq("abc"), out.toString)
+    // and nullable elements (the parquet-spill widened type) are dropped
+    val withNull = spark.sql(
+      """SELECT graft_bpe_encode_pieces(array('a', cast(null as string), 'b'),
+        |  array(array('a','b'))) AS p""".stripMargin)
+      .as[Seq[String]].collect()(0)
+    assert(withNull == Seq("ab"), withNull.toString)
+  }
+
   test("save/load round-trips the merge table in rank order") {
     val merges = Bpe.train(docs, "text", numMerges = 15)
     val path = java.nio.file.Files.createTempDirectory("bpe_artifact").toString

@@ -109,6 +109,9 @@ class JdbcSpec extends SparkTestBase {
       val st = conn.createStatement()
       st.execute("CREATE OR REPLACE TEMPORARY VIEW auth_tab_jdbc USING parquet " +
         s"OPTIONS (path '$sfDir/nation.parquet')")
+      // an unprotected source for the INSERT ... SELECT write-bypass probes
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW open_ref_jdbc USING parquet " +
+        s"OPTIONS (path '$sfDir/nation.parquet')")
 
       def queryFails(sql: String, phrase: String): Unit = {
         val e = intercept[java.sql.SQLException](st.executeQuery(sql))
@@ -123,8 +126,20 @@ class JdbcSpec extends SparkTestBase {
       st.execute("SET graft.auth.password = pw1")
       val rs = st.executeQuery("SELECT COUNT(*) AS n FROM auth_tab_jdbc")
       assert(rs.next() && rs.getLong(1) > 0)
-      // 3. SELECT grant does not cover writes
+      // 3. SELECT grant does not cover writes — in ANY spelling: bare
+      //    dialect DML, OVERWRITE/TABLE keywords, backticks, a leading
+      //    comment, and the WITH-prefixed plan-level form the text gate
+      //    cannot see (the parsed-plan write gate catches it)
       queryFails("INSERT INTO auth_tab_jdbc VALUES (99, 'x', 0, 'c')", "privilege")
+      queryFails("INSERT OVERWRITE TABLE auth_tab_jdbc SELECT * FROM open_ref_jdbc", "privilege")
+      queryFails("INSERT INTO TABLE auth_tab_jdbc SELECT * FROM open_ref_jdbc", "privilege")
+      queryFails("INSERT INTO `auth_tab_jdbc` VALUES (99, 'x', 0, 'c')", "privilege")
+      queryFails("/* hint */ INSERT INTO auth_tab_jdbc VALUES (99, 'x', 0, 'c')", "privilege")
+      queryFails("WITH q AS (SELECT * FROM open_ref_jdbc) INSERT INTO auth_tab_jdbc SELECT * FROM q", "privilege")
+      // a CTE named like the protected table SHADOWS it — no false denial
+      val rsCte = st.executeQuery(
+        "WITH auth_tab_jdbc AS (SELECT 1 AS one) SELECT COUNT(*) AS n FROM auth_tab_jdbc")
+      assert(rsCte.next() && rsCte.getLong(1) == 1L)
       // 4. revoke server-side -> the SAME session's next query is refused
       cat.revoke("SELECT", "auth_tab_jdbc", "wire_u")
       queryFails("SELECT COUNT(*) AS n FROM auth_tab_jdbc", "privilege")
