@@ -67,18 +67,28 @@ object Bpe {
     * ([[trainReference]] + BpeSpec pin the equivalence differentially,
     * and the resume runs the FULL loop because a new fusion can re-enable
     * a lower-rank merge — BpeTable.encodePieces).
-    * Every `spillEvery` iterations the state round-trips through parquet,
-    * bounding plan depth and executor memory regardless of merge count.
+    * Each iteration's state is local-checkpointed EAGERLY: the logical
+    * plan stays one node deep at any merge count (a nested cache chain
+    * made plan rendering itself quadratic and OOMed at a few dozen
+    * iterations), execution is always one encode pass over the previous
+    * materialized state, and the previous checkpoint's storage is freed
+    * as soon as the next exists. Non-reliable checkpoints are the right
+    * trade for a training job: an executor loss restarts the run, it does
+    * not corrupt it.
     *
     * Still one Spark job per merge — inherently sequential. A production
     * 32k-entry vocabulary means 32k short jobs; train on a corpus sample
     * (vocabularies converge fast) rather than the full 100 TB corpus. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            minPairCount: Long = 2L, spillEvery: Int = 16): Seq[(String, String)] = {
+            minPairCount: Long = 2L): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    require(spillEvery > 0, "spillEvery must be positive")
-    val spark = docs.sparkSession
-    val spillRoot = java.nio.file.Files.createTempDirectory("graft_bpe_train")
+    // the checkpoint RDD backing a local-checkpointed frame — unpersisting
+    // it is what actually releases the storage
+    def ckptRdd(df: DataFrame) = df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    def release(df: DataFrame): Unit =
+      ckptRdd(df).foreach(_.unpersist(blocking = false))
     // initial symbols come from the SAME kernel users encode with (empty
     // merge table = code-point split of the lowercased word) — the split
     // discipline can never drift between train and apply
@@ -86,15 +96,7 @@ object Bpe {
       .select(explode(Curation.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(call_function("graft_bpe_encode", col("w"), mergesLit(Nil)).as("pieces"), col("n"))
-      .cache()
-    var cached: Option[DataFrame] = Some(state)
-    var lastSpill: Option[java.nio.file.Path] = None
-    def deleteTree(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+      .localCheckpoint(true)
     try {
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       var done = false
@@ -108,21 +110,15 @@ object Bpe {
         else {
           val p = best(0).getSeq[String](0)
           merges += ((p(0), p(1)))
-          state = state.select(applyMerges(col("pieces"), merges.toSeq).as("pieces"), col("n"))
-          if (merges.size % spillEvery == 0) {
-            val dir = spillRoot.resolve(s"it_${merges.size}")
-            state.write.mode("overwrite").parquet(dir.toString)
-            cached.foreach(_.unpersist()); cached = None
-            lastSpill.foreach(deleteTree); lastSpill = Some(dir)
-            state = spark.read.parquet(dir.toString)
-          }
+          val next = state
+            .select(applyMerges(col("pieces"), merges.toSeq).as("pieces"), col("n"))
+            .localCheckpoint(true) // eager: materialized before the old state goes
+          release(state)
+          state = next
         }
       }
       merges.toSeq
-    } finally {
-      cached.foreach(_.unpersist())
-      deleteTree(spillRoot)
-    }
+    } finally release(state)
   }
 
   /** The pre-incremental trainer: re-encodes every word from scratch with

@@ -52,17 +52,17 @@ class BpeSpec extends SparkTestBase {
     assert(none > half && half > full, s"$none / $half / $full")
   }
 
-  test("incremental trainer matches the full-re-encode reference across the spill boundary") {
-    // train() maintains pieces incrementally (one single-merge pass per
-    // iteration) and round-trips through parquet every `spillEvery`
-    // merges; trainReference() re-encodes from scratch with the kernel
-    // each round. Both must learn the identical merge sequence — this is
-    // the differential proof that the incremental step equals the greedy
-    // lowest-rank encoder's state evolution.
-    val incremental = Bpe.train(docs, "text", numMerges = 40, spillEvery = 7)
+  test("incremental trainer matches the full-re-encode reference") {
+    // train() maintains pieces incrementally (a greedy resume per
+    // iteration over local-checkpointed state); trainReference()
+    // re-encodes from scratch with the kernel each round. Both must learn
+    // the identical merge sequence — the differential proof that the
+    // incremental step equals the greedy lowest-rank encoder's state
+    // evolution (including cascades re-enabling lower-rank merges).
+    val incremental = Bpe.train(docs, "text", numMerges = 40)
     val reference = Bpe.trainReference(docs, "text", numMerges = 40)
     assert(incremental == reference)
-    assert(incremental.size > 7, "must cross at least one spill boundary")
+    assert(incremental.size > 10, "corpus must support a non-trivial table")
   }
 
   test("encodePieces cascades: a new fusion can re-enable a LOWER-rank merge") {

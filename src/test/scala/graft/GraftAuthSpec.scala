@@ -1,0 +1,68 @@
+package graft
+
+import graft.engine.{GraftAuth, GraftCatalog}
+
+/** Unit coverage of the enforcement gates (JdbcSpec covers the wire round
+  * trip): verb spellings, comment stripping, case handling, CTE
+  * shadowing, and plan-level write detection. Uses its own protected name
+  * so concurrent suites are untouched. */
+class GraftAuthSpec extends SparkTestBase {
+
+  private def withAuth(f: GraftCatalog => Unit): Unit = {
+    val cat = GraftCatalog.forSession(spark)
+    if (cat.metaUsers.collect().exists(_.getString(0) == "unit_u")) cat.dropUser("unit_u")
+    cat.createUser("unit_u", Some("pw"))
+    GraftAuth.install(cat, Set("Auth_Unit_Tab"))
+    spark.conf.set(GraftAuth.UserKey, "unit_u")
+    spark.conf.set(GraftAuth.PasswordKey, "pw")
+    try f(cat)
+    finally {
+      GraftAuth.uninstall()
+      cat.dropUser("unit_u")
+      spark.conf.unset(GraftAuth.UserKey)
+      spark.conf.unset(GraftAuth.PasswordKey)
+    }
+  }
+
+  private def denied(sql: String, phrase: String): Unit = {
+    val e = intercept[SecurityException](spark.sql(sql))
+    assert(e.getMessage.contains(phrase), s"expected '$phrase' in: ${e.getMessage}")
+  }
+
+  test("write-gate spellings, comments, case; grants looked up under install case") {
+    withAuth { cat =>
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      // reads flow under ANY identifier case (Spark identifiers are
+      // case-insensitive; the grant is found under the install spelling)
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW auth_unit_tab AS SELECT 1 AS x")
+      assert(spark.sql("SELECT * FROM AUTH_UNIT_TAB").count() == 1)
+      assert(spark.sql("SELECT * FROM auth_unit_tab").count() == 1)
+      // writes are refused in every spelling with only SELECT
+      denied("INSERT INTO auth_unit_tab VALUES (1)", "privilege")
+      denied("INSERT INTO Auth_Unit_Tab VALUES (1)", "privilege")
+      denied("INSERT OVERWRITE TABLE auth_unit_tab SELECT 1", "privilege")
+      denied("insert into `auth_unit_tab` values (1)", "privilege")
+      denied("/* c1 */ -- c2\n INSERT INTO auth_unit_tab VALUES (1)", "privilege")
+      denied("WITH q AS (SELECT 2 AS x) INSERT INTO auth_unit_tab SELECT * FROM q", "privilege")
+      denied("UPDATE auth_unit_tab SET x = 2", "privilege")
+      denied("DELETE FROM auth_unit_tab WHERE x = 1", "privilege")
+      denied("REPLACE INTO auth_unit_tab VALUES (1)", "privilege")
+    }
+  }
+
+  test("CTE shadowing, subquery detection, credentials") {
+    withAuth { cat =>
+      // a CTE of the protected name shadows it: no grant needed
+      assert(spark.sql(
+        "WITH auth_unit_tab AS (SELECT 1 AS x) SELECT * FROM auth_unit_tab").count() == 1)
+      // a reference inside a subquery expression IS gated
+      spark.sql("CREATE OR REPLACE TEMPORARY VIEW auth_unit_tab AS SELECT 1 AS x")
+      denied("SELECT (SELECT MAX(x) FROM auth_unit_tab) AS m", "privilege")
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      assert(spark.sql("SELECT (SELECT MAX(x) FROM auth_unit_tab) AS m").count() == 1)
+      // wrong password: refused before privilege is even consulted
+      spark.conf.set(GraftAuth.PasswordKey, "bad")
+      denied("SELECT * FROM auth_unit_tab", "authentication failed")
+    }
+  }
+}
