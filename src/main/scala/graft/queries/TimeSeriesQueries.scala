@@ -208,6 +208,30 @@ object TimeSeriesQueries {
         .orderBy("ts_ms")
     },
 
+    // ---- sampling EMPTY mode, star form: every non-key field from the
+    // exact row or NULL ("empty value ... for all Row fields except Row
+    // keys", InterpolationMode.java:70) ----
+    Q.df("q_ts_time_sampling_empty_star",
+      duck = """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |g AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |        TIMESTAMP '2024-01-30 00:00:00', INTERVAL 6 HOUR)) AS gt),
+        |x AS (SELECT epoch_us(ts) AS t,
+        |        max(struct_pack(event_id := event_id, user_id := user_id,
+        |          event_type := event_type, value := value)) AS r
+        |      FROM events GROUP BY 1)
+        |SELECT epoch_ms(g.gt) AS ts_ms, x.r.event_id AS event_id,
+        |  x.r.user_id AS user_id, x.r.event_type AS event_type, x.r.value AS value
+        |FROM g CROSS JOIN b LEFT JOIN x ON x.t = epoch_us(g.gt)
+        |WHERE epoch_us(g.gt) BETWEEN b.lo AND b.hi
+        |ORDER BY ts_ms""".stripMargin) { (s, dir) =>
+      T.timeSamplingEmptyAll(
+          evs(s, dir).select("event_id", "ts", "user_id", "event_type", "value"),
+          "ts", lit("2024-01-01 00:00:00"), lit("2024-01-30 00:00:00"),
+          intervalUs = 6L * 3600 * 1000000)
+        .select("ts_ms", "event_id", "user_id", "event_type", "value")
+        .orderBy("ts_ms")
+    },
+
     // ---- TIME_SAMPLING(value, start, end, 6h grid) ----
     Q.df("q_ts_time_sampling",
       duck = """SELECT epoch_ms(g.gt) AS ts_ms,

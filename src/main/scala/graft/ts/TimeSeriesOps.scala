@@ -153,6 +153,46 @@ object TimeSeriesOps {
   def timeSamplingEmpty(df: DataFrame, tsCol: String, valCol: String,
                         start: Column, end: Column, intervalUs: Long,
                         keys: Seq[String] = Nil): DataFrame = {
+    val kcols = keys.map(col)
+    val grid = emptyGrid(df, tsCol, start, end, intervalUs, keys)
+    val exact = (if (keys.isEmpty)
+        df.groupBy(usec(col(tsCol)).as("__g_us"))
+      else
+        df.groupBy((kcols :+ usec(col(tsCol)).as("__g_us")): _*))
+      .agg(max(col(valCol).cast("double")).as("__v"))
+    grid.join(exact, keys :+ "__g_us", "left")
+      .select((kcols :+ (col("__g_us") / lit(1000)).cast("long").as("ts_ms") :+
+        col("__v").as(valCol)): _*)
+  }
+
+  /** Star form of [[timeSamplingEmpty]]: every non-key column carried
+    * from the exact-match row, or NULL — the reference's EMPTY rule
+    * verbatim ("an empty value ... for all Row fields except Row keys",
+    * InterpolationMode.java:70). Ties at one instant resolve to the
+    * greatest full row image (struct order), matching the bracketing
+    * engine's star path. Output: (keys..., ts_ms, <held columns>). */
+  def timeSamplingEmptyAll(df: DataFrame, tsCol: String,
+                           start: Column, end: Column, intervalUs: Long,
+                           keys: Seq[String] = Nil): DataFrame = {
+    val held = df.columns.filterNot(c => c == tsCol || keys.contains(c)).toSeq
+    val kcols = keys.map(col)
+    val grid = emptyGrid(df, tsCol, start, end, intervalUs, keys)
+    val exact = (if (keys.isEmpty)
+        df.groupBy(usec(col(tsCol)).as("__g_us"))
+      else
+        df.groupBy((kcols :+ usec(col(tsCol)).as("__g_us")): _*))
+      .agg(max(struct(held.map(col): _*)).as("__row"))
+    grid.join(exact, keys :+ "__g_us", "left")
+      .select((kcols :+ (col("__g_us") / lit(1000)).cast("long").as("ts_ms")) ++
+        held.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
+  /** The clipped grid shared by the EMPTY-mode sampling forms:
+    * (keys..., __g_us) for every grid instant inside the series'
+    * observed range. */
+  private def emptyGrid(df: DataFrame, tsCol: String,
+                        start: Column, end: Column, intervalUs: Long,
+                        keys: Seq[String]): DataFrame = {
     require(intervalUs > 0, "sampling interval must be positive")
     val kcols = keys.map(col)
     val s = usec(start.cast("timestamp"))
@@ -166,19 +206,12 @@ object TimeSeriesOps {
     val steps = when(e >= s,
       sequence(lit(0L), floor((e - s).cast("double") / intervalUs).cast("long")))
       .otherwise(array().cast("array<bigint>"))
-    val grid = bounds
+    bounds
       .select((kcols :+ col("__lo") :+ col("__hi") :+ explode(steps).as("__i")): _*)
       .select((kcols :+ (s + col("__i") * intervalUs).as("__g_us") :+
         col("__lo") :+ col("__hi")): _*)
       .filter(col("__g_us") >= col("__lo") && col("__g_us") <= col("__hi"))
-    val exact = (if (keys.isEmpty)
-        df.groupBy(usec(col(tsCol)).as("__g_us"))
-      else
-        df.groupBy((kcols :+ usec(col(tsCol)).as("__g_us")): _*))
-      .agg(max(col(valCol).cast("double")).as("__v"))
-    grid.join(exact, keys :+ "__g_us", "left")
-      .select((kcols :+ (col("__g_us") / lit(1000)).cast("long").as("ts_ms") :+
-        col("__v").as(valCol)): _*)
+      .select((kcols :+ col("__g_us")): _*)
   }
 
   private def interpEmit(valCol: String): SampleEmit = (g, p, n) => {

@@ -70,6 +70,19 @@ class TimeSeriesOpsSpec extends SparkTestBase {
       ("b", base + 5000L, Some(7.0))))
   }
 
+  test("timeSamplingEmptyAll: full row image on hits, all-NULL image on misses") {
+    val df = series(5L -> 10.0, 15L -> 20.0)
+    val out = T.timeSamplingEmptyAll(df, "ts", at(5), at(15), intervalUs = 5000000L)
+      .orderBy("ts_ms")
+      .select("ts_ms", "value", "event_id")
+      .as[(Long, Option[Double], Option[Long])].collect()
+    val base = 1704067200000L
+    assert(out.map(_._1).toSeq == Seq(5000L, 10000L, 15000L).map(_ + base))
+    // hits carry EVERY non-key field; the miss at 10s is all-NULL
+    assert(out.map(_._2).toSeq == Seq(Some(10.0), None, Some(20.0)))
+    assert(out.map(_._3).toSeq == Seq(Some(5L), None, Some(15L)))
+  }
+
   test("timeSampling small-path parity with chunked path, and path selection") {
     // irregular series across ~700 grid points incl. exact hits and gaps
     val rnd = new scala.util.Random(7)
