@@ -37,6 +37,23 @@ object GraftDdl {
   def run(spark: SparkSession, text0: String): DataFrame =
     run(spark, GraftCatalog.forSession(spark), text0)
 
+  /** Target table of a dialect DML statement, extracted with the SAME
+    * regexes [[run]] dispatches on — GraftAuth derives its pre-routing
+    * write gate from this single source of truth, so every spelling the
+    * router accepts (double-quoted names, INSERT OR REPLACE/IGNORE) is
+    * write-gated by construction (r9 ADVICE: a parallel gate regex
+    * accepted fewer spellings than the router and let quoted-name DML
+    * through unauthenticated). Applies run()'s own normalization. */
+  def dmlTarget(text0: String): Option[String] = {
+    val text = text0.trim.stripSuffix(";").trim
+    text match {
+      case insertRe(_, _, name, _, _) => Some(name)
+      case updateRe(name, _) => Some(name)
+      case deleteRe(name, _) => Some(name)
+      case _ => None
+    }
+  }
+
   def run(spark: SparkSession, cat: GraftCatalog, text0: String): DataFrame = {
     val text = text0.trim.stripSuffix(";").trim
     text match {

@@ -99,7 +99,8 @@ object IvfIndex {
     // threshold, so an arbitrarily expensive query plan is not evaluated
     // in full just to pick the join strategy
     val qSide =
-      if (queries.limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+      if (queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
+            .count() <= maxBroadcastQueries)
         broadcast(q)
       else q.hint("shuffle_hash")
     val scored = vectors.join(qSide, Seq("cluster"))

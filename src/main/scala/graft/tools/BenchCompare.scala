@@ -68,8 +68,10 @@ object BenchCompare {
 
   private def newestBenchFiles(): Seq[String] = {
     val dir = new java.io.File(".")
+    // numeric round order — lexicographic puts r9 after r10 (r9 ADVICE)
     dir.listFiles((_, n) => n.matches("BENCH_r\\d+\\.json"))
-      .sortBy(_.getName).reverse.map(_.getPath).toSeq
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .reverse.map(_.getPath).toSeq
   }
 
   def main(args: Array[String]): Unit = {

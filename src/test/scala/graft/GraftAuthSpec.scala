@@ -47,6 +47,17 @@ class GraftAuthSpec extends SparkTestBase {
       denied("UPDATE auth_unit_tab SET x = 2", "privilege")
       denied("DELETE FROM auth_unit_tab WHERE x = 1", "privilege")
       denied("REPLACE INTO auth_unit_tab VALUES (1)", "privilege")
+      // r9 ADVICE bypass spellings: the gate's targets now derive from
+      // GraftDdl's OWN routing regexes, so every spelling the dialect
+      // executes is gated — double-quoted names and the OR-clause forms
+      denied("INSERT INTO \"auth_unit_tab\" VALUES (1)", "privilege")
+      denied("UPDATE \"auth_unit_tab\" SET x = 2", "privilege")
+      denied("DELETE FROM \"auth_unit_tab\"", "privilege")
+      denied("INSERT OR REPLACE INTO auth_unit_tab VALUES (1)", "privilege")
+      denied("INSERT OR IGNORE INTO auth_unit_tab VALUES (1)", "privilege")
+      // multipart spelling of the same container
+      denied("INSERT INTO db1.auth_unit_tab VALUES (1)", "privilege")
+      denied("INSERT INTO `db1`.`auth_unit_tab` VALUES (1)", "privilege")
     }
   }
 
@@ -55,6 +66,15 @@ class GraftAuthSpec extends SparkTestBase {
       // a CTE of the protected name shadows it: no grant needed
       assert(spark.sql(
         "WITH auth_unit_tab AS (SELECT 1 AS x) SELECT * FROM auth_unit_tab").count() == 1)
+      // r9 ADVICE: shadowing is per-SCOPE (CTESubstitution), not a global
+      // name set — the defining CTE's own body still reads the REAL table
+      denied("WITH auth_unit_tab AS (SELECT * FROM auth_unit_tab) " +
+        "SELECT * FROM auth_unit_tab", "privilege")
+      // ... and a shadowing CTE buried in an unrelated derived-table scope
+      // does not un-gate a top-level read of the real table
+      denied("SELECT * FROM auth_unit_tab CROSS JOIN " +
+        "(WITH auth_unit_tab AS (SELECT 1 AS y) SELECT * FROM auth_unit_tab) t",
+        "privilege")
       // a reference inside a subquery expression IS gated
       spark.sql("CREATE OR REPLACE TEMPORARY VIEW auth_unit_tab AS SELECT 1 AS x")
       denied("SELECT (SELECT MAX(x) FROM auth_unit_tab) AS m", "privilege")
