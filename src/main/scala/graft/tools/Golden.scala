@@ -25,7 +25,6 @@ object Golden {
     "q_approx_distinct", "q_approx_distinct_hll", "q_cluster_kmeans",
     "q_text_bpe",
     "q_decontaminate_bloom",
-    "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features", "q_nano_precision",
     "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed", "q_sim_ivfpq_ann",

@@ -6,8 +6,8 @@ import graft.pipeline.Dedup
 
 /** Times the SCALE-PATH variants of the rehearsal's two quadratic-by-pin
   * queries (SCALING.md): the registry forms pin their hyperparameters for
-  * golden/oracle stability (q_dedup_embedding_lsh: bits=16;
-  * q_pipeline_curation_v3's SemDeDup stage: nLists=1 = the exact all-pairs
+  * golden/oracle stability (the retired bits=16 LSH pin;
+  * the retired curation-v3 SemDeDup pin: nLists=1 = the exact all-pairs
   * oracle baseline), so at sf1 those measure the pinned small-SF config,
   * not what a production pipeline would run. This probe runs the same
   * operators with their AUTO sizing (band width ~log2(N), nLists ~sqrt(N))

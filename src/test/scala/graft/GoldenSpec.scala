@@ -19,9 +19,9 @@ class GoldenSpec extends SparkTestBase {
     // deterministic: OR-merged bitset + seed-fixed hashing (the fpp-bound
     // and superset semantics are BloomDecontaminateSpec's job)
     "q_decontaminate_bloom" -> "25be80cc510f997a",
-    "q_dedup_embedding_lsh" -> "c306e5ebaddf2442",
-    // AUTO band width resolves to the same 16 bits at the sf0.01 corpus
-    // size, so the auto variant's hash coincides with the pinned one
+    // AUTO band width resolves to 16 bits at the sf0.01 corpus size, so
+    // this hash is unchanged from the retired bits=16 pinned form (r10:
+    // the production AUTO plan is the only registered form)
     "q_dedup_embedding_lsh_auto" -> "c306e5ebaddf2442",
     "q_dedup_minhash" -> "f445327584e7bd8c",
     "q_dedup_semantic_ivf" -> "bac5a731493a3924",
