@@ -255,20 +255,51 @@ object Dedup {
     * mostly-rare tokens — the difference between minutes and sub-second at
     * 5k docs, and between impossible and linear-ish at 100 TB. */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                        minJaccard: Double): DataFrame = {
+                        minJaccard: Double,
+                        targetCandidatesPerPartition: Long = 50000L): DataFrame = {
+    val spark = docs.sparkSession
     val tok = tokenSet(docs, textCol, idCol)
+    // The verify stage's state is proportional to CANDIDATES, not input
+    // rows, and candidates grow super-linearly on saturated vocabularies
+    // (SCALING.md zipf100 doubling curve: ~4.3x per corpus doubling) — so
+    // inheriting the session's shuffle-partition count sizes the verify
+    // join for the wrong quantity (25.1M candidates / 32 partitions blew
+    // an 8g heap at 5M docs). The operator already materializes the
+    // candidate set; count it and derive the verify parallelism from it.
+    // Persisting avoids recomputing the PPJoin stage for the count; the
+    // ContextCleaner unpersists once the result DataFrame is dereferenced.
     val cand = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPart = verifyPartitions(cand.count(),
+      spark.sessionState.conf.numShufflePartitions, targetCandidatesPerPartition)
     // exact verify: intersection size over the full token sets — the second
     // join keys on (b, w) so each candidate contributes |A∩B| rows, not
-    // |A| x |B|
-    val inter = cand
+    // |A| x |B|. Explicit fixed-width repartitions (not AQE-coalescible)
+    // pin every verify exchange at nPart; the trailing (a, b) repartition
+    // also satisfies the aggregate's clustering (subset of its keys), so
+    // the final HashAggregate holds ~candidates/nPart groups per partition.
+    val inter = cand.repartition(nPart, col("a"))
       .join(tok.select(col("id").as("a"), col("w")), "a")
+      .repartition(nPart, col("b"), col("w"))
       .join(tok.select(col("id").as("b"), col("w")), Seq("b", "w"))
+      .repartition(nPart, col("a"), col("b"))
       .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
     inter
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Verify-stage partition count: enough partitions that each holds about
+    * `targetPerPartition` candidate pairs (floor: the session default, so
+    * small corpora keep their configured parallelism; cap: 65536, past
+    * which task overhead dominates any realistic executor count). Pure so
+    * specs and probes can assert the sizing rule directly. */
+  def verifyPartitions(nCandidates: Long, sessionDefault: Int,
+                       targetPerPartition: Long = 50000L): Int = {
+    require(targetPerPartition > 0, "targetPerPartition must be positive")
+    val needed = nCandidates / targetPerPartition + 1
+    math.min(math.max(sessionDefault.toLong, needed), 65536L).toInt
   }
 
   private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =

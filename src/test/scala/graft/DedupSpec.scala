@@ -405,6 +405,33 @@ class DedupSpec extends SparkTestBase {
     assert(viol.count() == 0)
   }
 
+  test("tokenJaccardPairs verify stage: partitions derive from candidate volume") {
+    // the sizing rule itself (pure): floor at the session default, then
+    // candidates/target, capped
+    assert(Dedup.verifyPartitions(0L, 32) == 32)
+    assert(Dedup.verifyPartitions(25100000L, 32) == 503) // the SCALING.md 5M-doc OOM case
+    assert(Dedup.verifyPartitions(1000L, 200) == 200)
+    assert(Dedup.verifyPartitions(Long.MaxValue, 32, 50000L) == 65536)
+    // end-to-end: a small per-partition target makes the sf0.001 corpus
+    // (~62k candidates at j>=0.8) exceed the session default, so every
+    // verify exchange must carry the DERIVED width — and the result must
+    // be identical to the default-width plan
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val nCand = Dedup.tokenJaccardCandidates(d, "text", "doc_id", 0.8).count()
+    val default32 = spark.sessionState.conf.numShufflePartitions
+    val expected = Dedup.verifyPartitions(nCand, default32, 500L)
+    assert(expected > default32, s"probe corpus too small to exercise the adaptive path ($nCand cand)")
+    val adaptive = Dedup.tokenJaccardPairs(d, "text", "doc_id", 0.8,
+      targetCandidatesPerPartition = 500L)
+    val rows = adaptive.orderBy("a", "b").collect()
+    val plan = adaptive.queryExecution.executedPlan.toString
+    assert(plan.contains(s" $expected), REPARTITION_BY_NUM"),
+      s"verify exchanges not sized from candidate count (expected width $expected)\n$plan")
+    val base = Dedup.tokenJaccardPairs(d, "text", "doc_id", 0.8)
+      .orderBy("a", "b").collect()
+    assert(rows.toSeq == base.toSeq, "adaptive width changed the verify result")
+  }
+
   test("sketch-once invariant: LSH self-joins reuse one exchange, never broadcast") {
     // PLANS.md's core perf claim: the banded self-join's two legs share ONE
     // canonically-equal repartition Exchange, so the sketch kernel runs once

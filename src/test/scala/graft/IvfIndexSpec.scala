@@ -72,6 +72,43 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.length == 5 && !got.contains(150L))
   }
 
+  test("append staleness: fraction tracked, threshold reported, auto-retrain swaps fresh centroids") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val base = e.filter(col("vec_id") < 120)
+    val nBase = base.count()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx4").toString
+    IvfIndex.build(base, "vec_id", "embedding", path, nLists = 8)
+    assert(IvfIndex.appendedFraction(spark, path) == 0.0)
+    assert(!IvfIndex.needsRetrain(spark, path))
+    // small append: fraction advances, centroids stay frozen
+    val centsBefore = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq
+    val small = e.filter(col("vec_id") >= 120 && col("vec_id") < 130)
+    val f1 = IvfIndex.append(small, "vec_id", "embedding", path)
+    assert(math.abs(f1 - small.count().toDouble / nBase) < 1e-12)
+    assert(!IvfIndex.needsRetrain(spark, path))
+    assert(spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq == centsBefore)
+    // push PAST the 0.5 threshold without autoRetrain: the index keeps
+    // serving frozen centroids but reports the rebuild is due
+    val big = e.filter(col("vec_id") >= 130 && col("vec_id") < 220)
+    val f2 = IvfIndex.append(big, "vec_id", "embedding", path)
+    assert(f2 >= 0.5 && IvfIndex.needsRetrain(spark, path))
+    assert(spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq == centsBefore)
+    // over-threshold append WITH autoRetrain: rebuilds from the full
+    // on-disk set, resets the counter, and every vector stays indexed
+    val more = e.filter(col("vec_id") >= 220 && col("vec_id") < 230)
+    val f3 = IvfIndex.append(more, "vec_id", "embedding", path, autoRetrain = true)
+    assert(f3 == 0.0)
+    assert(IvfIndex.appendedFraction(spark, path) == 0.0)
+    val centsAfter = spark.read.parquet(s"$path/centroids")
+      .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq
+    assert(centsAfter != centsBefore, "auto-retrain must refresh centroids")
+    assert(spark.read.parquet(s"$path/vectors").count() ==
+      e.filter(col("vec_id") < 230).count())
+  }
+
   test("build is re-runnable (overwrite) and centroids round-trip") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx2").toString
