@@ -1,8 +1,9 @@
 package graft.engine
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.execution.command.{DescribeQueryCommand, ExplainCommand}
 
 /** Wire-level auth enforcement (round-9 judge ask #8): makes GRANT/REVOKE
   * observably gate queries arriving through ANY text front door of a
@@ -55,14 +56,21 @@ object GraftAuth {
   val UserKey = "graft.auth.user"
   val PasswordKey = "graft.auth.password"
 
-  /** (authority, lowercase protected name -> install-cased name). */
-  @volatile private var state: Option[(GraftCatalog, Map[String, String])] = None
+  /** (authority, lowercase protected name -> install-cased name, admins). */
+  @volatile private var state: Option[(GraftCatalog, Map[String, String], Set[String])] = None
 
   /** Enable enforcement: `authority`'s users/grants gate every statement
     * referencing a name in `protectedTables` (case-insensitive match;
-    * privileges are looked up under the spelling given here). */
-  def install(authority: GraftCatalog, protectedTables: Set[String]): Unit =
-    state = Some((authority, protectedTables.map(t => t.toLowerCase -> t).toMap))
+    * privileges are looked up under the spelling given here). `admins`
+    * names the users allowed to run auth DDL (CREATE/DROP USER/ROLE,
+    * SET PASSWORD, GRANT/REVOKE, CREATE/DROP DATABASE) over the wire —
+    * with the default empty set, user management happens only through
+    * the library/catalog API on the operator's side of the boundary
+    * (r10 fuzz finding: an ungated wire GRANT is a one-statement
+    * privilege escalation). */
+  def install(authority: GraftCatalog, protectedTables: Set[String],
+              admins: Set[String] = Set.empty): Unit =
+    state = Some((authority, protectedTables.map(t => t.toLowerCase -> t).toMap, admins))
 
   def uninstall(): Unit = state = None
 
@@ -104,18 +112,36 @@ object GraftAuth {
   private def unquote(part: String): String =
     part.stripPrefix("`").stripSuffix("`").stripPrefix("\"").stripSuffix("\"")
 
-  /** Pre-routing write gate: dialect DML applies its effect at parse time,
-    * so the privilege check must precede routing. Targets come from the
-    * UNION of GraftDdl's own routing regexes (exactly what the dialect
-    * executes — r9 ADVICE closed the quoted-name / INSERT OR REPLACE gap
-    * this way) and the broader text match above (native spellings,
-    * multipart names). */
+  /** Native TRUNCATE (not a dialect verb — GraftDdl never routes it, so
+    * the text gate must). */
+  private val TruncateTarget =
+    ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+" + s"(?:$IdentPart\\s*\\.\\s*)*($IdentPart)").r
+
+  /** Pre-routing write gate: dialect DML **and DDL** apply their effect at
+    * parse time, so the privilege check must precede routing. Targets come
+    * from the UNION of GraftDdl's own routing regexes (exactly what the
+    * dialect executes — r9 ADVICE closed the quoted-name / INSERT OR
+    * REPLACE gap this way; the r10 fuzz closed ALTER/DROP/CREATE
+    * TABLE/INDEX/TRIGGER the same way) and the broader text matches above
+    * (native spellings, multipart names, TRUNCATE). Auth DDL is gated
+    * separately: it is admin-only over the wire, except a user changing
+    * their OWN password. */
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
-    case Some((cat, prot)) =>
+    case Some((cat, prot, admins)) =>
       val stripped = stripComments(sqlText)
+      if (GraftDdl.isAuthDdl(stripped)) {
+        val (user, pass) = credentials(session)
+        val self = GraftDdl.setPasswordTarget(stripped).contains(user)
+        if (!(cat.authenticate(user, pass) && (admins.contains(user) || self)))
+          throw new SecurityException(
+            "auth DDL over the wire requires an administrator " +
+              "(GraftAuth.install admins) or a user changing their own password")
+      }
       val targets =
         GraftDdl.dmlTarget(stripped).toSeq ++
-          DmlTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq
+          GraftDdl.ddlTarget(stripped).toSeq ++
+          DmlTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq ++
+          TruncateTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq
       targets.map(_.toLowerCase).distinct
         .flatMap(prot.get)
         .foreach(canonical => demand(session, cat, canonical, write = true))
@@ -135,19 +161,48 @@ object GraftAuth {
     * ungated.) If substitution throws, the statement cannot analyze
     * either; fail CLOSED by gating every referenced name. */
   def check(session: SparkSession, plan: LogicalPlan): Unit = state match {
-    case Some((cat, prot)) =>
+    case Some((cat, prot, _)) =>
+      // EXPLAIN / DESCRIBE QUERY hold the supervised plan as a FIELD, not
+      // a child — collect() never reaches it, so an ungated `EXPLAIN
+      // SELECT * FROM protected` would leak schema and plan (r10 fuzz
+      // finding). Unwrap before gating.
+      val unwrapped = plan match {
+        case e: ExplainCommand => e.logicalPlan
+        case d: DescribeQueryCommand => d.plan
+        case p => p
+      }
       val resolved =
-        try CTESubstitution(plan)
-        catch { case scala.util.control.NonFatal(_) => plan }
+        try CTESubstitution(unwrapped)
+        catch { case scala.util.control.NonFatal(_) => unwrapped }
       def hits(names: Seq[String]): Seq[String] =
         names.map(_.toLowerCase).distinct.flatMap(prot.get)
+      def name(p: LogicalPlan): Option[String] = p match {
+        case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+        case t: UnresolvedTable => Some(t.multipartIdentifier.last)
+        case _ => None
+      }
+      // MERGE mutates its target; UnresolvedTable only appears under
+      // table-mutating commands (TRUNCATE, native ALTER, ...);
+      // UnresolvedIdentifier names an object being DEFINED (native CREATE
+      // TABLE ...) — defining anything under a protected name is a write.
+      // UnresolvedTableOrView is classified by its OWNING command:
+      // Describe*/Show* are SELECT-level metadata reads, everything else
+      // (DropTable, RenameTable, ...) mutates — unknown commands gate as
+      // writes, failing closed.
       val writeTargets = resolved.collectWithSubqueries {
-        case i: InsertIntoStatement => i.table
-      }.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
+        case i: InsertIntoStatement => Seq(name(i.table)).flatten
+        case m: MergeIntoTable => Seq(name(m.targetTable)).flatten
+        case t: UnresolvedTable => Seq(t.multipartIdentifier.last)
+        case i: UnresolvedIdentifier => Seq(i.nameParts.last)
+        case n if !(n.nodeName.startsWith("Describe") || n.nodeName.startsWith("Show")) =>
+          n.children.collect { case t: UnresolvedTableOrView => t.multipartIdentifier.last }
+      }.flatten
       hits(writeTargets).foreach(demand(session, cat, _, write = true))
       val reads = resolved.collectWithSubqueries {
-        case r: UnresolvedRelation => r.multipartIdentifier.last
-      }
+        case r: UnresolvedRelation => Seq(r.multipartIdentifier.last)
+        case n if n.nodeName.startsWith("Describe") || n.nodeName.startsWith("Show") =>
+          n.children.collect { case t: UnresolvedTableOrView => t.multipartIdentifier.last }
+      }.flatten
       hits(reads).foreach(demand(session, cat, _, write = false))
     case None => ()
   }

@@ -54,6 +54,49 @@ object GraftDdl {
     }
   }
 
+  /** Table a dialect DDL statement MUTATES — same single-source-of-truth
+    * contract as [[dmlTarget]], for GraftAuth's write gate (r10 fuzz
+    * finding: ALTER/DROP TABLE and index/trigger DDL on a protected
+    * container executed ungated). CREATE TABLE of a protected NAME is
+    * included: re-creating a dropped protected container must not be a
+    * way to take it over. */
+  def ddlTarget(text0: String): Option[String] = {
+    val text = text0.trim.stripSuffix(";").trim
+    text match {
+      case createTableRe(_, name) => Some(name)
+      case dropTableRe(_, name) => Some(name)
+      case alterDropPartRe(name, _) => Some(name)
+      case alterAddRe(name, _, _, _) => Some(name)
+      case alterRenameRe(name, _, _) => Some(name)
+      case createIndexRe(_, _, table, _) => Some(table)
+      case dropIndexRe(_, _, table) => Option(table)
+      case createTriggerRe(_, table, _, _, _, _, _, _) => Some(table)
+      case _ => None
+    }
+  }
+
+  /** True for user/role/password/grant management statements — admin-only
+    * when wire enforcement is installed (GraftAuth), because any of them
+    * is a straight privilege-escalation primitive (create a user, grant
+    * it ALL, or reset a privileged user's password). */
+  def isAuthDdl(text0: String): Boolean = {
+    val text = text0.trim.stripSuffix(";").trim
+    text match {
+      case createUserRe(_, _) | dropUserRe(_) | createRoleRe(_) | dropRoleRe(_)
+         | setPasswordRe(_, _) | grantRe(_, _, _) | revokeRe(_, _, _)
+         | createDatabaseRe(_) | dropDatabaseRe(_) => true
+      case _ => false
+    }
+  }
+
+  /** The `FOR <user>` target of a SET PASSWORD statement (self-service
+    * carve-out in the wire gate). */
+  def setPasswordTarget(text0: String): Option[String] =
+    text0.trim.stripSuffix(";").trim match {
+      case setPasswordRe(name, _) => Option(name)
+      case _ => None
+    }
+
   def run(spark: SparkSession, cat: GraftCatalog, text0: String): DataFrame = {
     val text = text0.trim.stripSuffix(";").trim
     text match {
@@ -78,7 +121,7 @@ object GraftDdl {
         catch { case e: IllegalArgumentException
           if ifNot != null && e.getMessage.contains("already exists") => }
         status(spark, "CREATE INDEX", table)
-      case dropIndexRe(ifEx, ixName) =>
+      case dropIndexRe(ifEx, ixName, _) =>
         cat.dropIndex(ixName, ifExists = ifEx != null)
         status(spark, "DROP INDEX", ixName)
       case alterDropPartRe(name, tsLit) =>
@@ -202,7 +245,7 @@ object GraftDdl {
   private val createIndexRe =
     """(?is)^CREATE\s+INDEX\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"?(\w+)"?\s+ON\s+"?(\w+)"?\s*\(([^)]*)\)\s*$""".r
   private val dropIndexRe =
-    """(?is)^DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?(?:\s+ON\s+"?\w+"?)?$""".r
+    """(?is)^DROP\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?(?:\s+ON\s+"?(\w+)"?)?$""".r
   private val alterDropPartRe =
     """(?is)^ALTER\s+TABLE\s+"?(\w+)"?\s+DROP\s+PARTITION\s+FOR\s*\(\s*TIMESTAMP\s*'([^']+)'\s*\)$""".r
   private val alterAddRe =

