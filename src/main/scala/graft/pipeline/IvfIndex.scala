@@ -167,8 +167,14 @@ object IvfIndex {
           d => d.getField("cid"))))
     // bounded by nLists distinct values regardless of |queries|
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    // the pruned read's parallelism is otherwise the probed dirs' FILE
+    // layout (one compact file per list by design), so a drift-skewed
+    // list would score on ~one task; a narrow round-robin shuffle of the
+    // probed fraction (already bounded to ~nProbe/nLists of the corpus)
+    // makes scan parallelism independent of layout and skew
     val vectors = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isInCollection(probed))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     // limit(max+1) short-circuits: the gate never scans past the
     // threshold, so an arbitrarily expensive query plan is not evaluated
     // in full just to pick the join strategy
@@ -177,12 +183,14 @@ object IvfIndex {
             .count() <= maxBroadcastQueries)
         broadcast(q)
       else q.hint("shuffle_hash")
+    // no distinct ((q_id, c_id) unique by construction — one cluster per
+    // vector, distinct probed cids per query) and no window: the k-capped
+    // aggregate keeps rank cost bounded even when a list degenerates
+    // under drift (see Similarity.topKPerQuery)
     val scored = vectors.join(qSide, Seq("cluster"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("c_id"),
         round(Similarity.cosine(col("qv"), col("cv")), roundTo).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    Similarity.topKPerQuery(scored, k)
   }
 }

@@ -33,6 +33,26 @@ object Similarity {
   private def ensureFns(df: DataFrame): Unit =
     graft.functions.GridDbScalarFunctions.register(df.sparkSession)
 
+  /** Bounded per-query top-k over a (q_id, c_id, cos) candidate frame:
+    * same output as the window `row_number() <= k` formulation — rows
+    * ordered (cos DESC, c_id ASC) with rk from 1 — but computed with the
+    * k-capped `graft_top_k` aggregate, so partial buffers hold at most k
+    * entries per query and NO per-candidate global sort exists. With
+    * bounded probe lists the two plans cost alike; when a list
+    * degenerates (r10 IVF drift rehearsal: a distribution-shifted append
+    * piled ~1/3 of 1.5M vectors into one stale list, and the window form
+    * sorted every candidate pair — 1063 s for 1000 queries) this stays
+    * map-side-capped and skew changes the scan cost, not the rank cost.
+    * NULL cos (the zero-norm guard) is dropped rather than ranked after
+    * real candidates — a zero-norm vector is not a neighbor. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(call_function("graft_top_k",
+        struct(col("c_id"), col("cos")), col("cos"), col("c_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
+        (col("pos") + 1).as("rk"))
+
   /** Exact cosine top-k of corpus vectors for each query vector.
     * Ties broken by corpus id; self-matches excluded; cosine rounded to
     * `roundTo` digits BEFORE ranking so results are reproducible across
@@ -220,13 +240,15 @@ object Similarity {
       .withColumn("cluster",
         explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, nProbe),
           d => d.getField("cid"))))
+    // no distinct: each corpus vector lives in exactly ONE cluster and a
+    // query's probed cids are distinct, so (q_id, c_id) is unique by
+    // construction — the old defensive distinct() was a full shuffle of
+    // every candidate pair
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Product-quantization codebooks: `m` subspaces of dim/m dims, `kCodes`
