@@ -168,11 +168,15 @@ object Dedup {
     // the banded exchange feeds a shuffle_hash build map of
     // bands x N / partitions rows — at the session default 32 that map
     // OOMs an 8g heap near 5M docs (r10 stock-config rehearsal). Width
-    // follows the exploded row count, same discipline as the Jaccard
-    // verify stage; one metadata-count job, skippable via corpusSize.
-    val nDocs = if (corpusSize > 0) corpusSize else docs.count()
-    val nPart = verifyPartitions(bands.toLong * nDocs,
-      docs.sparkSession.sessionState.conf.numShufflePartitions, 125000L)
+    // follows the exploded volume; zero-job via the optimizer's scan-byte
+    // estimate (an exact count job cost ~0.2 s per benched call — r10
+    // BenchCompare flagged it), or the exact row count when the caller
+    // already has one.
+    val nPart =
+      if (corpusSize > 0)
+        verifyPartitions(bands.toLong * corpusSize,
+          docs.sparkSession.sessionState.conf.numShufflePartitions, 125000L)
+      else widthFromBytes(docs, bands)
     // signatures are a pure per-row map now (no shuffle, no explode), so the
     // self-join can recompute them on each side — no persist to leak, and at
     // 100 TB no cache pressure; the only shuffle left is the (band, bucket)
@@ -231,10 +235,13 @@ object Dedup {
     val chunks = (0 until 4).map(b =>
       shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
     // adaptive width, same rationale as minhashCandidates (rows are a
-    // single Long sketch, so the per-partition target is higher)
-    val nDocs = if (corpusSize > 0) corpusSize else docs.count()
-    val nPart = verifyPartitions(4L * nDocs,
-      docs.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
+    // single Long sketch, so the per-partition byte budget stretches
+    // further — double it)
+    val nPart =
+      if (corpusSize > 0)
+        verifyPartitions(4L * corpusSize,
+          docs.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
+      else widthFromBytes(docs, 4, bytesPerPartition = 64L << 20)
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
     val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
@@ -319,6 +326,23 @@ object Dedup {
     require(targetPerPartition > 0, "targetPerPartition must be positive")
     val needed = nCandidates / targetPerPartition + 1
     math.min(math.max(sessionDefault.toLong, needed), 65536L).toInt
+  }
+
+  /** Exchange width from the optimizer's size estimate of `df` — ZERO
+    * jobs (a parquet scan exposes its file bytes at plan time), the same
+    * bytes-per-partition discipline a cluster's
+    * `spark.sql.shuffle.partitions ~ input/128MB` deployment default
+    * encodes. `expansion` = exploded rows fed to the exchange per input
+    * row (LSH bands). Compressed-scan bytes UNDER-estimate heap rows, so
+    * the per-partition budget is set conservatively low; estimate errors
+    * only ever ADD partitions, which is the safe direction for an OOM
+    * guard. Floored at the session default, capped at 64k. */
+  private[graft] def widthFromBytes(df: DataFrame, expansion: Int,
+                                    bytesPerPartition: Long = 32L << 20): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val needed = (BigInt(expansion) * bytes / bytesPerPartition).toLong + 1
+    val default = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    math.min(math.max(default, needed), 65536L).toInt
   }
 
   private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =
