@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine.Parallelism.spread
 
@@ -66,8 +65,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (bits x dim), seeded. */
@@ -358,10 +356,8 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         when(denom2 === 0.0, lit(null))
           .otherwise(round(ip / denom2, roundTo)).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     val poolSize = if (rerank < 0) 12 * k else rerank
-    if (poolSize == 0)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    if (poolSize == 0) topKPerQuery(scored, k)
     else {
       // refine stage (the Faiss IndexRefine shape): the ADC pass only
       // GENERATES max(poolSize, k) candidates per query; survivors re-join
@@ -371,8 +367,7 @@ object Similarity {
       // chance the true neighbor made the candidate pool — the quantity
       // that actually improves with m/kCodes — not the chance ADC ranked
       // it exactly first
-      val pool = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= math.max(poolSize, k))
+      val pool = topKPerQuery(scored, math.max(poolSize, k))
         .select(col("q_id"), col("c_id"))
       val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       val exact = pool
@@ -380,7 +375,7 @@ object Similarity {
         .join(broadcast(qv), "q_id")
         .select(col("q_id"), col("c_id"),
           round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      topKPerQuery(exact, k)
     }
   }
 
@@ -439,19 +434,17 @@ object Similarity {
         (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
       lit(0.0), (acc, x) => acc + x)
     val denom2 = col("qnorm") * col("rnorm")
+    // no distinct: one cluster per corpus vector, distinct probed cids
+    // per query -> (q_id, c_id) unique by construction
     val scored = enc.join(broadcast(q), Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         when(denom2 === 0.0, lit(null))
           .otherwise(round(ip / denom2, roundTo)).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     val poolSize = if (rerank < 0) 12 * k else rerank
-    if (poolSize == 0)
-      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    if (poolSize == 0) topKPerQuery(scored, k)
     else {
-      val pool = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= math.max(poolSize, k))
+      val pool = topKPerQuery(scored, math.max(poolSize, k))
         .select(col("q_id"), col("c_id"))
       val qv = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       val exact = pool
@@ -459,7 +452,7 @@ object Similarity {
         .join(broadcast(qv), "q_id")
         .select(col("q_id"), col("c_id"),
           round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-      exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      topKPerQuery(exact, k)
     }
   }
 
@@ -480,12 +473,13 @@ object Similarity {
       array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(probeBuckets(signatureFused(col("qv"), bits, dim))))
+    // no distinct: each corpus vector owns ONE bucket and a query's
+    // probe buckets are distinct values, so (q_id, c_id) joins at most
+    // once
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    topKPerQuery(scored, k)
   }
 }
