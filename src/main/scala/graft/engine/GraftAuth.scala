@@ -74,6 +74,13 @@ object GraftAuth {
 
   def uninstall(): Unit = state = None
 
+  /** The installed authority, if enforcement is active. Wire auth DDL
+    * must mutate the CLUSTER-scoped user database — a Thrift connection's
+    * session-local catalog would otherwise receive the admin's GRANT and
+    * the authority would never see it (found by the r10 JdbcSpec wire
+    * round trip). */
+  def authority: Option[GraftCatalog] = state.map(_._1)
+
   private def credentials(session: SparkSession): (String, String) =
     (session.conf.get(UserKey, ""), session.conf.get(PasswordKey, ""))
 

@@ -181,36 +181,41 @@ object GraftDdl {
         cat.dropTrigger(tName, ifExists = ifEx != null)
         status(spark, "DROP TRIGGER", tName)
       // ---- auth DDL (grammar rules 78-90; sql_processor_ddl.cpp:218,554) --
+      // When wire enforcement is installed, auth DDL mutates the INSTALLED
+      // AUTHORITY: a Thrift connection's session-local catalog would
+      // otherwise absorb an admin's GRANT and the authority would never
+      // see it (r10 JdbcSpec wire round trip). Unenforced sessions keep
+      // the session-local catalog.
       case createUserRe(name, pw) =>
-        cat.createUser(name, Option(pw))
+        GraftAuth.authority.getOrElse(cat).createUser(name, Option(pw))
         status(spark, "CREATE USER", name)
       case dropUserRe(name) =>
-        cat.dropUser(name)
+        GraftAuth.authority.getOrElse(cat).dropUser(name)
         status(spark, "DROP USER", name)
       case createRoleRe(name) =>
-        cat.createUser(name, None, isRole = true)
+        GraftAuth.authority.getOrElse(cat).createUser(name, None, isRole = true)
         status(spark, "CREATE ROLE", name)
       case dropRoleRe(name) =>
-        cat.dropUser(name, isRole = true)
+        GraftAuth.authority.getOrElse(cat).dropUser(name, isRole = true)
         status(spark, "DROP ROLE", name)
       case setPasswordRe(name, pw) =>
         // `SET PASSWORD = '...'` (no FOR) targets the CURRENT user in the
         // reference; a library session has no ambient user, so require FOR
         val target = Option(name).getOrElse(throw new IllegalArgumentException(
           "SET PASSWORD requires FOR <user> (no ambient session user)"))
-        cat.setPassword(target, pw)
+        GraftAuth.authority.getOrElse(cat).setPassword(target, pw)
         status(spark, "SET PASSWORD", target)
       case grantRe(priv, table, grantee) =>
-        cat.grant(priv, table, grantee)
+        GraftAuth.authority.getOrElse(cat).grant(priv, table, grantee)
         status(spark, "GRANT", s"$priv ON $table TO $grantee")
       case revokeRe(priv, table, grantee) =>
-        cat.revoke(priv, table, grantee)
+        GraftAuth.authority.getOrElse(cat).revoke(priv, table, grantee)
         status(spark, "REVOKE", s"$priv ON $table FROM $grantee")
       case createDatabaseRe(name) =>
-        cat.createDatabase(name)
+        GraftAuth.authority.getOrElse(cat).createDatabase(name)
         status(spark, "CREATE DATABASE", name)
       case dropDatabaseRe(name) =>
-        cat.dropDatabase(name)
+        GraftAuth.authority.getOrElse(cat).dropDatabase(name)
         status(spark, "DROP DATABASE", name)
       case _ =>
         throw new IllegalArgumentException(

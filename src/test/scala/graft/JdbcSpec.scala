@@ -154,9 +154,30 @@ class JdbcSpec extends SparkTestBase {
         s"OPTIONS (path '$sfDir/region.parquet')")
       val rs3 = st.executeQuery("SELECT COUNT(*) AS n FROM open_tab_jdbc")
       assert(rs3.next() && rs3.getLong(1) > 0)
+      // 7. auth DDL over the wire is ADMIN-only (r10): the same JDBC
+      // statement channel refuses grant management from a plain user and
+      // accepts it from an installed admin — the escalation chain
+      // (CREATE USER + GRANT ALL from any authenticated session) is cut
+      Seq("wire_adm").foreach(u =>
+        if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+      cat.createUser("wire_adm", Some("apw"))
+      graft.engine.GraftAuth.uninstall()
+      graft.engine.GraftAuth.install(cat, Set("auth_tab_jdbc"), admins = Set("wire_adm"))
+      st.execute("SET graft.auth.user = wire_u")
+      st.execute("SET graft.auth.password = pw1")
+      queryFails("GRANT ALL ON auth_tab_jdbc TO wire_u", "administrator")
+      queryFails("CREATE USER wire_evil IDENTIFIED BY 'x'", "administrator")
+      st.execute("SET graft.auth.user = wire_adm")
+      st.execute("SET graft.auth.password = apw")
+      st.execute("GRANT ALL ON auth_tab_jdbc TO wire_u")
+      assert(cat.checkPrivilege("wire_u", "auth_tab_jdbc", write = true))
+      st.execute("REVOKE ALL ON auth_tab_jdbc FROM wire_u")
+      assert(!cat.checkPrivilege("wire_u", "auth_tab_jdbc", write = true))
     } finally {
       graft.engine.GraftAuth.uninstall()
       cat.dropUser("wire_u")
+      Seq("wire_adm").foreach(u =>
+        if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
       conn.close()
     }
   }
