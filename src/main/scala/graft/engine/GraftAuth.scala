@@ -144,9 +144,18 @@ object GraftAuth {
             "auth DDL over the wire requires an administrator " +
               "(GraftAuth.install admins) or a user changing their own password")
       }
+      // DROP INDEX (no ON) / DROP TRIGGER name only the object, not its
+      // table — resolve through the catalog the router will mutate (the
+      // session's), else an index/trigger ON a protected table drops
+      // ungated (r10 self-review)
+      val sessionCat = GraftCatalog.forSession(session)
+      val indirect =
+        GraftDdl.dropIndexName(stripped).flatMap(sessionCat.indexTable).toSeq ++
+          GraftDdl.dropTriggerName(stripped).flatMap(sessionCat.triggerTable).toSeq
       val targets =
         GraftDdl.dmlTarget(stripped).toSeq ++
           GraftDdl.ddlTarget(stripped).toSeq ++
+          indirect ++
           DmlTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq ++
           TruncateTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq
       targets.map(_.toLowerCase).distinct

@@ -349,6 +349,14 @@ final class GraftCatalog(spark: SparkSession) {
     if (indexes.remove(indexName).isEmpty && !ifExists)
       throw new NoSuchElementException(s"index $indexName does not exist")
 
+  /** Table an index is attached to, if recorded — lets the auth gate
+    * resolve `DROP INDEX ix` (no ON clause) to its protected table. */
+  def indexTable(indexName: String): Option[String] = indexes.get(indexName).map(_._1)
+
+  /** Table a trigger fires on, if recorded (auth gating of DROP TRIGGER). */
+  def triggerTable(triggerName: String): Option[String] =
+    triggers.synchronized { triggers.get(triggerName).map(_.table) }
+
   // ---- auth DDL (CREATE/DROP USER|ROLE, SET PASSWORD, GRANT/REVOKE) -------
 
   private def digest(password: String, salt: String): String = {

@@ -71,9 +71,30 @@ object GraftDdl {
       case createIndexRe(_, _, table, _) => Some(table)
       case dropIndexRe(_, _, table) => Option(table)
       case createTriggerRe(_, table, _, _, _, _, _, _) => Some(table)
+      // defining or dropping a VIEW under a protected NAME is the same
+      // takeover primitive as CREATE TABLE of the name (r10 self-review:
+      // a view named like the protected table shadows it for readers on
+      // the same session)
+      case createViewRe(name, _) => Some(name)
+      case dropViewRe(name) => Some(name)
       case _ => None
     }
   }
+
+  /** `DROP INDEX ix` with NO ON clause — the table must be resolved from
+    * the catalog that recorded the index (GraftAuth does the lookup). */
+  def dropIndexName(text0: String): Option[String] =
+    text0.trim.stripSuffix(";").trim match {
+      case dropIndexRe(_, ix, table) if table == null => Some(ix)
+      case _ => None
+    }
+
+  /** `DROP TRIGGER t` — trigger name only; table resolved via catalog. */
+  def dropTriggerName(text0: String): Option[String] =
+    text0.trim.stripSuffix(";").trim match {
+      case dropTriggerRe(_, t) => Some(t)
+      case _ => None
+    }
 
   /** True for user/role/password/grant management statements — admin-only
     * when wire enforcement is installed (GraftAuth), because any of them

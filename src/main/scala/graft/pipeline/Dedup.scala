@@ -285,10 +285,13 @@ object Dedup {
     // join for the wrong quantity (25.1M candidates / 32 partitions blew
     // an 8g heap at 5M docs). The operator already materializes the
     // candidate set; count it and derive the verify parallelism from it.
-    // Persisting avoids recomputing the PPJoin stage for the count; the
-    // ContextCleaner unpersists once the result DataFrame is dereferenced.
+    // Eager localCheckpoint (not persist: Dataset.persist pins an entry
+    // in the CacheManager until an explicit unpersist, which an
+    // expression-shaped operator has no lifecycle hook to issue — each
+    // call would leak a cached candidate set) materializes once for the
+    // count AND the verify stage; the blocks free when the RDD is GC'd.
     val cand = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nPart = verifyPartitions(cand.count(),
       spark.sessionState.conf.numShufflePartitions, targetCandidatesPerPartition)
     // exact verify: |A∩B| per candidate by a PER-ROW set intersection
@@ -579,8 +582,14 @@ object Dedup {
                           minCos: Double, bits: Int = -1, bands: Int = 4,
                           roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(docs.sparkSession)
-    val nDocs = math.max(if (corpusSize > 0) corpusSize else docs.count(), 1L)
-    val resolvedBits = if (bits > 0) bits else autoBandBits(nDocs, bands)
+    // count only when a row count is actually needed (AUTO bits); a
+    // pinned-bits call with no corpusSize stays zero-job via the byte
+    // estimate, like the text sketches (r10 self-review)
+    val nDocsOpt =
+      if (corpusSize > 0) Some(corpusSize)
+      else if (bits <= 0) Some(math.max(docs.count(), 1L))
+      else None
+    val resolvedBits = if (bits > 0) bits else autoBandBits(nDocsOpt.get, bands)
     require(resolvedBits % bands == 0, "bands must divide bits")
     require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
     val r = resolvedBits / bands
@@ -596,8 +605,11 @@ object Dedup {
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates.
     // Adaptive width (rows carry the full double[] vector, so the
     // per-partition target is lower than the text sketches')
-    val nPart = verifyPartitions(bands.toLong * nDocs,
-      docs.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
+    val nPart = nDocsOpt match {
+      case Some(n) => verifyPartitions(bands.toLong * n,
+        docs.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
+      case None => widthFromBytes(docs, bands, bytesPerPartition = 16L << 20)
+    }
     val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .repartition(nPart, col("band"), col("bucket"))

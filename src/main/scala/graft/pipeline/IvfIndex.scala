@@ -80,11 +80,14 @@ object IvfIndex {
     val batch = newVectors
       .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
     val n = batch.count()
+    // read meta BEFORE the write: the legacy-index fallback counts the
+    // vectors dir, and counting AFTER the append would fold the new batch
+    // into built_count and understate the staleness fraction
+    val (built, appended) = readMeta(spark, path)
     batch
       .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
-    val (built, appended) = readMeta(spark, path)
     val newAppended = appended + n
     val fraction = newAppended.toDouble / math.max(built, 1L)
     if (fraction >= retrainThreshold && autoRetrain) {
@@ -115,12 +118,22 @@ object IvfIndex {
     val all = spark.read.parquet(s"$path/vectors").select("id", "cv")
     val tmp = s"${path}_rebuild"
     build(all, "id", "cv", tmp)
+    // swap via rename-aside, never delete-first (r10 self-review: a crash
+    // between delete and rename would destroy the only copy). Crash
+    // windows leave either the old index still serving at `path`, or the
+    // old index intact at `<path>_old` with the rebuild at `<path>` /
+    // `<path>_rebuild` — always recoverable by a rename.
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"retrain swap failed: could not rename $tmp over $path")
+    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+    fs.delete(old, true)
+    require(fs.rename(dst, old), s"retrain swap failed: could not move $path aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(old, dst) // restore the previous index before failing
+      throw new IllegalStateException(s"retrain swap failed: could not rename $tmp over $path")
+    }
+    fs.delete(old, true)
   }
 
   private def writeMeta(spark: SparkSession, path: String,
@@ -166,22 +179,25 @@ object IvfIndex {
           d => d.getField("cid"))))
     // bounded by nLists distinct values regardless of |queries|
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
-    // the pruned read's parallelism is otherwise the probed dirs' FILE
-    // layout (one compact file per list by design), so a drift-skewed
-    // list would score on ~one task; a narrow round-robin shuffle of the
-    // probed fraction (already bounded to ~nProbe/nLists of the corpus)
-    // makes scan parallelism independent of layout and skew
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val pruned = spark.read.parquet(s"$path/vectors")
       .filter(col("cluster").isInCollection(probed))
-      .repartition(spark.sessionState.conf.numShufflePartitions)
     // limit(max+1) short-circuits: the gate never scans past the
     // threshold, so an arbitrarily expensive query plan is not evaluated
     // in full just to pick the join strategy
-    val qSide =
-      if (queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
-            .count() <= maxBroadcastQueries)
-        broadcast(q)
-      else q.hint("shuffle_hash")
+    val smallQuerySide =
+      queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastQueries
+    // On the broadcast branch the pruned read's parallelism is otherwise
+    // the probed dirs' FILE layout (one compact file per list by design),
+    // so a drift-skewed list would score on ~one task — a narrow
+    // round-robin shuffle of the probed fraction (already bounded to
+    // ~nProbe/nLists of the corpus) frees scan parallelism from layout.
+    // The shuffle_hash branch re-exchanges by cluster anyway; a
+    // round-robin there would just shuffle the corpus fraction twice.
+    val (vectors, qSide) =
+      if (smallQuerySide)
+        (pruned.repartition(spark.sessionState.conf.numShufflePartitions), broadcast(q))
+      else (pruned, q.hint("shuffle_hash"))
     // no distinct ((q_id, c_id) unique by construction — one cluster per
     // vector, distinct probed cids per query) and no window: the k-capped
     // aggregate keeps rank cost bounded even when a list degenerates

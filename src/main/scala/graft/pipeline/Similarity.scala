@@ -43,14 +43,28 @@ object Similarity {
     * sorted every candidate pair — 1063 s for 1000 queries) this stays
     * map-side-capped and skew changes the scan cost, not the rank cost.
     * NULL cos (the zero-norm guard) is dropped rather than ranked after
-    * real candidates — a zero-norm vector is not a neighbor. */
+    * real candidates — a zero-norm vector is not a neighbor.
+    *
+    * graft_top_k's tie column is a Long, so the capped path serves
+    * integral id columns (every registered surface); a non-integral
+    * idCol (string/uuid ids through the public API) keeps the window
+    * formulation — correct for any orderable type, at the pre-r10 cost. */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("q_id")
-      .agg(call_function("graft_top_k",
-        struct(col("c_id"), col("cos")), col("cos"), col("c_id"), lit(k)).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
-        (col("pos") + 1).as("rk"))
+    scored.schema("c_id").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
+        scored.groupBy("q_id")
+          .agg(call_function("graft_top_k",
+            struct(col("c_id"), col("cos")), col("cos"),
+            col("c_id").cast("long"), lit(k)).as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
+            (col("pos") + 1).as("rk"))
+      case _ =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
 
   /** Exact cosine top-k of corpus vectors for each query vector.
     * Ties broken by corpus id; self-matches excluded; cosine rounded to

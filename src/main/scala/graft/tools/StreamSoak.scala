@@ -51,7 +51,7 @@ object StreamSoak {
     val q4 = s.filter(_.batch >= 3 * nBatches / 4)
     def mx(v: Seq[Stat]) = if (v.isEmpty) 0L else v.map(_.rows).max
     println(f"[soak] $name%-10s batches=$nBatches wall=$wall%8.1f s " +
-      f"maxRows=${mx(s)}%d maxMB=${s.map(_.bytes).max / 1e6}%.1f " +
+      f"maxRows=${mx(s)}%d maxMB=${(0L +: s.map(_.bytes)).max / 1e6}%.1f " +
       f"q2maxRows=${mx(q2)}%d q4maxRows=${mx(q4)}%d " +
       f"bounded=${mx(q4) <= (mx(q2) * 1.25 + 16).toLong}%s")
   }

@@ -66,7 +66,11 @@ class AuthFuzzSpec extends SparkTestBase {
     Shape(t => s"ALTER TABLE $t RENAME COLUMN x TO y", isWrite = true),
     Shape(t => s"CREATE TABLE $t (x INTEGER)", isWrite = true),
     Shape(t => s"CREATE INDEX fz_ix9 ON $t (x)", isWrite = true),
-    Shape(t => s"DROP INDEX fz_ix9 ON $t", isWrite = true))
+    Shape(t => s"DROP INDEX fz_ix9 ON $t", isWrite = true),
+    // defining/dropping a VIEW under the protected NAME is a takeover
+    // primitive (r10 self-review finding)
+    Shape(t => s"CREATE VIEW $t AS SELECT 1 AS x", isWrite = true),
+    Shape(t => s"DROP VIEW $t", isWrite = true))
 
   /** Spellings of the protected table; the boolean marks dialect-only
     * quoting (double quotes would be string literals to the Spark

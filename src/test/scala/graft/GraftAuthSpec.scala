@@ -61,6 +61,29 @@ class GraftAuthSpec extends SparkTestBase {
     }
   }
 
+  test("name-only DROP INDEX/TRIGGER resolve their protected table via the catalog; view-name takeover is a write") {
+    withAuth { cat =>
+      cat.grant("ALL", "Auth_Unit_Tab", "unit_u")
+      spark.sql("CREATE TABLE auth_unit_tab (x INTEGER)")
+      spark.sql("CREATE INDEX fz_ix_noon ON auth_unit_tab (x)")
+      spark.sql("CREATE TRIGGER fz_trg_noon ON auth_unit_tab FOR PUT TYPE REST URI 'http://localhost/x'")
+      cat.revoke("ALL", "Auth_Unit_Tab", "unit_u")
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      // the statement names only the index/trigger — the gate must find
+      // the owning table in the catalog (r10 self-review bypass)
+      denied("DROP INDEX fz_ix_noon", "privilege")
+      denied("DROP TRIGGER fz_trg_noon", "privilege")
+      // defining or dropping a VIEW under the protected NAME is a write
+      denied("CREATE VIEW auth_unit_tab AS SELECT 1 AS x", "privilege")
+      denied("DROP VIEW auth_unit_tab", "privilege")
+      cat.revoke("SELECT", "Auth_Unit_Tab", "unit_u")
+      cat.grant("ALL", "Auth_Unit_Tab", "unit_u")
+      spark.sql("DROP TRIGGER fz_trg_noon")
+      spark.sql("DROP INDEX fz_ix_noon")
+      spark.sql("DROP TABLE auth_unit_tab")
+    }
+  }
+
   test("CTE shadowing, subquery detection, credentials") {
     withAuth { cat =>
       // a CTE of the protected name shadows it: no grant needed
