@@ -342,10 +342,19 @@ object Dedup {
     * guard. Floored at the session default, capped at 64k. */
   private[graft] def widthFromBytes(df: DataFrame, expansion: Int,
                                     bytesPerPartition: Long = 32L << 20): Int = {
+    val conf = df.sparkSession.sessionState.conf
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val needed = (BigInt(expansion) * bytes / bytesPerPartition).toLong + 1
-    val default = df.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    math.min(math.max(default, needed), 65536L).toInt
+    val default = conf.numShufflePartitions.toLong
+    // a plan with no real statistics reports the defaultSizeInBytes
+    // SENTINEL (Long.MaxValue unless tuned) — that is "unknown", not
+    // "huge": fall back to the session default rather than exploding to
+    // the cap (and clamp in BigInt space so .toLong cannot wrap)
+    if (bytes >= BigInt(conf.defaultSizeInBytes)) default.toInt
+    else {
+      val needed = (BigInt(expansion) * bytes / bytesPerPartition + 1)
+        .min(BigInt(65536L)).toLong
+      math.min(math.max(default, needed), 65536L).toInt
+    }
   }
 
   private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =

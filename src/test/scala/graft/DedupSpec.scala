@@ -412,6 +412,11 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.verifyPartitions(25100000L, 32) == 503) // the SCALING.md 5M-doc OOM case
     assert(Dedup.verifyPartitions(1000L, 200) == 200)
     assert(Dedup.verifyPartitions(Long.MaxValue, 32, 50000L) == 65536)
+    // byte-estimate variant: real scan statistics drive the width, and an
+    // absurd per-partition budget caps at 65536 without Long wrap
+    val dScan = graft.engine.Tables.read(spark, sfDir, "documents")
+    assert(Dedup.widthFromBytes(dScan, 4, bytesPerPartition = 1L) == 65536)
+    assert(Dedup.widthFromBytes(dScan, 4) == spark.sessionState.conf.numShufflePartitions)
     // end-to-end: a small per-partition target makes the sf0.001 corpus
     // (~62k candidates at j>=0.8) exceed the session default, so every
     // verify exchange must carry the DERIVED width — and the result must
