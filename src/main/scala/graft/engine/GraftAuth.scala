@@ -43,6 +43,9 @@ import org.apache.spark.sql.execution.command.{DescribeQueryCommand, ExplainComm
   *    analyzer's own CTESubstitution rule — `WITH sensors AS (...)`
   *    shadows a protected name exactly where analysis would, and nowhere
   *    else (a CTE body does not shadow its own name).
+  * Both layers also gate protected STORAGE PATHS when the operator lists
+  * them at install (runSQLOnFiles relations, path OPTIONS / LOCATION
+  * aliases, OVERWRITE DIRECTORY — see [[install]]).
   *
   * Known limitation (definer-style views): a view's body is gated when
   * the view is CREATED (its plan references the protected names), but a
@@ -56,8 +59,10 @@ object GraftAuth {
   val UserKey = "graft.auth.user"
   val PasswordKey = "graft.auth.password"
 
-  /** (authority, lowercase protected name -> install-cased name, admins). */
-  @volatile private var state: Option[(GraftCatalog, Map[String, String], Set[String])] = None
+  /** (authority, lowercase protected name -> install-cased name, admins,
+    * normalized protected storage path -> privilege-lookup name). */
+  @volatile private var state: Option[(GraftCatalog, Map[String, String],
+    Set[String], Map[String, String])] = None
 
   /** Enable enforcement: `authority`'s users/grants gate every statement
     * referencing a name in `protectedTables` (case-insensitive match;
@@ -67,10 +72,48 @@ object GraftAuth {
     * with the default empty set, user management happens only through
     * the library/catalog API on the operator's side of the boundary
     * (r10 fuzz finding: an ungated wire GRANT is a one-statement
-    * privilege escalation). */
+    * privilege escalation).
+    *
+    * `protectedPaths` closes the PATH side door (r10 ADVICE): a name-only
+    * gate lets a wire client read a protected table's BACKING DATA via
+    * ``SELECT * FROM parquet.`<path>` `` (spark.sql.runSQLOnFiles, on by
+    * default) or by registering an unprotected alias over the path
+    * (CREATE TABLE/VIEW ... USING parquet OPTIONS (path '<path>') /
+    * LOCATION). Map each protected table's storage path (and any other
+    * guarded directory) to the table name whose privileges gate it; a
+    * statement referencing the path — exactly, below it, or a PARENT
+    * directory that contains it — then demands the same credentials as
+    * the name. Paths the operator does not list stay open (the operator,
+    * not the engine, knows the storage layout). */
   def install(authority: GraftCatalog, protectedTables: Set[String],
-              admins: Set[String] = Set.empty): Unit =
-    state = Some((authority, protectedTables.map(t => t.toLowerCase -> t).toMap, admins))
+              admins: Set[String] = Set.empty,
+              protectedPaths: Map[String, String] = Map.empty): Unit =
+    state = Some((authority, protectedTables.map(t => t.toLowerCase -> t).toMap,
+      admins, protectedPaths.map { case (p, t) => normalizePath(p) -> t }))
+
+  /** Canonical form used for protected-path comparison: local paths
+    * (scheme-less or file:) resolve through the filesystem so `/a/../b`,
+    * `file:///b` and `/b/` all collide; remote URIs (s3://...) compare
+    * textually minus trailing slashes. */
+  private[graft] def normalizePath(p0: String): String = {
+    val p = p0.trim.stripPrefix("file:")
+    if (p.contains("://")) p.replaceAll("/+$", "")
+    else try new java.io.File(p).getCanonicalPath
+    catch { case _: java.io.IOException => p.replaceAll("/+$", "") }
+  }
+
+  /** The protected table gating `raw` as a path, if any: a hit when `raw`
+    * IS a protected path, is UNDER one (reading one file of the table's
+    * directory), or is a parent directory CONTAINING one (a recursive read
+    * of /data sweeps up /data/secret). */
+  private def pathCanonical(raw: String, paths: Map[String, String]): Option[String] =
+    if (paths.isEmpty) None
+    else {
+      val c = normalizePath(raw)
+      paths.collectFirst {
+        case (p, t) if c == p || c.startsWith(p + "/") || p.startsWith(c + "/") => t
+      }
+    }
 
   def uninstall(): Unit = state = None
 
@@ -133,9 +176,34 @@ object GraftAuth {
     * (native spellings, multipart names, TRUNCATE). Auth DDL is gated
     * separately: it is admin-only over the wire, except a user changing
     * their OWN password. */
+  /** String operand of a `path` option (OPTIONS (path '...'), 'path' '...',
+    * path='...') or a LOCATION clause — the spellings that register a NEW
+    * relation over existing storage. */
+  private val PathOptionRe =
+    """(?is)\bpath'?\s*=?\s*(?:'([^']+)'|"([^"]+)")""".r
+  private val LocationRe =
+    """(?is)\bLOCATION\s+(?:'([^']+)'|"([^"]+)")""".r
+  /** INSERT OVERWRITE [LOCAL] DIRECTORY '<path>' — a WRITE to the path. */
+  private val OverwriteDirRe =
+    """(?is)\bOVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+(?:'([^']+)'|"([^"]+)")""".r
+
+  private def firstGroup(m: scala.util.matching.Regex.Match): String =
+    Option(m.group(1)).getOrElse(m.group(2))
+
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
-    case Some((cat, prot, admins)) =>
+    case Some((cat, prot, admins, paths)) =>
       val stripped = stripComments(sqlText)
+      // PATH gate (r10 ADVICE): any statement that names a protected
+      // storage path in a path option / LOCATION is registering an
+      // unprotected alias over protected data — reading through that alias
+      // later is ungated by construction, so demand SELECT on the
+      // underlying table NOW. OVERWRITE DIRECTORY writes the path: ALL.
+      (PathOptionRe.findAllMatchIn(stripped) ++ LocationRe.findAllMatchIn(stripped))
+        .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+        .foreach(canonical => demand(session, cat, canonical, write = false))
+      OverwriteDirRe.findAllMatchIn(stripped)
+        .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+        .foreach(canonical => demand(session, cat, canonical, write = true))
       if (GraftDdl.isAuthDdl(stripped)) {
         val (user, pass) = credentials(session)
         val self = GraftDdl.setPasswordTarget(stripped).contains(user)
@@ -177,7 +245,7 @@ object GraftAuth {
     * ungated.) If substitution throws, the statement cannot analyze
     * either; fail CLOSED by gating every referenced name. */
   def check(session: SparkSession, plan: LogicalPlan): Unit = state match {
-    case Some((cat, prot, _)) =>
+    case Some((cat, prot, _, paths)) =>
       // EXPLAIN / DESCRIBE QUERY hold the supervised plan as a FIELD, not
       // a child — collect() never reaches it, so an ungated `EXPLAIN
       // SELECT * FROM protected` would leak schema and plan (r10 fuzz
@@ -220,6 +288,28 @@ object GraftAuth {
           n.children.collect { case t: UnresolvedTableOrView => t.multipartIdentifier.last }
       }.flatten
       hits(reads).foreach(demand(session, cat, _, write = false))
+      // PATH gate on the plan side (r10 ADVICE): `SELECT * FROM
+      // parquet.`<path>`` parses to a 2-part UnresolvedRelation that
+      // ResolveSQLOnFile (spark.sql.runSQLOnFiles, on by default) binds
+      // straight to the file — no table name ever reaches the name gate.
+      // Gate the LAST part of every 2-part relation against the protected
+      // paths (a real `db.table` reference cannot normalize onto an
+      // operator-listed storage path, so there are no false positives);
+      // an INSERT into such a relation already demanded write above only
+      // if the NAME matched, so re-demand write here for path targets.
+      val pathWrites = resolved.collectWithSubqueries {
+        case i: InsertIntoStatement => i.table match {
+          case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
+            pathCanonical(r.multipartIdentifier.last, paths).toSeq
+          case _ => Nil
+        }
+      }.flatten
+      pathWrites.distinct.foreach(demand(session, cat, _, write = true))
+      val pathReads = resolved.collectWithSubqueries {
+        case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
+          pathCanonical(r.multipartIdentifier.last, paths).toSeq
+      }.flatten
+      pathReads.distinct.foreach(demand(session, cat, _, write = false))
     case None => ()
   }
 }

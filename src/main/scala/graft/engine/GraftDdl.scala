@@ -37,6 +37,14 @@ object GraftDdl {
   def run(spark: SparkSession, text0: String): DataFrame =
     run(spark, GraftCatalog.forSession(spark), text0)
 
+  /** Catalog that receives AUTH DDL: the installed authority only when the
+    * statement is operating on the session-default catalog (every text
+    * front door — GraftSqlParser, Thrift — routes there); an EXPLICIT
+    * catalog passed by a library caller is honored as-is. */
+  private def authCat(spark: SparkSession, cat: GraftCatalog): GraftCatalog =
+    if (cat eq GraftCatalog.forSession(spark)) GraftAuth.authority.getOrElse(cat)
+    else cat
+
   /** Target table of a dialect DML statement, extracted with the SAME
     * regexes [[run]] dispatches on — GraftAuth derives its pre-routing
     * write gate from this single source of truth, so every spelling the
@@ -202,41 +210,46 @@ object GraftDdl {
         cat.dropTrigger(tName, ifExists = ifEx != null)
         status(spark, "DROP TRIGGER", tName)
       // ---- auth DDL (grammar rules 78-90; sql_processor_ddl.cpp:218,554) --
-      // When wire enforcement is installed, auth DDL mutates the INSTALLED
-      // AUTHORITY: a Thrift connection's session-local catalog would
-      // otherwise absorb an admin's GRANT and the authority would never
-      // see it (r10 JdbcSpec wire round trip). Unenforced sessions keep
-      // the session-local catalog.
+      // When wire enforcement is installed, auth DDL arriving through the
+      // SESSION-DEFAULT catalog (the text front doors — GraftSqlParser /
+      // Thrift — always route there) mutates the INSTALLED AUTHORITY: a
+      // Thrift connection's session-local catalog would otherwise absorb
+      // an admin's GRANT and the authority would never see it (r10
+      // JdbcSpec wire round trip). A library caller that passed its OWN
+      // catalog to run(spark, cat, ...) keeps it — the explicit catalog IS
+      // the statement's target, and silently re-routing those writes to
+      // the global authority would mutate state the caller never named
+      // (r10 ADVICE).
       case createUserRe(name, pw) =>
-        GraftAuth.authority.getOrElse(cat).createUser(name, Option(pw))
+        authCat(spark, cat).createUser(name, Option(pw))
         status(spark, "CREATE USER", name)
       case dropUserRe(name) =>
-        GraftAuth.authority.getOrElse(cat).dropUser(name)
+        authCat(spark, cat).dropUser(name)
         status(spark, "DROP USER", name)
       case createRoleRe(name) =>
-        GraftAuth.authority.getOrElse(cat).createUser(name, None, isRole = true)
+        authCat(spark, cat).createUser(name, None, isRole = true)
         status(spark, "CREATE ROLE", name)
       case dropRoleRe(name) =>
-        GraftAuth.authority.getOrElse(cat).dropUser(name, isRole = true)
+        authCat(spark, cat).dropUser(name, isRole = true)
         status(spark, "DROP ROLE", name)
       case setPasswordRe(name, pw) =>
         // `SET PASSWORD = '...'` (no FOR) targets the CURRENT user in the
         // reference; a library session has no ambient user, so require FOR
         val target = Option(name).getOrElse(throw new IllegalArgumentException(
           "SET PASSWORD requires FOR <user> (no ambient session user)"))
-        GraftAuth.authority.getOrElse(cat).setPassword(target, pw)
+        authCat(spark, cat).setPassword(target, pw)
         status(spark, "SET PASSWORD", target)
       case grantRe(priv, table, grantee) =>
-        GraftAuth.authority.getOrElse(cat).grant(priv, table, grantee)
+        authCat(spark, cat).grant(priv, table, grantee)
         status(spark, "GRANT", s"$priv ON $table TO $grantee")
       case revokeRe(priv, table, grantee) =>
-        GraftAuth.authority.getOrElse(cat).revoke(priv, table, grantee)
+        authCat(spark, cat).revoke(priv, table, grantee)
         status(spark, "REVOKE", s"$priv ON $table FROM $grantee")
       case createDatabaseRe(name) =>
-        GraftAuth.authority.getOrElse(cat).createDatabase(name)
+        authCat(spark, cat).createDatabase(name)
         status(spark, "CREATE DATABASE", name)
       case dropDatabaseRe(name) =>
-        GraftAuth.authority.getOrElse(cat).dropDatabase(name)
+        authCat(spark, cat).dropDatabase(name)
         status(spark, "DROP DATABASE", name)
       case _ =>
         throw new IllegalArgumentException(

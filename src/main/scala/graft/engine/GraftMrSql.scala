@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
   * )
   * }}}
   * DEFINE conditions are Spark SQL boolean expressions over the row; the
-  * pattern-navigation call `PREV(col [, n])` is supported and translated to
-  * a `lag` window over (PARTITION BY, ORDER BY) — evaluated before the
-  * match, which matches the reference's single-pass semantics for
-  * conditions that only look backward.
+  * pattern-navigation calls `PREV(col [, n])` / `NEXT(col [, n])`
+  * (FUNC_PREV/FUNC_NEXT, /root/reference/server/sql_type.h:195-196) are
+  * supported and translated to `lag`/`lead` windows over (PARTITION BY,
+  * ORDER BY) — physical navigation over the input stream, evaluated before
+  * the match, which matches the reference's single-pass semantics.
   *
   * MEASURES (reference rules 163-168) defaults to ONE ROW PER MATCH output:
   * partition keys + match_num + the measures. With ALL ROWS PER MATCH, the
@@ -54,6 +55,7 @@ object GraftMrSql {
   private val skipToVarRe =
     """(?is)AFTER\s+MATCH\s+SKIP\s+TO\s+(?:(LAST|FIRST)\s+)?(\w+)""".r
   private val prevRe = """(?i)PREV\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  private val nextRe = """(?i)NEXT\s*\(\s*(\w+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val classifierRe = """(?i)CLASSIFIER\s*\(\s*\)""".r
   private val matchNumberRe = """(?i)MATCH_NUMBER\s*\(\s*\)""".r
 
@@ -115,27 +117,42 @@ object GraftMrSql {
       val w = Window.partitionBy(keys.map(col): _*)
         .orderBy(orderCols.map(col): _*)
 
-      // translate PREV(col[, n]) -> materialized lag columns
-      var prevCols = Map.empty[(String, Int), String]
-      def translatePrev(cond: String): String =
-        prevRe.replaceAllIn(cond, m => {
+      // translate PREV(col[, n]) / NEXT(col[, n]) -> materialized lag/lead
+      // columns (FUNC_PREV/FUNC_NEXT, /root/reference/server/sql_type.h:195-196).
+      // Both are PHYSICAL navigation over the input stream (SQL:2016): the
+      // offset row comes from the ordered partition, matched or not, so a
+      // pre-match window materialization is exact. NEXT at the partition
+      // tail is NULL — a DEFINE condition over it is UNKNOWN and the row
+      // does not satisfy the variable (MatchRecognizeSpec pins this).
+      var prevCols = Map.empty[(String, Int, Boolean), String]
+      def translateNav(cond: String): String = {
+        val p = prevRe.replaceAllIn(cond, m => {
           val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
-          val name = prevCols.getOrElse((c, n), {
+          prevCols.getOrElse((c, n, false), {
             val nm = s"__prev_${c}_$n"
-            prevCols += ((c, n) -> nm)
+            prevCols += ((c, n, false) -> nm)
             nm
           })
-          name
         })
+        nextRe.replaceAllIn(p, m => {
+          val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
+          prevCols.getOrElse((c, n, true), {
+            val nm = s"__next_${c}_$n"
+            prevCols += ((c, n, true) -> nm)
+            nm
+          })
+        })
+      }
 
       // DEFINE V AS cond, V2 AS cond2 ... (split on top-level commas)
       val defs = GraftSql.splitSelectList(defBody).map { d =>
         val parts = d.split("(?i)\\s+AS\\s+", 2)
         require(parts.length == 2, s"bad DEFINE entry: $d")
-        parts(0).trim -> translatePrev(parts(1).trim)
+        parts(0).trim -> translateNav(parts(1).trim)
       }
-      prevCols.foreach { case ((c, n), nm) =>
-        df = df.withColumn(nm, lag(col(c), n).over(w))
+      prevCols.foreach { case ((c, n, isNext), nm) =>
+        df = df.withColumn(nm,
+          (if (isNext) lead(col(c), n) else lag(col(c), n)).over(w))
       }
       val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
 

@@ -194,9 +194,10 @@ object Dedup {
     // stack a BroadcastExchange on one leg (size permitting), which keeps
     // BOTH sketch subtrees live and silently doubles the sketching cost
     // (DedupSpec asserts the executed plan reuses a single exchange)
-    val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .repartition(nPart, col("band"), col("bucket"))
+    val banded = bandedExchange(
+      sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("bucket"),
@@ -243,9 +244,10 @@ object Dedup {
           docs.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
       else widthFromBytes(docs, 4, bytesPerPartition = 64L << 20)
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
-    val banded = sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-      .repartition(nPart, col("band"), col("chunk"))
+    val banded = bandedExchange(
+      sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk"),
+      nPart, col("band"), col("chunk"))
     val l = banded.select(col("band"), col("chunk"), col("id").as("a"), col("sh").as("sh_a"))
       .hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("chunk"), col("id").as("b"), col("sh").as("sh_b"))
@@ -273,7 +275,17 @@ object Dedup {
     * rest. Result is IDENTICAL to the naive formulation (the DuckDB oracle
     * runs the naive SQL) but the index join touches ~t-fraction prefixes of
     * mostly-rare tokens — the difference between minutes and sub-second at
-    * 5k docs, and between impossible and linear-ish at 100 TB. */
+    * 5k docs, and between impossible and linear-ish at 100 TB.
+    *
+    * EXECUTION CONTRACT (r10 ADVICE): this method is EAGER — it
+    * materializes and COUNTS the candidate set at call time to size the
+    * verify stage, so "building the plan" already runs jobs. When the
+    * session has a reliable checkpoint dir configured
+    * (`sc.setCheckpointDir`), candidates checkpoint THERE and survive
+    * executor loss; without one they fall back to localCheckpoint, whose
+    * non-replicated blocks mean an executor loss fails the query instead
+    * of recomputing (rerun it) — configure a checkpoint dir on real
+    * clusters. */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double,
                         targetCandidatesPerPartition: Long = 50000L): DataFrame = {
@@ -290,8 +302,10 @@ object Dedup {
     // expression-shaped operator has no lifecycle hook to issue — each
     // call would leak a cached candidate set) materializes once for the
     // count AND the verify stage; the blocks free when the RDD is GC'd.
-    val cand = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
-      .localCheckpoint(true)
+    val cand0 = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
+    val cand =
+      if (spark.sparkContext.getCheckpointDir.isDefined) cand0.checkpoint(true)
+      else cand0.localCheckpoint(true)
     val nPart = verifyPartitions(cand.count(),
       spark.sessionState.conf.numShufflePartitions, targetCandidatesPerPartition)
     // exact verify: |A∩B| per candidate by a PER-ROW set intersection
@@ -356,6 +370,22 @@ object Dedup {
       math.min(math.max(default, needed), 65536L).toInt
     }
   }
+
+  /** The banded self-joins' key exchange. The adaptive width is an OOM
+    * GUARD — it matters only when it must EXPAND past the session default
+    * (the exploded band volume would overflow default-width build maps,
+    * r10 5M-doc rehearsal). When the derived width fits inside the default,
+    * keep the width-free `repartition(keys)` form, which AQE may COALESCE:
+    * r10 pinned the width unconditionally and the non-coalescible 32-task
+    * exchange cost ~1.6x calib-normalized on the sf0.1 minhash bench for
+    * zero scale benefit (BENCH_COMPARE_r10). Both legs still share one
+    * canonically-equal Exchange subtree either way (ReusedExchange,
+    * DedupSpec-asserted). */
+  private def bandedExchange(df: DataFrame, nPart: Int,
+                             cols: org.apache.spark.sql.Column*): DataFrame =
+    if (nPart > df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.repartition(nPart, cols: _*)
+    else df.repartition(cols: _*)
 
   private def tokenSet(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     spread(docs)
@@ -619,9 +649,10 @@ object Dedup {
         docs.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
       case None => widthFromBytes(docs, bands, bytesPerPartition = 16L << 20)
     }
-    val banded = sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .repartition(nPart, col("band"), col("bucket"))
+    val banded = bandedExchange(
+      sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
     val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))

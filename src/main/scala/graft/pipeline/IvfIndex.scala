@@ -22,6 +22,41 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Writer mutex for the index at `path`: an atomically-created
+    * `<path>.lock` file serializes APPEND and RETRAIN against each other
+    * (r10 ADVICE: an append's read-meta/write-meta could interleave with a
+    * concurrent retrain's swap and lose appended counts, or write meta
+    * into the swapped-out tree). Reads need no lock — [[topK]] retries
+    * through the swap's rename window instead. Waits up to `waitMs` for a
+    * competing writer, then fails rather than proceeding unserialized; a
+    * crashed writer's stale lock is the operator's to delete (the lock
+    * file records owner/time for that call). */
+  private def withWriterLock[A](spark: SparkSession, path: String,
+                                waitMs: Long = 600000L)(body: => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
+    val fs = lock.getFileSystem(conf)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.write(s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException if System.currentTimeMillis() < deadline =>
+          Thread.sleep(200)
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"IvfIndex writer lock at $path.lock not acquired within ${waitMs}ms " +
+              "(concurrent writer, or a stale lock from a crashed one)", e)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Train + write the index. Overwrites `path`. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nLists: Int = -1, corpusSize: Long = -1L): Unit = {
@@ -76,26 +111,28 @@ object IvfIndex {
              autoRetrain: Boolean = false): Double = {
     val spark = newVectors.sparkSession
     graft.functions.GridDbScalarFunctions.register(spark)
-    val cents = loadCentroids(spark, path)
-    val batch = newVectors
-      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
-    val n = batch.count()
-    // read meta BEFORE the write: the legacy-index fallback counts the
-    // vectors dir, and counting AFTER the append would fold the new batch
-    // into built_count and understate the staleness fraction
-    val (built, appended) = readMeta(spark, path)
-    batch
-      .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
-      .repartition(col("cluster"))
-      .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
-    val newAppended = appended + n
-    val fraction = newAppended.toDouble / math.max(built, 1L)
-    if (fraction >= retrainThreshold && autoRetrain) {
-      retrain(spark, path)
-      0.0
-    } else {
-      writeMeta(spark, path, built, newAppended)
-      fraction
+    withWriterLock(spark, path) {
+      val cents = loadCentroids(spark, path)
+      val batch = newVectors
+        .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
+      val n = batch.count()
+      // read meta BEFORE the write: the legacy-index fallback counts the
+      // vectors dir, and counting AFTER the append would fold the new batch
+      // into built_count and understate the staleness fraction
+      val (built, appended) = readMeta(spark, path)
+      batch
+        .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+        .repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+      val newAppended = appended + n
+      val fraction = newAppended.toDouble / math.max(built, 1L)
+      if (fraction >= retrainThreshold && autoRetrain) {
+        retrainLocked(spark, path)
+        0.0
+      } else {
+        writeMeta(spark, path, built, newAppended)
+        fraction
+      }
     }
   }
 
@@ -113,8 +150,13 @@ object IvfIndex {
 
   /** Rebuild the index from its own on-disk vector set (fresh centroids
     * over build+appended rows, AUTO list count for the grown corpus) and
-    * atomically swap it in. */
-  def retrain(spark: SparkSession, path: String): Unit = {
+    * atomically swap it in. Serialized against concurrent appends via the
+    * writer lock; concurrent [[topK]] reads ride through the swap's
+    * rename window by retrying. */
+  def retrain(spark: SparkSession, path: String): Unit =
+    withWriterLock(spark, path) { retrainLocked(spark, path) }
+
+  private def retrainLocked(spark: SparkSession, path: String): Unit = {
     val all = spark.read.parquet(s"$path/vectors").select("id", "cv")
     val tmp = s"${path}_rebuild"
     build(all, "id", "cv", tmp)
@@ -167,11 +209,38 @@ object IvfIndex {
     * "broadcast-sized by contract" prose is now a measured gate); above
     * that the per-cluster join runs as a shuffle join, same results, no
     * driver/executor-memory cliff. */
+  /** Serving reads retry through a concurrent retrain's swap window: the
+    * rename-aside swap has a sub-second instant where `path` holds no
+    * index, so a read that lands in it backs off and retries instead of
+    * failing the query (r10 ADVICE). Bounded: ~10 s, then the original
+    * error propagates (a MISSING index should still fail fast). This makes
+    * serving CRASH-FREE across a swap, not snapshot-isolated: a query that
+    * loaded pre-swap centroids may prune post-swap partitions with stale
+    * list ids — recall degrades for that one query; rerun for fresh
+    * results. */
+  private def retryThroughSwap[A](body: => A): A = {
+    var attempt = 0
+    var result: Option[A] = None
+    while (result.isEmpty) {
+      try result = Some(body)
+      catch {
+        case e @ (_: java.io.FileNotFoundException |
+                  _: org.apache.spark.sql.AnalysisException) if attempt < 40 =>
+          val pathish = e.getMessage != null &&
+            (e.getMessage.contains("does not exist") || e.getMessage.contains("PATH_NOT_FOUND"))
+          if (!pathish) throw e
+          attempt += 1
+          Thread.sleep(250)
+      }
+    }
+    result.get
+  }
+
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
            roundTo: Int = 4, maxBroadcastQueries: Long = 100000L): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(spark)
-    val cents = loadCentroids(spark, path)
+    val cents = retryThroughSwap(loadCentroids(spark, path))
     val q = queries.select(col(idCol).as("q_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
       .withColumn("cluster",
@@ -179,7 +248,7 @@ object IvfIndex {
           d => d.getField("cid"))))
     // bounded by nLists distinct values regardless of |queries|
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(s"$path/vectors")
+    val pruned = retryThroughSwap(spark.read.parquet(s"$path/vectors"))
       .filter(col("cluster").isInCollection(probed))
     // limit(max+1) short-circuits: the gate never scans past the
     // threshold, so an arbitrarily expensive query plan is not evaluated

@@ -49,37 +49,62 @@ object Similarity {
     * integral id columns (every registered surface); a non-integral
     * idCol (string/uuid ids through the public API) keeps the window
     * formulation — correct for any orderable type, at the pre-r10 cost. */
-  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.schema("c_id").dataType match {
+  /** Below this many candidate rows (when the caller KNOWS the count —
+    * `candidateHint`), the codegen'd window sort beats the capped
+    * aggregate's per-row ObjectHashAggregate overhead; above it (or when
+    * the count is unknown) the k-capped form's bounded buffers win and
+    * stay safe under skew. Crossover measured r11 (ProbeTopKCrossover,
+    * sf0.1): window 1.6x faster at 10k candidates, parity ~150k, capped
+    * 1.7x faster by 1M. */
+  private[graft] val CappedRankThreshold = 200000L
+
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
+                                  candidateHint: Long = -1L): DataFrame = {
+    val integralId = scored.schema("c_id").dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType =>
-        scored.groupBy("q_id")
-          .agg(call_function("graft_top_k",
-            struct(col("c_id"), col("cos")), col("cos"),
-            col("c_id").cast("long"), lit(k)).as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
-            (col("pos") + 1).as("rk"))
-      case _ =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
     }
+    if (integralId && (candidateHint < 0 || candidateHint >= CappedRankThreshold))
+      scored.groupBy("q_id")
+        .agg(call_function("graft_top_k",
+          struct(col("c_id"), col("cos")), col("cos"),
+          col("c_id").cast("long"), lit(k)).as("top"))
+        .select(col("q_id"), posexplode(col("top")))
+        .select(col("q_id"), col("col.c_id").as("c_id"), col("col.cos").as("cos"),
+          (col("pos") + 1).as("rk"))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      // NULL cos (zero-norm guard) is dropped on BOTH paths: graft_top_k
+      // skips nulls, and without this filter the window would rank them
+      // after real candidates when a query has < k non-null matches
+      // (r10 ADVICE — path-dependent row sets by id type)
+      scored.filter(col("cos").isNotNull)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+  }
 
   /** Exact cosine top-k of corpus vectors for each query vector.
     * Ties broken by corpus id; self-matches excluded; cosine rounded to
     * `roundTo` digits BEFORE ranking so results are reproducible across
     * engines. Output: (q_id, c_id, cos, rk). */
+  /** `corpusSize`/`queryCount` are optional EXACT-size hints (catalog
+    * stats, parquet footer counts — graft.engine.TableStats): when both are
+    * known the rank stage picks window-vs-capped by the candidate count
+    * (see [[topKPerQuery]]); unknown sizes keep the skew-safe capped form. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int,
-                     roundTo: Int = 4): DataFrame = {
+                     roundTo: Int = 4,
+                     corpusSize: Long = -1L, queryCount: Long = -1L): DataFrame = {
     ensureFns(corpus)
     val c = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, k,
+      if (corpusSize > 0 && queryCount > 0) corpusSize * queryCount else -1L)
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes (bits x dim), seeded. */

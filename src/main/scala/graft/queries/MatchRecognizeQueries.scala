@@ -220,6 +220,41 @@ object MatchRecognizeQueries {
         .orderBy("user_id", "match_num", "event_id")
     },
 
+    // NEXT(col) physical lookahead in DEFINE (FUNC_NEXT, reference
+    // sql_type.h:196): runs of >= 2 rows whose value strictly exceeds the
+    // NEXT row's value. Goes through the GraftMrSql TEXT lowering (the
+    // lead() materialization is what's under test). The partition's last
+    // row has NULL lookahead -> condition UNKNOWN -> never matches P,
+    // which the lead()-based oracle mirrors with `nv IS NOT NULL`.
+    Q.df("q_mr_next",
+      duck = """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+        |    lead(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nv
+        |  FROM events),
+        |p AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |      FROM x WHERE nv IS NOT NULL AND value > nv),
+        |g AS (SELECT user_id, grp, MIN(rn) AS srn FROM p
+        |      GROUP BY user_id, grp HAVING COUNT(*) >= 2),
+        |m AS (SELECT user_id, grp,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY srn) AS match_num
+        |      FROM g)
+        |SELECT p.user_id AS user_id, p.event_id AS event_id, m.match_num,
+        |  'P' AS classifier
+        |FROM p JOIN m ON p.user_id = m.user_id AND p.grp = m.grp
+        |ORDER BY user_id, match_num, event_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).createOrReplaceTempView("mr_next_events")
+      graft.engine.GraftMrSql.run(s,
+        """SELECT * FROM mr_next_events MATCH_RECOGNIZE (
+          |  PARTITION BY user_id ORDER BY ts, event_id
+          |  ALL ROWS PER MATCH
+          |  PATTERN (P{2,})
+          |  DEFINE P AS value > NEXT(value)
+          |)""".stripMargin)
+        .select(col("user_id"), col("event_id"), col("match_num"), col("classifier"))
+        .orderBy("user_id", "match_num", "event_id")
+    },
+
     // ---- UNKEYED bounded-pattern match: exercises the chunk-parallel scan
     // (no coalesce(1) — the series is chunked with an L-row overlap and the
     // entry/exit composition reproduces the sequential AFTER MATCH SKIP

@@ -14,6 +14,13 @@ object PipelineQueries {
     Tables.read(s, dir, "documents")
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.read(s, dir, "embeddings")
+  // exact row counts from parquet footers (zero-job, cached): registered
+  // forms hand operators a known corpusSize so adaptive widths / AUTO
+  // hyper-parameters skip the per-call estimate or count (r10 BenchCompare)
+  private def nDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.TableStats.parquetRowCount(s, s"$dir/documents.parquet")
+  private def nEmbs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.engine.TableStats.parquetRowCount(s, s"$dir/embeddings.parquet")
 
   val qs: Seq[Q] = Seq(
 
@@ -125,13 +132,15 @@ object PipelineQueries {
 
     // ---- MinHash + LSH near-dup candidates (xxhash64 family: rows-only) ----
     Q.rowsOnly("q_dedup_minhash", bench = true) { (s, dir) =>
-      Dedup.minhashCandidates(docs(s, dir), "text", "doc_id")
+      Dedup.minhashCandidates(docs(s, dir), "text", "doc_id",
+          corpusSize = nDocs(s, dir))
         .orderBy("a", "b")
     },
 
     // ---- SimHash near-dup pairs (rows-only) ----
     Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6)
+      Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6,
+          corpusSize = nDocs(s, dir))
         .orderBy("a", "b")
     },
 
@@ -157,7 +166,8 @@ object PipelineQueries {
     //      ground truth at 2M vectors; bits=16 fixture lives on in
     //      DedupSpec/PlantedTruthSpec). Same golden hash at sf0.01. ----
     Q.rowsOnly("q_dedup_embedding_lsh_auto", bench = true) { (s, dir) =>
-      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45)
+      Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45,
+          corpusSize = nEmbs(s, dir))
         .orderBy("a", "b")
     },
 
@@ -221,7 +231,8 @@ object PipelineQueries {
         |ORDER BY q_id, rk""".stripMargin,
       bench = true) { (s, dir) =>
       val e = embs(s, dir)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          corpusSize = nEmbs(s, dir), queryCount = 5L)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
         .orderBy("q_id", "rk")
     },

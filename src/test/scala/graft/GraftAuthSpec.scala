@@ -84,6 +84,74 @@ class GraftAuthSpec extends SparkTestBase {
     }
   }
 
+  test("protected storage paths: runSQLOnFiles, path-option aliases, OVERWRITE DIRECTORY") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_auth_path").toFile
+    val dataPath = s"${dir.getAbsolutePath}/prot_data"
+    spark.range(3).toDF("x").write.mode("overwrite").parquet(dataPath)
+    val cat = GraftCatalog.forSession(spark)
+    if (cat.metaUsers.collect().exists(_.getString(0) == "unit_u")) cat.dropUser("unit_u")
+    cat.createUser("unit_u", Some("pw"))
+    GraftAuth.install(cat, Set("Auth_Unit_Tab"),
+      protectedPaths = Map(dataPath -> "Auth_Unit_Tab"))
+    spark.conf.set(GraftAuth.UserKey, "unit_u")
+    spark.conf.set(GraftAuth.PasswordKey, "pw")
+    try {
+      // r10 ADVICE bypass #1: read the backing files directly via
+      // runSQLOnFiles — must demand SELECT on the owning table
+      denied(s"SELECT * FROM parquet.`$dataPath`", "privilege")
+      // normalization: trailing slash, /../ round trip, file: scheme
+      denied(s"SELECT * FROM parquet.`$dataPath/`", "privilege")
+      denied(s"SELECT * FROM parquet.`${dir.getAbsolutePath}/../${dir.getName}/prot_data`", "privilege")
+      denied(s"SELECT * FROM parquet.`file:$dataPath`", "privilege")
+      // one file UNDER the protected directory
+      val part = new java.io.File(dataPath).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      denied(s"SELECT * FROM parquet.`$part`", "privilege")
+      // a PARENT directory sweep that would include the protected data
+      denied(s"SELECT * FROM parquet.`${dir.getAbsolutePath}`", "privilege")
+      // r10 ADVICE bypass #2: register an unprotected alias over the path
+      denied(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$dataPath')", "privilege")
+      denied(s"CREATE TABLE open_alias2 USING parquet OPTIONS ('path' '$dataPath')", "privilege")
+      denied(s"CREATE TABLE open_alias3 USING parquet LOCATION '$dataPath'", "privilege")
+      // writing INTO the protected storage is a WRITE even with SELECT
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      denied(s"INSERT OVERWRITE DIRECTORY '$dataPath' USING parquet SELECT 9", "privilege")
+      denied(s"INSERT INTO parquet.`$dataPath` SELECT 9", "privilege")
+      // with SELECT granted, the read spellings flow
+      assert(spark.sql(s"SELECT * FROM parquet.`$dataPath`").count() == 3)
+      assert(spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$dataPath')").collect() != null)
+      spark.catalog.dropTempView("open_alias")
+      // unlisted paths stay open (no false positives)
+      val openPath = s"${dir.getAbsolutePath}/open_data"
+      spark.range(2).toDF("y").write.mode("overwrite").parquet(openPath)
+      assert(spark.sql(s"SELECT * FROM parquet.`$openPath`").count() == 2)
+    } finally {
+      GraftAuth.uninstall()
+      cat.dropUser("unit_u")
+      spark.conf.unset(GraftAuth.UserKey)
+      spark.conf.unset(GraftAuth.PasswordKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("explicit-catalog auth DDL stays on the caller's catalog under enforcement (r10 ADVICE)") {
+    withAuth { authorityCat =>
+      val mine = new GraftCatalog(spark)
+      // enforcement is installed (withAuth) with authorityCat as authority;
+      // an in-process caller managing users in its OWN catalog must not
+      // leak the write into the authority
+      graft.engine.GraftDdl.run(spark, mine, "CREATE USER side_u IDENTIFIED BY 'x'")
+      assert(mine.metaUsers.collect().exists(_.getString(0) == "side_u"))
+      assert(!authorityCat.metaUsers.collect().exists(_.getString(0) == "side_u"))
+      // while the session-default catalog route still redirects to the
+      // authority (the wire behavior that r10 introduced)
+      graft.engine.GraftDdl.run(spark, GraftCatalog.forSession(spark),
+        "CREATE USER wire_u IDENTIFIED BY 'x'")
+      assert(authorityCat.metaUsers.collect().exists(_.getString(0) == "wire_u"))
+      authorityCat.dropUser("wire_u")
+    }
+  }
+
   test("CTE shadowing, subquery detection, credentials") {
     withAuth { cat =>
       // a CTE of the protected name shadows it: no grant needed

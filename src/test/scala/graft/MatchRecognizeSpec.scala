@@ -188,6 +188,46 @@ class MatchRecognizeSpec extends SparkTestBase {
       (5L, 3L), (6L, 3L), (7L, 3L)))
   }
 
+  test("NEXT(col[, n]) in DEFINE: lead materialization, tail NULL, PREV composition") {
+    // values per seq: 5,4,3,9,8,2 — P AS value > NEXT(value) holds at
+    // seq 1,2 (5>4, 4>3), fails at 3 (3<9), holds at 4,5 (9>8, 8>2) and is
+    // UNKNOWN at seq 6 (partition tail: NEXT is NULL -> row never matches,
+    // FUNC_NEXT reference semantics). PATTERN (P{2}) -> two matches.
+    val df = Seq(("k", 1L, 5.0), ("k", 2L, 4.0), ("k", 3L, 3.0),
+      ("k", 4L, 9.0), ("k", 5L, 8.0), ("k", 6L, 2.0))
+      .toDF("k", "seq", "value")
+    df.createOrReplaceTempView("mr_next_t")
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_next_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  ALL ROWS PER MATCH
+        |  PATTERN (P{2})
+        |  DEFINE P AS value > NEXT(value))""".stripMargin)
+      .select("seq", "match_num").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (4L, 2L), (5L, 2L)))
+    // the helper columns are dropped from the output schema
+    assert(!graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_next_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  ALL ROWS PER MATCH
+        |  PATTERN (P{2})
+        |  DEFINE P AS value > NEXT(value))""".stripMargin)
+      .columns.exists(_.startsWith("__next")))
+
+    // offset form NEXT(col, 2) + PREV in the SAME condition: rows where
+    // the value two ahead is higher AND the previous value is higher
+    // (seq 2: next2=9>4, prev=5>4; seq 3: next2=8>3, prev=4>3). seq 5/6
+    // have no next2 (UNKNOWN), seq 1 has no prev.
+    val out2 = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_next_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  ALL ROWS PER MATCH
+        |  PATTERN (B)
+        |  DEFINE B AS NEXT(value, 2) > value AND PREV(value) > value)""".stripMargin)
+      .select("seq").as[Long].collect().toSet
+    assert(out2 == Set(2L, 3L))
+  }
+
   test("MEASURES: FIRST composes with VAR scoping and nested calls") {
     val df = Seq(("k", 1L, "a", 10.0), ("k", 2L, "b", -20.0), ("k", 3L, "b", 30.0))
       .toDF("k", "seq", "t", "value")
