@@ -56,18 +56,31 @@ object TextAnalysis {
         sum(length(col(textCol))).cast("long").as("total_chars"),
         count(lit(1)).as("n_docs"))
 
-  /** Document fingerprint: minimum xxhash64 over word 4-gram shingles
+  /** Document fingerprint: minimum hash over word 4-gram shingles
     * (winnowing-style min-sketch; equal fingerprints => likely overlap).
     * Shingles are built once from a projected token column — the inline
     * form re-tokenized per shingle (no CSE in HOF lambdas) and computed
-    * the shingle array twice. */
-  def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    * the shingle array twice.
+    *
+    * `hash`: "xxhash64" (default — codegen'd long hash, the production
+    * form) or "md5" (hex-string min — engine-portable, so the WHOLE
+    * pipeline tokenize -> shingle -> min-sketch is DuckDB-oracle-checkable;
+    * the two forms share every stage but the hash call). */
+  def fingerprint(docs: DataFrame, textCol: String, idCol: String,
+                  hash: String = "xxhash64"): DataFrame = {
+    val h: Column => Column = hash match {
+      case "xxhash64" => s => xxhash64(s)
+      case "md5" => s => md5(s.cast("binary"))
+      case other => throw new IllegalArgumentException(
+        s"fingerprint hash must be xxhash64 or md5, got $other")
+    }
     docs.select(col(idCol), Dedup.tokens(textCol).as("__t"))
       .select(col(idCol), Dedup.shinglesOfTokens(col("__t"), 4).as("__sh"))
       .select(
         col(idCol),
-        array_min(transform(col("__sh"), s => xxhash64(s))).as("fp"),
+        array_min(transform(col("__sh"), h)).as("fp"),
         size(col("__sh")).as("n_shingles"))
+  }
 
   /** Non-empty lowercased word tokens. */
   private def cleanTokens(textCol: Column): Column =

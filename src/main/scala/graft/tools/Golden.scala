@@ -22,14 +22,17 @@ object Golden {
   /** The CORRECTNESS no_oracle set (rows-only queries with deterministic
     * output). Keep in sync with the `Q.rowsOnly` entries in queries/. */
   val names: Seq[String] = Seq(
+    // r11: q_nano_precision and q_text_fingerprint left this set — both
+    // promoted to full DuckDB oracles (µs-parity nanos math; md5-variant
+    // fingerprint) — and q_decontaminate_bloom gained an oracle-checked
+    // superset-bound companion (q_decontaminate_bloom_superset)
     "q_approx_distinct", "q_approx_distinct_hll", "q_cluster_kmeans",
     "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
-    "q_dedup_simhash", "q_multimodal_features", "q_nano_precision",
+    "q_dedup_simhash", "q_multimodal_features",
     "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed", "q_sim_ivfpq_ann",
-    "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash",
-    "q_text_fingerprint")
+    "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash")
 
   private def fmt(v: Any): String = v match {
     case null => "␀"

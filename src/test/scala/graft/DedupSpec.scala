@@ -99,6 +99,30 @@ class DedupSpec extends SparkTestBase {
     assert(fp(0L) != fp(2L))
   }
 
+  test("fingerprint md5 variant: same structure as xxhash64, portable hash") {
+    // the md5 form (the oracle-checked registered variant) shares every
+    // stage with the production xxhash64 form except the hash call:
+    // identical docs still collide, shingle counts are identical, and the
+    // short-doc fallback hashes the whole text (one shingle) — the branch
+    // the sf0.01 oracle can't reach (no <4-token docs in the fixture)
+    val md = TextAnalysis.fingerprint(docs, "text", "doc_id", hash = "md5").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val mdMap = md.map(t => t._1 -> t._2).toMap
+    assert(mdMap(0L) == mdMap(3L) && mdMap(0L) != mdMap(2L))
+    val nx = TextAnalysis.fingerprint(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    md.foreach { case (id, _, n) => assert(nx(id) == n) }
+    val short = Seq((1L, "two words"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sfp = TextAnalysis.fingerprint(short, "text", "doc_id", hash = "md5").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(sfp(1L)._2 == 1)
+    assert(sfp(1L)._1 == java.security.MessageDigest.getInstance("MD5")
+      .digest("two words".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(sfp(2L)._2 == 2) // 5 tokens -> 2 distinct 4-gram shingles
+    intercept[IllegalArgumentException](
+      TextAnalysis.fingerprint(short, "text", "doc_id", hash = "sha1"))
+  }
+
   test("langId votes stopwords; quality metrics sane") {
     val lang = Seq((1L, "the cat of the house is in it"), (2L, "el gato de la casa es un gato"),
       (3L, "zzz qqq www")).toDF("doc_id", "text")

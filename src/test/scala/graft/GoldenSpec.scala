@@ -27,10 +27,6 @@ class GoldenSpec extends SparkTestBase {
     "q_dedup_semantic_ivf" -> "bac5a731493a3924",
     "q_dedup_simhash" -> "df17e934ac71859a",
     "q_multimodal_features" -> "cd83f6b20c274280",
-    // re-pinned 2026-08-13: the driver regenerated TESTDATA with events.ts
-    // as timestamp[us] (previously TIMESTAMP(NANOS)), so ts_ns values now
-    // carry trailing-zero nanos — a data change, not a code change
-    "q_nano_precision" -> "391295047b0a5e05",
     "q_pipeline_curation_v3_auto" -> "61055128fc76a684",
     "q_sim_ivf_ann" -> "5c07d3c773d648de",
     // same hash as q_sim_ivf_ann — the persisted inverted file reproduces
@@ -44,8 +40,7 @@ class GoldenSpec extends SparkTestBase {
     "q_stream_dedup_minhash" -> "f445327584e7bd8c",
     // trained+encoded in one build; deterministic because the merge argmax
     // tie-breaks on pair text (BpeSpec proves partition-independence)
-    "q_text_bpe" -> "7427a41cf8141870",
-    "q_text_fingerprint" -> "79a4b8f79f48ca84")
+    "q_text_bpe" -> "7427a41cf8141870")
 
   test("golden set covers exactly the rows-only query list") {
     assert(golden.keySet == Golden.names.toSet)
