@@ -55,6 +55,19 @@ class PlanShapeSpec extends SparkTestBase {
       s"no exchange reuse — sketch kernel runs twice per row\n$plan")
   }
 
+  test("ivf-indexed serving: partition-pruned vectors scan, broadcast query side") {
+    val plan = finalPlan("q_sim_ivf_indexed")
+    // the whole point of the on-disk inverted file: the vectors scan reads
+    // ONLY the probed cluster directories (directory-level pruning)
+    assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(plan).isDefined,
+      s"vectors scan lost its cluster partition filter\n$plan")
+    // 5 queries -> the query side broadcasts; the corpus never shuffles
+    // into a join exchange on this path
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small query side must broadcast\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"SMJ crept into IVF serving\n$plan")
+  }
+
   test("range-fill linear: windowed fill over a broadcast grid join, no shuffle join") {
     val plan = finalPlan("q_ts_range_fill_linear")
     assert(occurrences(plan, "Window") >= 2,
