@@ -662,7 +662,8 @@ object PipelineQueries {
       val e = embs(s, dir)
       val dup = Curation.duplicatedNgramFraction(d, "doc_id", "text", n = 5)
       val nll = Curation.bigramNll(d, "doc_id", "text")
-      val keep = Dedup.semanticDedup(e, "embedding", "vec_id", minCos = 0.45)
+      val keep = Dedup.semanticDedup(e, "embedding", "vec_id", minCos = 0.45,
+          corpusSize = nEmbs(s, dir))
         .filter(col("id") === col("cluster"))
         .select(col("id").as("doc_id"))
       val surv = d.select("doc_id", "text")

@@ -193,4 +193,88 @@ class AuthFuzzSpec extends SparkTestBase {
       spark.conf.unset(GraftAuth.PasswordKey)
     }
   }
+
+  // ---- PATH side-door fuzz (r11: the r10 ADVICE bypass class). A separate
+  // generator with its own seed range — shipped generators' draw sequences
+  // are never edited. No lowercase mutation here: paths are case-sensitive,
+  // and a case-mangled path is a DIFFERENT (unprotected) path, which would
+  // corrupt the oracle.
+  private case class PathShape(mk: String => String, isWrite: Boolean)
+
+  private def runPathState(withSelectGrant: Boolean, seeds: Range): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("fz_path").toFile
+    val prot = s"${dir.getAbsolutePath}/fz_prot_data"
+    val open = s"${dir.getAbsolutePath}/fz_open_data"
+    spark.range(4).toDF("x").write.mode("overwrite").parquet(prot)
+    spark.range(2).toDF("x").write.mode("overwrite").parquet(open)
+    val part = new java.io.File(prot).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    // exact, trailing slash, dot-dot round trip, file: scheme, one part
+    // file UNDER the dir, and the PARENT directory sweeping it up
+    val protPaths = Seq(prot, s"$prot/",
+      s"${dir.getAbsolutePath}/../${dir.getName}/fz_prot_data",
+      s"file:$prot", part, dir.getAbsolutePath)
+    val pshapes = Seq(
+      PathShape(p => s"SELECT * FROM parquet.`$p`", isWrite = false),
+      PathShape(p => s"SELECT (SELECT COUNT(*) FROM parquet.`$p`) AS c", isWrite = false),
+      PathShape(p => s"CREATE OR REPLACE TEMPORARY VIEW fz_path_v9 USING parquet OPTIONS (path '$p')", isWrite = false),
+      PathShape(p => s"CREATE OR REPLACE TEMPORARY VIEW fz_path_v9 USING parquet OPTIONS ('path' = '$p')", isWrite = false),
+      PathShape(p => s"INSERT INTO parquet.`$p` SELECT 99", isWrite = true),
+      PathShape(p => s"INSERT OVERWRITE DIRECTORY '$p' USING parquet SELECT 99", isWrite = true))
+    val cat = GraftCatalog.forSession(spark)
+    Seq("fz_user").foreach(u =>
+      if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+    cat.createUser("fz_user", Some("fzpw"))
+    if (withSelectGrant) cat.grant("SELECT", Prot, "fz_user")
+    GraftAuth.install(cat, Set(Prot), protectedPaths = Map(prot -> Prot))
+    spark.conf.set(GraftAuth.UserKey, "fz_user")
+    spark.conf.set(GraftAuth.PasswordKey, "fzpw")
+    try {
+      var bypasses = List.empty[String]
+      var falseDenials = List.empty[String]
+      for (seed <- seeds) {
+        val rnd = new Random(seed)
+        val shape = pshapes(rnd.nextInt(pshapes.length))
+        val onProt = rnd.nextInt(4) > 0
+        val p = if (onProt) protPaths(rnd.nextInt(protPaths.length)) else open
+        // comment/pad mutation only (no case folding — see above)
+        val drawnComment = rnd.nextInt(3)
+        val drawnPad = rnd.nextBoolean()
+        val s0 = shape.mk(p)
+        val s1 = drawnComment match {
+          case 0 => s0
+          case 1 => s"/* fz ${rnd.nextInt(100)} */ $s0"
+          case _ => s"-- fz\n$s0"
+        }
+        val sql = if (drawnPad) s"   $s1" else s1
+        val mustGate = onProt && (shape.isWrite || !withSelectGrant)
+        val gated =
+          try { spark.sql(sql).collect(); false }
+          catch {
+            case _: SecurityException => true
+            case _: Throwable => false // analysis errors reached past the gate
+          }
+        if (mustGate && !gated) bypasses ::= s"seed=$seed  $sql"
+        if (!mustGate && gated) falseDenials ::= s"seed=$seed  $sql"
+      }
+      assert(bypasses.isEmpty, s"${bypasses.length} PATH BYPASSES:\n${bypasses.mkString("\n")}")
+      assert(falseDenials.isEmpty,
+        s"${falseDenials.length} PATH FALSE DENIALS:\n${falseDenials.mkString("\n")}")
+    } finally {
+      GraftAuth.uninstall()
+      cat.dropUser("fz_user")
+      spark.catalog.dropTempView("fz_path_v9")
+      spark.conf.unset(GraftAuth.UserKey)
+      spark.conf.unset(GraftAuth.PasswordKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    }
+  }
+
+  test("fuzz: protected PATH spellings, no grant — storage side door closed, seeds 600-899") {
+    runPathState(withSelectGrant = false, 600 until (600 + 300 * mul))
+  }
+
+  test("fuzz: protected PATH spellings, SELECT grant — reads flow, writes refused, seeds 900-1199") {
+    runPathState(withSelectGrant = true, 900 until (900 + 300 * mul))
+  }
 }
