@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
   * /root/reference/server/sql_operator_sort.cpp:4323). Measure expressions
   * may use the pattern-navigation functions `FIRST(col)`, `LAST(col)`,
   * `CLASSIFIER()`, `MATCH_NUMBER()` (reference
-  * /root/reference/server/sql_type.h:193-198) and var-scoped column
-  * references `VAR.col` inside ordinary aggregates (e.g. `SUM(B.value)`),
-  * which lower to classifier-filtered aggregates.
+  * /root/reference/server/sql_type.h:193-198), un-nested `PREV(col[, n])` /
+  * `NEXT(col[, n])` (SQL:2016: measure-side physical navigation evaluates
+  * at the match's LAST row), and var-scoped column references `VAR.col`
+  * inside ordinary aggregates (e.g. `SUM(B.value)`), which lower to
+  * classifier-filtered aggregates.
   */
 object GraftMrSql {
 
@@ -150,11 +152,28 @@ object GraftMrSql {
         require(parts.length == 2, s"bad DEFINE entry: $d")
         parts(0).trim -> translateNav(parts(1).trim)
       }
-      prevCols.foreach { case ((c, n, isNext), nm) =>
-        df = df.withColumn(nm,
-          (if (isNext) lead(col(c), n) else lag(col(c), n)).over(w))
+
+      // PREV/NEXT in MEASURES (SQL:2016 6.4: measure navigation evaluates
+      // at the LAST row of the match; physical offset over the input
+      // stream): PREV(c, n) lowers to LAST(__prev_c_n) — the already-
+      // materialized lag/lead column read at the match's last row — which
+      // translateMeasure then turns into its max_by-by-pos aggregate.
+      def translateMeasureNav(e: String): String = {
+        val p = prevRe.replaceAllIn(e, m => {
+          val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
+          val nm = prevCols.getOrElse((c, n, false), {
+            val v = s"__prev_${c}_$n"; prevCols += ((c, n, false) -> v); v
+          })
+          s"LAST($nm)"
+        })
+        nextRe.replaceAllIn(p, m => {
+          val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
+          val nm = prevCols.getOrElse((c, n, true), {
+            val v = s"__next_${c}_$n"; prevCols += ((c, n, true) -> v); v
+          })
+          s"LAST($nm)"
+        })
       }
-      val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
 
       // MEASURES m AS n, ... (rules 163-168; bare measures get m1, m2, ...)
       val measureAsRe = """(?is)^(.*)\s+AS\s+(\w+)\s*$""".r
@@ -162,11 +181,19 @@ object GraftMrSql {
         measuresRe.findFirstMatchIn(body).map(_.group(1).trim) match {
           case Some(mtext) if mtext.nonEmpty =>
             GraftSql.splitSelectList(mtext).zipWithIndex.map {
-              case (measureAsRe(e, n), _) => n.trim -> e.trim
-              case (e, idx) => s"m${idx + 1}" -> e.trim
+              case (measureAsRe(e, n), _) => n.trim -> translateMeasureNav(e.trim)
+              case (e, idx) => s"m${idx + 1}" -> translateMeasureNav(e.trim)
             }
           case _ => Nil
         }
+
+      // materialize AFTER both DEFINE and MEASURES registered their nav
+      // columns (measures may add offsets the conditions never used)
+      prevCols.foreach { case ((c, n, isNext), nm) =>
+        df = df.withColumn(nm,
+          (if (isNext) lead(col(c), n) else lag(col(c), n)).over(w))
+      }
+      val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
       val varNames = defs.map(_._1)
 
       val allRows = allRowsRe.findFirstIn(body).isDefined

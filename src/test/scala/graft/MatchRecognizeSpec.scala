@@ -226,6 +226,20 @@ class MatchRecognizeSpec extends SparkTestBase {
         |  DEFINE B AS NEXT(value, 2) > value AND PREV(value) > value)""".stripMargin)
       .select("seq").as[Long].collect().toSet
     assert(out2 == Set(2L, 3L))
+
+    // PREV/NEXT in MEASURES evaluate at the match's LAST row (SQL:2016):
+    // match1 = seq 1,2 -> PREV@2 = 5, NEXT@2 = 3 (outside the match —
+    // physical navigation); match2 = seq 4,5 -> PREV@5 = 9, NEXT@5 = 2
+    val meas = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_next_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES PREV(value) AS pv, NEXT(value) AS nv, LAST(seq) AS ls
+        |  ONE ROW PER MATCH
+        |  PATTERN (P{2})
+        |  DEFINE P AS value > NEXT(value))""".stripMargin)
+      .orderBy("match_num").select("pv", "nv", "ls")
+      .as[(Double, Double, Long)].collect()
+    assert(meas.toSeq == Seq((5.0, 3.0, 2L), (9.0, 2.0, 5L)))
   }
 
   test("MEASURES: FIRST composes with VAR scoping and nested calls") {
