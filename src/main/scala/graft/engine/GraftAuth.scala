@@ -97,25 +97,48 @@ object GraftAuth {
     * textually minus trailing slashes. */
   private[graft] def normalizePath(p0: String): String = {
     val p = p0.trim.stripPrefix("file:")
-    if (p.contains("://")) p.replaceAll("/+$", "")
+    if (p.contains("://"))
+      // remote URI: canonicalize through Hadoop's Path/URI (collapses //,
+      // resolves dot segments) and lowercase the scheme — s3a://b//x and
+      // S3A://b/x must collide with s3a://b/x (r11 review)
+      try {
+        val u = new org.apache.hadoop.fs.Path(p).toUri
+        val scheme = Option(u.getScheme).map(_.toLowerCase + "://").getOrElse("")
+        val auth = Option(u.getAuthority).getOrElse("")
+        scheme + auth + Option(u.getPath).getOrElse("").replaceAll("/+$", "")
+      } catch { case _: IllegalArgumentException => p.replaceAll("/+$", "") }
     else try new java.io.File(p).getCanonicalPath
     catch { case _: java.io.IOException => p.replaceAll("/+$", "") }
   }
 
+  private val GlobChars = Set('*', '?', '[', '{')
+
   /** The protected table gating `raw` as a path, if any: a hit when `raw`
     * IS a protected path, is UNDER one (reading one file of the table's
     * directory), or is a parent directory CONTAINING one (a recursive read
-    * of /data sweeps up /data/secret). */
+    * of /data sweeps up /data/secret). A GLOB path (Spark expands wildcards
+    * at relation resolution) is gated by its longest literal prefix: any
+    * protected path sharing that prefix could be swept by the expansion,
+    * so the hit is decided conservatively — `/data/sec*` hits
+    * /data/secret, `/data/other*` does not (r11 review: an unexpanded glob
+    * compared textually matched nothing). */
   private def pathCanonical(raw: String, paths: Map[String, String]): Option[String] =
     if (paths.isEmpty) None
     else {
       val c = normalizePath(raw)
-      paths.collectFirst {
-        case (p, t) if c == p || c.startsWith(p + "/") || p.startsWith(c + "/") => t
-      }
+      val globAt = c.indexWhere(GlobChars)
+      if (globAt >= 0) {
+        val prefix = c.substring(0, globAt)
+        paths.collectFirst {
+          case (p, t) if p.startsWith(prefix) || c.startsWith(p + "/") => t
+        }
+      } else
+        paths.collectFirst {
+          case (p, t) if c == p || c.startsWith(p + "/") || p.startsWith(c + "/") => t
+        }
     }
 
-  def uninstall(): Unit = state = None
+  def uninstall(): Unit = { state = None; aliasMaps.clear() }
 
   /** The installed authority, if enforcement is active. Wire auth DDL
     * must mutate the CLUSTER-scoped user database — a Thrift connection's
@@ -177,15 +200,41 @@ object GraftAuth {
     * separately: it is admin-only over the wire, except a user changing
     * their OWN password. */
   /** String operand of a `path` option (OPTIONS (path '...'), 'path' '...',
-    * path='...') or a LOCATION clause — the spellings that register a NEW
-    * relation over existing storage. */
+    * "path" '...', `path` '...', any of them with `=`) or a LOCATION
+    * clause — the spellings that register a NEW relation over existing
+    * storage (r11 review: the quoted-key spellings were accepted by Spark
+    * but missed by the gate). */
   private val PathOptionRe =
-    """(?is)\bpath'?\s*=?\s*(?:'([^']+)'|"([^"]+)")""".r
+    """(?is)(?:`path`|"path"|'path'|\bpath)\s*=?\s*(?:'([^']+)'|"([^"]+)")""".r
   private val LocationRe =
     """(?is)\bLOCATION\s+(?:'([^']+)'|"([^"]+)")""".r
   /** INSERT OVERWRITE [LOCAL] DIRECTORY '<path>' — a WRITE to the path. */
   private val OverwriteDirRe =
     """(?is)\bOVERWRITE\s+(?:LOCAL\s+)?DIRECTORY\s+(?:'([^']+)'|"([^"]+)")""".r
+
+  /** Name a CREATE TABLE/VIEW statement registers (any quoting, multipart
+    * — last part), and the DROP that retires it: the alias ledger needs
+    * both (see [[preCheck]]). */
+  private val CreateAliasRe =
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:GLOBAL\\s+)?(?:TEMPORARY\\s+|TEMP\\s+)?" +
+      "(?:EXTERNAL\\s+)?(?:TABLE|VIEW)\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      s"(?:$IdentPart\\s*\\.\\s*)*($IdentPart)").r
+  private val DropAliasRe =
+    ("(?is)^\\s*DROP\\s+(?:TABLE|VIEW)\\s+(?:IF\\s+EXISTS\\s+)?" +
+      s"(?:$IdentPart\\s*\\.\\s*)*($IdentPart)").r
+
+  /** Per-session ledger of names REGISTERED OVER protected storage
+    * (CREATE ... path/LOCATION '<protected>'): later statements touching
+    * the alias gate against the underlying table — an INSERT through a
+    * read-granted alias is a WRITE to protected storage (r11 review:
+    * without this, a SELECT grant escalated to ungated writes via
+    * CREATE TABLE a2 USING parquet OPTIONS (path '<prot>') + INSERT). */
+  private val aliasMaps =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private def aliases(session: SparkSession) =
+    aliasMaps.computeIfAbsent(session,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
 
   private def firstGroup(m: scala.util.matching.Regex.Match): String =
     Option(m.group(1)).getOrElse(m.group(2))
@@ -193,17 +242,35 @@ object GraftAuth {
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
     case Some((cat, prot, admins, paths)) =>
       val stripped = stripComments(sqlText)
-      // PATH gate (r10 ADVICE): any statement that names a protected
-      // storage path in a path option / LOCATION is registering an
-      // unprotected alias over protected data — reading through that alias
-      // later is ungated by construction, so demand SELECT on the
-      // underlying table NOW. OVERWRITE DIRECTORY writes the path: ALL.
-      (PathOptionRe.findAllMatchIn(stripped) ++ LocationRe.findAllMatchIn(stripped))
-        .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
-        .foreach(canonical => demand(session, cat, canonical, write = false))
-      OverwriteDirRe.findAllMatchIn(stripped)
-        .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
-        .foreach(canonical => demand(session, cat, canonical, write = true))
+      // PATH gate (r10 ADVICE): a CREATE that names a protected storage
+      // path in a path option / LOCATION is registering an alias over
+      // protected data — demand SELECT on the underlying table NOW and
+      // record the alias so reads AND writes through it stay gated.
+      // Scoped to CREATE statements: a 'path' string elsewhere (a WHERE
+      // predicate on a column named path) is data, not a registration.
+      // OVERWRITE DIRECTORY (an INSERT form) writes the path: ALL.
+      if (paths.nonEmpty) {
+        val created = CreateAliasRe.findFirstMatchIn(stripped)
+        val optPaths =
+          if (created.isDefined)
+            (PathOptionRe.findAllMatchIn(stripped) ++ LocationRe.findAllMatchIn(stripped))
+              .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+          else Nil
+        optPaths.foreach(canonical => demand(session, cat, canonical, write = false))
+        created.foreach { m =>
+          val alias = unquote(m.group(1)).toLowerCase
+          optPaths.headOption match {
+            case Some(canonical) => aliases(session).put(alias, canonical)
+            case None => aliases(session).remove(alias) // re-registered elsewhere
+          }
+        }
+        DropAliasRe.findFirstMatchIn(stripped)
+          .foreach(m => aliases(session).remove(unquote(m.group(1)).toLowerCase))
+        if (stripped.matches("(?is)^\\s*INSERT\\b.*"))
+          OverwriteDirRe.findAllMatchIn(stripped)
+            .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+            .foreach(canonical => demand(session, cat, canonical, write = true))
+      }
       if (GraftDdl.isAuthDdl(stripped)) {
         val (user, pass) = credentials(session)
         val self = GraftDdl.setPasswordTarget(stripped).contains(user)
@@ -226,9 +293,15 @@ object GraftAuth {
           indirect ++
           DmlTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq ++
           TruncateTarget.findFirstMatchIn(stripped).map(m => unquote(m.group(1))).toSeq
-      targets.map(_.toLowerCase).distinct
-        .flatMap(prot.get)
+      val lowered = targets.map(_.toLowerCase).distinct
+      lowered.flatMap(prot.get)
         .foreach(canonical => demand(session, cat, canonical, write = true))
+      // DML against a recorded protected-storage alias writes the
+      // underlying table (see the alias ledger above)
+      val amap = aliasMaps.get(session)
+      if (amap != null && !amap.isEmpty)
+        lowered.flatMap(n => Option(amap.get(n)))
+          .foreach(canonical => demand(session, cat, canonical, write = true))
     case None => ()
   }
 
@@ -288,26 +361,43 @@ object GraftAuth {
           n.children.collect { case t: UnresolvedTableOrView => t.multipartIdentifier.last }
       }.flatten
       hits(reads).foreach(demand(session, cat, _, write = false))
+      // Aliases registered over protected storage (the preCheck ledger):
+      // writes through the alias are writes to the underlying table, and
+      // reads through it stay gated — so a REVOKE cuts off an alias
+      // created under an earlier grant (stricter than the definer-view
+      // semantics, deliberately: the alias IS the table's storage).
+      val amap = aliasMaps.get(session)
+      if (amap != null && !amap.isEmpty) {
+        def aliasHits(names: Seq[String]): Seq[String] =
+          names.map(_.toLowerCase).distinct.flatMap(n => Option(amap.get(n)))
+        aliasHits(writeTargets).foreach(demand(session, cat, _, write = true))
+        aliasHits(reads).foreach(demand(session, cat, _, write = false))
+      }
       // PATH gate on the plan side (r10 ADVICE): `SELECT * FROM
       // parquet.`<path>`` parses to a 2-part UnresolvedRelation that
       // ResolveSQLOnFile (spark.sql.runSQLOnFiles, on by default) binds
       // straight to the file — no table name ever reaches the name gate.
-      // Gate the LAST part of every 2-part relation against the protected
-      // paths (a real `db.table` reference cannot normalize onto an
-      // operator-listed storage path, so there are no false positives);
-      // an INSERT into such a relation already demanded write above only
-      // if the NAME matched, so re-demand write here for path targets.
+      // Gate the LAST part of every 2-part relation whose last part LOOKS
+      // like a path (contains '/') against the protected paths — the
+      // guard keeps bare `db.table` identifiers from being canonicalized
+      // against the driver CWD (r11 review: a table named like a relative
+      // path under the protected directory would false-deny) and skips
+      // the filesystem syscall on ordinary relations. An INSERT into such
+      // a relation already demanded write above only if the NAME matched,
+      // so re-demand write here for path targets.
+      def pathish(r: UnresolvedRelation): Seq[String] =
+        if (r.multipartIdentifier.size == 2 && r.multipartIdentifier.last.contains("/"))
+          pathCanonical(r.multipartIdentifier.last, paths).toSeq
+        else Nil
       val pathWrites = resolved.collectWithSubqueries {
         case i: InsertIntoStatement => i.table match {
-          case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
-            pathCanonical(r.multipartIdentifier.last, paths).toSeq
+          case r: UnresolvedRelation => pathish(r)
           case _ => Nil
         }
       }.flatten
       pathWrites.distinct.foreach(demand(session, cat, _, write = true))
       val pathReads = resolved.collectWithSubqueries {
-        case r: UnresolvedRelation if r.multipartIdentifier.size == 2 =>
-          pathCanonical(r.multipartIdentifier.last, paths).toSeq
+        case r: UnresolvedRelation => pathish(r)
       }.flatten
       pathReads.distinct.foreach(demand(session, cat, _, write = false))
     case None => ()

@@ -281,11 +281,15 @@ object Dedup {
     * materializes and COUNTS the candidate set at call time to size the
     * verify stage, so "building the plan" already runs jobs. When the
     * session has a reliable checkpoint dir configured
-    * (`sc.setCheckpointDir`), candidates checkpoint THERE and survive
-    * executor loss; without one they fall back to localCheckpoint, whose
-    * non-replicated blocks mean an executor loss fails the query instead
-    * of recomputing (rerun it) — configure a checkpoint dir on real
-    * clusters. */
+    * (`sc.setCheckpointDir`) AND
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, candidates
+    * checkpoint THERE and survive executor loss; the cleaner conf is part
+    * of the gate because reliable checkpoint files are otherwise never
+    * deleted and an expression-shaped operator has no lifecycle hook to
+    * clean up after itself (r11 review: each call would leak a full
+    * candidate-set copy to the checkpoint dir). Otherwise candidates fall
+    * back to localCheckpoint, whose non-replicated blocks mean an
+    * executor loss fails the query instead of recomputing (rerun it). */
   def tokenJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         minJaccard: Double,
                         targetCandidatesPerPartition: Long = 50000L): DataFrame = {
@@ -304,7 +308,10 @@ object Dedup {
     // count AND the verify stage; the blocks free when the RDD is GC'd.
     val cand0 = tokenJaccardCandidates(docs, textCol, idCol, minJaccard)
     val cand =
-      if (spark.sparkContext.getCheckpointDir.isDefined) cand0.checkpoint(true)
+      if (spark.sparkContext.getCheckpointDir.isDefined &&
+          spark.sparkContext.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+        cand0.checkpoint(true)
       else cand0.localCheckpoint(true)
     val nPart = verifyPartitions(cand.count(),
       spark.sessionState.conf.numShufflePartitions, targetCandidatesPerPartition)

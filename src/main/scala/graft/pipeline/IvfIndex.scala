@@ -30,22 +30,41 @@ object IvfIndex {
     * through the swap's rename window instead. Waits up to `waitMs` for a
     * competing writer, then fails rather than proceeding unserialized; a
     * crashed writer's stale lock is the operator's to delete (the lock
-    * file records owner/time for that call). */
+    * file records owner/time for that call).
+    *
+    * Atomicity of acquire (r11 review): local/file paths use NIO
+    * `Files.createFile` (O_EXCL) because Hadoop's ChecksumFileSystem
+    * implements `create(f, overwrite=false)` as a NON-atomic
+    * exists-then-create; HDFS-like filesystems keep
+    * `create(overwrite=false)`, which IS atomic there. Object stores
+    * without atomic create-if-absent (S3 before conditional writes)
+    * cannot honor a file mutex — coordinate writers externally on such
+    * storage. */
   private def withWriterLock[A](spark: SparkSession, path: String,
                                 waitMs: Long = 600000L)(body: => A): A = {
     val conf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
     val fs = lock.getFileSystem(conf)
+    val owner =
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
+    val local = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
+    def tryAcquire(): Unit =
+      if (local) {
+        val nio = java.nio.file.Paths.get(
+          if (lock.toUri.getScheme == null) lock.toString else lock.toUri.getPath)
+        java.nio.file.Files.createFile(nio) // atomic O_EXCL
+        java.nio.file.Files.write(nio, owner.getBytes("UTF-8"))
+        ()
+      } else {
+        val out = fs.create(lock, false)
+        out.write(owner.getBytes("UTF-8"))
+        out.close()
+      }
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
-      try {
-        val out = fs.create(lock, false) // atomic create-if-absent
-        out.write(s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
-          .getBytes("UTF-8"))
-        out.close()
-        acquired = true
-      } catch {
+      try { tryAcquire(); acquired = true }
+      catch {
         case _: java.io.IOException if System.currentTimeMillis() < deadline =>
           Thread.sleep(200)
         case e: java.io.IOException =>
@@ -213,11 +232,18 @@ object IvfIndex {
     * rename-aside swap has a sub-second instant where `path` holds no
     * index, so a read that lands in it backs off and retries instead of
     * failing the query (r10 ADVICE). Bounded: ~10 s, then the original
-    * error propagates (a MISSING index should still fail fast). This makes
-    * serving CRASH-FREE across a swap, not snapshot-isolated: a query that
-    * loaded pre-swap centroids may prune post-swap partitions with stale
-    * list ids — recall degrades for that one query; rerun for fresh
-    * results. */
+    * error propagates (a MISSING index should still fail fast).
+    *
+    * Scope (r11 review): the retry covers topK's PLANNING phase — the
+    * centroid load, the probe collect, and the vectors read's file
+    * listing. The returned DataFrame is lazy: if the swap lands between
+    * plan and execution, executor tasks can still hit the renamed part
+    * files and fail — rerun the query. And serving is not
+    * snapshot-isolated either way: a query that loaded pre-swap centroids
+    * may prune post-swap partitions with stale list ids — recall degrades
+    * for that one query. Operators wanting neither rerun nor one-query
+    * recall dips serialize retrains off-peak (the writer lock gives them
+    * the mutual-exclusion point). */
   private def retryThroughSwap[A](body: => A): A = {
     var attempt = 0
     var result: Option[A] = None

@@ -113,6 +113,14 @@ class GraftAuthSpec extends SparkTestBase {
       denied(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$dataPath')", "privilege")
       denied(s"CREATE TABLE open_alias2 USING parquet OPTIONS ('path' '$dataPath')", "privilege")
       denied(s"CREATE TABLE open_alias3 USING parquet LOCATION '$dataPath'", "privilege")
+      // r11 review: quoted-key spellings of the path option are the same
+      // registration primitive
+      denied(s"""CREATE TABLE open_alias4 USING parquet OPTIONS ("path" '$dataPath')""", "privilege")
+      denied(s"CREATE TABLE open_alias5 USING parquet OPTIONS (`path` '$dataPath')", "privilege")
+      // r11 review: a GLOB that would expand onto the protected directory
+      // is gated by its literal prefix
+      denied(s"SELECT * FROM parquet.`${dataPath.dropRight(4)}*`", "privilege")
+      denied(s"SELECT * FROM parquet.`${dir.getAbsolutePath}/*`", "privilege")
       // writing INTO the protected storage is a WRITE even with SELECT
       cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
       denied(s"INSERT OVERWRITE DIRECTORY '$dataPath' USING parquet SELECT 9", "privilege")
@@ -120,11 +128,31 @@ class GraftAuthSpec extends SparkTestBase {
       // with SELECT granted, the read spellings flow
       assert(spark.sql(s"SELECT * FROM parquet.`$dataPath`").count() == 3)
       assert(spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$dataPath')").collect() != null)
-      spark.catalog.dropTempView("open_alias")
-      // unlisted paths stay open (no false positives)
+      // r11 review (alias-write escalation): the registered alias is the
+      // protected table's storage — INSERT through it demands WRITE, which
+      // a SELECT grant does not cover
+      denied("INSERT INTO open_alias SELECT 9", "privilege")
+      denied("INSERT OVERWRITE TABLE open_alias SELECT 9", "privilege")
+      // reads through the alias flow under the grant...
+      assert(spark.sql("SELECT * FROM open_alias").count() == 3)
+      // ...and a REVOKE cuts them off (the alias ledger re-gates reads)
+      cat.revoke("SELECT", "Auth_Unit_Tab", "unit_u")
+      denied("SELECT * FROM open_alias", "privilege")
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      // re-registering the alias over UNPROTECTED storage releases it
       val openPath = s"${dir.getAbsolutePath}/open_data"
       spark.range(2).toDF("y").write.mode("overwrite").parquet(openPath)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$openPath')")
+      cat.revoke("SELECT", "Auth_Unit_Tab", "unit_u")
+      assert(spark.sql("SELECT * FROM open_alias").count() == 2)
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      spark.catalog.dropTempView("open_alias")
+      // unlisted paths stay open (no false positives), globs included
       assert(spark.sql(s"SELECT * FROM parquet.`$openPath`").count() == 2)
+      assert(spark.sql(s"SELECT * FROM parquet.`${openPath.dropRight(4)}*`").count() == 2)
+      // remote-URI normalization: //-collapse + case-insensitive scheme
+      assert(graft.engine.GraftAuth.normalizePath("s3a://b//secret/")
+        == graft.engine.GraftAuth.normalizePath("S3A://b/secret"))
     } finally {
       GraftAuth.uninstall()
       cat.dropUser("unit_u")
