@@ -27,9 +27,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Scale rehearsals (SCALING.md) override the shuffle width: a fixed
+    // width = cores is the right default at driver SFs, but post-shuffle
+    // partition size must track the DATA (a cluster scales width with
+    // executors) — at sf100z, 600M-row joins over 32 partitions sort/spill
+    // ~0.5 GB per task and go super-linear for config reasons, not plan
+    // reasons.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
-      shufflePartitions = cpus.toInt)
+      shufflePartitions = shuffleParts)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

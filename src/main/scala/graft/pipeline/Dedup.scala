@@ -229,7 +229,16 @@ object Dedup {
 
   /** SimHash near-duplicate pairs within `maxHamming` bits, found via banded
     * LSH on 16-bit chunks (a pair within hamming d<=3 of 64 bits must agree
-    * exactly on at least one of the 4 chunks). Output (a, b, hamming). */
+    * exactly on at least one of the 4 chunks). Output (a, b, hamming).
+    *
+    * Scale bound (inherent to the 64-bit sketch, unlike the SRP/minhash
+    * bands whose width grows with the corpus): the pigeonhole split is
+    * fixed at 4 chunks of 16 bits, so there are at most 2^16 buckets per
+    * band and mean bucket size grows as N/65536 — candidate volume turns
+    * quadratic once corpora pass the tens of millions of documents. The
+    * chunk layout cannot widen without breaking the exact hamming<=3
+    * guarantee; past that size prefer [[minhashCandidates]] /
+    * [[embeddingCandidates]], whose AUTO band widths keep buckets ~O(1). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, corpusSize: Long = -1L): DataFrame = {
     val sh = simhashDf(docs, textCol, idCol)
@@ -595,15 +604,17 @@ object Dedup {
 
   /** AUTO SRP band sizing: r bits per band targets ~64 vectors per bucket
     * (candidates ~64·N per band instead of N²/2^r with a fixed width),
-    * floored at 4 bits (1 when even the floor would overflow the signature),
-    * capped so bands·r always fits the 63-bit Long signature regardless of
-    * `bands` — with the recommended bands >= 5 a flat 15-bit cap would
-    * resolve to > 63 total bits and throw at runtime on large corpora. */
-  private[graft] def autoBandBits(n: Long, bands: Int): Int = {
-    val perBandCap = math.max(1, math.min(15, 63 / bands))
-    math.min(perBandCap, math.max(math.min(4, perBandCap),
+    * floored at 4 bits, capped at 30 per band (2^30 buckets — past ~64·2^30
+    * rows a trained coarse quantizer is the right tool). Each band hashes
+    * its own independently seeded plane set, so bands·r is NOT bounded by
+    * a shared 63-bit signature: the pre-r11 cap of 63/bands bits per band
+    * bound 4 bands at ~2M vectors, and past it buckets — and candidate
+    * volume — grew linearly with the corpus (the sf100z rehearsal measured
+    * the resulting ~610-vector buckets at 20M vectors: 24B verify pairs,
+    * 12x wall at 10x rows). */
+  private[graft] def autoBandBits(n: Long, bands: Int): Int =
+    math.min(30, math.max(4,
       math.ceil(math.log(n / 64.0) / math.log(2)).toInt)) * bands
-  }
 
   /** Embedding-cosine near-duplicate candidates at scale: banded
     * sign-random-projection LSH. The `bits` hyperplane signs are split into
@@ -619,7 +630,7 @@ object Dedup {
     * ~N²/2^r candidate pairs, so a FIXED width degrades quadratically as
     * the corpus grows (measured in the sf1 rehearsal: 8.5x wall time at 10x
     * rows with the old fixed 16/4). AUTO picks r = max(4, ceil(log2(N/64)))
-    * (~64 vectors per bucket, candidates ~64·N per band) capped at 15.
+    * (~64 vectors per bucket, candidates ~64·N per band) capped at 30.
     * Per-band recall at similarity s falls as ((1+s)/2)^r ≈ (1-θ/π)^r, so
     * when AUTO widens the bands, raise `bands` to recover recall (the
     * standard LSH b·r trade: bands cost linearly, band width exponentially).
@@ -637,16 +648,18 @@ object Dedup {
       else None
     val resolvedBits = if (bits > 0) bits else autoBandBits(nDocsOpt.get, bands)
     require(resolvedBits % bands == 0, "bands must divide bits")
-    require(resolvedBits <= 63, s"bits $resolvedBits exceeds the 63-bit Long signature")
     val r = resolvedBits / bands
+    require(r <= 63, s"per-band width $r exceeds the 63-bit band bucket")
     val dim = Similarity.vecDim(docs, vecCol)
+    // Each band's bucket is its OWN independently seeded r-plane signature
+    // (one fused kernel call per band — same total arithmetic as a single
+    // bands·r-plane call). Buckets were formerly r-bit slices of one packed
+    // 63-bit signature, which capped bands·r at 63 and stopped AUTO's
+    // per-band growth at ~2M vectors for 4 bands.
     val sig = spread(docs).select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
-      .withColumn("sig", Similarity.signatureFused(col("v"), resolvedBits, dim))
     val bandCols = (0 until bands).map { b =>
-      // Long mask: (1 << r) in Int wraps for r >= 32, collapsing every
-      // bucket to 0 and degenerating the join to a full cross product
-      shiftright(col("sig"), b * r).bitwiseAND(lit((1L << r) - 1))
+      Similarity.signatureFused(col("v"), r, dim, seed = 42L + 1000003L * b)
     }
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates.
     // Adaptive width (rows carry the full double[] vector, so the

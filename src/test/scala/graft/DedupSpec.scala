@@ -502,21 +502,20 @@ class DedupSpec extends SparkTestBase {
     assert(plan.contains("Window"), "occurrence ranking window missing")
   }
 
-  test("autoBandBits: SRP band width grows with corpus, floored and Long-safe") {
+  test("autoBandBits: SRP band width grows with corpus, floored and per-band capped") {
     assert(Dedup.autoBandBits(100, 4) == 16)            // floor: 4 bits/band
     assert(Dedup.autoBandBits(2000, 4) == 20)           // 5 bits/band at 2k
     assert(Dedup.autoBandBits(20000, 4) == 36)          // 9 bits/band at 20k
-    assert(Dedup.autoBandBits(100_000_000L, 4) == 60)   // cap: 15 bits/band
-    assert(Dedup.autoBandBits(100_000_000L, 4) <= 63)
-    // raising `bands` for recall (the documented b·r trade) must never
-    // overflow the 63-bit Long signature: the per-band cap is 63/bands,
-    // not a flat 15 (a flat cap resolved 5 bands x 15 = 75 bits and threw
-    // at runtime on corpora past ~262k rows)
-    for (bands <- 5 to 16; n <- Seq(1000L, 262_144L, 100_000_000L))
-      assert(Dedup.autoBandBits(n, bands) <= 63,
+    assert(Dedup.autoBandBits(20_000_000L, 4) == 76)    // 19 bits/band at 20M (sf100z)
+    assert(Dedup.autoBandBits(100_000_000L, 4) == 84)   // 21 bits/band at 100M
+    // width is PER BAND (each band hashes its own seeded plane set):
+    // raising `bands` for recall no longer narrows every band — the
+    // shared-63-bit-signature cap that froze 4-band growth at ~2M vectors
+    // (and let buckets grow linearly with the corpus past it) is gone
+    assert(Dedup.autoBandBits(100_000_000L, 8) == 168)  // still 21 bits/band
+    for (bands <- 1 to 16; n <- Seq(1000L, 262_144L, 100_000_000L, Long.MaxValue))
+      assert(Dedup.autoBandBits(n, bands) / bands <= 30,
         s"bands=$bands n=$n -> ${Dedup.autoBandBits(n, bands)} bits")
-    assert(Dedup.autoBandBits(100_000_000L, 5) == 60)   // 12 bits/band
-    assert(Dedup.autoBandBits(100_000_000L, 8) == 56)   // 7 bits/band
   }
 
   test("autoLists: AUTO nLists grows ~sqrt(N), floored at 16, capped at 4096") {

@@ -22,7 +22,7 @@ class GoldenSpec extends SparkTestBase {
     // AUTO band width resolves to 16 bits at the sf0.01 corpus size, so
     // this hash is unchanged from the retired bits=16 pinned form (r10:
     // the production AUTO plan is the only registered form)
-    "q_dedup_embedding_lsh_auto" -> "c306e5ebaddf2442",
+    "q_dedup_embedding_lsh_auto" -> "e5a6c426ae27369a",
     "q_dedup_minhash" -> "f445327584e7bd8c",
     "q_dedup_semantic_ivf" -> "bac5a731493a3924",
     "q_dedup_simhash" -> "df17e934ac71859a",
