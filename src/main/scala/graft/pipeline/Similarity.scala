@@ -144,10 +144,15 @@ object Similarity {
   /** AUTO list-count rule for IVF-style coarse quantizers: ~sqrt(N)
     * clusters (the docstring discipline — within-list work is then ~sqrt(N)
     * per list, the balanced point for Σ n_c² pair scans and probe scans),
-    * floored at 16 and capped at 4096 because centroids ship to every task
-    * as literal expressions (nLists x dim doubles inside one codegen'd
-    * transform) — past that a hierarchical/trained quantizer is the right
-    * tool, and the cap keeps the plan compilable rather than silently slow. */
+    * floored at 16 and capped at 4096. The cap is no longer about plan
+    * size (centroids ride a codegen reference object, not literals): it
+    * bounds the per-row assignment cost, which is O(nLists·dim) flops
+    * against EVERY vector, and the k-means training pass that scales with
+    * k — at sqrt(1B) ≈ 31623 lists assignment alone is ~8x the capped
+    * cost per row. Past ~16M vectors (where sqrt(N) crosses the cap) a
+    * hierarchical/trained coarse quantizer is the right tool; the capped
+    * sizing degrades gracefully (within-list scans grow as N/4096, not
+    * N²). */
   private[graft] def autoLists(n: Long): Int =
     math.min(4096L, math.max(16L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
