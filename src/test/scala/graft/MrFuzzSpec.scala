@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.mr.{MatchRecognize, PatternRegex}
+import scala.util.Random
+
+/** Differential fuzz for MATCH_RECOGNIZE against an INDEPENDENT oracle.
+  *
+  * Every prior MR test either hand-pins expected rows or compares the
+  * chunk-parallel path to the sequential path — both sides of that parity
+  * share `PatternRegex.matchAt`. This spec re-expresses each fuzzed row
+  * pattern as a `java.util.regex` pattern over a string that encodes, per
+  * row, the SET of DEFINE variables the row satisfies (one char per
+  * subset), and replays the AFTER MATCH SKIP enumeration loop with
+  * `Matcher.lookingAt` extents. Both matchers implement greedy,
+  * left-to-right-alternation backtracking, so the first (greedy-longest)
+  * match anchored at a position must have the same extent; the skip loop
+  * over extents is then semantics, not implementation.
+  *
+  * Oracle-translatable surface (generator stays inside it):
+  *  - `^` gates the MATCH's start row, not an NFA position
+  *    (sql_operator_sort.cpp:6879 firstPos_ check) — translated by
+  *    compiling two regex variants and picking per attempt: at the
+  *    partition's first row `Start` becomes a no-op, elsewhere `(?!)`
+  *    (always-fail), exactly the engine's `start == partStart` test.
+  *  - `$` → java `$` under anchoring bounds with `region(i, n)`.
+  *  - Quantified terms are never nullable (the generator guarantees a
+  *    min-length ≥ 1 child), so the engine's zero-width repetition guard
+  *    never fires and java's own zero-length-loop rule is never consulted
+  *    — the one place the two backtracking engines could disagree.
+  *  - Skip modes PAST LAST ROW / TO NEXT ROW (extent-only; TO [FIRST] var
+  *    needs the engine's row→variable assignment, which a regex extent
+  *    cannot provide — those modes keep their hand fixtures and the
+  *    chunked-vs-sequential parity test).
+  *
+  * Classifier columns are NOT oracle-checked here (java.util.regex keeps
+  * only the last capture of a repeated group); per-row classifier
+  * semantics stay covered by MatchRecognizeSpec's pinned fixtures.
+  */
+class MrFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+  import PatternRegex._
+
+  // ---- pattern generation (legal, oracle-translatable) ----
+
+  /** Minimum rows a node must consume (anchors are zero-width). */
+  private def minLen(n: Node): Int = n match {
+    case Sym(_) => 1
+    case Start | End => 0
+    case Cat(ps) => ps.map(minLen).sum
+    case Alt(cs) => cs.map(minLen).min
+    case Rep(c, mn, _) => mn * minLen(c)
+  }
+
+  /** Random pattern AST over `vars`. `unboundedBudget` caps unbounded
+    * quantifiers at one per pattern (avoids nested-unbounded blowup in
+    * BOTH backtracking engines); quantified children are never nullable. */
+  private def genNode(rnd: Random, vars: Seq[String], depth: Int,
+                      budget: Array[Int]): Node = {
+    val leaf = depth <= 0 || rnd.nextInt(10) < 3
+    if (leaf) Sym(vars(rnd.nextInt(vars.size)))
+    else rnd.nextInt(10) match {
+      case r if r < 4 => // Cat of 2-3
+        Cat(Seq.fill(2 + rnd.nextInt(2))(genNode(rnd, vars, depth - 1, budget)))
+      case r if r < 7 => // Alt of 2-3
+        Alt(Seq.fill(2 + rnd.nextInt(2))(genNode(rnd, vars, depth - 1, budget)))
+      case _ => // Rep over a non-nullable child
+        var child = genNode(rnd, vars, depth - 1, budget)
+        if (minLen(child) == 0) child = Sym(vars(rnd.nextInt(vars.size)))
+        val unbounded = budget(0) > 0 && rnd.nextInt(4) == 0
+        if (unbounded) {
+          budget(0) -= 1
+          // single-symbol children only: unbounded repetition of an
+          // ambiguous group is the classic catastrophic-backtracking shape
+          // in BOTH engines (`(a|aa)*` on failure) — a hang, not a finding
+          val mn = rnd.nextInt(3) // 0..2 -> *, +, {2,}
+          Rep(Sym(vars(rnd.nextInt(vars.size))), mn, Int.MaxValue)
+        } else {
+          val mn = rnd.nextInt(3)
+          Rep(child, mn, mn + rnd.nextInt(3)) // bounded, max <= mn+2
+        }
+    }
+  }
+
+  /** Render an AST back to the MATCH_RECOGNIZE pattern string — also
+    * exercises the parser (the spec asserts parse(render(ast)) round-trips
+    * to an equivalent matcher, not the identical tree). */
+  private def render(n: Node): String = n match {
+    case Sym(v) => v
+    case Cat(ps) => ps.map(renderAtomInCat).mkString(" ")
+    case Alt(cs) => cs.map(render).mkString(" | ")
+    case Rep(c, mn, mx) =>
+      val atom = c match {
+        case Sym(v) => v
+        case other => "(" + render(other) + ")"
+      }
+      val q =
+        if (mn == 0 && mx == Int.MaxValue) "*"
+        else if (mn == 1 && mx == Int.MaxValue) "+"
+        else if (mn == 0 && mx == 1) "?"
+        else if (mx == Int.MaxValue) s"{$mn,}"
+        else if (mn == mx) s"{$mn}"
+        else s"{$mn,$mx}"
+      atom + q
+    case Start => "^"
+    case End => "$"
+  }
+  private def renderAtomInCat(n: Node): String = n match {
+    case Alt(_) => "(" + render(n) + ")"
+    case other => render(other)
+  }
+
+  // ---- java.util.regex oracle ----
+
+  /** Char encoding of a row's satisfied-variable set: bitmask over `vars`
+    * order, offset from 'a' (≤ 4 vars → ≤ 16 distinct chars). */
+  private def maskChar(mask: Int): Char = ('a' + mask).toChar
+
+  /** Character class matching every subset-char that contains `v`. */
+  private def classOf(v: String, vars: Seq[String]): String = {
+    val bit = vars.indexOf(v)
+    val chars = (0 until (1 << vars.size)).filter(m => ((m >> bit) & 1) == 1)
+      .map(maskChar)
+    "[" + chars.mkString + "]"
+  }
+
+  private def toJava(n: Node, vars: Seq[String], startOk: Boolean): String = n match {
+    case Sym(v) => classOf(v, vars)
+    case Cat(ps) => ps.map(p => "(?:" + toJava(p, vars, startOk) + ")").mkString
+    case Alt(cs) => "(?:" + cs.map(toJava(_, vars, startOk)).mkString("|") + ")"
+    case Rep(c, mn, mx) =>
+      val q =
+        if (mn == 0 && mx == Int.MaxValue) "*"
+        else if (mn == 1 && mx == Int.MaxValue) "+"
+        else if (mn == 0 && mx == 1) "?"
+        else if (mx == Int.MaxValue) s"{$mn,}"
+        else if (mn == mx) s"{$mn}"
+        else s"{$mn,$mx}"
+      "(?:" + toJava(c, vars, startOk) + ")" + q
+    case Start => if (startOk) "" else "(?!)"
+    case End => "$"
+  }
+
+  /** Replay the AFTER MATCH SKIP enumeration with java-regex extents:
+    * (start, length) of each emitted match over the encoded row string. */
+  private def oracleExtents(node: Node, encoded: String, vars: Seq[String],
+                            skipPast: Boolean): Seq[(Int, Int)] = {
+    import java.util.regex.Pattern
+    val atStart = Pattern.compile(toJava(node, vars, startOk = true))
+    val elsewhere = Pattern.compile(toJava(node, vars, startOk = false))
+    val n = encoded.length
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < n) {
+      val m = (if (i == 0) atStart else elsewhere).matcher(encoded)
+      m.region(i, n)
+      if (m.lookingAt() && m.end() > i) {
+        out += ((i, m.end() - i))
+        i += (if (skipPast) m.end() - i else 1)
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Engine-side extent replay at the matcher level (the GroupMatcher's
+    * exact scan loop over matchAt — PastLastRow advances by the match
+    * length, ToNextRow by one; empty matches are non-matches). */
+  private def engineExtents(node: Node, masks: Array[Int], vars: Seq[String],
+                            skipPast: Boolean): Seq[(Int, Int)] = {
+    val n = masks.length
+    val sym = (p: Int, v: String) => ((masks(p) >> vars.indexOf(v)) & 1) == 1
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < n) {
+      PatternRegex.matchAt(node, i, n, sym) match {
+        case Some(a) if a.nonEmpty =>
+          out += ((i, a.size))
+          i += (if (skipPast) a.size else 1)
+        case _ => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def genCase(seed: Int): (Node, String, Seq[String], Array[Int]) = {
+    val rnd = new Random(seed)
+    val nVars = 2 + rnd.nextInt(3)
+    val vars = Seq("A", "B", "C", "D").take(nVars)
+    val body = genNode(rnd, vars, depth = 3, budget = Array(1))
+    val anchored =
+      (rnd.nextInt(5) == 0, rnd.nextInt(5) == 0) match {
+        case (true, true) => Cat(Seq(Start, body, End))
+        case (true, false) => Cat(Seq(Start, body))
+        case (false, true) => Cat(Seq(body, End))
+        case _ => body
+      }
+    val pattern =
+      (if (hasStart(anchored)) "^" else "") +
+        "(" + render(body) + ")" +
+        (if (hasEnd(anchored)) "$" else "")
+    val nRows = 30 + rnd.nextInt(220)
+    // per-var satisfaction probability drawn once, rows drawn independently
+    val probs = vars.map(_ => 0.2 + rnd.nextDouble() * 0.5)
+    val masks = Array.fill(nRows) {
+      vars.indices.foldLeft(0)((m, b) =>
+        if (rnd.nextDouble() < probs(b)) m | (1 << b) else m)
+    }
+    (anchored, pattern, vars, masks)
+  }
+  private def hasStart(n: Node): Boolean = n match {
+    case Start => true; case Cat(ps) => ps.exists(hasStart); case _ => false
+  }
+  private def hasEnd(n: Node): Boolean = n match {
+    case End => true; case Cat(ps) => ps.exists(hasEnd); case _ => false
+  }
+
+  /** Sweep width multiplier (GRAFT_MR_FUZZ_MUL, default 1 = 3000 seeds) —
+    * same wide-sweep discipline as AuthFuzzSpec. */
+  private val fuzzMul = sys.env.get("GRAFT_MR_FUZZ_MUL").map(_.toInt).getOrElse(1)
+
+  test("matcher-level: 3000 random patterns match java.util.regex extents") {
+    var nonEmptyCases = 0
+    for (seed <- 0 until 3000 * fuzzMul; skipPast <- Seq(true, false)) {
+      val (node, pattern, vars, masks) = genCase(seed)
+      val encoded = masks.map(maskChar).mkString
+      // the rendered string must parse back to an equivalent matcher
+      val parsed = PatternRegex.parse(pattern)
+      val eng = engineExtents(parsed, masks, vars, skipPast)
+      val ora = oracleExtents(node, encoded, vars, skipPast)
+      assert(eng == ora,
+        s"seed=$seed skipPast=$skipPast pattern='$pattern' " +
+          s"engine=${eng.take(8)} oracle=${ora.take(8)} over '${encoded.take(60)}'")
+      if (eng.nonEmpty) nonEmptyCases += 1
+    }
+    // degenerate-sweep guard: most cases must actually match something
+    assert(nonEmptyCases > 3000 * fuzzMul, s"only $nonEmptyCases non-empty cases")
+  }
+
+  test("engine-level: keyed + chunked-unkeyed extents match the regex oracle") {
+    for (seed <- 1000 until 1030; skipPast <- Seq(true, false)) {
+      val (node, pattern, vars, masks) = genCase(seed)
+      val skip = if (skipPast) MatchRecognize.AfterMatchSkip.PastLastRow
+                 else MatchRecognize.AfterMatchSkip.ToNextRow
+      val defines = vars.zipWithIndex.map { case (v, b) =>
+        v -> (shiftright(col("m").cast("int"), b).bitwiseAND(1) === 1)
+      }.toMap
+
+      // keyed: two groups with independent mask streams (second group's
+      // masks drawn from a shifted seed, truncated to THIS seed's variable
+      // alphabet — a wider mask would encode to chars outside the oracle's
+      // character classes) — oracle runs per group
+      val masks2 = genCase(seed + 7919)._4.map(_ & ((1 << vars.size) - 1))
+      val rows = masks.zipWithIndex.map { case (m, i) => ("g1", i.toLong, m) } ++
+        masks2.zipWithIndex.map { case (m, i) => ("g2", i.toLong, m) }
+      val df = rows.toSeq.toDF("k", "seq", "m")
+      val out = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"),
+          pattern, defines, skip)
+        .select("k", "seq", "match_num")
+        .as[(String, Long, Long)].collect()
+      for ((key, ms) <- Seq(("g1", masks), ("g2", masks2))) {
+        val encoded = ms.map(maskChar).mkString
+        val ora = oracleExtents(node, encoded, vars, skipPast)
+        val got = out.filter(_._1 == key).groupBy(_._3).values
+          .map(g => (g.map(_._2).min.toInt, g.length)).toSeq.sorted
+        assert(got == ora.sorted.toSeq,
+          s"keyed seed=$seed skipPast=$skipPast key=$key pattern='$pattern'")
+      }
+
+      // unkeyed with a small chunk size: bounded patterns take the
+      // chunk-parallel path, unbounded the sequential scan — both must
+      // agree with the oracle (an independent check on the chunk stitch)
+      val df1 = masks.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toSeq.toDF("seq", "m")
+      val outU = MatchRecognize.matchedWithPos(df1, Nil, Seq("seq"), pattern,
+          defines, skip, chunkRows = 16)
+        .select("seq", "match_num").as[(Long, Long)].collect()
+      val oraU = oracleExtents(node, masks.map(maskChar).mkString, vars, skipPast)
+      val gotU = outU.groupBy(_._2).values
+        .map(g => (g.map(_._1).min.toInt, g.length)).toSeq.sorted
+      assert(gotU == oraU.sorted.toSeq,
+        s"unkeyed seed=$seed skipPast=$skipPast pattern='$pattern'")
+      // match_num must be sequential from 1 in match-start order
+      val byNum = outU.groupBy(_._2).map { case (n0, g) => (n0, g.map(_._1).min) }
+        .toSeq.sortBy(_._2).map(_._1)
+      assert(byNum == (1L to byNum.size), s"match_num gap seed=$seed")
+    }
+  }
+}
