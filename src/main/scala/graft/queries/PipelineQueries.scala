@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, Multimodal, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, Multimodal, Quantize, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -243,6 +243,39 @@ object PipelineQueries {
       val e = embs(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
           corpusSize = nEmbs(s, dir), queryCount = 5L)
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- SQ8 scalar-quantized cosine top-k: the one ANN-family surface
+    //      with a FULL DuckDB oracle beyond brute force — integer codes
+    //      (floor-of-affine, clamped) and the decoded reconstructions are
+    //      deterministic, so the oracle replays train -> encode -> decode
+    //      -> rank exactly ----
+    Q.df("q_sim_sq_ann",
+      duck = """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |el AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM base),
+        |dims AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY d),
+        |enc AS (
+        |  SELECT el.vec_id, el.d,
+        |    CASE WHEN dims.mx = dims.mn THEN 0
+        |         ELSE GREATEST(0, LEAST(255, CAST(FLOOR((el.x - dims.mn) * 255.0 / (dims.mx - dims.mn) + 0.5) AS INT))) END AS code
+        |  FROM el JOIN dims USING (d)),
+        |dec AS (
+        |  SELECT enc.vec_id, list(dims.mn + enc.code * (dims.mx - dims.mn) / 255.0 ORDER BY enc.d) AS dv
+        |  FROM enc JOIN dims USING (d) GROUP BY enc.vec_id),
+        |ranked AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    ROUND(list_cosine_similarity(q.v, c.dv), 4) AS cos,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(q.v, c.dv), 4) DESC, c.vec_id) AS rk
+        |  FROM base q JOIN dec c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Quantize.sqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, corpusSize = nEmbs(s, dir), queryCount = 5L)
         .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
         .orderBy("q_id", "rk")
     },

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Quantize, Similarity}
+
+class QuantizeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecDf(vs: Seq[Array[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+
+  test("sqTrain computes per-dimension corpus min/max") {
+    val df = vecDf(Seq(
+      Array(0.0f, -2.0f, 5.0f),
+      Array(1.0f, 3.0f, 5.0f),
+      Array(0.5f, 0.0f, 5.0f)))
+    val st = Quantize.sqTrain(df, "v")
+    assert(st.mn.toSeq == Seq(0.0, -2.0, 5.0))
+    assert(st.mx.toSeq == Seq(1.0, 3.0, 5.0))
+  }
+
+  test("encode/decode round trip: error <= half a quantization step per dim") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(200)(Array.fill(16)((rnd.nextDouble() * 10 - 5).toFloat))
+    val df = vecDf(vs)
+    val st = Quantize.sqTrain(df, "v")
+    val out = df.select(col("id"),
+        col("v"),
+        Quantize.sqDecode(Quantize.sqEncode(col("v"), st), st).as("dv"))
+      .as[(Long, Array[Float], Array[Double])].collect()
+    for ((_, v, dv) <- out; d <- v.indices) {
+      val step = (st.mx(d) - st.mn(d)) / 255.0
+      assert(math.abs(v(d).toDouble - dv(d)) <= step / 2 + 1e-12,
+        s"dim $d: ${v(d)} vs ${dv(d)} step=$step")
+    }
+  }
+
+  test("codes are ints in [0,255]; corpus min/max map to 0 and 255") {
+    val df = vecDf(Seq(Array(-1.0f, 10.0f), Array(3.0f, 20.0f)))
+    val st = Quantize.sqTrain(df, "v")
+    val codes = df.orderBy("id")
+      .select(Quantize.sqEncode(col("v"), st)).as[Array[Int]].collect()
+    assert(codes(0).toSeq == Seq(0, 0))
+    assert(codes(1).toSeq == Seq(255, 255))
+  }
+
+  test("constant dimension encodes to 0 and decodes to the constant") {
+    val df = vecDf(Seq(Array(4.0f, 1.0f), Array(4.0f, 2.0f)))
+    val st = Quantize.sqTrain(df, "v")
+    val out = df.orderBy("id").select(
+        Quantize.sqEncode(col("v"), st).as("c"),
+        Quantize.sqDecode(Quantize.sqEncode(col("v"), st), st).as("dv"))
+      .as[(Array[Int], Array[Double])].collect()
+    assert(out.forall(_._1(0) == 0))
+    assert(out.forall(_._2(0) == 4.0))
+  }
+
+  test("out-of-range values clamp (saturate), not wrap") {
+    val train = vecDf(Seq(Array(0.0f), Array(1.0f)))
+    val st = Quantize.sqTrain(train, "v")
+    val probe = vecDf(Seq(Array(-5.0f), Array(9.0f)))
+    val codes = probe.orderBy("id")
+      .select(Quantize.sqEncode(col("v"), st)).as[Array[Int]].collect()
+    assert(codes(0).toSeq == Seq(0))
+    assert(codes(1).toSeq == Seq(255))
+  }
+
+  test("sqTopK recall@10 vs exact brute force on the testdata embeddings") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val sq = Quantize.sqTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(sq.size == exact.size)
+    val recall = (sq & exact).size.toDouble / exact.size
+    // 8-bit codes keep cosine nearly exact; anything below this is a bug,
+    // not quantization noise
+    assert(recall >= 0.9, s"recall@10 = $recall")
+  }
+}
