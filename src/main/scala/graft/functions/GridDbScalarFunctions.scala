@@ -353,6 +353,23 @@ object GridDbScalarFunctions {
       ArgminCenter(Cast(a(0), ArrayType(DoubleType)), cents)
     }
 
+    // SQ8 ADC: decode-fused cosine against int8 codes; the per-dim stats
+    // literals are extracted once at plan time into reference objects
+    // (graft_argmin_center discipline)
+    tmp("graft_sq_cosine") { a =>
+      require(a.size == 4, "graft_sq_cosine(query, codes, mnLiteral, mxLiteral)")
+      def darr(e: Expression, what: String): Array[Double] = e match {
+        case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(DoubleType, _)) => arr.toDoubleArray()
+        case other => throw new IllegalArgumentException(
+          s"graft_sq_cosine $what must be an array<double> literal, got $other")
+      }
+      val mn = darr(a(2), "mn")
+      val mx = darr(a(3), "mx")
+      SqCosine(Cast(a(0), ArrayType(DoubleType)), a(1),
+        mn, mx.zip(mn).map { case (h, l) => h - l })
+    }
+
     // ---- geometry (function_gis.h; PV3 box test tr-cpp/TrPv3.cpp) ----
     tmp("st_qsfmbrintersects") { a =>
       require(a.size == 2, "st_qsfmbrintersects(qsfKey, boxMbr)")

@@ -98,11 +98,22 @@ object Quantize {
     })
   }
 
-  /** Exact-over-quantized cosine top-k: train on the corpus, encode and
-    * decode the corpus through the 8-bit codes, rank raw queries against
-    * the reconstructions (asymmetric distance). Output and discipline match
-    * [[Similarity.bruteForceTopK]]: (q_id, c_id, cos, rk), ties by c_id,
-    * cosine rounded to `roundTo` BEFORE ranking, self-pairs excluded. */
+  /** Decode-fused ADC cosine of a raw query vector against an SQ8 code
+    * column (functions/SqCosine): bit-identical to
+    * `Similarity.cosine(q, sqDecode(codes, stats))` — same reconstruction
+    * op order, same accumulation — without the interpreted decode
+    * `transform` or the materialized decoded array (ProbeSq: the two-step
+    * form made the quantized scan ~1.5× slower than raw floats at 2M
+    * vectors; fused it wins). */
+  def sqCosine(query: Column, codes: Column, stats: SqStats): Column =
+    call_function("graft_sq_cosine", query, codes, lit(stats.mn), lit(stats.mx))
+
+  /** Exact-over-quantized cosine top-k: train on the corpus, encode the
+    * corpus to 8-bit codes, rank raw queries against the reconstructions
+    * (asymmetric distance) via the decode-fused [[sqCosine]] kernel.
+    * Output and discipline match [[Similarity.bruteForceTopK]]:
+    * (q_id, c_id, cos, rk), ties by c_id, cosine rounded to `roundTo`
+    * BEFORE ranking, self-pairs excluded. */
   def sqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int,
              roundTo: Int = 4,
@@ -111,12 +122,12 @@ object Quantize {
     val stats = sqTrain(corpus, vecCol)
     val c = spread(corpus).select(
       col(idCol).as("c_id"),
-      sqDecode(sqEncode(col(vecCol), stats), stats).as("cv"))
+      sqEncode(col(vecCol), stats).as("codes"))
     val q = queries.select(col(idCol).as("q_id"),
       transform(col(vecCol), _.cast("double")).as("qv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(Similarity.cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        round(sqCosine(col("qv"), col("codes"), stats), roundTo).as("cos"))
     Similarity.topKPerQuery(scored, k,
       if (corpusSize > 0 && queryCount > 0) corpusSize * queryCount else -1L)
   }

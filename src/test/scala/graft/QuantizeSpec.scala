@@ -65,6 +65,43 @@ class QuantizeSpec extends SparkTestBase {
     assert(codes(1).toSeq == Seq(255))
   }
 
+  test("fused graft_sq_cosine is bit-identical to decode-then-cosine") {
+    val rnd = new scala.util.Random(11)
+    val vs = Seq.fill(300)(Array.fill(32)((rnd.nextDouble() * 6 - 3).toFloat))
+    val df = vecDf(vs)
+    val st = Quantize.sqTrain(df, "v")
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val q = transform(lit(vs.head.map(_.toDouble)), _.cast("double"))
+    val both = df.select(
+        Quantize.sqCosine(q, Quantize.sqEncode(col("v"), st), st).as("fused"),
+        Similarity.cosine(q,
+          Quantize.sqDecode(Quantize.sqEncode(col("v"), st), st)).as("twostep"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (f, t) => assert(f == t, s"$f vs $t") }
+    // at least one genuinely non-null comparison happened
+    assert(both.exists(_._1.isDefined))
+  }
+
+  test("graft_sq_cosine nulls: length mismatch and zero norm") {
+    val df = vecDf(Seq(Array(1.0f, 2.0f), Array(0.0f, 0.0f)))
+    val st = Quantize.sqTrain(df, "v")
+    graft.functions.GridDbScalarFunctions.register(spark)
+    // zero-norm corpus row (all-min dims decode to the min, but a zero
+    // QUERY vector forces denom 0)
+    val zeroQ = transform(lit(Array(0.0, 0.0)), _.cast("double"))
+    val r = df.select(
+        Quantize.sqCosine(zeroQ, Quantize.sqEncode(col("v"), st), st).as("c"))
+      .as[Option[Double]].collect()
+    assert(r.forall(_.isEmpty))
+    // length mismatch -> null
+    val shortQ = transform(lit(Array(1.0)), _.cast("double"))
+    val r2 = df.select(
+        Quantize.sqCosine(shortQ, Quantize.sqEncode(col("v"), st), st).as("c"))
+      .as[Option[Double]].collect()
+    assert(r2.forall(_.isEmpty))
+  }
+
   test("sqTopK recall@10 vs exact brute force on the testdata embeddings") {
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
