@@ -76,9 +76,23 @@ object IvfIndex {
     try body finally fs.delete(lock, false)
   }
 
-  /** Train + write the index. Overwrites `path`. */
+  /** Train + write the index. Overwrites `path`.
+    *
+    * `codec = "sq8"` stores the inverted lists as SQ8 codes instead of raw
+    * doubles ([[Quantize]]): the vectors tree — the part of the index that
+    * scales with the corpus and that every probe reads — shrinks ~4×
+    * (ProbeSq), while centroids, probing, and pruning are unchanged (the
+    * coarse quantizer stays full-precision). Serving scores through the
+    * decode-fused [[Quantize.sqCosine]] kernel; appends encode against the
+    * stats SAVED at build (out-of-range values saturate — drift degrades
+    * reconstruction at the edges, not correctness), and retrain re-trains
+    * centroids AND stats from the reconstructions (the originals are gone
+    * — that is what compression means; re-gridding reconstructions adds
+    * at most one quantization step of error). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-            nLists: Int = -1, corpusSize: Long = -1L): Unit = {
+            nLists: Int = -1, corpusSize: Long = -1L,
+            codec: String = "raw"): Unit = {
+    require(codec == "raw" || codec == "sq8", s"unknown IVF codec '$codec'")
     val spark = corpus.sparkSession
     graft.functions.GridDbScalarFunctions.register(spark)
     val c0 = graft.engine.Parallelism.spread(corpus)
@@ -99,11 +113,36 @@ object IvfIndex {
     // the pruned scan SLOWER than brute force on open/footer overhead
     // alone). With it each list is one-ish compact file — the physical
     // layout an inverted file is supposed to have.
-    c0.withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
-      .repartition(col("cluster"))
+    val assigned = c0.withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
+    val payload =
+      if (codec == "sq8") {
+        val stats = Quantize.sqTrain(c0, "cv")
+        writeSqStats(spark, path, stats)
+        assigned.select(col("id"),
+          Quantize.sqEncode(col("cv"), stats).as("codes"), col("cluster"))
+      } else assigned
+    payload.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
     writeMeta(spark, path, built, appended = 0L)
   }
+
+  private def writeSqStats(spark: SparkSession, path: String,
+                           stats: Quantize.SqStats): Unit = {
+    import spark.implicits._
+    stats.mn.indices.map(d => (d, stats.mn(d), stats.mx(d)))
+      .toDF("d", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sqstats")
+  }
+
+  private def loadSqStats(spark: SparkSession, path: String): Quantize.SqStats = {
+    val rows = spark.read.parquet(s"$path/sqstats").orderBy("d").collect()
+    Quantize.SqStats(rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** Codec of the index at `path`, read off the vectors schema (the tree
+    * is self-describing; no meta migration for pre-codec indexes). */
+  private def codecOf(vectors: DataFrame): String =
+    if (vectors.columns.contains("codes")) "sq8" else "raw"
 
   /** Incrementally add vectors to an existing index: assign with the
     * SAVED centroids (no retrain — the standard IVF serving pattern) and
@@ -139,9 +178,17 @@ object IvfIndex {
       // vectors dir, and counting AFTER the append would fold the new batch
       // into built_count and understate the staleness fraction
       val (built, appended) = readMeta(spark, path)
-      batch
+      val assigned = batch
         .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
-        .repartition(col("cluster"))
+      val payload =
+        if (codecOf(spark.read.parquet(s"$path/vectors")) == "sq8") {
+          // encode against the stats SAVED at build — appends never move
+          // the grid (out-of-range values saturate; retrain re-grids)
+          val stats = loadSqStats(spark, path)
+          assigned.select(col("id"),
+            Quantize.sqEncode(col("cv"), stats).as("codes"), col("cluster"))
+        } else assigned
+      payload.repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
       val newAppended = appended + n
       val fraction = newAppended.toDouble / math.max(built, 1L)
@@ -176,9 +223,17 @@ object IvfIndex {
     withWriterLock(spark, path) { retrainLocked(spark, path) }
 
   private def retrainLocked(spark: SparkSession, path: String): Unit = {
-    val all = spark.read.parquet(s"$path/vectors").select("id", "cv")
+    val raw = spark.read.parquet(s"$path/vectors")
+    val codec = codecOf(raw)
+    // sq8: the originals are gone — rebuild from the reconstructions
+    // (fresh centroids, fresh grid; ≤ one extra quantization step)
+    val all =
+      if (codec == "sq8") {
+        val stats = loadSqStats(spark, path)
+        raw.select(col("id"), Quantize.sqDecode(col("codes"), stats).as("cv"))
+      } else raw.select("id", "cv")
     val tmp = s"${path}_rebuild"
-    build(all, "id", "cv", tmp)
+    build(all, "id", "cv", tmp, codec = codec)
     // swap via rename-aside, never delete-first (r10 self-review: a crash
     // between delete and rename would destroy the only copy). Crash
     // windows leave either the old index still serving at `path`, or the
@@ -293,6 +348,14 @@ object IvfIndex {
       if (smallQuerySide)
         (pruned.repartition(spark.sessionState.conf.numShufflePartitions), broadcast(q))
       else (pruned, q.hint("shuffle_hash"))
+    // sq8 index: score straight off the codes with the decode-fused ADC
+    // kernel — the scan reads the ~4x-smaller codes column and no decoded
+    // array is ever materialized
+    val score =
+      if (codecOf(pruned) == "sq8") {
+        val stats = retryThroughSwap(loadSqStats(spark, path))
+        Quantize.sqCosine(col("qv"), col("codes"), stats)
+      } else Similarity.cosine(col("qv"), col("cv"))
     // no distinct ((q_id, c_id) unique by construction — one cluster per
     // vector, distinct probed cids per query) and no window: the k-capped
     // aggregate keeps rank cost bounded even when a list degenerates
@@ -300,7 +363,7 @@ object IvfIndex {
     val scored = vectors.join(qSide, Seq("cluster"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("c_id"),
-        round(Similarity.cosine(col("qv"), col("cv")), roundTo).as("cos"))
+        round(score, roundTo).as("cos"))
     Similarity.topKPerQuery(scored, k)
   }
 }

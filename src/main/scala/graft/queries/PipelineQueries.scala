@@ -25,10 +25,12 @@ object PipelineQueries {
   // memoize the build per sf dir (test fixtures are immutable) so the
   // registered/benched form measures serving, not re-building
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    ivfIndexCache.computeIfAbsent(dir, _ => {
+  private def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String,
+                           codec: String = "raw"): String =
+    ivfIndexCache.computeIfAbsent(s"$dir#$codec", _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
-      IvfIndex.build(embs(s, dir), "vec_id", "embedding", path, nLists = 16)
+      IvfIndex.build(embs(s, dir), "vec_id", "embedding", path, nLists = 16,
+        codec = codec)
       path
     })
 
@@ -309,6 +311,18 @@ object PipelineQueries {
       val e = embs(s, dir)
       IvfIndex.topK(s, ivfIndexPath(s, dir), e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- the same serving path over the SQ8-coded index: the inverted
+    //      lists store int8 codes (~4x smaller — the part of the index
+    //      that scales with the corpus), scored via the decode-fused
+    //      graft_sq_cosine kernel; probing/pruning identical. Rows-only
+    //      golden; recall + size bounds in IvfIndexSpec/ProbeSq ----
+    Q.rowsOnly("q_sim_ivfsq_indexed") { (s, dir) =>
+      val e = embs(s, dir)
+      IvfIndex.topK(s, ivfIndexPath(s, dir, codec = "sq8"),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rk")
     },
 

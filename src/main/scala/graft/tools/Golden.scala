@@ -31,7 +31,8 @@ object Golden {
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features",
-    "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed", "q_sim_ivfpq_ann",
+    "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed",
+    "q_sim_ivfpq_ann", "q_sim_ivfsq_indexed",
     "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash")
 
   private def fmt(v: Any): String = v match {

@@ -96,6 +96,35 @@ object ProbeSq {
     val sq = Quantize.sqTopK(e, q, "vec_id", "embedding", k = 10)
       .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     println(f"[probe] recall@10 vs exact: ${(sq & exact).size.toDouble / exact.size}%.3f")
+
+    // persisted IVF: raw vs sq8 codec — index size, serving wall, and the
+    // sq8 index's recall against the raw index's results
+    import graft.pipeline.IvfIndex
+    val rawIdx = s"$out/ivf_raw"
+    val sqIdx = s"$out/ivf_sq"
+    time("IvfIndex.build raw") {
+      IvfIndex.build(e, "vec_id", "embedding", rawIdx, corpusSize = n)
+    }
+    time("IvfIndex.build sq8") {
+      IvfIndex.build(e, "vec_id", "embedding", sqIdx, corpusSize = n, codec = "sq8")
+    }
+    val (vR, vS) = (dirSize(s"$rawIdx/vectors"), dirSize(s"$sqIdx/vectors"))
+    println(f"[probe] index lists sq8 ${vS / 1e6}%.1f MB vs raw ${vR / 1e6}%.1f MB -> ${vR.toDouble / vS}%.2fx smaller")
+    var rawTop: Set[(Long, Long)] = null
+    (1 to 2).foreach { i =>
+      time(s"indexed serve raw #$i") {
+        rawTop = IvfIndex.topK(spark, rawIdx, q, "vec_id", "embedding", k = 10)
+          .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    var sqTop: Set[(Long, Long)] = null
+    (1 to 2).foreach { i =>
+      time(s"indexed serve sq8 #$i") {
+        sqTop = IvfIndex.topK(spark, sqIdx, q, "vec_id", "embedding", k = 10)
+          .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    println(f"[probe] sq8-index recall vs raw index: ${(sqTop & rawTop).size.toDouble / rawTop.size}%.3f")
     spark.stop()
   }
 }

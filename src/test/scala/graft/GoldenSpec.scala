@@ -33,6 +33,10 @@ class GoldenSpec extends SparkTestBase {
     // the in-memory operator exactly (IvfIndexSpec proves it structurally)
     "q_sim_ivf_indexed" -> "5c07d3c773d648de",
     "q_sim_ivfpq_ann" -> "5f0dae0d94168546",
+    // NOT q_sim_ivf_indexed's hash: same probes and pruning, but the
+    // candidates score against SQ8 reconstructions (IvfIndexSpec pins the
+    // ≥0.85 recall bound vs the raw index; ProbeSq measured 0.960 at 2M)
+    "q_sim_ivfsq_indexed" -> "fecf56084accf842",
     "q_sim_lsh_ann" -> "1ed71c69d7605a27",
     "q_sim_pq_ann" -> "7ba54dee46531549",
     // same hash as q_dedup_minhash — the streaming replay reproduces the

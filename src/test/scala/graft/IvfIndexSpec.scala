@@ -121,4 +121,68 @@ class IvfIndexSpec extends SparkTestBase {
     val n = spark.read.parquet(s"$path/vectors").count()
     assert(n == e.count())
   }
+
+  test("sq8 codec: 4x-smaller lists, pruning kept, near-exact recall, fused-kernel scoring") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+    val raw = java.nio.file.Files.createTempDirectory("graft_ivf_raw").toString
+    val sq = java.nio.file.Files.createTempDirectory("graft_ivf_sq").toString
+    IvfIndex.build(e, "vec_id", "embedding", raw, nLists = 8)
+    IvfIndex.build(e, "vec_id", "embedding", sq, nLists = 8, codec = "sq8")
+
+    def treeSize(p: String): Long = {
+      val f = new java.io.File(p)
+      if (f.isFile) f.length else if (!f.exists) 0L
+      else f.listFiles.map(x => treeSize(x.getPath)).sum
+    }
+    val (szR, szS) = (treeSize(s"$raw/vectors"), treeSize(s"$sq/vectors"))
+    assert(szS < szR / 2, s"sq8 lists $szS not <2x smaller than raw $szR")
+
+    val rk = IvfIndex.topK(spark, raw, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = IvfIndex.topK(spark, sq, queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning in:\n$plan")
+    assert(plan.contains("graft_sq_cosine"), "expected the fused ADC kernel in the plan")
+    val skSet = sk.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(skSet.size == rk.size)
+    val recall = (skSet & rk).size.toDouble / rk.size
+    assert(recall >= 0.85, s"sq8-index recall vs raw index = $recall")
+  }
+
+  test("sq8 codec: append encodes with SAVED stats (out-of-range saturates); retrain keeps codec") {
+    import spark.implicits._
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_sqa").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 4, codec = "sq8")
+
+    // vectors far outside the trained range: codes must clamp, the rows
+    // must still be findable (as their clamped reconstructions)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val wild = Seq((900001L, Array.fill(dim)(99.0f)), (900002L, Array.fill(dim)(-99.0f)))
+      .toDF("vec_id", "embedding")
+    IvfIndex.append(wild, "vec_id", "embedding", path)
+    val codes = spark.read.parquet(s"$path/vectors")
+      .filter(col("id") >= 900000L).select("codes")
+      .as[Array[Int]].collect()
+    assert(codes.length == 2)
+    assert(codes.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codes.exists(_.forall(_ == 255)) && codes.exists(_.forall(_ == 0)))
+
+    // probing WITH one of the appended vectors finds it as its own
+    // nearest clamped reconstruction's neighbor set is nonempty
+    val q = wild.filter(col("vec_id") === 900001L)
+    val got = IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect()
+    assert(got.nonEmpty)
+
+    IvfIndex.retrain(spark, path)
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.columns.contains("codes"), "retrain must keep the sq8 codec")
+    assert(new java.io.File(s"$path/sqstats").exists, "retrain must rewrite sqstats")
+    val got2 = IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect()
+    assert(got2.nonEmpty)
+  }
 }

@@ -51,6 +51,11 @@ def main() -> None:
     n_pass = n_fail = n_rows_only = 0
     failures = []
     dirs = {d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d))}
+    # a reused outDir can hold stale dumps of queries retired from the
+    # registry — restrict to the run's manifest when the dump provides one
+    names_path = os.path.join(OUT, "names.json")
+    if os.path.exists(names_path):
+        dirs &= set(json.load(open(names_path)))
     for d in sorted(dirs | set(oracles)):
         path = os.path.join(OUT, d)
         if not os.path.isdir(path):
