@@ -53,13 +53,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // manifest of every registered name: a REUSED outDir can hold dump
-    // dirs from retired queries of an older build, and the compare would
-    // silently count them as extra rows-only checks (observed with the
-    // verify-skill's example path across rounds) — the checker restricts
-    // itself to this manifest when present
-    Files.writeString(Paths.get(s"$outDir/names.json"),
-      graft.queries.Registry.all.map(qq => q(qq.name)).mkString("[", ",", "]"))
+    // manifest of every registered name, written for FULL runs only: a
+    // REUSED outDir can hold dump dirs from retired queries of an older
+    // build, silently counted as extra rows-only checks (observed with the
+    // verify-skill's example path across rounds), and a rows-only query
+    // that never dumped was invisible to the compare (it is in no oracle
+    // map) — the checker restricts itself to the manifest AND reports
+    // manifest names with no dump as failures. Subset runs (the local
+    // `only` iteration aid) skip the manifest so their undumped queries
+    // don't read as missing.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/names.json"),
+        graft.queries.Registry.all.map(qq => q(qq.name)).mkString("[", ",", "]"))
 
     // registry order, oracle-checked first: the strongest checks dump
     // earliest if the driver's wall budget expires mid-run

@@ -23,6 +23,16 @@ object TableStats {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Recursive on-disk byte size of a local file/directory tree — the
+    * size a storage bill sees. Local-FS only (probes and specs measuring
+    * written parquet); not cached. */
+  def treeSize(path: String): Long = {
+    val f = new java.io.File(path)
+    if (!f.exists) 0L
+    else if (f.isFile) f.length
+    else f.listFiles.map(x => treeSize(x.getPath)).sum
+  }
+
   /** Exact row count of the parquet file/directory at `path` from footer
     * metadata only; cached per-path. Recurses into partition directories. */
   def parquetRowCount(spark: SparkSession, path: String): Long =

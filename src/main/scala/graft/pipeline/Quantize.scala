@@ -72,18 +72,25 @@ object Quantize {
     * both engines define floor exactly on doubles, while round() half-case
     * behavior is the classic cross-engine trap (see the r7 ledger).
     * Out-of-range values (queries, post-train appends) clamp — saturation,
-    * not wraparound. Map-only; stats are inlined literals. */
+    * not wraparound: the clamp happens in DOUBLE space BEFORE the int
+    * cast (r11 review — floor returns LONG and a post-cast clamp lets a
+    * ~2^32-magnitude affine value wrap to an arbitrary mid-grid code).
+    * A vector that is null, has a null element, or disagrees with the
+    * trained dimension encodes to NULL — a partially-observed vector has
+    * no honest grid point, and every scoring path already treats a null
+    * side as "not a neighbor". Map-only; stats are inlined literals. */
   def sqEncode(vec: Column, stats: SqStats): Column = {
     val mnL = lit(stats.mn)
     val mxL = lit(stats.mx)
-    transform(vec, (x0, i) => {
+    val codes = transform(vec, (x0, i) => {
       val x = x0.cast("double")
       val mn = element_at(mnL, i + 1)
       val mx = element_at(mxL, i + 1)
       when(mx === mn, lit(0))
-        .otherwise(greatest(lit(0), least(lit(255),
-          floor((x - mn) * 255.0 / (mx - mn) + 0.5).cast("int"))))
+        .otherwise(least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) * 255.0 / (mx - mn) + 0.5))).cast("int"))
     })
+    when(size(vec) === lit(stats.dim) && !exists(vec, _.isNull), codes)
   }
 
   /** Decoded (reconstructed) vector of an SQ8 code column:

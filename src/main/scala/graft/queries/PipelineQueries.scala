@@ -261,7 +261,7 @@ object PipelineQueries {
         |enc AS (
         |  SELECT el.vec_id, el.d,
         |    CASE WHEN dims.mx = dims.mn THEN 0
-        |         ELSE GREATEST(0, LEAST(255, CAST(FLOOR((el.x - dims.mn) * 255.0 / (dims.mx - dims.mn) + 0.5) AS INT))) END AS code
+        |         ELSE CAST(LEAST(255.0, GREATEST(0.0, FLOOR((el.x - dims.mn) * 255.0 / (dims.mx - dims.mn) + 0.5))) AS INT) END AS code
         |  FROM el JOIN dims USING (d)),
         |dec AS (
         |  SELECT enc.vec_id, list(dims.mn + enc.code * (dims.mx - dims.mn) / 255.0 ORDER BY enc.d) AS dv

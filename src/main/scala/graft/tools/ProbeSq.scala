@@ -32,12 +32,7 @@ object ProbeSq {
       println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def dirSize(p: String): Long = {
-      val f = new java.io.File(p)
-      if (!f.exists) 0L
-      else if (f.isFile) f.length
-      else f.listFiles.map(x => dirSize(x.getPath)).sum
-    }
+    def dirSize(p: String): Long = graft.engine.TableStats.treeSize(p)
 
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

@@ -130,11 +130,7 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.build(e, "vec_id", "embedding", raw, nLists = 8)
     IvfIndex.build(e, "vec_id", "embedding", sq, nLists = 8, codec = "sq8")
 
-    def treeSize(p: String): Long = {
-      val f = new java.io.File(p)
-      if (f.isFile) f.length else if (!f.exists) 0L
-      else f.listFiles.map(x => treeSize(x.getPath)).sum
-    }
+    def treeSize(p: String): Long = graft.engine.TableStats.treeSize(p)
     val (szR, szS) = (treeSize(s"$raw/vectors"), treeSize(s"$sq/vectors"))
     assert(szS < szR / 2, s"sq8 lists $szS not <2x smaller than raw $szR")
 

@@ -65,6 +65,41 @@ class QuantizeSpec extends SparkTestBase {
     assert(codes(1).toSeq == Seq(255))
   }
 
+  test("a ~2^32-magnitude affine value saturates to 255, never wraps through the int cast") {
+    // r11 review: floor() returns LONG; clamping AFTER a cast-to-int lets
+    // (x-mn)*255/(mx-mn) ~ 2^32 truncate to an arbitrary low-bits code
+    // (4294967296 -> 0). The clamp must happen in double space.
+    val train = vecDf(Seq(Array(0.0f), Array(1.0f)))
+    val st = Quantize.sqTrain(train, "v")
+    val wild = vecDf(Seq(Array(1.6843e7f), Array(-1.6843e7f)))
+    val codes = wild.orderBy("id")
+      .select(Quantize.sqEncode(col("v"), st)).as[Array[Int]].collect()
+    assert(codes(0).toSeq == Seq(255), s"positive overflow wrapped: ${codes(0).toSeq}")
+    assert(codes(1).toSeq == Seq(0), s"negative overflow wrapped: ${codes(1).toSeq}")
+  }
+
+  test("null vector, null element, or dimension mismatch encode to NULL codes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val train = vecDf(Seq(Array(0.0f, 0.0f), Array(1.0f, 2.0f)))
+    val st = Quantize.sqTrain(train, "v")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val rows = Seq(
+      Row(0L, null),                        // null vector
+      Row(1L, Seq(0.5f, null)),             // null element
+      Row(2L, Seq(0.5f)),                   // too short
+      Row(3L, Seq(0.5f, 0.5f, 0.5f)),       // too long
+      Row(4L, Seq(0.5f, 1.0f)))             // clean
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = df.orderBy("id")
+      .select(Quantize.sqEncode(col("v"), st)).as[Option[Array[Int]]].collect()
+    assert(out(0).isEmpty && out(1).isEmpty && out(2).isEmpty && out(3).isEmpty,
+      s"partial vectors must encode to NULL, got ${out.toSeq}")
+    assert(out(4).nonEmpty && out(4).get.forall(c => c >= 0 && c <= 255))
+  }
+
   test("fused graft_sq_cosine is bit-identical to decode-then-cosine") {
     val rnd = new scala.util.Random(11)
     val vs = Seq.fill(300)(Array.fill(32)((rnd.nextDouble() * 6 - 3).toFloat))

@@ -51,12 +51,17 @@ def main() -> None:
     n_pass = n_fail = n_rows_only = 0
     failures = []
     dirs = {d for d in os.listdir(OUT) if os.path.isdir(os.path.join(OUT, d))}
-    # a reused outDir can hold stale dumps of queries retired from the
-    # registry — restrict to the run's manifest when the dump provides one
+    # the manifest (full Verify runs) both drops stale dumps of retired
+    # queries from a reused outDir AND makes an undumped rows-only query
+    # visible as MISSING-DIR (it is in no oracle map, so dirs|oracles
+    # alone can't see its absence — the r07 silent-shrink shape)
+    expected = set(oracles)
     names_path = os.path.join(OUT, "names.json")
     if os.path.exists(names_path):
-        dirs &= set(json.load(open(names_path)))
-    for d in sorted(dirs | set(oracles)):
+        manifest = set(json.load(open(names_path)))
+        dirs &= manifest
+        expected |= manifest
+    for d in sorted(dirs | expected):
         path = os.path.join(OUT, d)
         if not os.path.isdir(path):
             print(f"MISSING-DIR  {d}")
