@@ -353,6 +353,12 @@ object GridDbScalarFunctions {
       ArgminCenter(Cast(a(0), ArrayType(DoubleType)), cents)
     }
 
+    // PQ ADC: the per-pair m-lookup sum as one fused loop (parity with the
+    // interpreted zip_with/aggregate fold it replaces — see PqAdc)
+    tmp("graft_pq_adc") { a =>
+      require(a.size == 3, "graft_pq_adc(codes, lut, kCodes)")
+      PqAdc(a(0), a(1), litInt(a(2), "graft_pq_adc kCodes"))
+    }
     // SQ8 ADC: decode-fused cosine against int8 codes; the per-dim stats
     // literals are extracted once at plan time into reference objects
     // (graft_argmin_center discipline)

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** PQ asymmetric-distance inner product: `Σ_j lut[j·kCodes + codes[j]]` as
+  * one codegen'd loop — the per-PAIR hot path of pqTopK/ivfPqTopK.
+  *
+  * The HOF formulation (`aggregate(zip_with(codes, sequence(..), ...),
+  * 0d, +)`) dispatches three interpreted lambda layers per pair — the same
+  * tax the SQ8 path paid before [[SqCosine]] (and BPE before
+  * BpeEncodePieces). Parity contract with that form, pinned by the
+  * q_sim_pq_ann / q_sim_ivfpq_ann goldens:
+  *  - accumulation is left-to-right j = 0..m-1 in double precision
+  *    (zip_with preserves order; aggregate folds left to right);
+  *  - a null code element or an out-of-range lookup index yields NULL
+  *    (non-ANSI `element_at` returns null on both, and `acc + null` nulls
+  *    the fold) — degenerate rows then sort LAST under the cos DESC rank,
+  *    never first.
+  */
+case class PqAdc(left: Expression, right: Expression, kCodes: Int)
+    extends BinaryExpression {
+
+  require(kCodes > 0, "graft_pq_adc needs kCodes > 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_adc expects (array<int> codes, array<double> lut), got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val lut = r.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    val n = lut.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val idx = j * kCodes + codes.getInt(j)
+      if (idx < 0 || idx >= n) return null
+      acc += lut.getDouble(idx)
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, lu) => {
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $m = $c.numElements();
+         |final int $n = $lu.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
+         |  if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |  final int $idx = $j * $kCodes + $c.getInt($j);
+         |  if ($idx < 0 || $idx >= $n) { ${ev.isNull} = true; break; }
+         |  $acc += $lu.getDouble($idx);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

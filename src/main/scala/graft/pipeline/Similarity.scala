@@ -352,10 +352,14 @@ object Similarity {
     * of the survivors; with rerank off it is the cosine against the
     * reconstructed vector (null on zero-norm, matching graft_cosine's
     * contract, so degenerate rows sort last not first). */
+  /** `useFusedAdc = false` keeps the retired interpreted HOF score form
+    * alive for differential probing only (ProbePqAdc — the BpeDiff
+    * discipline for new fast paths); production callers never pass it. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, kCodes: Int = 16,
              steps: Int = 4, rerank: Int = -1,
-             roundTo: Int = 4, trainFraction: Double = 1.0): DataFrame = {
+             roundTo: Int = 4, trainFraction: Double = 1.0,
+             useFusedAdc: Boolean = true): DataFrame = {
     ensureFns(corpus)
     val c0 = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0, "cv")
@@ -367,13 +371,21 @@ object Similarity {
       assignCluster(slice(col("cv"), j * d + 1, d), books(j))
     }: _*)
     // |reconstruction|^2 is a literal lookup per subspace — computed at
-    // encode time so the scoring side never needs the codebook again
+    // encode time so the scoring side never needs the codebook again.
+    // The codes array MUST be staged as a column in its own projection:
+    // the single-projection form re-referenced the 8-kernel array from
+    // every norm lookup (9 evaluations of all m argmins per row when the
+    // oversized generated method falls out of codegen and interpreted
+    // eval has no subexpression reuse — measured 2 ms/row, 417 s for a
+    // 200k-vector encode, r11 ProbePqAdc). CollapseProject keeps the
+    // stage split because the reference is non-cheap and multiply-used.
     val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val enc0 = c0.select(col("c_id"), codes.as("codes"))
     val rnorm2 = (0 until m).map { j =>
-      element_at(array(normTable(j).map(lit).toIndexedSeq: _*), element_at(codes, j + 1) + 1)
+      element_at(array(normTable(j).map(lit).toIndexedSeq: _*),
+        element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val enc = c0.select(col("c_id"), codes.as("codes"),
-      sqrt(rnorm2).as("rnorm"))
+    val enc = enc0.select(col("c_id"), col("codes"), sqrt(rnorm2).as("rnorm"))
 
     // query build side: flat lut of m*kCodes partial inner products,
     // materialized once per query row before the broadcast
@@ -387,10 +399,16 @@ object Similarity {
       .drop("qv")
 
     // per-pair: m lookups, no vector arithmetic
-    val ip = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // fused m-lookup ADC sum (functions/PqAdc) — bit-identical to the
+    // interpreted aggregate(zip_with(..element_at..)) fold it replaced
+    // (left-to-right, null on null code / out-of-range index)
+    val ip =
+      if (useFusedAdc)
+        call_function("graft_pq_adc", col("codes"), col("lut"), lit(kCodes))
+      else aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
+        lit(0.0), (acc, x) => acc + x)
     // zero-norm guard: a zero query vector or a zero-norm reconstruction
     // must score null (sorts LAST under desc), not NaN (which Spark sorts
     // FIRST and would pin the degenerate row at rk=1 for every query) —
@@ -452,13 +470,18 @@ object Similarity {
     val codes = array((0 until m).map { j =>
       assignCluster(slice(col("cv"), j * d + 1, d), books(j))
     }: _*)
+    // codes staged as a column before the norm lookups reference it — see
+    // pqTopK (the un-staged form re-evaluates all m argmin kernels per
+    // norm lookup per row once the oversized projection leaves codegen)
     val normTable = books.map(_.map(cent => cent.map(x => x * x).sum))
+    val enc0 = c0.select(col("c_id"),
+      assignCluster(col("cv"), cents).as("cluster"), codes.as("codes"))
     val rnorm2 = (0 until m).map { j =>
-      element_at(array(normTable(j).map(lit).toIndexedSeq: _*), element_at(codes, j + 1) + 1)
+      element_at(array(normTable(j).map(lit).toIndexedSeq: _*),
+        element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val enc = c0.select(col("c_id"),
-      assignCluster(col("cv"), cents).as("cluster"),
-      codes.as("codes"), sqrt(rnorm2).as("rnorm"))
+    val enc = enc0.select(col("c_id"), col("cluster"), col("codes"),
+      sqrt(rnorm2).as("rnorm"))
 
     // query side: probe lists + flat ADC lookup table + norm
     val lutCol = flatten(array((0 until m).map { j =>
@@ -473,10 +496,10 @@ object Similarity {
           c => c.getField("cid"))))
       .drop("qv")
 
-    val ip = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (code, j) => element_at(col("lut"), j * kCodes + code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // fused m-lookup ADC sum (functions/PqAdc) — bit-identical to the
+    // interpreted aggregate(zip_with(..element_at..)) fold it replaced
+    // (left-to-right, null on null code / out-of-range index)
+    val ip = call_function("graft_pq_adc", col("codes"), col("lut"), lit(kCodes))
     val denom2 = col("qnorm") * col("rnorm")
     // no distinct: one cluster per corpus vector, distinct probed cids
     // per query -> (q_id, c_id) unique by construction
