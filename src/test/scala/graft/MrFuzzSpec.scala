@@ -237,7 +237,7 @@ class MrFuzzSpec extends SparkTestBase {
   }
 
   test("engine-level: keyed + chunked-unkeyed extents match the regex oracle") {
-    for (seed <- 1000 until 1030; skipPast <- Seq(true, false)) {
+    for (seed <- 1000 until (1000 + 30 * fuzzMul); skipPast <- Seq(true, false)) {
       val (node, pattern, vars, masks) = genCase(seed)
       val skip = if (skipPast) MatchRecognize.AfterMatchSkip.PastLastRow
                  else MatchRecognize.AfterMatchSkip.ToNextRow
