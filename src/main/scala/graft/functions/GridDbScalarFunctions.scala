@@ -353,6 +353,11 @@ object GridDbScalarFunctions {
       ArgminCenter(Cast(a(0), ArrayType(DoubleType)), cents)
     }
 
+    // Unicode NFC normalization (JDK Normalizer; isNormalized fast path)
+    tmp("graft_nfc") { a =>
+      require(a.size == 1, "graft_nfc(text)")
+      NfcNormalize(a(0))
+    }
     // PQ ADC: the per-pair m-lookup sum as one fused loop (parity with the
     // interpreted zip_with/aggregate fold it replaces — see PqAdc)
     tmp("graft_pq_adc") { a =>

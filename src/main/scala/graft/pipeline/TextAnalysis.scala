@@ -82,6 +82,17 @@ object TextAnalysis {
         size(col("__sh")).as("n_shingles"))
   }
 
+  /** Canonical text form for cross-encoding dedup: Unicode NFC
+    * (functions/NfcNormalize — composed vs decomposed accent sequences are
+    * byte-different, so md5-exact dedup misses them), lowercase, and
+    * whitespace runs collapsed to one space. Map-only, codegen'd end to
+    * end; requires GridDbScalarFunctions registered on the session (every
+    * registered-query/GraftSession path does this). DuckDB mirror:
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '[ \t\n\r]+', ' ', 'g'))`. */
+  def canonicalText(textCol: Column): Column =
+    trim(regexp_replace(lower(call_function("graft_nfc", textCol)),
+      "[ \t\n\r]+", " "))
+
   /** Non-empty lowercased word tokens. */
   private def cleanTokens(textCol: Column): Column =
     filter(split(lower(textCol), " "), t => length(t) > 0)

@@ -59,6 +59,23 @@ object PipelineQueries {
         |HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin),
 
+    // ---- NFC-canonicalized exact dedup: composed vs decomposed unicode
+    //      accent sequences are byte-different, so md5-exact dedup misses
+    //      them; canonicalText (functions/NfcNormalize + lower +
+    //      whitespace collapse) is the honest digest input. Per-doc rows
+    //      so the oracle checks the canonical form itself, not only group
+    //      counts (unicode fixtures in TextFiltersSpec — the ASCII test
+    //      corpus exercises the lower/whitespace legs) ----
+    Q.df("q_dedup_exact_canon",
+      duck = """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))) AS h
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          md5(TextAnalysis.canonicalText(col("text")).cast("binary")).as("h"))
+        .orderBy("doc_id")
+    },
+
     // ---- exact token-set Jaccard near-dup pairs (inverted-index join) ----
     Q.df("q_dedup_jaccard_token",
       duck = """WITH tok AS (

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.TextAnalysis
+import org.apache.spark.sql.functions.{col, md5}
 
 /** Rule-by-rule fixtures for the Gopher quality rules and C4 line filters
   * — the registered queries run them over the synthetic corpus (which has
@@ -93,5 +94,39 @@ class TextFiltersSpec extends SparkTestBase {
       assert(!physical.contains("Exchange"),
         s"expected a map-only plan, got:\n$physical")
     }
+  }
+
+  test("canonicalText: NFC composition, lowercase, whitespace collapse") {
+    graft.functions.GridDbScalarFunctions.register(spark)
+    val rows = Seq(
+      (1L, "e\u0301clair  TIME"),        // decomposed e + combining acute
+      (2L, "\u00e9clair time"),          // precomposed, already canonical
+      (3L, "A\u030angstro\u0308m\t\n"), // A+ring, o+diaeresis, trailing ws
+      (4L, "\u00c5ngstr\u00f6m"),
+      (5L, "plain  ascii   text"))
+    val out = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.canonicalText(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    // composed == decomposed after canonicalization
+    assert(out(1L) == out(2L), s"${out(1L)} vs ${out(2L)}")
+    assert(out(3L) == out(4L), s"${out(3L)} vs ${out(4L)}")
+    assert(out(1L) == "\u00e9clair time")
+    assert(out(3L) == "\u00e5ngstr\u00f6m")
+    assert(out(5L) == "plain ascii text")
+    // exact dedup by md5(canonicalText) now sees the encoding-variant pair
+    val groups = rows.toDF("id", "t")
+      .groupBy(md5(TextAnalysis.canonicalText(col("t")).cast("binary")))
+      .count().filter(col("count") > 1).count()
+    assert(groups == 2L)
+  }
+
+  test("graft_nfc returns the input object unchanged on already-normalized text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("already fine")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii)
+    val composed = UTF8String.fromString("\u00e9")
+    assert(graft.functions.NfcNormalize.nfc(composed) eq composed)
+    val decomposed = UTF8String.fromString("e\u0301")
+    assert(graft.functions.NfcNormalize.nfc(decomposed).toString == "\u00e9")
   }
 }
