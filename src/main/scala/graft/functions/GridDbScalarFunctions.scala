@@ -356,7 +356,7 @@ object GridDbScalarFunctions {
     // Unicode NFC normalization (JDK Normalizer; isNormalized fast path)
     tmp("graft_nfc") { a =>
       require(a.size == 1, "graft_nfc(text)")
-      NfcNormalize(a(0))
+      NfcNormalize(Cast(a(0), StringType))
     }
     // PQ ADC: the per-pair m-lookup sum as one fused loop (parity with the
     // interpreted zip_with/aggregate fold it replaces — see PqAdc)

@@ -40,8 +40,11 @@ object NfcNormalize {
   import java.text.Normalizer
 
   /** NFC of a UTF8String; returns the INPUT object unchanged when already
-    * normalized (the common case — every all-ASCII string). */
+    * normalized. All-ASCII (almost every row of a typical corpus) short-
+    * circuits on the byte check alone — no String decode, no allocation
+    * (r11 review: the toString-first form allocated per row). */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

@@ -16,10 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * q_sim_pq_ann / q_sim_ivfpq_ann goldens:
   *  - accumulation is left-to-right j = 0..m-1 in double precision
   *    (zip_with preserves order; aggregate folds left to right);
-  *  - a null code element or an out-of-range lookup index yields NULL
-  *    (non-ANSI `element_at` returns null on both, and `acc + null` nulls
-  *    the fold) — degenerate rows then sort LAST under the cos DESC rank,
-  *    never first.
+  *  - a null code element yields NULL (`acc + null` nulls the HOF fold
+  *    identically) — degenerate rows sort LAST under the cos DESC rank.
+  * One DELIBERATE divergence (r11 review): an out-of-range lookup index
+  * yields NULL here, where the HOF form's `element_at` THROWS under this
+  * deployment's ANSI-on sessions (and reads from the array END on a
+  * negative in-range index). Out-of-range is unreachable from the
+  * builders — pqCodebooks fails fast when a codebook comes up short of
+  * kCodes — so the choice only governs corrupted-codes behavior, where
+  * not-a-neighbor beats killing the query.
   */
 case class PqAdc(left: Expression, right: Expression, kCodes: Int)
     extends BinaryExpression {

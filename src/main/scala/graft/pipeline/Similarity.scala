@@ -305,7 +305,15 @@ object Similarity {
     val d = dim / m
     (0 until m).map { j =>
       val sub = c0.select(col("c_id"), slice(col("cv"), j * d + 1, d).as("cv"))
-      ivfCentroids(sub, d, kCodes, steps)
+      val book = ivfCentroids(sub, d, kCodes, steps)
+      // fail fast, not silently coarse: the flat ADC lut is indexed with a
+      // FIXED kCodes stride, so a short codebook (training slice smaller
+      // than kCodes rows) would make mid subspaces read a neighbor's lut
+      // block and late subspaces run off the end (r11 review)
+      require(book.length == kCodes,
+        s"PQ subspace $j trained ${book.length} centroids < kCodes=$kCodes: " +
+          "the training slice has too few rows — lower kCodes or raise trainFraction")
+      book
     }.toArray
   }
 

@@ -85,13 +85,18 @@ object TextAnalysis {
   /** Canonical text form for cross-encoding dedup: Unicode NFC
     * (functions/NfcNormalize — composed vs decomposed accent sequences are
     * byte-different, so md5-exact dedup misses them), lowercase, and
-    * whitespace runs collapsed to one space. Map-only, codegen'd end to
-    * end; requires GridDbScalarFunctions registered on the session (every
+    * whitespace runs collapsed to one space. The whitespace class is an
+    * EXPLICIT list covering the Unicode space separators (NBSP and the
+    * en/em/thin-space family are pervasive in HTML-derived corpora — the
+    * exact byte-different-but-equivalent pairs this op exists to catch)
+    * rather than \s, whose meaning differs between Java regex and the
+    * oracle's RE2. Map-only, codegen'd end to end; requires
+    * GridDbScalarFunctions registered on the session (every
     * registered-query/GraftSession path does this). DuckDB mirror:
-    * `trim(regexp_replace(lower(nfc_normalize(t)), '[ \t\n\r]+', ' ', 'g'))`. */
+    * `trim(regexp_replace(lower(nfc_normalize(t)), '<same class>', ' ', 'g'))`. */
   def canonicalText(textCol: Column): Column =
     trim(regexp_replace(lower(call_function("graft_nfc", textCol)),
-      "[ \t\n\r]+", " "))
+      "[ \t\n\r\f\u000B\u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]+", " "))
 
   /** Non-empty lowercased word tokens. */
   private def cleanTokens(textCol: Column): Column =

@@ -68,7 +68,7 @@ object PipelineQueries {
     //      corpus exercises the lower/whitespace legs) ----
     Q.df("q_dedup_exact_canon",
       duck = """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r]+', ' ', 'g'))) AS h
+        |  md5(trim(regexp_replace(lower(nfc_normalize(text)), '[ \t\n\r\f\v\x{0085}\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))) AS h
         |FROM documents
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -44,9 +44,9 @@ object ProbePqAdc {
         }
       }
     run("ADC fused kernel", fused = true, iters = 2)
-    // the interpreted leg is the SLOW side (the r11 2M-vector attempt ran
-    // past a 19-minute budget without finishing both legs) — 2nd arg
-    // "skipHof" measures fused-only at big corpora; A/B at a smaller one
+    // 2nd arg "skipHof" measures fused-only (the PRE-staging-fix encode
+    // made even one leg at 2M outrun a 19-minute budget; post-fix both
+    // legs run ~40 s there, so defaults A/B everywhere)
     if (!(args.length > 1 && args(1) == "skipHof")) {
       run("ADC interpreted HOF", fused = false, iters = 2)
       val a = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,

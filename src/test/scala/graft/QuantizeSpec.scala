@@ -150,4 +150,16 @@ class QuantizeSpec extends SparkTestBase {
     // not quantization noise
     assert(recall >= 0.9, s"recall@10 = $recall")
   }
+
+  test("pqCodebooks fails fast when the training slice cannot fill kCodes") {
+    // r11 review: a short codebook would silently mis-score (the flat ADC
+    // lut is indexed with a fixed kCodes stride) — must error instead
+    val tiny = vecDf(Seq.fill(6)(Array.fill(16)(1.0f)).zipWithIndex
+      .map { case (v, i) => v.updated(0, i.toFloat) })
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tiny, tiny.limit(1), "id", "v", k = 2,
+        m = 2, kCodes = 16)
+    }
+    assert(e.getMessage.contains("kCodes"), e.getMessage)
+  }
 }

@@ -103,7 +103,8 @@ class TextFiltersSpec extends SparkTestBase {
       (2L, "\u00e9clair time"),          // precomposed, already canonical
       (3L, "A\u030angstro\u0308m\t\n"), // A+ring, o+diaeresis, trailing ws
       (4L, "\u00c5ngstr\u00f6m"),
-      (5L, "plain  ascii   text"))
+      (5L, "plain  ascii   text"),
+      (6L, "plain\u00a0ascii\u2009text"))  // NBSP + thin space
     val out = rows.toDF("id", "t")
       .select(col("id"), TextAnalysis.canonicalText(col("t")).as("c"))
       .as[(Long, String)].collect().toMap
@@ -113,11 +114,13 @@ class TextFiltersSpec extends SparkTestBase {
     assert(out(1L) == "\u00e9clair time")
     assert(out(3L) == "\u00e5ngstr\u00f6m")
     assert(out(5L) == "plain ascii text")
+    // unicode space separators canonicalize like ASCII whitespace
+    assert(out(6L) == "plain ascii text")
     // exact dedup by md5(canonicalText) now sees the encoding-variant pair
     val groups = rows.toDF("id", "t")
       .groupBy(md5(TextAnalysis.canonicalText(col("t")).cast("binary")))
       .count().filter(col("count") > 1).count()
-    assert(groups == 2L)
+    assert(groups == 3L)
   }
 
   test("graft_nfc returns the input object unchanged on already-normalized text") {
