@@ -28,10 +28,11 @@ import scala.util.Random
   *    min-length ≥ 1 child), so the engine's zero-width repetition guard
   *    never fires and java's own zero-length-loop rule is never consulted
   *    — the one place the two backtracking engines could disagree.
-  *  - Skip modes PAST LAST ROW / TO NEXT ROW (extent-only; TO [FIRST] var
-  *    needs the engine's row→variable assignment, which a regex extent
-  *    cannot provide — those modes keep their hand fixtures and the
-  *    chunked-vs-sequential parity test).
+  *  - Skip modes PAST LAST ROW / TO NEXT ROW are replayed fully; the
+  *    classifier-dependent TO [FIRST] var modes get a HYBRID oracle (last
+  *    test): per-match extents and inter-match gaps are fully
+  *    regex-verified, with only the resume POSITION derived from the
+  *    engine's classifier sequence.
   *
   * Classifier columns are NOT oracle-checked here (java.util.regex keeps
   * only the last capture of a repeated group); per-row classifier
@@ -139,6 +140,17 @@ class MrFuzzSpec extends SparkTestBase {
       "(?:" + toJava(c, vars, startOk) + ")" + q
     case Start => if (startOk) "" else "(?!)"
     case End => "$"
+  }
+
+  /** Greedy-first match length at position `at` (None = no match or a
+    * zero-width match, which the enumeration treats as no match). */
+  private def oracleMatchLen(node: Node, encoded: String, vars: Seq[String],
+                             at: Int): Option[Int] = {
+    import java.util.regex.Pattern
+    val re = Pattern.compile(toJava(node, vars, startOk = at == 0))
+    val m = re.matcher(encoded)
+    m.region(at, encoded.length)
+    if (m.lookingAt() && m.end() > at) Some(m.end() - at) else None
   }
 
   /** Replay the AFTER MATCH SKIP enumeration with java-regex extents:
@@ -283,6 +295,59 @@ class MrFuzzSpec extends SparkTestBase {
       val byNum = outU.groupBy(_._2).map { case (n0, g) => (n0, g.map(_._1).min) }
         .toSeq.sortBy(_._2).map(_._1)
       assert(byNum == (1L to byNum.size), s"match_num gap seed=$seed")
+    }
+  }
+
+  /** TO [FIRST] <var> skip positions depend on the engine's row→variable
+    * ASSIGNMENT, which a regex extent cannot reproduce — so this is a
+    * HYBRID oracle: every emitted match's extent is independently
+    * regex-verified at its start, every position the scan passed over
+    * between matches is proven matchless by the regex, and the resume
+    * arithmetic (start + max(indexOf/lastIndexOf(v), 1)) is replayed from
+    * the engine's own classifier sequence. Only the classifier choice
+    * itself stays engine-trusted (covered by MatchRecognizeSpec's pinned
+    * fixtures). */
+  test("engine-level TO [FIRST] var: regex-checked extents, matchless gaps, skip arithmetic") {
+    import MatchRecognize.AfterMatchSkip
+    for (seed <- 2000 until 2020; toFirst <- Seq(false, true)) {
+      val (node, pattern, vars, masks) = genCase(seed)
+      val parsed = PatternRegex.parse(pattern)
+      val pvars = PatternRegex.variables(parsed)
+      val v = pvars.head
+      val skip = if (toFirst) AfterMatchSkip.ToFirstVar(v) else AfterMatchSkip.ToVar(v)
+      val defines = vars.zipWithIndex.map { case (nm, b) =>
+        nm -> (shiftright(col("m").cast("int"), b).bitwiseAND(1) === 1)
+      }.toMap
+      val df = masks.zipWithIndex.map { case (mk, i) => (i.toLong, mk) }
+        .toSeq.toDF("seq", "m")
+      val out = MatchRecognize.allRowsPerMatch(df, Nil, Seq("seq"), pattern,
+          defines, skip)
+        .select("seq", "match_num", "classifier")
+        .as[(Long, Long, String)].collect()
+      val encoded = masks.map(maskChar).mkString
+      val matches = out.groupBy(_._2).toSeq.sortBy(_._1).map { case (mn, rows) =>
+        val sorted = rows.sortBy(_._1)
+        (mn, sorted.head._1.toInt, sorted.length, sorted.map(_._3).toVector)
+      }
+      // match_num is sequential in scan order
+      assert(matches.map(_._1) == (1L to matches.size), s"seed=$seed $skip")
+      var scanFrom = 0
+      for ((mn, start, len, assign) <- matches) {
+        // the scan advanced one row at a time over matchless positions
+        for (p <- scanFrom until start)
+          assert(oracleMatchLen(node, encoded, vars, p).isEmpty,
+            s"seed=$seed $skip: engine skipped a matchable position $p before match $mn")
+        // the emitted extent is the greedy regex extent at this start
+        assert(oracleMatchLen(node, encoded, vars, start).contains(len),
+          s"seed=$seed $skip: extent mismatch at $start (match $mn)")
+        // resume point from the ENGINE's classifier sequence
+        val idx = if (toFirst) assign.indexOf(v) else assign.lastIndexOf(v)
+        scanFrom = start + math.max(idx, 1)
+      }
+      // tail: nothing matchable remains past the last resume point
+      for (p <- scanFrom until masks.length)
+        assert(oracleMatchLen(node, encoded, vars, p).isEmpty,
+          s"seed=$seed $skip: engine missed a match at tail position $p")
     }
   }
 }
