@@ -18,12 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *    (zip_with preserves order; aggregate folds left to right);
   *  - a null code element yields NULL (`acc + null` nulls the HOF fold
   *    identically) — degenerate rows sort LAST under the cos DESC rank.
-  * One DELIBERATE divergence (r11 review): an out-of-range lookup index
-  * yields NULL here, where the HOF form's `element_at` THROWS under this
-  * deployment's ANSI-on sessions (and reads from the array END on a
-  * negative in-range index). Out-of-range is unreachable from the
-  * builders — pqCodebooks fails fast when a codebook comes up short of
-  * kCodes — so the choice only governs corrupted-codes behavior, where
+  * One DELIBERATE divergence (r11 review): a code outside [0, kCodes)
+  * yields NULL here — checked PER SUBSPACE, because a flat-index bound
+  * alone would let a corrupted mid-subspace code silently read a
+  * neighbor subspace's lut block — where the HOF form's flat
+  * `element_at` either THROWS (ANSI-on sessions) or reads a wrong-but-
+  * in-range entry. Out-of-range is unreachable from the builders
+  * (pqCodebooks fails fast when a codebook comes up short of kCodes),
+  * so the choice only governs corrupted-codes behavior, where
   * not-a-neighbor beats killing the query.
   */
 case class PqAdc(left: Expression, right: Expression, kCodes: Int)
@@ -50,8 +52,14 @@ case class PqAdc(left: Expression, right: Expression, kCodes: Int)
     var j = 0
     while (j < m) {
       if (codes.isNullAt(j)) return null
-      val idx = j * kCodes + codes.getInt(j)
-      if (idx < 0 || idx >= n) return null
+      // per-SUBSPACE range check (r11 review): a corrupted mid-subspace
+      // code with only a flat-index bound would silently read a NEIGHBOR
+      // subspace's lut block and score plausibly wrong — the documented
+      // contract is that degenerate rows null out and sort last
+      val c = codes.getInt(j)
+      if (c < 0 || c >= kCodes) return null
+      val idx = j * kCodes + c
+      if (idx >= n) return null
       acc += lut.getDouble(idx)
       j += 1
     }
@@ -63,6 +71,7 @@ case class PqAdc(left: Expression, right: Expression, kCodes: Int)
       val m = ctx.freshName("m")
       val n = ctx.freshName("n")
       val j = ctx.freshName("j")
+      val cd = ctx.freshName("cd")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
       s"""
@@ -71,8 +80,10 @@ case class PqAdc(left: Expression, right: Expression, kCodes: Int)
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
          |  if ($c.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  final int $idx = $j * $kCodes + $c.getInt($j);
-         |  if ($idx < 0 || $idx >= $n) { ${ev.isNull} = true; break; }
+         |  final int $cd = $c.getInt($j);
+         |  if ($cd < 0 || $cd >= $kCodes) { ${ev.isNull} = true; break; }
+         |  final int $idx = $j * $kCodes + $cd;
+         |  if ($idx >= $n) { ${ev.isNull} = true; break; }
          |  $acc += $lu.getDouble($idx);
          |}
          |if (!${ev.isNull}) { ${ev.value} = $acc; }

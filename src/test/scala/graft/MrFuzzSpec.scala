@@ -142,15 +142,19 @@ class MrFuzzSpec extends SparkTestBase {
     case End => "$"
   }
 
-  /** Greedy-first match length at position `at` (None = no match or a
-    * zero-width match, which the enumeration treats as no match). */
-  private def oracleMatchLen(node: Node, encoded: String, vars: Seq[String],
-                             at: Int): Option[Int] = {
+  /** Per-case compiled oracle (two variants, hoisted — the hybrid test
+    * probes O(rows) positions per case). `lenAt` = greedy-first match
+    * length at a position (None = no match or a zero-width match, which
+    * the enumeration treats as no match). */
+  private final class OraclePatterns(node: Node, vars: Seq[String]) {
     import java.util.regex.Pattern
-    val re = Pattern.compile(toJava(node, vars, startOk = at == 0))
-    val m = re.matcher(encoded)
-    m.region(at, encoded.length)
-    if (m.lookingAt() && m.end() > at) Some(m.end() - at) else None
+    private val atStart = Pattern.compile(toJava(node, vars, startOk = true))
+    private val elsewhere = Pattern.compile(toJava(node, vars, startOk = false))
+    def lenAt(encoded: String, at: Int): Option[Int] = {
+      val m = (if (at == 0) atStart else elsewhere).matcher(encoded)
+      m.region(at, encoded.length)
+      if (m.lookingAt() && m.end() > at) Some(m.end() - at) else None
+    }
   }
 
   /** Replay the AFTER MATCH SKIP enumeration with java-regex extents:
@@ -320,11 +324,16 @@ class MrFuzzSpec extends SparkTestBase {
       }.toMap
       val df = masks.zipWithIndex.map { case (mk, i) => (i.toLong, mk) }
         .toSeq.toDF("seq", "m")
-      val out = MatchRecognize.allRowsPerMatch(df, Nil, Seq("seq"), pattern,
-          defines, skip)
+      // chunkRows=16 drives bounded patterns through the chunk-parallel
+      // path with many boundary crossings, so the stitch composition of
+      // the overlap-resuming ToVar offsets is under the oracle too
+      // (r11 review — the default 65536 made the stitch vacuous here)
+      val out = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), pattern,
+          defines, skip, chunkRows = 16)
         .select("seq", "match_num", "classifier")
         .as[(Long, Long, String)].collect()
       val encoded = masks.map(maskChar).mkString
+      val oracle = new OraclePatterns(node, vars)
       val matches = out.groupBy(_._2).toSeq.sortBy(_._1).map { case (mn, rows) =>
         val sorted = rows.sortBy(_._1)
         (mn, sorted.head._1.toInt, sorted.length, sorted.map(_._3).toVector)
@@ -335,10 +344,10 @@ class MrFuzzSpec extends SparkTestBase {
       for ((mn, start, len, assign) <- matches) {
         // the scan advanced one row at a time over matchless positions
         for (p <- scanFrom until start)
-          assert(oracleMatchLen(node, encoded, vars, p).isEmpty,
+          assert(oracle.lenAt(encoded, p).isEmpty,
             s"seed=$seed $skip: engine skipped a matchable position $p before match $mn")
         // the emitted extent is the greedy regex extent at this start
-        assert(oracleMatchLen(node, encoded, vars, start).contains(len),
+        assert(oracle.lenAt(encoded, start).contains(len),
           s"seed=$seed $skip: extent mismatch at $start (match $mn)")
         // resume point from the ENGINE's classifier sequence
         val idx = if (toFirst) assign.indexOf(v) else assign.lastIndexOf(v)
@@ -346,7 +355,7 @@ class MrFuzzSpec extends SparkTestBase {
       }
       // tail: nothing matchable remains past the last resume point
       for (p <- scanFrom until masks.length)
-        assert(oracleMatchLen(node, encoded, vars, p).isEmpty,
+        assert(oracle.lenAt(encoded, p).isEmpty,
           s"seed=$seed $skip: engine missed a match at tail position $p")
     }
   }
