@@ -202,7 +202,21 @@ class MrFuzzSpec extends SparkTestBase {
     val rnd = new Random(seed)
     val nVars = 2 + rnd.nextInt(3)
     val vars = Seq("A", "B", "C", "D").take(nVars)
-    val body = genNode(rnd, vars, depth = 3, budget = Array(1))
+    val body0 = genNode(rnd, vars, depth = 3, budget = Array(1))
+    // ~1/4 of cases: wrap in PERMUTE(e1, e2[, e3]) — the parser expands to
+    // the lexical alternation of permutations; the oracle node is built
+    // from the SAME SQL rule re-coded here (the regex match itself stays
+    // the independent side). Elements are non-nullable like Rep children.
+    val (body, bodyStr) =
+      if (rnd.nextInt(4) == 0) {
+        val k = 2 + rnd.nextInt(2)
+        val elems = Seq.fill(k) {
+          val e = genNode(rnd, vars, depth = 2, budget = Array(0))
+          if (minLen(e) == 0) Sym(vars(rnd.nextInt(vars.size))) else e
+        }
+        (Alt(elems.permutations.map(p => Cat(p)).toSeq),
+          "PERMUTE(" + elems.map(render).mkString(", ") + ")")
+      } else (body0, "(" + render(body0) + ")")
     val anchored =
       (rnd.nextInt(5) == 0, rnd.nextInt(5) == 0) match {
         case (true, true) => Cat(Seq(Start, body, End))
@@ -212,7 +226,7 @@ class MrFuzzSpec extends SparkTestBase {
       }
     val pattern =
       (if (hasStart(anchored)) "^" else "") +
-        "(" + render(body) + ")" +
+        bodyStr +
         (if (hasEnd(anchored)) "$" else "")
     val nRows = 30 + rnd.nextInt(220)
     // per-var satisfaction probability drawn once, rows drawn independently
