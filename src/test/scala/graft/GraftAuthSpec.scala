@@ -24,10 +24,11 @@ class GraftAuthSpec extends SparkTestBase {
     }
   }
 
-  private def denied(sql: String, phrase: String): Unit = {
-    val e = intercept[SecurityException](spark.sql(sql))
-    assert(e.getMessage.contains(phrase), s"expected '$phrase' in: ${e.getMessage}")
-  }
+  private def denied(sql: String, phrase: String): Unit =
+    withClue(s"statement should be denied: $sql\n") {
+      val e = intercept[SecurityException](spark.sql(sql))
+      assert(e.getMessage.contains(phrase), s"expected '$phrase' in: ${e.getMessage}")
+    }
 
   test("write-gate spellings, comments, case; grants looked up under install case") {
     withAuth { cat =>
@@ -150,6 +151,31 @@ class GraftAuthSpec extends SparkTestBase {
       // unlisted paths stay open (no false positives), globs included
       assert(spark.sql(s"SELECT * FROM parquet.`$openPath`").count() == 2)
       assert(spark.sql(s"SELECT * FROM parquet.`${openPath.dropRight(4)}*`").count() == 2)
+      // r11 ADVICE (ledger staleness): a CREATE naming the alias that
+      // FAILS at execution must NOT clear the gate — the name still
+      // resolves to protected storage, so writes through it stay writes
+      // (parse-time ledger removal re-opened the SELECT-to-write
+      // escalation; entries now evict only on verified re-resolution)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW open_alias USING parquet OPTIONS (path '$dataPath')")
+      intercept[Exception](spark.sql("CREATE TABLE open_alias (!!bogus)"))
+      denied("INSERT INTO open_alias SELECT 9", "privilege")
+      cat.revoke("SELECT", "Auth_Unit_Tab", "unit_u")
+      denied("SELECT * FROM open_alias", "privilege")
+      cat.grant("SELECT", "Auth_Unit_Tab", "unit_u")
+      // while a CREATE that genuinely re-points the name (the dialect
+      // CREATE TABLE replaces the temp view with a fresh container at
+      // parse time) releases it on the next verified hit
+      spark.sql("CREATE TABLE open_alias (x INTEGER)")
+      spark.sql("INSERT INTO open_alias VALUES (9)") // new container, not protected storage
+      spark.sql("DROP TABLE open_alias")
+      // r11 ADVICE (CTE-prefixed directory overwrite): WITH ... INSERT
+      // OVERWRITE DIRECTORY does not lead with INSERT — still a write
+      denied(s"WITH q AS (SELECT 9 AS x) INSERT OVERWRITE DIRECTORY '$dataPath' USING parquet SELECT * FROM q", "privilege")
+      // r11 ADVICE (CTAS injection): CREATE TABLE ... LOCATION '<prot>'
+      // AS SELECT physically writes protected storage at registration —
+      // demands write, which the SELECT grant does not cover
+      denied(s"CREATE TABLE ctas_inject USING parquet LOCATION '$dataPath/sub' AS SELECT 9 AS x", "privilege")
+      denied(s"CREATE TABLE ctas_inject2 USING parquet OPTIONS (path '$dataPath/sub2') AS SELECT 9 AS x", "privilege")
       // remote-URI normalization: //-collapse + case-insensitive scheme
       assert(graft.engine.GraftAuth.normalizePath("s3a://b//secret/")
         == graft.engine.GraftAuth.normalizePath("S3A://b/secret"))
