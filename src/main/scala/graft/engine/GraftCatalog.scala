@@ -293,6 +293,54 @@ final class GraftCatalog(spark: SparkSession) {
     out
   }
 
+  /** Apply declarative TTL as of `nowMs`: the catalog operation behind the
+    * reference's automatic expiry sweep. For every container created
+    * `WITH (expiration_time=...)`:
+    *  - PARTITION expiry drops whole interval partitions whose END plus
+    *    the TTL has passed — `erasableTime = endTime + duration <= now`
+    *    (`checkExpirableInterval` /root/reference/server/
+    *    nosql_command.cpp:4193) — the catalog analogue of deleting
+    *    partition directories ([[PartitionedTables.dropPartitionsBefore]]
+    *    with the same watermark on a parquet layout);
+    *  - ROW expiry deletes rows older than now - TTL.
+    * Returns a report (one row per expiring container) so an operator job
+    * can log what a scheduled sweep removed. Row counts cost one job per
+    * expiring container — this is an admin operation, not a query path. */
+  def expireNow(nowMs: Long): DataFrame = {
+    import spark.implicits._
+    val report = containers.values.toSeq.flatMap { c =>
+      c.expiration.map { e =>
+        val cutoff = nowMs - e.ttlMs
+        val tsName = c.timeColumn.orElse(c.keyColumns.headOption).getOrElse(
+          throw new IllegalStateException(s"${c.name}: expiration without a time column"))
+        val tsMs =
+          if (c.df.schema(tsName).dataType == org.apache.spark.sql.types.LongType)
+            col(tsName) // LONG time key: already epoch ms
+          else unix_millis(col(tsName))
+        val expired = e.expirationType match {
+          case "PARTITION" =>
+            val every = c.partitioning match {
+              case Some(PartitionedTables.Interval(_, ev)) => ev
+              case Some(PartitionedTables.IntervalHash(_, ev, _, _)) => ev
+              case other => throw new IllegalStateException(
+                s"${c.name}: PARTITION expiration needs interval partitioning, has $other")
+            }
+            // partitions [b0, b0+every) with b0+every <= cutoff; the
+            // watermark keeps the partition containing the cutoff instant
+            // (its end is still inside the TTL window) — same arithmetic
+            // as the parquet-layout path
+            val watermark = PartitionedTables.ttlWatermark(nowMs, e.ttlMs, every)
+            (floor(tsMs / lit(every)).cast("long") * lit(every)) < watermark
+          case _ => tsMs < cutoff
+        }
+        val removed = c.df.filter(expired).count()
+        if (removed > 0) deleteWhere(c.name, expired)
+        (c.name, e.expirationType, cutoff, removed)
+      }
+    }
+    report.toDF("TABLE_NAME", "EXPIRATION_TYPE", "ERASABLE_BEFORE_MS", "REMOVED_ROWS")
+  }
+
   /** ALTER TABLE name ADD [COLUMN] col type (grammar rules 103-106,
     * /root/reference/server/sql_internal_parser.cpp:937-941). Existing rows
     * see NULL for the new column — the reference's fixed-null fill for
@@ -445,14 +493,26 @@ final class GraftCatalog(spark: SparkSession) {
       .toDF("DATABASE_NAME", "TABLE_NAME", "USER_NAME", "PRIVILEGE")
   }
 
-  /** Metadata table `#tables` (meta_type.h TYPE_CONTAINER). */
+  /** Metadata table `#tables` (meta_type.h TYPE_CONTAINER; expiration +
+    * affinity columns per RefColumns::COLUMNS_CONTAINER,
+    * /root/reference/server/meta_store.cpp:1023-1028 — EXPIRATION_DIVISION
+    * only surfaces for ROW expiry, the type an expirationInfo implies
+    * there, meta_store.cpp:2754). */
   def metaTables: DataFrame = {
     import spark.implicits._
     containers.values.toSeq.map { c =>
       (c.name,
         c.kind match { case TimeSeries => "TIMESERIES"; case Collection => "COLLECTION" },
-        c.keyColumns.mkString(","), c.timeColumn.orNull)
-    }.toDF("TABLE_NAME", "TABLE_TYPE", "ROW_KEY", "TIME_COLUMN")
+        c.keyColumns.mkString(","), c.timeColumn.orNull,
+        c.expiration.map(e => java.lang.Integer.valueOf(e.time)).orNull,
+        c.expiration.map(_.unit).orNull,
+        c.expiration.filter(_.expirationType == "ROW")
+          .map(e => java.lang.Integer.valueOf(e.divisionCount)).orNull,
+        c.expiration.map(_.expirationType).orNull,
+        c.placementHints.get("data_affinity").orNull)
+    }.toDF("TABLE_NAME", "TABLE_TYPE", "ROW_KEY", "TIME_COLUMN",
+      "EXPIRATION_TIME", "EXPIRATION_TIME_UNIT", "EXPIRATION_DIVISION_COUNT",
+      "EXPIRATION_TYPE", "DATA_AFFINITY")
   }
 
   /** Metadata table `#columns` (meta_type.h TYPE_COLUMN). */
@@ -488,20 +548,24 @@ final class GraftCatalog(spark: SparkSession) {
     views.toSeq.toDF("VIEW_NAME", "VIEW_DEFINITION")
   }
 
-  /** Metadata table `#table_partitions` (meta_type.h TYPE_PARTITION). */
+  /** Metadata table `#table_partitions` (meta_type.h TYPE_PARTITION;
+    * EXPIRATION_TYPE rides the partitioning row the way the reference's
+    * partition meta carries expiry state — PARTITION_EXPIRED_* columns,
+    * /root/reference/server/meta_store.cpp:830-831). */
   def metaTablePartitions: DataFrame = {
     import spark.implicits._
     containers.values.toSeq.flatMap { c =>
+      val exp = c.expiration.map(_.expirationType).orNull
       c.partitioning.map {
         case PartitionedTables.Hash(pc, n) =>
-          (c.name, "HASH", pc, null.asInstanceOf[java.lang.Long], n)
+          (c.name, "HASH", pc, null.asInstanceOf[java.lang.Long], n, exp)
         case PartitionedTables.Interval(pc, e) =>
-          (c.name, "INTERVAL", pc, java.lang.Long.valueOf(e), 1)
+          (c.name, "INTERVAL", pc, java.lang.Long.valueOf(e), 1, exp)
         case PartitionedTables.IntervalHash(tc, e, hc, n) =>
-          (c.name, "INTERVAL_HASH", s"$tc,$hc", java.lang.Long.valueOf(e), n)
+          (c.name, "INTERVAL_HASH", s"$tc,$hc", java.lang.Long.valueOf(e), n, exp)
       }
     }.toDF("TABLE_NAME", "PARTITION_TYPE", "PARTITION_COLUMN",
-      "INTERVAL_VALUE_MS", "PARTITION_DIVISION_COUNT")
+      "INTERVAL_VALUE_MS", "PARTITION_DIVISION_COUNT", "EXPIRATION_TYPE")
   }
 
   /** Metadata table `#event_triggers` (meta_type.h TYPE_TRIGGER; ref column

@@ -390,8 +390,7 @@ object GraftDdl {
       require(schema(keyCols.head).dataType == TimestampType ||
         schema(keyCols.head).dataType == LongType,
         "TIMESERIES key must be a TIMESTAMP column")
-      cat.createTimeSeries(name, schema, keyCols.head)
-    } else cat.createCollection(name, schema, keyCols)
+    }
 
     val partitioning: Option[PartitionedTables.Partitioning] =
       partRangeRe.findFirstMatchIn(tail).map { m =>
@@ -401,8 +400,114 @@ object GraftDdl {
         else PartitionedTables.Interval(m.group(1), everyMs)
       }.orElse(partHashRe.findFirstMatchIn(tail).map(m =>
         PartitionedTables.Hash(m.group(1), m.group(2).toInt)))
-    partitioning.foreach(p => cat.register(cat.get(name).copy(partitioning = Some(p))))
+
+    // WITH (...) option list — validated BEFORE any catalog effect (the
+    // reference rejects at compile, nosql_command.cpp:2100)
+    val (expiration, hints) =
+      buildExpiration(parseWithOptions(tail), timeseries, partitioning)
+
+    if (timeseries) cat.createTimeSeries(name, schema, keyCols.head)
+    else cat.createCollection(name, schema, keyCols)
+    if (partitioning.isDefined || expiration.isDefined || hints.nonEmpty)
+      cat.register(cat.get(name).copy(
+        partitioning = partitioning, expiration = expiration,
+        placementHints = hints))
     status(spark, "CREATE TABLE", name)
+  }
+
+  // ---- CREATE TABLE ... WITH (...) --------------------------------------
+  // Grammar: createtable_opt ::= WITH LP createtable_optlist RP;
+  // createtable_optlist ::= [optlist ,] nm EQ expr (rules 44-46,
+  // /root/reference/server/sql_internal_parser.cpp:878-880). Option ids:
+  // DDLWithParameter (/root/reference/server/sql_parser.h:49-57).
+
+  /** Keys that configure declarative expiry. */
+  private val ExpirationKeys = Set("expiration_time", "expiration_time_unit",
+    "expiration_division_count", "expiration_type")
+
+  /** Physical-placement hints on the reference's chunk store — meaningless
+    * on a Spark layout (Catalyst owns placement); accepted and recorded so
+    * reference DDL round-trips (DATA_AFFINITY surfaces in #tables). */
+  private val PlacementHintKeys = Set("data_affinity", "data_affinity_policy",
+    "interval_worker_group", "interval_worker_group_position")
+
+  /** The `WITH ( k = v, ... )` list of a CREATE TABLE tail, keys
+    * lowercased, values raw (quoted strings keep their quotes for type
+    * validation). Empty when the clause is absent. */
+  private def parseWithOptions(tail: String): Map[String, String] =
+    """(?is)\bWITH\s*\(""".r.findFirstMatchIn(tail) match {
+      case None => Map.empty
+      case Some(m) =>
+        var depth = 1; var i = m.end
+        while (i < tail.length && depth > 0) {
+          tail(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        require(depth == 0, "unbalanced parentheses in WITH options")
+        GraftSql.splitSelectList(tail.substring(m.end, i - 1)).map { item =>
+          val eq = item.indexOf('=')
+          require(eq > 0, s"malformed WITH option: $item")
+          val k = item.substring(0, eq).trim.toLowerCase
+            .stripPrefix("\"").stripSuffix("\"")
+          k -> item.substring(eq + 1).trim
+        }.toMap
+    }
+
+  /** Validate and build the expiry declaration + recorded placement hints,
+    * mirroring the reference's checks and messages
+    * (/root/reference/server/nosql_command.cpp:2100-2211): positive int32
+    * time/division, DAY..MILLISECOND units, type ROW|PARTITION (default
+    * PARTITION), division count only with ROW, ROW only on TimeSeries —
+    * plus: PARTITION expiry needs interval partitioning to define the
+    * droppable unit (TableExpirationSchemaInfo rides the interval
+    * partition list, nosql_command.cpp:4193). */
+  private def buildExpiration(opts: Map[String, String], timeseries: Boolean,
+      partitioning: Option[PartitionedTables.Partitioning])
+      : (Option[Expiration], Map[String, String]) = {
+    val unknown = opts.keySet -- ExpirationKeys -- PlacementHintKeys
+    require(unknown.isEmpty, s"unknown WITH option(s): ${unknown.mkString(", ")}")
+    def strOf(k: String): Option[String] = opts.get(k).map { v =>
+      require(v.length >= 2 && v.startsWith("'") && v.endsWith("'"),
+        s"Invalid format type ($k)")
+      v.substring(1, v.length - 1)
+    }
+    def intOf(k: String): Option[Int] = opts.get(k).map { v =>
+      require(v.matches("[-+]?\\d+"), s"Invalid format type ($k)")
+      val n = BigInt(v)
+      require(n > 0, s"Invalid value(> 0) ($k)")
+      require(n <= Int.MaxValue, s"Invalid value(integer overflow) ($k)")
+      n.toInt
+    }
+    val hints = PlacementHintKeys.toSeq.sorted.flatMap(k =>
+      opts.get(k).map(v => k -> v.stripPrefix("'").stripSuffix("'"))).toMap
+    val time = intOf("expiration_time")
+    val unit = strOf("expiration_time_unit").map(_.toUpperCase)
+    unit.foreach(u => require(Expiration.Units.contains(u),
+      s"Target time unit '$u' not supported"))
+    val division = intOf("expiration_division_count")
+    val eType = strOf("expiration_type").map(_.toUpperCase)
+    eType.foreach(t => require(t == "ROW" || t == "PARTITION",
+      s"Target expiration type '$t' not supported"))
+    if (time.isEmpty && unit.isEmpty && division.isEmpty && eType.isEmpty)
+      return (None, hints)
+    val resolvedType = eType.getOrElse("PARTITION")
+    require(!(division.isDefined && resolvedType == "PARTITION"),
+      "Division Count must be row expiration")
+    require(!(resolvedType == "ROW" && !timeseries),
+      "Row expiration definition must be timeseries container")
+    require(time.isDefined, "TimeSeries property must be setted elapsed time")
+    if (resolvedType == "PARTITION")
+      require(partitioning.exists {
+        case _: PartitionedTables.Interval | _: PartitionedTables.IntervalHash => true
+        case _ => false
+      }, "Partition expiration requires interval partitioning " +
+        "(PARTITION BY RANGE ... EVERY)")
+    (Some(Expiration(time.get, unit.getOrElse("DAY"),
+      division.getOrElse(8), resolvedType)), hints)
   }
 
   private def unitMs(u: String): Long = u.toUpperCase match {

@@ -94,6 +94,16 @@ object PartitionedTables {
       .saveAsTable(table)
   }
 
+  /** Watermark for declarative TTL on an interval layout: partitions
+    * [b0, b0+every) are erasable once their END plus the TTL has passed
+    * (`erasableTime = endTime + duration`, checkExpirableInterval
+    * /root/reference/server/nosql_command.cpp:4193) — i.e. every bucket
+    * strictly below `floor((now-ttl)/every)*every`. Feed the result to
+    * [[dropPartitionsBefore]]; [[GraftCatalog.expireNow]] applies the same
+    * arithmetic to catalog containers. */
+  def ttlWatermark(nowMs: Long, ttlMs: Long, everyMs: Long): Long =
+    Math.floorDiv(nowMs - ttlMs, everyMs) * everyMs
+
   /** TTL / ALTER TABLE ... DROP PARTITION FOR: delete interval partitions
     * entirely before the watermark (epoch ms). Returns dropped bucket ids. */
   def dropPartitionsBefore(spark: SparkSession, path: String,

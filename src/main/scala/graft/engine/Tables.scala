@@ -10,16 +10,51 @@ sealed trait ContainerKind
 case object Collection extends ContainerKind
 case object TimeSeries extends ContainerKind
 
+/** Declarative data expiry, declared by `CREATE TABLE ... WITH
+  * (expiration_time=n, expiration_time_unit='DAY', ...)` — the reference's
+  * DDLWithParameter::EXPIRATION_* option family
+  * (/root/reference/server/sql_parser.h:49-53; value validation
+  * /root/reference/server/nosql_command.cpp:2100-2211).
+  *
+  * `expirationType` is ROW (delete rows older than now-TTL; requires a
+  * TimeSeries container) or PARTITION (drop whole interval partitions whose
+  * end+TTL has passed — `checkExpirableInterval`,
+  * /root/reference/server/nosql_command.cpp:4193; requires interval
+  * partitioning). `divisionCount` is the reference's ROW-expiry erasure
+  * granularity (default EXPIRE_DIVIDE_DEFAULT_NUM = 8,
+  * /root/reference/server/base_container.h:150) — recorded for meta-table
+  * parity; a columnar layout erases at row precision anyway. */
+final case class Expiration(
+    time: Int,
+    unit: String,
+    divisionCount: Int = 8,
+    expirationType: String = "PARTITION") {
+  def ttlMs: Long = time.toLong * Expiration.unitMs(unit)
+}
+
+object Expiration {
+  val Units: Map[String, Long] = Map(
+    "DAY" -> 86400000L, "HOUR" -> 3600000L, "MINUTE" -> 60000L,
+    "SECOND" -> 1000L, "MILLISECOND" -> 1L)
+  def unitMs(u: String): Long = Units.getOrElse(u.toUpperCase,
+    throw new IllegalArgumentException(s"Target time unit '$u' not supported"))
+}
+
 /** One registered container: a DataFrame plus GridDB-style metadata
   * (kind, row-key columns, time column for TimeSeries, optional SQL-level
-  * sharding declared by `CREATE TABLE ... PARTITION BY`). */
+  * sharding declared by `CREATE TABLE ... PARTITION BY`, optional
+  * declarative TTL plus placement hints from the `WITH (...)` option
+  * list — DATA_AFFINITY / INTERVAL_WORKER_GROUP are physical-placement
+  * hints on the reference's chunk store, accept-and-record here). */
 final case class Container(
     name: String,
     df: DataFrame,
     kind: ContainerKind,
     keyColumns: Seq[String] = Nil,
     timeColumn: Option[String] = None,
-    partitioning: Option[PartitionedTables.Partitioning] = None)
+    partitioning: Option[PartitionedTables.Partitioning] = None,
+    expiration: Option[Expiration] = None,
+    placementHints: Map[String, String] = Map.empty)
 
 /** Loader / catalog for the driver-provided TESTDATA star schema.
   *

@@ -497,6 +497,53 @@ object CoreSql {
       GraftSql.sql(s, "SELECT ts, v FROM q_part_ts ORDER BY ts")
     },
 
+    // ---- declarative TTL: CREATE TABLE ... WITH (expiration_time=...)
+    // (DDLWithParameter::EXPIRATION_*, sql_parser.h:49-53; consumed
+    // nosql_command.cpp:2100) + the expiry sweep as a catalog operation.
+    // PARTITION expiry drops whole day partitions whose end+TTL passed
+    // (checkExpirableInterval, nosql_command.cpp:4193); ROW expiry deletes
+    // rows older than now-TTL. Fixed "now" = 2024-01-10 12:00:00Z ----
+    Q.df("q_sql_table_ttl",
+      duck = """SELECT tab, ts, v FROM (VALUES
+        |  ('part', TIMESTAMP '2024-01-08 01:00:00', 3.0),
+        |  ('part', TIMESTAMP '2024-01-09 12:00:00', 4.0),
+        |  ('part', TIMESTAMP '2024-01-10 09:00:00', 5.0),
+        |  ('row',  TIMESTAMP '2024-01-09 01:00:00', 20.0)) t(tab, ts, v)
+        |ORDER BY tab, ts""".stripMargin) { (s, _) =>
+      import graft.engine.GraftSql
+      Seq(
+        "DROP TABLE IF EXISTS q_ttl_part",
+        "DROP TABLE IF EXISTS q_ttl_row",
+        // partition expiry: 2-day TTL over 1-day interval partitions
+        """CREATE TABLE q_ttl_part (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+          |USING TIMESERIES
+          |WITH (expiration_time=2, expiration_time_unit='DAY')
+          |PARTITION BY RANGE(ts) EVERY (1, DAY)""".stripMargin,
+        """REPLACE INTO q_ttl_part VALUES
+          |  (TIMESTAMP '2024-01-05 06:00:00', 1.0),
+          |  (TIMESTAMP '2024-01-07 23:00:00', 2.0),
+          |  (TIMESTAMP '2024-01-08 01:00:00', 3.0),
+          |  (TIMESTAMP '2024-01-09 12:00:00', 4.0),
+          |  (TIMESTAMP '2024-01-10 09:00:00', 5.0)""".stripMargin,
+        // row expiry: 36-hour TTL, explicit ROW type + division count
+        """CREATE TABLE q_ttl_row (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+          |USING TIMESERIES
+          |WITH (expiration_time=36, expiration_time_unit='HOUR',
+          |      expiration_division_count=3, expiration_type='ROW')""".stripMargin,
+        """REPLACE INTO q_ttl_row VALUES
+          |  (TIMESTAMP '2024-01-08 23:00:00', 10.0),
+          |  (TIMESTAMP '2024-01-09 01:00:00', 20.0)""".stripMargin
+      ).foreach(GraftSql.sql(s, _))
+      // the sweep an operator schedules, at a pinned "now": cutoffs are
+      // 2024-01-08 12:00 (part; watermark 01-08 00:00) and 01-09 00:00 (row)
+      graft.engine.GraftCatalog.forSession(s)
+        .expireNow(java.time.Instant.parse("2024-01-10T12:00:00Z").toEpochMilli)
+      GraftSql.sql(s,
+        """SELECT 'part' AS tab, ts, v FROM q_ttl_part
+          |UNION ALL SELECT 'row' AS tab, ts, v FROM q_ttl_row
+          |ORDER BY tab, ts""".stripMargin)
+    },
+
     // ---- schema evolution as statement text: ALTER ADD COLUMN fills
     // existing rows with NULL (the reference's fixed-null fill), RENAME
     // COLUMN carries data + metadata; the oracle is the expected literal

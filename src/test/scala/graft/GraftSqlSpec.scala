@@ -284,6 +284,106 @@ class GraftSqlSpec extends SparkTestBase {
     Seq("ts_tab", "h_tab", "nano_tab").foreach(t => GraftSql.sql(spark, s"DROP TABLE $t"))
   }
 
+  test("SQL-text DDL: declarative TTL WITH options parse, validate, record, expire") {
+    import spark.implicits._
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    def ddl(sql: String): Unit = { GraftSql.sql(spark, sql); () }
+    ddl("DROP TABLE IF EXISTS ttl_tab")
+    // happy path: the canonical GridDB IoT first-DDL shape (placement
+    // hints accept-and-record alongside)
+    ddl("""CREATE TABLE ttl_tab (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+      |USING TIMESERIES
+      |WITH (expiration_time=90, expiration_time_unit='DAY',
+      |      data_affinity='batch1', interval_worker_group=2)
+      |PARTITION BY RANGE(ts) EVERY (30, DAY)""".stripMargin)
+    val c = cat.get("ttl_tab")
+    assert(c.expiration ==
+      Some(graft.engine.Expiration(90, "DAY", 8, "PARTITION")))
+    assert(c.placementHints ==
+      Map("data_affinity" -> "batch1", "interval_worker_group" -> "2"))
+    // ... recorded in #tables (COLUMNS_CONTAINER meta_store.cpp:1023-1028;
+    // EXPIRATION_DIVISION is ROW-only there) and #table_partitions
+    val mt = cat.metaTables.filter($"TABLE_NAME" === "ttl_tab").collect()(0)
+    assert(mt.getAs[Integer]("EXPIRATION_TIME") == 90)
+    assert(mt.getAs[String]("EXPIRATION_TIME_UNIT") == "DAY")
+    assert(mt.getAs[Integer]("EXPIRATION_DIVISION_COUNT") == null)
+    assert(mt.getAs[String]("EXPIRATION_TYPE") == "PARTITION")
+    assert(mt.getAs[String]("DATA_AFFINITY") == "batch1")
+    val mp = cat.metaTablePartitions.filter($"TABLE_NAME" === "ttl_tab").collect()(0)
+    assert(mp.getAs[String]("EXPIRATION_TYPE") == "PARTITION")
+
+    // ROW expiry records its division count
+    ddl("DROP TABLE IF EXISTS ttl_row_tab")
+    ddl("""CREATE TABLE ttl_row_tab (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+      |USING TIMESERIES
+      |WITH (expiration_time=12, expiration_time_unit='HOUR',
+      |      expiration_division_count=3, expiration_type='ROW')""".stripMargin)
+    assert(cat.get("ttl_row_tab").expiration ==
+      Some(graft.engine.Expiration(12, "HOUR", 3, "ROW")))
+    assert(cat.metaTables.filter($"TABLE_NAME" === "ttl_row_tab")
+      .collect()(0).getAs[Integer]("EXPIRATION_DIVISION_COUNT") == 3)
+
+    // reference validation matrix (nosql_command.cpp:2100-2211): each
+    // rejected CREATE must leave NO catalog entry behind
+    def rejected(sql: String, phrase: String): Unit = {
+      val e = intercept[IllegalArgumentException](GraftSql.sql(spark, sql))
+      assert(e.getMessage.contains(phrase), s"expected '$phrase' in: ${e.getMessage}")
+      assert(!cat.exists("ttl_bad"), s"rejected CREATE left ttl_bad behind: $sql")
+    }
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES WITH (expiration_time=0)",
+      "Invalid value(> 0)")
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES WITH (expiration_time=9999999999)",
+      "integer overflow")
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES WITH (expiration_time='x')",
+      "Invalid format type")
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES " +
+      "WITH (expiration_time=1, expiration_time_unit='FORTNIGHT')",
+      "not supported")
+    // division count demands ROW type (default is PARTITION)
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES " +
+      "WITH (expiration_time=1, expiration_division_count=2) PARTITION BY RANGE(ts) EVERY (1, DAY)",
+      "Division Count must be row expiration")
+    // ROW expiry demands a TimeSeries container
+    rejected("CREATE TABLE ttl_bad (k LONG PRIMARY KEY) " +
+      "WITH (expiration_time=1, expiration_type='ROW')",
+      "must be timeseries container")
+    // unit without elapsed time
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES " +
+      "WITH (expiration_time_unit='DAY')",
+      "elapsed time")
+    // PARTITION expiry without interval partitioning has no droppable unit
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES " +
+      "WITH (expiration_time=1)",
+      "interval partitioning")
+    rejected("CREATE TABLE ttl_bad (ts TIMESTAMP PRIMARY KEY) USING TIMESERIES " +
+      "WITH (expiration_time=1, nonsense_knob=7) PARTITION BY RANGE(ts) EVERY (1, DAY)",
+      "unknown WITH option")
+
+    // the sweep: 2-day TTL, 1-day partitions, now = 01-10 12:00 —
+    // partitions ending on/before 01-08 12:00 drop (days <= 01-07)
+    ddl("DROP TABLE IF EXISTS ttl_sweep")
+    ddl("""CREATE TABLE ttl_sweep (ts TIMESTAMP PRIMARY KEY, v DOUBLE)
+      |USING TIMESERIES WITH (expiration_time=2, expiration_time_unit='DAY')
+      |PARTITION BY RANGE(ts) EVERY (1, DAY)""".stripMargin)
+    ddl("""REPLACE INTO ttl_sweep VALUES
+      |  (TIMESTAMP '2024-01-05 06:00:00', 1.0),
+      |  (TIMESTAMP '2024-01-07 23:59:59', 2.0),
+      |  (TIMESTAMP '2024-01-08 00:00:00', 3.0),
+      |  (TIMESTAMP '2024-01-10 09:00:00', 4.0)""".stripMargin)
+    val now = java.time.Instant.parse("2024-01-10T12:00:00Z").toEpochMilli
+    val report = cat.expireNow(now)
+      .filter($"TABLE_NAME" === "ttl_sweep").collect()(0)
+    assert(report.getAs[String]("EXPIRATION_TYPE") == "PARTITION")
+    assert(report.getAs[Long]("REMOVED_ROWS") == 2L)
+    assert(GraftSql.sql(spark, "SELECT v FROM ttl_sweep ORDER BY v")
+      .collect().map(_.getDouble(0)).toSeq == Seq(3.0, 4.0))
+    // idempotent at the same instant
+    assert(cat.expireNow(now).filter($"TABLE_NAME" === "ttl_sweep")
+      .collect()(0).getAs[Long]("REMOVED_ROWS") == 0L)
+    Seq("ttl_tab", "ttl_row_tab", "ttl_sweep")
+      .foreach(t => ddl(s"DROP TABLE $t"))
+  }
+
   test("INSERT INTO ... SELECT routes through the GridDB dialect") {
     Tables.registerAll(spark, sfDir)
     val cat = graft.engine.GraftCatalog.forSession(spark)

@@ -36,6 +36,27 @@ class PartitionedTablesSpec extends SparkTestBase {
     assert(after.agg(min(unix_millis($"ts"))).as[Long].head() >= 1704585600000L)
   }
 
+  test("declarative TTL watermark drives layout expiry with row-parity to the catalog sweep") {
+    val dir = tmpDir()
+    val ev = Tables.events(spark, sfDir)
+    val dayMs = 86400000L
+    PT.write(ev, dir, PT.Interval("ts", dayMs))
+    // a 3-day TTL observed at Jan 15 12:00 UTC: partitions whose end+TTL
+    // passed are exactly the days <= Jan 11 (watermark Jan 12 00:00)
+    val now = 1705320000000L // 2024-01-15T12:00:00Z
+    val wm = PT.ttlWatermark(now, 3 * dayMs, dayMs)
+    assert(wm == 1705017600000L) // 2024-01-12T00:00:00Z
+    val dropped = PT.dropPartitionsBefore(spark, dir, wm)
+    assert(dropped.forall(b => b + dayMs + 3 * dayMs <= now))
+    val survivors = PT.read(spark, dir)
+    // row parity with the definition: survivors = rows in partitions whose
+    // end+TTL has NOT passed
+    val expected = ev.filter(
+      (floor(unix_millis($"ts") / dayMs) * dayMs).cast("long") >= wm).count()
+    assert(survivors.count() == expected)
+    assert(survivors.agg(min(unix_millis($"ts"))).as[Long].head() >= wm)
+  }
+
   test("hash partitioning spreads rows over n buckets") {
     val dir = tmpDir()
     val cust = Tables.read(spark, sfDir, "customer")
