@@ -153,25 +153,30 @@ object GraftMrSql {
         parts(0).trim -> translateNav(parts(1).trim)
       }
 
-      // PREV/NEXT in MEASURES (SQL:2016 6.4: measure navigation evaluates
-      // at the LAST row of the match; physical offset over the input
-      // stream): PREV(c, n) lowers to LAST(__prev_c_n) — the already-
-      // materialized lag/lead column read at the match's last row — which
-      // translateMeasure then turns into its max_by-by-pos aggregate.
+      // PREV/NEXT in MEASURES (SQL:2016 6.4: physical offset over the
+      // input stream, evaluated with the mode's default navigation
+      // semantics). ONE ROW PER MATCH: FINAL — PREV(c, n) lowers to
+      // LAST(__prev_c_n), the materialized lag/lead column read at the
+      // match's last row, which translateMeasure turns into its
+      // max_by-by-pos aggregate. ALL ROWS PER MATCH: RUNNING — each output
+      // row sees the nav value AT THAT ROW, so the measure references the
+      // materialized column directly (r11 ADVICE: wrapping in LAST here
+      // silently gave last-row-only values on every row).
+      val allRows = allRowsRe.findFirstIn(body).isDefined
       def translateMeasureNav(e: String): String = {
         val p = prevRe.replaceAllIn(e, m => {
           val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
           val nm = prevCols.getOrElse((c, n, false), {
             val v = s"__prev_${c}_$n"; prevCols += ((c, n, false) -> v); v
           })
-          s"LAST($nm)"
+          if (allRows) nm else s"LAST($nm)"
         })
         nextRe.replaceAllIn(p, m => {
           val (c, n) = (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1))
           val nm = prevCols.getOrElse((c, n, true), {
             val v = s"__next_${c}_$n"; prevCols += ((c, n, true) -> v); v
           })
-          s"LAST($nm)"
+          if (allRows) nm else s"LAST($nm)"
         })
       }
 
@@ -196,7 +201,6 @@ object GraftMrSql {
       val defines = defs.map { case (v, cond) => v -> expr(cond) }.toMap
       val varNames = defs.map(_._1)
 
-      val allRows = allRowsRe.findFirstIn(body).isDefined
       val out =
         if (ms.nonEmpty && allRows) {
           // ALL ROWS PER MATCH + MEASURES (reference combination, rules

@@ -388,6 +388,40 @@ class MatchRecognizeSpec extends SparkTestBase {
       (5L, 2L, 5L, 1L), (6L, 2L, 5L, 1L)))
   }
 
+  test("ALL ROWS PER MATCH measure PREV/NEXT uses running (per-row) semantics") {
+    val df = Seq(("k", 1L, 10.0), ("k", 2L, 20.0), ("k", 3L, 30.0), ("k", 4L, 5.0))
+      .toDF("k", "seq", "value")
+    df.createOrReplaceTempView("mr_allrows_nav_t")
+    // SQL:2016 6.4: under ALL ROWS PER MATCH the default navigation
+    // semantics is RUNNING — PREV(value) on each output row is the value
+    // of the PHYSICALLY previous row at that row, not the last row's
+    // (r11 ADVICE: FINAL-only lowering gave every row the last row's nav)
+    val out = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_allrows_nav_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES PREV(value) AS pv, NEXT(value) AS nv, COUNT(*) AS n
+        |  ALL ROWS PER MATCH
+        |  PATTERN (U{2,})
+        |  DEFINE U AS value > PREV(value))""".stripMargin)
+      .select("seq", "pv", "nv", "n")
+      .as[(Long, Option[Double], Option[Double], Long)].collect().sortBy(_._1)
+    // match = rows 2,3 (each above its predecessor); per-row nav:
+    // row 2 sees prev=10/next=30, row 3 sees prev=20/next=5
+    assert(out.toSeq == Seq(
+      (2L, Some(10.0), Some(30.0), 2L),
+      (3L, Some(20.0), Some(5.0), 2L)))
+    // ONE ROW PER MATCH keeps FINAL semantics: nav evaluated at last row
+    val one = graft.engine.GraftMrSql.run(spark,
+      """SELECT * FROM mr_allrows_nav_t MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY seq
+        |  MEASURES PREV(value) AS pv, NEXT(value) AS nv
+        |  ONE ROW PER MATCH
+        |  PATTERN (U{2,})
+        |  DEFINE U AS value > PREV(value))""".stripMargin)
+      .select("pv", "nv").as[(Option[Double], Option[Double])].collect()
+    assert(one.toSeq == Seq((Some(20.0), Some(5.0))))
+  }
+
   test("PERMUTE matches the elements in any order, lexical preference") {
     import graft.mr.PatternRegex._
     // A then B
