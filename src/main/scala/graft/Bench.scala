@@ -27,13 +27,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Scale rehearsals (SCALING.md) override the shuffle width: a fixed
-    // width = cores is the right default at driver SFs, but post-shuffle
-    // partition size must track the DATA (a cluster scales width with
-    // executors) — at sf100z, 600M-row joins over 32 partitions sort/spill
-    // ~0.5 GB per task and go super-linear for config reasons, not plan
-    // reasons.
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toInt
+    // Session shuffle width derives from the DATA (r12, replacing the env
+    // knob the r11 sf100z rehearsal needed): post-shuffle partition size
+    // must track scanned bytes, not the core count — at sf100z, 600M-row
+    // joins over 32 partitions sort/spill ~0.5 GB per task and go
+    // super-linear for config reasons, not plan reasons. At driver SFs the
+    // core floor binds, so driver numbers are unchanged. The env var
+    // remains an explicit override for probes.
+    val shuffleParts = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(GraftSession.shuffleWidthFor(
+        graft.engine.TableStats.treeSize(sfDir), cpus.toInt))
+    Console.err.println(s"[bench] shuffle width: $shuffleParts")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = shuffleParts)
@@ -41,7 +45,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
+    // 7 iterations (r12, was 5): the 12-iteration q1_agg trace showed JIT
+    // settling through ~6 iterations (0.33 -> 0.22 s) — a 5-iteration
+    // median lands on the still-warming band and read as a 1.2x
+    // "regression" in r11; the median of 7 sits in steady state. min is
+    // unaffected either way.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "7").toInt
     // scale rehearsals add non-headline queries by name, or replace the
     // whole set (SCALING.md runs)
     def named(env: String) = sys.env.get(env)
@@ -76,6 +85,16 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = benchSet.map { q =>
       try q.build(spark, warmDir).count() catch { case _: Throwable => () }
+      // one untimed plan-build at the TARGET dir: registering the sf dir's
+      // views resolves every parquet footer eagerly, and expression-shaped
+      // operators memoize per (JVM, sf dir) during plan CONSTRUCTION (the
+      // IVF index build) — with only the warmDir warm-up all of that
+      // harness work landed inside the first timed iteration (r11 verdict:
+      // q_sim_ivf_indexed sf100z median 13.28s vs min 1.75s was the index
+      // build; q1_agg's first iteration carried the registration flip).
+      // Plan-build only — the data scan itself stays unexecuted, so timed
+      // iterations still measure execution, not a cache replay.
+      try q.build(spark, sfDir) catch { case _: Throwable => () }
       val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { q.build(spark, sfDir).count() } catch {

@@ -37,6 +37,24 @@ object GraftSession {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
+  /** Session shuffle width for a dataset of `dataBytes` on-disk parquet:
+    * one partition per 64 MB of scan bytes, floored at the core count and
+    * capped at 65536. The same bytes-per-partition discipline as
+    * `Dedup.widthFromBytes`, applied to the SESSION default: a cluster
+    * deployment sizes `spark.sql.shuffle.partitions ~ input/128MB` of
+    * POST-shuffle data, and parquet compresses heap rows ~2-4x, so 64 MB
+    * of scan bytes approximates a 128-256 MB heap partition. The floor
+    * keeps every core busy at small SFs (driver benches are unchanged:
+    * sf0.1 is ~100 MB, well under 32 x 64 MB); the derivation matters at
+    * rehearsal scale, where r11 measured width=cores spilling 600M-row
+    * joins ~0.5 GB per task and going super-linear until a hand-set
+    * width=256 (SCALING.md Finding 1 — this function replaces that env
+    * knob). */
+  def shuffleWidthFor(dataBytes: Long, cores: Int): Int = {
+    val derived = dataBytes / (64L << 20) + 1
+    math.min(math.max(cores.toLong, derived), 65536L).toInt
+  }
+
   /** Local session for tests / tools. */
   def local(cores: Int = 32): SparkSession = {
     val spark = configure(

@@ -34,9 +34,11 @@ import scala.util.Random
   *    regex-verified, with only the resume POSITION derived from the
   *    engine's classifier sequence.
   *
-  * Classifier columns are NOT oracle-checked here (java.util.regex keeps
-  * only the last capture of a repeated group); per-row classifier
-  * semantics stay covered by MatchRecognizeSpec's pinned fixtures.
+  * Classifier columns are beyond the regex oracle (java.util.regex keeps
+  * only the last capture of a repeated group) — the classifier tests use
+  * a second independent oracle instead: a lazy ENUMERATOR of all
+  * variable-assignment paths in backtracking preference order, whose
+  * greedy-first path must equal the engine's assignment row by row.
   */
 class MrFuzzSpec extends SparkTestBase {
   import spark.implicits._
@@ -313,6 +315,129 @@ class MrFuzzSpec extends SparkTestBase {
       val byNum = outU.groupBy(_._2).map { case (n0, g) => (n0, g.map(_._1).min) }
         .toSeq.sortBy(_._2).map(_._1)
       assert(byNum == (1L to byNum.size), s"match_num gap seed=$seed")
+    }
+  }
+
+  // ---- enumerative assignment oracle (r12, verdict ask #5) ----
+  // The regex oracle verifies EXTENTS but not per-row CLASSIFIER
+  // (java.util.regex keeps only the last repeated-group capture). This
+  // enumerator lists every variable-assignment path of a pattern anchored
+  // at a position, LAZILY, in textbook backtracking preference order —
+  // a quantifier prefers one more repetition, an alternation tries
+  // branches left to right — so `.headOption` is the greedy-first path
+  // without materializing the exponential tail. It shares no code with
+  // PatternRegex.matchAt (fold over the AST vs an NFA scan), making the
+  // classifier sequence independently derived.
+
+  private def enumAssignments(node: Node, pos: Int, n: Int,
+      sym: (Int, String) => Boolean): LazyList[Vector[String]] = node match {
+    case Sym(v) =>
+      if (pos < n && sym(pos, v)) LazyList(Vector(v)) else LazyList.empty
+    case Start => // gates the MATCH start row to the partition's first row
+      if (pos == 0) LazyList(Vector.empty) else LazyList.empty
+    case End =>
+      if (pos == n) LazyList(Vector.empty) else LazyList.empty
+    case Cat(ps) =>
+      // assignment length == rows consumed (anchors are zero-width)
+      ps.foldLeft(LazyList(Vector.empty[String])) { (acc, p) =>
+        acc.flatMap(a => enumAssignments(p, pos + a.length, n, sym).map(a ++ _))
+      }
+    case Alt(cs) =>
+      LazyList.from(cs).flatMap(enumAssignments(_, pos, n, sym))
+    case Rep(c, mn, mx) =>
+      def go(p: Int, taken: Int): LazyList[Vector[String]] = {
+        val more =
+          if (taken < mx)
+            enumAssignments(c, p, n, sym).filter(_.nonEmpty)
+              .flatMap(a => go(p + a.length, taken + 1).map(a ++ _))
+          else LazyList.empty
+        val stop =
+          if (taken >= mn) LazyList(Vector.empty[String]) else LazyList.empty
+        more #::: stop
+      }
+      go(pos, 0)
+  }
+
+  /** Skip-loop replay with enumerative assignments: (start, classifiers)
+    * of each emitted match — the classifier-sequence analogue of
+    * [[oracleExtents]]. */
+  private def oracleAssignments(node: Node, masks: Array[Int],
+      vars: Seq[String], skipPast: Boolean): Seq[(Int, Vector[String])] = {
+    val n = masks.length
+    val sym = (p: Int, v: String) => ((masks(p) >> vars.indexOf(v)) & 1) == 1
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Vector[String])]()
+    var i = 0
+    while (i < n) {
+      // the greedy-FIRST path only: a zero-width first path means the
+      // position does not match (same rule as the regex oracle's
+      // `m.end() > at` and the engine's empty-match guard) — later
+      // non-empty alternatives are NOT consulted
+      enumAssignments(node, i, n, sym).headOption.filter(_.nonEmpty) match {
+        case Some(a) =>
+          out += ((i, a))
+          i += (if (skipPast) a.size else 1)
+        case None => i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("classifier fuzz: matchAt assignments equal the enumerative oracle's greedy-first path") {
+    // rows capped at 12 so a FAILING position's exhaustive backtracking
+    // stays bounded (the lazy head is cheap; proving no-match is not)
+    var nonEmpty = 0
+    for (seed <- 4000 until (4000 + 600 * fuzzMul); skipPast <- Seq(true, false)) {
+      val (node, pattern, vars, masksFull) = genCase(seed)
+      val masks = masksFull.take(12)
+      val sym = (p: Int, v: String) => ((masks(p) >> vars.indexOf(v)) & 1) == 1
+      val parsed = PatternRegex.parse(pattern)
+      // engine-side skip loop at the matcher level, keeping assignments
+      val eng = {
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Vector[String])]()
+        var i = 0
+        while (i < masks.length) {
+          PatternRegex.matchAt(parsed, i, masks.length, sym) match {
+            case Some(a) if a.nonEmpty =>
+              out += ((i, a.toVector)); i += (if (skipPast) a.size else 1)
+            case _ => i += 1
+          }
+        }
+        out.toSeq
+      }
+      val ora = oracleAssignments(node, masks, vars, skipPast)
+      assert(eng == ora,
+        s"seed=$seed skipPast=$skipPast pattern='$pattern' " +
+          s"engine=${eng.take(4)} oracle=${ora.take(4)}")
+      if (eng.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 300 * fuzzMul, s"only $nonEmpty non-empty classifier cases")
+  }
+
+  test("engine-level classifier: per-row CLASSIFIER/MATCH_NUMBER match the enumerative oracle") {
+    for (seed <- 4700 until (4700 + 25 * fuzzMul); skipPast <- Seq(true, false)) {
+      val (node, pattern, vars, masksFull) = genCase(seed)
+      val masks = masksFull.take(12)
+      val skip = if (skipPast) MatchRecognize.AfterMatchSkip.PastLastRow
+                 else MatchRecognize.AfterMatchSkip.ToNextRow
+      val defines = vars.zipWithIndex.map { case (v, b) =>
+        v -> (shiftright(col("m").cast("int"), b).bitwiseAND(1) === 1)
+      }.toMap
+      val df = masks.zipWithIndex.map { case (m, i) => (i.toLong, m) }
+        .toSeq.toDF("seq", "m")
+      val out = MatchRecognize.allRowsPerMatch(df, Nil, Seq("seq"), pattern,
+          defines, skip)
+        .select("seq", "match_num", "classifier")
+        .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._1))
+      val ora = oracleAssignments(node, masks, vars, skipPast)
+      // per-row: match m's rows are [start, start+len) classified in path order
+      val expected = ora.zipWithIndex.flatMap { case ((start, assign), m) =>
+        assign.zipWithIndex.map { case (v, j) =>
+          (start.toLong + j, (m + 1).toLong, v)
+        }
+      }
+      assert(out.toSeq == expected,
+        s"seed=$seed skipPast=$skipPast pattern='$pattern'\n" +
+          s"engine=${out.take(10).toSeq}\noracle=${expected.take(10)}")
     }
   }
 

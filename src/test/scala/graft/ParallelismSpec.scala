@@ -5,6 +5,22 @@ import graft.queries.FuzzQueries
 
 class ParallelismSpec extends SparkTestBase {
 
+  test("session shuffle width derives from data bytes with a core floor") {
+    import graft.engine.GraftSession.shuffleWidthFor
+    val mb = 1L << 20
+    // driver SFs sit under the floor: width = cores, numbers unchanged
+    assert(shuffleWidthFor(100 * mb, 32) == 32)
+    assert(shuffleWidthFor(0L, 32) == 32)
+    // rehearsal scale: one partition per 64 MB of scan bytes — the 21 GB
+    // sf100z corpus lands in the 256-512 band the r11 hand-set width
+    // proved out (SCALING.md Finding 1), with no env knob
+    assert(shuffleWidthFor(21L << 30, 32) == (21L << 30) / (64 * mb) + 1)
+    assert(shuffleWidthFor(21L << 30, 32) > 256 &&
+      shuffleWidthFor(21L << 30, 32) < 512)
+    // capped so a petabyte estimate cannot demand an absurd width
+    assert(shuffleWidthFor(Long.MaxValue / 2, 32) == 65536)
+  }
+
   test("spread repartitions a mid-sized input to default parallelism") {
     // stats land between the 32 MiB floor and the ceiling:
     // ~1.7M rows x (8-byte long + 20-byte string estimate) ≈ 48 MiB
