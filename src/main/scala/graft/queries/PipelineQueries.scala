@@ -237,7 +237,48 @@ object PipelineQueries {
     //      steps; argmin assignment is xxhash-free but the Lloyd means are
     //      distributed double averages -> rows-only golden, invariants in
     //      SimilarityClusterSpec ----
-    Q.rowsOnly("q_cluster_kmeans") { (s, dir) =>
+    // ---- k-means assignment, FULL DuckDB oracle (r12, verdict ask #8):
+    // every stage is deterministic and SQL-replayable — seeds = first k
+    // vectors by id, each Lloyd step = first-wins argmin of L2 distance
+    // (strict <, so ORDER BY dist, c picks the same winner) + dim-wise
+    // AVG with empty clusters keeping their previous centroid, final
+    // cos_center rounded to 4 (the q_sim_cosine_topk-proven parity
+    // discipline). steps=2 is unrolled as two CTE rounds ----
+    Q.df("q_cluster_kmeans",
+      duck = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+        |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, v, c FROM (
+        |    SELECT e.vec_id, e.v, s.c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+        |    FROM e CROSS JOIN c0 s) WHERE rk = 1),
+        |m1 AS (SELECT c, j, AVG(x) AS m FROM (
+        |    SELECT c, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM a1)
+        |  GROUP BY c, j),
+        |r1 AS (SELECT c, list(m ORDER BY j) AS v FROM m1 GROUP BY c),
+        |c1 AS (SELECT s.c, COALESCE(r1.v, s.v) AS v
+        |       FROM c0 s LEFT JOIN r1 ON s.c = r1.c),
+        |a2 AS (SELECT vec_id, v, c FROM (
+        |    SELECT e.vec_id, e.v, s.c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+        |    FROM e CROSS JOIN c1 s) WHERE rk = 1),
+        |m2 AS (SELECT c, j, AVG(x) AS m FROM (
+        |    SELECT c, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM a2)
+        |  GROUP BY c, j),
+        |r2 AS (SELECT c, list(m ORDER BY j) AS v FROM m2 GROUP BY c),
+        |c2 AS (SELECT s.c, COALESCE(r2.v, s.v) AS v
+        |       FROM c1 s LEFT JOIN r2 ON s.c = r2.c),
+        |af AS (SELECT vec_id, v, c FROM (
+        |    SELECT e.vec_id, e.v, s.c,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+        |    FROM e CROSS JOIN c2 s) WHERE rk = 1)
+        |SELECT af.vec_id AS id, CAST(af.c AS INTEGER) AS cluster,
+        |  ROUND(list_cosine_similarity(af.v, c2.v), 4) AS cos_center
+        |FROM af JOIN c2 ON af.c = c2.c
+        |ORDER BY id""".stripMargin) { (s, dir) =>
       Similarity.kmeansAssign(embs(s, dir), "vec_id", "embedding", k = 8)
         .orderBy("id")
     },

@@ -25,8 +25,10 @@ object Golden {
     // r11: q_nano_precision and q_text_fingerprint left this set — both
     // promoted to full DuckDB oracles (µs-parity nanos math; md5-variant
     // fingerprint) — and q_decontaminate_bloom gained an oracle-checked
-    // superset-bound companion (q_decontaminate_bloom_superset)
-    "q_approx_distinct", "q_approx_distinct_hll", "q_cluster_kmeans",
+    // superset-bound companion (q_decontaminate_bloom_superset).
+    // r12: q_cluster_kmeans left — seeds/Lloyd/argmin replayed in DuckDB
+    // SQL as a full oracle.
+    "q_approx_distinct", "q_approx_distinct_hll",
     "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",

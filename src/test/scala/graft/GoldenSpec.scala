@@ -15,7 +15,6 @@ class GoldenSpec extends SparkTestBase {
   private val golden = Map(
     "q_approx_distinct" -> "248a6ded2fa807dc",
     "q_approx_distinct_hll" -> "a8daeebd7791634a",
-    "q_cluster_kmeans" -> "e7ce4b4e1394ffc0",
     // deterministic: OR-merged bitset + seed-fixed hashing (the fpp-bound
     // and superset semantics are BloomDecontaminateSpec's job)
     "q_decontaminate_bloom" -> "25be80cc510f997a",
