@@ -157,6 +157,44 @@ object BenchCompare {
       normTot.foreach(n => println(s"\nsf10z shared-set calib-normalized: ${f(n)}x"))
     } else if (zFiles.size == 1)
       println(s"\n(sf10z: only ${zFiles.head} on disk — delta starts next round)")
+
+    // ---- planted-recall delta (r11 judge ask #6): the no-oracle surfaces'
+    // RECALL_r*.json artifacts, newest vs previous — a recall regression
+    // shows up here, not only in a local PlantedTruthSpec run
+    val rFiles = new java.io.File(".")
+      .listFiles((_, n) => n.matches("RECALL_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt).map(_.getPath).toSeq
+    def loadRecall(path: String): Map[String, (Double, Long, Long)] = {
+      val j = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+      (j \ "surfaces") match {
+        case JObject(fs) => fs.flatMap { case (name, o) =>
+          def n(k: String): Option[Double] = (o \ k) match {
+            case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
+            case _ => None
+          }
+          n("recall").map(r => name ->
+            ((r, n("false_positives").getOrElse(0.0).toLong,
+              n("candidates").getOrElse(0.0).toLong)))
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+    if (rFiles.nonEmpty) {
+      val rc = loadRecall(rFiles.last)
+      val rp = if (rFiles.size >= 2) loadRecall(rFiles(rFiles.size - 2))
+               else Map.empty[String, (Double, Long, Long)]
+      println(s"\n## planted recall: ${rFiles.last}" +
+        (if (rFiles.size >= 2) s" vs ${rFiles(rFiles.size - 2)}" else " (first artifact)"))
+      println("| surface | recall | prev | delta | false_pos | candidates |")
+      println("|---|---|---|---|---|---|")
+      rc.toSeq.sortBy(_._1).foreach { case (s0, (r, fp, cand)) =>
+        val prev = rp.get(s0).map(_._1)
+        println(s"| $s0 | ${f(r)} | ${prev.map(f).getOrElse("-")} | " +
+          s"${prev.map(p => f(r - p)).getOrElse("-")} | $fp | $cand |")
+      }
+    }
   }
 
   private def f(d: Double): String = "%.3f".format(d)

@@ -18,7 +18,7 @@ import graft.pipeline.{Dedup, Similarity, IvfIndex}
   */
 class PlantedTruthSpec extends SparkTestBase {
 
-  private val nPlants = 50
+  private val nPlants = graft.tools.Planted.nPlants
 
   // ---------- text corpus: 300 base docs, 25 exact + 25 one-token-edit dups
   //
@@ -28,25 +28,8 @@ class PlantedTruthSpec extends SparkTestBase {
   // keeps shingle-Jaccard ~0.90 (3 of ~58 shingles lost), which MinHash
   // (k=16, 4 bands of 4) detects with p ~0.986 and SimHash(<=6 hamming)
   // detects with near-certainty (random-pair hamming is ~32 +- 4).
-  private lazy val textCorpus: (DataFrame, Set[(Long, Long)], Set[(Long, Long)]) = {
-    val rnd = new scala.util.Random(20260814L)
-    def doc(): Array[String] = Array.fill(60)("w" + rnd.nextInt(2000))
-    val base = (0 until 300).map(i => (i.toLong, doc()))
-    val exactDups = (0 until 25).map { i =>
-      (10000L + i, base(i)._2.clone())
-    }
-    val editDups = (25 until nPlants).map { i =>
-      val t = base(i)._2.clone()
-      t(17) = "w" + (2000 + rnd.nextInt(1000)) // out-of-vocab replacement
-      (10000L + i, t)
-    }
-    val rows = (base ++ exactDups ++ editDups).map { case (id, t) => (id, t.mkString(" ")) }
-    import spark.implicits._
-    val df = rows.toDF("doc_id", "text")
-    val exactPairs = (0 until 25).map(i => (i.toLong, 10000L + i)).toSet
-    val editPairs = (25 until nPlants).map(i => (i.toLong, 10000L + i)).toSet
-    (df, exactPairs, editPairs)
-  }
+  private lazy val textCorpus: (DataFrame, Set[(Long, Long)], Set[(Long, Long)]) =
+    graft.tools.Planted.textCorpus(spark)
 
   test("minhash LSH finds planted near-dups and reports nothing else") {
     val (df, exactPairs, editPairs) = textCorpus
@@ -79,26 +62,13 @@ class PlantedTruthSpec extends SparkTestBase {
   // dim 64 puts random-pair cosine at sigma ~0.125: cos 0.8 is 6.4 sigma,
   // so the only pairs above the dedup threshold are the plants, and each
   // query's true nearest neighbor is its plant by construction.
-  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Double] = {
-    val v = Array.fill(dim)(rnd.nextGaussian())
-    val n = math.sqrt(v.map(x => x * x).sum)
-    v.map(_ / n)
-  }
-  private def perturb(rnd: scala.util.Random, v: Array[Double], sigma: Double): Array[Double] = {
-    val w = v.map(x => x + sigma * rnd.nextGaussian())
-    val n = math.sqrt(w.map(x => x * x).sum)
-    w.map(_ / n)
-  }
+  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Double] =
+    graft.tools.Planted.unitVec(rnd, dim)
+  private def perturb(rnd: scala.util.Random, v: Array[Double], sigma: Double): Array[Double] =
+    graft.tools.Planted.perturb(rnd, v, sigma)
 
-  private lazy val embCorpus: (DataFrame, Set[(Long, Long)]) = {
-    val rnd = new scala.util.Random(99260814L)
-    val base = (0 until 400).map(i => (i.toLong, unitVec(rnd, 64)))
-    val plants = (0 until nPlants).map(i => (10000L + i, perturb(rnd, base(i)._2, 0.01)))
-    import spark.implicits._
-    val df = (base ++ plants).map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
-      .toDF("vec_id", "embedding")
-    (df, (0 until nPlants).map(i => (i.toLong, 10000L + i)).toSet)
-  }
+  private lazy val embCorpus: (DataFrame, Set[(Long, Long)]) =
+    graft.tools.Planted.embCorpus(spark)
 
   test("SRP-LSH embedding candidates find the planted pairs (pinned bits AND auto)") {
     val (df, planted) = embCorpus
