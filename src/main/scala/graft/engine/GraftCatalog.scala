@@ -314,8 +314,11 @@ final class GraftCatalog(spark: SparkSession) {
         val tsName = c.timeColumn.orElse(c.keyColumns.headOption).getOrElse(
           throw new IllegalStateException(s"${c.name}: expiration without a time column"))
         val tsMs =
-          if (c.df.schema(tsName).dataType == org.apache.spark.sql.types.LongType)
-            col(tsName) // LONG time key: already epoch ms
+          // integer div, not `/`: epoch ns (~1.7e18) is past double's 2^53
+          // exact range, so double division would corrupt the cutoff
+          if (c.nanoTime) expr(s"`$tsName` div 1000000") // epoch ns -> ms
+          else if (c.df.schema(tsName).dataType == org.apache.spark.sql.types.LongType)
+            col(tsName) // plain LONG time key: epoch ms
           else unix_millis(col(tsName))
         val expired = e.expirationType match {
           case "PARTITION" =>

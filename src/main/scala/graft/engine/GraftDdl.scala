@@ -368,6 +368,7 @@ object GraftDdl {
     val tail = text.substring(i)
 
     val pk = Seq.newBuilder[String]
+    val nanoCols = Seq.newBuilder[String] // TIMESTAMP(9) columns (epoch-ns LONG)
     val fields = GraftSql.splitSelectList(colDefs).flatMap {
       case pkConstraintRe(cols) =>
         pk ++= cols.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
@@ -375,6 +376,8 @@ object GraftDdl {
       case colDefRe(colName, tpe, prec, mods) =>
         val m = mods.toUpperCase
         if (m.contains("PRIMARY KEY")) pk += colName
+        if (tpe.equalsIgnoreCase("TIMESTAMP") && Option(prec).map(_.toInt).contains(9))
+          nanoCols += colName
         Some(StructField(colName, sparkType(tpe, Option(prec).map(_.toInt)),
           nullable = !m.contains("NOT NULL") && !m.contains("PRIMARY KEY")))
       case other =>
@@ -408,10 +411,13 @@ object GraftDdl {
 
     if (timeseries) cat.createTimeSeries(name, schema, keyCols.head)
     else cat.createCollection(name, schema, keyCols)
-    if (partitioning.isDefined || expiration.isDefined || hints.nonEmpty)
+    // a TIMESTAMP(9) time key carries epoch NANOS in its LONG — record the
+    // unit so time arithmetic on the container (TTL expiry) scales right
+    val nanoKey = timeseries && nanoCols.result().contains(keyCols.head)
+    if (partitioning.isDefined || expiration.isDefined || hints.nonEmpty || nanoKey)
       cat.register(cat.get(name).copy(
         partitioning = partitioning, expiration = expiration,
-        placementHints = hints))
+        placementHints = hints, nanoTime = nanoKey))
     status(spark, "CREATE TABLE", name)
   }
 

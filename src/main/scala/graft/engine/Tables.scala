@@ -54,7 +54,10 @@ final case class Container(
     timeColumn: Option[String] = None,
     partitioning: Option[PartitionedTables.Partitioning] = None,
     expiration: Option[Expiration] = None,
-    placementHints: Map[String, String] = Map.empty)
+    placementHints: Map[String, String] = Map.empty,
+    // the time key is a TIMESTAMP(9) carried as epoch-NANOS LongType (the
+    // Tables.events ts_ns convention); plain LONG time keys are epoch ms
+    nanoTime: Boolean = false)
 
 /** Loader / catalog for the driver-provided TESTDATA star schema.
   *

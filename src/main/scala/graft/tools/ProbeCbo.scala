@@ -17,7 +17,15 @@ import org.apache.spark.sql.SparkSession
 object ProbeCbo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/scaledata/sf10z")
-    val spark = graft.engine.GraftSession.local()
+    // width from data bytes (r12): probing sf100z at width=cores would
+    // measure spill, not the planner (SCALING.md Finding 1)
+    val width = graft.engine.GraftSession.shuffleWidthFor(
+      graft.engine.TableStats.treeSize(dir), 32)
+    val spark = graft.engine.GraftSession.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[32]").appName("graft"),
+      shufflePartitions = width).getOrCreate()
+    graft.engine.GraftFunctions.registerAll(spark)
+    println(s"PROBE width=$width")
     spark.sparkContext.setLogLevel("ERROR")
     val tables = Seq("region", "nation", "customer", "supplier", "orders", "lineitem")
     spark.sql("CREATE DATABASE IF NOT EXISTS cboprobe")

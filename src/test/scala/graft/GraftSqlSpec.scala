@@ -359,6 +359,23 @@ class GraftSqlSpec extends SparkTestBase {
       "WITH (expiration_time=1, nonsense_knob=7) PARTITION BY RANGE(ts) EVERY (1, DAY)",
       "unknown WITH option")
 
+    // TIMESTAMP(9) time key: the LONG carries epoch NANOS — the sweep must
+    // scale (integer div: epoch ns is past double's 2^53 exact range) or a
+    // nano table would silently never expire
+    ddl("DROP TABLE IF EXISTS ttl_nano_tab")
+    ddl("""CREATE TABLE ttl_nano_tab (t TIMESTAMP(9) PRIMARY KEY, v DOUBLE)
+      |USING TIMESERIES
+      |WITH (expiration_time=36, expiration_time_unit='HOUR', expiration_type='ROW')""".stripMargin)
+    assert(cat.get("ttl_nano_tab").nanoTime)
+    val d08 = java.time.Instant.parse("2024-01-08T23:00:00Z").toEpochMilli * 1000000L
+    val d09 = java.time.Instant.parse("2024-01-09T01:00:00Z").toEpochMilli * 1000000L
+    ddl(s"REPLACE INTO ttl_nano_tab VALUES ($d08, 10.0), ($d09, 20.0)")
+    val nowN = java.time.Instant.parse("2024-01-10T12:00:00Z").toEpochMilli
+    assert(cat.expireNow(nowN).filter($"TABLE_NAME" === "ttl_nano_tab")
+      .collect()(0).getAs[Long]("REMOVED_ROWS") == 1L)
+    assert(GraftSql.sql(spark, "SELECT v FROM ttl_nano_tab")
+      .collect().map(_.getDouble(0)).toSeq == Seq(20.0))
+
     // the sweep: 2-day TTL, 1-day partitions, now = 01-10 12:00 —
     // partitions ending on/before 01-08 12:00 drop (days <= 01-07)
     ddl("DROP TABLE IF EXISTS ttl_sweep")
@@ -380,7 +397,7 @@ class GraftSqlSpec extends SparkTestBase {
     // idempotent at the same instant
     assert(cat.expireNow(now).filter($"TABLE_NAME" === "ttl_sweep")
       .collect()(0).getAs[Long]("REMOVED_ROWS") == 0L)
-    Seq("ttl_tab", "ttl_row_tab", "ttl_sweep")
+    Seq("ttl_tab", "ttl_row_tab", "ttl_nano_tab", "ttl_sweep")
       .foreach(t => ddl(s"DROP TABLE $t"))
   }
 
