@@ -225,7 +225,7 @@ object GraftAuth {
     * protected directory at execution, so registration must demand write,
     * not read (r11 ADVICE). */
   private val CreateAsSelectRe =
-    "(?is)\\bAS\\s*\\(*\\s*(?:SELECT|WITH|FROM|VALUES|TABLE)\\b".r
+    "(?is)\\bAS\\s*(?:\\(\\s*)*(?:SELECT|WITH|FROM|VALUES|TABLE)\\b".r
 
   /** Per-session ledger of names REGISTERED OVER protected storage
     * (CREATE ... path/LOCATION '<protected>'): later statements touching
@@ -239,9 +239,11 @@ object GraftAuth {
     * name may be an `IF NOT EXISTS` catalog no-op or fail at execution
     * (r11 ADVICE escalation: alias + no-op CREATE cleared the entry while
     * the name still resolved to protected storage). Entries are therefore
-    * NEVER removed at parse time; on every hit [[verifiedAliasTarget]]
-    * resolves what the name points to NOW through the session's analyzer
-    * and evicts only when the resolved storage is verifiably unprotected.
+    * NEVER removed; on every hit [[verifiedAliasTarget]] resolves what
+    * the name points to NOW through the session's analyzer and skips
+    * gating only for hits whose resolved storage is verifiably
+    * unprotected at that moment (removal would be wrong even then —
+    * resolution is transient under temp-view shadowing).
     *
     * Keys are weak (r11 ADVICE): a Thrift server makes a SparkSession per
     * connection, and a strong key would retain every closed session's
@@ -271,26 +273,30 @@ object GraftAuth {
         }
       }.flatten)
     } catch {
-      // no such table/view (or it no longer analyzes — then no statement
-      // can read through it either): nothing left to gate
-      case _: org.apache.spark.sql.AnalysisException => Some(Nil)
+      // resolution failed — INDETERMINATE, not "gone": the ledger key is
+      // the bare last name part, so a db-qualified alias (CREATE TABLE
+      // db2.a2 ... path '<prot>') does not resolve as `a2` in the current
+      // database, and treating that as "no storage" would evict the entry
+      // and reopen the SELECT-to-write escalation (r12 review). Fail
+      // closed: the caller keeps gating the recorded table.
       case scala.util.control.NonFatal(_) => None
     }
 
   /** The protected table gating ledger entry `name`, verified against the
-    * name's CURRENT resolution (see the ledger scaladoc). Evicts entries
-    * whose storage verifiably left the protected set; keeps gating (the
-    * recorded table) when resolution is indeterminate. */
+    * name's CURRENT resolution (see the ledger scaladoc). When the
+    * resolved storage verifiably left the protected set, gating is
+    * skipped FOR THIS HIT ONLY — the entry is never removed, because
+    * resolution is a transient snapshot (a temp view briefly shadowing
+    * the alias resolves to no file storage; after DROP VIEW the name is
+    * the protected table again, and a removed entry would leave that
+    * write ungated — r12 review). Keeps gating (the recorded table) when
+    * resolution is indeterminate. */
   private def verifiedAliasTarget(session: SparkSession,
       amap: java.util.concurrent.ConcurrentHashMap[String, String],
       name: String, paths: Map[String, String]): Option[String] =
     Option(amap.get(name)).flatMap { recorded =>
       currentStoragePaths(session, name) match {
-        case Some(ps) =>
-          ps.flatMap(pathCanonical(_, paths)).headOption match {
-            case Some(t) => Some(t)
-            case None => amap.remove(name); None
-          }
+        case Some(ps) => ps.flatMap(pathCanonical(_, paths)).headOption
         case None => Some(recorded)
       }
     }
@@ -328,9 +334,12 @@ object GraftAuth {
         }
         // INSERT OVERWRITE DIRECTORY writes the path in ANY statement
         // position — `WITH x AS (...) INSERT OVERWRITE DIRECTORY ...`
-        // does not lead with INSERT (r11 ADVICE); the regex's quoted
-        // DIRECTORY operand is specific enough to stand alone
+        // does not lead with INSERT (r11 ADVICE). Quote-parity filter
+        // (r12 review): the phrase inside a string LITERAL is data, not a
+        // verb — without it, SELECT ... WHERE msg='... OVERWRITE
+        // DIRECTORY "/prot"' would falsely demand write on a pure read
         OverwriteDirRe.findAllMatchIn(stripped)
+          .filter(m => stripped.substring(0, m.start).count(_ == '\'') % 2 == 0)
           .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
           .foreach(canonical => demand(session, cat, canonical, write = true))
       }

@@ -310,21 +310,23 @@ final class GraftCatalog(spark: SparkSession) {
     import spark.implicits._
     val report = containers.values.toSeq.flatMap { c =>
       c.expiration.map { e =>
-        val cutoff = nowMs - e.ttlMs
-        val tsName = c.timeColumn.orElse(c.keyColumns.headOption).getOrElse(
-          throw new IllegalStateException(s"${c.name}: expiration without a time column"))
-        val tsMs =
-          // integer div, not `/`: epoch ns (~1.7e18) is past double's 2^53
-          // exact range, so double division would corrupt the cutoff
-          if (c.nanoTime) expr(s"`$tsName` div 1000000") // epoch ns -> ms
-          else if (c.df.schema(tsName).dataType == org.apache.spark.sql.types.LongType)
-            col(tsName) // plain LONG time key: epoch ms
-          else unix_millis(col(tsName))
+        // epoch-ms view of a time column; integer div for nanos — epoch ns
+        // (~1.7e18) is past double's 2^53 exact range, so double division
+        // would corrupt the cutoff
+        def msOf(colName: String) =
+          if (c.nanoColumns.contains(colName)) expr(s"`$colName` div 1000000")
+          else if (c.df.schema(colName).dataType == org.apache.spark.sql.types.LongType)
+            col(colName) // plain LONG time column: epoch ms
+          else unix_millis(col(colName))
         val expired = e.expirationType match {
           case "PARTITION" =>
-            val every = c.partitioning match {
-              case Some(PartitionedTables.Interval(_, ev)) => ev
-              case Some(PartitionedTables.IntervalHash(_, ev, _, _)) => ev
+            // bucket on the PARTITIONING column — not the row key (r12
+            // review: PARTITION expiry is legal on a Collection, whose
+            // key is not the time axis; bucketing the key would mass-
+            // delete or crash a keyless table)
+            val (pcol, every) = c.partitioning match {
+              case Some(PartitionedTables.Interval(pc, ev)) => (pc, ev)
+              case Some(PartitionedTables.IntervalHash(tc, ev, _, _)) => (tc, ev)
               case other => throw new IllegalStateException(
                 s"${c.name}: PARTITION expiration needs interval partitioning, has $other")
             }
@@ -333,12 +335,18 @@ final class GraftCatalog(spark: SparkSession) {
             // (its end is still inside the TTL window) — same arithmetic
             // as the parquet-layout path
             val watermark = PartitionedTables.ttlWatermark(nowMs, e.ttlMs, every)
-            (floor(tsMs / lit(every)).cast("long") * lit(every)) < watermark
-          case _ => tsMs < cutoff
+            (floor(msOf(pcol) / lit(every)).cast("long") * lit(every)) < watermark
+          case _ =>
+            // ROW expiry requires a TimeSeries (validated at CREATE), so
+            // the time column exists. Inclusive boundary: the reference
+            // erases when ts + ttl <= now (checkExpirableInterval)
+            val tsName = c.timeColumn.getOrElse(throw new IllegalStateException(
+              s"${c.name}: ROW expiration without a time column"))
+            msOf(tsName) <= nowMs - e.ttlMs
         }
         val removed = c.df.filter(expired).count()
         if (removed > 0) deleteWhere(c.name, expired)
-        (c.name, e.expirationType, cutoff, removed)
+        (c.name, e.expirationType, nowMs - e.ttlMs, removed)
       }
     }
     report.toDF("TABLE_NAME", "EXPIRATION_TYPE", "ERASABLE_BEFORE_MS", "REMOVED_ROWS")

@@ -411,13 +411,15 @@ object GraftDdl {
 
     if (timeseries) cat.createTimeSeries(name, schema, keyCols.head)
     else cat.createCollection(name, schema, keyCols)
-    // a TIMESTAMP(9) time key carries epoch NANOS in its LONG — record the
-    // unit so time arithmetic on the container (TTL expiry) scales right
-    val nanoKey = timeseries && nanoCols.result().contains(keyCols.head)
-    if (partitioning.isDefined || expiration.isDefined || hints.nonEmpty || nanoKey)
+    // TIMESTAMP(9) columns carry epoch NANOS in their LONG — record the
+    // set so time arithmetic on the container (TTL expiry over the key OR
+    // the partition column, on either kind) scales right (r12 review: a
+    // key-only flag missed Collection partition expiry on a nano column)
+    val nanoSet = nanoCols.result().toSet
+    if (partitioning.isDefined || expiration.isDefined || hints.nonEmpty || nanoSet.nonEmpty)
       cat.register(cat.get(name).copy(
         partitioning = partitioning, expiration = expiration,
-        placementHints = hints, nanoTime = nanoKey))
+        placementHints = hints, nanoColumns = nanoSet))
     status(spark, "CREATE TABLE", name)
   }
 
@@ -516,14 +518,11 @@ object GraftDdl {
       division.getOrElse(8), resolvedType)), hints)
   }
 
-  private def unitMs(u: String): Long = u.toUpperCase match {
-    case "DAY" => 86400000L
-    case "HOUR" => 3600000L
-    case "MINUTE" => 60000L
-    case "SECOND" => 1000L
-    case "MILLISECOND" => 1L
-    case other => throw new IllegalArgumentException(s"unsupported EVERY unit $other")
-  }
+  private def unitMs(u: String): Long =
+    // one unit table for EVERY and expiration (r12 review: two copies of
+    // the same five constants invite silent divergence)
+    Expiration.Units.getOrElse(u.toUpperCase,
+      throw new IllegalArgumentException(s"unsupported EVERY unit $u"))
 
   // ---- INSERT / REPLACE ----------------------------------------------------
 

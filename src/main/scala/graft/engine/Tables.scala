@@ -55,9 +55,12 @@ final case class Container(
     partitioning: Option[PartitionedTables.Partitioning] = None,
     expiration: Option[Expiration] = None,
     placementHints: Map[String, String] = Map.empty,
-    // the time key is a TIMESTAMP(9) carried as epoch-NANOS LongType (the
-    // Tables.events ts_ns convention); plain LONG time keys are epoch ms
-    nanoTime: Boolean = false)
+    // columns declared TIMESTAMP(9), carried as epoch-NANOS LongType (the
+    // Tables.events ts_ns convention); plain LONG time columns are epoch
+    // ms. Time arithmetic (TTL expiry) consults this per column — the
+    // expiry column may be the key (ROW) or the partition column
+    // (PARTITION), on either container kind
+    nanoColumns: Set[String] = Set.empty)
 
 /** Loader / catalog for the driver-provided TESTDATA star schema.
   *

@@ -179,6 +179,41 @@ class GraftAuthSpec extends SparkTestBase {
       // remote-URI normalization: //-collapse + case-insensitive scheme
       assert(graft.engine.GraftAuth.normalizePath("s3a://b//secret/")
         == graft.engine.GraftAuth.normalizePath("S3A://b/secret"))
+      // r12 review: CTAS with whitespace between nesting parens is still
+      // a CTAS — `AS ( (SELECT ...))` writes the protected directory
+      denied(s"CREATE TABLE ctas_inject3 USING parquet LOCATION '$dataPath/sub3' AS ( (SELECT 9 AS x) )", "privilege")
+      // r12 review: the OVERWRITE DIRECTORY phrase inside a string
+      // LITERAL is data — a pure read must not demand write
+      assert(spark.sql(
+        s"""SELECT * FROM parquet.`$dataPath` WHERE 'a' != 'OVERWRITE DIRECTORY "$dataPath"'""")
+        .count() == 3)
+      // r12 review: a DB-QUALIFIED alias over protected storage gates
+      // writes even though the bare ledger key does not resolve in the
+      // current database (resolution failure must fail CLOSED, not evict)
+      // (CREATE DATABASE over the wire is admin-gated auth DDL; the
+      // in-process catalog API is the deliberately ungated layer)
+      spark.sessionState.catalog.createDatabase(
+        org.apache.spark.sql.catalyst.catalog.CatalogDatabase("auth_db2", "",
+          java.nio.file.Files.createTempDirectory("graft_auth_db2").toUri, Map.empty),
+        ignoreIfExists = true)
+      spark.sql(s"CREATE TABLE auth_db2.dbq_alias USING parquet OPTIONS (path '$dataPath')")
+      denied("INSERT INTO auth_db2.dbq_alias SELECT 9", "privilege")
+      spark.sql("DROP TABLE auth_db2.dbq_alias")
+      spark.sessionState.catalog.dropDatabase("auth_db2",
+        ignoreIfNotExists = true, cascade = true)
+      // r12 review: a temp view BRIEFLY shadowing a protected alias must
+      // not release the gate once the shadow is dropped (eviction was
+      // permanent while resolution is transient)
+      spark.sql(s"CREATE TABLE pers_alias USING parquet OPTIONS (path '$dataPath')")
+      spark.sql("CREATE TEMPORARY VIEW pers_alias AS SELECT 1 AS z")
+      assert(spark.sql("SELECT * FROM pers_alias").count() == 1) // the shadow, ungated
+      spark.catalog.dropTempView("pers_alias")
+      denied("INSERT INTO pers_alias SELECT 9", "privilege") // protected again
+      // cleanup via the ungated in-process API (a wire DROP of a
+      // still-protected alias correctly demands write)
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier("pers_alias"),
+        ignoreIfNotExists = true, purge = false)
     } finally {
       GraftAuth.uninstall()
       cat.dropUser("unit_u")

@@ -366,7 +366,7 @@ class GraftSqlSpec extends SparkTestBase {
     ddl("""CREATE TABLE ttl_nano_tab (t TIMESTAMP(9) PRIMARY KEY, v DOUBLE)
       |USING TIMESERIES
       |WITH (expiration_time=36, expiration_time_unit='HOUR', expiration_type='ROW')""".stripMargin)
-    assert(cat.get("ttl_nano_tab").nanoTime)
+    assert(cat.get("ttl_nano_tab").nanoColumns == Set("t"))
     val d08 = java.time.Instant.parse("2024-01-08T23:00:00Z").toEpochMilli * 1000000L
     val d09 = java.time.Instant.parse("2024-01-09T01:00:00Z").toEpochMilli * 1000000L
     ddl(s"REPLACE INTO ttl_nano_tab VALUES ($d08, 10.0), ($d09, 20.0)")
@@ -375,6 +375,32 @@ class GraftSqlSpec extends SparkTestBase {
       .collect()(0).getAs[Long]("REMOVED_ROWS") == 1L)
     assert(GraftSql.sql(spark, "SELECT v FROM ttl_nano_tab")
       .collect().map(_.getDouble(0)).toSeq == Seq(20.0))
+
+    // PARTITION expiry on a COLLECTION buckets on the PARTITIONING
+    // column, never the row key (r12 review: keying on a LONG id treated
+    // ids as epoch ms -> every bucket below the watermark -> mass delete)
+    ddl("DROP TABLE IF EXISTS ttl_coll_tab")
+    ddl("""CREATE TABLE ttl_coll_tab (id LONG PRIMARY KEY, ts TIMESTAMP, v DOUBLE)
+      |WITH (expiration_time=2, expiration_time_unit='DAY')
+      |PARTITION BY RANGE(ts) EVERY (1, DAY)""".stripMargin)
+    ddl("""REPLACE INTO ttl_coll_tab VALUES
+      |  (1, TIMESTAMP '2024-01-05 06:00:00', 1.0),
+      |  (2, TIMESTAMP '2024-01-09 12:00:00', 2.0)""".stripMargin)
+    val nowC = java.time.Instant.parse("2024-01-10T12:00:00Z").toEpochMilli
+    assert(cat.expireNow(nowC).filter($"TABLE_NAME" === "ttl_coll_tab")
+      .collect()(0).getAs[Long]("REMOVED_ROWS") == 1L)
+    assert(GraftSql.sql(spark, "SELECT v FROM ttl_coll_tab")
+      .collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    // ... and a KEYLESS collection must sweep, not crash
+    ddl("DROP TABLE IF EXISTS ttl_nokey_tab")
+    ddl("""CREATE TABLE ttl_nokey_tab (ts TIMESTAMP, v DOUBLE)
+      |WITH (expiration_time=2, expiration_time_unit='DAY')
+      |PARTITION BY RANGE(ts) EVERY (1, DAY)""".stripMargin)
+    ddl("""REPLACE INTO ttl_nokey_tab VALUES
+      |  (TIMESTAMP '2024-01-05 06:00:00', 1.0),
+      |  (TIMESTAMP '2024-01-09 12:00:00', 2.0)""".stripMargin)
+    assert(cat.expireNow(nowC).filter($"TABLE_NAME" === "ttl_nokey_tab")
+      .collect()(0).getAs[Long]("REMOVED_ROWS") == 1L)
 
     // the sweep: 2-day TTL, 1-day partitions, now = 01-10 12:00 —
     // partitions ending on/before 01-08 12:00 drop (days <= 01-07)
@@ -397,7 +423,8 @@ class GraftSqlSpec extends SparkTestBase {
     // idempotent at the same instant
     assert(cat.expireNow(now).filter($"TABLE_NAME" === "ttl_sweep")
       .collect()(0).getAs[Long]("REMOVED_ROWS") == 0L)
-    Seq("ttl_tab", "ttl_row_tab", "ttl_nano_tab", "ttl_sweep")
+    Seq("ttl_tab", "ttl_row_tab", "ttl_nano_tab", "ttl_coll_tab",
+        "ttl_nokey_tab", "ttl_sweep")
       .foreach(t => ddl(s"DROP TABLE $t"))
   }
 
