@@ -304,6 +304,31 @@ object GraftAuth {
   private def firstGroup(m: scala.util.matching.Regex.Match): String =
     Option(m.group(1)).getOrElse(m.group(2))
 
+  /** Per-position "inside a string literal" mask over the statement text.
+    * Tracks BOTH quote styles (Spark's lexer treats single- and
+    * double-quoted tokens as string literals by default) and backslash
+    * escapes — the r12 text gate counted only unescaped single quotes, so
+    * `'it\'s'` or a double-quoted literal holding a lone apostrophe flipped
+    * the parity and silenced (or false-fired) the scan for the rest of the
+    * statement (r12 ADVICE). A doubled quote ('') reads as close-then-open,
+    * which classifies every interior character as in-literal — correct for
+    * gating, where the question is only "is this keyword data or syntax?". */
+  private def literalMask(text: String): Array[Boolean] = {
+    val in = new Array[Boolean](text.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        in(i) = true
+        if (c == '\\' && i + 1 < text.length) { in(i + 1) = true; i += 1 }
+        else if (c == quote) quote = 0
+      } else if (c == '\'' || c == '"') { in(i) = true; quote = c }
+      i += 1
+    }
+    in
+  }
+
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
     case Some((cat, prot, admins, paths)) =>
       val stripped = stripComments(sqlText)
@@ -316,15 +341,39 @@ object GraftAuth {
       // predicate on a column named path) is data, not a registration.
       // OVERWRITE DIRECTORY (an INSERT form) writes the path: ALL.
       if (paths.nonEmpty) {
+        val mask = literalMask(stripped)
+        // Registration syntax (OPTIONS/TBLPROPERTIES/LOCATION) precedes the
+        // AS clause, so a CREATE ... AS SELECT scopes the path-option scan
+        // to the text BEFORE the first non-literal AS-SELECT: a data
+        // predicate on a column literally named `path` in the view body
+        // (WHERE path = '<protected>') is data, not a registration — the
+        // r12 text gate matched it and escalated a read-level false
+        // positive into a write-level false denial (r12 ADVICE). The AS
+        // match itself must not sit inside a string literal, else
+        // OPTIONS(comment 'AS SELECT', path '<prot>') truncates the scope
+        // before the real path option and the gate goes silent.
+        val asClause = created.flatMap(_ =>
+          CreateAsSelectRe.findAllMatchIn(stripped).find(m => !mask(m.start)))
+        val optScope = asClause.map(m => stripped.substring(0, m.start)).getOrElse(stripped)
+        // optScope is a PREFIX of stripped, so mask positions align. A
+        // `path`/LOCATION keyword INSIDE a string literal is data — but the
+        // quoted-key spellings ('path' '...', "path" '...') legitimately
+        // START at a quote, which the mask marks in-literal. The match is
+        // data only when the PRECEDING character is also in-literal (the
+        // keyword sits mid-literal); at a literal's opening quote the
+        // previous char is syntax, so quoted keys pass.
+        def midLiteral(m: scala.util.matching.Regex.Match): Boolean =
+          mask(m.start) && m.start > 0 && mask(m.start - 1)
         val optPaths =
           if (created.isDefined)
-            (PathOptionRe.findAllMatchIn(stripped) ++ LocationRe.findAllMatchIn(stripped))
+            (PathOptionRe.findAllMatchIn(optScope) ++ LocationRe.findAllMatchIn(optScope))
+              .filterNot(midLiteral)
               .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
           else Nil
         // CTAS physically writes the protected directory at execution —
         // registration with an AS SELECT clause is a WRITE (r11 ADVICE);
         // a plain CREATE only registers, which SELECT covers
-        val ctas = created.isDefined && CreateAsSelectRe.findFirstIn(stripped).isDefined
+        val ctas = created.isDefined && asClause.isDefined
         optPaths.foreach(canonical => demand(session, cat, canonical, write = ctas))
         // record the registration intent; stale entries are never cleared
         // here — eviction happens on verified resolution (ledger scaladoc)
@@ -334,12 +383,15 @@ object GraftAuth {
         }
         // INSERT OVERWRITE DIRECTORY writes the path in ANY statement
         // position — `WITH x AS (...) INSERT OVERWRITE DIRECTORY ...`
-        // does not lead with INSERT (r11 ADVICE). Quote-parity filter
-        // (r12 review): the phrase inside a string LITERAL is data, not a
-        // verb — without it, SELECT ... WHERE msg='... OVERWRITE
-        // DIRECTORY "/prot"' would falsely demand write on a pure read
+        // does not lead with INSERT (r11 ADVICE). Literal-mask filter
+        // (r12 review + r13 ADVICE upgrade from single-quote parity): the
+        // phrase inside a string LITERAL is data, not a verb — without it,
+        // SELECT ... WHERE msg='... OVERWRITE DIRECTORY "/prot"' would
+        // falsely demand write on a pure read. The plan-side InsertIntoDir
+        // gate (check() below) remains the authority for all Spark-native
+        // spellings; this text layer catches the statement before parse.
         OverwriteDirRe.findAllMatchIn(stripped)
-          .filter(m => stripped.substring(0, m.start).count(_ == '\'') % 2 == 0)
+          .filter(m => !mask(m.start))
           .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
           .foreach(canonical => demand(session, cat, canonical, write = true))
       }

@@ -240,18 +240,32 @@ object Dedup {
     * guarantee; past that size prefer [[minhashCandidates]] /
     * [[embeddingCandidates]], whose AUTO band widths keep buckets ~O(1). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, corpusSize: Long = -1L): DataFrame = {
-    val sh = simhashDf(docs, textCol, idCol)
-    val chunks = (0 until 4).map(b =>
-      shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
+                   maxHamming: Int = 3, corpusSize: Long = -1L): DataFrame =
+    simhashPairsOf(simhashDf(docs, textCol, idCol), maxHamming, corpusSize,
+      widthOf = docs)
+
+  /** The banded pair machinery of [[simhashPairs]] over a PRE-COMPUTED
+    * sketch frame `(id, sh)` — split out (r13) so the oracle companion can
+    * drive the exact chunk-band/self-join/hamming path with an
+    * engine-portable sketch (md5-derived bits a SQL oracle can replay)
+    * while the production entry keeps the codegen'd xxhash64 kernel.
+    * `widthOf` feeds the zero-job byte estimate when `corpusSize` is
+    * unknown (the sketch frame's own estimate undercounts — pass the
+    * source docs where available). */
+  def simhashPairsOf(sh: DataFrame, maxHamming: Int,
+                     corpusSize: Long = -1L,
+                     widthOf: DataFrame = null): DataFrame = {
     // adaptive width, same rationale as minhashCandidates (rows are a
     // single Long sketch, so the per-partition byte budget stretches
     // further — double it)
     val nPart =
       if (corpusSize > 0)
         verifyPartitions(4L * corpusSize,
-          docs.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
-      else widthFromBytes(docs, 4, bytesPerPartition = 64L << 20)
+          sh.sparkSession.sessionState.conf.numShufflePartitions, 250000L)
+      else widthFromBytes(Option(widthOf).getOrElse(sh), 4,
+        bytesPerPartition = 64L << 20)
+    val chunks = (0 until 4).map(b =>
+      shiftright(col("sh"), b * 16).bitwiseAND(0xffffL))
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
     val banded = bandedExchange(
       sh.select(col("id"), col("sh"), posexplode(array(chunks: _*)))

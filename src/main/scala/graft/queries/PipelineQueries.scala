@@ -34,6 +34,103 @@ object PipelineQueries {
       path
     })
 
+  // ---- IVF coarse-quantizer replay shared by the q_sim_ivf_* oracles
+  // (r12 verdict #3, same discipline as the q_cluster_kmeans promotion):
+  // every stage of ivfTopK / IvfIndex.topK is deterministic data math —
+  // seeds = first 16 vectors by id, ONE Lloyd step (first-wins argmin +
+  // dim-wise AVG, empty cluster keeps its seed), corpus assignment under
+  // the refined centroids, nProbe=4 probe order by (distance, cluster id),
+  // candidates = same-cluster pairs, top-10 by (round(cos,4) DESC, c_id).
+  // list_distance is sqrt-L2 vs the kernel's squared-L2 — argmin-equivalent
+  // (monotone); near-tie FP margins are pinned by SimilarityClusterSpec. ----
+  private val IvfReplayCtes =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+      |a1 AS (SELECT vec_id, v, c FROM (
+      |    SELECT e.vec_id, e.v, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+      |    FROM e CROSS JOIN c0 s) WHERE rk = 1),
+      |m1 AS (SELECT c, j, AVG(x) AS m FROM (
+      |    SELECT c, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM a1)
+      |  GROUP BY c, j),
+      |r1 AS (SELECT c, list(m ORDER BY j) AS v FROM m1 GROUP BY c),
+      |c1 AS (SELECT s.c, COALESCE(r1.v, s.v) AS v
+      |       FROM c0 s LEFT JOIN r1 ON s.c = r1.c),
+      |af AS (SELECT vec_id, v, c FROM (
+      |    SELECT e.vec_id, e.v, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+      |    FROM e CROSS JOIN c1 s) WHERE rk = 1),
+      |pr AS (SELECT q_id, c FROM (
+      |    SELECT q.vec_id AS q_id, s.c,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.v, s.v), s.c) AS prk
+      |    FROM e q CROSS JOIN c1 s WHERE q.vec_id < 5) WHERE prk <= 4)""".stripMargin
+
+  private val IvfAnnOracle = IvfReplayCtes + ",\n" +
+    """ranked AS (
+      |  SELECT pr.q_id, af.vec_id AS c_id,
+      |    ROUND(list_cosine_similarity(q.v, af.v), 4) AS cos,
+      |    row_number() OVER (PARTITION BY pr.q_id
+      |      ORDER BY ROUND(list_cosine_similarity(q.v, af.v), 4) DESC, af.vec_id) AS rk
+      |  FROM pr JOIN af ON af.c = pr.c
+      |  JOIN e q ON q.vec_id = pr.q_id
+      |  WHERE af.vec_id <> pr.q_id)
+      |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
+      |ORDER BY q_id, rk""".stripMargin
+
+  // IVF clusters/probes as above; scoring replays the SQ8 codec exactly as
+  // q_sim_sq_ann's oracle does (global per-dim affine train -> floor-of-
+  // plus-half codes -> decode), cosine of the ORIGINAL query against the
+  // RECONSTRUCTED candidate.
+  private val IvfSqOracle = IvfReplayCtes + ",\n" +
+    """el AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM e),
+      |dims AS (SELECT d, MIN(x) AS mn, MAX(x) AS mx FROM el GROUP BY d),
+      |enc AS (
+      |  SELECT el.vec_id, el.d,
+      |    CASE WHEN dims.mx = dims.mn THEN 0
+      |         ELSE CAST(LEAST(255.0, GREATEST(0.0, FLOOR((el.x - dims.mn) * 255.0 / (dims.mx - dims.mn) + 0.5))) AS INT) END AS code
+      |  FROM el JOIN dims USING (d)),
+      |dec AS (
+      |  SELECT enc.vec_id, list(dims.mn + enc.code * (dims.mx - dims.mn) / 255.0 ORDER BY enc.d) AS dv
+      |  FROM enc JOIN dims USING (d) GROUP BY enc.vec_id),
+      |ranked AS (
+      |  SELECT pr.q_id, af.vec_id AS c_id,
+      |    ROUND(list_cosine_similarity(q.v, dec.dv), 4) AS cos,
+      |    row_number() OVER (PARTITION BY pr.q_id
+      |      ORDER BY ROUND(list_cosine_similarity(q.v, dec.dv), 4) DESC, af.vec_id) AS rk
+      |  FROM pr JOIN af ON af.c = pr.c
+      |  JOIN dec ON dec.vec_id = af.vec_id
+      |  JOIN e q ON q.vec_id = pr.q_id
+      |  WHERE af.vec_id <> pr.q_id)
+      |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
+      |ORDER BY q_id, rk""".stripMargin
+
+  // ---- md5-simhash full-value oracle (see q_dedup_simhash_oracle): the
+  // 60-bit token hash is the first 15 hex chars of md5 — computable
+  // identically in Spark (conv/substring/md5) and DuckDB (hex-literal
+  // cast). Sketch bit i = sign of the +/-1 token-bit sums (>= 0 -> 1, the
+  // kernel's tie rule); bands = 16-bit chunks (top chunk carries 12 live
+  // bits); pairs share a chunk, a < b, distinct; hamming via xor. ----
+  private val SimhashMd5Oracle = {
+    val bits = (0 until 60).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(", ")
+    val sketch = (0 until 60).map(i =>
+      s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)),
+       |bs AS (SELECT doc_id, $bits FROM tok GROUP BY doc_id),
+       |sk AS (SELECT doc_id AS id, $sketch AS sh FROM bs),
+       |band AS (SELECT id, sh, b, (sh >> (b*16)) & 65535 AS chunk
+       |         FROM sk, UNNEST([0,1,2,3]) AS u(b)),
+       |pairs AS (SELECT DISTINCT l.id AS a, r.id AS b, bit_count(xor(l.sh, r.sh)) AS hamming
+       |  FROM band l JOIN band r ON l.b = r.b AND l.chunk = r.chunk AND l.id < r.id)
+       |SELECT a, b, hamming FROM pairs WHERE hamming <= 6 ORDER BY a, b""".stripMargin
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- exact dedup: corpus stats by content digest ----
@@ -166,11 +263,132 @@ object PipelineQueries {
         .orderBy("a", "b")
     },
 
-    // ---- SimHash near-dup pairs (rows-only) ----
+    // ---- SimHash near-dup pairs (rows-only: the sketch is xxhash64) ----
     Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6,
           corpusSize = nDocs(s, dir))
         .orderBy("a", "b")
+    },
+
+    // ---- SimHash pair machinery, FULL-VALUE DuckDB oracle (r12 verdict
+    //      #4): the production sketch is xxhash64 (no SQL replay exists),
+    //      but the whole DOWNSTREAM surface — sign-of-sums sketch
+    //      construction, 16-bit chunk banding, shared-Exchange self-join,
+    //      hamming<=maxHamming verify, pair dedup — is hash-agnostic. This
+    //      companion drives the exact same simhashPairsOf path with an
+    //      md5-derived 60-bit token hash both engines can compute, so every
+    //      returned (a, b, hamming) row is value-checked by the driver;
+    //      only the kernel's hash function itself stays spec-covered
+    //      (DedupSpec explode-formulation parity) ----
+    Q.df("q_dedup_simhash_oracle", duck = SimhashMd5Oracle) { (s, dir) =>
+      val tok = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(col("text")), " ", -1)).as("t"))
+        .withColumn("h",
+          conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10).cast("long"))
+      val sums = (0 until 60).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i"))
+      val bs = tok.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      val sketch = (0 until 60).map(i =>
+        when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val sk = bs.select(col("doc_id").as("id"), sketch.as("sh"))
+      Dedup.simhashPairsOf(sk, maxHamming = 6, corpusSize = nDocs(s, dir))
+        .orderBy("a", "b")
+    },
+
+    // ---- MinHash bound companion (r12 verdict #3, bloom-superset
+    //      discipline): the candidate SET is xxhash64-dependent, but its
+    //      guarantees are exactly checkable. Four counters, one row:
+    //      n_strong_exact — pairs with TRUE 3-shingle Jaccard >= 0.9,
+    //      recomputed independently by the oracle (and in Spark via the
+    //      PPJoin verifier over md5'd shingles — itself oracle coverage
+    //      for tokenJaccardPairs on a second token universe);
+    //      n_strong_missed = 0 — every strong pair is a minhash candidate
+    //      (recall gate at est threshold 0.5 + 3 sigma headroom);
+    //      n_below_floor = 0 — no returned pair's true Jaccard below 0.6
+    //      (precision floor; min observed 0.9 at sf0.01);
+    //      n_est_out_of_band = 0 — |est - true| <= 0.25 (k=16 members:
+    //      sigma at t=0.9 is 0.075, band is 3.3 sigma; max observed 0.083).
+    //      All deterministic per dataset — violations fail the DRIVER. ----
+    Q.df("q_dedup_minhash_bound",
+      duck = """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+        |                          ELSE array_to_string(t, ' ') END AS sh
+        |      FROM base, UNNEST(generate_series(1, GREATEST(len(t)-2, 1))) AS u(i)),
+        |shingle AS (SELECT DISTINCT doc_id, sh FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |          FROM shingle x JOIN shingle y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |strong AS (SELECT a, b FROM inter
+        |           JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong_exact,
+        |  CAST(0 AS BIGINT) AS n_strong_missed,
+        |  CAST(0 AS BIGINT) AS n_below_floor,
+        |  CAST(0 AS BIGINT) AS n_est_out_of_band
+        |FROM strong""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val mh = Dedup.minhashCandidates(d, "text", "doc_id",
+        corpusSize = nDocs(s, dir))
+      // true shingle-set Jaccard of each returned pair
+      val shArr = d.select(col("doc_id"),
+        Dedup.shingles("text", 3).as("shs"))
+      val truej = mh
+        .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+        .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("tj", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+      // exact strong pairs via the PPJoin verifier: md5 each shingle into a
+      // synthetic token so tokenJaccardPairs computes SHINGLE-set Jaccard
+      // with its prefix-filtered index (scale-safe), matching the oracle's
+      // naive SQL on the same md5-free shingle universe
+      val shText = d.select(col("doc_id"),
+        concat_ws(" ", transform(Dedup.shingles("text", 3),
+          x => md5(x.cast("binary")))).as("shtext"))
+      val strong = Dedup.tokenJaccardPairs(shText, "shtext", "doc_id",
+        minJaccard = 0.9).select(col("a"), col("b"))
+      val nStrong = strong.agg(count(lit(1)).as("n_strong_exact"))
+      val nMissed = strong.join(mh, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n_strong_missed"))
+      val viol = truej.agg(
+        coalesce(sum(when(col("tj") < 0.6, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_floor"),
+        coalesce(sum(when(abs(col("est_jaccard") - col("tj")) > 0.25, 1L)
+          .otherwise(0L)), lit(0L)).as("n_est_out_of_band"))
+      nStrong.crossJoin(nMissed).crossJoin(viol) // 1x1x1 anchor joins
+    },
+
+    // ---- SRP-LSH embedding-dedup bound companion (r12 verdict #3): the
+    //      candidate set depends on the seeded projection planes, but every
+    //      SURVIVING pair was exact-cosine-verified at >= minCos — so the
+    //      returned set must be a SUBSET of the exact pair set with
+    //      matching cosines. The oracle recomputes the exact pair count;
+    //      subset/score violations are pinned zero. (The recall side lives
+    //      in RECALL_r13 — at sf0.01 the 500-vector corpus genuinely has
+    //      near-dups the bands separate, so equality would over-pin.) ----
+    Q.df("q_dedup_lsh_pairs_bound",
+      duck = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |      WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+        |  CAST(0 AS BIGINT) AS n_not_exact,
+        |  CAST(0 AS BIGINT) AS n_cos_mismatch
+        |FROM p""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val lsh = Dedup.embeddingCandidates(e, "embedding", "vec_id",
+        minCos = 0.45, corpusSize = nEmbs(s, dir))
+      val exact = Dedup.embeddingDupsExact(e, "embedding", "vec_id", minCos = 0.45)
+        .select(col("a"), col("b"), col("cos").as("exact_cos"))
+      val joined = lsh.join(exact, Seq("a", "b"), "left")
+      val nExact = exact.agg(count(lit(1)).as("n_exact_pairs"))
+      val viol = joined.agg(
+        coalesce(sum(when(col("exact_cos").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_not_exact"),
+        coalesce(sum(when(col("cos") =!= col("exact_cos"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cos_mismatch"))
+      nExact.crossJoin(viol) // 1x1 anchor join
     },
 
     // ---- embedding-cosine near-dup pairs: exact O(N²) baseline (oracle) ----
@@ -347,11 +565,52 @@ object PipelineQueries {
         .orderBy("q_id", "rk")
     },
 
-    // ---- IVF approximate NN (rows-only; recall tested in spec) ----
-    Q.rowsOnly("q_sim_ivf_ann") { (s, dir) =>
+    // ---- LSH ANN bound companion (r12 verdict #3): the bucket contents
+    //      depend on the seeded planes (a superset-of-exact-top-N bound is
+    //      VACUOUS here — a query whose bucket holds only far vectors
+    //      still ranks its bucket's best, measured exact-rank 499 at
+    //      sf0.01), but three guarantees are exact and driver-checkable:
+    //      every returned cos IS the true pair cosine; ranks replay
+    //      (cos DESC, c_id) exactly; no query exceeds k rows. Recall lives
+    //      in RECALL_r13. ----
+    Q.df("q_sim_lsh_ann_bound",
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(0 AS BIGINT) AS n_score_mismatch,
+        |  CAST(0 AS BIGINT) AS n_rank_disorder,
+        |  CAST(0 AS BIGINT) AS n_over_k
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       val e = embs(s, dir)
-      // nLists pinned to 16 (the pre-AUTO default) — the result is
-      // golden-pinned and the AUTO ~sqrt(N) rule would shift it with SF
+      val ev = e.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val appr = Similarity.lshTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+      val scored = appr
+        .join(ev.select(col("vec_id").as("q_id"), col("v").as("qv")), "q_id")
+        .join(ev.select(col("vec_id").as("c_id"), col("v").as("cv")), "c_id")
+        .withColumn("exact_cos", round(Similarity.cosine(col("qv"), col("cv")), 4))
+        .withColumn("replay_rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("c_id"))))
+      val perQuery = appr.groupBy("q_id").agg(count(lit(1)).as("n"))
+      val nQueries = e.filter(col("vec_id") < 5).agg(count(lit(1)).as("n_queries"))
+      val viol = scored.agg(
+        coalesce(sum(when(col("cos") =!= col("exact_cos"), 1L).otherwise(0L)),
+          lit(0L)).as("n_score_mismatch"),
+        coalesce(sum(when(col("replay_rk") =!= col("rk"), 1L).otherwise(0L)),
+          lit(0L)).as("n_rank_disorder"))
+      val overK = perQuery.agg(
+        coalesce(sum(when(col("n") > 10, 1L).otherwise(0L)), lit(0L)).as("n_over_k"))
+      nQueries.crossJoin(viol).crossJoin(overK) // 1x1x1 anchor joins
+    },
+
+    // ---- IVF approximate NN — FULL DuckDB oracle (r12 verdict #3,
+    //      promoted from rows-only): the coarse quantizer is deterministic
+    //      data math, so the oracle unrolls seed -> Lloyd -> assign ->
+    //      probe -> rank as CTEs (IvfReplayCtes above) ----
+    Q.df("q_sim_ivf_ann", duck = IvfAnnOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      // nLists pinned to 16 (the pre-AUTO default) — the oracle replays it
+      // and the AUTO ~sqrt(N) rule would shift the result with SF
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nLists = 16)
         .orderBy("q_id", "rk")
@@ -365,7 +624,10 @@ object PipelineQueries {
     //      that matters at 100 TB — benched since r11 (judge ask #4) so
     //      serving regressions surface in BENCH, not only in SCALING
     //      rehearsals; PlanShapeSpec pins the pruned-scan plan ----
-    Q.rowsOnly("q_sim_ivf_indexed", bench = true) { (s, dir) =>
+    // Same oracle as q_sim_ivf_ann — the persisted inverted file must
+    // reproduce the in-memory form's rows exactly (now enforced by the
+    // DRIVER, not only the shared golden hash).
+    Q.df("q_sim_ivf_indexed", duck = IvfAnnOracle, bench = true) { (s, dir) =>
       val e = embs(s, dir)
       IvfIndex.topK(s, ivfIndexPath(s, dir), e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
@@ -375,9 +637,10 @@ object PipelineQueries {
     // ---- the same serving path over the SQ8-coded index: the inverted
     //      lists store int8 codes (~4x smaller — the part of the index
     //      that scales with the corpus), scored via the decode-fused
-    //      graft_sq_cosine kernel; probing/pruning identical. Rows-only
-    //      golden; recall + size bounds in IvfIndexSpec/ProbeSq ----
-    Q.rowsOnly("q_sim_ivfsq_indexed") { (s, dir) =>
+    //      graft_sq_cosine kernel; probing/pruning identical. FULL DuckDB
+    //      oracle (r12 verdict #3): IVF replay + the q_sim_sq_ann codec
+    //      replay composed; recall + size bounds in IvfIndexSpec/ProbeSq ----
+    Q.df("q_sim_ivfsq_indexed", duck = IvfSqOracle) { (s, dir) =>
       val e = embs(s, dir)
       IvfIndex.topK(s, ivfIndexPath(s, dir, codec = "sq8"),
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -961,11 +1224,31 @@ object PipelineQueries {
         .select(col("id").as("doc_id")).orderBy("doc_id")
     },
 
-    // ---- approximate distinct (HLL sketch; tolerance-tested in spec) ----
-    Q.rowsOnly("q_approx_distinct") { (s, dir) =>
+    // ---- approximate distinct, BOUNDED DuckDB oracle (r12 verdict #4,
+    //      promoted from rows-only): the estimate itself is sketch-
+    //      implementation-specific, but its ERROR CONTRACT is exactly
+    //      checkable — emit the exact counts (oracle recomputes them) plus
+    //      within-bound flags the oracle pins true. Bounds are 3x the
+    //      sketch rsd (default 0.05 -> 15%, explicit 0.02 -> 6%) with a
+    //      +8 absolute floor for small groups; the estimate is
+    //      deterministic per dataset, so the flags cannot flake — a sketch
+    //      regression past 3 sigma fails CORRECTNESS at the driver ----
+    Q.df("q_approx_distinct",
+      duck = """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(DISTINCT value) AS exact_values,
+        |  true AS users_within_bound, true AS values_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("value"), 0.02).as("approx_values"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("value")).as("exact_values"),
+          approx_count_distinct(col("user_id")).as("au"),
+          approx_count_distinct(col("value"), 0.02).as("av"))
+        .select(col("event_type"), col("exact_users"), col("exact_values"),
+          (abs(col("au") - col("exact_users")).cast("double") <=
+            greatest(col("exact_users") * 0.15, lit(8.0))).as("users_within_bound"),
+          (abs(col("av") - col("exact_values")).cast("double") <=
+            greatest(col("exact_values") * 0.06, lit(8.0))).as("values_within_bound"))
         .orderBy("event_type")
     },
 
@@ -974,15 +1257,31 @@ object PipelineQueries {
     //      pipeline materializes per partition: re-aggregation unions fixed
     //      ~KB states instead of re-scanning raw data (rows-only; accuracy
     //      vs exact asserted in spec) ----
-    Q.rowsOnly("q_approx_distinct_hll") { (s, dir) =>
-      val daily = Tables.events(s, dir)
+    //      BOUNDED DuckDB oracle (r12 verdict #4, promoted from rows-only):
+    //      exact distinct + day/event totals are replayed by the oracle;
+    //      the sketch-union estimate is pinned to within 10% (+16 absolute
+    //      floor) of exact — deterministic per dataset, so no flakes ----
+    Q.df("q_approx_distinct_hll",
+      duck = """SELECT COUNT(DISTINCT user_id) AS exact_users_total,
+        |  true AS within_bound,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+        |FROM events""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           count(lit(1)).as("n_events"))
-      daily.agg(
+      val est = daily.agg(
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users_total"),
         sum(col("n_events")).as("n_events"),
         count(lit(1)).as("n_days"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users_total"))
+      est.crossJoin(exact) // 1x1 anchor join
+        .select(col("exact_users_total"),
+          (abs(col("est_users_total") - col("exact_users_total")).cast("double") <=
+            greatest(col("exact_users_total") * 0.10, lit(16.0))).as("within_bound"),
+          col("n_events"), col("n_days"))
     },
 
     // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----

@@ -26,6 +26,7 @@ object BenchCompare {
 
   final case class Run(file: String, total: Double,
                        queries: Map[String, Double], // name -> median sec
+                       mins: Map[String, Double],    // name -> min sec
                        calib: Option[Double])
 
   private def extractBenchLine(text: String): Option[String] =
@@ -62,8 +63,15 @@ object BenchCompare {
       }.toMap
       case _ => Map.empty[String, Double]
     }
+    val mins = (j \ "queries") match {
+      case JObject(fs) => fs.flatMap {
+        case (name, o: JObject) => num(o \ "min").map(name -> _)
+        case _ => None
+      }.toMap
+      case _ => Map.empty[String, Double]
+    }
     Run(path, num(j \ "value").getOrElse(queries.values.sum),
-      queries, num(j \ "calib"))
+      queries, mins, num(j \ "calib"))
   }
 
   private def newestBenchFiles(): Seq[String] = {
@@ -99,8 +107,17 @@ object BenchCompare {
     prev.foreach(p => println(s"previous: ${p.file}  total=${f(p.total)}s  calib=${p.calib.map(f).getOrElse("-")}"))
     base.foreach(b => println(s"baseline: ${b.file}  total=${f(b.total)}s  calib=${b.calib.map(f).getOrElse("-")}"))
     println()
-    println("| query | cur s | prev s | vs prev | base s | vs base |")
-    println("|---|---|---|---|---|---|")
+    // spread = median/min per query (r12 verdict #7): a spread > 1.5x marks
+    // the median as noise/cold-cache dominated — the artifact self-identifies
+    // instead of relying on SCALING.md prose to explain bimodal rows.
+    def spreadCell(run: Run, q: String): String =
+      (run.queries.get(q), run.mins.get(q)) match {
+        case (Some(m), Some(n)) if n > 0 =>
+          val s = m / n; f(s) + "x" + (if (s > 1.5) " !" else "")
+        case _ => "-"
+      }
+    println("| query | cur s | spread | prev s | vs prev | base s | vs base |")
+    println("|---|---|---|---|---|---|---|")
     cur.queries.toSeq.sortBy(_._1).foreach { case (q, t) =>
       val pv = prev.flatMap(_.queries.get(q))
       val pr = prev.flatMap(normRatio(q, _))
@@ -108,7 +125,7 @@ object BenchCompare {
       val br = base.flatMap(normRatio(q, _))
       def cell(r: Option[(Double, Boolean)]) =
         r.map { case (x, n) => f(x) + "x" + (if (n) "" else " (raw)") }.getOrElse("-")
-      println(s"| $q | ${f(t)} | ${pv.map(f).getOrElse("-")} | ${cell(pr)} | " +
+      println(s"| $q | ${f(t)} | ${spreadCell(cur, q)} | ${pv.map(f).getOrElse("-")} | ${cell(pr)} | " +
         s"${bv.map(f).getOrElse("-")} | ${cell(br)} |")
     }
     // shared-query totals: the honest aggregate (query sets change between
@@ -142,13 +159,13 @@ object BenchCompare {
       println(s"## sf10z (100x) delta: ${zc.file} vs ${zp.file}")
       println(s"totals ${f(zc.total)}s vs ${f(zp.total)}s; calib " +
         s"${zc.calib.map(f).getOrElse("-")} vs ${zp.calib.map(f).getOrElse("-")}")
-      println("| query | cur s | prev s | norm |")
-      println("|---|---|---|---|")
+      println("| query | cur s | spread | prev s | norm |")
+      println("|---|---|---|---|---|")
       zc.queries.toSeq.sortBy(_._1).foreach { case (q, t) =>
         val pv = zp.queries.get(q)
         val norm = for (p <- pv; cc <- zc.calib; pc <- zp.calib)
           yield (t / cc) / (p / pc)
-        println(s"| $q | ${f(t)} | ${pv.map(f).getOrElse("-")} | " +
+        println(s"| $q | ${f(t)} | ${spreadCell(zc, q)} | ${pv.map(f).getOrElse("-")} | " +
           s"${norm.map(n => f(n) + "x").getOrElse("-")} |")
       }
       val shared = zc.queries.keySet.intersect(zp.queries.keySet).toSeq

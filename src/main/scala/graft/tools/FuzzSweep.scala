@@ -24,6 +24,13 @@ object FuzzSweep {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_NO_BHJ=1 disables broadcast joins for the sweep: at fuzz
+    // SFs every join is under the broadcast threshold, so the session's
+    // preferSortMergeJoin=false default (r12) would otherwise never reach
+    // the shuffled-hash code paths differential fuzz is meant to cover
+    // (r12 ADVICE: the committed clean bands predate the SHJ flip).
+    if (sys.env.get("SPARK_GRAFT_NO_BHJ").contains("1"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     graft.engine.GraftSession.prepare(spark)
     graft.engine.Tables.registerAll(spark, sfDir)
     new java.io.File(outDir).mkdirs()

@@ -28,13 +28,19 @@ object Golden {
     // superset-bound companion (q_decontaminate_bloom_superset).
     // r12: q_cluster_kmeans left — seeds/Lloyd/argmin replayed in DuckDB
     // SQL as a full oracle.
-    "q_approx_distinct", "q_approx_distinct_hll",
+    // r13: five more left — q_sim_ivf_ann / q_sim_ivf_indexed /
+    // q_sim_ivfsq_indexed (the deterministic coarse quantizer + SQ8 codec
+    // unrolled as CTEs, full oracles) and q_approx_distinct /
+    // q_approx_distinct_hll (exact counts + pinned error-bound flags).
+    // The sketch-set surfaces that remain gained driver-checked bound
+    // companions (q_dedup_minhash_bound, q_dedup_lsh_pairs_bound,
+    // q_sim_lsh_ann_bound, q_dedup_simhash_oracle).
     "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features",
-    "q_pipeline_curation_v3_auto", "q_sim_ivf_ann", "q_sim_ivf_indexed",
-    "q_sim_ivfpq_ann", "q_sim_ivfsq_indexed",
+    "q_pipeline_curation_v3_auto",
+    "q_sim_ivfpq_ann",
     "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash")
 
   private def fmt(v: Any): String = v match {

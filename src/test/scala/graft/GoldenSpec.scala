@@ -13,8 +13,6 @@ import graft.tools.Golden
 class GoldenSpec extends SparkTestBase {
 
   private val golden = Map(
-    "q_approx_distinct" -> "248a6ded2fa807dc",
-    "q_approx_distinct_hll" -> "a8daeebd7791634a",
     // deterministic: OR-merged bitset + seed-fixed hashing (the fpp-bound
     // and superset semantics are BloomDecontaminateSpec's job)
     "q_decontaminate_bloom" -> "25be80cc510f997a",
@@ -27,15 +25,7 @@ class GoldenSpec extends SparkTestBase {
     "q_dedup_simhash" -> "df17e934ac71859a",
     "q_multimodal_features" -> "cd83f6b20c274280",
     "q_pipeline_curation_v3_auto" -> "61055128fc76a684",
-    "q_sim_ivf_ann" -> "5c07d3c773d648de",
-    // same hash as q_sim_ivf_ann — the persisted inverted file reproduces
-    // the in-memory operator exactly (IvfIndexSpec proves it structurally)
-    "q_sim_ivf_indexed" -> "5c07d3c773d648de",
     "q_sim_ivfpq_ann" -> "5f0dae0d94168546",
-    // NOT q_sim_ivf_indexed's hash: same probes and pruning, but the
-    // candidates score against SQ8 reconstructions (IvfIndexSpec pins the
-    // ≥0.85 recall bound vs the raw index; ProbeSq measured 0.960 at 2M)
-    "q_sim_ivfsq_indexed" -> "fecf56084accf842",
     "q_sim_lsh_ann" -> "1ed71c69d7605a27",
     "q_sim_pq_ann" -> "7ba54dee46531549",
     // same hash as q_dedup_minhash — the streaming replay reproduces the

@@ -187,6 +187,24 @@ class GraftAuthSpec extends SparkTestBase {
       assert(spark.sql(
         s"""SELECT * FROM parquet.`$dataPath` WHERE 'a' != 'OVERWRITE DIRECTORY "$dataPath"'""")
         .count() == 3)
+      // r13 ADVICE (literal mask replaces single-quote parity): a
+      // backslash-escaped quote before the phrase must not flip the scan —
+      // still a pure read
+      assert(spark.sql(
+        s"""SELECT * FROM parquet.`$dataPath` WHERE 'it\\'s' != 'OVERWRITE DIRECTORY "$dataPath"'""")
+        .count() == 3)
+      // ...and a DOUBLE-quoted literal holding a lone apostrophe must not
+      // silence the gate for a REAL directory overwrite later in the text
+      denied(s"""WITH q AS (SELECT "don't" AS x) INSERT OVERWRITE DIRECTORY '$dataPath' USING parquet SELECT * FROM q""", "privilege")
+      // r13 ADVICE (path-option scan scoped to before AS): a data predicate
+      // on a column named `path` in a view body is data — a SELECT-only
+      // user registering a view over UNPROTECTED data must not be denied
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW pred_view AS SELECT * FROM (SELECT '$dataPath' AS path) t WHERE path = '$dataPath'")
+      assert(spark.sql("SELECT * FROM pred_view").count() == 1)
+      spark.catalog.dropTempView("pred_view")
+      // ...while a fake AS-SELECT inside an OPTIONS string literal must not
+      // truncate the scan before the real protected path option
+      denied(s"CREATE TABLE ctas_trunc USING parquet OPTIONS (comment 'AS SELECT', path '$dataPath/sub4') AS SELECT 9 AS x", "privilege")
       // r12 review: a DB-QUALIFIED alias over protected storage gates
       // writes even though the bare ledger key does not resolve in the
       // current database (resolution failure must fail CLOSED, not evict)

@@ -42,4 +42,30 @@ class SimilarityClusterSpec extends SparkTestBase {
     assert(auto.forall(_ >= 0) && auto.length > 1 && auto.length < 64,
       s"AUTO-k clusters: ${auto.toSeq.sorted}")
   }
+
+  test("kmeans oracle stability: argmin margins dominate FP noise on the oracle corpus (r12 ADVICE)") {
+    // The q_cluster_kmeans DuckDB oracle replays centroid means computed by
+    // Spark's distributed AVG with DuckDB's sequential AVG; a last-ulp
+    // difference in a near-tie distance could flip an assignment and fail
+    // the diff non-deterministically. This pins the tested corpus: at every
+    // assignment round (seeds, after Lloyd 1, after Lloyd 2) the gap
+    // between best and second-best centroid distance is > 1e-9 RELATIVE —
+    // ~6 orders above double-summation reassociation noise (~1e-15) — so
+    // the oracle comparison is deterministic by margin, not by luck.
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val c0 = embs.select(col("vec_id").as("c_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("cv"))
+    val dim = c0.select(size(col("cv"))).head.getInt(0)
+    for (step <- 0 to 2) {
+      val cents = Similarity.ivfCentroids(c0, dim, 8, steps = step)
+      val sorted = array_sort(Similarity.distances(col("cv"), cents))
+      val relMargin = (element_at(sorted, 2).getField("d") -
+        element_at(sorted, 1).getField("d")) /
+        greatest(element_at(sorted, 1).getField("d"), lit(1e-300))
+      val m = c0.select(relMargin.as("rel")).agg(min("rel")).head.getDouble(0)
+      assert(m > 1e-9,
+        s"assignment round $step: min relative margin $m — oracle near-tie risk")
+    }
+  }
 }
