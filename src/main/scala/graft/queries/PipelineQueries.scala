@@ -108,6 +108,96 @@ object PipelineQueries {
       |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
       |ORDER BY q_id, rk""".stripMargin
 
+  // ---- PQ / IVF-PQ replay (r13, extending the IVF promotion): codebook
+  // training is m independent per-subspace k-means runs (seeds = first
+  // kCodes sub-vectors by id, FOUR Lloyd steps — pqCodebooks' default),
+  // encode is per-subspace argmin, ADC score = sum of <q_sub, codebook>
+  // inner products over sqrt(|q|^2 * sum of codebook-entry norms), pool =
+  // top-12k per query by (rounded ADC cos DESC, c_id), final = EXACT
+  // cosine rerank of the pool. Every stage is deterministic data math; the
+  // oracle SQL is GENERATED (m=8 subspaces x 4 unrolled Lloyd rounds each
+  // would be unmaintainable by hand). dim=64/d=8 matches the embeddings
+  // fixture at every SF (TESTDATA.md). ----
+  private def lloydCtes(tag: String, src: String, k: Int, steps: Int,
+                        vCol: String): Seq[String] = {
+    val seed = s"""${tag}_c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, $vCol AS v
+      |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $k))""".stripMargin
+    seed +: (1 to steps).flatMap { st =>
+      Seq(
+        s"""${tag}_a$st AS (SELECT vec_id, $vCol, c FROM (
+           |    SELECT t.vec_id, t.$vCol, s.c,
+           |      row_number() OVER (PARTITION BY t.vec_id ORDER BY list_distance(t.$vCol, s.v), s.c) AS rk
+           |    FROM $src t CROSS JOIN ${tag}_c${st - 1} s) WHERE rk = 1)""".stripMargin,
+        s"""${tag}_m$st AS (SELECT c, j, AVG(x) AS m FROM (
+           |    SELECT c, generate_subscripts($vCol, 1) AS j, unnest($vCol) AS x FROM ${tag}_a$st)
+           |  GROUP BY c, j)""".stripMargin,
+        s"${tag}_r$st AS (SELECT c, list(m ORDER BY j) AS v FROM ${tag}_m$st GROUP BY c)",
+        s"""${tag}_c$st AS (SELECT s.c, COALESCE(r.v, s.v) AS v
+           |  FROM ${tag}_c${st - 1} s LEFT JOIN ${tag}_r$st r ON s.c = r.c)""".stripMargin)
+    }
+  }
+
+  private def pqOracle(m: Int, d: Int, kCodes: Int, steps: Int, k: Int,
+                       pool: Int, ivf: Option[(Int, Int)]): String = {
+    val ctes = scala.collection.mutable.ArrayBuffer(
+      "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    for (j <- 0 until m) {
+      val (lo, hi) = (j * d + 1, j * d + d)
+      ctes += s"s$j AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e)"
+      ctes ++= lloydCtes(s"b$j", s"s$j", kCodes, steps, "sv")
+      ctes += s"""code$j AS (SELECT vec_id, c FROM (
+        |    SELECT t.vec_id, s.c,
+        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY list_distance(t.sv, s.v), s.c) AS rk
+        |    FROM s$j t CROSS JOIN b${j}_c$steps s) WHERE rk = 1)""".stripMargin
+    }
+    val rn = (0 until m).map(j => s"nb$j.n2").mkString(" + ")
+    val ip = (0 until m)
+      .map(j => s"list_inner_product(q.v[${j * d + 1}:${j * d + d}], cb$j.v)")
+      .mkString(" + ")
+    val joins = (0 until m).map(j =>
+      s"JOIN code$j ON code$j.vec_id = c.vec_id " +
+        s"JOIN b${j}_c$steps cb$j ON cb$j.c = code$j.c " +
+        s"JOIN (SELECT c, list_inner_product(v, v) AS n2 FROM b${j}_c$steps) nb$j ON nb$j.c = code$j.c")
+      .mkString("\n  ")
+    val cand = ivf.map { case (nLists, nProbe) =>
+      ctes ++= lloydCtes("ivf", "e", nLists, 1, "v")
+      ctes += """ivfa AS (SELECT vec_id, c FROM (
+        |    SELECT t.vec_id, s.c,
+        |      row_number() OVER (PARTITION BY t.vec_id ORDER BY list_distance(t.v, s.v), s.c) AS rk
+        |    FROM e t CROSS JOIN ivf_c1 s) WHERE rk = 1)""".stripMargin
+      ctes += s"""pr AS (SELECT q_id, c FROM (
+        |    SELECT q.vec_id AS q_id, s.c,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY list_distance(q.v, s.v), s.c) AS prk
+        |    FROM e q CROSS JOIN ivf_c1 s WHERE q.vec_id < 5) WHERE prk <= $nProbe)""".stripMargin
+      "JOIN ivfa ON ivfa.vec_id = c.vec_id JOIN pr ON pr.c = ivfa.c AND pr.q_id = q.vec_id"
+    }.getOrElse("")
+    ctes += s"""adc AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |    ROUND(($ip) / (sqrt(list_inner_product(q.v, q.v)) * sqrt($rn)), 4) AS cos
+      |  FROM e c
+      |  $joins
+      |  JOIN e q ON q.vec_id < 5
+      |  $cand
+      |  WHERE c.vec_id <> q.vec_id AND sqrt(list_inner_product(q.v, q.v)) * sqrt($rn) <> 0)""".stripMargin
+    ctes += s"""pool AS (SELECT q_id, c_id FROM (
+      |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+      |    FROM adc WHERE cos IS NOT NULL) WHERE rk <= $pool)""".stripMargin
+    ctes += """fin AS (
+      |  SELECT pool.q_id, pool.c_id,
+      |    ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos,
+      |    row_number() OVER (PARTITION BY pool.q_id
+      |      ORDER BY ROUND(list_cosine_similarity(q.v, c.v), 4) DESC, pool.c_id) AS rk
+      |  FROM pool JOIN e q ON q.vec_id = pool.q_id JOIN e c ON c.vec_id = pool.c_id)""".stripMargin
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT q_id, c_id, cos, rk FROM fin WHERE rk <= $k ORDER BY q_id, rk"
+  }
+
+  private val PqAnnOracle =
+    pqOracle(m = 8, d = 8, kCodes = 16, steps = 4, k = 10, pool = 120, ivf = None)
+  private val IvfPqAnnOracle =
+    pqOracle(m = 8, d = 8, kCodes = 16, steps = 4, k = 10, pool = 120,
+      ivf = Some((8, 4)))
+
   // ---- md5-simhash full-value oracle (see q_dedup_simhash_oracle): the
   // 60-bit token hash is the first 15 hex chars of md5 — computable
   // identically in Spark (conv/substring/md5) and DuckDB (hex-literal
@@ -1700,15 +1790,19 @@ object PipelineQueries {
 
     // ---- PQ (product-quantization) ANN (rows-only; recall + compression
     // contract tested in SamplesSpec) ----
-    Q.rowsOnly("q_sim_pq_ann") { (s, dir) =>
+    // FULL DuckDB oracle (r13): generated CTEs replay codebook training
+    // (8 subspaces x 4 Lloyd rounds), encode, ADC pool and exact rerank —
+    // see pqOracle above
+    Q.df("q_sim_pq_ann", duck = PqAnnOracle) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rk")
     },
 
     // ---- IVF-PQ composite ANN: coarse lists restrict the scan, PQ codes
-    // score the candidates (rows-only; recall spec in DedupSpec) ----
-    Q.rowsOnly("q_sim_ivfpq_ann") { (s, dir) =>
+    // score the candidates. FULL DuckDB oracle (r13): the PQ replay plus
+    // the IVF list restriction CTEs ----
+    Q.df("q_sim_ivfpq_ann", duck = IvfPqAnnOracle) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nLists = 8, nProbe = 4)

@@ -35,13 +35,15 @@ object Golden {
     // The sketch-set surfaces that remain gained driver-checked bound
     // companions (q_dedup_minhash_bound, q_dedup_lsh_pairs_bound,
     // q_sim_lsh_ann_bound, q_dedup_simhash_oracle).
+    // r13 (same session): q_sim_pq_ann / q_sim_ivfpq_ann also left —
+    // codebook training, encode, ADC pool and exact rerank replayed via
+    // GENERATED CTEs (PipelineQueries.pqOracle).
     "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features",
     "q_pipeline_curation_v3_auto",
-    "q_sim_ivfpq_ann",
-    "q_sim_lsh_ann", "q_sim_pq_ann", "q_stream_dedup_minhash")
+    "q_sim_lsh_ann", "q_stream_dedup_minhash")
 
   private def fmt(v: Any): String = v match {
     case null => "␀"

@@ -64,7 +64,7 @@ object ProbeCbo {
       val shj = "ShuffledHashJoin".r.findAllIn(plan).size
       s"BHJ=$bhj SMJ=$smj SHJ=$shj"
     }
-    def run(label: String, sql: String): Unit = {
+    def run(label: String, sql: String): Double = {
       val df = spark.sql(sql)
       val t0 = System.nanoTime(); df.collect(); val dt = (System.nanoTime() - t0) / 1e9
       println(f"PROBE $label%-14s ${dt}%7.2f s  ${shape(df.queryExecution.executedPlan.toString)}")
@@ -72,18 +72,33 @@ object ProbeCbo {
       val leaves = df.queryExecution.optimizedPlan.collectLeaves()
         .map(_.toString.linesIterator.next().replaceAll(".*cboprobe\\.", "").takeWhile(_ != '[').trim)
       println(s"PROBE $label order: ${leaves.mkString(" > ")}")
+      dt
+    }
+    def cbo(on: Boolean): Unit = {
+      spark.conf.set("spark.sql.cbo.enabled", on.toString)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", on.toString)
     }
 
-    println("== CBO OFF (size estimates + AQE) ==")
-    run("q5/off", q5); run("q3/off", q3)
-
+    // r13 (r12 verdict #8): the wall comparison is min-of-3 HOT and
+    // ALTERNATES sides (cbo.enabled is runtime-settable) so page-cache and
+    // thermal drift cancel — the r12 single-shot 82.3 vs 72.2 s wall was
+    // cache-confounded by its own admission. Stats are ANALYZEd up front;
+    // one untimed pass per query fills the page cache before timing.
     val t0 = System.nanoTime()
     for (t <- tables) spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
     println(f"PROBE analyze-all ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    println("== CBO ON (ANALYZE stats + join reorder) ==")
-    run("q5/cbo", q5); run("q3/cbo", q3)
+    // optional 2nd arg: which queries to probe (one per invocation keeps a
+    // harness-timeout-bounded run inside its budget)
+    val wanted = args.lift(1).map(_.split(",").toSet).getOrElse(Set("q5", "q3"))
+    for ((name, sql) <- Seq(("q5", q5), ("q3", q3)) if wanted(name)) {
+      cbo(on = false); spark.sql(sql).collect() // untimed page-cache warm
+      val (off, on) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      for (i <- 1 to 3) {
+        cbo(on = false); off += run(s"$name/off$i", sql)
+        cbo(on = true); on += run(s"$name/cbo$i", sql)
+      }
+      println(f"PROBE $name mins: off=${off.result().min}%.2f s cbo=${on.result().min}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -414,7 +414,10 @@ class MrFuzzSpec extends SparkTestBase {
   }
 
   test("engine-level classifier: per-row CLASSIFIER/MATCH_NUMBER match the enumerative oracle") {
-    for (seed <- 4700 until (4700 + 25 * fuzzMul); skipPast <- Seq(true, false)) {
+    // r13 (verdict #5): 50 seeds x 2 skip modes default (was 25), and
+    // chunkRows cycles 8/16/65536 so the chunk-parallel stitch runs under
+    // the per-row classifier oracle, not only the extent oracle
+    for (seed <- 4700 until (4700 + 50 * fuzzMul); skipPast <- Seq(true, false)) {
       val (node, pattern, vars, masksFull) = genCase(seed)
       val masks = masksFull.take(12)
       val skip = if (skipPast) MatchRecognize.AfterMatchSkip.PastLastRow
@@ -424,8 +427,9 @@ class MrFuzzSpec extends SparkTestBase {
       }.toMap
       val df = masks.zipWithIndex.map { case (m, i) => (i.toLong, m) }
         .toSeq.toDF("seq", "m")
-      val out = MatchRecognize.allRowsPerMatch(df, Nil, Seq("seq"), pattern,
-          defines, skip)
+      val chunk = Seq(8, 16, 65536)(seed % 3)
+      val out = MatchRecognize.matchedWithPos(df, Nil, Seq("seq"), pattern,
+          defines, skip, chunkRows = chunk)
         .select("seq", "match_num", "classifier")
         .as[(Long, Long, String)].collect().sortBy(r => (r._2, r._1))
       val ora = oracleAssignments(node, masks, vars, skipPast)
@@ -438,6 +442,47 @@ class MrFuzzSpec extends SparkTestBase {
       assert(out.toSeq == expected,
         s"seed=$seed skipPast=$skipPast pattern='$pattern'\n" +
           s"engine=${out.take(10).toSeq}\noracle=${expected.take(10)}")
+    }
+  }
+
+  test("engine-level classifier, KEYED: per-partition oracle with varied partition sizes") {
+    // r13 (verdict #5): multi-partition series under the per-row
+    // classifier oracle — partition sizes vary per seed (12 / 3..11 / 2
+    // rows), match numbering and the skip loop must restart per key, and
+    // a start-anchored pattern must gate on each PARTITION's first row,
+    // not the frame's. masks for the second/third partitions come from
+    // independent seeds re-masked to this pattern's variable set.
+    import MatchRecognize.AfterMatchSkip
+    for (seed <- 5400 until (5400 + 50 * fuzzMul); skipPast <- Seq(true, false)) {
+      val (node, pattern, vars, masksFull) = genCase(seed)
+      val varMask = (1 << vars.size) - 1
+      val parts: Seq[(String, Array[Int])] = Seq(
+        ("k1", masksFull.take(12)),
+        ("k2", genCase(seed + 7919)._4.map(_ & varMask).take(3 + seed % 9)),
+        ("k3", genCase(seed + 104729)._4.map(_ & varMask).take(2)))
+      val skip = if (skipPast) AfterMatchSkip.PastLastRow else AfterMatchSkip.ToNextRow
+      val defines = vars.zipWithIndex.map { case (v, b) =>
+        v -> (shiftright(col("m").cast("int"), b).bitwiseAND(1) === 1)
+      }.toMap
+      val df = parts.flatMap { case (k, ms) =>
+        ms.zipWithIndex.map { case (m, i) => (k, i.toLong, m) }
+      }.toDF("k", "seq", "m")
+      val out = MatchRecognize.allRowsPerMatch(df, Seq("k"), Seq("seq"), pattern,
+          defines, skip)
+        .select("k", "seq", "match_num", "classifier")
+        .as[(String, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).toSeq).toMap
+      for ((k, masks) <- parts) {
+        val ora = oracleAssignments(node, masks, vars, skipPast)
+        val expected = ora.zipWithIndex.flatMap { case ((start, assign), m) =>
+          assign.zipWithIndex.map { case (v, j) =>
+            (k, start.toLong + j, (m + 1).toLong, v)
+          }
+        }
+        assert(out.getOrElse(k, Nil) == expected,
+          s"seed=$seed skipPast=$skipPast key=$k pattern='$pattern'\n" +
+            s"engine=${out.getOrElse(k, Nil).take(10)}\noracle=${expected.take(10)}")
+      }
     }
   }
 

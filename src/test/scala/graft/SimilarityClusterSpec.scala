@@ -67,5 +67,61 @@ class SimilarityClusterSpec extends SparkTestBase {
       assert(m > 1e-9,
         s"assignment round $step: min relative margin $m — oracle near-tie risk")
     }
+    // the q_sim_ivf_* oracle config (nLists=16, ONE Lloyd step): corpus
+    // assignment margins under seed and refined centroids, plus the PROBE
+    // boundary — the gap between the 4th and 5th nearest centroid per
+    // query decides the probed-list set, so a near-tie there would flip
+    // the candidate pool, not just one assignment
+    for (step <- 0 to 1) {
+      val cents = Similarity.ivfCentroids(c0, dim, 16, steps = step)
+      val sorted = array_sort(Similarity.distances(col("cv"), cents))
+      val relMargin = (element_at(sorted, 2).getField("d") -
+        element_at(sorted, 1).getField("d")) /
+        greatest(element_at(sorted, 1).getField("d"), lit(1e-300))
+      val m = c0.select(relMargin.as("rel")).agg(min("rel")).head.getDouble(0)
+      assert(m > 1e-9,
+        s"nLists=16 round $step: min relative margin $m — oracle near-tie risk")
+      if (step == 1) {
+        val probeMargin = (element_at(sorted, 5).getField("d") -
+          element_at(sorted, 4).getField("d")) /
+          greatest(element_at(sorted, 4).getField("d"), lit(1e-300))
+        val pm = c0.filter(col("c_id") < 5)
+          .select(probeMargin.as("rel")).agg(min("rel")).head.getDouble(0)
+        assert(pm > 1e-9,
+          s"nProbe boundary: min relative margin $pm — probed-set near-tie risk")
+      }
+    }
+    // the q_sim_pq_ann / q_sim_ivfpq_ann oracle config: per-subspace
+    // codebook training (kCodes=16, 4 Lloyd rounds over 8-dim slices) and
+    // the final encode argmin — a near-tie in ANY subspace round would
+    // desync the oracle's codebooks from Spark's. The ADC pool and rerank
+    // compare ROUNDED cosines (round-to-4 absorbs 1e-15 mean noise), so
+    // unrounded argmins are the only FP-sensitive stages. The ivf_c1 list
+    // assignment (nLists=8, 1 step) is covered by the k=8 loop above; its
+    // probe boundary (4th vs 5th of 8) by the check below.
+    val d8 = 8
+    for (j <- 0 until 8) {
+      val sub = c0.select(col("c_id"),
+        expr(s"slice(cv, ${j * d8 + 1}, $d8)").as("cv"))
+      for (step <- 0 to 4) {
+        val cents = Similarity.ivfCentroids(sub, d8, 16, steps = step)
+        val sorted = array_sort(Similarity.distances(col("cv"), cents))
+        val relMargin = (element_at(sorted, 2).getField("d") -
+          element_at(sorted, 1).getField("d")) /
+          greatest(element_at(sorted, 1).getField("d"), lit(1e-300))
+        val m = sub.select(relMargin.as("rel")).agg(min("rel")).head.getDouble(0)
+        assert(m > 1e-9,
+          s"pq subspace $j round $step: min relative margin $m — oracle near-tie risk")
+      }
+    }
+    val cents8 = Similarity.ivfCentroids(c0, dim, 8, steps = 1)
+    val sorted8 = array_sort(Similarity.distances(col("cv"), cents8))
+    val probe8 = (element_at(sorted8, 5).getField("d") -
+      element_at(sorted8, 4).getField("d")) /
+      greatest(element_at(sorted8, 4).getField("d"), lit(1e-300))
+    val pm8 = c0.filter(col("c_id") < 5)
+      .select(probe8.as("rel")).agg(min("rel")).head.getDouble(0)
+    assert(pm8 > 1e-9,
+      s"ivfpq probe boundary (nLists=8): min relative margin $pm8")
   }
 }
