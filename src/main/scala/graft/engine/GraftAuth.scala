@@ -164,8 +164,39 @@ object GraftAuth {
 
   /** Strip SQL comments so a leading `/* hint */` cannot hide a DML verb
     * from the text gate. */
-  private def stripComments(sql: String): String =
-    sql.replaceAll("(?s)/\\*.*?\\*/", " ").replaceAll("--[^\\n]*", " ")
+  /** Comment removal, LITERAL-AWARE (r13 review): the old regex form
+    * deleted `/ *` ... `* /` and `--` spans that STARTED INSIDE a string
+    * literal, so OPTIONS (comment '/ *', path '<prot>', z '* /') erased the
+    * real path option from the text the gate scans while Spark executed
+    * the original. One pass tracking quote state ('/"/backtick, backslash
+    * escapes); comments are only recognized OUTSIDE literals and are
+    * replaced by a space. */
+  private def stripComments(sql: String): String = {
+    val out = new java.lang.StringBuilder(sql.length)
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
+          out.append(sql.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        out.append(c); quote = c; i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        out.append(' ')
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < sql.length && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, sql.length)
+        out.append(' ')
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
 
   /** One identifier part: backticked, double-quoted, or bare. */
   private val IdentPart = "(?:`[^`]+`|\"[^\"]+\"|[A-Za-z_][A-Za-z0-9_]*)"
@@ -304,15 +335,18 @@ object GraftAuth {
   private def firstGroup(m: scala.util.matching.Regex.Match): String =
     Option(m.group(1)).getOrElse(m.group(2))
 
-  /** Per-position "inside a string literal" mask over the statement text.
-    * Tracks BOTH quote styles (Spark's lexer treats single- and
-    * double-quoted tokens as string literals by default) and backslash
-    * escapes — the r12 text gate counted only unescaped single quotes, so
-    * `'it\'s'` or a double-quoted literal holding a lone apostrophe flipped
-    * the parity and silenced (or false-fired) the scan for the rest of the
-    * statement (r12 ADVICE). A doubled quote ('') reads as close-then-open,
-    * which classifies every interior character as in-literal — correct for
-    * gating, where the question is only "is this keyword data or syntax?". */
+  /** Per-position "inside a quoted token" mask over the statement text.
+    * Tracks all THREE quote styles — single/double (string literals) AND
+    * backticks (quoted identifiers) — plus backslash escapes. The r12 text
+    * gate counted only unescaped single quotes, so `'it\'s'` or a
+    * double-quoted literal holding a lone apostrophe flipped the parity
+    * and silenced (or false-fired) the scan for the rest of the statement
+    * (r12 ADVICE); the first r13 cut skipped backticks, so an apostrophe
+    * inside a backticked identifier (CREATE TABLE `a'b` ...) opened a
+    * bogus literal that swallowed the real path option (r13 review). A
+    * doubled quote ('') reads as close-then-open, which classifies every
+    * interior character as in-quoted-token — correct for gating, where the
+    * question is only "is this keyword data/name or syntax?". */
   private def literalMask(text: String): Array[Boolean] = {
     val in = new Array[Boolean](text.length)
     var i = 0
@@ -321,12 +355,37 @@ object GraftAuth {
       val c = text.charAt(i)
       if (quote != 0) {
         in(i) = true
-        if (c == '\\' && i + 1 < text.length) { in(i + 1) = true; i += 1 }
+        if (c == '\\' && quote != '`' && i + 1 < text.length) { in(i + 1) = true; i += 1 }
         else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"') { in(i) = true; quote = c }
+      } else if (c == '\'' || c == '"' || c == '`') { in(i) = true; quote = c }
       i += 1
     }
     in
+  }
+
+  /** Overlapping-tolerant regex scan (r13 review): `findAllMatchIn` is
+    * non-overlapping, so a REJECTED match starting inside a quoted token
+    * could CONSUME the real occurrence right after it — OPTIONS
+    * (comment 'ends with path', path '<prot>') matched the in-literal
+    * `path`, swallowed through the real keyword, and the gate went silent
+    * on an ungated CTAS write. A rejected match resumes the scan ONE
+    * character past its start, so the genuine occurrence still gets
+    * matched; an accepted match resumes past its end. */
+  private def scanMatches(re: scala.util.matching.Regex, text: String,
+                          keep: scala.util.matching.Regex.Match => Boolean)
+      : Seq[scala.util.matching.Regex.Match] = {
+    val out = Seq.newBuilder[scala.util.matching.Regex.Match]
+    // scala's Regex API lacks find(from), so drive the java Matcher and
+    // wrap accepted hits; .force snapshots group state before the matcher
+    // advances to the next find
+    val m = re.pattern.matcher(text)
+    var from = 0
+    while (from <= text.length && m.find(from)) {
+      val wrapped = new scala.util.matching.Regex.Match(text, m, Nil).force
+      if (keep(wrapped)) { out += wrapped; from = math.max(m.end, m.start + 1) }
+      else from = m.start + 1
+    }
+    out.result()
   }
 
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
@@ -353,7 +412,7 @@ object GraftAuth {
         // OPTIONS(comment 'AS SELECT', path '<prot>') truncates the scope
         // before the real path option and the gate goes silent.
         val asClause = created.flatMap(_ =>
-          CreateAsSelectRe.findAllMatchIn(stripped).find(m => !mask(m.start)))
+          scanMatches(CreateAsSelectRe, stripped, m => !mask(m.start)).headOption)
         val optScope = asClause.map(m => stripped.substring(0, m.start)).getOrElse(stripped)
         // optScope is a PREFIX of stripped, so mask positions align. A
         // `path`/LOCATION keyword INSIDE a string literal is data — but the
@@ -362,13 +421,15 @@ object GraftAuth {
         // data only when the PRECEDING character is also in-literal (the
         // keyword sits mid-literal); at a literal's opening quote the
         // previous char is syntax, so quoted keys pass.
-        def midLiteral(m: scala.util.matching.Regex.Match): Boolean =
-          mask(m.start) && m.start > 0 && mask(m.start - 1)
+        def keyPosition(m: scala.util.matching.Regex.Match): Boolean =
+          !(mask(m.start) && m.start > 0 && mask(m.start - 1))
+        // scanMatches (not findAllMatchIn): a rejected in-literal hit must
+        // not swallow the real option that follows it (r13 review)
         val optPaths =
           if (created.isDefined)
-            (PathOptionRe.findAllMatchIn(optScope) ++ LocationRe.findAllMatchIn(optScope))
-              .filterNot(midLiteral)
-              .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+            (scanMatches(PathOptionRe, optScope, keyPosition) ++
+              scanMatches(LocationRe, optScope, keyPosition))
+              .map(firstGroup).flatMap(pathCanonical(_, paths)).distinct
           else Nil
         // CTAS physically writes the protected directory at execution —
         // registration with an AS SELECT clause is a WRITE (r11 ADVICE);
@@ -390,9 +451,8 @@ object GraftAuth {
         // falsely demand write on a pure read. The plan-side InsertIntoDir
         // gate (check() below) remains the authority for all Spark-native
         // spellings; this text layer catches the statement before parse.
-        OverwriteDirRe.findAllMatchIn(stripped)
-          .filter(m => !mask(m.start))
-          .map(firstGroup).flatMap(pathCanonical(_, paths)).toSeq.distinct
+        scanMatches(OverwriteDirRe, stripped, m => !mask(m.start))
+          .map(firstGroup).flatMap(pathCanonical(_, paths)).distinct
           .foreach(canonical => demand(session, cat, canonical, write = true))
       }
       if (GraftDdl.isAuthDdl(stripped)) {

@@ -43,31 +43,24 @@ object PipelineQueries {
   // candidates = same-cluster pairs, top-10 by (round(cos,4) DESC, c_id).
   // list_distance is sqrt-L2 vs the kernel's squared-L2 — argmin-equivalent
   // (monotone); near-tie FP margins are pinned by SimilarityClusterSpec. ----
-  private val IvfReplayCtes =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
-      |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-      |a1 AS (SELECT vec_id, v, c FROM (
+  // seeds + one Lloyd round come from the shared lloydCtes generator
+  // (also used by the PQ oracles below — one copy of the replay
+  // discipline, r13 review); af/pr are the IVF-specific assignment and
+  // nProbe=4 probe-order CTEs over the refined centroids ivf16_c1
+  private def ivfReplayCtes: String =
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+    lloydCtes("ivf16", "e", 16, 1, "v").mkString(",\n") + ",\n" +
+    """af AS (SELECT vec_id, v, c FROM (
       |    SELECT e.vec_id, e.v, s.c,
       |      row_number() OVER (PARTITION BY e.vec_id
       |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
-      |    FROM e CROSS JOIN c0 s) WHERE rk = 1),
-      |m1 AS (SELECT c, j, AVG(x) AS m FROM (
-      |    SELECT c, generate_subscripts(v, 1) AS j, unnest(v) AS x FROM a1)
-      |  GROUP BY c, j),
-      |r1 AS (SELECT c, list(m ORDER BY j) AS v FROM m1 GROUP BY c),
-      |c1 AS (SELECT s.c, COALESCE(r1.v, s.v) AS v
-      |       FROM c0 s LEFT JOIN r1 ON s.c = r1.c),
-      |af AS (SELECT vec_id, v, c FROM (
-      |    SELECT e.vec_id, e.v, s.c,
-      |      row_number() OVER (PARTITION BY e.vec_id
-      |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
-      |    FROM e CROSS JOIN c1 s) WHERE rk = 1),
+      |    FROM e CROSS JOIN ivf16_c1 s) WHERE rk = 1),
       |pr AS (SELECT q_id, c FROM (
       |    SELECT q.vec_id AS q_id, s.c,
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_distance(q.v, s.v), s.c) AS prk
-      |    FROM e q CROSS JOIN c1 s WHERE q.vec_id < 5) WHERE prk <= 4)""".stripMargin
+      |    FROM e q CROSS JOIN ivf16_c1 s WHERE q.vec_id < 5) WHERE prk <= 4)""".stripMargin
+  private lazy val IvfReplayCtes = ivfReplayCtes
 
   private val IvfAnnOracle = IvfReplayCtes + ",\n" +
     """ranked AS (

@@ -56,19 +56,19 @@ object BenchCompare {
       case JLong(l) => Some(l.toDouble)
       case _ => None
     }
-    val queries = (j \ "queries") match {
-      case JObject(fs) => fs.flatMap {
-        case (name, o: JObject) => num(o \ "median").map(name -> _)
-        case (name, v) => num(v).map(name -> _) // r1-era plain seconds
-      }.toMap
-      case _ => Map.empty[String, Double]
-    }
-    val mins = (j \ "queries") match {
-      case JObject(fs) => fs.flatMap {
-        case (name, o: JObject) => num(o \ "min").map(name -> _)
-        case _ => None
-      }.toMap
-      case _ => Map.empty[String, Double]
+    // one traversal extracts both median and min per query entry
+    val (queries, mins) = (j \ "queries") match {
+      case JObject(fs) =>
+        val meds = Map.newBuilder[String, Double]
+        val mns = Map.newBuilder[String, Double]
+        fs.foreach {
+          case (name, o: JObject) =>
+            num(o \ "median").foreach(v => meds += name -> v)
+            num(o \ "min").foreach(v => mns += name -> v)
+          case (name, v) => num(v).foreach(x => meds += name -> x) // r1-era plain seconds
+        }
+        (meds.result(), mns.result())
+      case _ => (Map.empty[String, Double], Map.empty[String, Double])
     }
     Run(path, num(j \ "value").getOrElse(queries.values.sum),
       queries, mins, num(j \ "calib"))

@@ -32,11 +32,15 @@ object ProbeCodec {
     graft.engine.GraftSession.prepare(spark)
     println(s"PROBE codec=$codec zstdLevel=$zstdLevel width=$width")
 
-    @volatile var shuffleWrite = 0L
+    // AtomicLong + a drain pause before each reset/read: task-end events
+    // arrive on the ASYNC listener-bus thread after count() returns, so an
+    // unsynchronized read undercounts and the next iteration's reset races
+    // late events (r13 review). The pauses sit outside the timed window.
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (e.taskMetrics != null)
-          shuffleWrite += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
 
     // optional 5th arg: comma-separated query subset (one ~6-min invocation
@@ -49,12 +53,14 @@ object ProbeCodec {
       val q = graft.queries.Registry.byName(name)
       q.build(spark, sfDir).count() // untimed: registration + page cache
       val times = (1 to iters).map { i =>
-        shuffleWrite = 0L
+        Thread.sleep(1000) // drain the listener bus from the previous job
+        shuffleWrite.set(0L)
         val t0 = System.nanoTime()
         q.build(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // drain before reading this iteration's total
         println(f"PROBE $name%-18s codec=$codec iter=$i wall=$dt%6.2f s " +
-          f"shuffleWrite=${shuffleWrite / 1e9}%.2f GB")
+          f"shuffleWrite=${shuffleWrite.get / 1e9}%.2f GB")
         dt
       }
       println(f"PROBE $name codec=$codec min=${times.min}%.2f s")

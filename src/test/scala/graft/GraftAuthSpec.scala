@@ -205,6 +205,19 @@ class GraftAuthSpec extends SparkTestBase {
       // ...while a fake AS-SELECT inside an OPTIONS string literal must not
       // truncate the scan before the real protected path option
       denied(s"CREATE TABLE ctas_trunc USING parquet OPTIONS (comment 'AS SELECT', path '$dataPath/sub4') AS SELECT 9 AS x", "privilege")
+      // r13 review: an in-literal `path` hit must not SWALLOW the real
+      // option that follows (non-overlapping regex scan resumed past it)
+      denied(s"CREATE TABLE swal USING parquet OPTIONS (comment 'ends with path', path '$dataPath/sub5') AS SELECT 9 AS x", "privilege")
+      // r13 review: an apostrophe inside a BACKTICKED identifier must not
+      // open a bogus literal that masks the real path option...
+      denied(s"CREATE TABLE `a'b` USING parquet LOCATION '$dataPath/sub6' AS SELECT 9 AS x", "privilege")
+      // ...and an AS SELECT inside a backticked name must not truncate the
+      // option scan before the real clause
+      denied(s"CREATE TABLE `t AS SELECT z` USING parquet OPTIONS (path '$dataPath/sub7') AS SELECT 9 AS x", "privilege")
+      // r13 review: comment DELIMITERS inside string literals are data —
+      // the old regex stripper erased everything between them, including
+      // the real protected path option
+      denied(s"CREATE TABLE cmt USING parquet OPTIONS (comment '/*', path '$dataPath/sub8', z '*/') AS SELECT 9 AS x", "privilege")
       // r12 review: a DB-QUALIFIED alias over protected storage gates
       // writes even though the bare ledger key does not resolve in the
       // current database (resolution failure must fail CLOSED, not evict)
