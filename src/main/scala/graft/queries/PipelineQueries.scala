@@ -533,6 +533,46 @@ object PipelineQueries {
         .orderBy("id")
     },
 
+    // ---- SemDeDup IVF bound companion (r13, bloom-superset discipline):
+    //      the IVF variant sees only same-list pairs, so its components
+    //      must REFINE the exact variant's — every IVF cluster's members
+    //      share one exact cluster. The oracle recomputes the exact
+    //      component count (recursive CTE, as q_dedup_semantic) and the id
+    //      count; the refinement violation counter is pinned zero. ----
+    Q.df("q_dedup_semantic_ivf_bound",
+      duck = """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
+        |       FROM embeddings e
+        |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+        |         ON m.id = e.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
+        |  COUNT(DISTINCT cluster) AS n_exact_clusters,
+        |  CAST(0 AS BIGINT) AS n_nonrefining
+        |FROM cl""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val ivf = Dedup.semanticDedup(e, "embedding", "vec_id",
+        minCos = 0.45, nLists = 8).select(col("id"), col("cluster").as("ivf_c"))
+      val exact = Dedup.semanticDedup(e, "embedding", "vec_id",
+        minCos = 0.45, nLists = 1).select(col("id"), col("cluster").as("ex_c"))
+      val j = ivf.join(exact, "id")
+      val counts = j.agg(count(lit(1)).as("n_ids"),
+        countDistinct(col("ex_c")).as("n_exact_clusters"))
+      val refine = j.groupBy("ivf_c")
+        .agg(countDistinct(col("ex_c")).as("nx"))
+        .agg(coalesce(sum(when(col("nx") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_nonrefining"))
+      counts.crossJoin(refine) // 1x1 anchor join
+    },
+
     // ---- k-means document clustering (the IVF coarse quantizer as a
     //      first-class topic-balance op): deterministic seeds + 2 Lloyd
     //      steps; argmin assignment is xxhash-free but the Lloyd means are

@@ -152,6 +152,42 @@ object StreamingQueries {
         .distinct().orderBy("a", "b")
     },
 
+    // ---- Streaming-vs-batch MinHash parity as a DRIVER-checked row (r13):
+    //      both sides are xxhash-seeded (no SQL replay exists), but their
+    //      AGREEMENT is exact — the streamed replay must produce the batch
+    //      operator's candidate set, pair for pair, est for est. Symmetric-
+    //      difference counters pinned zero; n_docs is the oracle's one
+    //      data-derived column. (The same property is spec-asserted; this
+    //      registers it so a parity break fails CORRECTNESS, not only CI.)
+    Q.df("q_stream_dedup_minhash_parity",
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_stream_only,
+        |  CAST(0 AS BIGINT) AS n_batch_only,
+        |  CAST(0 AS BIGINT) AS n_est_mismatch
+        |FROM documents""".stripMargin) { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      val stream = replayDocs(s, dir, "q_stream_dedup_minhash_parity_sink") { d =>
+        val withTs = d.select(col("doc_id"), col("text"),
+          timestamp_millis(lit(1704067200000L) + col("doc_id") * 1000L).as("ts"))
+        graft.streaming.StreamingOps.minhashCandidatesStream(
+          withTs, "ts", "text", "doc_id", watermark = "1 hour")
+      }.select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_s"))
+        .distinct()
+      val batch = graft.pipeline.Dedup.minhashCandidates(
+          Tables.read(s, dir, "documents"), "text", "doc_id")
+        .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_b"))
+      val j = stream.join(batch, Seq("a", "b"), "full_outer")
+      val nDocs = Tables.read(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val viol = j.agg(
+        coalesce(sum(when(col("est_b").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_stream_only"),
+        coalesce(sum(when(col("est_s").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_batch_only"),
+        coalesce(sum(when(col("est_s") =!= col("est_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_est_mismatch"))
+      nDocs.crossJoin(viol) // 1x1 anchor join
+    },
+
     Q.df("q_stream_window_agg",
       duck = """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
         |  COUNT(*) AS n,
