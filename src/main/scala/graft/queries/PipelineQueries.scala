@@ -1168,6 +1168,44 @@ object PipelineQueries {
         .orderBy("shard", "doc_id")
     },
 
+    // ---- v3_auto keeper bound (r13): the stage that makes v3_auto
+    //      rows-only is its AUTO-nLists SemDeDup keeper set. Its pair scan
+    //      sees a SUBSET of exact pairs, so AUTO components refine exact
+    //      components, and every exact keeper (min of its exact component)
+    //      is the min of its own AUTO sub-component — exact keepers are a
+    //      subset of AUTO keepers by construction. The oracle recomputes
+    //      the exact keeper count; the subset violation is pinned zero. ----
+    Q.df("q_pipeline_curation_v3_keep_bound",
+      duck = """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
+        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+        |reach AS (
+        |  SELECT u AS id, u AS r FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
+        |       FROM embeddings e
+        |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+        |         ON m.id = e.vec_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_keepers,
+        |  CAST(0 AS BIGINT) AS n_not_in_auto
+        |FROM cl WHERE id = cluster""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val autoKeep = Dedup.semanticDedup(e, "embedding", "vec_id",
+          minCos = 0.45, corpusSize = nEmbs(s, dir))
+        .filter(col("id") === col("cluster")).select(col("id"))
+      val exactKeep = Dedup.semanticDedup(e, "embedding", "vec_id",
+          minCos = 0.45, nLists = 1)
+        .filter(col("id") === col("cluster")).select(col("id"))
+      val n = exactKeep.agg(count(lit(1)).as("n_exact_keepers"))
+      val miss = exactKeep.join(autoKeep, Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_not_in_auto"))
+      n.crossJoin(miss) // 1x1 anchor join
+    },
+
     // ---- curation v5: the round-8 filter chain — C4 line cleaning (on
     //      the deterministic multi-line projection) -> Gopher quality gate
     //      on the CLEANED text -> semantic decontamination drop (embedding
