@@ -1454,6 +1454,28 @@ object PipelineQueries {
         .orderBy("media_id")
     },
 
+    // ---- multimodal bound companion (r13): the PLUMBING half of the
+    //      surface is value-checkable per row — the blob registry must
+    //      carry exactly one media per doc with n_bytes equal to the UTF-8
+    //      byte length the oracle recomputes (octet_length of the encoded
+    //      text), and the stub decoder's dims must sit in its documented
+    //      [16, 1040) range. Only the checksum (JVM rolling hash) stays
+    //      golden-pinned in the query above. ----
+    Q.df("q_multimodal_bound",
+      duck = """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  true AS dims_in_range
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      implicit val sp: org.apache.spark.sql.SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.fromText(docs(s, dir), "doc_id", "text", "source"))
+        .toDF()
+        .select(col("media_id"), col("n_bytes"),
+          (col("width").between(16, 1039) && col("height").between(16, 1039))
+            .as("dims_in_range"))
+        .orderBy("media_id")
+    },
+
     // ---- benchmark decontamination: training docs sharing any word 3-gram
     //      with the pseudo-benchmark slice (doc_id % 97 == 0). Bench side
     //      broadcast; training side one shuffle on doc id ----
@@ -1630,6 +1652,27 @@ object PipelineQueries {
         .select(col("doc_id"), size(col("pieces")).as("n_pieces"),
           array_join(slice(col("pieces"), 1, 8), "|").as("head_pieces"))
         .orderBy("doc_id")
+    },
+
+    // ---- BPE round-trip bound (r13): the trained tokenizer's defining
+    //      INTEGRITY property — the pieces of every distinct corpus word
+    //      concatenate back to the word — as a driver-checked row (the
+    //      same invariant BpeSpec asserts, now failing CORRECTNESS if the
+    //      kernel or trainer regresses). The oracle recomputes the
+    //      distinct-word count; the violation counter is pinned zero. ----
+    Q.df("q_text_bpe_bound",
+      duck = """SELECT COUNT(DISTINCT w) AS n_words,
+        |  CAST(0 AS BIGINT) AS n_roundtrip_violations
+        |FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x <> '')) AS w FROM documents)""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, "text", numMerges = 40)
+      val words = d.select(explode(Curation.tokens(col("text"))).as("w")).distinct()
+      val n = words.agg(count(lit(1)).as("n_words"))
+      val viol = Bpe.encode(words, "w", merges)
+        .agg(coalesce(sum(when(concat_ws("", col("pieces")) =!= col("w"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_roundtrip_violations"))
+      n.crossJoin(viol) // 1x1 anchor join
     },
 
     // ---- heavy hitters: tokens at >= 1% corpus frequency with exact
