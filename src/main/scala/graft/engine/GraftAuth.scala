@@ -162,40 +162,69 @@ object GraftAuth {
         s"user '$user' lacks ${if (write) "write (ALL)" else "SELECT"} privilege on $canonical")
   }
 
-  /** Strip SQL comments so a leading `/* hint */` cannot hide a DML verb
-    * from the text gate. */
-  /** Comment removal, LITERAL-AWARE (r13 review): the old regex form
-    * deleted `/ *` ... `* /` and `--` spans that STARTED INSIDE a string
-    * literal, so OPTIONS (comment '/ *', path '<prot>', z '* /') erased the
-    * real path option from the text the gate scans while Spark executed
-    * the original. One pass tracking quote state ('/"/backtick, backslash
-    * escapes); comments are only recognized OUTSIDE literals and are
-    * replaced by a space. */
-  private def stripComments(sql: String): String = {
+  /** ONE gate lexer (r13 review, 2nd pass): comment stripping and the
+    * in-quoted-token mask were two hand-rolled copies of the same quote
+    * tracker, and copies drift — a desync between the text the regexes see
+    * and the mask that classifies their hits is itself a bypass class.
+    * This single scan produces BOTH the stripped text and its mask, so
+    * consistency is structural. Semantics tracked:
+    *  - '/"/backtick quoted tokens (doubled-quote escapes fall out of
+    *    close-then-reopen);
+    *  - backslash escapes inside '/" literals — DISABLED for Spark raw
+    *    strings (r'...' / R"...", where \ is data: the 2nd-pass review
+    *    verified a raw `comment r'\'` desynced the old mask and let a CTAS
+    *    write protected storage ungated) and when the session runs
+    *    spark.sql.parser.escapedStringLiterals=true (same lexing, every
+    *    literal);
+    *  - line comments and NESTED bracketed comments (Spark 3.0+ nests
+    *    them; the old scanner cut at the first `* /`, resurrecting
+    *    commented-out text into the gate — false write-denials and bogus
+    *    ledger entries) recognized only outside quoted tokens, each
+    *    replaced by one space. */
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private[graft] def lexGate(sql: String, escapedLiterals: Boolean)
+      : (String, Array[Boolean]) = {
     val out = new java.lang.StringBuilder(sql.length)
+    val mask = new scala.collection.mutable.ArrayBuffer[Boolean](sql.length)
+    def emit(c: Char, in: Boolean): Unit = { out.append(c); mask += in }
     var i = 0
-    var quote: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (quote != 0) {
-        out.append(c)
-        if (c == '\\' && quote != '`' && i + 1 < sql.length) {
-          out.append(sql.charAt(i + 1)); i += 1
-        } else if (c == quote) quote = 0
-        i += 1
-      } else if (c == '\'' || c == '"' || c == '`') {
-        out.append(c); quote = c; i += 1
+      if (c == '\'' || c == '"' || c == '`') {
+        // raw prefix: a standalone r/R glued to the quote (not the tail of
+        // a longer identifier — `var'x'` lexes as identifier + string)
+        val rawPrefix = i > 0 &&
+          (sql.charAt(i - 1) == 'r' || sql.charAt(i - 1) == 'R') &&
+          (i < 2 || !isIdentChar(sql.charAt(i - 2)))
+        val useEscape = c != '`' && !escapedLiterals && !rawPrefix
+        emit(c, in = true); i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          val d = sql.charAt(i)
+          emit(d, in = true)
+          if (useEscape && d == '\\' && i + 1 < sql.length) {
+            emit(sql.charAt(i + 1), in = true); i += 2
+          } else { closed = d == c; i += 1 }
+        }
       } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
         while (i < sql.length && sql.charAt(i) != '\n') i += 1
-        out.append(' ')
+        emit(' ', in = false)
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        var depth = 1
         i += 2
-        while (i + 1 < sql.length && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i = math.min(i + 2, sql.length)
-        out.append(' ')
-      } else { out.append(c); i += 1 }
+        while (i < sql.length && depth > 0) {
+          if (i + 1 < sql.length && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (i + 1 < sql.length && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        emit(' ', in = false)
+      } else { emit(c, in = false); i += 1 }
     }
-    out.toString
+    (out.toString, mask.toArray)
   }
 
   /** One identifier part: backticked, double-quoted, or bare. */
@@ -335,34 +364,6 @@ object GraftAuth {
   private def firstGroup(m: scala.util.matching.Regex.Match): String =
     Option(m.group(1)).getOrElse(m.group(2))
 
-  /** Per-position "inside a quoted token" mask over the statement text.
-    * Tracks all THREE quote styles — single/double (string literals) AND
-    * backticks (quoted identifiers) — plus backslash escapes. The r12 text
-    * gate counted only unescaped single quotes, so `'it\'s'` or a
-    * double-quoted literal holding a lone apostrophe flipped the parity
-    * and silenced (or false-fired) the scan for the rest of the statement
-    * (r12 ADVICE); the first r13 cut skipped backticks, so an apostrophe
-    * inside a backticked identifier (CREATE TABLE `a'b` ...) opened a
-    * bogus literal that swallowed the real path option (r13 review). A
-    * doubled quote ('') reads as close-then-open, which classifies every
-    * interior character as in-quoted-token — correct for gating, where the
-    * question is only "is this keyword data/name or syntax?". */
-  private def literalMask(text: String): Array[Boolean] = {
-    val in = new Array[Boolean](text.length)
-    var i = 0
-    var quote: Char = 0
-    while (i < text.length) {
-      val c = text.charAt(i)
-      if (quote != 0) {
-        in(i) = true
-        if (c == '\\' && quote != '`' && i + 1 < text.length) { in(i + 1) = true; i += 1 }
-        else if (c == quote) quote = 0
-      } else if (c == '\'' || c == '"' || c == '`') { in(i) = true; quote = c }
-      i += 1
-    }
-    in
-  }
-
   /** Overlapping-tolerant regex scan (r13 review): `findAllMatchIn` is
     * non-overlapping, so a REJECTED match starting inside a quoted token
     * could CONSUME the real occurrence right after it — OPTIONS
@@ -390,7 +391,13 @@ object GraftAuth {
 
   def preCheck(session: SparkSession, sqlText: String): Unit = state match {
     case Some((cat, prot, admins, paths)) =>
-      val stripped = stripComments(sqlText)
+      // lex with the SESSION's string semantics: under legacy
+      // escapedStringLiterals=true Spark treats backslash as data in every
+      // literal, and the mask must agree with what the parser will do
+      val escaped = try {
+        session.conf.get("spark.sql.parser.escapedStringLiterals", "false").toBoolean
+      } catch { case _: Exception => false }
+      val (stripped, mask) = lexGate(sqlText, escaped)
       val created = CreateAliasRe.findFirstMatchIn(stripped)
       // PATH gate (r10 ADVICE): a CREATE that names a protected storage
       // path in a path option / LOCATION is registering an alias over
@@ -400,7 +407,6 @@ object GraftAuth {
       // predicate on a column named path) is data, not a registration.
       // OVERWRITE DIRECTORY (an INSERT form) writes the path: ALL.
       if (paths.nonEmpty) {
-        val mask = literalMask(stripped)
         // Registration syntax (OPTIONS/TBLPROPERTIES/LOCATION) precedes the
         // AS clause, so a CREATE ... AS SELECT scopes the path-option scan
         // to the text BEFORE the first non-literal AS-SELECT: a data

@@ -47,7 +47,7 @@ object PipelineQueries {
   // (also used by the PQ oracles below — one copy of the replay
   // discipline, r13 review); af/pr are the IVF-specific assignment and
   // nProbe=4 probe-order CTEs over the refined centroids ivf16_c1
-  private def ivfReplayCtes: String =
+  private lazy val IvfReplayCtes: String =
     "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
     lloydCtes("ivf16", "e", 16, 1, "v").mkString(",\n") + ",\n" +
     """af AS (SELECT vec_id, v, c FROM (
@@ -60,7 +60,28 @@ object PipelineQueries {
       |      row_number() OVER (PARTITION BY q.vec_id
       |        ORDER BY list_distance(q.v, s.v), s.c) AS prk
       |    FROM e q CROSS JOIN ivf16_c1 s WHERE q.vec_id < 5) WHERE prk <= 4)""".stripMargin
-  private lazy val IvfReplayCtes = ivfReplayCtes
+
+  // ---- exact semantic-component CTEs (cosine >= 0.45 links, component =
+  // min-id reachability), shared by q_dedup_semantic /
+  // q_dedup_semantic_ivf_bound / q_pipeline_curation_v3_keep_bound so the
+  // threshold, rounding and keeper convention live in ONE place (r13
+  // review, 2nd pass). Produces CTE `cl`(id, cluster); callers append
+  // their own final SELECT. ----
+  private val ExactComponentCtes =
+    """WITH RECURSIVE pairs AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
+      |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      |  SELECT u AS id, u AS r FROM edges
+      |  UNION
+      |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+      |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
+      |       FROM embeddings e
+      |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+      |         ON m.id = e.vec_id)""".stripMargin
 
   private val IvfAnnOracle = IvfReplayCtes + ",\n" +
     """ranked AS (
@@ -505,21 +526,8 @@ object PipelineQueries {
     // all-pairs): components over cosine>=0.45 links, keeper = min id;
     // oracle replays pairs + reachability as a recursive CTE ----
     Q.df("q_dedup_semantic",
-      duck = """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
-        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-        |reach AS (
-        |  SELECT u AS id, u AS r FROM edges
-        |  UNION
-        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
-        |SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
-        |FROM embeddings e
-        |LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
-        |  ON m.id = e.vec_id
-        |ORDER BY id""".stripMargin) { (s, dir) =>
+      duck = ExactComponentCtes +
+        "\nSELECT id, cluster FROM cl ORDER BY id") { (s, dir) =>
       Dedup.semanticDedup(embs(s, dir), "embedding", "vec_id",
           minCos = 0.45, nLists = 1)
         .orderBy("id")
@@ -540,20 +548,7 @@ object PipelineQueries {
     //      component count (recursive CTE, as q_dedup_semantic) and the id
     //      count; the refinement violation counter is pinned zero. ----
     Q.df("q_dedup_semantic_ivf_bound",
-      duck = """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
-        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-        |reach AS (
-        |  SELECT u AS id, u AS r FROM edges
-        |  UNION
-        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
-        |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
-        |       FROM embeddings e
-        |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
-        |         ON m.id = e.vec_id)
+      duck = ExactComponentCtes + """
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
         |  COUNT(DISTINCT cluster) AS n_exact_clusters,
         |  CAST(0 AS BIGINT) AS n_nonrefining
@@ -1176,20 +1171,7 @@ object PipelineQueries {
     //      subset of AUTO keepers by construction. The oracle recomputes
     //      the exact keeper count; the subset violation is pinned zero. ----
     Q.df("q_pipeline_curation_v3_keep_bound",
-      duck = """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 4) >= 0.45),
-        |edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
-        |reach AS (
-        |  SELECT u AS id, u AS r FROM edges
-        |  UNION
-        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
-        |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
-        |       FROM embeddings e
-        |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
-        |         ON m.id = e.vec_id)
+      duck = ExactComponentCtes + """
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_keepers,
         |  CAST(0 AS BIGINT) AS n_not_in_auto
         |FROM cl WHERE id = cluster""".stripMargin) { (s, dir) =>

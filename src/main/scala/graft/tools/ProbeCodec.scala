@@ -52,15 +52,31 @@ object ProbeCodec {
          if wanted(name)) {
       val q = graft.queries.Registry.byName(name)
       q.build(spark, sfDir).count() // untimed: registration + page cache
+      // drain = poll until the counter is STABLE (3 consecutive unchanged
+      // 200ms samples, 15s cap) — a fixed sleep is not a guaranteed drain
+      // of the async listener bus under sf100z task volumes (r13 review,
+      // 2nd pass); stability is, short of dropped events, which Spark
+      // logs loudly ("Dropped events") if the queue ever overflows
+      def drainStable(): Long = {
+        var last = shuffleWrite.get
+        var stable = 0
+        var waited = 0
+        while (stable < 3 && waited < 15000) {
+          Thread.sleep(200); waited += 200
+          val now = shuffleWrite.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+        last
+      }
       val times = (1 to iters).map { i =>
-        Thread.sleep(1000) // drain the listener bus from the previous job
+        drainStable() // settle stragglers from the previous job
         shuffleWrite.set(0L)
         val t0 = System.nanoTime()
         q.build(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1000) // drain before reading this iteration's total
+        val bytes = drainStable() // outside the timed window
         println(f"PROBE $name%-18s codec=$codec iter=$i wall=$dt%6.2f s " +
-          f"shuffleWrite=${shuffleWrite.get / 1e9}%.2f GB")
+          f"shuffleWrite=${bytes / 1e9}%.2f GB")
         dt
       }
       println(f"PROBE $name codec=$codec min=${times.min}%.2f s")

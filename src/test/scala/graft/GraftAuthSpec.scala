@@ -218,6 +218,19 @@ class GraftAuthSpec extends SparkTestBase {
       // the old regex stripper erased everything between them, including
       // the real protected path option
       denied(s"CREATE TABLE cmt USING parquet OPTIONS (comment '/*', path '$dataPath/sub8', z '*/') AS SELECT 9 AS x", "privilege")
+      // r13 review (2nd pass): a RAW string's backslash is data, not an
+      // escape — r'\' must not swallow its closing quote and desync the
+      // mask over the real path option
+      denied(s"CREATE TABLE rawb USING parquet OPTIONS (comment r'\\', path '$dataPath/sub9') AS SELECT 9 AS x", "privilege")
+      // ...same lexing for EVERY literal under legacy
+      // spark.sql.parser.escapedStringLiterals=true
+      spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+      try denied(s"CREATE TABLE escb USING parquet OPTIONS (comment '\\', path '$dataPath/sub10') AS SELECT 9 AS x", "privilege")
+      finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+      // r13 review (2nd pass): bracketed comments NEST (Spark 3.0+) — a
+      // commented-out overwrite inside a nested comment is dead text and
+      // must not false-demand write on a pure read
+      assert(spark.sql(s"/* /* */ INSERT OVERWRITE DIRECTORY '$dataPath' */ SELECT 1 AS one").count() == 1)
       // r12 review: a DB-QUALIFIED alias over protected storage gates
       // writes even though the bare ledger key does not resolve in the
       // current database (resolution failure must fail CLOSED, not evict)
