@@ -142,8 +142,69 @@ object TqlFuzz {
     }
   }
 
+  /** r14 grammar-cluster fuzz: bit ops, NAN/INF literals, ORDER BY
+    * expressions, general IS, qualified FROM — the forms the r13 verdict
+    * found missing (tql.cpp rules 16-77). A NEW generator so the shipped
+    * gen/genTs seed draws stay pinned. The DuckDB side parenthesizes the
+    * grouping the TQL precedence rules are SUPPOSED to produce, so a
+    * precedence bug in the parser is a hash mismatch, not a generator skew.
+    * Shift counts stay in 0..8 (user_id <= 149: no overflow ambiguity;
+    * DuckDB zeroes shifts >= 64 where Java masks — never drawn). */
+  private[graft] def genGrammar(seed: Int): (String, String) = {
+    val r = new Random(0x6214 + seed)
+    // one bit-op atom: (tqlUnparenthesized, duckParenthesized)
+    def bitAtom(): (String, String) = r.nextInt(4) match {
+      case 0 =>
+        val k = 1 + r.nextInt(15); val m = r.nextInt(k + 1)
+        (s"user_id & $k = $m", s"(user_id & $k) = $m")
+      case 1 =>
+        val sft = r.nextInt(5); val k = 1 + r.nextInt(7); val m = r.nextInt(2)
+        (s"user_id >> $sft & $k = $m", s"((user_id >> $sft) & $k) = $m")
+      case 2 =>
+        val sft = 1 + r.nextInt(4); val v = 40 + r.nextInt(400)
+        (s"user_id << $sft > $v", s"(user_id << $sft) > $v")
+      case _ =>
+        val k = 1 + r.nextInt(15); val v = 20 + r.nextInt(160)
+        (s"(user_id | $k) <= $v", s"(user_id | $k) <= $v")
+    }
+    val (bt, bd) = bitAtom()
+    // guard drawn unconditionally (seed-stability discipline)
+    val guardKind = r.nextInt(3)
+    val (gt, gd) = guardKind match {
+      case 0 => ("value < INF", "value < 'Infinity'::DOUBLE")
+      case 1 => ("value <> NAN", "value <> 'NaN'::DOUBLE")
+      case _ => ("(value is null) = false", "(value IS NULL) = FALSE")
+    }
+    val fromT = if (r.nextBoolean()) " from public.events" else ""
+    r.nextInt(3) match {
+      case 0 => // SELECT * + ORDER BY expression
+        val lim = 20 + r.nextInt(60)
+        val negate = r.nextBoolean()
+        val (ot, od) =
+          if (negate) ("value * -1.0 asc", "value * -1.0 ASC")
+          else {
+            val k = 2 + r.nextInt(5)
+            (s"user_id % $k asc", s"user_id % $k ASC")
+          }
+        (s"select *$fromT where $gt and $bt order by $ot, event_id desc limit $lim",
+          s"SELECT event_id, user_id, event_type, value FROM events " +
+            s"WHERE $gd AND $bd ORDER BY $od, event_id DESC LIMIT $lim")
+      case 1 => // COUNT(*) with a general-IS wrapper
+        val v = 50 + r.nextInt(150)
+        (s"select count(*)$fromT where (value > $v.0 is not null) and $bt",
+          s"SELECT COUNT(*) AS count FROM events " +
+            s"WHERE ((value > $v.0) IS NOT NULL) AND $bd")
+      case _ => // MIN/MAX over a bit-filtered set
+        val fn = pick(r, Vector("min", "max"))
+        val c = pick(r, Vector("value", "user_id", "event_id"))
+        (s"select $fn($c)$fromT where $gt and $bt",
+          s"SELECT ${fn.toUpperCase}($c) AS $fn FROM events WHERE $gd AND $bd")
+    }
+  }
+
   private val seeds: Seq[Int] = 0 until 12
   private val tsSeeds: Seq[Int] = 0 until 10
+  private val grammarSeeds: Seq[Int] = 0 until 12
 
   private def runTql(spark: org.apache.spark.sql.SparkSession, dir: String,
                      tql: String): org.apache.spark.sql.DataFrame = {
@@ -161,5 +222,8 @@ object TqlFuzz {
   } ++ tsSeeds.map { s =>
     val (tql, duck) = genTs(s)
     Q.df(f"q_tqlfuzz_ts_$s%02d", duck = duck)((spark, dir) => runTql(spark, dir, tql))
+  } ++ grammarSeeds.map { s =>
+    val (tql, duck) = genGrammar(s)
+    Q.df(f"q_tqlfuzz_gram_$s%02d", duck = duck)((spark, dir) => runTql(spark, dir, tql))
   }
 }

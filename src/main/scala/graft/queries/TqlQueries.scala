@@ -145,6 +145,87 @@ object TqlQueries {
         .orderBy("event_id")
     },
 
+    // ---- grammar-fidelity cluster (tql.cpp rules 16-77) ----
+
+    // bit operators & | << >> (rule 56) at their own precedence level:
+    // EQ binds looser, so `user_id & 3 = 1` is `(user_id & 3) = 1`
+    Q.df("q_tql_bit_ops",
+      duck = """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (user_id & 3) = 1 AND ((user_id >> 2) & 1) = 0
+        |  AND (user_id | 8) < 2000 AND (user_id << 1) > 10
+        |ORDER BY event_id LIMIT 100""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select * where user_id & 3 = 1 and user_id >> 2 & 1 = 0 " +
+            "and (user_id | 8) < 2000 and user_id << 1 > 10 " +
+            "order by event_id limit 100")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+
+    // NAN / INF literals (rules 40-41): NaN sorts greatest and equals
+    // itself in both engines (Spark NaN semantics == DuckDB/Postgres), so
+    // `value <> NAN` keeps every non-NaN row and `value < INF` every
+    // finite one
+    Q.df("q_tql_nan_inf",
+      duck = """SELECT COUNT(*) AS count FROM events
+        |WHERE value < 'Infinity'::DOUBLE AND value <> 'NaN'::DOUBLE
+        |  AND value > -'Infinity'::DOUBLE""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+        "select count(*) where value < INF and value <> NAN and value > -INF")
+    },
+
+    // ORDER BY expression (rules 22-23) — negated value as the sort key,
+    // event_id desc as the total-order tie-break
+    Q.df("q_tql_order_by_expr",
+      duck = """SELECT event_id, user_id, value FROM events
+        |WHERE value IS NOT NULL
+        |ORDER BY value * -1.0 ASC, event_id DESC LIMIT 30""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+          "select * where value is not null " +
+            "order by value * -1.0 asc, event_id desc limit 30")
+        .select(col("event_id"), col("user_id"), col("value"))
+    },
+
+    // general IS at the EQ precedence level (rules 76-77): comparisons
+    // bind tighter, so `value > 100.0 IS NOT NULL` tests the comparison's
+    // null-ness — null only where value is null
+    Q.df("q_tql_is_general",
+      duck = """SELECT COUNT(*) AS count FROM events
+        |WHERE ((value > 100.0) IS NOT NULL) AND (props IS NULL) = FALSE""".stripMargin) {
+      (s, dir) =>
+        TqlCompiler.run(events(s, dir),
+          "select count(*) where (value > 100.0 is not null) " +
+            "and (props is null) = false")
+    },
+
+    // BLOB literals X'..' (rule 38): constant blob comparison (unsigned
+    // lexicographic in both engines) under a real column guard — the
+    // testdata schema has no BLOB column to compare against
+    Q.df("q_tql_blob_literal",
+      duck = """SELECT COUNT(*) AS count FROM events
+        |WHERE '\x01\x02'::BLOB < '\x01\x03'::BLOB AND value IS NOT NULL""".stripMargin) {
+      (s, dir) =>
+        TqlCompiler.run(events(s, dir),
+          "select count(*) where X'0102' < X'0103' and value is not null")
+    },
+
+    // db-qualified FROM (rules 16/19): the qualifier must name the
+    // connection's database — this engine's `public`
+    Q.df("q_tql_from_qualified",
+      duck = "SELECT COUNT(*) AS count FROM events WHERE value > 100.0") { (s, dir) =>
+      TqlCompiler.run(events(s, dir),
+        "select count(*) from public.events where value > 100.0")
+    },
+
+    // PRAGMA (rules 59-63): validated no-op, empty result over the
+    // container row type (Query::setPragma recognizes only `trace`,
+    // query.cpp:464-481)
+    Q.df("q_tql_pragma",
+      duck = """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE 1 = 0""".stripMargin) { (s, dir) =>
+      TqlCompiler.run(events(s, dir), "pragma trace.flag = on")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    },
+
     // ---- array functions: ARRAY_LENGTH + 0-based ELEMENT
     // (/root/reference/server/function_map.cpp:86-87) over the embeddings
     // container; DuckDB lists are 1-based, so ELEMENT(e, 0) == e[1] ----

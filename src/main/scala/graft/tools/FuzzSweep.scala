@@ -93,6 +93,15 @@ object FuzzSweep {
           out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
         else out
       }
+      val (tqlG, duckG) = graft.queries.TqlFuzz.genGrammar(s)
+      dump(f"fz_tqlgram_$s%04d", duckG) {
+        import org.apache.spark.sql.functions.col
+        val out = graft.tql.TqlCompiler.run(
+          graft.engine.Tables.container(spark, sfDir, "events"), tqlG)
+        if (out.columns.contains("event_id") && out.columns.length > 4)
+          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        else out
+      }
     }
 
     def q(s: String): String = "\"" + s.flatMap {

@@ -21,21 +21,38 @@ object TqlCompiler {
     compile(container, TqlParser.parse(tql))
 
   def compile(container: Container, q: Query): DataFrame = {
-    // TQL is per-container: an explicit FROM must name this container
-    q.from.filterNot(_.equalsIgnoreCase(container.name)).foreach { f =>
-      throw new TqlParseException(
-        s"FROM $f does not match container ${container.name}")
+    // TQL is per-container: an explicit FROM must name this container, and
+    // a db qualifier must name the connection's database — this engine's
+    // single catalog db, GridDB's default `public`
+    // (Query::setFromCollection, query.cpp:369-392)
+    q.from.foreach { ref =>
+      ref.db.filterNot(_.equalsIgnoreCase("public")).foreach { db =>
+        throw new TqlParseException(
+          s"Database names given to API and specified in FROM clause are " +
+            s"not equal: $db")
+      }
+      if (!ref.name.equalsIgnoreCase(container.name))
+        throw new TqlParseException(
+          s"FROM ${ref.name} does not match container ${container.name}")
     }
     if (q.explain > 0) return explain(container, q)
     val df0 = container.df
     val filtered = q.where.map(w => df0.filter(toColumn(w))).getOrElse(df0)
 
     q.selection match {
+      case PragmaSel(n1, n2, v) =>
+        // Validated no-op: the reference recognizes only `trace` and
+        // silently accepts the rest (Query::setPragma, query.cpp:464-481);
+        // the command yields an empty result set over the container's
+        // row type
+        val _ = (n1, n2, v)
+        container.df.limit(0)
+
       case Star =>
         var out = filtered
         if (q.orderBy.nonEmpty)
-          out = out.orderBy(q.orderBy.map { case (c, asc) =>
-            if (asc) col(c).asc else col(c).desc }: _*)
+          out = out.orderBy(q.orderBy.map { case (e, asc) =>
+            if (asc) toColumn(e).asc else toColumn(e).desc }: _*)
         q.offset.foreach(o => out = out.offset(o.toInt))
         q.limit.foreach(l => out = out.limit(l.toInt))
         out
@@ -212,6 +229,8 @@ object TqlCompiler {
     case BoolLit(b) => lit(b)
     case NullLit => lit(null)
     case TsLit(us) => timestamp_micros(lit(us))
+    case BlobLit(hex) =>
+      lit(hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
     case Un("not", x) => !toColumn(x)
     case Un("neg", x) => -toColumn(x)
     case Un(op, _) => throw new TqlParseException(s"unknown unary $op")
@@ -232,6 +251,16 @@ object TqlCompiler {
         case "*" => a * b
         case "/" => a / b
         case "%" => a % b
+        // bit ops (grammar rule 56, tql.cpp:255). The TQL evaluator's own
+        // op switch predates them (expression.cpp:1226-1282 has no BITAND
+        // case and would throw "not implemented operation"); we evaluate
+        // with the reference SQL engine's semantics instead
+        // (sql_internal_parser.cpp rules 313-316): 64-bit integer ops,
+        // Java/Spark shift-count masking
+        case "&" => a.bitwiseAND(b)
+        case "|" => a.bitwiseOR(b)
+        case "<<" => call_function("shiftleft", a, b)
+        case ">>" => call_function("shiftright", a, b)
         case other => throw new TqlParseException(s"unknown operator $other")
       }
     case LikeExpr(x, StrLit(p), esc, not) =>
@@ -245,6 +274,14 @@ object TqlCompiler {
       throw new TqlParseException(s"LIKE pattern must be a string literal, got $p")
     case IsNullExpr(x, not) =>
       if (not) toColumn(x).isNotNull else toColumn(x).isNull
+    case IsExpr(_, r, _) =>
+      // General `expr IS [NOT] expr` (rules 76-77): the reference requires
+      // the RIGHT operand to evaluate to null and throws otherwise
+      // (Expr::evalSubBinOp, expression.cpp:1725-1731). Only the NULL
+      // literal reaches IsNullExpr at parse; any other right side is the
+      // reference's error, raised here at compile instead of per-row.
+      throw new TqlParseException(
+        s"""Right operand of "IS" or "ISNOT" must be null, got $r""")
     case FuncCall(name, args, _) =>
       def a(i: Int) = toColumn(args(i))
       name match {
