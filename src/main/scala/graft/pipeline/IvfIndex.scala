@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index: build ONCE (centroids + cluster-partitioned
@@ -89,14 +89,22 @@ object IvfIndex {
     * centroids AND stats from the reconstructions (the originals are gone
     * — that is what compression means; re-gridding reconstructions adds
     * at most one quantization step of error). */
+  /** `attrCols` are scalar metadata columns carried into the vectors tree
+    * (source/date/lang/label — the fields a filtered serve predicates on,
+    * the Milvus/Vespa scalar-field pattern). They cost their columnar
+    * footprint and nothing else: unfiltered serves never read them, and a
+    * filtered serve's predicate evaluates inside the pruned parquet scan. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nLists: Int = -1, corpusSize: Long = -1L,
-            codec: String = "raw"): Unit = {
+            codec: String = "raw", attrCols: Seq[String] = Nil): Unit = {
     require(codec == "raw" || codec == "sq8", s"unknown IVF codec '$codec'")
+    require(!attrCols.exists(Set("id", "cv", "codes", "cluster")),
+      "attrCols may not collide with the index's own columns (id/cv/codes/cluster)")
     val spark = corpus.sparkSession
     graft.functions.GridDbScalarFunctions.register(spark)
     val c0 = graft.engine.Parallelism.spread(corpus)
-      .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
+      .select(col(idCol).as("id") +: transform(col(vecCol), _.cast("double")).as("cv") +:
+        attrCols.map(col): _*)
     val dim = Similarity.vecDim(c0, "cv")
     val built = if (corpusSize > 0) corpusSize else c0.count()
     val lists = Similarity.resolveLists(corpus, nLists, built)
@@ -118,8 +126,8 @@ object IvfIndex {
       if (codec == "sq8") {
         val stats = Quantize.sqTrain(c0, "cv")
         writeSqStats(spark, path, stats)
-        assigned.select(col("id"),
-          Quantize.sqEncode(col("cv"), stats).as("codes"), col("cluster"))
+        assigned.select(col("id") +: Quantize.sqEncode(col("cv"), stats).as("codes") +:
+          col("cluster") +: attrCols.map(col): _*)
       } else assigned
     payload.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
@@ -143,6 +151,11 @@ object IvfIndex {
     * is self-describing; no meta migration for pre-codec indexes). */
   private def codecOf(vectors: DataFrame): String =
     if (vectors.columns.contains("codes")) "sq8" else "raw"
+
+  /** Metadata columns of a vectors tree — everything that is not the
+    * index's own layout (see [[build]]'s attrCols). */
+  private def attrColsOf(vectors: DataFrame): Seq[String] =
+    vectors.columns.toSeq.filterNot(Set("id", "cv", "codes", "cluster"))
 
   /** Incrementally add vectors to an existing index: assign with the
     * SAVED centroids (no retrain — the standard IVF serving pattern) and
@@ -171,8 +184,13 @@ object IvfIndex {
     graft.functions.GridDbScalarFunctions.register(spark)
     withWriterLock(spark, path) {
       val cents = loadCentroids(spark, path)
+      // the tree is self-describing: attr columns present in the index
+      // must come with every appended batch (by their own names)
+      val attrs = attrColsOf(spark.read.parquet(s"$path/vectors"))
       val batch = newVectors
-        .select(col(idCol).as("id"), transform(col(vecCol), _.cast("double")).as("cv"))
+        .select(col(idCol).as("id") +:
+          transform(col(vecCol), _.cast("double")).as("cv") +:
+          attrs.map(col): _*)
       val n = batch.count()
       // read meta BEFORE the write: the legacy-index fallback counts the
       // vectors dir, and counting AFTER the append would fold the new batch
@@ -185,8 +203,9 @@ object IvfIndex {
           // encode against the stats SAVED at build — appends never move
           // the grid (out-of-range values saturate; retrain re-grids)
           val stats = loadSqStats(spark, path)
-          assigned.select(col("id"),
-            Quantize.sqEncode(col("cv"), stats).as("codes"), col("cluster"))
+          assigned.select(col("id") +:
+            Quantize.sqEncode(col("cv"), stats).as("codes") +:
+            col("cluster") +: attrs.map(col): _*)
         } else assigned
       payload.repartition(col("cluster"))
         .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
@@ -225,15 +244,17 @@ object IvfIndex {
   private def retrainLocked(spark: SparkSession, path: String): Unit = {
     val raw = spark.read.parquet(s"$path/vectors")
     val codec = codecOf(raw)
+    val attrs = attrColsOf(raw)
     // sq8: the originals are gone — rebuild from the reconstructions
     // (fresh centroids, fresh grid; ≤ one extra quantization step)
     val all =
       if (codec == "sq8") {
         val stats = loadSqStats(spark, path)
-        raw.select(col("id"), Quantize.sqDecode(col("codes"), stats).as("cv"))
-      } else raw.select("id", "cv")
+        raw.select(col("id") +: Quantize.sqDecode(col("codes"), stats).as("cv") +:
+          attrs.map(col): _*)
+      } else raw.select(col("id") +: col("cv") +: attrs.map(col): _*)
     val tmp = s"${path}_rebuild"
-    build(all, "id", "cv", tmp, codec = codec)
+    build(all, "id", "cv", tmp, codec = codec, attrCols = attrs)
     // swap via rename-aside, never delete-first (r10 self-review: a crash
     // between delete and rename would destroy the only copy). Crash
     // windows leave either the old index still serving at `path`, or the
@@ -317,19 +338,44 @@ object IvfIndex {
     result.get
   }
 
+  /** `predicate` (optional) restricts the search to index rows satisfying
+    * it — evaluated over the [[build]]-time `attrCols` INSIDE the pruned
+    * parquet scan (row-group pushdown; the vectors/codes of rejected rows
+    * are never materialized). The probe set widens by the measured
+    * selectivity ([[Similarity.overfetchProbe]]) so recall survives the
+    * filter; below the `bruteCutoff` survival fraction the serve scans
+    * ALL lists under the predicate instead — the filtered subset read
+    * once beats 16/16-probed pruning machinery, and results are exact.
+    * The two counts behind the selectivity are attr-column-only columnar
+    * scans of the index (no vectors read); a production deployment caches
+    * them next to the index meta. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
            idCol: String, vecCol: String, k: Int, nProbe: Int = 4,
-           roundTo: Int = 4, maxBroadcastQueries: Long = 100000L): DataFrame = {
+           roundTo: Int = 4, maxBroadcastQueries: Long = 100000L,
+           predicate: Option[Column] = None,
+           bruteCutoff: Double = 0.02): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(spark)
     val cents = retryThroughSwap(loadCentroids(spark, path))
+    val tree = retryThroughSwap(spark.read.parquet(s"$path/vectors"))
+    val (effProbe, filteredTree) = predicate match {
+      case None => (nProbe, tree)
+      case Some(p) =>
+        val total = tree.count()
+        val kept = tree.filter(p).count()
+        if (kept <= (bruteCutoff * total).toLong)
+          (cents.length, tree.filter(p)) // all lists, predicate pushed down
+        else
+          (Similarity.overfetchProbe(nProbe, cents.length, kept, total),
+            tree.filter(p))
+    }
     val q = queries.select(col(idCol).as("q_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
       .withColumn("cluster",
-        explode(transform(slice(array_sort(Similarity.distances(col("qv"), cents)), 1, nProbe),
+        explode(transform(slice(array_sort(Similarity.distances(col("qv"), cents)), 1, effProbe),
           d => d.getField("cid"))))
     // bounded by nLists distinct values regardless of |queries|
     val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = retryThroughSwap(spark.read.parquet(s"$path/vectors"))
+    val pruned = filteredTree
       .filter(col("cluster").isInCollection(probed))
     // limit(max+1) short-circuits: the gate never scans past the
     // threshold, so an arbitrarily expensive query plan is not evaluated

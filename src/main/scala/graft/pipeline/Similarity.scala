@@ -293,6 +293,68 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Probe width for a filtered ANN query: with fraction `kept/total` of
+    * the corpus surviving the predicate, each probed list contributes only
+    * that fraction of its usual candidates, so the probe set widens to
+    * ceil(nProbe * total / kept) lists (capped at nLists, floored at
+    * nProbe) to restore the expected candidate volume — the Faiss
+    * IDSelector-plus-overfetch discipline. EXACT integer arithmetic
+    * (never ceil(nProbe/s) on a double: 4.0/(kept/total) can land one ulp
+    * over an exact integer and widen the probe by a whole list, desyncing
+    * any replayed oracle). */
+  private[graft] def overfetchProbe(nProbe: Int, nLists: Int,
+                                    kept: Long, total: Long): Int = {
+    val want = ((nProbe.toLong * total + kept - 1) / math.max(kept, 1L))
+      .min(Int.MaxValue).toInt
+    math.min(nLists, math.max(nProbe, want))
+  }
+
+  /** Predicate-filtered IVF ANN: top-k among the corpus rows satisfying
+    * `predicate` — the production retrieval pattern (filter by
+    * source/date/lang THEN search). Post-filtering an unfiltered top-k
+    * breaks recall (a query whose k nearest all fail the filter returns
+    * short or empty); here the predicate instead filters the CANDIDATE
+    * rows (it pushes down into the corpus scan) and the probe set widens
+    * by the filter's selectivity ([[overfetchProbe]]). Centroids are
+    * trained on the FULL corpus — the index-reuse contract; a metadata
+    * filter must not retrain the coarse quantizer.
+    *
+    * Selectivity guard: when fewer than `bruteCutoff` of the rows survive,
+    * directory pruning cannot beat reading the filtered subset once —
+    * [[bruteForceTopK]] over the subset IS the scale path there (exact
+    * results, one pruned scan). `kept`/`corpusSize` are optional exact
+    * count hints (catalog stats / parquet footers); unknown counts cost
+    * one filter-column-only scan each — a production deployment caches
+    * them next to the index stats. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, predicate: Column,
+                      nLists: Int = -1, nProbe: Int = 4, roundTo: Int = 4,
+                      corpusSize: Long = -1L, kept: Long = -1L,
+                      bruteCutoff: Double = 0.02): DataFrame = {
+    ensureFns(corpus)
+    val filtered = corpus.filter(predicate)
+    val total = if (corpusSize > 0) corpusSize else corpus.count()
+    val keptN = if (kept > 0) kept else filtered.count()
+    if (keptN <= (bruteCutoff * total).toLong)
+      return bruteForceTopK(filtered, queries, idCol, vecCol, k, roundTo)
+    val c0full = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+    val dim = vecDim(c0full, "cv")
+    val cents = ivfCentroids(c0full, dim, resolveLists(corpus, nLists, total))
+    val effProbe = overfetchProbe(nProbe, cents.length, keptN, total)
+    val c = spread(filtered)
+      .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cluster", assignCluster(col("cv"), cents))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cluster",
+        explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, effProbe),
+          d => d.getField("cid"))))
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
   /** Product-quantization codebooks: `m` subspaces of dim/m dims, `kCodes`
     * centroids each — trained with the same deterministic seed+one-Lloyd-step
     * discipline as [[ivfCentroids]], applied per subspace slice. Codebooks

@@ -26,11 +26,12 @@ object PipelineQueries {
   // registered/benched form measures serving, not re-building
   private val ivfIndexCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String,
-                           codec: String = "raw"): String =
-    ivfIndexCache.computeIfAbsent(s"$dir#$codec", _ => {
+                           codec: String = "raw",
+                           attrCols: Seq[String] = Nil): String =
+    ivfIndexCache.computeIfAbsent(s"$dir#$codec#${attrCols.mkString(",")}", _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
       IvfIndex.build(embs(s, dir), "vec_id", "embedding", path, nLists = 16,
-        codec = codec)
+        codec = codec, attrCols = attrCols)
       path
     })
 
@@ -83,6 +84,12 @@ object PipelineQueries {
       |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
       |         ON m.id = e.vec_id)""".stripMargin
 
+  // NULL/NaN cosines (zero-norm or null embeddings) are DROPPED before
+  // ranking, matching the kernel's null-drop contract (graft_cosine nulls
+  // zero norms; topKPerQuery drops null cos) — without the guard a
+  // zero-norm candidate in a future fixture would sort FIRST under
+  // DuckDB's NaN-greatest DESC order and pin a degenerate rk=1 row
+  // (r13 ADVICE). coalesce(isnan(x), true) is true for NULL and NaN.
   private val IvfAnnOracle = IvfReplayCtes + ",\n" +
     """ranked AS (
       |  SELECT pr.q_id, af.vec_id AS c_id,
@@ -91,7 +98,40 @@ object PipelineQueries {
       |      ORDER BY ROUND(list_cosine_similarity(q.v, af.v), 4) DESC, af.vec_id) AS rk
       |  FROM pr JOIN af ON af.c = pr.c
       |  JOIN e q ON q.vec_id = pr.q_id
-      |  WHERE af.vec_id <> pr.q_id)
+      |  WHERE af.vec_id <> pr.q_id
+      |    AND NOT coalesce(isnan(list_cosine_similarity(q.v, af.v)), TRUE))
+      |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
+      |ORDER BY q_id, rk""".stripMargin
+
+  // Filtered-ANN replay (r13 verdict #2): same full-corpus centroids and
+  // assignment as IvfAnnOracle (the index-reuse contract — the filter
+  // never retrains the coarse quantizer), candidates restricted to the
+  // predicate, probe width = the kernel's integer overfetch
+  // LEAST(nLists, GREATEST(nProbe, ceil(nProbe * total / kept)))
+  // (Similarity.overfetchProbe — pn below replays the exact integer
+  // arithmetic; at this fixture label<5 keeps ~half, so pn ~ 8 of 16 and
+  // the probe stage still PRUNES rather than degenerating to all lists).
+  private val IvfFilteredOracle = IvfReplayCtes + ",\n" +
+    """pn AS (SELECT LEAST(16, GREATEST(4,
+      |    (4 * (SELECT COUNT(*) FROM embeddings)
+      |       + (SELECT COUNT(*) FROM embeddings WHERE label < 5) - 1)
+      |      // (SELECT COUNT(*) FROM embeddings WHERE label < 5))) AS n),
+      |prf AS (SELECT q_id, c FROM (
+      |    SELECT q.vec_id AS q_id, s.c,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_distance(q.v, s.v), s.c) AS prk
+      |    FROM e q CROSS JOIN ivf16_c1 s WHERE q.vec_id < 5)
+      |  WHERE prk <= (SELECT n FROM pn)),
+      |ranked AS (
+      |  SELECT prf.q_id, af.vec_id AS c_id,
+      |    ROUND(list_cosine_similarity(q.v, af.v), 4) AS cos,
+      |    row_number() OVER (PARTITION BY prf.q_id
+      |      ORDER BY ROUND(list_cosine_similarity(q.v, af.v), 4) DESC, af.vec_id) AS rk
+      |  FROM prf JOIN af ON af.c = prf.c
+      |  JOIN embeddings em ON em.vec_id = af.vec_id AND em.label < 5
+      |  JOIN e q ON q.vec_id = prf.q_id
+      |  WHERE af.vec_id <> prf.q_id
+      |    AND NOT coalesce(isnan(list_cosine_similarity(q.v, af.v)), TRUE))
       |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
       |ORDER BY q_id, rk""".stripMargin
 
@@ -118,7 +158,8 @@ object PipelineQueries {
       |  FROM pr JOIN af ON af.c = pr.c
       |  JOIN dec ON dec.vec_id = af.vec_id
       |  JOIN e q ON q.vec_id = pr.q_id
-      |  WHERE af.vec_id <> pr.q_id)
+      |  WHERE af.vec_id <> pr.q_id
+      |    AND NOT coalesce(isnan(list_cosine_similarity(q.v, dec.dv)), TRUE))
       |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= 10
       |ORDER BY q_id, rk""".stripMargin
 
@@ -749,6 +790,62 @@ object PipelineQueries {
       val e = embs(s, dir)
       IvfIndex.topK(s, ivfIndexPath(s, dir), e.filter(col("vec_id") < 5),
           "vec_id", "embedding", k = 10)
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- FILTERED ANN (r13 verdict #2): predicate + top-k composed —
+    //      the production retrieval pattern (filter by source/date/lang
+    //      THEN search). Candidates are filtered (not post-filtered top-k,
+    //      which breaks recall), centroids stay the FULL corpus's, and the
+    //      probe widens by the measured selectivity (label<5 keeps ~half
+    //      → 8 of 16 lists probed — still pruning). FULL oracle: the IVF
+    //      replay with filtered candidates + the integer overfetch ----
+    Q.df("q_sim_ivf_filtered", duck = IvfFilteredOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, predicate = col("label") < 5, nLists = 16,
+          corpusSize = nEmbs(s, dir))
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- the selectivity guard's path: below ~2% survival, probing
+    //      cannot beat reading the filtered subset once — the kernel
+    //      brute-forces the subset (exact results; vec_id % 67 = 3 keeps
+    //      ~1.5% at every SF). Oracle = exact filtered top-k ----
+    Q.df("q_sim_ivf_filtered_brute",
+      duck = """SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos,
+        |  rk
+        |FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC,
+        |               c.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND c.vec_id % 67 = 3
+        |  WHERE q.vec_id < 5
+        |    AND NOT coalesce(isnan(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), TRUE)) r
+        |JOIN embeddings q ON q.vec_id = r.qid
+        |JOIN embeddings c ON c.vec_id = r.cid
+        |WHERE rk <= 10
+        |ORDER BY q_id, rk""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, predicate = col("vec_id") % 67 === 3,
+          nLists = 16, corpusSize = nEmbs(s, dir))
+        .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+
+    // ---- the PERSISTED filtered serve: label carried as an index attr
+    //      column (build attrCols), the predicate evaluated inside the
+    //      pruned scan. Same oracle as q_sim_ivf_filtered — the index
+    //      must reproduce the in-memory filtered form exactly ----
+    Q.df("q_sim_ivf_indexed_filtered", duck = IvfFilteredOracle) { (s, dir) =>
+      val e = embs(s, dir)
+      IvfIndex.topK(s, ivfIndexPath(s, dir, attrCols = Seq("label")),
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+          predicate = Some(col("label") < 5))
         .orderBy("q_id", "rk")
     },
 

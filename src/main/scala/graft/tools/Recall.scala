@@ -96,6 +96,21 @@ object Recall {
     out += annRow("sim_ivfpq_ann",
       Similarity.ivfPqTopK(embs, queries, "vec_id", "embedding", k = 10,
         nLists = 8, nProbe = 4))
+    // Filtered ANN (r13 verdict #2): labels planted so each query's true
+    // plant SURVIVES the filter while ~2/3 of distractors do not — the
+    // case naive post-filtering loses. Queries are label-0 bases; recall
+    // counts their plants found under predicate label = 0.
+    locally {
+      val labeled = embs.withColumn("label", (col("vec_id") % 10000L % 3L).cast("int"))
+      val fq = labeled.filter(col("vec_id") < 20 && col("label") === 0)
+      val fqIds = fq.select("vec_id").collect().map(_.getLong(0)).toSet
+      val res = Similarity.ivfTopKFiltered(labeled, fq, "vec_id", "embedding",
+        k = 10, predicate = col("label") === 0, nLists = 16)
+      val rows = res.select("q_id", "c_id").collect()
+      val hits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000L)
+      out += Row("sim_ivf_filtered", recall = hits.toDouble / fqIds.size,
+        falsePos = 0L, candidates = rows.length.toLong, planted = fqIds.size)
+    }
     val rawIdx = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
     IvfIndex.build(embs, "vec_id", "embedding", rawIdx, nLists = 16)
     out += annRow("sim_ivf_indexed",

@@ -181,4 +181,84 @@ class IvfIndexSpec extends SparkTestBase {
       .collect()
     assert(got2.nonEmpty)
   }
+
+  // ---- filtered ANN (r14, verdict #2) ----
+
+  test("filtered serve == in-memory filtered kernel; probe widens by selectivity; pruning kept") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_fidx").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 16, attrCols = Seq("label"))
+
+    val pred = col("label") < 5
+    val indexed = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 10, predicate = Some(pred))
+    val direct = Similarity.ivfTopKFiltered(e, queries, "vec_id", "embedding",
+      k = 10, predicate = pred, nLists = 16)
+    val a = indexed.select("q_id", "c_id", "cos", "rk").collect().toSet
+    val b = direct.select("q_id", "c_id", "cos", "rk").collect().toSet
+    assert(a == b, s"indexed vs direct filtered diverged:\n${(a -- b) ++ (b -- a)}")
+    assert(a.nonEmpty)
+    // every returned candidate satisfies the predicate
+    val labels = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("label")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a.forall(r => labels(r.getLong(1)) < 5))
+    // label<5 keeps ~half -> overfetch widens 4 to ~8 of 16, still pruned:
+    // the scan's partition filter must exist AND not cover all 16 lists
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning in:\n$plan")
+  }
+
+  test("filtered serve recall: the filter-surviving true neighbor is found (post-filter would lose it)") {
+    // planted corpus with labels: each query's plant shares its label,
+    // 2/3 of distractors do not — the exact case where post-filtering an
+    // unfiltered top-k returns the wrong rows
+    val (embsP, _) = graft.tools.Planted.embCorpus(spark)
+    val labeled = embsP.withColumn("label", (col("vec_id") % 10000L % 3L).cast("int"))
+    val fq = labeled.filter(col("vec_id") < 20 && col("label") === 0)
+    val nQ = fq.count()
+    val res = Similarity.ivfTopKFiltered(labeled, fq, "vec_id", "embedding",
+      k = 10, predicate = col("label") === 0, nLists = 16)
+    val rows = res.select("q_id", "c_id").collect()
+    assert(rows.forall(r => (r.getLong(1) % 10000L % 3L) == 0L),
+      "a candidate violating the predicate was returned")
+    val hits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000L)
+    assert(hits >= nQ - 1, s"filtered recall $hits/$nQ below the planted floor")
+  }
+
+  test("selectivity guard: sub-cutoff predicates brute-force the subset exactly") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val pred = col("vec_id") % 67 === 3 // ~1.5% < 2% cutoff
+    val got = Similarity.ivfTopKFiltered(e, queries, "vec_id", "embedding",
+      k = 10, predicate = pred, nLists = 16)
+    val exact = Similarity.bruteForceTopK(e.filter(pred), queries,
+      "vec_id", "embedding", k = 10)
+    assert(got.collect().toSet == exact.collect().toSet)
+  }
+
+  test("attr columns survive append and retrain") {
+    import spark.implicits._
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_attr").toString
+    IvfIndex.build(e.filter(col("vec_id") < 400), "vec_id", "embedding", path,
+      nLists = 8, attrCols = Seq("label"))
+    // append rows carrying the attr column by name
+    val extra = e.filter(col("vec_id") >= 400)
+    IvfIndex.append(extra, "vec_id", "embedding", path)
+    val tree = spark.read.parquet(s"$path/vectors")
+    assert(tree.columns.contains("label"))
+    assert(tree.filter(col("label").isNull).count() == 0)
+    val nBefore = tree.count() // materialize BEFORE retrain swaps the files
+    // filtered serve sees appended rows under the predicate
+    val q = e.filter(col("vec_id") < 2)
+    val res = IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 50,
+      nProbe = 8, predicate = Some(col("label") === 2))
+    assert(res.count() > 0)
+    IvfIndex.retrain(spark, path)
+    val after = spark.read.parquet(s"$path/vectors")
+    assert(after.columns.contains("label"), "retrain must carry attr columns")
+    assert(after.count() == nBefore)
+  }
 }

@@ -53,7 +53,18 @@ class SimilarityClusterSpec extends SparkTestBase {
     // ~6 orders above double-summation reassociation noise (~1e-15) — so
     // the oracle comparison is deterministic by margin, not by luck.
     import org.apache.spark.sql.functions._
-    val embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // Parameterized over the data dirs the correctness gate runs at
+    // (r13 ADVICE): the driver pins sf0.01; a gate run at another SF sets
+    // SPARK_GRAFT_GATE_DIRS (comma-separated) so the oracles' determinism-
+    // by-margin is verified THERE before the diff is trusted.
+    val gateDirs = sys.env.get("SPARK_GRAFT_GATE_DIRS")
+      .map(_.split(",").toSeq).getOrElse(Seq("/root/testdata/sf0.01"))
+    for (gateDir <- gateDirs) checkMargins(s"$gateDir/embeddings.parquet")
+  }
+
+  private def checkMargins(embPath: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val embs = spark.read.parquet(embPath)
     val c0 = embs.select(col("vec_id").as("c_id"),
       expr("transform(embedding, x -> cast(x as double))").as("cv"))
     val dim = c0.select(size(col("cv"))).head.getInt(0)
@@ -89,6 +100,23 @@ class SimilarityClusterSpec extends SparkTestBase {
           .select(probeMargin.as("rel")).agg(min("rel")).head.getDouble(0)
         assert(pm > 1e-9,
           s"nProbe boundary: min relative margin $pm — probed-set near-tie risk")
+        // the q_sim_ivf_filtered oracle probes effProbe = overfetch(4, 16,
+        // label<5) lists (r14): its probe boundary is effProbe-th vs
+        // effProbe+1-th — a near-tie there flips the FILTERED candidate
+        // pool (skipped when the overfetch widens to all 16 lists: the
+        // "boundary" then has no 17th centroid and no effect)
+        val total = embs.count()
+        val kept = embs.filter(col("label") < 5).count()
+        val eff = Similarity.overfetchProbe(4, 16, kept, total)
+        if (eff < 16) {
+          val fMargin = (element_at(sorted, eff + 1).getField("d") -
+            element_at(sorted, eff).getField("d")) /
+            greatest(element_at(sorted, eff).getField("d"), lit(1e-300))
+          val fm = c0.filter(col("c_id") < 5)
+            .select(fMargin.as("rel")).agg(min("rel")).head.getDouble(0)
+          assert(fm > 1e-9,
+            s"filtered probe boundary (effProbe=$eff): min relative margin $fm")
+        }
       }
     }
     // the q_sim_pq_ann / q_sim_ivfpq_ann oracle config: per-subspace
