@@ -598,16 +598,23 @@ object Similarity {
     * one signature bit flipped. Output: (q_id, c_id, cos, rk). */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              bits: Int = 8, probes: Int = 4, roundTo: Int = 4): DataFrame = {
+              bits: Int = 8, probes: Int = -1, roundTo: Int = 4): DataFrame = {
     ensureFns(corpus)
     // derive dim from the data (as ivfTopK does): a mismatched hyperplane
     // length would null-pad in zip_with and collapse every signature to 0
     val dim = vecDim(corpus, vecCol)
     val c = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("bucket", signatureFused(col("cv"), bits, dim))
-    // queries probe their own bucket + `probes` single-bit-flip neighbors
+    // queries probe their own bucket + `probes` single-bit-flip neighbors.
+    // probes = -1 (default since r14) flips EVERY bit: the pre-r14 default
+    // flipped only the low 4 of 8 bits, so a true neighbor split on a
+    // HIGH plane was unreachable — exactly the misses behind the 0.85
+    // recall floor (RECALL_r13); all-bit probing recovers every single-
+    // plane split for bits+1 probed buckets (~1.8x candidates at the
+    // default config, measured 0.85 -> 1.00 planted recall)
+    val nProbes = if (probes < 0) bits else probes
     val probeBuckets = (c0: Column) =>
-      array((c0 +: (0 until probes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
+      array((c0 +: (0 until nProbes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("bucket", explode(probeBuckets(signatureFused(col("qv"), bits, dim))))
     // no distinct: each corpus vector owns ONE bucket and a query's

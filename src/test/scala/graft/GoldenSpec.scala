@@ -25,7 +25,7 @@ class GoldenSpec extends SparkTestBase {
     "q_dedup_simhash" -> "df17e934ac71859a",
     "q_multimodal_features" -> "cd83f6b20c274280",
     "q_pipeline_curation_v3_auto" -> "61055128fc76a684",
-    "q_sim_lsh_ann" -> "1ed71c69d7605a27",
+    "q_sim_lsh_ann" -> "2da02ad1ef9b5e98", // re-pinned r14: all-bit probing
     // same hash as q_dedup_minhash — the streaming replay reproduces the
     // batch operator's pairs exactly (the parity GoldenSpec can prove)
     "q_stream_dedup_minhash" -> "f445327584e7bd8c",
