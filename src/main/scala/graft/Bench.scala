@@ -59,6 +59,9 @@ object Bench {
     val only = named("SPARK_GRAFT_BENCH_ONLY")
     val benchSet = if (only.nonEmpty) only
       else Registry.benchQueries ++ named("SPARK_GRAFT_BENCH_EXTRA")
+    // driver-SF-only entries (exact O(N²) baselines, pair-set bounds) are
+    // refused at scale dirs BEFORE any job runs (r13 verdict #5)
+    Registry.assertScaleSafe(benchSet, sfDir)
     // machine-drift calibration: a fixed, data-free, deterministic Spark
     // job timed the same way as the queries. Cross-round totals are only
     // comparable after normalizing by this — round 8 measured the SAME

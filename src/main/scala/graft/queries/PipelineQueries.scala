@@ -454,7 +454,7 @@ object PipelineQueries {
     //      n_est_out_of_band = 0 — |est - true| <= 0.25 (k=16 members:
     //      sigma at t=0.9 is 0.075, band is 3.3 sigma; max observed 0.083).
     //      All deterministic per dataset — violations fail the DRIVER. ----
-    Q.df("q_dedup_minhash_bound",
+    Q.df("q_dedup_minhash_bound", maxSf = 0.1,
       duck = """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |s AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
         |                          ELSE array_to_string(t, ' ') END AS sh
@@ -512,7 +512,7 @@ object PipelineQueries {
     //      subset/score violations are pinned zero. (The recall side lives
     //      in RECALL_r13 — at sf0.01 the 500-vector corpus genuinely has
     //      near-dups the bands separate, so equality would over-pin.) ----
-    Q.df("q_dedup_lsh_pairs_bound",
+    Q.df("q_dedup_lsh_pairs_bound", maxSf = 0.1,
       duck = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT a.vec_id AS a, b.vec_id AS b
         |      FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -537,7 +537,7 @@ object PipelineQueries {
     },
 
     // ---- embedding-cosine near-dup pairs: exact O(N²) baseline (oracle) ----
-    Q.df("q_dedup_embedding",
+    Q.df("q_dedup_embedding", maxSf = 0.1,
       duck = """SELECT a.vec_id AS a, b.vec_id AS b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -566,7 +566,7 @@ object PipelineQueries {
     // ---- SemDeDup semantic dedup, exact form (nLists=1 degenerates to
     // all-pairs): components over cosine>=0.45 links, keeper = min id;
     // oracle replays pairs + reachability as a recursive CTE ----
-    Q.df("q_dedup_semantic",
+    Q.df("q_dedup_semantic", maxSf = 0.1,
       duck = ExactComponentCtes +
         "\nSELECT id, cluster FROM cl ORDER BY id") { (s, dir) =>
       Dedup.semanticDedup(embs(s, dir), "embedding", "vec_id",
@@ -588,7 +588,7 @@ object PipelineQueries {
     //      share one exact cluster. The oracle recomputes the exact
     //      component count (recursive CTE, as q_dedup_semantic) and the id
     //      count; the refinement violation counter is pinned zero. ----
-    Q.df("q_dedup_semantic_ivf_bound",
+    Q.df("q_dedup_semantic_ivf_bound", maxSf = 0.1,
       duck = ExactComponentCtes + """
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_ids,
         |  COUNT(DISTINCT cluster) AS n_exact_clusters,
@@ -1267,7 +1267,7 @@ object PipelineQueries {
     //      is the min of its own AUTO sub-component — exact keepers are a
     //      subset of AUTO keepers by construction. The oracle recomputes
     //      the exact keeper count; the subset violation is pinned zero. ----
-    Q.df("q_pipeline_curation_v3_keep_bound",
+    Q.df("q_pipeline_curation_v3_keep_bound", maxSf = 0.1,
       duck = ExactComponentCtes + """
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_keepers,
         |  CAST(0 AS BIGINT) AS n_not_in_auto

@@ -51,6 +51,7 @@ object ProbeCodec {
     for (name <- Seq("q3_join_agg_topk", "q5_join_region", "q_mr_view_runs")
          if wanted(name)) {
       val q = graft.queries.Registry.byName(name)
+      graft.queries.Registry.assertScaleSafe(Seq(q), sfDir)
       q.build(spark, sfDir).count() // untimed: registration + page cache
       // drain = poll until the counter is STABLE (3 consecutive unchanged
       // 200ms samples, 15s cap) — a fixed sleep is not a guaranteed drain

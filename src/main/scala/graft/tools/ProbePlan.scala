@@ -15,6 +15,7 @@ object ProbePlan {
       SparkSession.builder().master("local[8]"), shufflePartitions = 8)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Registry.assertScaleSafe(Seq(Registry.byName(name)), dir)
     Registry.byName(name).build(spark, dir).explain(mode)
     spark.stop()
   }

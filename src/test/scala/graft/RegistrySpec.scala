@@ -35,4 +35,33 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.oracleSql.keySet ==
       Registry.all.filter(_.oracle.nonEmpty).map(_.name).toSet)
   }
+
+  test("maxSf: known-quadratic baselines are capped and the guard fires at scale dirs (r13 #5)") {
+    // the exact-O(N²) baselines and pair-set-recomputing bounds — every
+    // entry here exists to CHECK a scalable kernel at the driver SF
+    val quadratic = Set("q_dedup_embedding", "q_dedup_minhash_bound",
+      "q_dedup_lsh_pairs_bound", "q_dedup_semantic",
+      "q_dedup_semantic_ivf_bound", "q_pipeline_curation_v3_keep_bound")
+    val unflagged = quadratic.filter(n => Registry.byName(n).maxSf.isInfinity)
+    assert(unflagged.isEmpty, s"quadratic baselines without maxSf: $unflagged")
+    // no benched headline query may be driver-SF-only
+    val benchedCapped = Registry.benchQueries.filter(!_.maxSf.isInfinity)
+    assert(benchedCapped.isEmpty,
+      s"bench queries must be scale paths: ${benchedCapped.map(_.name)}")
+    // dir-SF parsing: driver fixtures, ScaleGen replicas, unknown layouts
+    assert(Registry.sfOf("/root/testdata/sf0.01") == 0.01)
+    assert(Registry.sfOf("/root/testdata/sf0.1") == 0.1)
+    assert(math.abs(Registry.sfOf("scaledata/sf10z") - 1.0) < 1e-12)
+    assert(math.abs(Registry.sfOf("scaledata/sf100z") - 10.0) < 1e-12)
+    assert(Registry.sfOf("scaledata/zipf100").isNaN)
+    // the guard: flagged entries refuse scale dirs, pass driver dirs,
+    // stay out of the way on unparseable dirs
+    val q = Registry.byName("q_dedup_embedding")
+    Registry.assertScaleSafe(Seq(q), "/root/testdata/sf0.1")
+    Registry.assertScaleSafe(Seq(q), "scaledata/zipf100")
+    val err = intercept[IllegalArgumentException] {
+      Registry.assertScaleSafe(Seq(q), "scaledata/sf100z")
+    }
+    assert(err.getMessage.contains("q_dedup_embedding"))
+  }
 }
