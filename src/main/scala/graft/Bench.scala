@@ -70,7 +70,7 @@ object Bench {
     // (sum of id % 1000007 over 200M longs on all cores — overflow-free
     // under ANSI mode) is pure whole-stage
     // codegen: no I/O, no shuffle, no allocation churn.
-    val calib = {
+    def measureCalib(): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
         spark.range(200000000L).selectExpr("sum(id % 1000007)").collect()
@@ -80,53 +80,104 @@ object Bench {
       val ts = Seq(once(), once(), once()).sorted
       ts(1)
     }
-    Console.err.println(f"[bench] calibration (fixed 200M-row sum): $calib%.3f s")
+    // calib floor from committed BENCH_r*.json artifacts (the fastest this
+    // host has measured): a run whose calib sits > 1.3x above it is host
+    // drift — BENCH_r13 committed exactly that as a fake +12% regression
+    // (r13 verdict #3). Such a run is retried (below) instead of recorded.
+    val calibRef: Option[Double] = {
+      val re = java.util.regex.Pattern.compile("\"calib\":\\s*([0-9.eE+-]+)")
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      val vals = files.takeRight(6).flatMap { f =>
+        val m = re.matcher(new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        if (m.find()) Some(m.group(1).toDouble) else None
+      }
+      if (vals.nonEmpty) Some(vals.min) else None
+    }
     // a failed query must NEVER be silently timed: an exception returns in
     // milliseconds and reads as a 100x speedup (round 7's "fast" TS numbers
     // were exactly this — every events-table query was throwing on an
     // unexpected timestamp type and the harness recorded the throw time)
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = benchSet.map { q =>
-      try q.build(spark, warmDir).count() catch { case _: Throwable => () }
-      // one untimed FULL execution at the TARGET dir (r13, was plan-build
-      // only in r12). The plan-build half covers registration (eager parquet
-      // footer resolution) and plan-time memoized work (the IVF index
-      // build — r11's q_sim_ivf_indexed sf100z median 13.28s vs min 1.75s
-      // was the build landing in iteration 1). Executing it additionally
-      // pulls the query's input bytes through the OS page cache: at
-      // rehearsal SFs (sf100z = 21 GB) the first timed iterations were
-      // DISK-bound, not compute-bound — q5 declined 114 -> 38.5 s across 7
-      // iterations purely on cache fill, so committed medians read as false
-      // 1.5-2.4x regressions while hot mins showed parity (r12 verdict #1).
-      // Spark caches no results across jobs (no .cache() anywhere in the
-      // bench path), so timed iterations still execute the full plan; what
-      // goes away is the cold-disk component, which a real cluster amortizes
-      // across hundreds of spindles and which says nothing about the plan.
-      try q.build(spark, sfDir).count() catch { case _: Throwable => () }
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try { q.build(spark, sfDir).count() } catch {
-          case e: Throwable => failed.getOrElseUpdate(q.name,
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    // first-attempt cold pass times (see below); re-runs never overwrite
+    // them — the cold state exists once per JVM/page-cache life
+    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timedSuite(recordCold: Boolean): (Seq[(String, (Double, Double))], Double) = {
+      val calib = measureCalib()
+      Console.err.println(f"[bench] calibration (fixed 200M-row sum): $calib%.3f s")
+      val results = benchSet.map { q =>
+        try q.build(spark, warmDir).count() catch { case _: Throwable => () }
+        // one untimed FULL execution at the TARGET dir (r13, was plan-build
+        // only in r12). The plan-build half covers registration (eager parquet
+        // footer resolution) and plan-time memoized work (the IVF index
+        // build — r11's q_sim_ivf_indexed sf100z median 13.28s vs min 1.75s
+        // was the build landing in iteration 1). Executing it additionally
+        // pulls the query's input bytes through the OS page cache: at
+        // rehearsal SFs (sf100z = 21 GB) the first timed iterations were
+        // DISK-bound, not compute-bound — q5 declined 114 -> 38.5 s across 7
+        // iterations purely on cache fill, so committed medians read as false
+        // 1.5-2.4x regressions while hot mins showed parity (r12 verdict #1).
+        // Spark caches no results across jobs (no .cache() anywhere in the
+        // bench path), so timed iterations still execute the full plan; what
+        // goes away is the cold-disk component, which a real cluster amortizes
+        // across hundreds of spindles and which says nothing about the plan.
+        // The pass is itself TIMED and emitted as the per-query `cold` field
+        // (r13 ADVICE): a genuine cold-IO/first-run regression stays on
+        // record without polluting the warm medians.
+        val tc0 = System.nanoTime()
+        try q.build(spark, sfDir).count() catch { case _: Throwable => () }
+        if (recordCold)
+          coldTimes.getOrElseUpdate(q.name, (System.nanoTime() - tc0) / 1e9)
+        val times = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try { q.build(spark, sfDir).count() } catch {
+            case e: Throwable => failed.getOrElseUpdate(q.name,
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        Console.err.println(f"[bench] ${q.name}%-28s " +
+          times.map(t => f"$t%.3f").mkString(" ") +
+          (if (failed.contains(q.name)) "  FAILED: " + failed(q.name) else ""))
+        // cross-query hygiene: drop cached tables and nudge the
+        // ContextCleaner (broadcast blocks are weak-ref collected)
+        spark.catalog.clearCache()
+        System.gc()
+        q.name -> ((times.sorted.apply(times.length / 2), times.min))
       }
-      Console.err.println(f"[bench] ${q.name}%-28s " +
-        times.map(t => f"$t%.3f").mkString(" ") +
-        (if (failed.contains(q.name)) "  FAILED: " + failed(q.name) else ""))
-      // cross-query hygiene: drop cached tables and nudge the
-      // ContextCleaner (broadcast blocks are weak-ref collected)
-      spark.catalog.clearCache()
-      System.gc()
-      q.name -> ((times.sorted.apply(times.length / 2), times.min))
+      (results, calib)
+    }
+    var (results, calib) = timedSuite(recordCold = true)
+    val calibAttempts = scala.collection.mutable.ListBuffer(calib)
+    // drift protocol (r13 verdict #3): while the run's calib sits > 1.3x
+    // above the committed floor, the host is slow RIGHT NOW — repeat the
+    // suite (<= 2 retries) and keep the attempt with the LOWEST calib (the
+    // healthiest host state observed). If every attempt is slow, the best
+    // one is kept and calib_degraded marks the artifact so a cross-round
+    // reader normalizes instead of reading raw deltas.
+    for (ref <- calibRef) {
+      var retries = 0
+      while (calib > ref * 1.3 && retries < 2) {
+        Console.err.println(f"[bench] calib $calib%.3f > 1.3x floor $ref%.3f — host drift, re-running suite")
+        retries += 1
+        val (r2, c2) = timedSuite(recordCold = false)
+        calibAttempts += c2
+        if (c2 < calib) { results = r2; calib = c2 }
+      }
     }
     val qs = results.map { case (k, (med, mn)) =>
         "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn +
+          coldTimes.get(k).map(c => ",\"cold\":" + c).getOrElse("") +
           (if (failed.contains(k)) ",\"failed\":true" else "") + "}"
       }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,"calib":$calib,"sf":"$sfDir"}""")
+    val degraded = calibRef.exists(ref => calib > ref * 1.3)
+    val calibMeta = "\"calib\":" + calib +
+      calibRef.map(r => ",\"calib_floor\":" + r).getOrElse("") +
+      ",\"calib_attempts\":" + calibAttempts.mkString("[", ",", "]") +
+      (if (degraded) ",\"calib_degraded\":true" else "")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedArr,$calibMeta,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {
       Console.err.println(s"[bench] ${failed.size} queries FAILED — timings above are throw times, not plans")
       sys.exit(3)
