@@ -372,8 +372,22 @@ object GraftAuth {
     * on an ungated CTAS write. A rejected match resumes the scan ONE
     * character past its start, so the genuine occurrence still gets
     * matched; an accepted match resumes past its end. */
+  /** `mask` (when given) lets a rejected IN-LITERAL match resume past the
+    * END of its enclosing literal run instead of one character forward
+    * (r13 ADVICE): a wire statement packed with thousands of quoted
+    * pseudo-keywords ('path', 'OVERWRITE DIRECTORY', …) otherwise drives
+    * O(n·rejections) regex rescans in preCheck — a cheap pre-auth
+    * slowdown vector on the Thrift front door. Skipping the run is sound
+    * because every position of a literal run is masked, so no later start
+    * inside it can be accepted: the only mask-touching start a keep
+    * predicate ever admits is the run's FIRST position (a quoted option
+    * key at its opening quote — keyPosition), which the scan has already
+    * visited by the time it rejects anything at or past it. Overlap
+    * tolerance (one-char resume) is still applied to rejected matches
+    * OUTSIDE literals. */
   private def scanMatches(re: scala.util.matching.Regex, text: String,
-                          keep: scala.util.matching.Regex.Match => Boolean)
+                          keep: scala.util.matching.Regex.Match => Boolean,
+                          mask: Array[Boolean] = null)
       : Seq[scala.util.matching.Regex.Match] = {
     val out = Seq.newBuilder[scala.util.matching.Regex.Match]
     // scala's Regex API lacks find(from), so drive the java Matcher and
@@ -384,6 +398,11 @@ object GraftAuth {
     while (from <= text.length && m.find(from)) {
       val wrapped = new scala.util.matching.Regex.Match(text, m, Nil).force
       if (keep(wrapped)) { out += wrapped; from = math.max(m.end, m.start + 1) }
+      else if (mask != null && m.start < mask.length && mask(m.start)) {
+        var p = m.start + 1
+        while (p < mask.length && mask(p)) p += 1
+        from = p
+      }
       else from = m.start + 1
     }
     out.result()
@@ -418,7 +437,7 @@ object GraftAuth {
         // OPTIONS(comment 'AS SELECT', path '<prot>') truncates the scope
         // before the real path option and the gate goes silent.
         val asClause = created.flatMap(_ =>
-          scanMatches(CreateAsSelectRe, stripped, m => !mask(m.start)).headOption)
+          scanMatches(CreateAsSelectRe, stripped, m => !mask(m.start), mask).headOption)
         val optScope = asClause.map(m => stripped.substring(0, m.start)).getOrElse(stripped)
         // optScope is a PREFIX of stripped, so mask positions align. A
         // `path`/LOCATION keyword INSIDE a string literal is data — but the
@@ -433,8 +452,8 @@ object GraftAuth {
         // not swallow the real option that follows it (r13 review)
         val optPaths =
           if (created.isDefined)
-            (scanMatches(PathOptionRe, optScope, keyPosition) ++
-              scanMatches(LocationRe, optScope, keyPosition))
+            (scanMatches(PathOptionRe, optScope, keyPosition, mask) ++
+              scanMatches(LocationRe, optScope, keyPosition, mask))
               .map(firstGroup).flatMap(pathCanonical(_, paths)).distinct
           else Nil
         // CTAS physically writes the protected directory at execution —
@@ -457,7 +476,7 @@ object GraftAuth {
         // falsely demand write on a pure read. The plan-side InsertIntoDir
         // gate (check() below) remains the authority for all Spark-native
         // spellings; this text layer catches the statement before parse.
-        scanMatches(OverwriteDirRe, stripped, m => !mask(m.start))
+        scanMatches(OverwriteDirRe, stripped, m => !mask(m.start), mask)
           .map(firstGroup).flatMap(pathCanonical(_, paths)).distinct
           .foreach(canonical => demand(session, cat, canonical, write = true))
       }

@@ -212,6 +212,48 @@ object BenchCompare {
           s"${prev.map(p => f(r - p)).getOrElse("-")} | $fp | $cand |")
       }
     }
+
+    // ---- streaming-throughput delta (r13 verdict #6): STREAM_r*.json
+    // (tools/StreamSoak at the pinned 1000-batch config) newest vs
+    // previous — a streaming throughput or state-plateau regression shows
+    // up in the round diff, not only in an ad-hoc soak log
+    val sFiles = new java.io.File(".")
+      .listFiles((_, n) => n.matches("STREAM_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt).map(_.getPath).toSeq
+    def loadStream(path: String): Map[String, (Double, Long, Long, Boolean)] = {
+      val j = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+      (j \ "streams") match {
+        case JObject(fs) => fs.flatMap { case (name, o) =>
+          def n(k: String): Option[Double] = (o \ k) match {
+            case JDouble(d) => Some(d); case JInt(i) => Some(i.toDouble)
+            case JDecimal(d) => Some(d.toDouble); case JLong(l) => Some(l.toDouble)
+            case _ => None
+          }
+          val bounded = (o \ "bounded") match {
+            case JBool(b) => b; case _ => false
+          }
+          n("rows_per_sec").map(r => name ->
+            ((r, n("max_state_rows").getOrElse(0.0).toLong,
+              n("rows_removed").getOrElse(0.0).toLong, bounded)))
+        }.toMap
+        case _ => Map.empty
+      }
+    }
+    if (sFiles.nonEmpty) {
+      val sc = loadStream(sFiles.last)
+      val sp = if (sFiles.size >= 2) loadStream(sFiles(sFiles.size - 2))
+               else Map.empty[String, (Double, Long, Long, Boolean)]
+      println(s"\n## streaming throughput: ${sFiles.last}" +
+        (if (sFiles.size >= 2) s" vs ${sFiles(sFiles.size - 2)}" else " (first artifact)"))
+      println("| stream | rows/s | prev | ratio | max_state_rows | removed | bounded |")
+      println("|---|---|---|---|---|---|---|")
+      sc.toSeq.sortBy(_._1).foreach { case (s0, (r, st, rm, b)) =>
+        val prev = sp.get(s0).map(_._1)
+        println(s"| $s0 | ${f(r)} | ${prev.map(f).getOrElse("-")} | " +
+          s"${prev.map(p => f(r / p) + "x").getOrElse("-")} | $st | $rm | $b |")
+      }
+    }
   }
 
   private def f(d: Double): String = "%.3f".format(d)

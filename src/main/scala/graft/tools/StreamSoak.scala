@@ -23,15 +23,35 @@ import graft.ts.GroupByRange
   * last quarter — bounded state means the late max does not exceed the
   * early max by more than jitter).
   *
-  * Usage: runMain graft.tools.StreamSoak [nBatches] [op]
-  *   op in {minhash, range, match, all} (default all, 10000 batches)
+  * Usage: runMain graft.tools.StreamSoak [nBatches] [op] [outJson]
+  *   op in {minhash, range, match, all} (default all, 10000 batches).
+  *   With outJson the per-stream metrics (rows/s, batches/s, state
+  *   plateau, eviction counts) are written as ONE JSON object — the
+  *   committed STREAM_r{N}.json round artifact (r13 verdict #6; pinned
+  *   config: 2000 batches, all ops), diffed by tools/BenchCompare.
   */
 object StreamSoak {
 
-  private case class Stat(batch: Int, rows: Long, bytes: Long)
+  private case class Stat(batch: Int, rows: Long, bytes: Long, removed: Long)
 
-  private def soak(name: String, q: StreamingQuery, nBatches: Int)
-                  (feed: Int => Unit): Unit = {
+  private final case class SoakResult(
+      name: String, batches: Int, wall: Double, rowsFed: Long,
+      maxRows: Long, maxBytes: Long, q2MaxRows: Long, q4MaxRows: Long,
+      removed: Long, bounded: Boolean) {
+    def json: String =
+      f""""$name":{"rows_per_sec":${rowsFed / wall}%.1f,""" +
+        f""""batches_per_sec":${batches / wall}%.2f,"wall_s":$wall%.1f,""" +
+        s""""rows_fed":$rowsFed,"max_state_rows":$maxRows,""" +
+        s""""max_state_bytes":$maxBytes,"q2_max_rows":$q2MaxRows,""" +
+        s""""q4_max_rows":$q4MaxRows,"rows_removed":$removed,""" +
+        s""""bounded":$bounded}"""
+  }
+
+  private val results =
+    new java.util.concurrent.ConcurrentHashMap[String, SoakResult]()
+
+  private def soak(name: String, q: StreamingQuery, nBatches: Int,
+                   rowsPerBatch: Int)(feed: Int => Unit): Unit = {
     val stats = Vector.newBuilder[Stat]
     val t0 = System.nanoTime()
     var i = 0
@@ -41,7 +61,8 @@ object StreamSoak {
       val p = q.lastProgress
       if (p != null && p.stateOperators.nonEmpty)
         stats += Stat(i, p.stateOperators.map(_.numRowsTotal).sum,
-          p.stateOperators.map(_.memoryUsedBytes).sum)
+          p.stateOperators.map(_.memoryUsedBytes).sum,
+          p.stateOperators.map(_.numRowsRemoved).sum)
       i += 1
     }
     q.stop()
@@ -50,10 +71,14 @@ object StreamSoak {
     val q2 = s.filter(x => x.batch >= nBatches / 4 && x.batch < nBatches / 2)
     val q4 = s.filter(_.batch >= 3 * nBatches / 4)
     def mx(v: Seq[Stat]) = if (v.isEmpty) 0L else v.map(_.rows).max
+    val r = SoakResult(name, nBatches, wall, nBatches.toLong * rowsPerBatch,
+      mx(s), (0L +: s.map(_.bytes)).max, mx(q2), mx(q4),
+      s.map(_.removed).sum, bounded = mx(q4) <= (mx(q2) * 1.25 + 16).toLong)
+    results.put(name, r)
     println(f"[soak] $name%-10s batches=$nBatches wall=$wall%8.1f s " +
-      f"maxRows=${mx(s)}%d maxMB=${(0L +: s.map(_.bytes)).max / 1e6}%.1f " +
-      f"q2maxRows=${mx(q2)}%d q4maxRows=${mx(q4)}%d " +
-      f"bounded=${mx(q4) <= (mx(q2) * 1.25 + 16).toLong}%s")
+      f"maxRows=${r.maxRows}%d maxMB=${r.maxBytes / 1e6}%.1f " +
+      f"q2maxRows=${r.q2MaxRows}%d q4maxRows=${r.q4MaxRows}%d " +
+      f"removed=${r.removed}%d bounded=${r.bounded}%s")
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,7 +111,7 @@ object StreamSoak {
       val out = StreamingOps.minhashCandidatesStream(df, "ts", "text", "id",
         watermark = "60 seconds")
       val q = out.writeStream.format("noop").outputMode("append").start()
-      soak("minhash", q, nBatches) { i =>
+      soak("minhash", q, nBatches, rowsPerBatch = 5) { i =>
         // 5 docs/batch; token overlap recurs within the horizon so the
         // banded buckets stay live (worst-ish case for bucket state)
         in.addData((0 until 5).map { j =>
@@ -102,7 +127,7 @@ object StreamSoak {
       val out = StreamingGroupByRange.groupByRangeStream(df, "ts", "value", "k",
         every = "10 seconds", watermark = "60 seconds", fill = GroupByRange.FillPrevious)
       val q = out.writeStream.format("noop").outputMode("append").start()
-      soak("range", q, nBatches) { i =>
+      soak("range", q, nBatches, rowsPerBatch = 8) { i =>
         in.addData((0 until 8).map(j => (ts(i), s"k$j", (i % 100) + j * 0.5)))
       }
     }
@@ -115,7 +140,7 @@ object StreamSoak {
         defines = Map("V" -> (col("typ") === "view")),
         watermark = "60 seconds")
       val q = out.writeStream.format("noop").outputMode("append").start()
-      soak("match", q, nBatches) { i =>
+      soak("match", q, nBatches, rowsPerBatch = 4) { i =>
         // 64 cycling keys; runs periodically break (non-view row) so
         // matches close and their run state must actually leave
         in.addData((0 until 4).map { j =>
@@ -126,6 +151,17 @@ object StreamSoak {
       }
     }
     jobs.foreach(_.join())
+    // one JSON object, streams sorted by name — the committed round
+    // artifact when arg 3 names a file
+    val body = "{\"metric\":\"stream\",\"batches\":" + nBatches +
+      ",\"streams\":{" +
+      results.values().toArray(Array.empty[SoakResult])
+        .sortBy(_.name).map(_.json).mkString(",") + "}}"
+    println(body)
+    args.lift(2).foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body + "\n")
+      println(s"[soak] wrote $out")
+    }
     spark.stop()
   }
 }
