@@ -360,7 +360,10 @@ object IvfIndex {
     val (effProbe, filteredTree) = predicate match {
       case None => (nProbe, tree)
       case Some(p) =>
-        val total = tree.count()
+        // total from the index meta (built+appended counters — one tiny
+        // parquet row, zero scans of the tree); only the KEPT count needs
+        // an attr-column scan
+        val total = { val (b, a) = readMeta(spark, path); b + a }
         val kept = tree.filter(p).count()
         if (kept <= (bruteCutoff * total).toLong)
           (cents.length, tree.filter(p)) // all lists, predicate pushed down

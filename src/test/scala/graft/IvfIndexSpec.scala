@@ -238,6 +238,33 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.collect().toSet == exact.collect().toSet)
   }
 
+  test("sq8 filtered serve: predicate composes with the coded lists, parity with raw-filtered ranks") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val pred = col("label") < 5
+    val raw = java.nio.file.Files.createTempDirectory("graft_ivf_fr").toString
+    val sq = java.nio.file.Files.createTempDirectory("graft_ivf_fsq").toString
+    IvfIndex.build(e, "vec_id", "embedding", raw, nLists = 16, attrCols = Seq("label"))
+    IvfIndex.build(e, "vec_id", "embedding", sq, nLists = 16, codec = "sq8",
+      attrCols = Seq("label"))
+    val a = IvfIndex.topK(spark, raw, queries, "vec_id", "embedding", k = 10,
+      predicate = Some(pred)).select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = IvfIndex.topK(spark, sq, queries, "vec_id", "embedding", k = 10,
+      predicate = Some(pred)).select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same probe/prune/filter machinery; SQ8 reconstruction error may
+    // permute near-ties, so compare the candidate SETS with a near-exact
+    // overlap floor (the unfiltered sq8 test uses the same discipline)
+    assert(b.nonEmpty)
+    val overlap = (a & b).size.toDouble / a.size
+    assert(overlap >= 0.9, f"sq8-filtered vs raw-filtered overlap $overlap%.2f")
+    // every sq8-filtered candidate satisfies the predicate
+    val labels = spark.read.parquet(s"$sq/vectors")
+      .select(col("id"), col("label")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b.forall { case (_, c) => labels(c) < 5 })
+  }
+
   test("attr columns survive append and retrain") {
     import spark.implicits._
     val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
