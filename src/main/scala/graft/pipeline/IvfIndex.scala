@@ -357,6 +357,21 @@ object IvfIndex {
     graft.functions.GridDbScalarFunctions.register(spark)
     val cents = retryThroughSwap(loadCentroids(spark, path))
     val tree = retryThroughSwap(spark.read.parquet(s"$path/vectors"))
+    // the tree stores the id column as `id`; let the predicate reference
+    // it by the CALLER's idCol name (the natural spelling — probe-found
+    // r14: `vec_id % 67 = 3` threw UNRESOLVED_COLUMN). Skipped when an
+    // attr column already claims that name — the predicate then refers
+    // to the attr, unambiguously.
+    def applyPred(p: Column): DataFrame =
+      if (idCol != "id" && !tree.columns.contains(idCol))
+        tree.withColumnRenamed("id", idCol).filter(p)
+          .withColumnRenamed(idCol, "id")
+      else tree.filter(p)
+    def score0(df: DataFrame): Column =
+      if (codecOf(df) == "sq8") {
+        val stats = retryThroughSwap(loadSqStats(spark, path))
+        Quantize.sqCosine(col("qv"), col("codes"), stats)
+      } else Similarity.cosine(col("qv"), col("cv"))
     val (effProbe, filteredTree) = predicate match {
       case None => (nProbe, tree)
       case Some(p) =>
@@ -364,12 +379,25 @@ object IvfIndex {
         // parquet row, zero scans of the tree); only the KEPT count needs
         // an attr-column scan
         val total = { val (b, a) = readMeta(spark, path); b + a }
-        val kept = tree.filter(p).count()
-        if (kept <= (bruteCutoff * total).toLong)
-          (cents.length, tree.filter(p)) // all lists, predicate pushed down
-        else
-          (Similarity.overfetchProbe(nProbe, cents.length, kept, total),
-            tree.filter(p))
+        val filtered = applyPred(p)
+        val kept = filtered.count()
+        if (kept <= (bruteCutoff * total).toLong) {
+          // brute guard: score the filtered rows DIRECTLY against the
+          // query set — no probe machinery at all. Routing this branch
+          // through the cluster join exploded every query across all
+          // nLists probe rows first (~1400 lists at the zipf100
+          // rehearsal: 9 s where the direct product takes <1 s for the
+          // same exact answer — probe-found r14).
+          val qb = queries.select(col(idCol).as("q_id"),
+            transform(col(vecCol), _.cast("double")).as("qv"))
+          val scored = filtered
+            .repartition(spark.sessionState.conf.numShufflePartitions)
+            .join(broadcast(qb), col("q_id") =!= col("id"))
+            .select(col("q_id"), col("id").as("c_id"),
+              round(score0(filtered), roundTo).as("cos"))
+          return Similarity.topKPerQuery(scored, k)
+        }
+        (Similarity.overfetchProbe(nProbe, cents.length, kept, total), filtered)
     }
     val q = queries.select(col(idCol).as("q_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))
@@ -400,11 +428,7 @@ object IvfIndex {
     // sq8 index: score straight off the codes with the decode-fused ADC
     // kernel — the scan reads the ~4x-smaller codes column and no decoded
     // array is ever materialized
-    val score =
-      if (codecOf(pruned) == "sq8") {
-        val stats = retryThroughSwap(loadSqStats(spark, path))
-        Quantize.sqCosine(col("qv"), col("codes"), stats)
-      } else Similarity.cosine(col("qv"), col("cv"))
+    val score = score0(pruned)
     // no distinct ((q_id, c_id) unique by construction — one cluster per
     // vector, distinct probed cids per query) and no window: the k-capped
     // aggregate keeps rank cost bounded even when a list degenerates

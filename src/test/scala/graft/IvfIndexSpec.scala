@@ -236,6 +236,14 @@ class IvfIndexSpec extends SparkTestBase {
     val exact = Similarity.bruteForceTopK(e.filter(pred), queries,
       "vec_id", "embedding", k = 10)
     assert(got.collect().toSet == exact.collect().toSet)
+    // the INDEX serve accepts the same predicate spelled with the
+    // caller's id column name (the tree stores it as `id` — probe-found
+    // r14 UNRESOLVED_COLUMN) and takes the same brute-guard path
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_bid").toString
+    IvfIndex.build(e, "vec_id", "embedding", path, nLists = 16, attrCols = Seq("label"))
+    val served = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 10, predicate = Some(pred))
+    assert(served.collect().toSet == exact.collect().toSet)
   }
 
   test("sq8 filtered serve: predicate composes with the coded lists, parity with raw-filtered ranks") {
