@@ -80,6 +80,26 @@ object Bench {
       val ts = Seq(once(), once(), once()).sorted
       ts(1)
     }
+    // second calibration, SHAPED like the small benched queries (parquet
+    // scan -> shuffle -> agg over the warm dir): the r14 A/B (r12 code
+    // re-run today vs its committed artifact) proved the host's
+    // query-relevant state can drift 1.5x on sub-0.3s queries while the
+    // pure-CPU calib reads IDENTICAL — scheduler/page-cache/IO state that
+    // a codegen sum never touches. calib_io is the sentinel for THAT
+    // class; cross-round readers of small-query deltas should check both.
+    def measureCalibIo(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$warmDir/lineitem.parquet")
+          .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+          .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      val ts = Seq(once(), once(), once()).sorted
+      ts(1)
+    }
     // calib floor from committed BENCH_r*.json artifacts (the fastest this
     // host has measured): a run whose calib sits > 1.3x above it is host
     // drift — BENCH_r13 committed exactly that as a fake +12% regression
@@ -148,6 +168,8 @@ object Bench {
       (results, calib)
     }
     var (results, calib) = timedSuite(recordCold = true)
+    val calibIo = measureCalibIo()
+    Console.err.println(f"[bench] io-shaped calibration (warm-dir scan+agg): $calibIo%.3f s")
     val calibAttempts = scala.collection.mutable.ListBuffer(calib)
     // drift protocol (r13 verdict #3): while the run's calib sits > 1.3x
     // above the committed floor, the host is slow RIGHT NOW — repeat the
@@ -173,7 +195,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val failedArr = failed.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val degraded = calibRef.exists(ref => calib > ref * 1.3)
-    val calibMeta = "\"calib\":" + calib +
+    val calibMeta = "\"calib\":" + calib + ",\"calib_io\":" + calibIo +
       calibRef.map(r => ",\"calib_floor\":" + r).getOrElse("") +
       ",\"calib_attempts\":" + calibAttempts.mkString("[", ",", "]") +
       (if (degraded) ",\"calib_degraded\":true" else "")
