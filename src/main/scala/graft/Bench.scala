@@ -118,11 +118,17 @@ object Bench {
     // milliseconds and reads as a 100x speedup (round 7's "fast" TS numbers
     // were exactly this — every events-table query was throwing on an
     // unexpected timestamp type and the harness recorded the throw time)
-    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-ATTEMPT failure map (r14 review: a shared map let a retried
+    // attempt's transient throw mark the KEPT attempt's artifact failed
+    // and exit 3 on a healthy run); the kept attempt's map wins
+    final case class Attempt(results: Seq[(String, (Double, Double))],
+                             calib: Double, calibIo: Double,
+                             failed: scala.collection.mutable.LinkedHashMap[String, String])
     // first-attempt cold pass times (see below); re-runs never overwrite
     // them — the cold state exists once per JVM/page-cache life
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    def timedSuite(recordCold: Boolean): (Seq[(String, (Double, Double))], Double) = {
+    def timedSuite(recordCold: Boolean): Attempt = {
+      val failed = scala.collection.mutable.LinkedHashMap[String, String]()
       val calib = measureCalib()
       Console.err.println(f"[bench] calibration (fixed 200M-row sum): $calib%.3f s")
       val results = benchSet.map { q =>
@@ -165,12 +171,15 @@ object Bench {
         System.gc()
         q.name -> ((times.sorted.apply(times.length / 2), times.min))
       }
-      (results, calib)
+      // calib_io measured per attempt (r14 review: a once-only measure
+      // could describe a REJECTED attempt's host state) — the kept
+      // attempt's value is committed
+      val calibIo = measureCalibIo()
+      Console.err.println(f"[bench] io-shaped calibration (warm-dir scan+agg): $calibIo%.3f s")
+      Attempt(results, calib, calibIo, failed)
     }
-    var (results, calib) = timedSuite(recordCold = true)
-    val calibIo = measureCalibIo()
-    Console.err.println(f"[bench] io-shaped calibration (warm-dir scan+agg): $calibIo%.3f s")
-    val calibAttempts = scala.collection.mutable.ListBuffer(calib)
+    var best = timedSuite(recordCold = true)
+    val calibAttempts = scala.collection.mutable.ListBuffer(best.calib)
     // drift protocol (r13 verdict #3): while the run's calib sits > 1.3x
     // above the committed floor, the host is slow RIGHT NOW — repeat the
     // suite (<= 2 retries) and keep the attempt with the LOWEST calib (the
@@ -179,14 +188,18 @@ object Bench {
     // reader normalizes instead of reading raw deltas.
     for (ref <- calibRef) {
       var retries = 0
-      while (calib > ref * 1.3 && retries < 2) {
-        Console.err.println(f"[bench] calib $calib%.3f > 1.3x floor $ref%.3f — host drift, re-running suite")
+      while (best.calib > ref * 1.3 && retries < 2) {
+        Console.err.println(f"[bench] calib ${best.calib}%.3f > 1.3x floor $ref%.3f — host drift, re-running suite")
         retries += 1
-        val (r2, c2) = timedSuite(recordCold = false)
-        calibAttempts += c2
-        if (c2 < calib) { results = r2; calib = c2 }
+        val a2 = timedSuite(recordCold = false)
+        calibAttempts += a2.calib
+        if (a2.calib < best.calib) best = a2
       }
     }
+    val results = best.results
+    val calib = best.calib
+    val calibIo = best.calibIo
+    val failed = best.failed
     val qs = results.map { case (k, (med, mn)) =>
         "\"" + k + "\":{\"median\":" + med + ",\"min\":" + mn +
           coldTimes.get(k).map(c => ",\"cold\":" + c).getOrElse("") +

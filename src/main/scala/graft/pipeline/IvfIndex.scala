@@ -381,13 +381,20 @@ object IvfIndex {
         val total = { val (b, a) = readMeta(spark, path); b + a }
         val filtered = applyPred(p)
         val kept = filtered.count()
-        if (kept <= (bruteCutoff * total).toLong) {
+        val smallQueries =
+          queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
+            .count() <= maxBroadcastQueries
+        if (kept <= (bruteCutoff * total).toLong && smallQueries) {
           // brute guard: score the filtered rows DIRECTLY against the
           // query set — no probe machinery at all. Routing this branch
           // through the cluster join exploded every query across all
           // nLists probe rows first (~1400 lists at the zipf100
           // rehearsal: 9 s where the direct product takes <1 s for the
-          // same exact answer — probe-found r14).
+          // same exact answer — probe-found r14). Gated on the SAME
+          // broadcast-size check as the main path (r14 review): the
+          // product join needs a broadcast query side, so an over-limit
+          // query set falls through to the all-lists probed path below —
+          // same exact answer through the guarded shuffle join.
           val qb = queries.select(col(idCol).as("q_id"),
             transform(col(vecCol), _.cast("double")).as("qv"))
           val scored = filtered
@@ -397,7 +404,22 @@ object IvfIndex {
               round(score0(filtered), roundTo).as("cos"))
           return Similarity.topKPerQuery(scored, k)
         }
-        (Similarity.overfetchProbe(nProbe, cents.length, kept, total), filtered)
+        if (kept <= (bruteCutoff * total).toLong && kept <= maxBroadcastQueries) {
+          // over-limit query batch + tiny filtered corpus: flip the
+          // product — broadcast the counted-small FILTERED side and
+          // stream the query set
+          val qb = graft.engine.Parallelism.spread(queries)
+            .select(col(idCol).as("q_id"),
+              transform(col(vecCol), _.cast("double")).as("qv"))
+          val scored = qb.join(broadcast(filtered), col("q_id") =!= col("id"))
+            .select(col("q_id"), col("id").as("c_id"),
+              round(score0(filtered), roundTo).as("cos"))
+          return Similarity.topKPerQuery(scored, k)
+        }
+        if (kept <= (bruteCutoff * total).toLong)
+          (cents.length, filtered) // exact via all-lists probe, guarded join
+        else
+          (Similarity.overfetchProbe(nProbe, cents.length, kept, total), filtered)
     }
     val q = queries.select(col(idCol).as("q_id"),
         transform(col(vecCol), _.cast("double")).as("qv"))

@@ -330,17 +330,41 @@ object Similarity {
                       vecCol: String, k: Int, predicate: Column,
                       nLists: Int = -1, nProbe: Int = 4, roundTo: Int = 4,
                       corpusSize: Long = -1L, kept: Long = -1L,
-                      bruteCutoff: Double = 0.02): DataFrame = {
+                      bruteCutoff: Double = 0.02,
+                      maxBroadcastQueries: Long = 100000L): DataFrame = {
     ensureFns(corpus)
     val filtered = corpus.filter(predicate)
     val total = if (corpusSize > 0) corpusSize else corpus.count()
     val keptN = if (kept > 0) kept else filtered.count()
-    if (keptN <= (bruteCutoff * total).toLong)
+    val brute = keptN <= (bruteCutoff * total).toLong
+    // bruteForceTopK broadcasts the QUERY side by contract — gate the
+    // shortcut on a size check (r14 review: the original shortcut
+    // broadcast an unbounded query set). limit(max+1) short-circuits the
+    // count. An over-limit query set with a sub-cutoff corpus flips the
+    // product around instead: the FILTERED side (<= 2% of the corpus,
+    // and counted <= maxBroadcastQueries rows) becomes the broadcast
+    // build side and the big query set streams. When NEITHER side is
+    // broadcast-sized, fall through to the all-lists probe path, whose
+    // cluster-key join shuffles instead of broadcasting.
+    val smallQueries =
+      queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
+        .count() <= maxBroadcastQueries
+    if (brute && smallQueries)
       return bruteForceTopK(filtered, queries, idCol, vecCol, k, roundTo)
+    if (brute && keptN <= maxBroadcastQueries) {
+      val c = filtered.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
+      val q = spread(queries).select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      val scored = q.join(broadcast(c), col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(cosine(col("qv"), col("cv")), roundTo).as("cos"))
+      return topKPerQuery(scored, k)
+    }
     val c0full = spread(corpus).select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
     val dim = vecDim(c0full, "cv")
     val cents = ivfCentroids(c0full, dim, resolveLists(corpus, nLists, total))
-    val effProbe = overfetchProbe(nProbe, cents.length, keptN, total)
+    val effProbe =
+      if (brute) cents.length
+      else overfetchProbe(nProbe, cents.length, keptN, total)
     val c = spread(filtered)
       .select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cluster", assignCluster(col("cv"), cents))
@@ -348,7 +372,11 @@ object Similarity {
       .withColumn("cluster",
         explode(transform(slice(array_sort(distances(col("qv"), cents)), 1, effProbe),
           d => d.getField("cid"))))
-    val scored = c.join(broadcast(q), Seq("cluster"))
+    // query side broadcast only when counted small; otherwise the
+    // cluster-key join runs as a shuffle join — same results, no
+    // broadcast cliff (IvfIndex.topK discipline)
+    val qSide = if (smallQueries) broadcast(q) else q.hint("shuffle_hash")
+    val scored = c.join(qSide, Seq("cluster"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(cosine(col("qv"), col("cv")), roundTo).as("cos"))

@@ -206,8 +206,11 @@ object TqlFuzz {
   private val tsSeeds: Seq[Int] = 0 until 10
   private val grammarSeeds: Seq[Int] = 0 until 12
 
-  private def runTql(spark: org.apache.spark.sql.SparkSession, dir: String,
-                     tql: String): org.apache.spark.sql.DataFrame = {
+  /** Shared by the registered queries AND FuzzSweep's dump blocks — the
+    * comparison-soundness projection (`select *` → the 4 compared
+    * columns) must live in ONE place (r14 review). */
+  private[graft] def runTql(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            tql: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val out = graft.tql.TqlCompiler.run(
       graft.engine.Tables.container(spark, dir, "events"), tql)

@@ -74,34 +74,15 @@ object FuzzSweep {
         dump(f"fz_fz6_$s%04d", duck)(builder(spark, sfDir))
       }
     }
+    // the TQL run + comparison-soundness projection is TqlFuzz.runTql —
+    // one copy shared with the registered fuzz queries (r14 review)
     for (s <- tqlFrom until tqlUntil) {
       val (tqlTs, duckTs) = graft.queries.TqlFuzz.genTs(s)
-      dump(f"fz_tqlts_$s%04d", duckTs) {
-        import org.apache.spark.sql.functions.col
-        val out = graft.tql.TqlCompiler.run(
-          graft.engine.Tables.container(spark, sfDir, "events"), tqlTs)
-        if (out.columns.contains("event_id") && out.columns.length > 4)
-          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        else out
-      }
+      dump(f"fz_tqlts_$s%04d", duckTs)(graft.queries.TqlFuzz.runTql(spark, sfDir, tqlTs))
       val (tql, duck) = graft.queries.TqlFuzz.gen(s)
-      dump(f"fz_tql_$s%04d", duck) {
-        import org.apache.spark.sql.functions.col
-        val out = graft.tql.TqlCompiler.run(
-          graft.engine.Tables.container(spark, sfDir, "events"), tql)
-        if (out.columns.contains("event_id") && out.columns.length > 4)
-          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        else out
-      }
+      dump(f"fz_tql_$s%04d", duck)(graft.queries.TqlFuzz.runTql(spark, sfDir, tql))
       val (tqlG, duckG) = graft.queries.TqlFuzz.genGrammar(s)
-      dump(f"fz_tqlgram_$s%04d", duckG) {
-        import org.apache.spark.sql.functions.col
-        val out = graft.tql.TqlCompiler.run(
-          graft.engine.Tables.container(spark, sfDir, "events"), tqlG)
-        if (out.columns.contains("event_id") && out.columns.length > 4)
-          out.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-        else out
-      }
+      dump(f"fz_tqlgram_$s%04d", duckG)(graft.queries.TqlFuzz.runTql(spark, sfDir, tqlG))
     }
 
     def q(s: String): String = "\"" + s.flatMap {

@@ -80,8 +80,10 @@ object Recall {
 
     // ---- ANN top-k: plant (true NN at cos ~0.99995) surfaced per query ----
     val queries = embs.filter(col("vec_id") < 20)
-    val nQ = 20
-    def annRow(name: String, res: DataFrame): Row = {
+    // the plant convention (c_id == q_id + 10000, Planted.embCorpus) is
+    // encoded HERE only; every ANN row — filtered or not — counts hits
+    // through it (r14 review)
+    def annRow(name: String, res: DataFrame, nQ: Int = 20): Row = {
       val rows = res.select("q_id", "c_id").collect()
       val hits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000L)
       Row(name, recall = hits.toDouble / nQ, falsePos = 0L,
@@ -103,13 +105,10 @@ object Recall {
     locally {
       val labeled = embs.withColumn("label", (col("vec_id") % 10000L % 3L).cast("int"))
       val fq = labeled.filter(col("vec_id") < 20 && col("label") === 0)
-      val fqIds = fq.select("vec_id").collect().map(_.getLong(0)).toSet
-      val res = Similarity.ivfTopKFiltered(labeled, fq, "vec_id", "embedding",
-        k = 10, predicate = col("label") === 0, nLists = 16)
-      val rows = res.select("q_id", "c_id").collect()
-      val hits = rows.count(r => r.getLong(1) == r.getLong(0) + 10000L)
-      out += Row("sim_ivf_filtered", recall = hits.toDouble / fqIds.size,
-        falsePos = 0L, candidates = rows.length.toLong, planted = fqIds.size)
+      val nFq = fq.count().toInt
+      out += annRow("sim_ivf_filtered",
+        Similarity.ivfTopKFiltered(labeled, fq, "vec_id", "embedding",
+          k = 10, predicate = col("label") === 0, nLists = 16), nQ = nFq)
     }
     val rawIdx = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
     IvfIndex.build(embs, "vec_id", "embedding", rawIdx, nLists = 16)

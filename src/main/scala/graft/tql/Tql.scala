@@ -208,11 +208,20 @@ object TqlParser {
         }
         order = items.toSeq
       }
+      // LIMIT INTEGER [OFFSET INTEGER] (rules 28-29) — a non-integer here
+      // is a TQL syntax error, not a NumberFormatException (r14 review)
+      def intTok(): Long = {
+        val t = next()
+        if (t.kind != "num" || t.text.exists(ch => !ch.isDigit))
+          fail("expected a non-negative integer")
+        try t.text.toLong catch { case _: NumberFormatException =>
+          fail("integer out of range") }
+      }
       var limit: Option[Long] = None
       var offset: Option[Long] = None
       if (eatKw("limit")) {
-        limit = Some(next().text.toLong)
-        if (eatKw("offset")) offset = Some(next().text.toLong)
+        limit = Some(intTok())
+        if (eatKw("offset")) offset = Some(intTok())
       }
       Query(sel, from, where, order, limit, offset)
     }
