@@ -566,6 +566,16 @@ object GraftAuth {
       val writeTargets = resolved.collectWithSubqueries {
         case i: InsertIntoStatement => Seq(name(i.table)).flatten
         case m: MergeIntoTable => Seq(name(m.targetTable)).flatten
+        // native UPDATE/DELETE plans mutate their target: without this
+        // they would only read-gate via their UnresolvedRelation child,
+        // and a SELECT grant would pass a write (r14 second review pass
+        // of the meta-fuzz — the dialect route text-gates these verbs,
+        // but the PLAN authority must agree for Spark-native arrivals).
+        // Matched by nodeName: the classes live in catalyst's v2 command
+        // package and name() already handles their relation child.
+        case n if n.nodeName == "UpdateTable" || n.nodeName == "DeleteFromTable" ||
+            n.nodeName == "ReplaceData" =>
+          n.children.collect { case r: UnresolvedRelation => r.multipartIdentifier.last }
         case t: UnresolvedTable => Seq(t.multipartIdentifier.last)
         case i: UnresolvedIdentifier => Seq(i.nameParts.last)
         case n if !(n.nodeName.startsWith("Describe") || n.nodeName.startsWith("Show")) =>
