@@ -30,7 +30,7 @@ object PipelineQueries {
   // nothing else (unfiltered serves never read it — IvfIndex.build
   // scaladoc), so building a second unattributed index would double the
   // registry's build cost for zero benefit (r14 review)
-  private def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String,
+  private[queries] def ivfIndexPath(s: org.apache.spark.sql.SparkSession, dir: String,
                            codec: String = "raw"): String =
     ivfIndexCache.computeIfAbsent(s"$dir#$codec", _ => {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
@@ -115,7 +115,7 @@ object PipelineQueries {
   // (Similarity.overfetchProbe — pn below replays the exact integer
   // arithmetic; at this fixture label<5 keeps ~half, so pn ~ 8 of 16 and
   // the probe stage still PRUNES rather than degenerating to all lists).
-  private val IvfFilteredOracle = IvfReplayCtes + ",\n" +
+  private[queries] val IvfFilteredOracle = IvfReplayCtes + ",\n" +
     """pn AS (SELECT LEAST(16, GREATEST(4,
       |    (4 * (SELECT COUNT(*) FROM embeddings)
       |       + (SELECT COUNT(*) FROM embeddings WHERE label < 5) - 1)

@@ -420,6 +420,48 @@ object StreamingQueries {
       }.select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
           col("n"), col("sum_value"))
         .orderBy("user_id", "session_start_ms")
+    },
+
+    // ---- streaming filtered-ANN SERVING (r14): query vectors arrive as a
+    //      stream and are served per micro-batch against the persisted
+    //      label-attributed IVF index with a predicate — the production
+    //      retrieval loop. Serving is stateless per query, so the union of
+    //      per-batch results must equal the one-shot batch serve EXACTLY,
+    //      pair for pair — proven against the same FULL DuckDB oracle as
+    //      q_sim_ivf_filtered (two forced micro-batches via
+    //      maxFilesPerTrigger=1 over a two-file staging). ----
+    Q.df("q_stream_ann_filtered", duck = PipelineQueries.IvfFilteredOracle) { (s, dir) =>
+      val e = Tables.read(s, dir, "embeddings")
+      val idx = PipelineQueries.ivfIndexPath(s, dir)
+      val stage = java.nio.file.Files.createTempDirectory("graft_replay_annq")
+      e.filter(col("vec_id") < 5).repartition(2)
+        .write.mode("overwrite").parquet(stage.toString)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      val outSchema =
+        try {
+          val qStream = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          var schema: org.apache.spark.sql.types.StructType = null
+          val q = qStream.writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              val served = graft.pipeline.IvfIndex.topK(s, idx, batch,
+                "vec_id", "embedding", k = 10,
+                predicate = Some(col("label") < 5))
+              schema = served.schema
+              buf.synchronized { buf ++= served.collect() }
+              ()
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          try q.awaitTermination() finally q.stop()
+          schema
+        } finally {
+          org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+        }
+      s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.BufferHasAsJava(buf).asJava),
+          outSchema)
+        .orderBy("q_id", "rk")
     }
   )
 }
