@@ -164,7 +164,6 @@ object Dedup {
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                         minEstSim: Double = 0.5, corpusSize: Long = -1L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
     // the banded exchange feeds a shuffle_hash build map of
     // bands x N / partitions rows — at the session default 32 that map
     // OOMs an 8g heap near 5M docs (r10 stock-config rehearsal). Width
@@ -182,10 +181,6 @@ object Dedup {
     // 100 TB no cache pressure; the only shuffle left is the (band, bucket)
     // candidate join itself
     val sig = minhashSignatures(docs, textCol, idCol, shingleN, k)
-    val bandCols = (0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
-    }
     // repartition on the join keys BELOW the leg renames: both legs then
     // share one canonically-equal Exchange subtree, so Spark plans a single
     // shuffle (ReusedExchange) and the sketch kernel runs ONCE per row, not
@@ -194,9 +189,7 @@ object Dedup {
     // stack a BroadcastExchange on one leg (size permitting), which keeps
     // BOTH sketch subtrees live and silently doubles the sketching cost
     // (DedupSpec asserts the executed plan reuses a single exchange)
-    val banded = bandedExchange(
-      sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+    val banded = bandedExchange(bandRows(sig, k, bands),
       nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
@@ -211,6 +204,112 @@ object Dedup {
       .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstSim)
+  }
+
+  /** Exploded (id, sig, band, bucket) LSH rows of an (id, sig) signature
+    * frame — the banded form every minhash join variant meets on: the
+    * self-join ([[minhashCandidates]]), the batch-vs-corpus cross join
+    * ([[crossMinhashCandidates]]), and the persisted index's stored side
+    * ([[MinhashIndex]]). One bucket hash per band over that band's `r =
+    * k/bands` signature members. */
+  private[pipeline] def bandRows(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until r).map(i => col("sig").getItem(b * r + i).cast("string")): _*))
+    }
+    sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** The (band, bucket) equi-join + signature-agreement scoring shared by
+    * [[crossMinhashCandidates]] (both sides sketched in-query) and
+    * [[MinhashIndex.probe]] (corpus side read from the persisted index).
+    * Unlike the self-join there is no `a < b` canonicalization: `a` is a
+    * batch id, `b` a corpus id — different tables, both orientations
+    * meaningful. Output: (a, b, est_jaccard). */
+  private[pipeline] def crossBandJoin(batchRows: DataFrame, corpusRows: DataFrame,
+                                      k: Int, nPart: Int,
+                                      minEstSim: Double): DataFrame = {
+    val l = bandedExchange(batchRows, nPart, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"),
+        col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
+    val rgt = bandedExchange(corpusRows, nPart, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"),
+        col("id").as("b"), col("sig").as("sig_b")).hint("shuffle_hash")
+    val agree = (0 until k)
+      .map(i => (col("sig_a").getItem(i) === col("sig_b").getItem(i)).cast("int"))
+      .reduce(_ + _)
+    l.join(rgt, Seq("band", "bucket"))
+      .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstSim)
+  }
+
+  /** Incremental EXACT dedup — the ingest-time shape of [[exactDedup]]:
+    * keep the smallest id of each distinct `batch` text, then drop any
+    * batch text already present in `corpus`. The corpus side reduces to
+    * DISTINCT content digests before the anti-join — at 100 TB that is the
+    * operating mode: the corpus is never re-shuffled at full row width per
+    * ingest (and a deployment can persist the digest set once and append
+    * to it, which [[MinhashIndex]] does for the near-dup analogue). The
+    * anti-join broadcasts when the digest set is small and shuffles on the
+    * digest otherwise — AQE's call, both correct. */
+  def incrementalExactDedup(batch: DataFrame, corpus: DataFrame,
+                            textCol: String, idCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("__h")).distinct()
+    exactDedup(batch, textCol, idCol)
+      .withColumn("__h", md5(col(textCol)))
+      .join(seen, Seq("__h"), "left_anti")
+      .drop("__h")
+  }
+
+  /** MinHash-LSH near-duplicate candidates of `batch` docs AGAINST a
+    * separate `corpus` — the cross form of [[minhashCandidates]] for
+    * incremental ingest: only batch×corpus pairs that collide in some band
+    * ever meet in a reducer; neither side is ever joined against itself.
+    * Output: (a = batch id, b = corpus id, est_jaccard).
+    *
+    * Both sides must be sketched with the SAME (shingleN, k, bands) or the
+    * bucket hashes are incomparable — [[MinhashIndex]] pins the build
+    * parameters in its meta for exactly this reason. */
+  def crossMinhashCandidates(batch: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String,
+                             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                             minEstSim: Double = 0.5,
+                             batchSize: Long = -1L,
+                             corpusSize: Long = -1L): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // width follows the larger side's exploded band volume (the corpus,
+    // in any realistic ingest) — same OOM-guard discipline as the
+    // self-join; zero-job byte estimates unless the caller has counts
+    val nPart =
+      if (batchSize > 0 && corpusSize > 0)
+        verifyPartitions(bands.toLong * math.max(batchSize, corpusSize),
+          batch.sparkSession.sessionState.conf.numShufflePartitions, 125000L)
+      else math.max(widthFromBytes(batch, bands), widthFromBytes(corpus, bands))
+    crossBandJoin(
+      bandRows(minhashSignatures(batch, textCol, idCol, shingleN, k), k, bands),
+      bandRows(minhashSignatures(corpus, textCol, idCol, shingleN, k), k, bands),
+      k, nPart, minEstSim)
+  }
+
+  /** Incremental NEAR-dup dedup: the `batch` rows with no cross-corpus
+    * minhash candidate at `minEstSim` or above. Within-batch duplicates
+    * are deliberately NOT handled here — an ingest pipeline composes this
+    * after [[incrementalExactDedup]] (exact within-batch + vs corpus) or
+    * a within-batch [[minhashCandidates]] pass; keeping the cross filter
+    * pure lets each stage's candidate volume be bounded separately. */
+  def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
+                              textCol: String, idCol: String,
+                              shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                              minEstSim: Double = 0.5,
+                              batchSize: Long = -1L,
+                              corpusSize: Long = -1L): DataFrame = {
+    val hits = crossMinhashCandidates(batch, corpus, textCol, idCol,
+        shingleN, k, bands, minEstSim, batchSize, corpusSize)
+      .select(col("a").as("__dup")).distinct()
+    batch.join(hits, col(idCol) === col("__dup"), "left_anti")
   }
 
   /** 64-bit SimHash per document: sign of per-bit weighted sums of token

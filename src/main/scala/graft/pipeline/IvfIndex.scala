@@ -22,59 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Writer mutex for the index at `path`: an atomically-created
-    * `<path>.lock` file serializes APPEND and RETRAIN against each other
-    * (r10 ADVICE: an append's read-meta/write-meta could interleave with a
-    * concurrent retrain's swap and lose appended counts, or write meta
-    * into the swapped-out tree). Reads need no lock — [[topK]] retries
-    * through the swap's rename window instead. Waits up to `waitMs` for a
-    * competing writer, then fails rather than proceeding unserialized; a
-    * crashed writer's stale lock is the operator's to delete (the lock
-    * file records owner/time for that call).
-    *
-    * Atomicity of acquire (r11 review): local/file paths use NIO
-    * `Files.createFile` (O_EXCL) because Hadoop's ChecksumFileSystem
-    * implements `create(f, overwrite=false)` as a NON-atomic
-    * exists-then-create; HDFS-like filesystems keep
-    * `create(overwrite=false)`, which IS atomic there. Object stores
-    * without atomic create-if-absent (S3 before conditional writes)
-    * cannot honor a file mutex — coordinate writers externally on such
-    * storage. */
+  /** Writer mutex serializing APPEND and RETRAIN against each other;
+    * acquire semantics (and their filesystem caveats) live in the shared
+    * [[WriterLock]]. Reads need no lock — [[topK]] retries through the
+    * retrain swap's rename window instead. */
   private def withWriterLock[A](spark: SparkSession, path: String,
-                                waitMs: Long = 600000L)(body: => A): A = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
-    val fs = lock.getFileSystem(conf)
-    val owner =
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
-    val local = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
-    def tryAcquire(): Unit =
-      if (local) {
-        val nio = java.nio.file.Paths.get(
-          if (lock.toUri.getScheme == null) lock.toString else lock.toUri.getPath)
-        java.nio.file.Files.createFile(nio) // atomic O_EXCL
-        java.nio.file.Files.write(nio, owner.getBytes("UTF-8"))
-        ()
-      } else {
-        val out = fs.create(lock, false)
-        out.write(owner.getBytes("UTF-8"))
-        out.close()
-      }
-    val deadline = System.currentTimeMillis() + waitMs
-    var acquired = false
-    while (!acquired) {
-      try { tryAcquire(); acquired = true }
-      catch {
-        case _: java.io.IOException if System.currentTimeMillis() < deadline =>
-          Thread.sleep(200)
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"IvfIndex writer lock at $path.lock not acquired within ${waitMs}ms " +
-              "(concurrent writer, or a stale lock from a crashed one)", e)
-      }
-    }
-    try body finally fs.delete(lock, false)
-  }
+                                waitMs: Long = 600000L)(body: => A): A =
+    WriterLock.withLock(spark, path, waitMs)(body)
 
   /** Train + write the index. Overwrites `path`.
     *

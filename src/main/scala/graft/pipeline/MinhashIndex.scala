@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH band index: sketch the corpus ONCE, probe every
+  * new ingest batch against the stored buckets — the incremental-dedup
+  * serving pattern at 100 TB. [[Dedup.crossMinhashCandidates]] re-sketches
+  * the corpus per call, which is right for an ad-hoc comparison and wrong
+  * for a pipeline that ingests continuously against the same corpus: with
+  * the index, an ingest pays the batch's own sketch (a pure map) plus one
+  * (band, bucket) equi-join against the stored rows, and accepted
+  * survivors are APPENDED so the next batch dedups against them too —
+  * the corpus text is never re-read.
+  *
+  * Layout at `path`:
+  *  - `<path>/buckets`: (id, sig, band, bucket) — one row per corpus doc
+  *    per band, the k-long signature carried inline so a probe scores
+  *    est_jaccard without a second join back to a signature table (the
+  *    classic LSH-table layout; it costs bands× signature duplication,
+  *    which parquet encodes away since a doc's sig bytes repeat).
+  *  - `<path>/meta`: (shingle_n, k, bands, n_docs) — a probe MUST sketch
+  *    the batch with the BUILD's parameters or the bucket hashes are
+  *    incomparable, so probe/append read them from here, never from the
+  *    caller.
+  */
+object MinhashIndex {
+
+  /** Sketch `corpus` and write the index. Overwrites `path`. */
+  def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
+            shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+            corpusSize: Long = -1L): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = corpus.sparkSession
+    WriterLock.withLock(spark, path) {
+      val n = if (corpusSize > 0) corpusSize else corpus.count()
+      val rows = Dedup.bandRows(
+        Dedup.minhashSignatures(corpus, textCol, idCol, shingleN, k), k, bands)
+      // co-locate each bucket's rows on disk (the probe joins on
+      // (band, bucket)); width follows the exploded band volume, same
+      // discipline as the in-query joins
+      val nPart = Dedup.verifyPartitions(bands.toLong * math.max(n, 1L),
+        spark.sessionState.conf.numShufflePartitions, 125000L)
+      rows.repartition(nPart, col("band"), col("bucket"))
+        .write.mode("overwrite").parquet(s"$path/buckets")
+      writeMeta(spark, path, shingleN, k, bands, n)
+    }
+  }
+
+  /** Add accepted docs to the index (after their batch passed the dedup
+    * gate): sketch with the SAVED parameters, append into the buckets
+    * tree. Unlike [[IvfIndex.append]] there is no staleness to track —
+    * minhash has no trained state to drift; an appended doc's buckets are
+    * exactly what a fresh build would produce.
+    * @return total indexed docs after this append. */
+  def append(newDocs: DataFrame, textCol: String, idCol: String,
+             path: String, batchSize: Long = -1L): Long = {
+    val spark = newDocs.sparkSession
+    WriterLock.withLock(spark, path) {
+      val m = readMeta(spark, path)
+      val add = if (batchSize > 0) batchSize else newDocs.count()
+      Dedup.bandRows(
+          Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
+          m.k, m.bands)
+        .write.mode("append").parquet(s"$path/buckets")
+      writeMeta(spark, path, m.shingleN, m.k, m.bands, m.nDocs + add)
+      m.nDocs + add
+    }
+  }
+
+  /** MinHash candidates of `batch` against the indexed corpus — the
+    * persisted-corpus form of [[Dedup.crossMinhashCandidates]], result
+    * identical pair for pair (q_dedup_index_parity drives the equality).
+    * Output: (a = batch id, b = corpus id, est_jaccard). */
+  def probe(batch: DataFrame, textCol: String, idCol: String, path: String,
+            minEstSim: Double = 0.5, batchSize: Long = -1L): DataFrame = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, path)
+    val idx = spark.read.parquet(s"$path/buckets")
+    val nPart =
+      if (batchSize > 0)
+        Dedup.verifyPartitions(m.bands.toLong * math.max(batchSize, m.nDocs),
+          spark.sessionState.conf.numShufflePartitions, 125000L)
+      else math.max(Dedup.widthFromBytes(batch, m.bands),
+        Dedup.widthFromBytes(idx, 1))
+    Dedup.crossBandJoin(
+      Dedup.bandRows(
+        Dedup.minhashSignatures(batch, textCol, idCol, m.shingleN, m.k),
+        m.k, m.bands),
+      idx, m.k, nPart, minEstSim)
+  }
+
+  /** The ingest gate: `batch` rows with no indexed near-duplicate at
+    * `minEstSim` or above. Compose with [[append]] on the survivors to
+    * advance the corpus. */
+  def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
+                 path: String, minEstSim: Double = 0.5,
+                 batchSize: Long = -1L): DataFrame = {
+    val hits = probe(batch, textCol, idCol, path, minEstSim, batchSize)
+      .select(col("a").as("__dup")).distinct()
+    batch.join(hits, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  final case class Meta(shingleN: Int, k: Int, bands: Int, nDocs: Long)
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        shingleN: Int, k: Int, bands: Int, n: Long): Unit = {
+    import spark.implicits._
+    Seq((shingleN, k, bands, n))
+      .toDF("shingle_n", "k", "bands", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readMeta(spark: SparkSession, path: String): Meta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
+}

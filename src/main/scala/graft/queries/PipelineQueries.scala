@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, Multimodal, Quantize, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, MinhashIndex, Multimodal, Quantize, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -36,6 +36,16 @@ object PipelineQueries {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf_reg").toString
       IvfIndex.build(embs(s, dir), "vec_id", "embedding", path, nLists = 16,
         codec = codec, attrCols = Seq("label"))
+      path
+    })
+  // same memoization for the minhash band index (q_dedup_index_parity):
+  // the registered form measures PROBING a persisted corpus, not building
+  private[queries] def minhashIndexPath(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): String =
+    ivfIndexCache.computeIfAbsent(s"$dir#minhash", _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_mh_reg").toString
+      MinhashIndex.build(docs(s, dir).filter(col("doc_id") % 10 < 7),
+        "text", "doc_id", path)
       path
     })
 
@@ -506,6 +516,136 @@ object PipelineQueries {
         coalesce(sum(when(abs(col("est_jaccard") - col("tj")) > 0.25, 1L)
           .otherwise(0L)), lit(0L)).as("n_est_out_of_band"))
       nStrong.crossJoin(nMissed).crossJoin(viol) // 1x1x1 anchor joins
+    },
+
+    // ---- INCREMENTAL dedup family (r14): the 100 TB operating mode — a
+    //      new ingest batch dedups AGAINST the existing corpus; the corpus
+    //      is never re-deduped per ingest. Split: batch = doc_id%10 >= 7,
+    //      corpus = the rest. ----
+
+    // exact incremental: FULL oracle. The fixture has no duplicate texts,
+    // so the corpus additionally carries re-keyed copies of every third
+    // batch doc (deterministic, replicated in the oracle) — the drop path
+    // is exercised for real: 1/3 of the batch must vanish, the rest
+    // survive byte-identically
+    Q.df("q_dedup_incremental_exact",
+      duck = """WITH corpus AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 >= 7 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 7),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text),
+        |fresh AS (SELECT b.* FROM batch b JOIN keep USING (doc_id))
+        |SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      val corpus = d.filter(col("doc_id") % 10 < 7)
+        .select(col("doc_id"), col("text"))
+        .unionByName(batch.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // near-dup incremental survivors (xxhash64 candidates: rows-only; the
+    // guarantees are driver-checked by the bound row below)
+    Q.rowsOnly("q_dedup_incremental_minhash") { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalMinhashDedup(d.filter(col("doc_id") % 10 >= 7),
+          d.filter(col("doc_id") % 10 < 7), "text", "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // cross-minhash bound companion (same discipline as
+    // q_dedup_minhash_bound): the oracle recomputes the exact strong
+    // batch×corpus pair set (true 3-shingle Jaccard >= 0.9 across the
+    // split — 12 pairs at sf0.01); recall (n_strong_missed), the precision
+    // floor, and the estimate band are pinned zero and recomputed
+    // independently on the Spark side — violations fail the DRIVER
+    Q.df("q_dedup_incremental_bound", maxSf = 0.1,
+      duck = """WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+        |                          ELSE array_to_string(t, ' ') END AS sh
+        |      FROM base, UNNEST(generate_series(1, GREATEST(len(t)-2, 1))) AS u(i)),
+        |shingle AS (SELECT DISTINCT doc_id, sh FROM s),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+        |          FROM shingle x JOIN shingle y ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |          GROUP BY 1, 2),
+        |strong AS (SELECT a, b FROM inter
+        |           JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        |           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_strong_cross,
+        |  CAST(0 AS BIGINT) AS n_strong_missed,
+        |  CAST(0 AS BIGINT) AS n_below_floor,
+        |  CAST(0 AS BIGINT) AS n_est_out_of_band
+        |FROM strong WHERE (a % 10 < 7) <> (b % 10 < 7)""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      val corpus = d.filter(col("doc_id") % 10 < 7)
+      val cand = Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id")
+      // true shingle-set Jaccard of each returned candidate
+      val shArr = d.select(col("doc_id"), Dedup.shingles("text", 3).as("shs"))
+      val truej = cand
+        .join(shArr.select(col("doc_id").as("a"), col("shs").as("sa")), "a")
+        .join(shArr.select(col("doc_id").as("b"), col("shs").as("sb")), "b")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("tj", col("inter").cast("double") /
+          (size(col("sa")) + size(col("sb")) - col("inter")))
+      // exact strong pairs via the PPJoin verifier over md5'd shingles on
+      // the WHOLE table, restricted to cross-split pairs and oriented
+      // (batch, corpus) to match the candidate frame
+      val shText = d.select(col("doc_id"),
+        concat_ws(" ", transform(Dedup.shingles("text", 3),
+          x => md5(x.cast("binary")))).as("shtext"))
+      val inBatch = (c: org.apache.spark.sql.Column) => c % 10 >= 7
+      val strong = Dedup.tokenJaccardPairs(shText, "shtext", "doc_id",
+          minJaccard = 0.9)
+        .filter(inBatch(col("a")) =!= inBatch(col("b")))
+        .select(when(inBatch(col("a")), col("a")).otherwise(col("b")).as("a"),
+          when(inBatch(col("a")), col("b")).otherwise(col("a")).as("b"))
+      val nStrong = strong.agg(count(lit(1)).as("n_strong_cross"))
+      val nMissed = strong.join(cand, Seq("a", "b"), "left_anti")
+        .agg(count(lit(1)).as("n_strong_missed"))
+      val viol = truej.agg(
+        coalesce(sum(when(col("tj") < 0.6, 1L).otherwise(0L)), lit(0L))
+          .as("n_below_floor"),
+        coalesce(sum(when(abs(col("est_jaccard") - col("tj")) > 0.25, 1L)
+          .otherwise(0L)), lit(0L)).as("n_est_out_of_band"))
+      nStrong.crossJoin(nMissed).crossJoin(viol) // 1x1x1 anchor joins
+    },
+
+    // persisted-index parity: probing the stored corpus buckets must equal
+    // the direct cross-candidates pair for pair — the index adds a disk
+    // round-trip, never a semantic change. DRIVER row (counters pinned 0).
+    Q.df("q_dedup_index_parity",
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+        |  CAST(0 AS BIGINT) AS n_index_only,
+        |  CAST(0 AS BIGINT) AS n_direct_only,
+        |  CAST(0 AS BIGINT) AS n_est_mismatch
+        |FROM documents WHERE doc_id % 10 >= 7""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      val corpus = d.filter(col("doc_id") % 10 < 7)
+      val viaIndex = MinhashIndex.probe(batch, "text", "doc_id",
+          minhashIndexPath(s, dir))
+        .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_i"))
+      val direct = Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id")
+        .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_d"))
+      val j = viaIndex.join(direct, Seq("a", "b"), "full_outer")
+      val nB = batch.agg(count(lit(1)).as("n_batch_docs"))
+      val viol = j.agg(
+        coalesce(sum(when(col("est_d").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_index_only"),
+        coalesce(sum(when(col("est_i").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_direct_only"),
+        coalesce(sum(when(col("est_i") =!= col("est_d"), 1L).otherwise(0L)),
+          lit(0L)).as("n_est_mismatch"))
+      nB.crossJoin(viol) // 1x1 anchor join
     },
 
     // ---- SRP-LSH embedding-dedup bound companion (r12 verdict #3): the

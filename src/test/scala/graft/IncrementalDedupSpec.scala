@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipeline.{Dedup, MinhashIndex}
+import org.apache.spark.sql.functions._
+
+/** Incremental (batch-vs-corpus) dedup family + the persisted minhash band
+  * index: the 100 TB ingest shape — new batches dedup against an existing
+  * corpus that is never re-read, only appended to. */
+class IncrementalDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: two settled docs
+  private val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+  ).toDF("doc_id", "text")
+
+  // batch: an exact dup of corpus 10 (twice — also a within-batch dup), a
+  // near dup of corpus 11 (one word changed deep in a 20-token text), a
+  // unique doc, and a within-batch-only exact pair not present in the corpus
+  private val batch = Seq(
+    (20L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (21L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (22L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau psi"),
+    (23L, "completely different words about spark catalyst optimizer plans entirely"),
+    (24L, "some unique batch text that is repeated twice for the keep min id case"),
+    (25L, "some unique batch text that is repeated twice for the keep min id case")
+  ).toDF("doc_id", "text")
+
+  test("incrementalExactDedup: keep-min within batch, drop texts already in corpus") {
+    val out = Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // 20/21 dropped (text in corpus), 22/23 survive, 24 kept (min of 24/25)
+    assert(out.toSeq == Seq(22L, 23L, 24L))
+  }
+
+  test("crossMinhashCandidates: exact dup at est 1.0, near dup caught, ids oriented batch->corpus") {
+    val cand = Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cand.exists(c => c._1 == 20L && c._2 == 10L && c._3 == 1.0))
+    assert(cand.exists(c => c._1 == 21L && c._2 == 10L && c._3 == 1.0))
+    assert(cand.exists(c => c._1 == 22L && c._2 == 11L && c._3 >= 0.5))
+    // unique docs never pair; every a is a batch id, every b a corpus id
+    assert(!cand.exists(c => c._1 == 23L || c._1 == 24L || c._1 == 25L))
+    assert(cand.forall(c => c._1 >= 20L && c._2 < 20L))
+  }
+
+  test("incrementalMinhashDedup: near-dups of the corpus dropped, within-batch dups kept (documented)") {
+    val out = Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    // 20/21/22 have corpus near-dups; 24/25 are within-batch-only dups and
+    // the CROSS filter deliberately leaves them to the within-batch pass
+    assert(out.toSeq == Seq(23L, 24L, 25L))
+  }
+
+  test("MinhashIndex: probe equals direct cross-candidates pair for pair; dedupBatch equals the in-query gate") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_spec").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    val viaIndex = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct)
+    val gate = MinhashIndex.dedupBatch(batch, "text", "doc_id", path)
+      .select("doc_id").as[Long].collect().sorted
+    val inQuery = Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(gate.toSeq == inQuery.toSeq)
+    // the lock is released after build
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.lock")))
+  }
+
+  test("MinhashIndex.append: the next batch dedups against appended survivors; meta count advances") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_spec2").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    // ingest round 1: survivors appended
+    val survivors = MinhashIndex.dedupBatch(batch, "text", "doc_id", path)
+    val total = MinhashIndex.append(survivors, "text", "doc_id", path)
+    assert(total == 2L + survivors.count())
+    assert(MinhashIndex.readMeta(spark, path).nDocs == total)
+    // ingest round 2: an exact copy of a round-1 SURVIVOR (not in the
+    // original corpus) must now be caught by the index
+    val batch2 = Seq(
+      (30L, "completely different words about spark catalyst optimizer plans entirely"),
+      (31L, "fresh new content unseen anywhere before in this corpus")
+    ).toDF("doc_id", "text")
+    val out2 = MinhashIndex.dedupBatch(batch2, "text", "doc_id", path)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(31L))
+  }
+
+  test("MinhashIndex: probe sketches with the BUILD's parameters, not the caller's defaults") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_spec3").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path, shingleN = 2, k = 8, bands = 2)
+    val m = MinhashIndex.readMeta(spark, path)
+    assert(m == MinhashIndex.Meta(2, 8, 2, 2L))
+    val viaIndex = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id",
+        shingleN = 2, k = 8, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex == direct)
+    // mismatched params on the direct path give a DIFFERENT bucket space —
+    // the meta exists precisely because these are incomparable
+    assert(viaIndex.exists(c => c._1 == 20L && c._2 == 10L && c._3 == 1.0))
+  }
+
+  test("incremental family on the sf0.001 fixture: survivors + drops partition the batch") {
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val b = d.filter($"doc_id" % 10 >= 7)
+    val c = d.filter($"doc_id" % 10 < 7)
+    val nBatch = b.count()
+    val exact = Dedup.incrementalExactDedup(b, c, "text", "doc_id")
+    assert(exact.count() <= nBatch)
+    val near = Dedup.incrementalMinhashDedup(b, c, "text", "doc_id")
+    val dropped = b.join(near.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(near.count() + dropped.count() == nBatch)
+  }
+}
