@@ -462,6 +462,65 @@ object StreamingQueries {
             scala.jdk.CollectionConverters.BufferHasAsJava(buf).asJava),
           outSchema)
         .orderBy("q_id", "rk")
+    },
+
+    // ---- STREAMING incremental dedup (the continuous ingest gate): docs
+    //      arrive in micro-batches, each batch dedups against a persisted
+    //      MinhashIndex, survivors are APPENDED so later batches dedup
+    //      against them too. DRIVER row: the stream's per-batch survivors
+    //      must equal a sequential batch-by-batch fold of
+    //      incrementalMinhashDedup over the SAME captured batch sequence
+    //      with a growing corpus — counters pinned 0. maxSf: the parity
+    //      fold collects per-batch id lists to the driver. ----
+    Q.df("q_stream_dedup_incremental", maxSf = 0.1,
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+        |  CAST(0 AS BIGINT) AS n_stream_only,
+        |  CAST(0 AS BIGINT) AS n_fold_only
+        |FROM documents WHERE doc_id % 10 >= 7""".stripMargin) { (s, dir) =>
+      val d = Tables.read(s, dir, "documents")
+      val ingest = d.filter(col("doc_id") % 10 >= 7)
+      val corpus0 = d.filter(col("doc_id") % 10 < 7)
+      // fresh index per run — the stream MUTATES it by appending survivors
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_mh_stream").toString
+      graft.pipeline.MinhashIndex.build(corpus0, "text", "doc_id", idxPath)
+      val stage = java.nio.file.Files.createTempDirectory("graft_replay_incr")
+      ingest.repartition(3).write.mode("overwrite").parquet(stage.toString)
+      val recorded =
+        scala.collection.mutable.ArrayBuffer[(Long, Seq[Long], Seq[Long])]()
+      try {
+        val stream = s.readStream.schema(d.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        val q = graft.streaming.StreamingOps.incrementalDedupStream(
+            stream, "text", "doc_id", idxPath) { (batch, surv, id) =>
+          val b = batch.select("doc_id").collect().map(_.getLong(0)).toSeq
+          val sv = surv.select("doc_id").collect().map(_.getLong(0)).toSeq
+          recorded.synchronized { recorded += ((id, b, sv)); () }
+        }.trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      // sequential fold over the captured batch sequence, corpus growing by
+      // each round's survivors — the batch-mode ground truth of the stream
+      var corp = corpus0.select(col("doc_id"), col("text"))
+      val foldSurvivors = scala.collection.mutable.ArrayBuffer[Long]()
+      recorded.sortBy(_._1).foreach { case (_, bIds, _) =>
+        val bdf = ingest.filter(col("doc_id").isin(bIds: _*))
+        val sv = graft.pipeline.Dedup.incrementalMinhashDedup(
+          bdf, corp, "text", "doc_id")
+        val svIds = sv.select("doc_id").collect().map(_.getLong(0))
+        foldSurvivors ++= svIds
+        corp = corp.unionByName(sv.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
+      val streamSurvivors = recorded.flatMap(_._3).toSet
+      val fold = foldSurvivors.toSet
+      import s.implicits._
+      Seq((recorded.map(_._2.size.toLong).sum,
+          (streamSurvivors -- fold).size.toLong,
+          (fold -- streamSurvivors).size.toLong))
+        .toDF("n_batch_docs", "n_stream_only", "n_fold_only")
     }
   )
 }

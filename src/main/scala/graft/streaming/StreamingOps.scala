@@ -279,6 +279,32 @@ object StreamingOps {
       .toDF("a", "b", "band", "est_jaccard", "b_ts_ms")
   }
 
+  /** Continuous ingest dedup gate against a persisted
+    * [[graft.pipeline.MinhashIndex]]: each micro-batch drops docs with an
+    * indexed near-duplicate, hands (batch, survivors, batchId) to
+    * `onBatch`, and APPENDS the survivors to the index so later batches
+    * dedup against them too — the streaming face of
+    * [[graft.pipeline.Dedup.incrementalMinhashDedup]] with a corpus that
+    * advances per micro-batch (q_stream_dedup_incremental pins the
+    * equality with the sequential batch fold).
+    *
+    * Survivors are eagerly materialized (localCheckpoint) BEFORE the
+    * append: the probe plan is lazy, and re-evaluating it after the append
+    * would list the survivors' own freshly-written buckets and self-drop
+    * every doc on the second evaluation. */
+  def incrementalDedupStream(docs: DataFrame, textCol: String, idCol: String,
+                             indexPath: String, minEstSim: Double = 0.5)
+                            (onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val survivors = graft.pipeline.MinhashIndex
+        .dedupBatch(batch, textCol, idCol, indexPath, minEstSim)
+        .localCheckpoint()
+      graft.pipeline.MinhashIndex.append(survivors, textCol, idCol, indexPath)
+      onBatch(batch, survivors, id)
+      ()
+    }
+
   /** Event-trigger parity: run `onBatch` for every micro-batch of rows
     * matching `condition` (the reference fires a notification per put on a
     * trigger-registered container). */

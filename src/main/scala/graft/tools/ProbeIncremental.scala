@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftSession, Tables}
+import graft.pipeline.{Dedup, MinhashIndex}
+
+/** Scale probe for the incremental dedup family (r14): batch = doc_id%10
+  * >= 7, corpus = the rest. Times the exact anti-join gate, the direct
+  * cross band join, and the persisted-index build/probe/append cycle at
+  * the given SF; run at two SFs, the wall ratios land in SCALING.md.
+  * Usage: runMain graft.tools.ProbeIncremental <sfDir>
+  */
+object ProbeIncremental {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master("local[32]").appName("graft-probe-incr"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.prepare(spark)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val d = Tables.read(spark, dir, "documents")
+    val batch = d.filter(col("doc_id") % 10 >= 7)
+    val corpus = d.filter(col("doc_id") % 10 < 7)
+    println(s"[probe] $dir: batch=${batch.count()} corpus=${corpus.count()}")
+
+    (1 to 2).foreach { i =>
+      time(s"incrementalExactDedup #$i") {
+        Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id").count()
+      }
+    }
+    (1 to 2).foreach { i =>
+      time(s"crossMinhashCandidates #$i") {
+        Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id").count()
+      }
+    }
+    (1 to 2).foreach { i =>
+      time(s"incrementalMinhashDedup #$i") {
+        Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id").count()
+      }
+    }
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_probe").toString
+    time("MinhashIndex.build (corpus)") {
+      MinhashIndex.build(corpus, "text", "doc_id", idx); 0L
+    }
+    (1 to 2).foreach { i =>
+      time(s"MinhashIndex.probe #$i") {
+        MinhashIndex.probe(batch, "text", "doc_id", idx).count()
+      }
+    }
+    time("dedupBatch + append cycle") {
+      val surv = MinhashIndex.dedupBatch(batch, "text", "doc_id", idx)
+        .localCheckpoint()
+      MinhashIndex.append(surv, "text", "doc_id", idx)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    spark.stop()
+  }
+}

@@ -52,6 +52,19 @@ object Recall {
       Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
 
+    // incremental (batch-vs-corpus) cross candidates: put every planted
+    // pair ACROSS the split — dup side (b) in the batch, original (a) in
+    // the corpus — so each planted pair must surface as a cross candidate;
+    // output is (batch, corpus), swapped back to (a, b) for the compare
+    locally {
+      val bIds = planted.map(_._2).toSeq
+      val batchP = docs.filter(col("doc_id").isin(bIds: _*))
+      val corpusP = docs.filter(!col("doc_id").isin(bIds: _*))
+      out += pairRow("dedup_incremental_minhash",
+        Dedup.crossMinhashCandidates(batchP, corpusP, "text", "doc_id")
+          .select("a", "b").collect().map(r => (r.getLong(1), r.getLong(0))).toSet)
+    }
+
     // ---- embedding near-dup candidates ----
     val (embs, embPlanted) = Planted.embCorpus(spark)
     def embPairRow(name: String, got: Set[(Long, Long)]): Row = Row(

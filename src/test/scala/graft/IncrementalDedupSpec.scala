@@ -105,6 +105,55 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(viaIndex.exists(c => c._1 == 20L && c._2 == 10L && c._3 == 1.0))
   }
 
+  test("incrementalDedupStream: later micro-batches dedup against earlier survivors") {
+    import org.apache.spark.sql.streaming.Trigger
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_mh_stream_spec").toString
+    MinhashIndex.build(corpus, "text", "doc_id", idxPath)
+    // micro-batch 1: doc 40 is fresh, doc 41 dups the corpus;
+    // micro-batch 2: doc 50 dups SURVIVOR 40 (not the original corpus) —
+    // it must be dropped only because 40 was appended; doc 51 is fresh
+    val b1 = Seq(
+      (40L, "brand new content that nothing in the corpus resembles at all"),
+      (41L, "the quick brown fox jumps over the lazy dog near the river bank")
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      (50L, "brand new content that nothing in the corpus resembles at all"),
+      (51L, "another entirely fresh document with its own unique words")
+    ).toDF("doc_id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("graft_replay_spec")
+    b1.coalesce(1).write.parquet(s"$stage/f1")
+    b2.coalesce(1).write.parquet(s"$stage/f2")
+    // one file dir per trigger, in path order (f1 before f2)
+    val part1 = new java.io.File(s"$stage/f1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val part2 = new java.io.File(s"$stage/f2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = java.nio.file.Files.createTempDirectory("graft_replay_spec_in")
+    java.nio.file.Files.copy(part1.toPath, in.resolve("a_batch1.parquet"))
+    val survived = scala.collection.mutable.ArrayBuffer[(Long, Seq[Long])]()
+    // one checkpoint across both runs: run 2 resumes from the stored
+    // offsets and processes ONLY the newly-arrived file
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_spec").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = graft.streaming.StreamingOps.incrementalDedupStream(
+          stream, "text", "doc_id", idxPath) { (_, surv, id) =>
+        val sv = surv.select("doc_id").as[Long].collect().toSeq.sorted
+        survived.synchronized { survived += ((id, sv)); () }
+      }.option("checkpointLocation", ckpt).trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce() // batch 1: 40 survives, 41 dropped (corpus dup)
+    java.nio.file.Files.copy(part2.toPath, in.resolve("b_batch2.parquet"))
+    runOnce() // batch 2: 50 dropped (dups appended survivor 40), 51 survives
+    val all = survived.flatMap(_._2).toSet
+    assert(all == Set(40L, 51L),
+      s"stream survivors $all — 41 must drop vs corpus, 50 vs appended 40")
+    // index advanced by exactly the survivors
+    assert(MinhashIndex.readMeta(spark, idxPath).nDocs == 2L + 2L)
+  }
+
   test("incremental family on the sf0.001 fixture: survivors + drops partition the batch") {
     val d = graft.engine.Tables.read(spark, sfDir, "documents")
     val b = d.filter($"doc_id" % 10 >= 7)
