@@ -308,6 +308,34 @@ object Curation {
   def hashBucket(key: Column, denom: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % denom
 
+  /** Deterministic training-order shuffle + sharding: every row gets a
+    * `shard` in [0, nShards) and a reproducible `pos` inside its shard,
+    * both pure functions of (salt, key) — the pre-write step of a training
+    * pipeline that must produce the SAME shard layout on every run, on any
+    * cluster size, and reshuffle globally between epochs by changing the
+    * salt. The hash is md5 of `salt#key` (engine-portable, so the whole
+    * layout is oracle-replayable — q_pipeline_shuffle_shards), the shard is
+    * the hash's top 60 bits mod nShards, and the in-shard order is
+    * (hash, key), keyed-deterministic even under hash ties.
+    *
+    * Scale shape: ONE shuffle on `shard`; each shard sorts independently
+    * (no global sort ever happens), and shard count scales with the corpus
+    * — at 100 TB you run this with ~100k shards so a shard is a few
+    * hundred MB and the per-shard sorts spread across every executor. */
+  def shuffleShards(df: DataFrame, keyCol: String, salt: String,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val hv = conv(substring(
+        md5(concat_ws("#", lit(salt), col(keyCol).cast("string")).cast("binary")),
+        1, 15), 16, 10).cast("long")
+    df.withColumn("__h", hv)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))))
+      .drop("__h")
+  }
+
   /** Unigram language-model scoring (the CCNet/CC-100 quality-filter shape:
     * score each document by its per-token negative log-likelihood under a
     * corpus LM; unusually high NLL = noise/gibberish, unusually low =

@@ -1813,6 +1813,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic epoch shuffle + sharding: shard and in-shard
+    //      position are pure functions of (salt, key), so the layout is
+    //      reproducible on any cluster and the oracle replays it VALUE for
+    //      VALUE (md5, engine-portable). Changing the salt reshuffles —
+    //      the epoch mechanism — covered in CurationSpec. ----
+    Q.df("q_pipeline_shuffle_shards",
+      duck = """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('ep1#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents)
+        |SELECT doc_id, CAST(hv % 8 AS INT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      Curation.shuffleShards(docs(s, dir), "doc_id", salt = "ep1", nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
+
     // ---- deterministic stratified sampling: per-language quota of the 20
     // smallest md5(doc_id) — oracle is the naive full-window form; the
     // operator's hash prefilter must not change the result ----

@@ -38,9 +38,12 @@ object Golden {
     // r13 (same session): q_sim_pq_ann / q_sim_ivfpq_ann also left —
     // codebook training, encode, ADC pool and exact rerank replayed via
     // GENERATED CTEs (PipelineQueries.pqOracle).
+    // r14: q_dedup_incremental_minhash joins (xxhash64 cross-candidates;
+    // bounded by the full-oracle q_dedup_incremental_bound companion).
     "q_text_bpe",
     "q_decontaminate_bloom",
-    "q_dedup_embedding_lsh_auto", "q_dedup_minhash", "q_dedup_semantic_ivf",
+    "q_dedup_embedding_lsh_auto", "q_dedup_incremental_minhash",
+    "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features",
     "q_pipeline_curation_v3_auto",
     "q_sim_lsh_ann", "q_stream_dedup_minhash")

@@ -164,6 +164,31 @@ class CurationSpec extends SparkTestBase {
     assert((kept ++ rest).size == 2000 && kept.intersect(rest).isEmpty)
   }
 
+  test("shuffleShards: reproducible layout, full cover, epoch salt reshuffles") {
+    val df = (1L to 1000L).toDF("id")
+    def layout(salt: String) =
+      Curation.shuffleShards(df, "id", salt, nShards = 8)
+        .select("id", "shard", "pos")
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val a = layout("ep1")
+    assert(a == layout("ep1"), "same salt must reproduce the exact layout")
+    // every row placed exactly once; positions within a shard are 1..n dense
+    assert(a.size == 1000)
+    a.values.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(0 <= shard && shard < 8)
+      assert(rows.map(_._2).toSeq.sorted == (1 to rows.size),
+        s"shard $shard positions must be dense 1..n")
+    }
+    // all shards used and roughly balanced at n=1000
+    val sizes = a.values.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0 until 8).toSet)
+    assert(sizes.values.forall(s => s > 60 && s < 190), s"skewed: $sizes")
+    // a different salt is a genuinely different permutation (epoch shuffle)
+    val b = layout("ep2")
+    val moved = a.count { case (id, place) => b(id) != place }
+    assert(moved > 900, s"salt change must reshuffle, only $moved moved")
+  }
+
   test("stratifiedSample equals the naive per-stratum top-n-by-hash") {
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
