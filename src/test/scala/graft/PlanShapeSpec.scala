@@ -76,4 +76,32 @@ class PlanShapeSpec extends SparkTestBase {
       s"grid-to-aggregate attach must broadcast\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"SMJ crept into fill\n$plan")
   }
+
+  test("incremental minhash: banded SHJ cross join + anti gate, nothing quadratic") {
+    val plan = finalPlan("q_dedup_incremental_minhash")
+    // the (band, bucket) cross join stays shuffled-hash (hint-pinned): a
+    // planner-chosen broadcast on one leg would keep both sketch subtrees
+    // live and double the sketching work at scale
+    assert(plan.contains("ShuffledHashJoin"),
+      s"band cross join must stay shuffled-hash\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"the survivor gate must be an anti join\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+      s"nothing quadratic in the ingest gate\n$plan")
+  }
+
+  test("shuffle shards: one shard exchange + one window pass, no global sort of the data") {
+    // AQE's toString renders the final AND the initial plan — count
+    // markers in the final section only
+    val plan = finalPlan("q_pipeline_shuffle_shards")
+      .split("== Initial Plan ==").head
+    assert(occurrences(plan, "Window") == 1,
+      s"exactly one window pass assigns in-shard positions\n$plan")
+    // the only hash exchange is the shard one; the trailing range
+    // partitioning is the registered presentation ORDER BY, not the
+    // operator (per-shard sorts are partition-local)
+    assert(occurrences(plan, "hashpartitioning(shard") == 1,
+      s"exactly one shard exchange\n$plan")
+  }
 }
