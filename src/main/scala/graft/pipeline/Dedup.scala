@@ -796,4 +796,75 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .distinct()
   }
+
+  /** SRP-LSH near-duplicate candidates of `batch` embeddings AGAINST a
+    * separate `corpus` — the cross form of [[embeddingCandidates]] for
+    * incremental ingest (the embedding analogue of
+    * [[crossMinhashCandidates]]): both sides are sketched with the SAME
+    * seeded plane sets (the seeds are fixed, so the bucket spaces agree by
+    * construction), only batch×corpus band collisions meet a reducer, and
+    * every surviving pair is exact-cosine-verified at `minCos` — so the
+    * result is a SUBSET of the exact cross pair set with exact scores
+    * (q_dedup_incremental_emb_bound pins both). AUTO bits size off the
+    * CORPUS (the side that grows). Output: (a = batch id, b = corpus id,
+    * cos). */
+  def crossEmbeddingCandidates(batch: DataFrame, corpus: DataFrame,
+                               vecCol: String, idCol: String,
+                               minCos: Double, bits: Int = -1, bands: Int = 4,
+                               roundTo: Int = 4, batchSize: Long = -1L,
+                               corpusSize: Long = -1L): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(batch.sparkSession)
+    val nCorpusOpt =
+      if (corpusSize > 0) Some(corpusSize)
+      else if (bits <= 0) Some(math.max(corpus.count(), 1L))
+      else None
+    val resolvedBits = if (bits > 0) bits else autoBandBits(nCorpusOpt.get, bands)
+    require(resolvedBits % bands == 0, "bands must divide bits")
+    val r = resolvedBits / bands
+    require(r <= 63, s"per-band width $r exceeds the 63-bit band bucket")
+    val dim = Similarity.vecDim(corpus, vecCol)
+    def bandRowsOf(df: DataFrame): DataFrame = {
+      val sig = spread(df).select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("v"))
+      val bandCols = (0 until bands).map { b =>
+        Similarity.signatureFused(col("v"), r, dim, seed = 42L + 1000003L * b)
+      }
+      sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+    val nPart = (nCorpusOpt, batchSize) match {
+      case (Some(n), bs) => verifyPartitions(
+        bands.toLong * math.max(n, math.max(bs, 1L)),
+        batch.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
+      case _ => math.max(
+        widthFromBytes(batch, bands, bytesPerPartition = 16L << 20),
+        widthFromBytes(corpus, bands, bytesPerPartition = 16L << 20))
+    }
+    val l = bandedExchange(bandRowsOf(batch), nPart, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
+      .hint("shuffle_hash")
+    val rt = bandedExchange(bandRowsOf(corpus), nPart, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
+      .hint("shuffle_hash")
+    l.join(rt, Seq("band", "bucket"))
+      .select(col("a"), col("b"),
+        round(call_function("graft_cosine", col("va"), col("vb")), roundTo).as("cos"))
+      .filter(col("cos") >= minCos)
+      .distinct()
+  }
+
+  /** Incremental embedding dedup: the `batch` rows with no cross-corpus
+    * SRP candidate at `minCos` or above — the semantic-ingest gate
+    * (compose with [[incrementalExactDedup]] /
+    * [[incrementalMinhashDedup]] for the text stages). */
+  def incrementalEmbeddingDedup(batch: DataFrame, corpus: DataFrame,
+                                vecCol: String, idCol: String,
+                                minCos: Double, bits: Int = -1,
+                                bands: Int = 4, batchSize: Long = -1L,
+                                corpusSize: Long = -1L): DataFrame = {
+    val hits = crossEmbeddingCandidates(batch, corpus, vecCol, idCol,
+        minCos, bits, bands, batchSize = batchSize, corpusSize = corpusSize)
+      .select(col("a").as("__dup")).distinct()
+    batch.join(hits, col(idCol) === col("__dup"), "left_anti")
+  }
 }

@@ -619,6 +619,54 @@ object PipelineQueries {
       nStrong.crossJoin(nMissed).crossJoin(viol) // 1x1x1 anchor joins
     },
 
+    // embedding face of the incremental family: batch embeddings vs the
+    // corpus through SAME-seeded SRP bands, exact-cosine-verified.
+    // Survivors rows-only (seeded planes are Spark-side); the bound below
+    // pins subset-of-exact + score equality.
+    Q.rowsOnly("q_dedup_incremental_embedding") { (s, dir) =>
+      val e = embs(s, dir)
+      Dedup.incrementalEmbeddingDedup(e.filter(col("vec_id") % 10 >= 7),
+          e.filter(col("vec_id") % 10 < 7), "embedding", "vec_id",
+          minCos = 0.45)
+        .select("vec_id").orderBy("vec_id")
+    },
+
+    // cross-SRP bound companion (q_dedup_lsh_pairs_bound discipline): every
+    // returned candidate is an exact batch×corpus pair with matching
+    // rounded cosine; the oracle recomputes the exact cross pair count.
+    // NaN guard: a zero-norm embedding's cosine is NaN, which DuckDB
+    // compares GREATER than everything — drop it like the kernel does.
+    Q.df("q_dedup_incremental_emb_bound", maxSf = 0.1,
+      duck = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |      FROM e a JOIN e b ON (a.vec_id % 10 >= 7) AND (b.vec_id % 10 < 7)
+        |      WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+        |        AND NOT coalesce(isnan(list_cosine_similarity(a.v, b.v)), TRUE))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_cross,
+        |  CAST(0 AS BIGINT) AS n_not_exact,
+        |  CAST(0 AS BIGINT) AS n_cos_mismatch
+        |FROM p""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val cand = Dedup.crossEmbeddingCandidates(
+        e.filter(col("vec_id") % 10 >= 7), e.filter(col("vec_id") % 10 < 7),
+        "embedding", "vec_id", minCos = 0.45)
+      val inBatch = (c: org.apache.spark.sql.Column) => c % 10 >= 7
+      val exactCross = Dedup.embeddingDupsExact(e, "embedding", "vec_id",
+          minCos = 0.45)
+        .filter(inBatch(col("a")) =!= inBatch(col("b")))
+        .select(when(inBatch(col("a")), col("a")).otherwise(col("b")).as("a"),
+          when(inBatch(col("a")), col("b")).otherwise(col("a")).as("b"),
+          col("cos").as("exact_cos"))
+      val joined = cand.join(exactCross, Seq("a", "b"), "left")
+      val nExact = exactCross.agg(count(lit(1)).as("n_exact_cross"))
+      val viol = joined.agg(
+        coalesce(sum(when(col("exact_cos").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_not_exact"),
+        coalesce(sum(when(col("cos") =!= col("exact_cos"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cos_mismatch"))
+      nExact.crossJoin(viol) // 1x1 anchor join
+    },
+
     // persisted-index parity: probing the stored corpus buckets must equal
     // the direct cross-candidates pair for pair — the index adds a disk
     // round-trip, never a semantic change. DRIVER row (counters pinned 0).

@@ -42,7 +42,8 @@ object Golden {
     // bounded by the full-oracle q_dedup_incremental_bound companion).
     "q_text_bpe",
     "q_decontaminate_bloom",
-    "q_dedup_embedding_lsh_auto", "q_dedup_incremental_minhash",
+    "q_dedup_embedding_lsh_auto", "q_dedup_incremental_embedding",
+    "q_dedup_incremental_minhash",
     "q_dedup_minhash", "q_dedup_semantic_ivf",
     "q_dedup_simhash", "q_multimodal_features",
     "q_pipeline_curation_v3_auto",

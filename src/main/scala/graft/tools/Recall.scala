@@ -78,6 +78,18 @@ object Recall {
       Dedup.embeddingCandidates(embs, "embedding", "vec_id", minCos = 0.8, bits = -1)
         .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
 
+    // incremental embedding cross candidates: planted pairs across the
+    // split (dup side in the batch), same convention as the text row
+    locally {
+      val ebIds = embPlanted.map(_._2).toSeq
+      val batchE = embs.filter(col("vec_id").isin(ebIds: _*))
+      val corpusE = embs.filter(!col("vec_id").isin(ebIds: _*))
+      out += embPairRow("dedup_incremental_embedding",
+        Dedup.crossEmbeddingCandidates(batchE, corpusE, "embedding", "vec_id",
+            minCos = 0.8)
+          .select("a", "b").collect().map(r => (r.getLong(1), r.getLong(0))).toSet)
+    }
+
     // SemDeDup IVF mode: recall = planted pairs co-clustered; precision
     // violation = a non-planted id not in its own singleton cluster
     val ivfClusters = Dedup.semanticDedup(embs, "embedding", "vec_id",

@@ -21,7 +21,8 @@ class GoldenSpec extends SparkTestBase {
     // the production AUTO plan is the only registered form)
     "q_dedup_embedding_lsh_auto" -> "e5a6c426ae27369a",
     // r14: cross-corpus incremental survivors (bounded by the full-oracle
-    // q_dedup_incremental_bound companion)
+    // q_dedup_incremental_bound / q_dedup_incremental_emb_bound companions)
+    "q_dedup_incremental_embedding" -> "c5d15de7588c18b8",
     "q_dedup_incremental_minhash" -> "08eb6a0375b52496",
     "q_dedup_minhash" -> "f445327584e7bd8c",
     "q_dedup_semantic_ivf" -> "bac5a731493a3924",

@@ -154,6 +154,34 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(MinhashIndex.readMeta(spark, idxPath).nDocs == 2L + 2L)
   }
 
+  test("crossEmbeddingCandidates + incrementalEmbeddingDedup: near vectors caught, orthogonal survive") {
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val dim = 8
+    def axis(i: Int, eps: Double = 0.0): Seq[Float] =
+      unit(Array.tabulate(dim)(d => (if (d == i) 1.0 else 0.0) + eps))
+    val corpusE = Seq(
+      (10L, axis(0)),
+      (11L, axis(1))
+    ).toDF("vec_id", "embedding")
+    val batchE = Seq(
+      (20L, axis(0, eps = 0.01)), // near-dup of corpus 10 (cos ~1)
+      (21L, axis(3))              // orthogonal to everything
+    ).toDF("vec_id", "embedding")
+    val cand = Dedup.crossEmbeddingCandidates(batchE, corpusE, "embedding",
+        "vec_id", minCos = 0.9, bits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cand.exists(c => c._1 == 20L && c._2 == 10L && c._3 >= 0.99))
+    assert(!cand.exists(c => c._1 == 21L))
+    assert(cand.forall(c => c._1 >= 20L && c._2 < 20L), "orientation batch->corpus")
+    val surv = Dedup.incrementalEmbeddingDedup(batchE, corpusE, "embedding",
+        "vec_id", minCos = 0.9, bits = 8)
+      .select("vec_id").as[Long].collect().sorted
+    assert(surv.toSeq == Seq(21L))
+  }
+
   test("incremental family on the sf0.001 fixture: survivors + drops partition the batch") {
     val d = graft.engine.Tables.read(spark, sfDir, "documents")
     val b = d.filter($"doc_id" % 10 >= 7)
