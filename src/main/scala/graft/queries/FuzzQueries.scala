@@ -727,6 +727,101 @@ object FuzzQueries {
     (builder, duck)
   }
 
+  /** Seeded incremental-ingest chains (r14): a batch/corpus split drawn
+    * per seed (modulus, threshold, optional planted cross-corpus copies),
+    * an optional batch quality pre-filter, the incremental EXACT dedup
+    * gate ([[graft.pipeline.Dedup.incrementalExactDedup]]: keep-min within
+    * the batch, drop texts the corpus already has), and an optional
+    * post-stage (per-source cap or deterministic shard shuffle) — each
+    * with a GENERATED DuckDB oracle replaying the same chain, so the whole
+    * ingest surface joins the differential net. */
+  private[graft] def genFuzz7(s: Int): ((SparkSession, String) => DataFrame, String) = {
+    val r = new Random(0x5EED7 + s)
+    val (m, t) = Seq((10, 7), (7, 5), (13, 9), (10, 6))(r.nextInt(4))
+    val plantMod = Seq(0, 2, 3)(r.nextInt(3)) // 0 = no planted copies
+    val useQuality = r.nextBoolean()
+    val minTok = Seq(5, 10)(r.nextInt(2))
+    // post-stage: 0 = none, 1 = per-source cap, 2 = shard shuffle
+    val post = r.nextInt(3)
+    val capK = Seq(5, 10)(r.nextInt(2))
+    val nShards = Seq(4, 8)(r.nextInt(2))
+    val salt = s"fz7_$s"
+
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var prev = "batch0"
+    ctes += s"batch0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % $m >= $t)"
+    val plantSql = if (plantMod > 0)
+      s"\n  UNION ALL SELECT text FROM batch0 WHERE doc_id % $plantMod = 0" else ""
+    ctes += s"corpus AS (SELECT text FROM documents WHERE doc_id % $m < $t$plantSql)"
+    def add(name: String, sql: String): Unit = { ctes += s"$name AS ($sql)"; prev = name }
+    if (useQuality) add("bq",
+      s"""SELECT doc_id, source, text FROM $prev
+         |  WHERE len(string_split(lower(text), ' ')) >= $minTok""".stripMargin)
+    add("keep",
+      s"SELECT MIN(doc_id) AS doc_id FROM $prev GROUP BY text")
+    // prev is now "keep"; the fresh CTE joins back to the LAST batch stage
+    val batchStage = if (useQuality) "bq" else "batch0"
+    add("fresh",
+      s"SELECT b.* FROM $batchStage b JOIN keep USING (doc_id)")
+    add("surv",
+      s"""SELECT doc_id, source, text FROM fresh f
+         |  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)""".stripMargin)
+    val duck = post match {
+      case 1 =>
+        add("capd",
+          s"""SELECT doc_id, source FROM (
+             |    SELECT doc_id, source, row_number() OVER (PARTITION BY source
+             |      ORDER BY CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             |        / len(string_split(lower(text), ' ')) DESC, doc_id) AS rn
+             |    FROM surv)
+             |  WHERE rn <= $capK""".stripMargin)
+        s"WITH ${ctes.mkString(",\n")}\nSELECT doc_id, source FROM capd ORDER BY doc_id"
+      case 2 =>
+        add("sh",
+          s"""SELECT doc_id,
+             |  ('0x' || substr(md5('$salt#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+             |  FROM surv""".stripMargin)
+        s"""WITH ${ctes.mkString(",\n")}
+           |SELECT doc_id, CAST(hv % $nShards AS INT) AS shard,
+           |  CAST(row_number() OVER (PARTITION BY hv % $nShards ORDER BY hv, doc_id) AS INT) AS pos
+           |FROM sh ORDER BY shard, pos""".stripMargin
+      case _ =>
+        s"WITH ${ctes.mkString(",\n")}\nSELECT doc_id, source FROM surv ORDER BY doc_id"
+    }
+
+    val builder = (sp: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val all = graft.engine.Tables.read(sp, dir, "documents")
+      var batch = all.filter(col("doc_id") % m >= t)
+        .select("doc_id", "source", "text")
+      val corpus0 = all.filter(col("doc_id") % m < t).select("text")
+      val corpus = if (plantMod > 0)
+        corpus0.unionByName(batch.filter(col("doc_id") % plantMod === 0).select("text"))
+      else corpus0
+      if (useQuality) batch = batch.join(
+        graft.pipeline.TextAnalysis.quality(batch, "text", "doc_id")
+          .filter(col("n_tokens") >= minTok).select("doc_id"), "doc_id")
+      val surv = graft.pipeline.Dedup
+        .incrementalExactDedup(batch, corpus, "text", "doc_id")
+      post match {
+        case 1 =>
+          val toks = split(lower(col("text")), " ")
+          val scored = surv.withColumn("score",
+            size(array_distinct(toks)).cast("double") / size(toks))
+          graft.pipeline.Curation
+            .capPerGroupByScore(scored, "source", "score", "doc_id", capK)
+            .select("doc_id", "source").orderBy("doc_id")
+        case 2 =>
+          graft.pipeline.Curation
+            .shuffleShards(surv, "doc_id", salt, nShards)
+            .select("doc_id", "shard", "pos").orderBy("shard", "pos")
+        case _ =>
+          surv.select("doc_id", "source").orderBy("doc_id")
+      }
+    }
+    (builder, duck)
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
@@ -736,6 +831,7 @@ object FuzzQueries {
   private val seeds4: Seq[Int] = 0 until 12
   private val seeds5: Seq[Int] = 0 until 12
   private val seeds6: Seq[Int] = 0 until 10
+  private val seeds7: Seq[Int] = 0 until 10
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -770,5 +866,8 @@ object FuzzQueries {
   } ++ seeds6.map { s =>
     val (builder, duck) = genFuzz6(s)
     Q.df(f"q_fuzz6_$s%02d", duck = duck)(builder)
+  } ++ seeds7.map { s =>
+    val (builder, duck) = genFuzz7(s)
+    Q.df(f"q_fuzz7_$s%02d", duck = duck)(builder)
   }
 }

@@ -74,6 +74,13 @@ object FuzzSweep {
         dump(f"fz_fz6_$s%04d", duck)(builder(spark, sfDir))
       }
     }
+    // optional 9th/10th args: incremental-ingest chain (genFuzz7) seed range
+    if (args.length > 9) {
+      for (s <- args(8).toInt until args(9).toInt) {
+        val (builder, duck) = graft.queries.FuzzQueries.genFuzz7(s)
+        dump(f"fz_fz7_$s%04d", duck)(builder(spark, sfDir))
+      }
+    }
     // the TQL run + comparison-soundness projection is TqlFuzz.runTql —
     // one copy shared with the registered fuzz queries (r14 review)
     for (s <- tqlFrom until tqlUntil) {
