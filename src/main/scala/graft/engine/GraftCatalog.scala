@@ -260,6 +260,83 @@ final class GraftCatalog(spark: SparkSession) {
     conds.foldLeft(c.df)((d, cond) => d.filter(cond))
   }
 
+  // ---- TimeSeries point-API parity (java_client TimeSeries.java:312
+  // get(base, TimeOperator), :360 interpolate(base, column), :396/:446
+  // query(start, end[, order]), :603 aggregate(start, end, column,
+  // Aggregation)) — thin delegations to the oracle-checked TQL kernels in
+  // ts/TimeSeriesOps, so a client-API caller and a TQL query share ONE
+  // implementation. All take epoch-millis (the client's Date). ----
+
+  private def tsContainer(name: String): (Container, String) = {
+    val c = get(name)
+    val tc = c.timeColumn.getOrElse(throw new IllegalArgumentException(
+      s"$name is not a TimeSeries container"))
+    (c, tc)
+  }
+
+  /** TimeSeries.get(base, TimeOperator): the row at/adjacent to `baseMs`
+    * under NEXT | NEXT_ONLY | PREVIOUS | PREVIOUS_ONLY
+    * (TimeOperator.java:42-69). Zero rows when no row qualifies, like the
+    * client's null return. */
+  def tsGet(name: String, baseMs: Long, op: String): DataFrame = {
+    val (c, tc) = tsContainer(name)
+    val t = timestamp_millis(lit(baseMs))
+    op.toUpperCase match {
+      case "NEXT"          => graft.ts.TimeSeriesOps.timeNext(c.df, tc, t)
+      case "NEXT_ONLY"     => graft.ts.TimeSeriesOps.timeNext(c.df, tc, t, only = true)
+      case "PREVIOUS"      => graft.ts.TimeSeriesOps.timePrev(c.df, tc, t)
+      case "PREVIOUS_ONLY" => graft.ts.TimeSeriesOps.timePrev(c.df, tc, t, only = true)
+      case other => throw new IllegalArgumentException(
+        s"unknown TimeOperator '$other' (NEXT|NEXT_ONLY|PREVIOUS|PREVIOUS_ONLY)")
+    }
+  }
+
+  /** TimeSeries.interpolate(base, column): linear interpolation of
+    * `column` at `baseMs` between the bracketing rows; exact row wins;
+    * zero rows outside the series range (the client's null). */
+  def tsInterpolate(name: String, baseMs: Long, column: String): DataFrame = {
+    val (c, tc) = tsContainer(name)
+    graft.ts.TimeSeriesOps.timeInterpolated(c.df, tc, column,
+      timestamp_millis(lit(baseMs)))
+  }
+
+  /** TimeSeries.query(start, end[, order]): rows with start <= ts <= end
+    * in the requested time order. */
+  def tsQuery(name: String, startMs: Long, endMs: Long,
+              descending: Boolean = false): DataFrame = {
+    val (c, tc) = tsContainer(name)
+    c.df.filter(col(tc) >= timestamp_millis(lit(startMs)) &&
+        col(tc) <= timestamp_millis(lit(endMs)))
+      .orderBy(if (descending) col(tc).desc else col(tc).asc)
+  }
+
+  /** TimeSeries.aggregate(start, end, column, Aggregation): one-value
+    * aggregation over the closed time range (Aggregation.java:72-198).
+    * VARIANCE/STANDARD_DEVIATION are the sample forms, matching the TQL
+    * compiler's VARIANCE/STDDEV mapping; WEIGHTED_AVERAGE is the
+    * time-weighted average (the TIME_AVG kernel restricted to the range,
+    * aggregation_func.h:780-899). */
+  def tsAggregate(name: String, startMs: Long, endMs: Long,
+                  column: String, agg: String): DataFrame = {
+    val (c, tc) = tsContainer(name)
+    val in = c.df.filter(col(tc) >= timestamp_millis(lit(startMs)) &&
+      col(tc) <= timestamp_millis(lit(endMs)))
+    val v = col(column)
+    agg.toUpperCase match {
+      case "MINIMUM" => in.agg(min(v).as("minimum"))
+      case "MAXIMUM" => in.agg(max(v).as("maximum"))
+      case "TOTAL"   => in.agg(sum(v).as("total"))
+      case "AVERAGE" => in.agg(avg(v).as("average"))
+      case "VARIANCE" => in.agg(var_samp(v).as("variance"))
+      case "STANDARD_DEVIATION" => in.agg(stddev_samp(v).as("standard_deviation"))
+      case "COUNT"   => in.agg(count(v).as("count"))
+      case "WEIGHTED_AVERAGE" =>
+        graft.ts.TimeSeriesOps.timeAvg(in, tc, column)
+      case other => throw new IllegalArgumentException(
+        s"unknown Aggregation '$other'")
+    }
+  }
+
   /** DELETE by key (REMOVE semantics). */
   def remove(name: String, keyValues: Seq[Any]): Container = {
     val c = get(name)

@@ -591,6 +591,68 @@ object CoreSql {
         .orderBy("id")
     },
 
+    // ---- TimeSeries client point APIs (TimeSeries.java:312/:360/:446/:603
+    //      get(base, TimeOperator) / interpolate / query(start,end,order) /
+    //      aggregate(start,end,col,Aggregation)) driven end-to-end through
+    //      the GraftCatalog wrappers; the oracle computes the same values
+    //      over the literal fixture (variance/stddev by DuckDB itself) ----
+    Q.df("q_api_ts_ops",
+      duck = """WITH v(x) AS (VALUES (10.0), (20.0), (40.0), (80.0))
+        |SELECT op, CAST(val AS DOUBLE) AS val FROM (
+        |  SELECT 'agg_average' AS op, 37.5 AS val
+        |  UNION ALL SELECT 'agg_count', 4
+        |  UNION ALL SELECT 'agg_maximum', 80
+        |  UNION ALL SELECT 'agg_minimum', 10
+        |  UNION ALL SELECT 'agg_stddev', (SELECT stddev_samp(x) FROM v)
+        |  UNION ALL SELECT 'agg_total', 150
+        |  UNION ALL SELECT 'agg_variance', (SELECT var_samp(x) FROM v)
+        |  UNION ALL SELECT 'agg_weighted_avg', 35
+        |  UNION ALL SELECT 'get_next', 40
+        |  UNION ALL SELECT 'get_next_only', 80
+        |  UNION ALL SELECT 'get_previous', 20
+        |  UNION ALL SELECT 'get_previous_only', 10
+        |  UNION ALL SELECT 'interpolate_mid', 30
+        |  UNION ALL SELECT 'query_desc_first', 80) t
+        |ORDER BY op""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions._
+      val cat = graft.engine.GraftCatalog.forSession(s)
+      if (cat.exists("q_ts_api_tab")) cat.dropContainer("q_ts_api_tab")
+      cat.createTimeSeries("q_ts_api_tab", StructType(Seq(
+        StructField("ts", TimestampType, nullable = false),
+        StructField("value", DoubleType))), timeColumn = "ts")
+      import s.implicits._
+      cat.put("q_ts_api_tab",
+        Seq(1000L -> 10.0, 2000L -> 20.0, 3000L -> 40.0, 4000L -> 80.0)
+          .toDF("ms", "value")
+          .select(timestamp_millis(col("ms")).as("ts"), col("value")))
+      val T = "q_ts_api_tab"
+      def one(op: String, df: org.apache.spark.sql.DataFrame,
+              valueCol: String): org.apache.spark.sql.DataFrame =
+        df.select(lit(op).as("op"), col(valueCol).cast("double").as("val"))
+      Seq(
+        one("agg_average", cat.tsAggregate(T, 1000, 4000, "value", "AVERAGE"), "average"),
+        one("agg_count", cat.tsAggregate(T, 1000, 4000, "value", "COUNT"), "count"),
+        one("agg_maximum", cat.tsAggregate(T, 1000, 4000, "value", "MAXIMUM"), "maximum"),
+        one("agg_minimum", cat.tsAggregate(T, 1000, 4000, "value", "MINIMUM"), "minimum"),
+        one("agg_stddev",
+          cat.tsAggregate(T, 1000, 4000, "value", "STANDARD_DEVIATION"),
+          "standard_deviation"),
+        one("agg_total", cat.tsAggregate(T, 1000, 4000, "value", "TOTAL"), "total"),
+        one("agg_variance", cat.tsAggregate(T, 1000, 4000, "value", "VARIANCE"), "variance"),
+        one("agg_weighted_avg",
+          cat.tsAggregate(T, 1000, 4000, "value", "WEIGHTED_AVERAGE"),
+          "time_avg_value"),
+        one("get_next", cat.tsGet(T, 2500, "NEXT"), "value"),
+        one("get_next_only", cat.tsGet(T, 3000, "NEXT_ONLY"), "value"),
+        one("get_previous", cat.tsGet(T, 2500, "PREVIOUS"), "value"),
+        one("get_previous_only", cat.tsGet(T, 2000, "PREVIOUS_ONLY"), "value"),
+        one("interpolate_mid", cat.tsInterpolate(T, 2500, "value"), "value"),
+        one("query_desc_first",
+          cat.tsQuery(T, 1000, 4000, descending = true).limit(1), "value")
+      ).reduce(_ unionByName _).orderBy("op")
+    },
+
     // ---- GROUP BY ROLLUP: subtotal grades with GROUPING markers ----
     Q.sql("q_rollup_agg",
       """SELECT l_returnflag, l_linestatus,

@@ -226,4 +226,35 @@ class CatalogSpec extends SparkTestBase {
     assert(!cat.exists("d1"))
     intercept[NoSuchElementException](cat.get("d1"))
   }
+
+  test("TimeSeries point APIs: edge and error paths") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.createTimeSeries("ts_api", StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("value", DoubleType))), timeColumn = "ts")
+    cat.put("ts_api", Seq(1000L -> 10.0, 3000L -> 30.0).toDF("ms", "value")
+      .select(timestamp_millis($"ms").as("ts"), $"value"))
+    // out-of-range lookups return zero rows (the client's null)
+    assert(cat.tsGet("ts_api", 500, "PREVIOUS").count() == 0)
+    assert(cat.tsGet("ts_api", 3500, "NEXT").count() == 0)
+    assert(cat.tsInterpolate("ts_api", 500, "value").count() == 0)
+    // exact hit wins over interpolation
+    assert(cat.tsInterpolate("ts_api", 3000, "value")
+      .select("value").head().getDouble(0) == 30.0)
+    // empty aggregation range: COUNT 0, AVERAGE null
+    assert(cat.tsAggregate("ts_api", 4000, 5000, "value", "COUNT")
+      .head().getLong(0) == 0L)
+    assert(cat.tsAggregate("ts_api", 4000, 5000, "value", "AVERAGE")
+      .head().isNullAt(0))
+    // errors: not a timeseries / unknown enum values
+    val col2 = StructType(Seq(StructField("id", IntegerType, nullable = false)))
+    cat.createCollection("not_ts", col2)
+    intercept[IllegalArgumentException](cat.tsGet("not_ts", 0, "NEXT"))
+    intercept[IllegalArgumentException](cat.tsGet("ts_api", 0, "SIDEWAYS"))
+    intercept[IllegalArgumentException](
+      cat.tsAggregate("ts_api", 0, 1, "value", "MODE"))
+  }
 }
