@@ -337,6 +337,37 @@ final class GraftCatalog(spark: SparkSession) {
     }
   }
 
+  // ---- Collection spatial query parity (java_client Collection.java:107
+  // query(column, geometry, GeometryOperator.INTERSECT) — the TQL
+  // ST_MBRINTERSECTS / ST_QSFMBRINTERSECTS forms per the GeometryOperator
+  // doc — and :161 query(column, intersection, disjoint)). ----
+
+  /** Rows whose WKT geometry column's MBR intersects `wkt`'s. */
+  def geometryQuery(name: String, column: String, wkt: String): DataFrame = {
+    val c = get(name)
+    c.df.filter(graft.geometry.Geo.stMbrIntersectsWkt(col(column), lit(wkt)))
+  }
+
+  /** Rows intersecting `intersectWkt` and NOT intersecting `disjointWkt`
+    * (Collection.java:161 — "a range that does not intersect with the
+    * values on the column"). */
+  def geometryQuery(name: String, column: String, intersectWkt: String,
+                    disjointWkt: String): DataFrame = {
+    val c = get(name)
+    val g = col(column)
+    c.df.filter(graft.geometry.Geo.stMbrIntersectsWkt(g, lit(intersectWkt)) &&
+      !graft.geometry.Geo.stMbrIntersectsWkt(g, lit(disjointWkt)))
+  }
+
+  /** The quadratic-surface form: rows whose 3D geometry column's MBR
+    * intersects the QSF built via Geo.stMakeQsf/stMakeSphere/stMakePlane/
+    * stMakeCylinder/stMakeCone. */
+  def geometryQueryQsf(name: String, column: String,
+                       qsf: org.apache.spark.sql.Column): DataFrame = {
+    val c = get(name)
+    c.df.filter(graft.geometry.Geo.stQsfMbrIntersects(qsf, col(column)))
+  }
+
   /** DELETE by key (REMOVE semantics). */
   def remove(name: String, keyValues: Seq[Any]): Container = {
     val c = get(name)

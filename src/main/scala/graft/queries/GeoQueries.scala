@@ -81,6 +81,40 @@ object GeoQueries {
         .filter(Geo.stQsfMbrIntersects(sphere, boxWkt))
         .select("p_partkey")
         .orderBy("p_partkey")
+    },
+
+    // ---- Collection spatial client API (Collection.java:107 query(column,
+    //      geometry, INTERSECT) and :161 query(column, intersection,
+    //      disjoint)) driven through the GraftCatalog wrappers over a real
+    //      container; oracle = the closed-boundary range predicates the
+    //      point-in-rect MBR tests reduce to (a point at x=20 intersects
+    //      BOTH rects, so the disjoint form excludes it) ----
+    Q.df("q_api_geometry_query",
+      duck = """SELECT op, p_partkey FROM (
+        |  SELECT 'intersect' AS op, p_partkey FROM part
+        |    WHERE p_size BETWEEN 10 AND 30 AND p_retailprice BETWEEN 500 AND 1200
+        |  UNION ALL
+        |  SELECT 'with_disjoint', p_partkey FROM part
+        |    WHERE p_size BETWEEN 10 AND 30 AND p_retailprice BETWEEN 500 AND 1200
+        |      AND NOT (p_size BETWEEN 20 AND 30 AND p_retailprice BETWEEN 500 AND 1200)
+        |) t ORDER BY op, p_partkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val cat = graft.engine.GraftCatalog.forSession(s)
+      if (cat.exists("q_geo_api_tab")) cat.dropContainer("q_geo_api_tab")
+      cat.createCollection("q_geo_api_tab", StructType(Seq(
+        StructField("p_partkey", LongType, nullable = false),
+        StructField("wkt", StringType))), keyColumns = Seq("p_partkey"))
+      cat.put("q_geo_api_tab", Tables.read(s, dir, "part")
+        .select(col("p_partkey"),
+          Geo.stPoint(col("p_size"), col("p_retailprice")).as("wkt")))
+      val rect = "POLYGON((10 500, 30 500, 30 1200, 10 1200, 10 500))"
+      val disjointRect = "POLYGON((20 500, 30 500, 30 1200, 20 1200, 20 500))"
+      cat.geometryQuery("q_geo_api_tab", "wkt", rect)
+        .select(lit("intersect").as("op"), col("p_partkey"))
+        .unionByName(
+          cat.geometryQuery("q_geo_api_tab", "wkt", rect, disjointRect)
+            .select(lit("with_disjoint").as("op"), col("p_partkey")))
+        .orderBy("op", "p_partkey")
     }
   )
 }
