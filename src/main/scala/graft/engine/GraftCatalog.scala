@@ -42,6 +42,14 @@ object GraftCatalog {
   private val sessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, GraftCatalog]()
 
+  /** The per-container predicate of GridStore.multiGet
+    * (java_client RowKeyPredicate.java: either a distinct-key set or a
+    * start/finish key range — the two construction families). */
+  sealed trait RowKeyPredicate
+  final case class KeySet(keys: Seq[Any]) extends RowKeyPredicate
+  final case class KeyRange(from: Option[Any], until: Option[Any])
+      extends RowKeyPredicate
+
   /** The session-scoped catalog the SQL-text front-end routes DDL/DML to
     * (containers become temp views, so session scoping matches Spark's). */
   def forSession(spark: SparkSession): GraftCatalog =
@@ -227,6 +235,26 @@ final class GraftCatalog(spark: SparkSession) {
       c.df.filter(keyStruct.isin(lits: _*))
     }
   }
+
+  /** GridStore.multiPut (java_client GridStore.java:2017): one call PUTs a
+    * row set into each named container — the cross-container batch-ingest
+    * path. Each container's put keeps its own semantics (upsert by key,
+    * event triggers fire), exactly like the per-container form. */
+  def multiPut(batches: Map[String, DataFrame]): Unit =
+    batches.foreach { case (name, rows) => put(name, rows) }
+
+  /** GridStore.multiGet (GridStore.java:2174): a per-container
+    * [[GraftCatalog.RowKeyPredicate]] — a distinct-key set or a key range —
+    * evaluated for every named container in one call; result keyed by
+    * container name. */
+  def multiGetAll(preds: Map[String, GraftCatalog.RowKeyPredicate])
+      : Map[String, DataFrame] =
+    preds.map { case (name, p) =>
+      name -> (p match {
+        case GraftCatalog.KeySet(ks) => multiGet(name, ks)
+        case GraftCatalog.KeyRange(f, u) => keyRange(name, f, u)
+      })
+    }
 
   /** Lexicographic composite-key comparison: key strictly-less/greater than a
     * bound prefix (bound may cover only the leading key columns). */

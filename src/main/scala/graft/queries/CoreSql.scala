@@ -591,6 +591,35 @@ object CoreSql {
         .orderBy("id")
     },
 
+    // ---- GridStore cross-container batch APIs (GridStore.java:2017
+    //      multiPut(Map<container,rows>) and :2174 multiGet(Map<container,
+    //      RowKeyPredicate>)) — one call ingests/reads several containers;
+    //      per-container semantics (upsert, triggers) unchanged ----
+    Q.df("q_api_multi_container",
+      duck = """SELECT tab, id FROM (VALUES
+        |  ('ta', 1), ('ta', 2), ('tb', 12), ('tb', 13)) t(tab, id)
+        |ORDER BY tab, id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions._
+      val cat = graft.engine.GraftCatalog.forSession(s)
+      Seq("q_mc_ta", "q_mc_tb").foreach { t =>
+        if (cat.exists(t)) cat.dropContainer(t)
+        cat.createCollection(t, StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("v", StringType))), keyColumns = Seq("id"))
+      }
+      import s.implicits._
+      cat.multiPut(Map(
+        "q_mc_ta" -> Seq(1 -> "a", 2 -> "b", 3 -> "c").toDF("id", "v"),
+        "q_mc_tb" -> Seq(11 -> "x", 12 -> "y", 13 -> "z").toDF("id", "v")))
+      val got = cat.multiGetAll(Map(
+        "q_mc_ta" -> graft.engine.GraftCatalog.KeySet(Seq(1, 2)),
+        "q_mc_tb" -> graft.engine.GraftCatalog.KeyRange(Some(12), None)))
+      got.toSeq.sortBy(_._1).map { case (t, df) =>
+        df.select(lit(t.stripPrefix("q_mc_")).as("tab"), col("id"))
+      }.reduce(_ unionByName _).orderBy("tab", "id")
+    },
+
     // ---- TimeSeries client point APIs (TimeSeries.java:312/:360/:446/:603
     //      get(base, TimeOperator) / interpolate / query(start,end,order) /
     //      aggregate(start,end,col,Aggregation)) driven end-to-end through
