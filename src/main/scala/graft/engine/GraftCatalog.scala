@@ -236,6 +236,17 @@ final class GraftCatalog(spark: SparkSession) {
     }
   }
 
+  /** Container.query(tql) (java_client Container.java:722): run a TQL
+    * statement against this container through the oracle-checked TQL
+    * front end. */
+  def tqlQuery(name: String, tql: String): DataFrame =
+    graft.tql.TqlCompiler.run(get(name), tql)
+
+  /** GridStore.fetchAll (GridStore.java:1871): execute a batch of
+    * per-container TQL queries in one call; results in input order. */
+  def fetchAll(queries: Seq[(String, String)]): Seq[DataFrame] =
+    queries.map { case (name, tql) => tqlQuery(name, tql) }
+
   /** GridStore.multiPut (java_client GridStore.java:2017): one call PUTs a
     * row set into each named container — the cross-container batch-ingest
     * path. Each container's put keeps its own semantics (upsert by key,

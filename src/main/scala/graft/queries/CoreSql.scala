@@ -620,6 +620,34 @@ object CoreSql {
       }.reduce(_ unionByName _).orderBy("tab", "id")
     },
 
+    // ---- Container.query(tql) + GridStore.fetchAll (Container.java:722,
+    //      GridStore.java:1871): per-container TQL through the catalog,
+    //      batched in one call; results in input order ----
+    Q.df("q_api_fetch_all",
+      duck = """SELECT tab, id FROM (VALUES
+        |  ('fa', 3), ('fa', 2), ('fb', 21)) t(tab, id)
+        |ORDER BY tab, id""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions._
+      val cat = graft.engine.GraftCatalog.forSession(s)
+      Seq("q_fa_ta", "q_fa_tb").foreach { t =>
+        if (cat.exists(t)) cat.dropContainer(t)
+        cat.createCollection(t, StructType(Seq(
+          StructField("id", IntegerType, nullable = false),
+          StructField("v", IntegerType))), keyColumns = Seq("id"))
+      }
+      import s.implicits._
+      cat.multiPut(Map(
+        "q_fa_ta" -> Seq(1 -> 10, 2 -> 20, 3 -> 30).toDF("id", "v"),
+        "q_fa_tb" -> Seq(21 -> 5, 22 -> 50).toDF("id", "v")))
+      val res = cat.fetchAll(Seq(
+        "q_fa_ta" -> "select * where v >= 20 order by id desc",
+        "q_fa_tb" -> "select * where v < 10"))
+      res.zip(Seq("fa", "fb")).map { case (df, t) =>
+        df.select(lit(t).as("tab"), col("id"))
+      }.reduce(_ unionByName _).orderBy("tab", "id")
+    },
+
     // ---- TimeSeries client point APIs (TimeSeries.java:312/:360/:446/:603
     //      get(base, TimeOperator) / interpolate / query(start,end,order) /
     //      aggregate(start,end,col,Aggregation)) driven end-to-end through
