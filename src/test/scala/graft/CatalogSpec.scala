@@ -227,6 +227,32 @@ class CatalogSpec extends SparkTestBase {
     intercept[NoSuchElementException](cat.get("d1"))
   }
 
+  test("spatial + batch client APIs: QSF form, multiPut/fetchAll edges") {
+    import org.apache.spark.sql.functions._
+    import graft.geometry.Geo
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("geo3d", StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("wkt", StringType))), keyColumns = Seq("id"))
+    // two 3D boxes: one near the origin, one far away
+    cat.put("geo3d", Seq(
+      1 -> "POLYHEDRALSURFACE(((0 0 0, 1 0 0, 1 1 0, 0 1 0, 0 0 0)), ((0 0 1, 1 0 1, 1 1 1, 0 1 1, 0 0 1)))",
+      2 -> "POLYHEDRALSURFACE(((90 90 90, 91 90 90, 91 91 90, 90 91 90, 90 90 90)), ((90 90 91, 91 90 91, 91 91 91, 90 91 91, 90 90 91)))"
+    ).toDF("id", "wkt"))
+    val sphere = Geo.stMakeSphere(lit(0.5), lit(0.5), lit(0.5), lit(1.0))
+    val hit = cat.geometryQueryQsf("geo3d", "wkt", sphere)
+      .select("id").as[Int].collect().toSeq
+    assert(hit == Seq(1), s"sphere at the origin must hit box 1 only: $hit")
+    // fetchAll surfaces a TQL error for the failing entry, names intact
+    intercept[Exception](
+      cat.fetchAll(Seq("geo3d" -> "select * where nonsense &&& 1")).head.count())
+    intercept[NoSuchElementException](cat.tqlQuery("absent_tab", "select *"))
+    // multiPut into a missing container fails whole-call, like put
+    intercept[NoSuchElementException](
+      cat.multiPut(Map("absent_tab" -> Seq(1 -> "x").toDF("id", "wkt"))))
+  }
+
   test("TimeSeries point APIs: edge and error paths") {
     import org.apache.spark.sql.types.{DoubleType, TimestampType}
     import org.apache.spark.sql.functions._
