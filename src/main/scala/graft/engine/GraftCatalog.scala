@@ -44,10 +44,11 @@ object GraftCatalog {
 
   /** The per-container predicate of GridStore.multiGet
     * (java_client RowKeyPredicate.java: either a distinct-key set or a
-    * start/finish key range — the two construction families). */
+    * start/finish key range — the two construction families). Both range
+    * bounds are INCLUSIVE, like setStart/setFinish. */
   sealed trait RowKeyPredicate
   final case class KeySet(keys: Seq[Any]) extends RowKeyPredicate
-  final case class KeyRange(from: Option[Any], until: Option[Any])
+  final case class KeyRange(from: Option[Any], finish: Option[Any])
       extends RowKeyPredicate
 
   /** The session-scoped catalog the SQL-text front-end routes DDL/DML to
@@ -257,13 +258,15 @@ final class GraftCatalog(spark: SparkSession) {
   /** GridStore.multiGet (GridStore.java:2174): a per-container
     * [[GraftCatalog.RowKeyPredicate]] — a distinct-key set or a key range —
     * evaluated for every named container in one call; result keyed by
-    * container name. */
+    * container name. The range's finish key is INCLUSIVE, matching
+    * RowKeyPredicate.setFinish. */
   def multiGetAll(preds: Map[String, GraftCatalog.RowKeyPredicate])
       : Map[String, DataFrame] =
     preds.map { case (name, p) =>
       name -> (p match {
         case GraftCatalog.KeySet(ks) => multiGet(name, ks)
-        case GraftCatalog.KeyRange(f, u) => keyRange(name, f, u)
+        case GraftCatalog.KeyRange(f, u) =>
+          keyRange(name, f, u, untilInclusive = true)
       })
     }
 
@@ -278,11 +281,15 @@ final class GraftCatalog(spark: SparkSession) {
   }
 
   /** RowKeyPredicate range scan (java_client/.../RowKeyPredicate.java):
-    * inclusive start, exclusive finish, either optional. Composite bounds
-    * (Seq of leading key parts) compare lexicographically, matching the
-    * reference's composite-key ordering (server/value_operator.h compareTo
-    * over key columns in order). */
-  def keyRange(name: String, from: Option[Any], until: Option[Any]): DataFrame = {
+    * inclusive start; `until` is this API's native half-open (exclusive)
+    * bound, with `untilInclusive = true` giving the reference's
+    * setFinish semantics (the finish key itself conforms —
+    * RowKeyPredicate.setFinish javadoc), which [[multiGetAll]] uses.
+    * Composite bounds (Seq of leading key parts) compare
+    * lexicographically, matching the reference's composite-key ordering
+    * (server/value_operator.h compareTo over key columns in order). */
+  def keyRange(name: String, from: Option[Any], until: Option[Any],
+               untilInclusive: Boolean = false): DataFrame = {
     val c = get(name)
     require(c.keyColumns.nonEmpty, s"$name has no row key")
     val cols = c.keyColumns.map(col)
@@ -293,9 +300,15 @@ final class GraftCatalog(spark: SparkSession) {
         parts
       case scalar => Seq(scalar)
     }
+    // untilInclusive = the reference RowKeyPredicate.setFinish semantics
+    // ("a value LARGER than the specified value is non-conforming" — the
+    // finish key itself matches); the default exclusive `until` is this
+    // API's native half-open range
     val conds =
       from.map(b => !lexCompare(cols, boundParts(b), less = true)).toSeq ++
-        until.map(b => lexCompare(cols, boundParts(b), less = true)).toSeq
+        until.map(b =>
+          if (untilInclusive) !lexCompare(cols, boundParts(b), less = false)
+          else lexCompare(cols, boundParts(b), less = true)).toSeq
     conds.foldLeft(c.df)((d, cond) => d.filter(cond))
   }
 
@@ -368,7 +381,9 @@ final class GraftCatalog(spark: SparkSession) {
       case "AVERAGE" => in.agg(avg(v).as("average"))
       case "VARIANCE" => in.agg(var_samp(v).as("variance"))
       case "STANDARD_DEVIATION" => in.agg(stddev_samp(v).as("standard_deviation"))
-      case "COUNT"   => in.agg(count(v).as("count"))
+      // COUNT is "the number of Rows", not non-null values of the column
+      // (Aggregation.java:173 — "Available to any kinds of Columns")
+      case "COUNT"   => in.agg(count(lit(1)).as("count"))
       case "WEIGHTED_AVERAGE" =>
         graft.ts.TimeSeriesOps.timeAvg(in, tc, column)
       case other => throw new IllegalArgumentException(

@@ -748,6 +748,23 @@ object Dedup {
     * when AUTO widens the bands, raise `bands` to recover recall (the
     * standard LSH b·r trade: bands cost linearly, band width exponentially).
     * Output (a, b, cos). */
+  /** Exploded (id, v, band, bucket) SRP rows — the one copy of the
+    * per-band seeded-plane scheme (seed = 42 + 1000003·band), shared by
+    * the self-join ([[embeddingCandidates]]) and the batch-vs-corpus
+    * cross join ([[crossEmbeddingCandidates]]): both sides of a cross
+    * join MUST draw the same planes or their bucket spaces are
+    * incomparable. */
+  private def srpBandRows(df: DataFrame, vecCol: String, idCol: String,
+                          r: Int, dim: Int, bands: Int): DataFrame = {
+    val sig = spread(df).select(col(idCol).as("id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val bandCols = (0 until bands).map { b =>
+      Similarity.signatureFused(col("v"), r, dim, seed = 42L + 1000003L * b)
+    }
+    sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   def embeddingCandidates(docs: DataFrame, vecCol: String, idCol: String,
                           minCos: Double, bits: Int = -1, bands: Int = 4,
                           roundTo: Int = 4, corpusSize: Long = -1L): DataFrame = {
@@ -769,11 +786,6 @@ object Dedup {
     // bands·r-plane call). Buckets were formerly r-bit slices of one packed
     // 63-bit signature, which capped bands·r at 63 and stopped AUTO's
     // per-band growth at ~2M vectors for 4 bands.
-    val sig = spread(docs).select(col(idCol).as("id"),
-      transform(col(vecCol), _.cast("double")).as("v"))
-    val bandCols = (0 until bands).map { b =>
-      Similarity.signatureFused(col("v"), r, dim, seed = 42L + 1000003L * b)
-    }
     // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates.
     // Adaptive width (rows carry the full double[] vector, so the
     // per-partition target is lower than the text sketches')
@@ -783,8 +795,7 @@ object Dedup {
       case None => widthFromBytes(docs, bands, bytesPerPartition = 16L << 20)
     }
     val banded = bandedExchange(
-      sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      srpBandRows(docs, vecCol, idCol, r, dim, bands),
       nPart, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
@@ -823,15 +834,6 @@ object Dedup {
     val r = resolvedBits / bands
     require(r <= 63, s"per-band width $r exceeds the 63-bit band bucket")
     val dim = Similarity.vecDim(corpus, vecCol)
-    def bandRowsOf(df: DataFrame): DataFrame = {
-      val sig = spread(df).select(col(idCol).as("id"),
-        transform(col(vecCol), _.cast("double")).as("v"))
-      val bandCols = (0 until bands).map { b =>
-        Similarity.signatureFused(col("v"), r, dim, seed = 42L + 1000003L * b)
-      }
-      sig.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    }
     val nPart = (nCorpusOpt, batchSize) match {
       case (Some(n), bs) => verifyPartitions(
         bands.toLong * math.max(n, math.max(bs, 1L)),
@@ -840,10 +842,14 @@ object Dedup {
         widthFromBytes(batch, bands, bytesPerPartition = 16L << 20),
         widthFromBytes(corpus, bands, bytesPerPartition = 16L << 20))
     }
-    val l = bandedExchange(bandRowsOf(batch), nPart, col("band"), col("bucket"))
+    val l = bandedExchange(
+        srpBandRows(batch, vecCol, idCol, r, dim, bands),
+        nPart, col("band"), col("bucket"))
       .select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
-    val rt = bandedExchange(bandRowsOf(corpus), nPart, col("band"), col("bucket"))
+    val rt = bandedExchange(
+        srpBandRows(corpus, vecCol, idCol, r, dim, bands),
+        nPart, col("band"), col("bucket"))
       .select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
       .hint("shuffle_hash")
     l.join(rt, Seq("band", "bucket"))

@@ -26,7 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object MinhashIndex {
 
-  /** Sketch `corpus` and write the index. Overwrites `path`. */
+  /** Sketch `corpus` and write the index. Overwrites `path`. The buckets
+    * tree is partitioned by an `ingest` tag (the build writes
+    * `ingest=base`; each [[append]] writes its own tag), so a re-written
+    * ingest REPLACES its rows instead of duplicating them — the property
+    * replay-safe streaming ingest needs. A wholesale REBUILD while probes
+    * are serving needs external coordination (or the IvfIndex-style
+    * atomic-swap retrain); appends are additive and safe under serving. */
   def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
             corpusSize: Long = -1L): Unit = {
@@ -41,32 +47,63 @@ object MinhashIndex {
       // discipline as the in-query joins
       val nPart = Dedup.verifyPartitions(bands.toLong * math.max(n, 1L),
         spark.sessionState.conf.numShufflePartitions, 125000L)
-      rows.repartition(nPart, col("band"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$path/buckets")
+      rows.withColumn("ingest", lit("base"))
+        .repartition(nPart, col("band"), col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$path/buckets")
       writeMeta(spark, path, shingleN, k, bands, n)
     }
   }
 
+  private def sanitizeTag(t: String): String =
+    t.map(c => if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
+
   /** Add accepted docs to the index (after their batch passed the dedup
-    * gate): sketch with the SAVED parameters, append into the buckets
-    * tree. Unlike [[IvfIndex.append]] there is no staleness to track —
-    * minhash has no trained state to drift; an appended doc's buckets are
-    * exactly what a fresh build would produce.
+    * gate): sketch with the SAVED parameters, write into the ingest
+    * partition named by `tag`. Re-running the SAME tag overwrites that
+    * ingest's rows — idempotent under replay (a crash-replayed micro-batch
+    * cannot double its index rows). Unlike [[IvfIndex.append]] there is no
+    * staleness to track — minhash has no trained state to drift; an
+    * appended doc's buckets are exactly what a fresh build would produce.
+    * The meta doc count is width-sizing metadata only; a crash-window
+    * replay may overcount it, which only ever WIDENS probe exchanges.
     * @return total indexed docs after this append. */
   def append(newDocs: DataFrame, textCol: String, idCol: String,
-             path: String, batchSize: Long = -1L): Long = {
+             path: String, batchSize: Long = -1L,
+             tag: String = null): Long = {
     val spark = newDocs.sparkSession
     WriterLock.withLock(spark, path) {
       val m = readMeta(spark, path)
       val add = if (batchSize > 0) batchSize else newDocs.count()
+      val t = sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
       Dedup.bandRows(
           Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
           m.k, m.bands)
-        .write.mode("append").parquet(s"$path/buckets")
+        .write.mode("overwrite").parquet(s"$path/buckets/ingest=$t")
       writeMeta(spark, path, m.shingleN, m.k, m.bands, m.nDocs + add)
       m.nDocs + add
     }
   }
+
+  /** Read the surviving ids recorded for an applied ingest `tag`, or None
+    * if the tag was never marked applied — the replay-detection half of
+    * the exactly-once micro-batch protocol
+    * ([[graft.streaming.StreamingOps.incrementalDedupBatch]]). */
+  def appliedMarker(spark: SparkSession, path: String,
+                    tag: String): Option[DataFrame] = {
+    val p = s"$path/applied/${sanitizeTag(tag)}"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      Some(spark.read.parquet(p))
+    else None
+  }
+
+  /** Record an ingest `tag`'s surviving ids (one column). Written AFTER
+    * the tag's append commits; `_SUCCESS` is the atomicity marker. */
+  def writeAppliedMarker(survivorIds: DataFrame, path: String,
+                         tag: String): Unit =
+    survivorIds.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/applied/${sanitizeTag(tag)}")
 
   /** MinHash candidates of `batch` against the indexed corpus — the
     * persisted-corpus form of [[Dedup.crossMinhashCandidates]], result
@@ -76,7 +113,7 @@ object MinhashIndex {
             minEstSim: Double = 0.5, batchSize: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, path)
-    val idx = spark.read.parquet(s"$path/buckets")
+    val idx = retryTransient(spark.read.parquet(s"$path/buckets"))
     val nPart =
       if (batchSize > 0)
         Dedup.verifyPartitions(m.bands.toLong * math.max(batchSize, m.nDocs),
@@ -92,13 +129,43 @@ object MinhashIndex {
 
   /** The ingest gate: `batch` rows with no indexed near-duplicate at
     * `minEstSim` or above. Compose with [[append]] on the survivors to
-    * advance the corpus. */
+    * advance the corpus.
+    *
+    * Identity pairs (a candidate whose corpus id EQUALS the batch doc's
+    * own id) are ignored: ids are global, so that row is the doc matching
+    * its OWN previously-appended copy — dropping on it would self-empty
+    * every crash-replayed micro-batch
+    * ([[graft.streaming.StreamingOps.incrementalDedupBatch]]). */
   def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
                  path: String, minEstSim: Double = 0.5,
                  batchSize: Long = -1L): DataFrame = {
     val hits = probe(batch, textCol, idCol, path, minEstSim, batchSize)
+      .filter(col("a") =!= col("b"))
       .select(col("a").as("__dup")).distinct()
     batch.join(hits, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  /** Retry a read that can transiently fail while a writer swaps the
+    * small meta/listing files (writeMeta's overwrite window) — the reader
+    * half of the WriterLock contract. */
+  private def retryTransient[T](f: => T, attempts: Int = 5): T = {
+    var left = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Exception if left > 0 && isTransient(e) =>
+          left -= 1; Thread.sleep(200)
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def isTransient(e: Throwable): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    e.isInstanceOf[java.io.FileNotFoundException] ||
+      m.contains("does not exist") || m.contains("infer schema") ||
+      m.contains("PATH_NOT_FOUND") || m.contains("UNABLE_TO_INFER") ||
+      (e.getCause != null && isTransient(e.getCause))
   }
 
   final case class Meta(shingleN: Int, k: Int, bands: Int, nDocs: Long)
@@ -111,7 +178,7 @@ object MinhashIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  def readMeta(spark: SparkSession, path: String): Meta = {
+  def readMeta(spark: SparkSession, path: String): Meta = retryTransient {
     val r = spark.read.parquet(s"$path/meta").head()
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }

@@ -612,9 +612,11 @@ object CoreSql {
       cat.multiPut(Map(
         "q_mc_ta" -> Seq(1 -> "a", 2 -> "b", 3 -> "c").toDF("id", "v"),
         "q_mc_tb" -> Seq(11 -> "x", 12 -> "y", 13 -> "z").toDF("id", "v")))
+      // the bounded finish (13) is INCLUSIVE, like RowKeyPredicate
+      // .setFinish — the exclusive reading would drop row 13 and fail here
       val got = cat.multiGetAll(Map(
         "q_mc_ta" -> graft.engine.GraftCatalog.KeySet(Seq(1, 2)),
-        "q_mc_tb" -> graft.engine.GraftCatalog.KeyRange(Some(12), None)))
+        "q_mc_tb" -> graft.engine.GraftCatalog.KeyRange(Some(12), Some(13))))
       got.toSeq.sortBy(_._1).map { case (t, df) =>
         df.select(lit(t.stripPrefix("q_mc_")).as("tab"), col("id"))
       }.reduce(_ unionByName _).orderBy("tab", "id")

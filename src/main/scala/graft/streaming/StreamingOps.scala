@@ -279,6 +279,45 @@ object StreamingOps {
       .toDF("a", "b", "band", "est_jaccard", "b_ts_ms")
   }
 
+  /** One micro-batch of the incremental ingest gate, REPLAY-IDEMPOTENT
+    * (foreachBatch is at-least-once — a crash between the index append and
+    * the streaming checkpoint re-delivers the batch):
+    *  - an `applied/<batchId>` marker written AFTER the append commits
+    *    records the batch's surviving ids; a replayed batch reads it and
+    *    reproduces the original decision without touching the index;
+    *  - the index append is tag-idempotent (ingest=<batchId> partition
+    *    overwrite), so even the marker-less crash window cannot duplicate
+    *    index rows;
+    *  - the gate ignores identity candidate pairs (a doc matching its OWN
+    *    appended copy — MinhashIndex.dedupBatch), so a marker-less replay
+    *    recomputes survivors against an index already containing them
+    *    without self-emptying; it may additionally drop within-batch
+    *    near-dup pairs the first pass kept (a strictly-more-deduped
+    *    subset, never a duplicate emission).
+    * Survivors are eagerly materialized (localCheckpoint) BEFORE the
+    * append: the probe plan is lazy, and re-evaluating it after the append
+    * would read its own freshly-written buckets. */
+  def incrementalDedupBatch(batch: DataFrame, textCol: String, idCol: String,
+                            indexPath: String, minEstSim: Double,
+                            batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val tag = s"b$batchId"
+    graft.pipeline.MinhashIndex.appliedMarker(spark, indexPath, tag) match {
+      case Some(ids) =>
+        val sid = ids.select(col(ids.columns.head).as("__sid"))
+        batch.join(sid, col(idCol) === col("__sid"), "left_semi")
+      case None =>
+        val survivors = graft.pipeline.MinhashIndex
+          .dedupBatch(batch, textCol, idCol, indexPath, minEstSim)
+          .localCheckpoint()
+        graft.pipeline.MinhashIndex.append(survivors, textCol, idCol,
+          indexPath, tag = tag)
+        graft.pipeline.MinhashIndex.writeAppliedMarker(
+          survivors.select(col(idCol)), indexPath, tag)
+        survivors
+    }
+  }
+
   /** Continuous ingest dedup gate against a persisted
     * [[graft.pipeline.MinhashIndex]]: each micro-batch drops docs with an
     * indexed near-duplicate, hands (batch, survivors, batchId) to
@@ -286,21 +325,15 @@ object StreamingOps {
     * dedup against them too — the streaming face of
     * [[graft.pipeline.Dedup.incrementalMinhashDedup]] with a corpus that
     * advances per micro-batch (q_stream_dedup_incremental pins the
-    * equality with the sequential batch fold).
-    *
-    * Survivors are eagerly materialized (localCheckpoint) BEFORE the
-    * append: the probe plan is lazy, and re-evaluating it after the append
-    * would list the survivors' own freshly-written buckets and self-drop
-    * every doc on the second evaluation. */
+    * equality with the sequential batch fold). Replay-idempotent — see
+    * [[incrementalDedupBatch]]. */
   def incrementalDedupStream(docs: DataFrame, textCol: String, idCol: String,
                              indexPath: String, minEstSim: Double = 0.5)
                             (onBatch: (DataFrame, DataFrame, Long) => Unit)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val survivors = graft.pipeline.MinhashIndex
-        .dedupBatch(batch, textCol, idCol, indexPath, minEstSim)
-        .localCheckpoint()
-      graft.pipeline.MinhashIndex.append(survivors, textCol, idCol, indexPath)
+      val survivors = incrementalDedupBatch(batch, textCol, idCol,
+        indexPath, minEstSim, id)
       onBatch(batch, survivors, id)
       ()
     }

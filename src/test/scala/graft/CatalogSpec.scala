@@ -253,6 +253,38 @@ class CatalogSpec extends SparkTestBase {
       cat.multiPut(Map("absent_tab" -> Seq(1 -> "x").toDF("id", "wkt"))))
   }
 
+  test("multiGetAll KeyRange finish is inclusive (RowKeyPredicate.setFinish); keyRange until stays half-open") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.createCollection("kr_tab", StructType(Seq(
+      StructField("id", IntegerType, nullable = false))), keyColumns = Seq("id"))
+    cat.put("kr_tab", Seq(10, 11, 12, 13).toDF("id"))
+    val viaPred = cat.multiGetAll(Map(
+        "kr_tab" -> GraftCatalog.KeyRange(Some(11), Some(12))))("kr_tab")
+      .as[Int].collect().sorted
+    assert(viaPred.toSeq == Seq(11, 12), "setFinish semantics: 12 conforms")
+    val halfOpen = cat.keyRange("kr_tab", Some(11), Some(12))
+      .as[Int].collect().sorted
+    assert(halfOpen.toSeq == Seq(11), "native until stays exclusive")
+  }
+
+  test("tsAggregate COUNT counts rows, not non-null column values (Aggregation.java:173)") {
+    import org.apache.spark.sql.types.{DoubleType, TimestampType}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cat = new GraftCatalog(spark)
+    cat.createTimeSeries("ts_cnt", StructType(Seq(
+      StructField("ts", TimestampType, nullable = false),
+      StructField("value", DoubleType))), timeColumn = "ts")
+    cat.put("ts_cnt",
+      Seq((1000L, Some(1.0)), (2000L, None), (3000L, Some(3.0)))
+        .toDF("ms", "value")
+        .select(timestamp_millis($"ms").as("ts"), $"value"))
+    assert(cat.tsAggregate("ts_cnt", 0, 5000, "value", "COUNT")
+      .head().getLong(0) == 3L, "the null-value row is still a row")
+  }
+
   test("TimeSeries point APIs: edge and error paths") {
     import org.apache.spark.sql.types.{DoubleType, TimestampType}
     import org.apache.spark.sql.functions._

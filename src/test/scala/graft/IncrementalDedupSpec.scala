@@ -154,6 +154,36 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(MinhashIndex.readMeta(spark, idxPath).nDocs == 2L + 2L)
   }
 
+  test("incrementalDedupBatch: marker + tag-idempotent append make micro-batch replay safe") {
+    import graft.streaming.StreamingOps
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_replay").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    def run(): Seq[Long] =
+      StreamingOps.incrementalDedupBatch(batch, "text", "doc_id", path,
+          minEstSim = 0.5, batchId = 7L)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val s1 = run()
+    assert(s1 == Seq(23L, 24L, 25L))
+    val metaAfter = MinhashIndex.readMeta(spark, path).nDocs
+    // clean replay (marker present): identical survivors, no index growth
+    assert(run() == s1)
+    assert(MinhashIndex.readMeta(spark, path).nDocs == metaAfter)
+    // crash-window replay (append committed, marker lost): the identity
+    // guard stops self-emptying; the documented shrink corner drops the
+    // within-batch exact pair 24/25 (each matches the OTHER's appended
+    // copy) — a strictly-more-deduped subset, never a duplicate emission
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b7"), true)
+    val s3 = run()
+    assert(s3 == Seq(23L), s"crash-window replay gave $s3")
+    // and the tag overwrite means the index holds ONE copy of the tag's
+    // rows, not two (meta overcounts by design — width-sizing only)
+    val bucketDocs = spark.read.parquet(s"$path/buckets")
+      .filter(col("ingest") === "b7").select("id").distinct().count()
+    assert(bucketDocs == 1L, s"tag partition holds $bucketDocs distinct docs")
+  }
+
   test("crossEmbeddingCandidates + incrementalEmbeddingDedup: near vectors caught, orthogonal survive") {
     def unit(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
