@@ -99,11 +99,31 @@ object MinhashIndex {
   }
 
   /** Record an ingest `tag`'s surviving ids (one column). Written AFTER
-    * the tag's append commits; `_SUCCESS` is the atomicity marker. */
+    * the tag's append commits; `_SUCCESS` is the atomicity marker.
+    *
+    * A marker is only needed until the ingest's OWN commit point passes
+    * (for the streaming gate: until the checkpoint commits that batch —
+    * afterwards the engine can never re-deliver it), so markers are
+    * prunable; they are one tiny id column each, and
+    * [[pruneAppliedMarkers]] drops the ones a retention policy no longer
+    * needs. */
   def writeAppliedMarker(survivorIds: DataFrame, path: String,
                          tag: String): Unit =
     survivorIds.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/applied/${sanitizeTag(tag)}")
+
+  /** Delete applied markers whose tag is not in `keep` — housekeeping for
+    * a long-running index (markers accumulate one dir per ingest).
+    * @return tags removed. */
+  def pruneAppliedMarkers(spark: SparkSession, path: String,
+                          keep: String => Boolean): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/applied")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filterNot(p => keep(p.getName))
+      .map { p => fs.delete(p, true); p.getName }
+  }
 
   /** MinHash candidates of `batch` against the indexed corpus — the
     * persisted-corpus form of [[Dedup.crossMinhashCandidates]], result

@@ -182,6 +182,10 @@ class IncrementalDedupSpec extends SparkTestBase {
     val bucketDocs = spark.read.parquet(s"$path/buckets")
       .filter(col("ingest") === "b7").select("id").distinct().count()
     assert(bucketDocs == 1L, s"tag partition holds $bucketDocs distinct docs")
+    // marker housekeeping: prune everything below a commit horizon
+    val removed = MinhashIndex.pruneAppliedMarkers(spark, path, keep = _ => false)
+    assert(removed == Seq("b7"))
+    assert(MinhashIndex.appliedMarker(spark, path, "b7").isEmpty)
   }
 
   test("crossEmbeddingCandidates + incrementalEmbeddingDedup: near vectors caught, orthogonal survive") {
