@@ -32,7 +32,11 @@ object MinhashIndex {
     * ingest REPLACES its rows instead of duplicating them — the property
     * replay-safe streaming ingest needs. A wholesale REBUILD while probes
     * are serving needs external coordination (or the IvfIndex-style
-    * atomic-swap retrain); appends are additive and safe under serving. */
+    * atomic-swap retrain). Appends of NEW tags are additive and safe
+    * under serving; the one exception is a crash-REPLAYED append, which
+    * OVERWRITES its own tag partition — a probe racing exactly that
+    * window can fail its scan and should be retried by the caller (the
+    * window exists only between a crash and the batch's re-delivery). */
   def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
             corpusSize: Long = -1L): Unit = {
@@ -112,9 +116,33 @@ object MinhashIndex {
     survivorIds.coalesce(1).write.mode("overwrite")
       .parquet(s"$path/applied/${sanitizeTag(tag)}")
 
-  /** Delete applied markers whose tag is not in `keep` — housekeeping for
-    * a long-running index (markers accumulate one dir per ingest).
-    * @return tags removed. */
+  /** The marker tag the streaming gate uses for a micro-batch — ONE place
+    * owns the format, so retention policies never reverse-engineer it. */
+  def batchTag(batchId: Long): String = s"b$batchId"
+
+  /** Delete the streaming gate's applied markers for batches BELOW
+    * `horizonBatchId` — the commit-horizon policy the marker doc
+    * prescribes (once the checkpoint commits a batch it can never be
+    * re-delivered, so its marker is dead weight). Non-batch tags are left
+    * alone. @return the raw tags actually removed. */
+  def pruneAppliedMarkersBelow(spark: SparkSession, path: String,
+                               horizonBatchId: Long): Seq[String] = {
+    val B = "b(\\d+)".r
+    pruneAppliedMarkers(spark, path, keep = {
+      case B(id) => id.toLong >= horizonBatchId
+      case _ => true
+    })
+  }
+
+  /** Delete applied markers whose DIRECTORY NAME fails `keep` —
+    * housekeeping for a long-running index (markers accumulate one dir
+    * per ingest). The predicate sees the sanitized on-disk name
+    * ([[batchTag]] tags are sanitize-stable; arbitrary tags may not be —
+    * prefer [[pruneAppliedMarkersBelow]] for the streaming gate).
+    * Deletion invalidates `_SUCCESS` FIRST (the atomicity marker), so a
+    * crash or non-atomic object-store delete can never leave a directory
+    * that still looks applied but has lost its data files.
+    * @return names actually removed (both deletes verified). */
   def pruneAppliedMarkers(spark: SparkSession, path: String,
                           keep: String => Boolean): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$path/applied")
@@ -122,7 +150,11 @@ object MinhashIndex {
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath)
       .filterNot(p => keep(p.getName))
-      .map { p => fs.delete(p, true); p.getName }
+      .flatMap { p =>
+        val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        val invalidated = !fs.exists(success) || fs.delete(success, false)
+        if (invalidated && fs.delete(p, true)) Some(p.getName) else None
+      }
   }
 
   /** MinHash candidates of `batch` against the indexed corpus — the
@@ -151,16 +183,25 @@ object MinhashIndex {
     * `minEstSim` or above. Compose with [[append]] on the survivors to
     * advance the corpus.
     *
-    * Identity pairs (a candidate whose corpus id EQUALS the batch doc's
-    * own id) are ignored: ids are global, so that row is the doc matching
-    * its OWN previously-appended copy — dropping on it would self-empty
-    * every crash-replayed micro-batch
-    * ([[graft.streaming.StreamingOps.incrementalDedupBatch]]). */
+    * Candidates whose corpus id is itself a CURRENT-batch id get the
+    * keep-min rule instead of a plain drop: a doc is dropped by such a
+    * pair only when the other id is SMALLER. In a normal ingest the index
+    * holds no current-batch ids, so nothing changes; in a crash-replayed
+    * micro-batch (the batch's own survivors already appended —
+    * [[graft.streaming.StreamingOps.incrementalDedupBatch]]) this (a)
+    * ignores identity pairs, so the replay cannot self-empty, and (b)
+    * keeps the smallest-id representative of a within-batch dup group
+    * rather than letting the group's members eliminate each other — a
+    * plain a≠b guard loses the content entirely (both of {x, y} match the
+    * other's appended copy and BOTH drop; review finding, pinned in
+    * IncrementalDedupSpec's crash-window test). */
   def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
                  path: String, minEstSim: Double = 0.5,
                  batchSize: Long = -1L): DataFrame = {
+    val bIds = batch.select(col(idCol).as("__bid"))
     val hits = probe(batch, textCol, idCol, path, minEstSim, batchSize)
-      .filter(col("a") =!= col("b"))
+      .join(bIds, col("b") === col("__bid"), "left")
+      .filter(col("__bid").isNull || col("b") < col("a"))
       .select(col("a").as("__dup")).distinct()
     batch.join(hits, col(idCol) === col("__dup"), "left_anti")
   }

@@ -288,12 +288,14 @@ object StreamingOps {
     *  - the index append is tag-idempotent (ingest=<batchId> partition
     *    overwrite), so even the marker-less crash window cannot duplicate
     *    index rows;
-    *  - the gate ignores identity candidate pairs (a doc matching its OWN
-    *    appended copy — MinhashIndex.dedupBatch), so a marker-less replay
-    *    recomputes survivors against an index already containing them
-    *    without self-emptying; it may additionally drop within-batch
-    *    near-dup pairs the first pass kept (a strictly-more-deduped
-    *    subset, never a duplicate emission).
+    *  - the gate applies the keep-min rule to candidates whose corpus id
+    *    is a current-batch id (MinhashIndex.dedupBatch), so a marker-less
+    *    replay recomputes survivors against an index already containing
+    *    them without self-emptying AND without letting a within-batch dup
+    *    group eliminate itself — the smallest-id representative of each
+    *    group survives; the replay emits a subset of the original
+    *    survivors that still covers every content group, never a
+    *    duplicate.
     * Survivors are eagerly materialized (localCheckpoint) BEFORE the
     * append: the probe plan is lazy, and re-evaluating it after the append
     * would read its own freshly-written buckets. */
@@ -301,7 +303,7 @@ object StreamingOps {
                             indexPath: String, minEstSim: Double,
                             batchId: Long): DataFrame = {
     val spark = batch.sparkSession
-    val tag = s"b$batchId"
+    val tag = graft.pipeline.MinhashIndex.batchTag(batchId)
     graft.pipeline.MinhashIndex.appliedMarker(spark, indexPath, tag) match {
       case Some(ids) =>
         val sid = ids.select(col(ids.columns.head).as("__sid"))

@@ -168,22 +168,26 @@ class IncrementalDedupSpec extends SparkTestBase {
     // clean replay (marker present): identical survivors, no index growth
     assert(run() == s1)
     assert(MinhashIndex.readMeta(spark, path).nDocs == metaAfter)
-    // crash-window replay (append committed, marker lost): the identity
-    // guard stops self-emptying; the documented shrink corner drops the
-    // within-batch exact pair 24/25 (each matches the OTHER's appended
-    // copy) — a strictly-more-deduped subset, never a duplicate emission
+    // crash-window replay (append committed, marker lost): the keep-min
+    // rule stops self-emptying AND keeps one representative of the
+    // within-batch exact pair 24/25 (a plain identity guard would let
+    // them eliminate each other and lose the content entirely) — the
+    // replay emits a subset that still covers every content group
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b7"), true)
     val s3 = run()
-    assert(s3 == Seq(23L), s"crash-window replay gave $s3")
-    // and the tag overwrite means the index holds ONE copy of the tag's
-    // rows, not two (meta overcounts by design — width-sizing only)
+    assert(s3 == Seq(23L, 24L), s"crash-window replay gave $s3")
+    // and the tag overwrite means the index holds the replay's survivor
+    // set exactly once, not stacked copies (meta overcounts by design —
+    // width-sizing only)
     val bucketDocs = spark.read.parquet(s"$path/buckets")
       .filter(col("ingest") === "b7").select("id").distinct().count()
-    assert(bucketDocs == 1L, s"tag partition holds $bucketDocs distinct docs")
-    // marker housekeeping: prune everything below a commit horizon
-    val removed = MinhashIndex.pruneAppliedMarkers(spark, path, keep = _ => false)
+    assert(bucketDocs == 2L, s"tag partition holds $bucketDocs distinct docs")
+    // marker housekeeping: the commit-horizon helper prunes dead markers
+    // (batch 7 < horizon 8) and deletion is verified
+    assert(MinhashIndex.pruneAppliedMarkersBelow(spark, path, 7L).isEmpty)
+    val removed = MinhashIndex.pruneAppliedMarkersBelow(spark, path, 8L)
     assert(removed == Seq("b7"))
     assert(MinhashIndex.appliedMarker(spark, path, "b7").isEmpty)
   }
