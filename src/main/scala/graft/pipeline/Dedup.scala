@@ -181,6 +181,23 @@ object Dedup {
     // 100 TB no cache pressure; the only shuffle left is the (band, bucket)
     // candidate join itself
     val sig = minhashSignatures(docs, textCol, idCol, shingleN, k)
+    minhashCandidatesOfSig(sig, k, bands, minEstSim, nPart)
+  }
+
+  /** The banded self-join over a caller-provided (id, sig) frame — the
+    * hash-agnostic seam ([[simhashPairsOf]] discipline): everything
+    * downstream of the signature (banding, shared-Exchange self-join,
+    * agreement scoring, canonicalization) runs here, so the md5-variant
+    * full-value oracles (q_dedup_minhash_md5_oracle) drive the SAME code
+    * with signatures DuckDB can replay, leaving only the xxhash64 kernel
+    * itself spec-covered. `nPart <= 0` uses the session default width. */
+  def minhashCandidatesOfSig(sig: DataFrame, k: Int, bands: Int,
+                             minEstSim: Double = 0.5,
+                             nPart: Int = -1): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val width =
+      if (nPart > 0) nPart
+      else sig.sparkSession.sessionState.conf.numShufflePartitions
     // repartition on the join keys BELOW the leg renames: both legs then
     // share one canonically-equal Exchange subtree, so Spark plans a single
     // shuffle (ReusedExchange) and the sketch kernel runs ONCE per row, not
@@ -190,7 +207,7 @@ object Dedup {
     // BOTH sketch subtrees live and silently doubles the sketching cost
     // (DedupSpec asserts the executed plan reuses a single exchange)
     val banded = bandedExchange(bandRows(sig, k, bands),
-      nPart, col("band"), col("bucket"))
+      width, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"),
       col("id").as("a"), col("sig").as("sig_a")).hint("shuffle_hash")
     val rgt = banded.select(col("band"), col("bucket"),
@@ -204,6 +221,22 @@ object Dedup {
       .select(col("a"), col("b"), (agree.cast("double") / k).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= minEstSim)
+  }
+
+  /** The banded CROSS join over caller-provided (id, sig) frames — the
+    * hash-agnostic seam of [[crossMinhashCandidates]], same discipline as
+    * [[minhashCandidatesOfSig]]. Both frames MUST carry signatures from
+    * the same scheme. `nPart <= 0` uses the session default width. */
+  def crossMinhashCandidatesOfSig(batchSig: DataFrame, corpusSig: DataFrame,
+                                  k: Int, bands: Int,
+                                  minEstSim: Double = 0.5,
+                                  nPart: Int = -1): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val width =
+      if (nPart > 0) nPart
+      else batchSig.sparkSession.sessionState.conf.numShufflePartitions
+    crossBandJoin(bandRows(batchSig, k, bands), bandRows(corpusSig, k, bands),
+      k, width, minEstSim)
   }
 
   /** Exploded (id, sig, band, bucket) LSH rows of an (id, sig) signature

@@ -38,6 +38,57 @@ object PipelineQueries {
         codec = codec, attrCols = Seq("label"))
       path
     })
+  // md5-derived k-minhash signature (the hash-agnostic oracle variant):
+  // member s of a doc's signature is the minimum over its 3-shingles of
+  // the 60-bit integer prefix of md5("s#" || shingle) — computable
+  // identically in DuckDB (md5MinhashOracleSql)
+  private def md5MinhashSig(d: org.apache.spark.sql.DataFrame,
+                            k: Int = 8): org.apache.spark.sql.DataFrame = {
+    val shArr = d.select(col("doc_id"), Dedup.shingles("text", 3).as("shs"))
+    val mins = (0 until k).map { s =>
+      array_min(transform(col("shs"), x =>
+        conv(substring(md5(concat(lit(s"$s#"), x).cast("binary")), 1, 15),
+          16, 10).cast("long"))).as(s"m$s")
+    }
+    shArr.select(col("doc_id").as("id") +: mins: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  // the DuckDB replay of the full banded pipeline over the md5 signature:
+  // band collision = full r-member tuple equality (the bucket hash is just
+  // a grouping key for tuple equality), est = member agreement / k
+  private def md5MinhashOracleSql(cross: Boolean, k: Int = 8,
+                                  bands: Int = 4): String = {
+    val r = k / bands
+    val candCond =
+      if (cross) "xa.doc_id % 10 >= 7 AND xb.doc_id % 10 < 7"
+      else "xa.doc_id < xb.doc_id"
+    s"""WITH base AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |sh0 AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+       |                            ELSE array_to_string(t, ' ') END AS sh
+       |        FROM base, UNNEST(generate_series(1, GREATEST(len(t)-2, 1))) AS u(i)),
+       |shingle AS (SELECT DISTINCT doc_id, sh FROM sh0),
+       |h AS (SELECT doc_id, s,
+       |        MIN(('0x' || substr(md5(CAST(s AS VARCHAR) || '#' || sh), 1, 15))::BIGINT) AS m
+       |      FROM shingle, UNNEST(generate_series(0, ${k - 1})) AS v(s)
+       |      GROUP BY doc_id, s),
+       |bk AS (SELECT doc_id, s // $r AS band,
+       |         string_agg(CAST(m AS VARCHAR), ',' ORDER BY s) AS bkey
+       |       FROM h GROUP BY doc_id, s // $r),
+       |cand AS (SELECT DISTINCT xa.doc_id AS a, xb.doc_id AS b
+       |         FROM bk xa JOIN bk xb ON xa.band = xb.band AND xa.bkey = xb.bkey
+       |         WHERE $candCond),
+       |est AS (SELECT c.a, c.b,
+       |          CAST(COUNT(*) FILTER (WHERE ha.m = hb.m) AS DOUBLE) / $k AS est_jaccard
+       |        FROM cand c
+       |        JOIN h ha ON ha.doc_id = c.a
+       |        JOIN h hb ON hb.doc_id = c.b AND hb.s = ha.s
+       |        GROUP BY c.a, c.b)
+       |SELECT a, b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
   // same memoization for the minhash band index (q_dedup_index_parity):
   // the registered form measures PROBING a persisted corpus, not building
   private[queries] def minhashIndexPath(s: org.apache.spark.sql.SparkSession,
@@ -665,6 +716,32 @@ object PipelineQueries {
         coalesce(sum(when(col("cos") =!= col("exact_cos"), 1L).otherwise(0L)),
           lit(0L)).as("n_cos_mismatch"))
       nExact.crossJoin(viol) // 1x1 anchor join
+    },
+
+    // ---- md5-variant FULL-VALUE minhash oracles (the
+    //      q_dedup_simhash_oracle discipline, r14): the production sketch
+    //      is xxhash64 (no SQL replay exists), but everything DOWNSTREAM —
+    //      banding, shared-Exchange self-join / cross join, agreement
+    //      scoring, canonicalization, est threshold — is hash-agnostic.
+    //      These drive the SAME minhashCandidatesOfSig /
+    //      crossMinhashCandidatesOfSig paths with an md5-derived k=8
+    //      signature both engines compute, so every returned (a, b, est)
+    //      row is value-checked by the driver; only the xxhash64 kernel
+    //      itself stays spec-covered (DedupSpec kernel-parity). ----
+    Q.df("q_dedup_minhash_md5_oracle", maxSf = 0.1,
+      duck = md5MinhashOracleSql(cross = false)) { (s, dir) =>
+      Dedup.minhashCandidatesOfSig(md5MinhashSig(docs(s, dir)), k = 8,
+          bands = 4)
+        .orderBy("a", "b")
+    },
+    Q.df("q_dedup_incremental_minhash_md5", maxSf = 0.1,
+      duck = md5MinhashOracleSql(cross = true)) { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.crossMinhashCandidatesOfSig(
+          md5MinhashSig(d.filter(col("doc_id") % 10 >= 7)),
+          md5MinhashSig(d.filter(col("doc_id") % 10 < 7)),
+          k = 8, bands = 4)
+        .orderBy("a", "b")
     },
 
     // persisted-index parity: probing the stored corpus buckets must equal
