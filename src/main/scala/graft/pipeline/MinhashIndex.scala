@@ -79,14 +79,65 @@ object MinhashIndex {
       val m = readMeta(spark, path)
       val add = if (batchSize > 0) batchSize else newDocs.count()
       val t = sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
+      // size the ingest's files to the BATCH, not the session width: a
+      // small micro-batch writes one compact file, not 32 slivers (the
+      // accumulated-small-files pressure is then bounded by batch count,
+      // and [[compact]] folds it away entirely)
+      val nOut = math.min(
+        math.max(1L, m.bands.toLong * add / 125000L + 1), 4096L).toInt
       Dedup.bandRows(
           Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
           m.k, m.bands)
+        .repartition(nOut, col("band"), col("bucket"))
         .write.mode("overwrite").parquet(s"$path/buckets/ingest=$t")
       writeMeta(spark, path, m.shingleN, m.k, m.bands, m.nDocs + add)
       m.nDocs + add
     }
   }
+
+  /** Fold the ingest partitions accumulated by per-batch appends into a
+    * single `ingest=base` partition — the housekeeping a long-running
+    * streaming gate needs (thousands of micro-batches would otherwise
+    * mean thousands of partition directories). Rebuilds from the STORED
+    * rows (no text re-sketch — the signatures are in the tree), dedups
+    * row-identical duplicates, recomputes the meta doc count exactly
+    * (fixing any crash-window overcounts), preserves applied markers, and
+    * swaps via rename-aside (the IvfIndex retrain pattern: a crash leaves
+    * either the old tree serving at `path` or intact at `<path>_old` —
+    * always recoverable by a rename). Serialized against writers by the
+    * lock; probes racing the swap's rename window retry like any
+    * transient read. */
+  def compact(spark: SparkSession, path: String): Unit =
+    WriterLock.withLock(spark, path) {
+      val m = readMeta(spark, path)
+      val rows = spark.read.parquet(s"$path/buckets")
+        .select("id", "sig", "band", "bucket").distinct()
+      val nDocs = rows.select("id").distinct().count()
+      val tmp = s"${path}_compact"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val nPart = Dedup.verifyPartitions(m.bands.toLong * math.max(nDocs, 1L),
+        spark.sessionState.conf.numShufflePartitions, 125000L)
+      rows.withColumn("ingest", lit("base"))
+        .repartition(nPart, col("band"), col("bucket"))
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$tmp/buckets")
+      writeMeta(spark, tmp, m.shingleN, m.k, m.bands, nDocs)
+      val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
+      if (fs.exists(applied))
+        org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
+          new org.apache.hadoop.fs.Path(s"$tmp/applied"), false, conf)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val old = new org.apache.hadoop.fs.Path(s"${path}_old")
+      fs.delete(old, true)
+      require(fs.rename(dst, old), s"compact swap failed: could not move $path aside")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+        fs.rename(old, dst) // restore the previous tree before failing
+        throw new IllegalStateException(
+          s"compact swap failed: could not rename $tmp over $path")
+      }
+      fs.delete(old, true)
+    }
 
   /** Read the surviving ids recorded for an applied ingest `tag`, or None
     * if the tag was never marked applied — the replay-detection half of

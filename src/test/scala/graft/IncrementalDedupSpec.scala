@@ -192,6 +192,40 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(MinhashIndex.appliedMarker(spark, path, "b7").isEmpty)
   }
 
+  test("MinhashIndex.compact: ingest partitions fold to base, probes unchanged, markers survive") {
+    import graft.streaming.StreamingOps
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_compact").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    // three micro-batch ingests (markers + per-batch ingest partitions)
+    val b1 = Seq((40L, "brand new content that nothing in the corpus resembles at all")).toDF("doc_id", "text")
+    val b2 = Seq((41L, "another entirely fresh document with its own unique words")).toDF("doc_id", "text")
+    val b3 = Seq((42L, "yet another brand new and different piece of text here")).toDF("doc_id", "text")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.incrementalDedupBatch(b, "text", "doc_id", path, 0.5, i.toLong)
+    }
+    val probeBefore = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ingestsBefore = spark.read.parquet(s"$path/buckets")
+      .select("ingest").distinct().count()
+    assert(ingestsBefore == 4L, s"expected base + 3 ingests, got $ingestsBefore")
+    MinhashIndex.compact(spark, path)
+    val ingests = spark.read.parquet(s"$path/buckets")
+      .select("ingest").distinct().as[String].collect().toSeq
+    assert(ingests == Seq("base"))
+    val probeAfter = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(probeAfter == probeBefore, "compaction must not change probe results")
+    assert(MinhashIndex.readMeta(spark, path).nDocs == 5L) // 2 corpus + 3 ingested
+    // markers survived the swap: replaying batch 1 reproduces its decision
+    assert(MinhashIndex.appliedMarker(spark, path, "b1").isDefined)
+    val replay = StreamingOps.incrementalDedupBatch(b2, "text", "doc_id", path, 0.5, 1L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replay == Seq(41L))
+    // the lock was released and the aside dir cleaned
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.lock")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${path}_old")))
+  }
+
   test("crossEmbeddingCandidates + incrementalEmbeddingDedup: near vectors caught, orthogonal survive") {
     def unit(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
