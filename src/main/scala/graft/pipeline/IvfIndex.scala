@@ -209,22 +209,9 @@ object IvfIndex {
       } else raw.select(col("id") +: col("cv") +: attrs.map(col): _*)
     val tmp = s"${path}_rebuild"
     build(all, "id", "cv", tmp, codec = codec, attrCols = attrs)
-    // swap via rename-aside, never delete-first (r10 self-review: a crash
-    // between delete and rename would destroy the only copy). Crash
-    // windows leave either the old index still serving at `path`, or the
-    // old index intact at `<path>_old` with the rebuild at `<path>` /
-    // `<path>_rebuild` — always recoverable by a rename.
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(conf)
-    val old = new org.apache.hadoop.fs.Path(s"${path}_old")
-    fs.delete(old, true)
-    require(fs.rename(dst, old), s"retrain swap failed: could not move $path aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-      fs.rename(old, dst) // restore the previous index before failing
-      throw new IllegalStateException(s"retrain swap failed: could not rename $tmp over $path")
-    }
-    fs.delete(old, true)
+    // rename-aside semantics (and the reader caveat) live in IndexSwap —
+    // one copy for both index families
+    IndexSwap.swapInPlace(spark, path, tmp, what = "retrain")
   }
 
   private def writeMeta(spark: SparkSession, path: String,

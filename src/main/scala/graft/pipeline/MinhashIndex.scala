@@ -95,48 +95,60 @@ object MinhashIndex {
     }
   }
 
-  /** Fold the ingest partitions accumulated by per-batch appends into a
-    * single `ingest=base` partition — the housekeeping a long-running
-    * streaming gate needs (thousands of micro-batches would otherwise
-    * mean thousands of partition directories). Rebuilds from the STORED
-    * rows (no text re-sketch — the signatures are in the tree), dedups
+  /** Fold ingest partitions accumulated by per-batch appends into the
+    * `ingest=base` partition — the housekeeping a long-running streaming
+    * gate needs (thousands of micro-batches would otherwise mean
+    * thousands of partition directories). Rebuilds from the STORED rows
+    * (no text re-sketch — the signatures are in the tree), dedups
     * row-identical duplicates, recomputes the meta doc count exactly
     * (fixing any crash-window overcounts), preserves applied markers, and
-    * swaps via rename-aside (the IvfIndex retrain pattern: a crash leaves
-    * either the old tree serving at `path` or intact at `<path>_old` —
-    * always recoverable by a rename). Serialized against writers by the
-    * lock; probes racing the swap's rename window retry like any
-    * transient read. */
+    * swaps via rename-aside ([[IndexSwap]]).
+    *
+    * Only MARKED tags (and `base`) are folded: a tag with no applied
+    * marker may belong to a crash-window batch the stream will
+    * RE-DELIVER, and folding it away would let the replayed append
+    * re-create the tag and duplicate its rows against base (r14 review);
+    * unmarked tags keep their own partitions — and their
+    * overwrite-idempotence — until their marker lands.
+    *
+    * Operational contract: serialized against writers by the lock, but a
+    * MAINTENANCE op with respect to readers — the swap invalidates
+    * in-flight probe plans mid-execution (see [[IndexSwap]]); quiesce
+    * probes or rebuild reader plans on failure. */
   def compact(spark: SparkSession, path: String): Unit =
     WriterLock.withLock(spark, path) {
       val m = readMeta(spark, path)
-      val rows = spark.read.parquet(s"$path/buckets")
-        .select("id", "sig", "band", "bucket").distinct()
-      val nDocs = rows.select("id").distinct().count()
-      val tmp = s"${path}_compact"
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
+      val markedTags: Seq[String] =
+        if (fs.exists(applied))
+          fs.listStatus(applied).toSeq.map(_.getPath.getName)
+        else Nil
+      val all = spark.read.parquet(s"$path/buckets")
+      val foldable = col("ingest") === "base" ||
+        col("ingest").isin(markedTags: _*)
+      val tmp = s"${path}_compact"
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      val nPart = Dedup.verifyPartitions(m.bands.toLong * math.max(nDocs, 1L),
+      val nPart = Dedup.verifyPartitions(math.max(m.nDocs, 1L) * m.bands,
         spark.sessionState.conf.numShufflePartitions, 125000L)
-      rows.withColumn("ingest", lit("base"))
+      all.filter(foldable)
+        .select(col("id"), col("sig"), col("band"), col("bucket")).distinct()
+        .withColumn("ingest", lit("base"))
+        .unionByName(all.filter(!foldable)
+          .select(col("id"), col("sig"), col("band"), col("bucket"),
+            col("ingest").cast("string")))
         .repartition(nPart, col("band"), col("bucket"))
         .write.mode("overwrite").partitionBy("ingest").parquet(s"$tmp/buckets")
+      // exact doc recount from the COMPACTED output (one scan of the
+      // smaller deduped tree, not a second pass over the old one)
+      val nDocs = spark.read.parquet(s"$tmp/buckets")
+        .select("id").distinct().count()
       writeMeta(spark, tmp, m.shingleN, m.k, m.bands, nDocs)
-      val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
       if (fs.exists(applied))
         org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
           new org.apache.hadoop.fs.Path(s"$tmp/applied"), false, conf)
-      val dst = new org.apache.hadoop.fs.Path(path)
-      val old = new org.apache.hadoop.fs.Path(s"${path}_old")
-      fs.delete(old, true)
-      require(fs.rename(dst, old), s"compact swap failed: could not move $path aside")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
-        fs.rename(old, dst) // restore the previous tree before failing
-        throw new IllegalStateException(
-          s"compact swap failed: could not rename $tmp over $path")
-      }
-      fs.delete(old, true)
+      IndexSwap.swapInPlace(spark, path, tmp, what = "compact")
     }
 
   /** Read the surviving ids recorded for an applied ingest `tag`, or None

@@ -44,7 +44,12 @@ object PipelineQueries {
   // identically in DuckDB (md5MinhashOracleSql)
   private def md5MinhashSig(d: org.apache.spark.sql.DataFrame,
                             k: Int = 8): org.apache.spark.sql.DataFrame = {
-    val shArr = d.select(col("doc_id"), Dedup.shingles("text", 3).as("shs"))
+    // NULL text is excluded like the production minhashSignatures does —
+    // without the filter Spark would give a NULL-text doc the empty-text
+    // signature while the DuckDB replay drops it (NULL-infected shingles),
+    // a latent divergence on any future fixture with NULL texts
+    val shArr = d.where(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.shingles("text", 3).as("shs"))
     val mins = (0 until k).map { s =>
       array_min(transform(col("shs"), x =>
         conv(substring(md5(concat(lit(s"$s#"), x).cast("binary")), 1, 15),

@@ -203,19 +203,25 @@ class IncrementalDedupSpec extends SparkTestBase {
     Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
       StreamingOps.incrementalDedupBatch(b, "text", "doc_id", path, 0.5, i.toLong)
     }
+    // an UNMARKED tag — the crash-window shape (append landed, marker
+    // lost): compaction must leave it as its own partition so a replayed
+    // append keeps its overwrite-idempotence
+    val b99 = Seq((99L, "an unacknowledged crash window batch document text")).toDF("doc_id", "text")
+    MinhashIndex.append(b99, "text", "doc_id", path, tag = "b99")
     val probeBefore = MinhashIndex.probe(batch, "text", "doc_id", path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val ingestsBefore = spark.read.parquet(s"$path/buckets")
       .select("ingest").distinct().count()
-    assert(ingestsBefore == 4L, s"expected base + 3 ingests, got $ingestsBefore")
+    assert(ingestsBefore == 5L, s"expected base + 4 ingests, got $ingestsBefore")
     MinhashIndex.compact(spark, path)
     val ingests = spark.read.parquet(s"$path/buckets")
-      .select("ingest").distinct().as[String].collect().toSeq
-    assert(ingests == Seq("base"))
+      .select("ingest").distinct().as[String].collect().toSeq.sorted
+    assert(ingests == Seq("b99", "base"),
+      s"marked tags fold, the unmarked one survives: $ingests")
     val probeAfter = MinhashIndex.probe(batch, "text", "doc_id", path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(probeAfter == probeBefore, "compaction must not change probe results")
-    assert(MinhashIndex.readMeta(spark, path).nDocs == 5L) // 2 corpus + 3 ingested
+    assert(MinhashIndex.readMeta(spark, path).nDocs == 6L) // 2 corpus + 4 ingested
     // markers survived the swap: replaying batch 1 reproduces its decision
     assert(MinhashIndex.appliedMarker(spark, path, "b1").isDefined)
     val replay = StreamingOps.incrementalDedupBatch(b2, "text", "doc_id", path, 0.5, 1L)
