@@ -325,6 +325,13 @@ object Curation {
   def shuffleShards(df: DataFrame, keyCol: String, salt: String,
                     nShards: Int): DataFrame = {
     require(nShards > 0, "nShards must be positive")
+    // withColumn silently REPLACES an existing column — a pre-existing
+    // shard/pos (or the transient __h) would be destroyed without a trace
+    // (r14 ADVICE): fail fast instead
+    val clash = df.columns.toSet.intersect(Set("shard", "pos", "__h"))
+    require(clash.isEmpty,
+      s"shuffleShards: input already has column(s) ${clash.mkString(", ")} — " +
+        "shard/pos are outputs and __h is transient; rename them first")
     val hv = conv(substring(
         md5(concat_ws("#", lit(salt), col(keyCol).cast("string")).cast("binary")),
         1, 15), 16, 10).cast("long")

@@ -121,9 +121,16 @@ object MinhashIndex {
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
+      // "marked" = the marker's _SUCCESS exists, matching appliedMarker's
+      // definition (r14 ADVICE): a half-written marker dir from a crash
+      // during writeAppliedMarker must NOT fold its tag into base — the
+      // replayed batch sees appliedMarker=None and re-appends the tag,
+      // which would transiently duplicate the folded rows
       val markedTags: Seq[String] =
         if (fs.exists(applied))
-          fs.listStatus(applied).toSeq.map(_.getPath.getName)
+          fs.listStatus(applied).toSeq.map(_.getPath)
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+            .map(_.getName)
         else Nil
       val all = spark.read.parquet(s"$path/buckets")
       val foldable = col("ingest") === "base" ||
@@ -257,7 +264,16 @@ object MinhashIndex {
     * rather than letting the group's members eliminate each other — a
     * plain a≠b guard loses the content entirely (both of {x, y} match the
     * other's appended copy and BOTH drop; review finding, pinned in
-    * IncrementalDedupSpec's crash-window test). */
+    * IncrementalDedupSpec's crash-window test).
+    *
+    * ID-SPACE CONTRACT (r14 ADVICE): the keep-min replay rule identifies
+    * "my own appended copy" by id membership, so batch ids and corpus ids
+    * MUST be disjoint as documents — a genuine corpus near-duplicate whose
+    * id happens to equal some current-batch id (and is larger than its
+    * match) would be treated as a replayed self-match and escape the drop.
+    * Ingest pipelines with one monotone id space (the normal shape)
+    * satisfy this by construction; merging corpora with overlapping id
+    * ranges requires re-keying first. */
   def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
                  path: String, minEstSim: Double = 0.5,
                  batchSize: Long = -1L): DataFrame = {

@@ -32,18 +32,27 @@ private[pipeline] object WriterLock {
     val fs = lock.getFileSystem(conf)
     val owner =
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
-    val local = lock.toUri.getScheme == null || lock.toUri.getScheme == "file"
+    // "local" is decided by the filesystem the path RESOLVES to (r14
+    // ADVICE): a scheme-less path under a non-file fs.defaultFS must take
+    // the Hadoop branch — deciding off the raw URI scheme would acquire
+    // via local NIO but release via the default filesystem
+    val local = fs.getScheme == "file"
+    // if the owner-write fails after create succeeded (disk full), delete
+    // the just-created lock before rethrowing — otherwise every retry
+    // fails FileAlreadyExists against the caller's own stale lock (r14
+    // ADVICE)
     def tryAcquire(): Unit =
       if (local) {
         val nio = java.nio.file.Paths.get(
           if (lock.toUri.getScheme == null) lock.toString else lock.toUri.getPath)
         java.nio.file.Files.createFile(nio) // atomic O_EXCL
-        java.nio.file.Files.write(nio, owner.getBytes("UTF-8"))
-        ()
+        try { java.nio.file.Files.write(nio, owner.getBytes("UTF-8")); () }
+        catch { case e: Throwable =>
+          java.nio.file.Files.deleteIfExists(nio); throw e }
       } else {
         val out = fs.create(lock, false)
-        out.write(owner.getBytes("UTF-8"))
-        out.close()
+        try { out.write(owner.getBytes("UTF-8")); out.close() }
+        catch { case e: Throwable => fs.delete(lock, false); throw e }
       }
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false

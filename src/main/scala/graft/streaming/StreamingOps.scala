@@ -298,7 +298,12 @@ object StreamingOps {
     *    duplicate.
     * Survivors are eagerly materialized (localCheckpoint) BEFORE the
     * append: the probe plan is lazy, and re-evaluating it after the append
-    * would read its own freshly-written buckets. */
+    * would read its own freshly-written buckets.
+    *
+    * Inherits [[graft.pipeline.MinhashIndex.dedupBatch]]'s id-space
+    * contract: stream ids and indexed corpus ids must be disjoint as
+    * documents (one monotone id space), or the keep-min replay rule can
+    * mistake a colliding corpus id for a replayed self-match. */
   def incrementalDedupBatch(batch: DataFrame, textCol: String, idCol: String,
                             indexPath: String, minEstSim: Double,
                             batchId: Long): DataFrame = {

@@ -232,6 +232,28 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${path}_old")))
   }
 
+  test("MinhashIndex.compact: a HALF-WRITTEN marker (no _SUCCESS) does not mark its tag applied") {
+    // crash during writeAppliedMarker leaves a marker dir without
+    // _SUCCESS; appliedMarker treats it as absent, so compact must too —
+    // folding the tag into base would let the replayed append re-create
+    // the tag and transiently duplicate its rows (r14 ADVICE)
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_halfmark").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    val b = Seq((50L, "one more unique document body for the half marker case")).toDF("doc_id", "text")
+    MinhashIndex.append(b, "text", "doc_id", path, tag = "b50")
+    MinhashIndex.writeAppliedMarker(b.select("doc_id"), path, "b50")
+    // simulate the crash window: the marker dir exists but _SUCCESS is gone
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b50/_SUCCESS"), false))
+    assert(MinhashIndex.appliedMarker(spark, path, "b50").isEmpty)
+    MinhashIndex.compact(spark, path)
+    val ingests = spark.read.parquet(s"$path/buckets")
+      .select("ingest").distinct().as[String].collect().toSeq.sorted
+    assert(ingests == Seq("b50", "base"),
+      s"a half-written marker must not fold its tag: $ingests")
+  }
+
   test("crossEmbeddingCandidates + incrementalEmbeddingDedup: near vectors caught, orthogonal survive") {
     def unit(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
