@@ -27,7 +27,15 @@ object BenchCompare {
   final case class Run(file: String, total: Double,
                        queries: Map[String, Double], // name -> median sec
                        mins: Map[String, Double],    // name -> min sec
-                       calib: Option[Double])
+                       calib: Option[Double],
+                       calibIo: Option[Double])
+
+  /** Below this median the CPU-calib normalization is UNRELIABLE on this
+    * host (r14 SCALING.md pinned-code A/B: identical code ran 1.5-2.2x its
+    * own committed artifact at identical calib — scheduler/page-cache
+    * drift dominates sub-0.3s runtimes and the calib is blind to it).
+    * Sub-threshold rows print the RAW ratio with a marker instead. */
+  private val CalibFloorSec = 0.3
 
   private def extractBenchLine(text: String): Option[String] =
     text.linesIterator
@@ -71,7 +79,7 @@ object BenchCompare {
       case _ => (Map.empty[String, Double], Map.empty[String, Double])
     }
     Run(path, num(j \ "value").getOrElse(queries.values.sum),
-      queries, mins, num(j \ "calib"))
+      queries, mins, num(j \ "calib"), num(j \ "calib_io"))
   }
 
   private def newestBenchFiles(): Seq[String] = {
@@ -94,18 +102,29 @@ object BenchCompare {
     val prev = prevPath.map(load)
     val base = basePath.map(load)
 
-    def normRatio(q: String, ref: Run): Option[(Double, Boolean)] =
+    // ratio kinds: calib-normalized (both sides >= CalibFloorSec and both
+    // carry a calib), raw-below-floor (marked — sub-0.3s medians can't be
+    // calib-corrected on this host), plain raw (no calib in ref)
+    sealed trait Kind
+    case object Norm extends Kind; case object RawFloor extends Kind
+    case object Raw extends Kind
+    def normRatio(q: String, ref: Run): Option[(Double, Kind)] =
       ref.queries.get(q).map { r =>
         (cur.calib, ref.calib) match {
-          case (Some(cc), Some(rc)) => ((cur.queries(q) / cc) / (r / rc), true)
-          case _ => (cur.queries(q) / r, false)
+          case (Some(cc), Some(rc))
+              if cur.queries(q) >= CalibFloorSec && r >= CalibFloorSec =>
+            ((cur.queries(q) / cc) / (r / rc), Norm)
+          case (Some(_), Some(_)) => (cur.queries(q) / r, RawFloor)
+          case _ => (cur.queries(q) / r, Raw)
         }
       }
 
+    def calibLine(r: Run): String =
+      s"calib=${r.calib.map(f).getOrElse("-")}  calib_io=${r.calibIo.map(f).getOrElse("-")}"
     println(s"# BenchCompare")
-    println(s"current : ${cur.file}  total=${f(cur.total)}s  calib=${cur.calib.map(f).getOrElse("-")}")
-    prev.foreach(p => println(s"previous: ${p.file}  total=${f(p.total)}s  calib=${p.calib.map(f).getOrElse("-")}"))
-    base.foreach(b => println(s"baseline: ${b.file}  total=${f(b.total)}s  calib=${b.calib.map(f).getOrElse("-")}"))
+    println(s"current : ${cur.file}  total=${f(cur.total)}s  ${calibLine(cur)}")
+    prev.foreach(p => println(s"previous: ${p.file}  total=${f(p.total)}s  ${calibLine(p)}"))
+    base.foreach(b => println(s"baseline: ${b.file}  total=${f(b.total)}s  ${calibLine(b)}"))
     println()
     // spread = median/min per query (r12 verdict #7): a spread > 1.5x marks
     // the median as noise/cold-cache dominated — the artifact self-identifies
@@ -123,11 +142,17 @@ object BenchCompare {
       val pr = prev.flatMap(normRatio(q, _))
       val bv = base.flatMap(_.queries.get(q))
       val br = base.flatMap(normRatio(q, _))
-      def cell(r: Option[(Double, Boolean)]) =
-        r.map { case (x, n) => f(x) + "x" + (if (n) "" else " (raw)") }.getOrElse("-")
+      def cell(r: Option[(Double, Kind)]) =
+        r.map { case (x, k) => f(x) + "x" + (k match {
+          case Norm => ""; case RawFloor => " (raw, <0.3s)"; case Raw => " (raw)"
+        }) }.getOrElse("-")
       println(s"| $q | ${f(t)} | ${spreadCell(cur, q)} | ${pv.map(f).getOrElse("-")} | ${cell(pr)} | " +
         s"${bv.map(f).getOrElse("-")} | ${cell(br)} |")
     }
+    println()
+    println("(raw, <0.3s): sub-0.3s medians print the RAW ratio -- the CPU calib")
+    println("is unreliable at this runtime on this host (SCALING.md pinned-code")
+    println("A/B); judge against the calib_io sentinel and the min column instead.")
     // shared-query totals: the honest aggregate (query sets change between
     // rounds; a total over different sets is meaningless)
     def sharedSummary(tag: String, ref: Run): Unit = {
@@ -136,10 +161,26 @@ object BenchCompare {
         val c = shared.map(cur.queries).sum
         val r = shared.map(ref.queries).sum
         val raw = c / r
-        val norm = for (cc <- cur.calib; rc <- ref.calib) yield (c / cc) / (r / rc)
+        // calib-normalize only over the queries the calib can SEE (both
+        // sides >= 0.3s) — normalizing a column dominated by sub-0.3s rows
+        // is how the r14 compare printed a phantom 2.7x
+        val big = shared.filter(q =>
+          cur.queries(q) >= CalibFloorSec && ref.queries(q) >= CalibFloorSec)
+        val norm = for (cc <- cur.calib; rc <- ref.calib; if big.nonEmpty)
+          yield (big.map(cur.queries).sum / cc) / (big.map(ref.queries).sum / rc)
+        // when the two runs' calibs disagree far more than their raw totals
+        // do, the normalization itself is the outlier — say so inline
+        val drift = for (cc <- cur.calib; rc <- ref.calib) yield {
+          val d = cc / rc; math.max(d, 1.0 / d)
+        }
+        val caveat = drift.filter(_ > 1.5).map(d =>
+          s" [calib drifted ${f(d)}x between runs; prefer the raw ratio]")
+          .getOrElse("")
         println()
         println(s"$tag: ${shared.size} shared queries, cur ${f(c)}s vs ${f(r)}s " +
-          s"= ${f(raw)}x raw" + norm.map(n => s", ${f(n)}x calib-normalized").getOrElse(" (no calib in ref)"))
+          s"= ${f(raw)}x raw" + norm.map(n =>
+            s", ${f(n)}x calib-normalized over the ${big.size} queries >= 0.3s$caveat")
+            .getOrElse(" (no calib-eligible queries in common)"))
       }
     }
     prev.foreach(sharedSummary("vs previous", _))
