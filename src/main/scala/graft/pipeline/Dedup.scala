@@ -819,7 +819,6 @@ object Dedup {
     // bands·r-plane call). Buckets were formerly r-bit slices of one packed
     // 63-bit signature, which capped bands·r at 63 and stopped AUTO's
     // per-band growth at ~2M vectors for 4 bands.
-    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates.
     // Adaptive width (rows carry the full double[] vector, so the
     // per-partition target is lower than the text sketches')
     val nPart = nDocsOpt match {
@@ -827,9 +826,28 @@ object Dedup {
         docs.sparkSession.sessionState.conf.numShufflePartitions, 40000L)
       case None => widthFromBytes(docs, bands, bytesPerPartition = 16L << 20)
     }
-    val banded = bandedExchange(
-      srpBandRows(docs, vecCol, idCol, r, dim, bands),
-      nPart, col("band"), col("bucket"))
+    embeddingCandidatesOfBandRows(
+      srpBandRows(docs, vecCol, idCol, r, dim, bands), minCos, roundTo, nPart)
+  }
+
+  /** The banded self-join + exact-cosine verify over caller-provided
+    * (id, v, band, bucket) rows — the hash-agnostic seam of
+    * [[embeddingCandidates]] ([[minhashCandidatesOfSig]] discipline, r15):
+    * everything downstream of the SIGNATURE — shared-Exchange self-join,
+    * shuffle_hash pin, a<b canonicalization, exact-cosine verify at
+    * `minCos`, pair distinct — runs here, so the md5-variant full-value
+    * oracle (q_dedup_srp_md5_oracle) drives the same code with buckets
+    * DuckDB can replay, leaving only the seeded-plane kernel itself
+    * spec-covered. `nPart <= 0` uses the session default width. */
+  def embeddingCandidatesOfBandRows(bandRows: DataFrame, minCos: Double,
+                                    roundTo: Int = 4,
+                                    nPart: Int = -1): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(bandRows.sparkSession)
+    val width =
+      if (nPart > 0) nPart
+      else bandRows.sparkSession.sessionState.conf.numShufflePartitions
+    // shared-Exchange self-join, shuffle_hash-pinned: see minhashCandidates
+    val banded = bandedExchange(bandRows, width, col("band"), col("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
     val rt = banded.select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
@@ -875,14 +893,30 @@ object Dedup {
         widthFromBytes(batch, bands, bytesPerPartition = 16L << 20),
         widthFromBytes(corpus, bands, bytesPerPartition = 16L << 20))
     }
-    val l = bandedExchange(
-        srpBandRows(batch, vecCol, idCol, r, dim, bands),
-        nPart, col("band"), col("bucket"))
+    crossEmbeddingCandidatesOfBandRows(
+      srpBandRows(batch, vecCol, idCol, r, dim, bands),
+      srpBandRows(corpus, vecCol, idCol, r, dim, bands),
+      minCos, roundTo, nPart)
+  }
+
+  /** The banded CROSS join + exact-cosine verify over caller-provided
+    * (id, v, band, bucket) frames — the hash-agnostic seam of
+    * [[crossEmbeddingCandidates]] (see [[embeddingCandidatesOfBandRows]]).
+    * Both frames MUST carry buckets from the same signature scheme.
+    * Output: (a = batch id, b = corpus id, cos) — no canonicalization,
+    * both orientations meaningful. `nPart <= 0` = session default. */
+  def crossEmbeddingCandidatesOfBandRows(batchRows: DataFrame,
+                                         corpusRows: DataFrame,
+                                         minCos: Double, roundTo: Int = 4,
+                                         nPart: Int = -1): DataFrame = {
+    graft.functions.GridDbScalarFunctions.register(batchRows.sparkSession)
+    val width =
+      if (nPart > 0) nPart
+      else batchRows.sparkSession.sessionState.conf.numShufflePartitions
+    val l = bandedExchange(batchRows, width, col("band"), col("bucket"))
       .select(col("band"), col("bucket"), col("id").as("a"), col("v").as("va"))
       .hint("shuffle_hash")
-    val rt = bandedExchange(
-        srpBandRows(corpus, vecCol, idCol, r, dim, bands),
-        nPart, col("band"), col("bucket"))
+    val rt = bandedExchange(corpusRows, width, col("band"), col("bucket"))
       .select(col("band"), col("bucket"), col("id").as("b"), col("v").as("vb"))
       .hint("shuffle_hash")
     l.join(rt, Seq("band", "bucket"))

@@ -641,10 +641,27 @@ object Similarity {
     // plane split for bits+1 probed buckets (~1.8x candidates at the
     // default config, measured 0.85 -> 1.00 planted recall)
     val nProbes = if (probes < 0) bits else probes
-    val probeBuckets = (c0: Column) =>
-      array((c0 +: (0 until nProbes).map(i => c0.bitwiseXOR(lit(1L << i)))): _*)
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("bucket", explode(probeBuckets(signatureFused(col("qv"), bits, dim))))
+    lshTopKOfBuckets(c,
+      queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+        .withColumn("bucket", signatureFused(col("qv"), bits, dim)),
+      k, nProbes, roundTo)
+  }
+
+  /** The probe-expansion + bucket-join + exact-cosine + top-k machinery of
+    * [[lshTopK]] over caller-provided bucketed frames — the hash-agnostic
+    * seam (the [[graft.pipeline.Dedup.minhashCandidatesOfSig]] discipline,
+    * r15): `c` = (c_id, cv, bucket), `q` = (q_id, qv, bucket) with buckets
+    * from the SAME signature scheme. Queries probe their own bucket plus
+    * `nProbes` single-bit-flip neighbors (the multi-probe rule lives HERE,
+    * so the md5-variant oracle q_sim_lsh_ann_md5 drives it too); every
+    * surviving candidate is exact-cosine-scored and ranked. */
+  def lshTopKOfBuckets(c: DataFrame, q0: DataFrame, k: Int,
+                       nProbes: Int, roundTo: Int = 4): DataFrame = {
+    ensureFns(c)
+    val probeBuckets = (b0: Column) =>
+      array((b0 +: (0 until nProbes).map(i => b0.bitwiseXOR(lit(1L << i)))): _*)
+    val q = q0.select(col("q_id"), col("qv"),
+      explode(probeBuckets(col("bucket"))).as("bucket"))
     // no distinct: each corpus vector owns ONE bucket and a query's
     // probe buckets are distinct values, so (q_id, c_id) joins at most
     // once

@@ -94,6 +94,103 @@ object PipelineQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ---- md5-derived SRP planes (r15, the md5MinhashSig discipline for the
+  // EMBEDDING family): plane weight w(b,i,j) = (first byte of
+  // md5("p|b|i|j")) - 128, an INTEGER in [-128, 127] computed once in the
+  // driver — md5 of a constant string, which DuckDB recomputes identically
+  // in SQL. The vector is quantized EXACTLY as floor(v[j]*1000) in BIGINT
+  // (float→double cast is exact; floor is unambiguous in both engines), so
+  // each plane dot is an exact INTEGER sum — no FP associativity anywhere,
+  // and the sign (dot >= 0, the kernel's tie rule) agrees bit for bit.
+  // Bit i of band b sets 2^i; the band's bucket is the packed Long. ----
+  private def md5PlaneWeight(b: Int, i: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p|$b|$i|$j".getBytes("UTF-8"))
+    (d(0).toInt & 0xff).toLong - 128L
+  }
+
+  /** (id, v, band, bucket) SRP band rows over `embeddings` with md5-derived
+    * planes — the engine-portable signature the hash-agnostic seams
+    * (Dedup.embeddingCandidatesOfBandRows / crossEmbeddingCandidatesOfBandRows
+    * / Similarity.lshTopKOfBuckets) are driven through for full-value
+    * oracles. dim must match the fixture (64 at every SF — TESTDATA.md). */
+  private def md5SrpBandRows(e: org.apache.spark.sql.DataFrame,
+                             r: Int, bands: Int,
+                             dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val base = e.select(col("vec_id").as("id"), v.as("v"),
+      transform(v, x => floor(x * 1000).cast("long")).as("__q"))
+    val bandCols = (0 until bands).map { b =>
+      (0 until r).map { i =>
+        val dot = (0 until dim)
+          .map(j => col("__q").getItem(j) * lit(md5PlaneWeight(b, i, j)))
+          .reduce(_ + _)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    base.select(col("id"), col("v"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  // shared signature CTEs of the DuckDB replay (vq = exact integer
+  // quantization, w = md5 plane weights, sig = packed sign buckets)
+  private def md5SrpSigCtes(r: Int, bands: Int, dim: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |vq AS (SELECT vec_id, j - 1 AS j, CAST(FLOOR(x * 1000) AS BIGINT) AS q
+       |       FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e)),
+       |w AS (SELECT b, i, j,
+       |        ('0x' || substr(md5('p|' || b || '|' || i || '|' || j), 1, 2))::BIGINT - 128 AS w
+       |      FROM UNNEST(generate_series(0, ${bands - 1})) AS tb(b),
+       |           UNNEST(generate_series(0, ${r - 1})) AS ti(i),
+       |           UNNEST(generate_series(0, ${dim - 1})) AS tj(j)),
+       |dots AS (SELECT vq.vec_id, w.b, w.i, SUM(vq.q * w.w) AS d
+       |         FROM vq JOIN w ON w.j = vq.j GROUP BY 1, 2, 3),
+       |sig AS (SELECT vec_id, b AS band,
+       |          SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+       |        FROM dots GROUP BY vec_id, b)""".stripMargin
+
+  // full banded-candidate replay: band collision -> exact cosine verify at
+  // minCos (rounded to 4, NaN/zero-norm dropped like the kernel)
+  private def md5SrpOracleSql(cross: Boolean, r: Int = 4, bands: Int = 4,
+                              dim: Int = 64, minCos: Double = 0.45): String = {
+    val candCond =
+      if (cross) "l.vec_id % 10 >= 7 AND r2.vec_id % 10 < 7"
+      else "l.vec_id < r2.vec_id"
+    "WITH " + md5SrpSigCtes(r, bands, dim) + s""",
+       |cand AS (SELECT DISTINCT l.vec_id AS a, r2.vec_id AS b
+       |         FROM sig l JOIN sig r2 ON l.band = r2.band AND l.bucket = r2.bucket
+       |         WHERE $candCond),
+       |scored AS (SELECT c.a, c.b,
+       |          ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+       |        FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+       |        WHERE NOT coalesce(isnan(list_cosine_similarity(ea.v, eb.v)), TRUE))
+       |SELECT a, b, cos FROM scored WHERE cos >= $minCos ORDER BY a, b""".stripMargin
+  }
+
+  // LSH-ANN replay: single 8-bit band, queries probe own bucket + every
+  // single-bit flip (the production all-bit multi-probe rule), exact
+  // cosine, top-10 by (cos DESC, c_id) — the IvfAnnOracle rank discipline
+  private def md5LshAnnOracleSql(r: Int = 8, dim: Int = 64,
+                                 k: Int = 10): String =
+    "WITH " + md5SrpSigCtes(r, bands = 1, dim) + s""",
+       |qp AS (SELECT s.vec_id AS q_id,
+       |         CASE WHEN p = 0 THEN s.bucket
+       |              ELSE xor(s.bucket, (1::BIGINT << (p - 1))) END AS bucket
+       |       FROM sig s, UNNEST(generate_series(0, $r)) AS u(p)
+       |       WHERE s.vec_id < 5),
+       |scored AS (SELECT qp.q_id, s.vec_id AS c_id,
+       |         ROUND(list_cosine_similarity(qe.v, ce.v), 4) AS cos
+       |       FROM qp JOIN sig s ON s.bucket = qp.bucket
+       |       JOIN e qe ON qe.vec_id = qp.q_id
+       |       JOIN e ce ON ce.vec_id = s.vec_id
+       |       WHERE s.vec_id <> qp.q_id
+       |         AND NOT coalesce(isnan(list_cosine_similarity(qe.v, ce.v)), TRUE)),
+       |ranked AS (SELECT q_id, c_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+       |       FROM scored)
+       |SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+
   // same memoization for the minhash band index (q_dedup_index_parity):
   // the registered form measures PROBING a persisted corpus, not building
   private[queries] def minhashIndexPath(s: org.apache.spark.sql.SparkSession,
@@ -153,6 +250,32 @@ object PipelineQueries {
       |       FROM embeddings e
       |       LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
       |         ON m.id = e.vec_id)""".stripMargin
+
+  // ---- q_dedup_semantic_ivf full replay (r15 promotion): Lloyd CTEs at 8
+  // lists / 1 step (exactly Similarity.ivfCentroids' schedule), first-wins
+  // argmin assignment, within-cluster pair scan, recursive components.
+  // list_distance (sqrt-L2) vs the kernel's squared-L2 is argmin-
+  // equivalent; cosine rounding + component convention match
+  // ExactComponentCtes. ----
+  private lazy val SemanticIvfOracle: String =
+    "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n" +
+    lloydCtes("sd8", "e", 8, 1, "v").mkString(",\n") + ",\n" +
+    """af AS (SELECT vec_id, v, c FROM (
+      |    SELECT e.vec_id, e.v, s.c,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_distance(e.v, s.v), s.c) AS rk
+      |    FROM e CROSS JOIN sd8_c1 s) WHERE rk = 1),
+      |pairs AS (SELECT a.vec_id AS a, b.vec_id AS b
+      |          FROM af a JOIN af b ON a.c = b.c AND a.vec_id < b.vec_id
+      |          WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45),
+      |edges AS (SELECT a AS u, b AS v2 FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (SELECT u AS id, u AS r FROM edges
+      |          UNION
+      |          SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.id = e2.v2),
+      |cl AS (SELECT e.vec_id AS id, COALESCE(m.cluster, e.vec_id) AS cluster
+      |       FROM e LEFT JOIN (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) m
+      |         ON m.id = e.vec_id)
+      |SELECT id, cluster FROM cl ORDER BY id""".stripMargin
 
   // NULL/NaN cosines (zero-norm or null embeddings) are DROPPED before
   // ranking, matching the kernel's null-drop contract (graft_cosine nulls
@@ -472,14 +595,19 @@ object PipelineQueries {
     },
 
     // ---- MinHash + LSH near-dup candidates (xxhash64 family: rows-only) ----
-    Q.rowsOnly("q_dedup_minhash", bench = true) { (s, dir) =>
+    Q.rowsOnly("q_dedup_minhash",
+      NoOracle.Terminal("xxhash64 minhash sketch has no SQL replay",
+        companions = Seq("q_dedup_minhash_bound", "q_dedup_minhash_md5_oracle")),
+      bench = true) { (s, dir) =>
       Dedup.minhashCandidates(docs(s, dir), "text", "doc_id",
           corpusSize = nDocs(s, dir))
         .orderBy("a", "b")
     },
 
     // ---- SimHash near-dup pairs (rows-only: the sketch is xxhash64) ----
-    Q.rowsOnly("q_dedup_simhash") { (s, dir) =>
+    Q.rowsOnly("q_dedup_simhash",
+      NoOracle.Terminal("xxhash64 token hash has no SQL replay",
+        companions = Seq("q_dedup_simhash_oracle"))) { (s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "text", "doc_id", maxHamming = 6,
           corpusSize = nDocs(s, dir))
         .orderBy("a", "b")
@@ -609,7 +737,10 @@ object PipelineQueries {
 
     // near-dup incremental survivors (xxhash64 candidates: rows-only; the
     // guarantees are driver-checked by the bound row below)
-    Q.rowsOnly("q_dedup_incremental_minhash") { (s, dir) =>
+    Q.rowsOnly("q_dedup_incremental_minhash",
+      NoOracle.Terminal("xxhash64 minhash sketch has no SQL replay",
+        companions = Seq("q_dedup_incremental_bound",
+          "q_dedup_incremental_minhash_md5"))) { (s, dir) =>
       val d = docs(s, dir)
       Dedup.incrementalMinhashDedup(d.filter(col("doc_id") % 10 >= 7),
           d.filter(col("doc_id") % 10 < 7), "text", "doc_id")
@@ -679,7 +810,10 @@ object PipelineQueries {
     // corpus through SAME-seeded SRP bands, exact-cosine-verified.
     // Survivors rows-only (seeded planes are Spark-side); the bound below
     // pins subset-of-exact + score equality.
-    Q.rowsOnly("q_dedup_incremental_embedding") { (s, dir) =>
+    Q.rowsOnly("q_dedup_incremental_embedding",
+      NoOracle.Terminal("SRP planes are seeded JVM Gaussian draws — no SQL replay",
+        companions = Seq("q_dedup_incremental_emb_bound",
+          "q_dedup_incremental_emb_md5"))) { (s, dir) =>
       val e = embs(s, dir)
       Dedup.incrementalEmbeddingDedup(e.filter(col("vec_id") % 10 >= 7),
           e.filter(col("vec_id") % 10 < 7), "embedding", "vec_id",
@@ -747,6 +881,44 @@ object PipelineQueries {
           md5MinhashSig(d.filter(col("doc_id") % 10 < 7)),
           k = 8, bands = 4)
         .orderBy("a", "b")
+    },
+
+    // ---- md5-variant FULL-VALUE SRP oracles (r15, r14 verdict #1 — the
+    //      md5-minhash discipline extended to the EMBEDDING family): the
+    //      production planes are seeded JVM Gaussian draws (no SQL
+    //      replay), but everything DOWNSTREAM of the signature — banding,
+    //      shared-Exchange self-join / cross join, exact-cosine verify,
+    //      canonicalization, threshold, multi-probe expansion, top-k
+    //      ranking — is signature-agnostic. These drive the SAME
+    //      embeddingCandidatesOfBandRows / crossEmbeddingCandidatesOfBandRows
+    //      / lshTopKOfBuckets seams with md5-derived integer-exact plane
+    //      signs both engines compute, so every returned row is
+    //      value-checked by the driver; only the Gaussian-plane kernel
+    //      (graft_srp_sig) stays spec-covered (SimilaritySpec parity). ----
+    Q.df("q_dedup_srp_md5_oracle", maxSf = 0.1,
+      duck = md5SrpOracleSql(cross = false)) { (s, dir) =>
+      Dedup.embeddingCandidatesOfBandRows(
+          md5SrpBandRows(embs(s, dir), r = 4, bands = 4), minCos = 0.45)
+        .orderBy("a", "b")
+    },
+    Q.df("q_dedup_incremental_emb_md5", maxSf = 0.1,
+      duck = md5SrpOracleSql(cross = true)) { (s, dir) =>
+      val e = embs(s, dir)
+      Dedup.crossEmbeddingCandidatesOfBandRows(
+          md5SrpBandRows(e.filter(col("vec_id") % 10 >= 7), r = 4, bands = 4),
+          md5SrpBandRows(e.filter(col("vec_id") % 10 < 7), r = 4, bands = 4),
+          minCos = 0.45)
+        .orderBy("a", "b")
+    },
+    Q.df("q_sim_lsh_ann_md5", maxSf = 0.1,
+      duck = md5LshAnnOracleSql()) { (s, dir) =>
+      val sig = md5SrpBandRows(embs(s, dir), r = 8, bands = 1)
+      Similarity.lshTopKOfBuckets(
+          sig.select(col("id").as("c_id"), col("v").as("cv"), col("bucket")),
+          sig.filter(col("id") < 5)
+            .select(col("id").as("q_id"), col("v").as("qv"), col("bucket")),
+          k = 10, nProbes = 8)
+        .orderBy("q_id", "rk")
     },
 
     // persisted-index parity: probing the stored corpus buckets must equal
@@ -831,7 +1003,10 @@ object PipelineQueries {
     //      unnecessary as a golden anchor (recall proved against planted
     //      ground truth at 2M vectors; bits=16 fixture lives on in
     //      DedupSpec/PlantedTruthSpec). Same golden hash at sf0.01. ----
-    Q.rowsOnly("q_dedup_embedding_lsh_auto", bench = true) { (s, dir) =>
+    Q.rowsOnly("q_dedup_embedding_lsh_auto",
+      NoOracle.Terminal("SRP planes are seeded JVM Gaussian draws — no SQL replay",
+        companions = Seq("q_dedup_lsh_pairs_bound", "q_dedup_srp_md5_oracle")),
+      bench = true) { (s, dir) =>
       Dedup.embeddingCandidates(embs(s, dir), "embedding", "vec_id", minCos = 0.45,
           corpusSize = nEmbs(s, dir))
         .orderBy("a", "b")
@@ -848,9 +1023,14 @@ object PipelineQueries {
         .orderBy("id")
     },
 
-    // ---- SemDeDup scale path: cluster-restricted pair scan (rows-only;
-    // subset-of-exact precision asserted in DedupSpec) ----
-    Q.rowsOnly("q_dedup_semantic_ivf") { (s, dir) =>
+    // ---- SemDeDup scale path: cluster-restricted pair scan — PROMOTED to
+    // a full DuckDB oracle (r15): every stage is deterministic data math —
+    // 8 seed centroids (first ids) + one Lloyd step (the q_sim_ivf_*
+    // replay discipline via lloydCtes), first-wins argmin assignment,
+    // within-cluster pairs at rounded cosine >= 0.45, components by
+    // recursive min-id reachability (the q_dedup_semantic discipline) ----
+    Q.df("q_dedup_semantic_ivf",
+      duck = SemanticIvfOracle) { (s, dir) =>
       Dedup.semanticDedup(embs(s, dir), "embedding", "vec_id",
           minCos = 0.45, nLists = 8)
         .orderBy("id")
@@ -992,7 +1172,9 @@ object PipelineQueries {
     },
 
     // ---- LSH-bucketed approximate NN (rows-only; recall tested in spec) ----
-    Q.rowsOnly("q_sim_lsh_ann") { (s, dir) =>
+    Q.rowsOnly("q_sim_lsh_ann",
+      NoOracle.Terminal("SRP planes are seeded JVM Gaussian draws — no SQL replay",
+        companions = Seq("q_sim_lsh_ann_bound", "q_sim_lsh_ann_md5"))) { (s, dir) =>
       val e = embs(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("q_id", "rk")
@@ -1514,7 +1696,10 @@ object PipelineQueries {
     //      100 TB run uses; cross-cluster pairs are missed by construction,
     //      so the keeper set (hence the packing) differs from the exact
     //      oracle and this registers rows-only with a pinned golden. ----
-    Q.rowsOnly("q_pipeline_curation_v3_auto") { (s, dir) =>
+    Q.rowsOnly("q_pipeline_curation_v3_auto",
+      NoOracle.Terminal(
+        "composite includes xxhash64 minhash + seeded-SRP stages",
+        companions = Seq("q_pipeline_curation_v3_keep_bound"))) { (s, dir) =>
       val d = docs(s, dir)
       val e = embs(s, dir)
       val dup = Curation.duplicatedNgramFraction(d, "doc_id", "text", n = 5)
@@ -1799,7 +1984,9 @@ object PipelineQueries {
     },
 
     // ---- multimodal plumbing (binary blobs + stub decode: rows-only) ----
-    Q.rowsOnly("q_multimodal_features") { (s, dir) =>
+    Q.rowsOnly("q_multimodal_features",
+      NoOracle.Terminal("JVM codec byte output (checksums) has no SQL replay",
+        companions = Seq("q_multimodal_bound"))) { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
       Multimodal.extractFeatures(
           Multimodal.fromText(docs(s, dir), "doc_id", "text", "source"))
@@ -1859,7 +2046,9 @@ object PipelineQueries {
     //      Spark's Bloom hashing — but deterministic (OR-merged bitset,
     //      seed-fixed hashes); BloomDecontaminateSpec pins the exact
     //      superset/fpp guarantees against ngramOverlap ----
-    Q.rowsOnly("q_decontaminate_bloom") { (s, dir) =>
+    Q.rowsOnly("q_decontaminate_bloom",
+      NoOracle.Terminal("Bloom false positives are hash-placement-dependent",
+        companions = Seq("q_decontaminate_bloom_superset"))) { (s, dir) =>
       val d = docs(s, dir)
       // fpp budgeted per DOC (~100 probed grams each): 1e-5 per gram
       // keeps doc-level false flags ~1e-3 (see bloomDecontaminate scaladoc)
@@ -2016,7 +2205,10 @@ object PipelineQueries {
     // No DuckDB oracle (iterative training is not SQL) — golden-pinned;
     // BpeSpec proves round-trip, determinism and the known-corpus merge
     // sequence ----
-    Q.rowsOnly("q_text_bpe") { (s, dir) =>
+    Q.rowsOnly("q_text_bpe",
+      NoOracle.Terminal(
+        "iterative distributed merge-argmax — no feasible SQL replay",
+        companions = Seq("q_text_bpe_bound"))) { (s, dir) =>
       val d = docs(s, dir)
       val merges = Bpe.train(d, "text", numMerges = 40)
       Bpe.encode(d, "text", merges)

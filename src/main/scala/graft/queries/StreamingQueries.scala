@@ -141,7 +141,9 @@ object StreamingQueries {
     // golden; batch parity + state eviction are spec-asserted). ts is
     // synthesized from doc_id so arrival order follows ids and the pair
     // orientation matches the batch operator.
-    Q.rowsOnly("q_stream_dedup_minhash") { (s, dir) =>
+    Q.rowsOnly("q_stream_dedup_minhash",
+      NoOracle.Terminal("xxhash64 minhash sketch has no SQL replay",
+        companions = Seq("q_stream_dedup_minhash_parity"))) { (s, dir) =>
       implicit val sp: org.apache.spark.sql.SparkSession = s
       replayDocs(s, dir, "q_stream_dedup_minhash_sink") { d =>
         val withTs = d.select(col("doc_id"), col("text"),

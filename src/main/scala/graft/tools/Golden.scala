@@ -40,11 +40,17 @@ object Golden {
     // GENERATED CTEs (PipelineQueries.pqOracle).
     // r14: q_dedup_incremental_minhash joins (xxhash64 cross-candidates;
     // bounded by the full-oracle q_dedup_incremental_bound companion).
+    // r15: q_dedup_semantic_ivf PROMOTED to a full oracle (Lloyd replay at
+    // 8 lists + recursive components — the q_sim_ivf_* discipline) and
+    // left this list; the SRP family gained md5-seam full-value companions
+    // (q_dedup_srp_md5_oracle, q_dedup_incremental_emb_md5,
+    // q_sim_lsh_ann_md5) and every remaining row carries a machine-checked
+    // NoOracle.Terminal tag (RegistrySpec).
     "q_text_bpe",
     "q_decontaminate_bloom",
     "q_dedup_embedding_lsh_auto", "q_dedup_incremental_embedding",
     "q_dedup_incremental_minhash",
-    "q_dedup_minhash", "q_dedup_semantic_ivf",
+    "q_dedup_minhash",
     "q_dedup_simhash", "q_multimodal_features",
     "q_pipeline_curation_v3_auto",
     "q_sim_lsh_ann", "q_stream_dedup_minhash")

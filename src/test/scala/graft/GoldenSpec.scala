@@ -25,7 +25,7 @@ class GoldenSpec extends SparkTestBase {
     "q_dedup_incremental_embedding" -> "c5d15de7588c18b8",
     "q_dedup_incremental_minhash" -> "08eb6a0375b52496",
     "q_dedup_minhash" -> "f445327584e7bd8c",
-    "q_dedup_semantic_ivf" -> "bac5a731493a3924",
+    // q_dedup_semantic_ivf left r15: promoted to a full DuckDB oracle
     "q_dedup_simhash" -> "df17e934ac71859a",
     "q_multimodal_features" -> "cd83f6b20c274280",
     "q_pipeline_curation_v3_auto" -> "61055128fc76a684",

@@ -36,6 +36,31 @@ class RegistrySpec extends SparkTestBase {
       Registry.all.filter(_.oracle.nonEmpty).map(_.name).toSet)
   }
 
+  test("no-oracle rows are tagged Terminal/Bound with resolving full-oracle companions (r14 #7)") {
+    val noOracle = Registry.all.filter(_.oracle.isEmpty)
+    // every rows-only row declares WHY it has no oracle
+    val untagged = noOracle.filter(_.noOracle.isEmpty).map(_.name)
+    assert(untagged.isEmpty, s"rows-only queries without a NoOracle tag: $untagged")
+    // and every full-oracle row carries NO tag (the tag would be a lie)
+    val misTagged = Registry.all
+      .filter(q => q.oracle.nonEmpty && q.noOracle.nonEmpty).map(_.name)
+    assert(misTagged.isEmpty, s"oracle-checked queries carrying a NoOracle tag: $misTagged")
+    noOracle.foreach { q =>
+      val tag = q.noOracle.get
+      assert(tag.reason.trim.nonEmpty, s"${q.name}: empty NoOracle reason")
+      assert(tag.companions.nonEmpty,
+        s"${q.name}: a no-oracle row needs at least one full-oracle companion " +
+          "that checks its guarantees (bound/md5-seam/parity row)")
+      tag.companions.foreach { c =>
+        val comp = Registry.byName.get(c)
+        assert(comp.isDefined, s"${q.name}: companion '$c' is not registered")
+        assert(comp.get.oracle.nonEmpty,
+          s"${q.name}: companion '$c' has no oracle — a bound companion must " +
+            "itself be driver-value-checked")
+      }
+    }
+  }
+
   test("maxSf: known-quadratic baselines are capped and the guard fires at scale dirs (r13 #5)") {
     // the exact-O(N²) baselines and pair-set-recomputing bounds — every
     // entry here exists to CHECK a scalable kernel at the driver SF
