@@ -1,0 +1,179 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-dedup digest index: digest the corpus ONCE, gate every
+  * new ingest batch against the stored digests — the exact-dedup analogue
+  * of [[MinhashIndex]] (r14 verdict #3). [[Dedup.incrementalExactDedup]]
+  * re-derives the corpus's distinct digests per call, which is right for
+  * an ad-hoc comparison and a full corpus scan per ingest at 100 TB; with
+  * the index an ingest pays the batch's own md5 map plus one digest
+  * equi-join against the stored rows, and accepted survivors are APPENDED
+  * so the next batch dedups against them too — the corpus text is never
+  * re-read.
+  *
+  * Layout at `path` (the [[MinhashIndex]] shape, shared protocol objects):
+  *  - `<path>/digests`: (id, h) — one row per distinct indexed text;
+  *    `id` is the keeper (MIN id that owns digest `h`), carried so the
+  *    keep-min replay rule can tell "my own appended copy" from a genuine
+  *    corpus duplicate. Partitioned by an `ingest` tag (`base` + one per
+  *    append); a re-written tag REPLACES its rows — replay-idempotent.
+  *  - `<path>/meta`: (n_docs) — width-sizing metadata only (crash-window
+  *    replays may overcount; [[compact]] recounts exactly).
+  *  - `<path>/applied/<tag>`: survivor markers ([[IngestMarkers]]).
+  *
+  * Writers serialize via [[WriterLock]]; probes retry transient windows
+  * and never lock. Compact folds marked tags into `base` and swaps via
+  * [[IndexSwap]] (same reader contract).
+  */
+object ExactIndex {
+
+  /** Digest rows of `docs`: (id = min owner, h = md5(text)), one per
+    * distinct text. NULL texts are excluded, matching
+    * [[Dedup.exactDedup]]'s groupBy-on-digest semantics. */
+  private def digestRows(docs: DataFrame, textCol: String,
+                         idCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("id"))
+      .select(col("id"), col("h"))
+
+  /** Digest tree width: rows are tiny (a 32-char digest + an id), so the
+    * per-partition budget is much higher than the band trees'. */
+  private def width(spark: SparkSession, n: Long): Int =
+    Dedup.verifyPartitions(math.max(n, 1L),
+      spark.sessionState.conf.numShufflePartitions, 1000000L)
+
+  /** Digest `corpus` and write the index. Overwrites `path`. */
+  def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
+            corpusSize: Long = -1L): Unit = {
+    val spark = corpus.sparkSession
+    WriterLock.withLock(spark, path) {
+      val n = if (corpusSize > 0) corpusSize else corpus.count()
+      digestRows(corpus, textCol, idCol)
+        .withColumn("ingest", lit("base"))
+        .repartition(width(spark, n), col("h"))
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$path/digests")
+      writeMeta(spark, path, n)
+    }
+  }
+
+  /** Add accepted docs (after their batch passed the gate): digests land
+    * in the ingest partition named by `tag`; re-running the SAME tag
+    * overwrites that ingest's rows — idempotent under replay. Like
+    * [[MinhashIndex.append]] there is no trained state to drift; an
+    * appended doc's digest is exactly what a fresh build would produce.
+    * @return total indexed docs after this append (metadata count). */
+  def append(newDocs: DataFrame, textCol: String, idCol: String,
+             path: String, batchSize: Long = -1L,
+             tag: String = null): Long = {
+    val spark = newDocs.sparkSession
+    WriterLock.withLock(spark, path) {
+      val m = readMeta(spark, path)
+      val add = if (batchSize > 0) batchSize else newDocs.count()
+      val t = IngestMarkers.sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
+      // size files to the BATCH, not the session width (MinhashIndex
+      // discipline): a small micro-batch writes one compact file
+      val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
+      digestRows(newDocs, textCol, idCol)
+        .repartition(nOut, col("h"))
+        .write.mode("overwrite").parquet(s"$path/digests/ingest=$t")
+      writeMeta(spark, path, m.nDocs + add)
+      m.nDocs + add
+    }
+  }
+
+  /** Fold marked ingest partitions into `base` (see
+    * [[MinhashIndex.compact]] — same rationale, same unmarked-tag crash
+    * window rule, same maintenance-op reader contract), dedup digests to
+    * their MIN owner id, recount meta exactly. */
+  def compact(spark: SparkSession, path: String): Unit =
+    WriterLock.withLock(spark, path) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val marked = IngestMarkers.markedTags(spark, path)
+      val all = spark.read.parquet(s"$path/digests")
+      val foldable = col("ingest") === "base" || col("ingest").isin(marked: _*)
+      val tmp = s"${path}_compact"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val m = readMeta(spark, path)
+      all.filter(foldable)
+        .groupBy(col("h")).agg(min(col("id")).as("id"))
+        .select(col("id"), col("h"))
+        .withColumn("ingest", lit("base"))
+        .unionByName(all.filter(!foldable)
+          .select(col("id"), col("h"), col("ingest").cast("string")))
+        .repartition(width(spark, m.nDocs), col("h"))
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$tmp/digests")
+      val nDocs = spark.read.parquet(s"$tmp/digests").count()
+      writeMeta(spark, tmp, nDocs)
+      IngestMarkers.copyApplied(spark, path, tmp)
+      IndexSwap.swapInPlace(spark, path, tmp, what = "exact-index compact")
+    }
+
+  /** Digest hits of `batch` against the indexed corpus — the persisted
+    * form of [[Dedup.incrementalExactDedup]]'s anti-join probe.
+    * Output: (a = batch id, b = indexed keeper id) for every batch doc
+    * whose text digest is already indexed. */
+  def probe(batch: DataFrame, textCol: String, idCol: String,
+            path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val idx = IngestMarkers.retryTransient(
+      spark.read.parquet(s"$path/digests"))
+    batch.where(col(textCol).isNotNull)
+      .select(col(idCol).as("a"), md5(col(textCol)).as("h"))
+      .join(idx.select(col("id").as("b"), col("h")), Seq("h"))
+      .select(col("a"), col("b"))
+  }
+
+  /** The exact ingest gate: keep the smallest id of each distinct batch
+    * text, then drop any text already indexed. Compose with [[append]] on
+    * the survivors to advance the corpus.
+    *
+    * Probe hits whose indexed id is itself a CURRENT-batch id get the
+    * keep-min rule ([[MinhashIndex.dedupBatch]] — drop only when the
+    * indexed id is SMALLER), so a crash-replayed micro-batch (its own
+    * survivors already appended) reproduces its decision instead of
+    * self-emptying.
+    *
+    * ID-SPACE CONTRACT (as MinhashIndex.dedupBatch): batch ids and
+    * indexed corpus ids must be disjoint as documents — one monotone id
+    * space; merging corpora with overlapping id ranges requires re-keying
+    * first. */
+  def dedupBatch(batch: DataFrame, textCol: String, idCol: String,
+                 path: String): DataFrame = {
+    val kept = Dedup.exactDedup(batch, textCol, idCol)
+    val bIds = batch.select(col(idCol).as("__bid"))
+    val hits = probe(kept, textCol, idCol, path)
+      .join(bIds, col("b") === col("__bid"), "left")
+      .filter(col("__bid").isNull || col("b") < col("a"))
+      .select(col("a").as("__dup")).distinct()
+    kept.join(hits, col(idCol) === col("__dup"), "left_anti")
+  }
+
+  // ---- applied-marker protocol (shared — see IngestMarkers) ----
+  def appliedMarker(spark: SparkSession, path: String,
+                    tag: String): Option[DataFrame] =
+    IngestMarkers.appliedMarker(spark, path, tag)
+  def writeAppliedMarker(survivorIds: DataFrame, path: String,
+                         tag: String): Unit =
+    IngestMarkers.writeAppliedMarker(survivorIds, path, tag)
+  def batchTag(batchId: Long): String = IngestMarkers.batchTag(batchId)
+  def pruneAppliedMarkersBelow(spark: SparkSession, path: String,
+                               horizonBatchId: Long): Seq[String] =
+    IngestMarkers.pruneAppliedMarkersBelow(spark, path, horizonBatchId)
+
+  final case class Meta(nDocs: Long)
+
+  private def writeMeta(spark: SparkSession, path: String, n: Long): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def readMeta(spark: SparkSession, path: String): Meta =
+    IngestMarkers.retryTransient {
+      Meta(spark.read.parquet(s"$path/meta").head().getLong(0))
+    }
+}

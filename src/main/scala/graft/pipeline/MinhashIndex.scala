@@ -58,8 +58,7 @@ object MinhashIndex {
     }
   }
 
-  private def sanitizeTag(t: String): String =
-    t.map(c => if (c.isLetterOrDigit || c == '_' || c == '-') c else '_')
+  private def sanitizeTag(t: String): String = IngestMarkers.sanitizeTag(t)
 
   /** Add accepted docs to the index (after their batch passed the dedup
     * gate): sketch with the SAVED parameters, write into the ingest
@@ -120,18 +119,12 @@ object MinhashIndex {
       val m = readMeta(spark, path)
       val conf = spark.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
       // "marked" = the marker's _SUCCESS exists, matching appliedMarker's
       // definition (r14 ADVICE): a half-written marker dir from a crash
       // during writeAppliedMarker must NOT fold its tag into base — the
       // replayed batch sees appliedMarker=None and re-appends the tag,
       // which would transiently duplicate the folded rows
-      val markedTags: Seq[String] =
-        if (fs.exists(applied))
-          fs.listStatus(applied).toSeq.map(_.getPath)
-            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-            .map(_.getName)
-        else Nil
+      val markedTags = IngestMarkers.markedTags(spark, path)
       val all = spark.read.parquet(s"$path/buckets")
       val foldable = col("ingest") === "base" ||
         col("ingest").isin(markedTags: _*)
@@ -152,9 +145,7 @@ object MinhashIndex {
       val nDocs = spark.read.parquet(s"$tmp/buckets")
         .select("id").distinct().count()
       writeMeta(spark, tmp, m.shingleN, m.k, m.bands, nDocs)
-      if (fs.exists(applied))
-        org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
-          new org.apache.hadoop.fs.Path(s"$tmp/applied"), false, conf)
+      IngestMarkers.copyApplied(spark, path, tmp)
       IndexSwap.swapInPlace(spark, path, tmp, what = "compact")
     }
 
@@ -163,14 +154,8 @@ object MinhashIndex {
     * the exactly-once micro-batch protocol
     * ([[graft.streaming.StreamingOps.incrementalDedupBatch]]). */
   def appliedMarker(spark: SparkSession, path: String,
-                    tag: String): Option[DataFrame] = {
-    val p = s"$path/applied/${sanitizeTag(tag)}"
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      Some(spark.read.parquet(p))
-    else None
-  }
+                    tag: String): Option[DataFrame] =
+    IngestMarkers.appliedMarker(spark, path, tag)
 
   /** Record an ingest `tag`'s surviving ids (one column). Written AFTER
     * the tag's append commits; `_SUCCESS` is the atomicity marker.
@@ -183,12 +168,11 @@ object MinhashIndex {
     * needs. */
   def writeAppliedMarker(survivorIds: DataFrame, path: String,
                          tag: String): Unit =
-    survivorIds.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/applied/${sanitizeTag(tag)}")
+    IngestMarkers.writeAppliedMarker(survivorIds, path, tag)
 
   /** The marker tag the streaming gate uses for a micro-batch — ONE place
     * owns the format, so retention policies never reverse-engineer it. */
-  def batchTag(batchId: Long): String = s"b$batchId"
+  def batchTag(batchId: Long): String = IngestMarkers.batchTag(batchId)
 
   /** Delete the streaming gate's applied markers for batches BELOW
     * `horizonBatchId` — the commit-horizon policy the marker doc
@@ -196,13 +180,8 @@ object MinhashIndex {
     * re-delivered, so its marker is dead weight). Non-batch tags are left
     * alone. @return the raw tags actually removed. */
   def pruneAppliedMarkersBelow(spark: SparkSession, path: String,
-                               horizonBatchId: Long): Seq[String] = {
-    val B = "b(\\d+)".r
-    pruneAppliedMarkers(spark, path, keep = {
-      case B(id) => id.toLong >= horizonBatchId
-      case _ => true
-    })
-  }
+                               horizonBatchId: Long): Seq[String] =
+    IngestMarkers.pruneAppliedMarkersBelow(spark, path, horizonBatchId)
 
   /** Delete applied markers whose DIRECTORY NAME fails `keep` —
     * housekeeping for a long-running index (markers accumulate one dir
@@ -214,18 +193,8 @@ object MinhashIndex {
     * that still looks applied but has lost its data files.
     * @return names actually removed (both deletes verified). */
   def pruneAppliedMarkers(spark: SparkSession, path: String,
-                          keep: String => Boolean): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/applied")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath)
-      .filterNot(p => keep(p.getName))
-      .flatMap { p =>
-        val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        val invalidated = !fs.exists(success) || fs.delete(success, false)
-        if (invalidated && fs.delete(p, true)) Some(p.getName) else None
-      }
-  }
+                          keep: String => Boolean): Seq[String] =
+    IngestMarkers.pruneAppliedMarkers(spark, path, keep)
 
   /** MinHash candidates of `batch` against the indexed corpus — the
     * persisted-corpus form of [[Dedup.crossMinhashCandidates]], result
@@ -285,28 +254,7 @@ object MinhashIndex {
     batch.join(hits, col(idCol) === col("__dup"), "left_anti")
   }
 
-  /** Retry a read that can transiently fail while a writer swaps the
-    * small meta/listing files (writeMeta's overwrite window) — the reader
-    * half of the WriterLock contract. */
-  private def retryTransient[T](f: => T, attempts: Int = 5): T = {
-    var left = attempts
-    while (true) {
-      try return f
-      catch {
-        case e: Exception if left > 0 && isTransient(e) =>
-          left -= 1; Thread.sleep(200)
-      }
-    }
-    sys.error("unreachable")
-  }
-
-  private def isTransient(e: Throwable): Boolean = {
-    val m = Option(e.getMessage).getOrElse("")
-    e.isInstanceOf[java.io.FileNotFoundException] ||
-      m.contains("does not exist") || m.contains("infer schema") ||
-      m.contains("PATH_NOT_FOUND") || m.contains("UNABLE_TO_INFER") ||
-      (e.getCause != null && isTransient(e.getCause))
-  }
+  private def retryTransient[T](f: => T): T = IngestMarkers.retryTransient(f)
 
   final case class Meta(shingleN: Int, k: Int, bands: Int, nDocs: Long)
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
-import graft.pipeline.{Bpe, Curation, Dedup, IvfIndex, MinhashIndex, Multimodal, Quantize, Search, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Curation, Dedup, ExactIndex, IvfIndex, MinhashIndex, Multimodal, Quantize, Search, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators over documents/embeddings (beyond the
   * reference's own surface; graded as first-class). DuckDB oracles where the
@@ -199,6 +199,29 @@ object PipelineQueries {
       val path = java.nio.file.Files.createTempDirectory("graft_mh_reg").toString
       MinhashIndex.build(docs(s, dir).filter(col("doc_id") % 10 < 7),
         "text", "doc_id", path)
+      path
+    })
+
+  // the planted incremental corpus shared by q_dedup_incremental_exact and
+  // the exact-index rows: corpus = the %10<7 split PLUS re-keyed copies of
+  // every third batch doc, so the drop path is exercised for real
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+                            dir: String): org.apache.spark.sql.DataFrame = {
+    val d = docs(s, dir)
+    d.filter(col("doc_id") % 10 < 7)
+      .select(col("doc_id"), col("text"))
+      .unionByName(d.filter(col("doc_id") % 10 >= 7 && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  // memoized exact-digest index over the planted corpus (the
+  // minhashIndexPath discipline: the registered form measures PROBING a
+  // persisted corpus, not building)
+  private[queries] def exactIndexPath(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String =
+    ivfIndexCache.computeIfAbsent(s"$dir#exact", _ => {
+      val path = java.nio.file.Files.createTempDirectory("graft_ex_reg").toString
+      ExactIndex.build(plantedCorpus(s, dir), "text", "doc_id", path)
       path
     })
 
@@ -726,13 +749,36 @@ object PipelineQueries {
         |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
       val batch = d.filter(col("doc_id") % 10 >= 7)
-      val corpus = d.filter(col("doc_id") % 10 < 7)
-        .select(col("doc_id"), col("text"))
-        .unionByName(batch.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      Dedup.incrementalExactDedup(batch, plantedCorpus(s, dir), "text", "doc_id")
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // persisted exact-digest index parity (r15, r14 verdict #3): gating a
+    // batch through the stored digests must equal the direct
+    // incrementalExactDedup row for row — the index adds a disk
+    // round-trip, never a semantic change. DRIVER row (counters pinned 0).
+    Q.df("q_dedup_incremental_exact_indexed",
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+        |  CAST(0 AS BIGINT) AS n_gate_only,
+        |  CAST(0 AS BIGINT) AS n_direct_only
+        |FROM documents WHERE doc_id % 10 >= 7""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      val gate = ExactIndex.dedupBatch(batch, "text", "doc_id",
+          exactIndexPath(s, dir))
+        .select(col("doc_id").as("g"))
+      val direct = Dedup.incrementalExactDedup(batch, plantedCorpus(s, dir),
+          "text", "doc_id")
+        .select(col("doc_id").as("r"))
+      val j = gate.join(direct, col("g") === col("r"), "full_outer")
+      val nB = batch.agg(count(lit(1)).as("n_batch_docs"))
+      val viol = j.agg(
+        coalesce(sum(when(col("r").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_gate_only"),
+        coalesce(sum(when(col("g").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_direct_only"))
+      nB.crossJoin(viol) // 1x1 anchor join
     },
 
     // near-dup incremental survivors (xxhash64 candidates: rows-only; the

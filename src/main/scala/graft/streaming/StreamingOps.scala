@@ -345,6 +345,47 @@ object StreamingOps {
       ()
     }
 
+  /** One micro-batch of the EXACT incremental ingest gate — the
+    * [[incrementalDedupBatch]] protocol over [[graft.pipeline.ExactIndex]]
+    * (marker replay, tag-idempotent append, keep-min crash-window rule;
+    * same id-space contract). */
+  def incrementalExactDedupBatch(batch: DataFrame, textCol: String,
+                                 idCol: String, indexPath: String,
+                                 batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    val tag = graft.pipeline.ExactIndex.batchTag(batchId)
+    graft.pipeline.ExactIndex.appliedMarker(spark, indexPath, tag) match {
+      case Some(ids) =>
+        val sid = ids.select(col(ids.columns.head).as("__sid"))
+        batch.join(sid, col(idCol) === col("__sid"), "left_semi")
+      case None =>
+        val survivors = graft.pipeline.ExactIndex
+          .dedupBatch(batch, textCol, idCol, indexPath)
+          .localCheckpoint()
+        graft.pipeline.ExactIndex.append(survivors, textCol, idCol,
+          indexPath, tag = tag)
+        graft.pipeline.ExactIndex.writeAppliedMarker(
+          survivors.select(col(idCol)), indexPath, tag)
+        survivors
+    }
+  }
+
+  /** Continuous EXACT ingest dedup gate against a persisted
+    * [[graft.pipeline.ExactIndex]] — the streaming face of
+    * [[graft.pipeline.Dedup.incrementalExactDedup]] with a corpus that
+    * advances per micro-batch. Replay-idempotent — see
+    * [[incrementalExactDedupBatch]]. */
+  def incrementalExactDedupStream(docs: DataFrame, textCol: String,
+                                  idCol: String, indexPath: String)
+                                 (onBatch: (DataFrame, DataFrame, Long) => Unit)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val survivors = incrementalExactDedupBatch(batch, textCol, idCol,
+        indexPath, id)
+      onBatch(batch, survivors, id)
+      ()
+    }
+
   /** Event-trigger parity: run `onBatch` for every micro-batch of rows
     * matching `condition` (the reference fires a notification per put on a
     * trigger-registered container). */

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.engine.{GraftSession, Tables}
-import graft.pipeline.{Dedup, MinhashIndex}
+import graft.pipeline.{Dedup, ExactIndex, MinhashIndex}
 
 /** Scale probe for the incremental dedup family (r14): batch = doc_id%10
   * >= 7, corpus = the rest. Times the exact anti-join gate, the direct
@@ -61,6 +61,24 @@ object ProbeIncremental {
       MinhashIndex.append(surv, "text", "doc_id", idx)
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+
+    // exact-digest index (r15): the probe must beat the direct gate's
+    // per-ingest corpus re-digest once the corpus dwarfs the batch
+    val exIdx = java.nio.file.Files.createTempDirectory("graft_ex_probe").toString
+    time("ExactIndex.build (corpus)") {
+      ExactIndex.build(corpus, "text", "doc_id", exIdx); 0L
+    }
+    (1 to 2).foreach { i =>
+      time(s"ExactIndex.dedupBatch #$i") {
+        ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx).count()
+      }
+    }
+    time("ExactIndex gate + append cycle") {
+      val surv = ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx)
+        .localCheckpoint()
+      ExactIndex.append(surv, "text", "doc_id", exIdx)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(exIdx))
     spark.stop()
   }
 }

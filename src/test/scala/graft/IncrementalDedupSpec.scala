@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, MinhashIndex}
+import graft.pipeline.{Dedup, ExactIndex, MinhashIndex}
 import org.apache.spark.sql.functions._
 
 /** Incremental (batch-vs-corpus) dedup family + the persisted minhash band
@@ -280,6 +280,126 @@ class IncrementalDedupSpec extends SparkTestBase {
         "vec_id", minCos = 0.9, bits = 8)
       .select("vec_id").as[Long].collect().sorted
     assert(surv.toSeq == Seq(21L))
+  }
+
+  test("ExactIndex: gate equals the direct incremental exact dedup; appended survivors gate later batches") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ex_spec").toString
+    ExactIndex.build(corpus, "text", "doc_id", path)
+    val viaIndex = ExactIndex.dedupBatch(batch, "text", "doc_id", path)
+      .select("doc_id").as[Long].collect().sorted
+    val direct = Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(viaIndex.toSeq == direct.toSeq)
+    assert(viaIndex.toSeq == Seq(22L, 23L, 24L))
+    // advance the corpus: a later batch carrying an exact copy of a
+    // round-1 SURVIVOR (never in the original corpus) must now be caught
+    val survivors = batch.filter($"doc_id".isin(22L, 23L, 24L))
+    val total = ExactIndex.append(survivors, "text", "doc_id", path)
+    assert(total == 2L + 3L)
+    assert(ExactIndex.readMeta(spark, path).nDocs == total)
+    val batch2 = Seq(
+      (30L, "completely different words about spark catalyst optimizer plans entirely"),
+      (31L, "fresh new content unseen anywhere before in this corpus")
+    ).toDF("doc_id", "text")
+    val out2 = ExactIndex.dedupBatch(batch2, "text", "doc_id", path)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out2.toSeq == Seq(31L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.lock")))
+  }
+
+  test("ExactIndex replay: marker + tag-idempotent append make micro-batch replay safe") {
+    import graft.streaming.StreamingOps
+    val path = java.nio.file.Files.createTempDirectory("graft_ex_replay").toString
+    ExactIndex.build(corpus, "text", "doc_id", path)
+    def run(): Seq[Long] =
+      StreamingOps.incrementalExactDedupBatch(batch, "text", "doc_id", path,
+          batchId = 7L)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val s1 = run()
+    assert(s1 == Seq(22L, 23L, 24L))
+    val metaAfter = ExactIndex.readMeta(spark, path).nDocs
+    // clean replay (marker present): identical survivors, no index growth
+    assert(run() == s1)
+    assert(ExactIndex.readMeta(spark, path).nDocs == metaAfter)
+    // crash-window replay (append committed, marker lost): the keep-min
+    // rule ignores identity hits against the batch's own appended
+    // digests, so the replay reproduces the decision EXACTLY (the exact
+    // gate keeps min representatives before probing, so unlike the
+    // minhash crash window there is no subset shrinkage)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b7"), true)
+    assert(run() == s1, "crash-window replay must reproduce the survivors")
+    // tag overwrite: the index holds the replay's digests exactly once
+    val tagDigests = spark.read.parquet(s"$path/digests")
+      .filter(col("ingest") === "b7").count()
+    assert(tagDigests == 3L, s"tag partition holds $tagDigests digests")
+    // marker housekeeping via the shared protocol
+    assert(ExactIndex.pruneAppliedMarkersBelow(spark, path, 8L) == Seq("b7"))
+    assert(ExactIndex.appliedMarker(spark, path, "b7").isEmpty)
+  }
+
+  test("ExactIndex.compact: marked tags fold to base with min-id keepers, unmarked survive, probes unchanged") {
+    import graft.streaming.StreamingOps
+    val path = java.nio.file.Files.createTempDirectory("graft_ex_compact").toString
+    ExactIndex.build(corpus, "text", "doc_id", path)
+    val b1 = Seq((40L, "brand new content that nothing in the corpus resembles at all")).toDF("doc_id", "text")
+    val b2 = Seq((41L, "another entirely fresh document with its own unique words")).toDF("doc_id", "text")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.incrementalExactDedupBatch(b, "text", "doc_id", path, i.toLong)
+    }
+    // unmarked crash-window tag must keep its own partition
+    val b99 = Seq((99L, "an unacknowledged crash window batch document text")).toDF("doc_id", "text")
+    ExactIndex.append(b99, "text", "doc_id", path, tag = "b99")
+    val probeBefore = ExactIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ExactIndex.compact(spark, path)
+    val ingests = spark.read.parquet(s"$path/digests")
+      .select("ingest").distinct().as[String].collect().toSeq.sorted
+    assert(ingests == Seq("b99", "base"),
+      s"marked tags fold, the unmarked one survives: $ingests")
+    val probeAfter = ExactIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAfter == probeBefore, "compaction must not change probe results")
+    assert(ExactIndex.readMeta(spark, path).nDocs == 5L) // 2 corpus + 2 gated + b99
+    // markers survived the swap: replaying batch 0 reproduces its decision
+    assert(ExactIndex.appliedMarker(spark, path, "b0").isDefined)
+    val replay = StreamingOps.incrementalExactDedupBatch(b1, "text", "doc_id", path, 0L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(replay == Seq(40L))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${path}_old")))
+  }
+
+  test("incrementalExactDedupStream: later micro-batches dedup against earlier survivors") {
+    import org.apache.spark.sql.streaming.Trigger
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ex_stream").toString
+    ExactIndex.build(corpus, "text", "doc_id", idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ex_src").toString
+    // batch 1: one fresh doc; batch 2: an exact copy of it (new id) + one fresh
+    Seq((60L, "the very first streaming document body"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    val collected = scala.collection.mutable.ArrayBuffer[Long]()
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = graft.streaming.StreamingOps
+        .incrementalExactDedupStream(stream, "text", "doc_id", idxPath) {
+          (_, survivors, _) =>
+            collected ++= survivors.select("doc_id").as[Long].collect()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$srcDir/_ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(collected.sorted == Seq(60L))
+    Seq((61L, "the very first streaming document body"),
+        (62L, "a second genuinely fresh streaming document"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    drain()
+    // 61 is an exact copy of survivor 60 — gated by the advanced index
+    assert(collected.sorted == Seq(60L, 62L))
   }
 
   test("incremental family on the sf0.001 fixture: survivors + drops partition the batch") {
