@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *    replays may overcount; [[compact]] recounts exactly).
   *  - `<path>/applied/<tag>`: survivor markers ([[IngestMarkers]]).
   *
-  * Writers serialize via [[WriterLock]]; probes retry transient windows
-  * and never lock. Compact folds marked tags into `base` and swaps via
-  * [[IndexSwap]] (same reader contract).
+  * Writers serialize via [[WriterLock]]; probes resolve the current
+  * [[IndexVersions]] version once per plan and never lock. Compact folds
+  * marked tags into `base` and commits a new version — non-disruptive to
+  * in-flight probes (the previous version is the grace copy).
   */
 object ExactIndex {
 
@@ -45,17 +46,31 @@ object ExactIndex {
     Dedup.verifyPartitions(math.max(n, 1L),
       spark.sessionState.conf.numShufflePartitions, 1000000L)
 
-  /** Digest `corpus` and write the index. Overwrites `path`. */
+  /** The data subtrees a version of this index owns (see
+    * [[IndexVersions]] — also the legacy-root GC list). */
+  private val DataDirs = Seq("digests", "meta", "applied")
+
+  /** The CURRENT version's data root (see [[MinhashIndex.dataRoot]]). */
+  def dataRoot(spark: SparkSession, path: String): String =
+    IndexVersions.currentRoot(spark, path)
+
+  /** Digest `corpus` and write the index — a fresh [[IndexVersions]]
+    * version at `path`; previous-version readers keep serving until the
+    * commit. */
   def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
             corpusSize: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     WriterLock.withLock(spark, path) {
+      val prevRoot = IndexVersions.currentRoot(spark, path)
+      val root = IndexVersions.stage(spark, path)
       val n = if (corpusSize > 0) corpusSize else corpus.count()
       digestRows(corpus, textCol, idCol)
         .withColumn("ingest", lit("base"))
         .repartition(width(spark, n), col("h"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$path/digests")
-      writeMeta(spark, path, n)
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$root/digests")
+      writeMeta(spark, root, n)
+      IngestMarkers.copyApplied(spark, prevRoot, root)
+      IndexVersions.commit(spark, path, root, DataDirs)
     }
   }
 
@@ -70,6 +85,7 @@ object ExactIndex {
              tag: String = null): Long = {
     val spark = newDocs.sparkSession
     WriterLock.withLock(spark, path) {
+      val root = IndexVersions.writeRoot(spark, path)
       val m = readMeta(spark, path)
       val add = if (batchSize > 0) batchSize else newDocs.count()
       val t = IngestMarkers.sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
@@ -78,8 +94,8 @@ object ExactIndex {
       val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
       digestRows(newDocs, textCol, idCol)
         .repartition(nOut, col("h"))
-        .write.mode("overwrite").parquet(s"$path/digests/ingest=$t")
-      writeMeta(spark, path, m.nDocs + add)
+        .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
+      writeMeta(spark, root, m.nDocs + add)
       m.nDocs + add
     }
   }
@@ -90,13 +106,11 @@ object ExactIndex {
     * their MIN owner id, recount meta exactly. */
   def compact(spark: SparkSession, path: String): Unit =
     WriterLock.withLock(spark, path) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      val root = IndexVersions.currentRoot(spark, path)
       val marked = IngestMarkers.markedTags(spark, path)
-      val all = spark.read.parquet(s"$path/digests")
+      val all = spark.read.parquet(s"$root/digests")
       val foldable = col("ingest") === "base" || col("ingest").isin(marked: _*)
-      val tmp = s"${path}_compact"
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val staged = IndexVersions.stage(spark, path)
       val m = readMeta(spark, path)
       all.filter(foldable)
         .groupBy(col("h")).agg(min(col("id")).as("id"))
@@ -105,11 +119,11 @@ object ExactIndex {
         .unionByName(all.filter(!foldable)
           .select(col("id"), col("h"), col("ingest").cast("string")))
         .repartition(width(spark, m.nDocs), col("h"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$tmp/digests")
-      val nDocs = spark.read.parquet(s"$tmp/digests").count()
-      writeMeta(spark, tmp, nDocs)
-      IngestMarkers.copyApplied(spark, path, tmp)
-      IndexSwap.swapInPlace(spark, path, tmp, what = "exact-index compact")
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$staged/digests")
+      val nDocs = spark.read.parquet(s"$staged/digests").count()
+      writeMeta(spark, staged, nDocs)
+      IngestMarkers.copyApplied(spark, root, staged)
+      IndexVersions.commit(spark, path, staged, DataDirs)
     }
 
   /** Digest hits of `batch` against the indexed corpus — the persisted
@@ -119,8 +133,10 @@ object ExactIndex {
   def probe(batch: DataFrame, textCol: String, idCol: String,
             path: String): DataFrame = {
     val spark = batch.sparkSession
+    // resolve the version root ONCE per plan (immutable files — see
+    // IndexVersions' reader contract)
     val idx = IngestMarkers.retryTransient(
-      spark.read.parquet(s"$path/digests"))
+      spark.read.parquet(s"${IndexVersions.currentRoot(spark, path)}/digests"))
     batch.where(col(textCol).isNotNull)
       .select(col(idCol).as("a"), md5(col(textCol)).as("h"))
       .join(idx.select(col("id").as("b"), col("h")), Seq("h"))
@@ -166,14 +182,16 @@ object ExactIndex {
 
   final case class Meta(nDocs: Long)
 
-  private def writeMeta(spark: SparkSession, path: String, n: Long): Unit = {
+  /** `root` is a RESOLVED data root (a version dir or the legacy path). */
+  private def writeMeta(spark: SparkSession, root: String, n: Long): Unit = {
     import spark.implicits._
     Seq(n).toDF("n_docs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
   def readMeta(spark: SparkSession, path: String): Meta =
     IngestMarkers.retryTransient {
-      Meta(spark.read.parquet(s"$path/meta").head().getLong(0))
+      Meta(spark.read.parquet(
+        s"${IndexVersions.currentRoot(spark, path)}/meta").head().getLong(0))
     }
 }

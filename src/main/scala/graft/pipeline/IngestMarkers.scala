@@ -28,10 +28,11 @@ private[pipeline] object IngestMarkers {
   def batchTag(batchId: Long): String = s"b$batchId"
 
   /** Surviving ids recorded for an applied ingest `tag`, or None if the
-    * tag was never (completely) marked applied. */
+    * tag was never (completely) marked applied. `path` is the INDEX path;
+    * the marker tree lives in the current version's root. */
   def appliedMarker(spark: SparkSession, path: String,
                     tag: String): Option[DataFrame] = {
-    val p = s"$path/applied/${sanitizeTag(tag)}"
+    val p = s"${IndexVersions.currentRoot(spark, path)}/applied/${sanitizeTag(tag)}"
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
@@ -41,16 +42,19 @@ private[pipeline] object IngestMarkers {
 
   /** Record an ingest `tag`'s surviving ids (one column). */
   def writeAppliedMarker(survivorIds: DataFrame, path: String,
-                         tag: String): Unit =
+                         tag: String): Unit = {
+    val root = IndexVersions.currentRoot(survivorIds.sparkSession, path)
     survivorIds.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/applied/${sanitizeTag(tag)}")
+      .parquet(s"$root/applied/${sanitizeTag(tag)}")
+  }
 
-  /** Tags under `<path>/applied` whose marker is COMPLETE (`_SUCCESS`
-    * present) — compaction's definition of "applied" must match
-    * [[appliedMarker]]'s, or a half-written marker folds its tag (r14
-    * ADVICE). */
+  /** Tags under the current root's `applied/` whose marker is COMPLETE
+    * (`_SUCCESS` present) — compaction's definition of "applied" must
+    * match [[appliedMarker]]'s, or a half-written marker folds its tag
+    * (r14 ADVICE). */
   def markedTags(spark: SparkSession, path: String): Seq[String] = {
-    val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
+    val applied = new org.apache.hadoop.fs.Path(
+      s"${IndexVersions.currentRoot(spark, path)}/applied")
     val fs = applied.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(applied))
       fs.listStatus(applied).toSeq.map(_.getPath)
@@ -77,7 +81,8 @@ private[pipeline] object IngestMarkers {
     * @return names actually removed (both deletes verified). */
   def pruneAppliedMarkers(spark: SparkSession, path: String,
                           keep: String => Boolean): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/applied")
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${IndexVersions.currentRoot(spark, path)}/applied")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.map(_.getPath)
@@ -89,15 +94,17 @@ private[pipeline] object IngestMarkers {
       }
   }
 
-  /** Copy the applied tree into a compaction's staging dir so markers
-    * survive the swap. */
-  def copyApplied(spark: SparkSession, path: String, tmp: String): Unit = {
+  /** Copy the applied tree from one RESOLVED data root into a staged
+    * version's root so markers survive the version flip. Both arguments
+    * are resolved roots, NOT index paths. */
+  def copyApplied(spark: SparkSession, fromRoot: String,
+                  toRoot: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val applied = new org.apache.hadoop.fs.Path(s"$path/applied")
+    val applied = new org.apache.hadoop.fs.Path(s"$fromRoot/applied")
     val fs = applied.getFileSystem(conf)
     if (fs.exists(applied)) {
       org.apache.hadoop.fs.FileUtil.copy(fs, applied, fs,
-        new org.apache.hadoop.fs.Path(s"$tmp/applied"), false, conf)
+        new org.apache.hadoop.fs.Path(s"$toRoot/applied"), false, conf)
       ()
     }
   }

@@ -48,9 +48,30 @@ object IvfIndex {
     * the Milvus/Vespa scalar-field pattern). They cost their columnar
     * footprint and nothing else: unfiltered serves never read them, and a
     * filtered serve's predicate evaluates inside the pruned parquet scan. */
+  /** The data subtrees a version of this index owns (see
+    * [[IndexVersions]] — also the legacy-root GC list). */
+  private val DataDirs = Seq("centroids", "vectors", "meta", "sqstats")
+
+  /** The CURRENT version's data root (see [[MinhashIndex.dataRoot]]). */
+  def dataRoot(spark: SparkSession, path: String): String =
+    IndexVersions.currentRoot(spark, path)
+
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nLists: Int = -1, corpusSize: Long = -1L,
             codec: String = "raw", attrCols: Seq[String] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    withWriterLock(spark, path) {
+      val root = IndexVersions.stage(spark, path)
+      buildAt(corpus, idCol, vecCol, root, nLists, corpusSize, codec, attrCols)
+      IndexVersions.commit(spark, path, root, DataDirs)
+    }
+  }
+
+  /** Write the index trees at a RESOLVED root (a staged version dir).
+    * Callers hold the writer lock and commit the version afterwards. */
+  private def buildAt(corpus: DataFrame, idCol: String, vecCol: String,
+                      path: String, nLists: Int, corpusSize: Long,
+                      codec: String, attrCols: Seq[String]): Unit = {
     require(codec == "raw" || codec == "sq8", s"unknown IVF codec '$codec'")
     require(!attrCols.exists(Set("id", "cv", "codes", "cluster")),
       "attrCols may not collide with the index's own columns (id/cv/codes/cluster)")
@@ -137,10 +158,11 @@ object IvfIndex {
     val spark = newVectors.sparkSession
     graft.functions.GridDbScalarFunctions.register(spark)
     withWriterLock(spark, path) {
-      val cents = loadCentroids(spark, path)
+      val root = IndexVersions.writeRoot(spark, path)
+      val cents = loadCentroids(spark, root)
       // the tree is self-describing: attr columns present in the index
       // must come with every appended batch (by their own names)
-      val attrs = attrColsOf(spark.read.parquet(s"$path/vectors"))
+      val attrs = attrColsOf(spark.read.parquet(s"$root/vectors"))
       val batch = newVectors
         .select(col(idCol).as("id") +:
           transform(col(vecCol), _.cast("double")).as("cv") +:
@@ -149,27 +171,27 @@ object IvfIndex {
       // read meta BEFORE the write: the legacy-index fallback counts the
       // vectors dir, and counting AFTER the append would fold the new batch
       // into built_count and understate the staleness fraction
-      val (built, appended) = readMeta(spark, path)
+      val (built, appended) = readMeta(spark, root)
       val assigned = batch
         .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
       val payload =
-        if (codecOf(spark.read.parquet(s"$path/vectors")) == "sq8") {
+        if (codecOf(spark.read.parquet(s"$root/vectors")) == "sq8") {
           // encode against the stats SAVED at build — appends never move
           // the grid (out-of-range values saturate; retrain re-grids)
-          val stats = loadSqStats(spark, path)
+          val stats = loadSqStats(spark, root)
           assigned.select(col("id") +:
             Quantize.sqEncode(col("cv"), stats).as("codes") +:
             col("cluster") +: attrs.map(col): _*)
         } else assigned
       payload.repartition(col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(s"$path/vectors")
+        .write.mode("append").partitionBy("cluster").parquet(s"$root/vectors")
       val newAppended = appended + n
       val fraction = newAppended.toDouble / math.max(built, 1L)
       if (fraction >= retrainThreshold && autoRetrain) {
         retrainLocked(spark, path)
         0.0
       } else {
-        writeMeta(spark, path, built, newAppended)
+        writeMeta(spark, root, built, newAppended)
         fraction
       }
     }
@@ -177,7 +199,8 @@ object IvfIndex {
 
   /** Appended-since-build fraction of the index at `path`. */
   def appendedFraction(spark: SparkSession, path: String): Double = {
-    val (built, appended) = readMeta(spark, path)
+    val (built, appended) = readMeta(spark,
+      IndexVersions.currentRoot(spark, path))
     appended.toDouble / math.max(built, 1L)
   }
 
@@ -189,29 +212,30 @@ object IvfIndex {
 
   /** Rebuild the index from its own on-disk vector set (fresh centroids
     * over build+appended rows, AUTO list count for the grown corpus) and
-    * atomically swap it in. Serialized against concurrent appends via the
-    * writer lock; concurrent [[topK]] reads ride through the swap's
-    * rename window by retrying. */
+    * commit it as a new [[IndexVersions]] version. Serialized against
+    * concurrent appends via the writer lock; NON-DISRUPTIVE to concurrent
+    * [[topK]] reads — in-flight plans keep their pinned version (the
+    * grace copy), new plans resolve to the retrained one. */
   def retrain(spark: SparkSession, path: String): Unit =
     withWriterLock(spark, path) { retrainLocked(spark, path) }
 
   private def retrainLocked(spark: SparkSession, path: String): Unit = {
-    val raw = spark.read.parquet(s"$path/vectors")
+    val root = IndexVersions.currentRoot(spark, path)
+    val raw = spark.read.parquet(s"$root/vectors")
     val codec = codecOf(raw)
     val attrs = attrColsOf(raw)
     // sq8: the originals are gone — rebuild from the reconstructions
     // (fresh centroids, fresh grid; ≤ one extra quantization step)
     val all =
       if (codec == "sq8") {
-        val stats = loadSqStats(spark, path)
+        val stats = loadSqStats(spark, root)
         raw.select(col("id") +: Quantize.sqDecode(col("codes"), stats).as("cv") +:
           attrs.map(col): _*)
       } else raw.select(col("id") +: col("cv") +: attrs.map(col): _*)
-    val tmp = s"${path}_rebuild"
-    build(all, "id", "cv", tmp, codec = codec, attrCols = attrs)
-    // rename-aside semantics (and the reader caveat) live in IndexSwap —
-    // one copy for both index families
-    IndexSwap.swapInPlace(spark, path, tmp, what = "retrain")
+    val staged = IndexVersions.stage(spark, path)
+    buildAt(all, "id", "cv", staged, nLists = -1, corpusSize = -1L,
+      codec = codec, attrCols = attrs)
+    IndexVersions.commit(spark, path, staged, DataDirs)
   }
 
   private def writeMeta(spark: SparkSession, path: String,
@@ -221,20 +245,21 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** (built_count, appended_count); an index persisted before the meta
-    * file existed counts as freshly built. */
-  private def readMeta(spark: SparkSession, path: String): (Long, Long) =
+  /** (built_count, appended_count) from a RESOLVED data root; an index
+    * persisted before the meta file existed counts as freshly built. */
+  private def readMeta(spark: SparkSession, root: String): (Long, Long) =
     try {
-      val r = spark.read.parquet(s"$path/meta").head()
+      val r = spark.read.parquet(s"$root/meta").head()
       (r.getLong(0), r.getLong(1))
     } catch {
       case _: org.apache.spark.sql.AnalysisException =>
-        (spark.read.parquet(s"$path/vectors").count(), 0L)
+        (spark.read.parquet(s"$root/vectors").count(), 0L)
     }
 
-  /** Load the centroids (nLists x dim — driver-tiny by construction). */
-  private def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(s"$path/centroids").orderBy("cluster")
+  /** Load the centroids (nLists x dim — driver-tiny by construction)
+    * from a RESOLVED data root. */
+  private def loadCentroids(spark: SparkSession, root: String): Array[Array[Double]] =
+    spark.read.parquet(s"$root/centroids").orderBy("cluster")
       .collect().map(_.getSeq[Double](1).toArray)
 
   /** Top-k cosine neighbors of each query row against the indexed corpus.
@@ -296,8 +321,13 @@ object IvfIndex {
            predicate: Option[Column] = None,
            bruteCutoff: Double = 0.02): DataFrame = {
     graft.functions.GridDbScalarFunctions.register(spark)
-    val cents = retryThroughSwap(loadCentroids(spark, path))
-    val tree = retryThroughSwap(spark.read.parquet(s"$path/vectors"))
+    // pin ONE version for the whole serve: centroids, vectors tree, meta
+    // and sqstats all come from the same immutable root, so a concurrent
+    // retrain can neither invalidate this plan nor mix versions
+    // (IndexVersionsSpec races probes against retrains to prove it)
+    val root = retryThroughSwap(IndexVersions.currentRoot(spark, path))
+    val cents = retryThroughSwap(loadCentroids(spark, root))
+    val tree = retryThroughSwap(spark.read.parquet(s"$root/vectors"))
     // the tree stores the id column as `id`; let the predicate reference
     // it by the CALLER's idCol name (the natural spelling — probe-found
     // r14: `vec_id % 67 = 3` threw UNRESOLVED_COLUMN). Skipped when an
@@ -310,7 +340,7 @@ object IvfIndex {
       else tree.filter(p)
     def score0(df: DataFrame): Column =
       if (codecOf(df) == "sq8") {
-        val stats = retryThroughSwap(loadSqStats(spark, path))
+        val stats = retryThroughSwap(loadSqStats(spark, root))
         Quantize.sqCosine(col("qv"), col("codes"), stats)
       } else Similarity.cosine(col("qv"), col("cv"))
     val (effProbe, filteredTree) = predicate match {
@@ -319,7 +349,7 @@ object IvfIndex {
         // total from the index meta (built+appended counters — one tiny
         // parquet row, zero scans of the tree); only the KEPT count needs
         // an attr-column scan
-        val total = { val (b, a) = readMeta(spark, path); b + a }
+        val total = { val (b, a) = readMeta(spark, root); b + a }
         val filtered = applyPred(p)
         val kept = filtered.count()
         val smallQueries =

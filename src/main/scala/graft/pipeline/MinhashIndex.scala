@@ -26,23 +26,37 @@ import org.apache.spark.sql.functions._
   */
 object MinhashIndex {
 
-  /** Sketch `corpus` and write the index. Overwrites `path`. The buckets
+  /** The data subtrees a version of this index owns (see
+    * [[IndexVersions]] — also the legacy-root GC list). */
+  private val DataDirs = Seq("buckets", "meta", "applied")
+
+  /** The CURRENT version's data root — where `buckets`/`meta`/`applied`
+    * live right now. Public for tests/probes that inspect the physical
+    * tree; resolve once per inspection (a maintenance write creates a new
+    * root). */
+  def dataRoot(spark: SparkSession, path: String): String =
+    IndexVersions.currentRoot(spark, path)
+
+  /** Sketch `corpus` and write the index — a fresh VERSION at `path`
+    * ([[IndexVersions]]): readers of the previous version keep serving
+    * until the new one commits, then new plans resolve to it. The buckets
     * tree is partitioned by an `ingest` tag (the build writes
     * `ingest=base`; each [[append]] writes its own tag), so a re-written
     * ingest REPLACES its rows instead of duplicating them — the property
-    * replay-safe streaming ingest needs. A wholesale REBUILD while probes
-    * are serving needs external coordination (or the IvfIndex-style
-    * atomic-swap retrain). Appends of NEW tags are additive and safe
-    * under serving; the one exception is a crash-REPLAYED append, which
-    * OVERWRITES its own tag partition — a probe racing exactly that
-    * window can fail its scan and should be retried by the caller (the
-    * window exists only between a crash and the batch's re-delivery). */
+    * replay-safe streaming ingest needs. Appends of NEW tags are additive
+    * and safe under serving; the one exception is a crash-REPLAYED
+    * append, which OVERWRITES its own tag partition — a probe racing
+    * exactly that window can fail its scan and should be retried by the
+    * caller (the window exists only between a crash and the batch's
+    * re-delivery). */
   def build(corpus: DataFrame, textCol: String, idCol: String, path: String,
             shingleN: Int = 3, k: Int = 16, bands: Int = 4,
             corpusSize: Long = -1L): Unit = {
     require(k % bands == 0, "bands must divide k")
     val spark = corpus.sparkSession
     WriterLock.withLock(spark, path) {
+      val prevRoot = IndexVersions.currentRoot(spark, path)
+      val root = IndexVersions.stage(spark, path)
       val n = if (corpusSize > 0) corpusSize else corpus.count()
       val rows = Dedup.bandRows(
         Dedup.minhashSignatures(corpus, textCol, idCol, shingleN, k), k, bands)
@@ -53,8 +67,12 @@ object MinhashIndex {
         spark.sessionState.conf.numShufflePartitions, 125000L)
       rows.withColumn("ingest", lit("base"))
         .repartition(nPart, col("band"), col("bucket"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$path/buckets")
-      writeMeta(spark, path, shingleN, k, bands, n)
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$root/buckets")
+      writeMeta(spark, root, shingleN, k, bands, n)
+      // a re-build over an existing index preserves its applied markers
+      // (the pre-versioned layout left <path>/applied untouched)
+      IngestMarkers.copyApplied(spark, prevRoot, root)
+      IndexVersions.commit(spark, path, root, DataDirs)
     }
   }
 
@@ -75,6 +93,7 @@ object MinhashIndex {
              tag: String = null): Long = {
     val spark = newDocs.sparkSession
     WriterLock.withLock(spark, path) {
+      val root = IndexVersions.writeRoot(spark, path)
       val m = readMeta(spark, path)
       val add = if (batchSize > 0) batchSize else newDocs.count()
       val t = sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
@@ -88,8 +107,8 @@ object MinhashIndex {
           Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
           m.k, m.bands)
         .repartition(nOut, col("band"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$path/buckets/ingest=$t")
-      writeMeta(spark, path, m.shingleN, m.k, m.bands, m.nDocs + add)
+        .write.mode("overwrite").parquet(s"$root/buckets/ingest=$t")
+      writeMeta(spark, root, m.shingleN, m.k, m.bands, m.nDocs + add)
       m.nDocs + add
     }
   }
@@ -101,7 +120,7 @@ object MinhashIndex {
     * (no text re-sketch — the signatures are in the tree), dedups
     * row-identical duplicates, recomputes the meta doc count exactly
     * (fixing any crash-window overcounts), preserves applied markers, and
-    * swaps via rename-aside ([[IndexSwap]]).
+    * commits as a new version ([[IndexVersions]] — non-disruptive to readers).
     *
     * Only MARKED tags (and `base`) are folded: a tag with no applied
     * marker may belong to a crash-window batch the stream will
@@ -110,26 +129,25 @@ object MinhashIndex {
     * unmarked tags keep their own partitions — and their
     * overwrite-idempotence — until their marker lands.
     *
-    * Operational contract: serialized against writers by the lock, but a
-    * MAINTENANCE op with respect to readers — the swap invalidates
-    * in-flight probe plans mid-execution (see [[IndexSwap]]); quiesce
-    * probes or rebuild reader plans on failure. */
+    * Operational contract (r15): serialized against writers by the lock,
+    * and NON-DISRUPTIVE to readers — the compacted tree commits as a new
+    * [[IndexVersions]] version; in-flight probe plans keep reading the
+    * previous version (the grace version, GC'd only by the NEXT
+    * maintenance write), new plans resolve to the compacted one. */
   def compact(spark: SparkSession, path: String): Unit =
     WriterLock.withLock(spark, path) {
+      val root = IndexVersions.currentRoot(spark, path)
       val m = readMeta(spark, path)
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
       // "marked" = the marker's _SUCCESS exists, matching appliedMarker's
       // definition (r14 ADVICE): a half-written marker dir from a crash
       // during writeAppliedMarker must NOT fold its tag into base — the
       // replayed batch sees appliedMarker=None and re-appends the tag,
       // which would transiently duplicate the folded rows
       val markedTags = IngestMarkers.markedTags(spark, path)
-      val all = spark.read.parquet(s"$path/buckets")
+      val all = spark.read.parquet(s"$root/buckets")
       val foldable = col("ingest") === "base" ||
         col("ingest").isin(markedTags: _*)
-      val tmp = s"${path}_compact"
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val staged = IndexVersions.stage(spark, path)
       val nPart = Dedup.verifyPartitions(math.max(m.nDocs, 1L) * m.bands,
         spark.sessionState.conf.numShufflePartitions, 125000L)
       all.filter(foldable)
@@ -139,14 +157,14 @@ object MinhashIndex {
           .select(col("id"), col("sig"), col("band"), col("bucket"),
             col("ingest").cast("string")))
         .repartition(nPart, col("band"), col("bucket"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$tmp/buckets")
+        .write.mode("overwrite").partitionBy("ingest").parquet(s"$staged/buckets")
       // exact doc recount from the COMPACTED output (one scan of the
       // smaller deduped tree, not a second pass over the old one)
-      val nDocs = spark.read.parquet(s"$tmp/buckets")
+      val nDocs = spark.read.parquet(s"$staged/buckets")
         .select("id").distinct().count()
-      writeMeta(spark, tmp, m.shingleN, m.k, m.bands, nDocs)
-      IngestMarkers.copyApplied(spark, path, tmp)
-      IndexSwap.swapInPlace(spark, path, tmp, what = "compact")
+      writeMeta(spark, staged, m.shingleN, m.k, m.bands, nDocs)
+      IngestMarkers.copyApplied(spark, root, staged)
+      IndexVersions.commit(spark, path, staged, DataDirs)
     }
 
   /** Read the surviving ids recorded for an applied ingest `tag`, or None
@@ -204,7 +222,10 @@ object MinhashIndex {
             minEstSim: Double = 0.5, batchSize: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
     val m = readMeta(spark, path)
-    val idx = retryTransient(spark.read.parquet(s"$path/buckets"))
+    // resolve the version root ONCE per plan: the files under it are
+    // immutable, so a concurrent compact can never invalidate this probe
+    val idx = retryTransient(spark.read.parquet(
+      s"${IndexVersions.currentRoot(spark, path)}/buckets"))
     val nPart =
       if (batchSize > 0)
         Dedup.verifyPartitions(m.bands.toLong * math.max(batchSize, m.nDocs),
@@ -258,16 +279,18 @@ object MinhashIndex {
 
   final case class Meta(shingleN: Int, k: Int, bands: Int, nDocs: Long)
 
-  private def writeMeta(spark: SparkSession, path: String,
+  /** `root` is a RESOLVED data root (a version dir or the legacy path). */
+  private def writeMeta(spark: SparkSession, root: String,
                         shingleN: Int, k: Int, bands: Int, n: Long): Unit = {
     import spark.implicits._
     Seq((shingleN, k, bands, n))
       .toDF("shingle_n", "k", "bands", "n_docs")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
   def readMeta(spark: SparkSession, path: String): Meta = retryTransient {
-    val r = spark.read.parquet(s"$path/meta").head()
+    val r = spark.read.parquet(
+      s"${IndexVersions.currentRoot(spark, path)}/meta").head()
     Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 }

@@ -38,7 +38,7 @@ object ProbeFilteredAnn {
       println(f"[fann] $tag%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    if (!new java.io.File(s"$idxDir/centroids").exists)
+    if (!new java.io.File(s"${graft.pipeline.IvfIndex.dataRoot(spark, idxDir)}/centroids").exists)
       time(s"build index ($n vecs, attr label)") {
         IvfIndex.build(e, "vec_id", "embedding", idxDir, corpusSize = n,
           attrCols = Seq("label"))

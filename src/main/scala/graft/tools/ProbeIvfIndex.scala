@@ -27,8 +27,9 @@ object ProbeIvfIndex {
     time("indexed topK warm")(IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 10).count())
     time("indexed topK")(IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 10).count())
     time("brute-force topK")(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10).count())
-    val total = spark.read.parquet(s"$path/vectors").inputFiles.length
-    val cents = spark.read.parquet(s"$path/centroids").count()
+    val root = graft.pipeline.IvfIndex.dataRoot(spark, path)
+    val total = spark.read.parquet(s"$root/vectors").inputFiles.length
+    val cents = spark.read.parquet(s"$root/centroids").count()
     println(s"[probe] lists=$cents totalFiles=$total")
     spark.stop()
   }

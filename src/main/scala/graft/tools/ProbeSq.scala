@@ -103,7 +103,8 @@ object ProbeSq {
     time("IvfIndex.build sq8") {
       IvfIndex.build(e, "vec_id", "embedding", sqIdx, corpusSize = n, codec = "sq8")
     }
-    val (vR, vS) = (dirSize(s"$rawIdx/vectors"), dirSize(s"$sqIdx/vectors"))
+    val (vR, vS) = (dirSize(s"${graft.pipeline.IvfIndex.dataRoot(spark, rawIdx)}/vectors"),
+      dirSize(s"${graft.pipeline.IvfIndex.dataRoot(spark, sqIdx)}/vectors"))
     println(f"[probe] index lists sq8 ${vS / 1e6}%.1f MB vs raw ${vR / 1e6}%.1f MB -> ${vR.toDouble / vS}%.2fx smaller")
     var rawTop: Set[(Long, Long)] = null
     (1 to 2).foreach { i =>

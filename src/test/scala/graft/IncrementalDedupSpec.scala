@@ -175,13 +175,14 @@ class IncrementalDedupSpec extends SparkTestBase {
     // replay emits a subset that still covers every content group
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b7"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${MinhashIndex.dataRoot(spark, path)}/applied/b7"), true)
     val s3 = run()
     assert(s3 == Seq(23L, 24L), s"crash-window replay gave $s3")
     // and the tag overwrite means the index holds the replay's survivor
     // set exactly once, not stacked copies (meta overcounts by design —
     // width-sizing only)
-    val bucketDocs = spark.read.parquet(s"$path/buckets")
+    val bucketDocs = spark.read.parquet(s"${MinhashIndex.dataRoot(spark, path)}/buckets")
       .filter(col("ingest") === "b7").select("id").distinct().count()
     assert(bucketDocs == 2L, s"tag partition holds $bucketDocs distinct docs")
     // marker housekeeping: the commit-horizon helper prunes dead markers
@@ -210,11 +211,11 @@ class IncrementalDedupSpec extends SparkTestBase {
     MinhashIndex.append(b99, "text", "doc_id", path, tag = "b99")
     val probeBefore = MinhashIndex.probe(batch, "text", "doc_id", path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val ingestsBefore = spark.read.parquet(s"$path/buckets")
+    val ingestsBefore = spark.read.parquet(s"${MinhashIndex.dataRoot(spark, path)}/buckets")
       .select("ingest").distinct().count()
     assert(ingestsBefore == 5L, s"expected base + 4 ingests, got $ingestsBefore")
     MinhashIndex.compact(spark, path)
-    val ingests = spark.read.parquet(s"$path/buckets")
+    val ingests = spark.read.parquet(s"${MinhashIndex.dataRoot(spark, path)}/buckets")
       .select("ingest").distinct().as[String].collect().toSeq.sorted
     assert(ingests == Seq("b99", "base"),
       s"marked tags fold, the unmarked one survives: $ingests")
@@ -245,10 +246,11 @@ class IncrementalDedupSpec extends SparkTestBase {
     // simulate the crash window: the marker dir exists but _SUCCESS is gone
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b50/_SUCCESS"), false))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"${MinhashIndex.dataRoot(spark, path)}/applied/b50/_SUCCESS"), false))
     assert(MinhashIndex.appliedMarker(spark, path, "b50").isEmpty)
     MinhashIndex.compact(spark, path)
-    val ingests = spark.read.parquet(s"$path/buckets")
+    val ingests = spark.read.parquet(s"${MinhashIndex.dataRoot(spark, path)}/buckets")
       .select("ingest").distinct().as[String].collect().toSeq.sorted
     assert(ingests == Seq("b50", "base"),
       s"a half-written marker must not fold its tag: $ingests")
@@ -328,10 +330,11 @@ class IncrementalDedupSpec extends SparkTestBase {
     // minhash crash window there is no subset shrinkage)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied/b7"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${ExactIndex.dataRoot(spark, path)}/applied/b7"), true)
     assert(run() == s1, "crash-window replay must reproduce the survivors")
     // tag overwrite: the index holds the replay's digests exactly once
-    val tagDigests = spark.read.parquet(s"$path/digests")
+    val tagDigests = spark.read.parquet(s"${ExactIndex.dataRoot(spark, path)}/digests")
       .filter(col("ingest") === "b7").count()
     assert(tagDigests == 3L, s"tag partition holds $tagDigests digests")
     // marker housekeeping via the shared protocol
@@ -354,7 +357,7 @@ class IncrementalDedupSpec extends SparkTestBase {
     val probeBefore = ExactIndex.probe(batch, "text", "doc_id", path)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     ExactIndex.compact(spark, path)
-    val ingests = spark.read.parquet(s"$path/digests")
+    val ingests = spark.read.parquet(s"${ExactIndex.dataRoot(spark, path)}/digests")
       .select("ingest").distinct().as[String].collect().toSeq.sorted
     assert(ingests == Seq("b99", "base"),
       s"marked tags fold, the unmarked one survives: $ingests")

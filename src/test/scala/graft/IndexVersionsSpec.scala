@@ -1,0 +1,160 @@
+package graft
+
+import graft.pipeline.{ExactIndex, IvfIndex, MinhashIndex}
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
+
+/** Versioned index layout (r15): maintenance (compact/retrain) commits a
+  * new `v=N` tree and readers pin a version at plan creation — so probes
+  * racing maintenance NEVER fail and NEVER see mixed versions. This spec
+  * is the r14 verdict #2 "done" criterion: probes run CONCURRENTLY with
+  * compact()/retrain() in a racing thread, continuously, and every result
+  * equals the quiescent answer. */
+class IndexVersionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+  ).toDF("doc_id", "text")
+  private val batch = Seq(
+    (20L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (22L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau psi"),
+    (23L, "completely different words about spark catalyst optimizer plans entirely")
+  ).toDF("doc_id", "text")
+
+  /** Run `probeOnce` continuously in a racer thread while `maintain`
+    * executes `rounds` times; every probe result must equal `expected`.
+    * @return probes completed during the race (sanity: > 0). */
+  private def race[A](expected: A, rounds: Int)(probeOnce: => A)
+                     (maintain: => Unit): Int = {
+    val stop = new AtomicBoolean(false)
+    val failure = new AtomicReference[Throwable](null)
+    val probes = new AtomicInteger(0)
+    val racer = new Thread(() => {
+      while (!stop.get() && failure.get() == null) {
+        try {
+          val got = probeOnce
+          probes.incrementAndGet()
+          if (got != expected)
+            failure.set(new AssertionError(
+              s"probe diverged during maintenance:\n got $got\n exp $expected"))
+        } catch { case t: Throwable => failure.set(t) }
+      }
+    })
+    racer.start()
+    try (1 to rounds).foreach(_ => maintain)
+    finally { stop.set(true); racer.join(60000) }
+    if (failure.get() != null) throw failure.get()
+    probes.get()
+  }
+
+  test("MinhashIndex.probe races compact(): no failures, no mixed versions, markers survive") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vrace_mh").toString
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    // a few marked ingests so compact has real folding work
+    Seq((40L, "brand new content that nothing in the corpus resembles at all"),
+        (41L, "another entirely fresh document with its own unique words"))
+      .zipWithIndex.foreach { case ((id, text), i) =>
+        val b = Seq((id, text)).toDF("doc_id", "text")
+        graft.streaming.StreamingOps.incrementalDedupBatch(
+          b, "text", "doc_id", path, 0.5, i.toLong)
+      }
+    val expected = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val n = race(expected, rounds = 3) {
+      MinhashIndex.probe(batch, "text", "doc_id", path)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    } { MinhashIndex.compact(spark, path) }
+    assert(n > 0, "the racer must have completed probes during maintenance")
+    // markers survived three version flips
+    assert(MinhashIndex.appliedMarker(spark, path, "b0").isDefined)
+    assert(MinhashIndex.appliedMarker(spark, path, "b1").isDefined)
+    // GC keeps current + one grace version, nothing older
+    val vs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+    assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
+  }
+
+  test("ExactIndex.dedupBatch races compact(): no failures, gate stable") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vrace_ex").toString
+    ExactIndex.build(corpus, "text", "doc_id", path)
+    Seq((40L, "brand new content that nothing in the corpus resembles at all"),
+        (41L, "another entirely fresh document with its own unique words"))
+      .zipWithIndex.foreach { case ((id, text), i) =>
+        val b = Seq((id, text)).toDF("doc_id", "text")
+        graft.streaming.StreamingOps.incrementalExactDedupBatch(
+          b, "text", "doc_id", path, i.toLong)
+      }
+    val expected = ExactIndex.dedupBatch(batch, "text", "doc_id", path)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    val n = race(expected, rounds = 3) {
+      ExactIndex.dedupBatch(batch, "text", "doc_id", path)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    } { ExactIndex.compact(spark, path) }
+    assert(n > 0)
+    val vs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+    assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
+  }
+
+  test("IvfIndex.topK races retrain(): no failures, identical neighbors throughout") {
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val dim = 8
+    val vecs = (0L until 64L).map { i =>
+      (i, unit(Array.tabulate(dim)(d =>
+        math.sin(i.toDouble * (d + 1) + d).abs + 0.1)))
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_vrace_ivf").toString
+    IvfIndex.build(vecs, "vec_id", "embedding", path, nLists = 4)
+    val queries = vecs.filter($"vec_id" < 3)
+    def serve(): Seq[(Long, Long, Double, Int)] =
+      IvfIndex.topK(spark, path, queries, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // the FIRST retrain legitimately changes the answer (AUTO re-lists
+    // the coarse quantizer: 4 -> 16 at this corpus); every retrain after
+    // that is a deterministic fixed point (same vectors, same seeds, same
+    // Lloyd schedule). Race against the fixed-point answer — any
+    // divergence during the race is then a version-mix or a failure.
+    IvfIndex.retrain(spark, path)
+    val expected = serve()
+    val n = race(expected, rounds = 2)(serve()) { IvfIndex.retrain(spark, path) }
+    assert(n > 0)
+    val vs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+    assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
+  }
+
+  test("legacy layout reads transparently and the first maintenance write migrates it") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vrace_legacy").toString
+    // forge a legacy (unversioned) index by moving a versioned build's
+    // data trees to the root — exactly the pre-r15 on-disk shape
+    MinhashIndex.build(corpus, "text", "doc_id", path)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(s"$path/v=1")
+    for (d <- Seq("buckets", "meta")) {
+      fs.rename(new org.apache.hadoop.fs.Path(v1, d),
+        new org.apache.hadoop.fs.Path(s"$path/$d"))
+    }
+    fs.delete(v1, true)
+    assert(MinhashIndex.dataRoot(spark, path) == path) // legacy fallback
+    val legacyProbe = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(legacyProbe.nonEmpty)
+    // first maintenance write: commits v=1, leaves legacy trees as grace
+    MinhashIndex.compact(spark, path)
+    assert(MinhashIndex.dataRoot(spark, path) == s"$path/v=1")
+    assert(new java.io.File(s"$path/buckets").exists, "legacy tree is the grace copy")
+    // second maintenance write: grace window passed — legacy trees GC'd
+    MinhashIndex.compact(spark, path)
+    assert(!new java.io.File(s"$path/buckets").exists, "legacy tree GC'd after grace")
+    val after = MinhashIndex.probe(batch, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == legacyProbe)
+  }
+}

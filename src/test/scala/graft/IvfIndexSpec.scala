@@ -62,7 +62,7 @@ class IvfIndexSpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx3").toString
     IvfIndex.build(base, "vec_id", "embedding", path, nLists = 8)
     IvfIndex.append(extra, "vec_id", "embedding", path)
-    assert(spark.read.parquet(s"$path/vectors").count() == e.count())
+    assert(spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors").count() == e.count())
     // an appended vector must be findable as its own exact neighbor set's
     // member: query WITH one of the appended ids, probing all lists
     val q = e.filter(col("vec_id") === 150)
@@ -81,20 +81,20 @@ class IvfIndexSpec extends SparkTestBase {
     assert(IvfIndex.appendedFraction(spark, path) == 0.0)
     assert(!IvfIndex.needsRetrain(spark, path))
     // small append: fraction advances, centroids stay frozen
-    val centsBefore = spark.read.parquet(s"$path/centroids")
+    val centsBefore = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq
     val small = e.filter(col("vec_id") >= 120 && col("vec_id") < 130)
     val f1 = IvfIndex.append(small, "vec_id", "embedding", path)
     assert(math.abs(f1 - small.count().toDouble / nBase) < 1e-12)
     assert(!IvfIndex.needsRetrain(spark, path))
-    assert(spark.read.parquet(s"$path/centroids")
+    assert(spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq == centsBefore)
     // push PAST the 0.5 threshold without autoRetrain: the index keeps
     // serving frozen centroids but reports the rebuild is due
     val big = e.filter(col("vec_id") >= 130 && col("vec_id") < 220)
     val f2 = IvfIndex.append(big, "vec_id", "embedding", path)
     assert(f2 >= 0.5 && IvfIndex.needsRetrain(spark, path))
-    assert(spark.read.parquet(s"$path/centroids")
+    assert(spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq == centsBefore)
     // over-threshold append WITH autoRetrain: rebuilds from the full
     // on-disk set, resets the counter, and every vector stays indexed
@@ -102,10 +102,10 @@ class IvfIndexSpec extends SparkTestBase {
     val f3 = IvfIndex.append(more, "vec_id", "embedding", path, autoRetrain = true)
     assert(f3 == 0.0)
     assert(IvfIndex.appendedFraction(spark, path) == 0.0)
-    val centsAfter = spark.read.parquet(s"$path/centroids")
+    val centsAfter = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/centroids")
       .orderBy("cluster").collect().map(_.getSeq[Double](1)).toSeq
     assert(centsAfter != centsBefore, "auto-retrain must refresh centroids")
-    assert(spark.read.parquet(s"$path/vectors").count() ==
+    assert(spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors").count() ==
       e.filter(col("vec_id") < 230).count())
   }
 
@@ -114,11 +114,11 @@ class IvfIndexSpec extends SparkTestBase {
     val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx2").toString
     IvfIndex.build(e, "vec_id", "embedding", path, nLists = 4)
     IvfIndex.build(e, "vec_id", "embedding", path, nLists = 4) // overwrite ok
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/centroids")
     assert(cents.count() == 4)
     assert(cents.schema.fieldNames.toSeq == Seq("cluster", "cv"))
     // every corpus vector is assigned to exactly one stored list
-    val n = spark.read.parquet(s"$path/vectors").count()
+    val n = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors").count()
     assert(n == e.count())
   }
 
@@ -131,7 +131,8 @@ class IvfIndexSpec extends SparkTestBase {
     IvfIndex.build(e, "vec_id", "embedding", sq, nLists = 8, codec = "sq8")
 
     def treeSize(p: String): Long = graft.engine.TableStats.treeSize(p)
-    val (szR, szS) = (treeSize(s"$raw/vectors"), treeSize(s"$sq/vectors"))
+    val (szR, szS) = (treeSize(s"${IvfIndex.dataRoot(spark, raw)}/vectors"),
+      treeSize(s"${IvfIndex.dataRoot(spark, sq)}/vectors"))
     assert(szS < szR / 2, s"sq8 lists $szS not <2x smaller than raw $szR")
 
     val rk = IvfIndex.topK(spark, raw, queries, "vec_id", "embedding", k = 5, nProbe = 2)
@@ -159,7 +160,7 @@ class IvfIndexSpec extends SparkTestBase {
     val wild = Seq((900001L, Array.fill(dim)(99.0f)), (900002L, Array.fill(dim)(-99.0f)))
       .toDF("vec_id", "embedding")
     IvfIndex.append(wild, "vec_id", "embedding", path)
-    val codes = spark.read.parquet(s"$path/vectors")
+    val codes = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors")
       .filter(col("id") >= 900000L).select("codes")
       .as[Array[Int]].collect()
     assert(codes.length == 2)
@@ -174,9 +175,9 @@ class IvfIndexSpec extends SparkTestBase {
     assert(got.nonEmpty)
 
     IvfIndex.retrain(spark, path)
-    val after = spark.read.parquet(s"$path/vectors")
+    val after = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors")
     assert(after.columns.contains("codes"), "retrain must keep the sq8 codec")
-    assert(new java.io.File(s"$path/sqstats").exists, "retrain must rewrite sqstats")
+    assert(new java.io.File(s"${IvfIndex.dataRoot(spark, path)}/sqstats").exists, "retrain must rewrite sqstats")
     val got2 = IvfIndex.topK(spark, path, q, "vec_id", "embedding", k = 3, nProbe = 2)
       .collect()
     assert(got2.nonEmpty)
@@ -200,7 +201,7 @@ class IvfIndexSpec extends SparkTestBase {
     assert(a == b, s"indexed vs direct filtered diverged:\n${(a -- b) ++ (b -- a)}")
     assert(a.nonEmpty)
     // every returned candidate satisfies the predicate
-    val labels = spark.read.parquet(s"$path/vectors")
+    val labels = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors")
       .select(col("id"), col("label")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(a.forall(r => labels(r.getLong(1)) < 5))
     // label<5 keeps ~half -> overfetch widens 4 to ~8 of 16, still pruned:
@@ -268,7 +269,7 @@ class IvfIndexSpec extends SparkTestBase {
     val overlap = (a & b).size.toDouble / a.size
     assert(overlap >= 0.9, f"sq8-filtered vs raw-filtered overlap $overlap%.2f")
     // every sq8-filtered candidate satisfies the predicate
-    val labels = spark.read.parquet(s"$sq/vectors")
+    val labels = spark.read.parquet(s"${IvfIndex.dataRoot(spark, sq)}/vectors")
       .select(col("id"), col("label")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(b.forall { case (_, c) => labels(c) < 5 })
   }
@@ -282,7 +283,7 @@ class IvfIndexSpec extends SparkTestBase {
     // append rows carrying the attr column by name
     val extra = e.filter(col("vec_id") >= 400)
     IvfIndex.append(extra, "vec_id", "embedding", path)
-    val tree = spark.read.parquet(s"$path/vectors")
+    val tree = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors")
     assert(tree.columns.contains("label"))
     assert(tree.filter(col("label").isNull).count() == 0)
     val nBefore = tree.count() // materialize BEFORE retrain swaps the files
@@ -292,7 +293,7 @@ class IvfIndexSpec extends SparkTestBase {
       nProbe = 8, predicate = Some(col("label") === 2))
     assert(res.count() > 0)
     IvfIndex.retrain(spark, path)
-    val after = spark.read.parquet(s"$path/vectors")
+    val after = spark.read.parquet(s"${IvfIndex.dataRoot(spark, path)}/vectors")
     assert(after.columns.contains("label"), "retrain must carry attr columns")
     assert(after.count() == nBefore)
   }
