@@ -56,13 +56,22 @@ object IvfIndex {
   def dataRoot(spark: SparkSession, path: String): String =
     IndexVersions.currentRoot(spark, path)
 
+  /** `attrPartitionBy` (r15, must be a subset of `attrCols`): LOW-
+    * CARDINALITY attr columns to use as PHYSICAL partition directories
+    * under each list — `vectors/cluster=X/label=Y/...` — so a filtered
+    * serve's predicate on them prunes at the DIRECTORY level instead of
+    * opening every probed list's file to row-group-skip it. Costs
+    * nLists × cardinality leaf files (keep the product small); appends
+    * and retrains preserve the scheme (recorded in meta). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nLists: Int = -1, corpusSize: Long = -1L,
-            codec: String = "raw", attrCols: Seq[String] = Nil): Unit = {
+            codec: String = "raw", attrCols: Seq[String] = Nil,
+            attrPartitionBy: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     withWriterLock(spark, path) {
       val root = IndexVersions.stage(spark, path)
-      buildAt(corpus, idCol, vecCol, root, nLists, corpusSize, codec, attrCols)
+      buildAt(corpus, idCol, vecCol, root, nLists, corpusSize, codec,
+        attrCols, attrPartitionBy)
       IndexVersions.commit(spark, path, root, DataDirs)
     }
   }
@@ -71,7 +80,10 @@ object IvfIndex {
     * Callers hold the writer lock and commit the version afterwards. */
   private def buildAt(corpus: DataFrame, idCol: String, vecCol: String,
                       path: String, nLists: Int, corpusSize: Long,
-                      codec: String, attrCols: Seq[String]): Unit = {
+                      codec: String, attrCols: Seq[String],
+                      attrPartitionBy: Seq[String] = Nil): Unit = {
+    require(attrPartitionBy.forall(attrCols.contains),
+      s"attrPartitionBy ${attrPartitionBy.mkString(",")} must be a subset of attrCols")
     require(codec == "raw" || codec == "sq8", s"unknown IVF codec '$codec'")
     require(!attrCols.exists(Set("id", "cv", "codes", "cluster")),
       "attrCols may not collide with the index's own columns (id/cv/codes/cluster)")
@@ -105,8 +117,10 @@ object IvfIndex {
           col("cluster") +: attrCols.map(col): _*)
       } else assigned
     payload.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/vectors")
-    writeMeta(spark, path, built, appended = 0L)
+      .write.mode("overwrite")
+      .partitionBy("cluster" +: attrPartitionBy: _*)
+      .parquet(s"$path/vectors")
+    writeMeta(spark, path, built, appended = 0L, attrPartitionBy)
   }
 
   private def writeSqStats(spark: SparkSession, path: String,
@@ -183,15 +197,19 @@ object IvfIndex {
             Quantize.sqEncode(col("cv"), stats).as("codes") +:
             col("cluster") +: attrs.map(col): _*)
         } else assigned
+      // preserve the build's physical partition scheme (meta-recorded)
+      val attrParts = readAttrPartitions(spark, root)
       payload.repartition(col("cluster"))
-        .write.mode("append").partitionBy("cluster").parquet(s"$root/vectors")
+        .write.mode("append")
+        .partitionBy("cluster" +: attrParts: _*)
+        .parquet(s"$root/vectors")
       val newAppended = appended + n
       val fraction = newAppended.toDouble / math.max(built, 1L)
       if (fraction >= retrainThreshold && autoRetrain) {
         retrainLocked(spark, path)
         0.0
       } else {
-        writeMeta(spark, root, built, newAppended)
+        writeMeta(spark, root, built, newAppended, attrParts)
         fraction
       }
     }
@@ -234,16 +252,29 @@ object IvfIndex {
       } else raw.select(col("id") +: col("cv") +: attrs.map(col): _*)
     val staged = IndexVersions.stage(spark, path)
     buildAt(all, "id", "cv", staged, nLists = -1, corpusSize = -1L,
-      codec = codec, attrCols = attrs)
+      codec = codec, attrCols = attrs,
+      attrPartitionBy = readAttrPartitions(spark, root))
     IndexVersions.commit(spark, path, staged, DataDirs)
   }
 
   private def writeMeta(spark: SparkSession, path: String,
-                        built: Long, appended: Long): Unit = {
+                        built: Long, appended: Long,
+                        attrPartitionBy: Seq[String] = Nil): Unit = {
     import spark.implicits._
-    Seq((built, appended)).toDF("built_count", "appended_count")
+    Seq((built, appended, attrPartitionBy.mkString(",")))
+      .toDF("built_count", "appended_count", "attr_partitions")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** Physical attr-partition columns recorded at build (empty for
+    * pre-r15 metas and unpartitioned indexes). */
+  private def readAttrPartitions(spark: SparkSession, root: String): Seq[String] =
+    try {
+      val df = spark.read.parquet(s"$root/meta")
+      if (!df.columns.contains("attr_partitions")) Nil
+      else Option(df.head().getAs[String]("attr_partitions"))
+        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+    } catch { case _: org.apache.spark.sql.AnalysisException => Nil }
 
   /** (built_count, appended_count) from a RESOLVED data root; an index
     * persisted before the meta file existed counts as freshly built. */

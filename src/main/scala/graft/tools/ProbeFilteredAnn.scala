@@ -44,23 +44,39 @@ object ProbeFilteredAnn {
           attrCols = Seq("label"))
       }
     val queries = e.filter(col("vec_id") < 50)
-    def run(tag: String, pred: Option[org.apache.spark.sql.Column]): Unit = {
+    def run(tag: String, dir: String,
+            pred: Option[org.apache.spark.sql.Column]): Unit = {
       // 2 timed runs: first includes the predicate's selectivity counts
       for (i <- 1 to 2)
         time(s"$tag run$i") {
-          IvfIndex.topK(spark, idxDir, queries, "vec_id", "embedding",
+          IvfIndex.topK(spark, dir, queries, "vec_id", "embedding",
             k = 10, predicate = pred).count()
         }
     }
-    run("unfiltered", None)
-    run("filtered s~0.5 (label<5)", Some(col("label") < 5))
-    run("filtered s~0.0015 (brute guard)",
+    run("unfiltered", idxDir, None)
+    run("filtered s~0.5 (label<5)", idxDir, Some(col("label") < 5))
+    run("filtered s~0.0015 (brute guard)", idxDir,
       Some(col("label") === 3 && col("vec_id") % 67 === 3))
     time("kernel brute on same subset") {
       Similarity.bruteForceTopK(
         e.filter(col("label") === 3 && col("vec_id") % 67 === 3), queries,
         "vec_id", "embedding", k = 10).count()
     }
+
+    // ---- r15 A/B (r14 verdict #8): attr-partitioned lists — the vectors
+    // tree co-bucketed by (cluster, label) so a label predicate prunes
+    // DIRECTORIES instead of opening every probed list's file ----
+    val partDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_probe_fann_part").toString)
+    if (!new java.io.File(s"${IvfIndex.dataRoot(spark, partDir)}/centroids").exists)
+      time(s"build attr-partitioned index ($n vecs)") {
+        IvfIndex.build(e, "vec_id", "embedding", partDir, corpusSize = n,
+          attrCols = Seq("label"), attrPartitionBy = Seq("label"))
+      }
+    run("PART unfiltered", partDir, None)
+    run("PART filtered s~0.5 (label<5)", partDir, Some(col("label") < 5))
+    run("PART filtered s~0.0015 (brute guard)", partDir,
+      Some(col("label") === 3 && col("vec_id") % 67 === 3))
     spark.stop()
   }
 }

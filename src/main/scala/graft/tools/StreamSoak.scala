@@ -23,12 +23,25 @@ import graft.ts.GroupByRange
   * last quarter — bounded state means the late max does not exceed the
   * early max by more than jitter).
   *
+  * r15 (r14 verdict #4) adds two phases the cadence soak cannot see:
+  *  - THROUGHPUT (`*_tp` streams): 10,000-row batches × 200, so rows/s
+  *    measures the per-ROW path instead of micro-batch overhead; the
+  *    feeds CHURN their key space every ~30 batches so the 60s watermark
+  *    actually evicts state (`rows_removed > 0` in the artifact — the
+  *    cadence feeds recur their keys forever and never evict).
+  *  - ROCKSDB parity (`match_rocksdb` stream): the richest stateful op
+  *    re-run under RocksDBStateStoreProvider on identical input; the
+  *    artifact records result parity with the default (HDFS-backed heap)
+  *    provider plus its own rows/s — heap-state plateaus alone don't
+  *    prove 100 TB state.
+  *
   * Usage: runMain graft.tools.StreamSoak [nBatches] [op] [outJson]
-  *   op in {minhash, range, match, all} (default all, 10000 batches).
-  *   With outJson the per-stream metrics (rows/s, batches/s, state
-  *   plateau, eviction counts) are written as ONE JSON object — the
-  *   committed STREAM_r{N}.json round artifact (r13 verdict #6; pinned
-  *   config: 2000 batches, all ops), diffed by tools/BenchCompare.
+  *   op in {minhash, range, match, tp, rocksdb, all} (default all,
+  *   10000 batches for the cadence phase). With outJson the per-stream
+  *   metrics (rows/s, batches/s, state plateau, eviction counts) are
+  *   written as ONE JSON object — the committed STREAM_r{N}.json round
+  *   artifact (r13 verdict #6; pinned config: 2000 cadence batches, all
+  *   ops), diffed by tools/BenchCompare.
   */
 object StreamSoak {
 
@@ -151,9 +164,118 @@ object StreamSoak {
       }
     }
     jobs.foreach(_.join())
+    jobs.clear()
+
+    // ---- THROUGHPUT phase (r15): 10k-row batches so rows/s reflects the
+    // per-row path; every feed churns its key space each ~30 batches so
+    // the 60s watermark has dead keys to evict — rows_removed > 0 is a
+    // gate, not a hope. ----
+    val tpBatches = 200
+    val tpRows = 10000
+    def epoch(i: Int): Int = i / 30
+    if (which == "all" || which == "tp") {
+      par("minhash_tp") {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val df = in.toDF().toDF("id", "ts", "text")
+        val out = StreamingOps.minhashCandidatesStream(df, "ts", "text", "id",
+          watermark = "60 seconds")
+        val q = out.writeStream.format("noop").outputMode("append").start()
+        soak("minhash_tp", q, tpBatches, rowsPerBatch = tpRows) { i =>
+          // epoch-local vocabulary: buckets from a previous epoch never
+          // recur, so their state times out and must REMOVE
+          val ep = epoch(i)
+          in.addData((0 until tpRows).map { j =>
+            val doc = (0 until 12).map(t => s"w${ep}_${(i + j + t * 7) % 400}")
+            ((i.toLong * tpRows + j), ts(i), doc.mkString(" "))
+          })
+        }
+      }
+      par("range_tp") {
+        val in = MemoryStream[(Timestamp, String, Double)]
+        val df = in.toDF().toDF("ts", "k", "value")
+        val out = StreamingGroupByRange.groupByRangeStream(df, "ts", "value", "k",
+          every = "10 seconds", watermark = "60 seconds", fill = GroupByRange.FillPrevious)
+        val q = out.writeStream.format("noop").outputMode("append").start()
+        soak("range_tp", q, tpBatches, rowsPerBatch = tpRows) { i =>
+          val ep = epoch(i)
+          in.addData((0 until tpRows).map(j =>
+            (ts(i), s"k${ep}_${j % 500}", (i % 100) + j * 0.5)))
+        }
+      }
+      par("match_tp") {
+        val in = MemoryStream[(Timestamp, String, String)]
+        val df = in.toDF().toDF("ts", "k", "typ")
+        val out = StreamingMatch.matchRecognizeStream(df, "ts", "k",
+          pattern = "V{3,}",
+          defines = Map("V" -> (col("typ") === "view")),
+          watermark = "60 seconds")
+        val q = out.writeStream.format("noop").outputMode("append").start()
+        soak("match_tp", q, tpBatches, rowsPerBatch = tpRows) { i =>
+          val ep = epoch(i)
+          in.addData((0 until tpRows).map { j =>
+            val k = s"u${ep}_${j % 500}"
+            val typ = if ((i + j) % 5 == 4) "click" else "view"
+            (ts(i), k, typ)
+          })
+        }
+      }
+      jobs.foreach(_.join())
+      jobs.clear()
+    }
+
+    // ---- ROCKSDB parity phase (r15): the match op (richest per-key
+    // state) re-run under RocksDBStateStoreProvider on IDENTICAL input;
+    // results must equal the default provider's, batch for batch. ----
+    var rocksParity: Option[Boolean] = None
+    if (which == "all" || which == "rocksdb") {
+      val parityBatches = 300
+      def runMatch(session: SparkSession, sinkName: String): Set[String] = {
+        import session.implicits._
+        // same-name shadowing of the outer implicit: MemoryStream must
+        // bind to THIS session's context, unambiguously
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+        val in = MemoryStream[(Timestamp, String, String)]
+        val df = in.toDF().toDF("ts", "k", "typ")
+        val out = StreamingMatch.matchRecognizeStream(df, "ts", "k",
+          pattern = "V{3,}",
+          defines = Map("V" -> (col("typ") === "view")),
+          watermark = "60 seconds")
+        val q = out.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").start()
+        var i = 0
+        while (i < parityBatches) {
+          in.addData((0 until 8).map { j =>
+            val k = s"u${epoch(i)}_${(i * 8 + j) % 64}"
+            val typ = if ((i + j) % 5 == 4) "click" else "view"
+            (ts(i), k, typ)
+          })
+          q.processAllAvailable()
+          i += 1
+        }
+        q.stop()
+        session.table(sinkName).collect().map(_.toString).toSet
+      }
+      val heapS = spark.newSession()
+      val rocksS = spark.newSession()
+      rocksS.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val heapOut = runMatch(heapS, "soak_heap_match")
+      val t0 = System.nanoTime()
+      val rocksOut = runMatch(rocksS, "soak_rocks_match")
+      val rocksWall = (System.nanoTime() - t0) / 1e9
+      rocksParity = Some(heapOut == rocksOut)
+      println(f"[soak] match_rocksdb parity=${rocksParity.get} " +
+        f"rows=${rocksOut.size} wall=$rocksWall%.1f s")
+      results.put("match_rocksdb", SoakResult("match_rocksdb", parityBatches,
+        rocksWall, parityBatches * 8L, 0L, 0L, 0L, 0L, 0L,
+        bounded = rocksParity.get))
+    }
+
     // one JSON object, streams sorted by name — the committed round
     // artifact when arg 3 names a file
     val body = "{\"metric\":\"stream\",\"batches\":" + nBatches +
+      ",\"tp_batches\":" + tpBatches + ",\"tp_rows_per_batch\":" + tpRows +
+      rocksParity.map(p => s""","rocksdb_parity":$p""").getOrElse("") +
       ",\"streams\":{" +
       results.values().toArray(Array.empty[SoakResult])
         .sortBy(_.name).map(_.json).mkString(",") + "}}"

@@ -297,4 +297,49 @@ class IvfIndexSpec extends SparkTestBase {
     assert(after.columns.contains("label"), "retrain must carry attr columns")
     assert(after.count() == nBefore)
   }
+
+  test("attrPartitionBy: (cluster, label) directory layout — dir-level pruning, parity, scheme survives append+retrain") {
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+    val flat = java.nio.file.Files.createTempDirectory("graft_ivf_flat").toString
+    val part = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    IvfIndex.build(e, "vec_id", "embedding", flat, nLists = 16,
+      attrCols = Seq("label"))
+    IvfIndex.build(e, "vec_id", "embedding", part, nLists = 16,
+      attrCols = Seq("label"), attrPartitionBy = Seq("label"))
+    // physical layout: label subdirs under each cluster dir
+    val root = IvfIndex.dataRoot(spark, part)
+    val c0 = new java.io.File(s"$root/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    assert(c0.listFiles().exists(_.getName.startsWith("label=")),
+      s"expected label= subdirs under ${c0.getName}")
+    // the predicate prunes at the DIRECTORY level: label appears in the
+    // scan's PartitionFilters (the same pin the cluster-pruning test
+    // uses), not as a pushed data filter over every file
+    val tree = spark.read.parquet(s"$root/vectors")
+    val prunedPlan = tree.filter(col("label") === 3)
+      .queryExecution.executedPlan.toString
+    val pf = prunedPlan.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("label"),
+      s"label=3 must be a partition filter, got: $pf")
+    // serve parity with the flat layout, on both guard paths
+    for (pred <- Seq(col("label") < 5, col("label") === 3 && col("vec_id") % 67 === 3)) {
+      val a = IvfIndex.topK(spark, flat, queries, "vec_id", "embedding",
+        k = 10, predicate = Some(pred)).collect().map(_.toString).toSet
+      val b = IvfIndex.topK(spark, part, queries, "vec_id", "embedding",
+        k = 10, predicate = Some(pred)).collect().map(_.toString).toSet
+      assert(a == b, s"partitioned layout diverged for $pred")
+    }
+    // appends and retrains preserve the recorded scheme
+    val extra = e.withColumn("vec_id", col("vec_id") + 100000L)
+      .filter(col("vec_id") < 100100L)
+    IvfIndex.append(extra, "vec_id", "embedding", part)
+    IvfIndex.retrain(spark, part)
+    val root2 = IvfIndex.dataRoot(spark, part)
+    val c02 = new java.io.File(s"$root2/vectors").listFiles()
+      .filter(_.getName.startsWith("cluster=")).head
+    assert(c02.listFiles().exists(_.getName.startsWith("label=")),
+      "retrain must preserve the attr-partition scheme")
+  }
 }
