@@ -61,8 +61,15 @@ object IvfIndex {
     * under each list — `vectors/cluster=X/label=Y/...` — so a filtered
     * serve's predicate on them prunes at the DIRECTORY level instead of
     * opening every probed list's file to row-group-skip it. Costs
-    * nLists × cardinality leaf files (keep the product small); appends
-    * and retrains preserve the scheme (recorded in meta). */
+    * nLists × cardinality leaf files; appends and retrains preserve the
+    * scheme (recorded in meta).
+    *
+    * MEASURED DEFAULT-OFF (SCALING.md r15 A/B, zipf100 2M×64d, 10
+    * labels): on warm local storage every serve was SLOWER partitioned —
+    * the serve is file-OPEN-bound and the layout multiplies leaf files by
+    * the attr cardinality, while parquet row-group stats already skip
+    * rejected rows cheaply. Reach for this only at cardinality ≤ ~3 or on
+    * cold/remote object storage where bytes dominate opens. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, path: String,
             nLists: Int = -1, corpusSize: Long = -1L,
             codec: String = "raw", attrCols: Seq[String] = Nil,
