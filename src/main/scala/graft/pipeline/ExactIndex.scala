@@ -82,22 +82,40 @@ object ExactIndex {
     * @return total indexed docs after this append (metadata count). */
   def append(newDocs: DataFrame, textCol: String, idCol: String,
              path: String, batchSize: Long = -1L,
-             tag: String = null): Long = {
-    val spark = newDocs.sparkSession
-    WriterLock.withLock(spark, path) {
-      val root = IndexVersions.writeRoot(spark, path)
-      val m = readMeta(spark, path)
-      val add = if (batchSize > 0) batchSize else newDocs.count()
-      val t = IngestMarkers.sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
-      // size files to the BATCH, not the session width (MinhashIndex
-      // discipline): a small micro-batch writes one compact file
-      val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
-      digestRows(newDocs, textCol, idCol)
-        .repartition(nOut, col("h"))
-        .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
-      writeMeta(spark, root, m.nDocs + add)
-      m.nDocs + add
+             tag: String = null): Long =
+    WriterLock.withLock(newDocs.sparkSession, path) {
+      appendLocked(newDocs, textCol, idCol, path, batchSize, tag, None)
     }
+
+  /** Append + applied-marker write as ONE locked operation (see
+    * [[MinhashIndex.appendApplied]] — same race, same fix). */
+  def appendApplied(newDocs: DataFrame, textCol: String, idCol: String,
+                    path: String, tag: String,
+                    survivorIds: DataFrame): Long =
+    WriterLock.withLock(newDocs.sparkSession, path) {
+      appendLocked(newDocs, textCol, idCol, path, -1L, tag, Some(survivorIds))
+    }
+
+  private def appendLocked(newDocs: DataFrame, textCol: String, idCol: String,
+                           path: String, batchSize: Long, tag: String,
+                           markerIds: Option[DataFrame]): Long = {
+    val spark = newDocs.sparkSession
+    val root = IndexVersions.writeRoot(spark, path)
+    val m = readMetaAt(spark, root)
+    val add = if (batchSize > 0) batchSize else newDocs.count()
+    // default tag from the on-disk auto-tag high-water mark, NOT nDocs
+    // (compact can move nDocs backwards — MinhashIndex.defaultTag)
+    val t = IngestMarkers.sanitizeTag(Option(tag)
+      .getOrElse(MinhashIndex.defaultTag(spark, root, "digests")))
+    // size files to the BATCH, not the session width (MinhashIndex
+    // discipline): a small micro-batch writes one compact file
+    val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
+    digestRows(newDocs, textCol, idCol)
+      .repartition(nOut, col("h"))
+      .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
+    writeMeta(spark, root, m.nDocs + add)
+    markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
+    m.nDocs + add
   }
 
   /** Fold marked ingest partitions into `base` (see
@@ -111,7 +129,7 @@ object ExactIndex {
       val all = spark.read.parquet(s"$root/digests")
       val foldable = col("ingest") === "base" || col("ingest").isin(marked: _*)
       val staged = IndexVersions.stage(spark, path)
-      val m = readMeta(spark, path)
+      val m = readMetaAt(spark, root)
       all.filter(foldable)
         .groupBy(col("h")).agg(min(col("id")).as("id"))
         .select(col("id"), col("h"))
@@ -191,7 +209,11 @@ object ExactIndex {
 
   def readMeta(spark: SparkSession, path: String): Meta =
     IngestMarkers.retryTransient {
-      Meta(spark.read.parquet(
-        s"${IndexVersions.currentRoot(spark, path)}/meta").head().getLong(0))
+      readMetaAt(spark, IndexVersions.currentRoot(spark, path))
+    }
+
+  private def readMetaAt(spark: SparkSession, root: String): Meta =
+    IngestMarkers.retryTransient {
+      Meta(spark.read.parquet(s"$root/meta").head().getLong(0))
     }
 }

@@ -40,13 +40,20 @@ private[pipeline] object IngestMarkers {
     else None
   }
 
-  /** Record an ingest `tag`'s surviving ids (one column). */
+  /** Record an ingest `tag`'s surviving ids (one column). Resolves the
+    * current root — callers holding the writer lock with a root already
+    * in hand should use [[writeAppliedMarkerAt]] so the marker cannot
+    * land in an outgoing version (r15 review). */
   def writeAppliedMarker(survivorIds: DataFrame, path: String,
-                         tag: String): Unit = {
-    val root = IndexVersions.currentRoot(survivorIds.sparkSession, path)
+                         tag: String): Unit =
+    writeAppliedMarkerAt(survivorIds,
+      IndexVersions.currentRoot(survivorIds.sparkSession, path), tag)
+
+  /** [[writeAppliedMarker]] against a RESOLVED root. */
+  def writeAppliedMarkerAt(survivorIds: DataFrame, root: String,
+                           tag: String): Unit =
     survivorIds.coalesce(1).write.mode("overwrite")
       .parquet(s"$root/applied/${sanitizeTag(tag)}")
-  }
 
   /** Tags under the current root's `applied/` whose marker is COMPLETE
     * (`_SUCCESS` present) — compaction's definition of "applied" must

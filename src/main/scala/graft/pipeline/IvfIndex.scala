@@ -181,9 +181,14 @@ object IvfIndex {
     withWriterLock(spark, path) {
       val root = IndexVersions.writeRoot(spark, path)
       val cents = loadCentroids(spark, root)
+      // ONE vectors-tree open serves both the attr-column and codec
+      // sniffs, and ONE meta open serves counters + partition scheme
+      // (r15 review: the per-batch append path paid two extra parquet
+      // opens for data already in hand)
+      val tree = spark.read.parquet(s"$root/vectors")
       // the tree is self-describing: attr columns present in the index
       // must come with every appended batch (by their own names)
-      val attrs = attrColsOf(spark.read.parquet(s"$root/vectors"))
+      val attrs = attrColsOf(tree)
       val batch = newVectors
         .select(col(idCol).as("id") +:
           transform(col(vecCol), _.cast("double")).as("cv") +:
@@ -192,11 +197,11 @@ object IvfIndex {
       // read meta BEFORE the write: the legacy-index fallback counts the
       // vectors dir, and counting AFTER the append would fold the new batch
       // into built_count and understate the staleness fraction
-      val (built, appended) = readMeta(spark, root)
+      val (built, appended, attrParts) = readMetaFull(spark, root)
       val assigned = batch
         .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
       val payload =
-        if (codecOf(spark.read.parquet(s"$root/vectors")) == "sq8") {
+        if (codecOf(tree) == "sq8") {
           // encode against the stats SAVED at build — appends never move
           // the grid (out-of-range values saturate; retrain re-grids)
           val stats = loadSqStats(spark, root)
@@ -204,8 +209,6 @@ object IvfIndex {
             Quantize.sqEncode(col("cv"), stats).as("codes") +:
             col("cluster") +: attrs.map(col): _*)
         } else assigned
-      // preserve the build's physical partition scheme (meta-recorded)
-      val attrParts = readAttrPartitions(spark, root)
       payload.repartition(col("cluster"))
         .write.mode("append")
         .partitionBy("cluster" +: attrParts: _*)
@@ -276,22 +279,29 @@ object IvfIndex {
   /** Physical attr-partition columns recorded at build (empty for
     * pre-r15 metas and unpartitioned indexes). */
   private def readAttrPartitions(spark: SparkSession, root: String): Seq[String] =
-    try {
-      val df = spark.read.parquet(s"$root/meta")
-      if (!df.columns.contains("attr_partitions")) Nil
-      else Option(df.head().getAs[String]("attr_partitions"))
-        .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
-    } catch { case _: org.apache.spark.sql.AnalysisException => Nil }
+    readMetaFull(spark, root)._3
 
   /** (built_count, appended_count) from a RESOLVED data root; an index
     * persisted before the meta file existed counts as freshly built. */
-  private def readMeta(spark: SparkSession, root: String): (Long, Long) =
+  private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
+    val (b, a, _) = readMetaFull(spark, root)
+    (b, a)
+  }
+
+  /** (built, appended, attrPartitionBy) in ONE meta open. */
+  private def readMetaFull(spark: SparkSession,
+                           root: String): (Long, Long, Seq[String]) =
     try {
-      val r = spark.read.parquet(s"$root/meta").head()
-      (r.getLong(0), r.getLong(1))
+      val df = spark.read.parquet(s"$root/meta")
+      val r = df.head()
+      val parts =
+        if (!df.columns.contains("attr_partitions")) Nil
+        else Option(r.getAs[String]("attr_partitions"))
+          .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+      (r.getLong(0), r.getLong(1), parts)
     } catch {
       case _: org.apache.spark.sql.AnalysisException =>
-        (spark.read.parquet(s"$root/vectors").count(), 0L)
+        (spark.read.parquet(s"$root/vectors").count(), 0L, Nil)
     }
 
   /** Load the centroids (nLists x dim — driver-tiny by construction)

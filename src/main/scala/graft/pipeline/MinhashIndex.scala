@@ -90,27 +90,62 @@ object MinhashIndex {
     * @return total indexed docs after this append. */
   def append(newDocs: DataFrame, textCol: String, idCol: String,
              path: String, batchSize: Long = -1L,
-             tag: String = null): Long = {
-    val spark = newDocs.sparkSession
-    WriterLock.withLock(spark, path) {
-      val root = IndexVersions.writeRoot(spark, path)
-      val m = readMeta(spark, path)
-      val add = if (batchSize > 0) batchSize else newDocs.count()
-      val t = sanitizeTag(Option(tag).getOrElse(s"a${m.nDocs}"))
-      // size the ingest's files to the BATCH, not the session width: a
-      // small micro-batch writes one compact file, not 32 slivers (the
-      // accumulated-small-files pressure is then bounded by batch count,
-      // and [[compact]] folds it away entirely)
-      val nOut = math.min(
-        math.max(1L, m.bands.toLong * add / 125000L + 1), 4096L).toInt
-      Dedup.bandRows(
-          Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
-          m.k, m.bands)
-        .repartition(nOut, col("band"), col("bucket"))
-        .write.mode("overwrite").parquet(s"$root/buckets/ingest=$t")
-      writeMeta(spark, root, m.shingleN, m.k, m.bands, m.nDocs + add)
-      m.nDocs + add
+             tag: String = null): Long =
+    WriterLock.withLock(newDocs.sparkSession, path) {
+      appendLocked(newDocs, textCol, idCol, path, batchSize, tag, None)
     }
+
+  /** Append + applied-marker write as ONE locked operation — the
+    * streaming gate's commit step (r15 review): a marker written OUTSIDE
+    * the lock can race a concurrent compact's marker snapshot and land in
+    * the outgoing version, losing it after the flip. `survivorIds` is the
+    * one-column id frame the marker records. */
+  def appendApplied(newDocs: DataFrame, textCol: String, idCol: String,
+                    path: String, tag: String,
+                    survivorIds: DataFrame): Long =
+    WriterLock.withLock(newDocs.sparkSession, path) {
+      appendLocked(newDocs, textCol, idCol, path, -1L, tag, Some(survivorIds))
+    }
+
+  private def appendLocked(newDocs: DataFrame, textCol: String, idCol: String,
+                           path: String, batchSize: Long, tag: String,
+                           markerIds: Option[DataFrame]): Long = {
+    val spark = newDocs.sparkSession
+    val root = IndexVersions.writeRoot(spark, path)
+    val m = readMetaAt(spark, root)
+    val add = if (batchSize > 0) batchSize else newDocs.count()
+    val t = sanitizeTag(Option(tag).getOrElse(defaultTag(spark, root, "buckets")))
+    // size the ingest's files to the BATCH, not the session width: a
+    // small micro-batch writes one compact file, not 32 slivers (the
+    // accumulated-small-files pressure is then bounded by batch count,
+    // and [[compact]] folds it away entirely)
+    val nOut = math.min(
+      math.max(1L, m.bands.toLong * add / 125000L + 1), 4096L).toInt
+    Dedup.bandRows(
+        Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
+        m.k, m.bands)
+      .repartition(nOut, col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$root/buckets/ingest=$t")
+    writeMeta(spark, root, m.shingleN, m.k, m.bands, m.nDocs + add)
+    markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
+    m.nDocs + add
+  }
+
+  /** Default ingest tag: one past the highest auto tag ALREADY ON DISK —
+    * not `a<nDocs>` (r15 review: compact recounts nDocs exactly, which
+    * can move it BACKWARDS past an issued tag; a later default append
+    * would then silently overwrite that tag's rows). */
+  private[pipeline] def defaultTag(spark: SparkSession, root: String,
+                                   dataDir: String): String = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$dataDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val A = "ingest=a(\\d+)".r
+    val next =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+        case A(n) => n.toLong + 1L
+      }.maxOption.getOrElse(0L)
+    s"a$next"
   }
 
   /** Fold ingest partitions accumulated by per-batch appends into the
@@ -137,7 +172,7 @@ object MinhashIndex {
   def compact(spark: SparkSession, path: String): Unit =
     WriterLock.withLock(spark, path) {
       val root = IndexVersions.currentRoot(spark, path)
-      val m = readMeta(spark, path)
+      val m = readMetaAt(spark, root)
       // "marked" = the marker's _SUCCESS exists, matching appliedMarker's
       // definition (r14 ADVICE): a half-written marker dir from a crash
       // during writeAppliedMarker must NOT fold its tag into base — the
@@ -221,11 +256,14 @@ object MinhashIndex {
   def probe(batch: DataFrame, textCol: String, idCol: String, path: String,
             minEstSim: Double = 0.5, batchSize: Long = -1L): DataFrame = {
     val spark = batch.sparkSession
-    val m = readMeta(spark, path)
-    // resolve the version root ONCE per plan: the files under it are
-    // immutable, so a concurrent compact can never invalidate this probe
-    val idx = retryTransient(spark.read.parquet(
-      s"${IndexVersions.currentRoot(spark, path)}/buckets"))
+    // resolve the version root ONCE per plan, and read meta + buckets
+    // from the SAME root (r15 review: a rebuild committing between two
+    // independent resolutions could sketch the batch with the new meta's
+    // parameters and join it against the old version's buckets — the
+    // bucket spaces are incomparable and candidates silently vanish)
+    val root = retryTransient(IndexVersions.currentRoot(spark, path))
+    val m = readMetaAt(spark, root)
+    val idx = retryTransient(spark.read.parquet(s"$root/buckets"))
     val nPart =
       if (batchSize > 0)
         Dedup.verifyPartitions(m.bands.toLong * math.max(batchSize, m.nDocs),
@@ -289,8 +327,14 @@ object MinhashIndex {
   }
 
   def readMeta(spark: SparkSession, path: String): Meta = retryTransient {
-    val r = spark.read.parquet(
-      s"${IndexVersions.currentRoot(spark, path)}/meta").head()
-    Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    readMetaAt(spark, IndexVersions.currentRoot(spark, path))
   }
+
+  /** Meta from a RESOLVED root — pair with a buckets read of the SAME
+    * root so a plan never mixes versions. */
+  private def readMetaAt(spark: SparkSession, root: String): Meta =
+    retryTransient {
+      val r = spark.read.parquet(s"$root/meta").head()
+      Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    }
 }

@@ -204,14 +204,18 @@ object PipelineQueries {
 
   // the planted incremental corpus shared by q_dedup_incremental_exact and
   // the exact-index rows: corpus = the %10<7 split PLUS re-keyed copies of
-  // every third batch doc, so the drop path is exercised for real
+  // every third batch doc, so the drop path is exercised for real. The
+  // re-key is -(doc_id+1): NEGATIVE, so planted ids can never collide
+  // with a genuine batch id at ANY corpus size (r15 review: +100000
+  // collided once a fixture passed 100k docs, and a collision flips the
+  // index gate's keep-min replay rule against the direct form)
   private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
                             dir: String): org.apache.spark.sql.DataFrame = {
     val d = docs(s, dir)
     d.filter(col("doc_id") % 10 < 7)
       .select(col("doc_id"), col("text"))
       .unionByName(d.filter(col("doc_id") % 10 >= 7 && col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .select((-(col("doc_id") + 1)).as("doc_id"), col("text")))
   }
 
   // memoized exact-digest index over the planted corpus (the
@@ -737,7 +741,7 @@ object PipelineQueries {
     // survive byte-identically
     Q.df("q_dedup_incremental_exact",
       duck = """WITH corpus AS (
-        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents
         |  WHERE doc_id % 10 >= 7 AND doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),

@@ -317,10 +317,11 @@ object StreamingOps {
         val survivors = graft.pipeline.MinhashIndex
           .dedupBatch(batch, textCol, idCol, indexPath, minEstSim)
           .localCheckpoint()
-        graft.pipeline.MinhashIndex.append(survivors, textCol, idCol,
-          indexPath, tag = tag)
-        graft.pipeline.MinhashIndex.writeAppliedMarker(
-          survivors.select(col(idCol)), indexPath, tag)
+        // append + marker as ONE locked operation: a marker written after
+        // the lock released could race a concurrent compact's marker
+        // snapshot and strand in the outgoing version (r15 review)
+        graft.pipeline.MinhashIndex.appendApplied(survivors, textCol, idCol,
+          indexPath, tag, survivors.select(col(idCol)))
         survivors
     }
   }
@@ -362,10 +363,9 @@ object StreamingOps {
         val survivors = graft.pipeline.ExactIndex
           .dedupBatch(batch, textCol, idCol, indexPath)
           .localCheckpoint()
-        graft.pipeline.ExactIndex.append(survivors, textCol, idCol,
-          indexPath, tag = tag)
-        graft.pipeline.ExactIndex.writeAppliedMarker(
-          survivors.select(col(idCol)), indexPath, tag)
+        // one locked append+marker step — see incrementalDedupBatch
+        graft.pipeline.ExactIndex.appendApplied(survivors, textCol, idCol,
+          indexPath, tag, survivors.select(col(idCol)))
         survivors
     }
   }

@@ -75,7 +75,9 @@ object ProbeBucketed {
         .join(o.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1999-03-15 00:00:00"))),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        // cents-rounded: the two plans sum doubles in different partition
+        // orders, and an unrounded revenue would flip near-tie ranks
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
 
@@ -94,5 +96,8 @@ object ProbeBucketed {
       "bucketed plan changed the answer")
     println("[bucketed] parity OK")
     spark.stop()
+    // the bucketed copies are ~full-table size — never leave them behind
+    // (three stale warehouses filled the disk during the r15 session)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
   }
 }

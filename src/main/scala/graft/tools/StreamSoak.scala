@@ -173,7 +173,8 @@ object StreamSoak {
     val tpBatches = 200
     val tpRows = 10000
     def epoch(i: Int): Int = i / 30
-    if (which == "all" || which == "tp") {
+    val tpRan = which == "all" || which == "tp"
+    if (tpRan) {
       par("minhash_tp") {
         val in = MemoryStream[(Long, Timestamp, String)]
         val df = in.toDF().toDF("id", "ts", "text")
@@ -274,7 +275,8 @@ object StreamSoak {
     // one JSON object, streams sorted by name — the committed round
     // artifact when arg 3 names a file
     val body = "{\"metric\":\"stream\",\"batches\":" + nBatches +
-      ",\"tp_batches\":" + tpBatches + ",\"tp_rows_per_batch\":" + tpRows +
+      (if (tpRan) s""","tp_batches":$tpBatches,"tp_rows_per_batch":$tpRows"""
+       else "") +
       rocksParity.map(p => s""","rocksdb_parity":$p""").getOrElse("") +
       ",\"streams\":{" +
       results.values().toArray(Array.empty[SoakResult])
