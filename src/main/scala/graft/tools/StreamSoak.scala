@@ -173,8 +173,10 @@ object StreamSoak {
     val tpBatches = 200
     val tpRows = 10000
     def epoch(i: Int): Int = i / 30
+    // single-op reruns ("minhash_tp"/"range_tp"/"match_tp") let a fixed
+    // feed be re-measured without paying the whole phase again
     val tpRan = which == "all" || which == "tp"
-    if (tpRan) {
+    if (tpRan || which == "minhash_tp") {
       par("minhash_tp") {
         val in = MemoryStream[(Long, Timestamp, String)]
         val df = in.toDF().toDF("id", "ts", "text")
@@ -191,11 +193,17 @@ object StreamSoak {
           })
         }
       }
+    }
+    if (tpRan || which == "range_tp") {
       par("range_tp") {
         val in = MemoryStream[(Timestamp, String, Double)]
         val df = in.toDF().toDF("ts", "k", "value")
+        // FillNone: the continuous fill modes (PREVIOUS/NULL) retain every
+        // key BY SEMANTICS — they must keep emitting filled buckets — so
+        // they can never show eviction; NONE drops a drained key's state
+        // once its open buckets close (the eviction path this phase gates)
         val out = StreamingGroupByRange.groupByRangeStream(df, "ts", "value", "k",
-          every = "10 seconds", watermark = "60 seconds", fill = GroupByRange.FillPrevious)
+          every = "10 seconds", watermark = "60 seconds", fill = GroupByRange.FillNone)
         val q = out.writeStream.format("noop").outputMode("append").start()
         soak("range_tp", q, tpBatches, rowsPerBatch = tpRows) { i =>
           val ep = epoch(i)
@@ -203,26 +211,38 @@ object StreamSoak {
             (ts(i), s"k${ep}_${j % 500}", (i % 100) + j * 0.5)))
         }
       }
+    }
+    if (tpRan || which == "match_tp") {
       par("match_tp") {
         val in = MemoryStream[(Timestamp, String, String)]
         val df = in.toDF().toDF("ts", "k", "typ")
+        // idleTTL: a drained key that has matched keeps a 2-word
+        // match-counter state FOREVER without it (documented trade in
+        // StreamingMatch); churned keys must actually evict here. The
+        // eviction latency is drain + watermark lag (60s) + TTL, so this
+        // op churns on a 20-batch epoch with a 30s TTL to cycle several
+        // full evictions inside the 200-batch run.
         val out = StreamingMatch.matchRecognizeStream(df, "ts", "k",
           pattern = "V{3,}",
           defines = Map("V" -> (col("typ") === "view")),
-          watermark = "60 seconds")
+          watermark = "60 seconds", idleTTL = Some("30 seconds"))
         val q = out.writeStream.format("noop").outputMode("append").start()
-        soak("match_tp", q, tpBatches, rowsPerBatch = tpRows) { i =>
-          val ep = epoch(i)
+        // 2x batches: this op's eviction latency (drain + 60s watermark
+        // lag + TTL ≈ 110 batches) is ~half a 200-batch run, so the
+        // 2nd-quarter state max would predate the FIRST eviction and the
+        // plateau check would mis-read ramp-up as growth
+        soak("match_tp", q, 2 * tpBatches, rowsPerBatch = tpRows) { i =>
+          val ep = i / 20
           in.addData((0 until tpRows).map { j =>
-            val k = s"u${ep}_${j % 500}"
+            val k = s"u${ep}_${j % 300}"
             val typ = if ((i + j) % 5 == 4) "click" else "view"
             (ts(i), k, typ)
           })
         }
       }
-      jobs.foreach(_.join())
-      jobs.clear()
     }
+    jobs.foreach(_.join())
+    jobs.clear()
 
     // ---- ROCKSDB parity phase (r15): the match op (richest per-key
     // state) re-run under RocksDBStateStoreProvider on IDENTICAL input;
@@ -275,7 +295,7 @@ object StreamSoak {
     // one JSON object, streams sorted by name — the committed round
     // artifact when arg 3 names a file
     val body = "{\"metric\":\"stream\",\"batches\":" + nBatches +
-      (if (tpRan) s""","tp_batches":$tpBatches,"tp_rows_per_batch":$tpRows"""
+      (if (tpRan || which.endsWith("_tp")) s""","tp_batches":$tpBatches,"tp_rows_per_batch":$tpRows"""
        else "") +
       rocksParity.map(p => s""","rocksdb_parity":$p""").getOrElse("") +
       ",\"streams\":{" +
