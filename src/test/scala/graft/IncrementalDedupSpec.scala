@@ -405,6 +405,36 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(collected.sorted == Seq(60L, 62L))
   }
 
+  test("default append tags never reuse an issued tag after compact shrinks the meta count (r15 review)") {
+    // build 2 docs, append 1 under a DEFAULT tag, mark it, compact (exact
+    // recount can only move nDocs down or hold) — a second default append
+    // must pick a FRESH tag, not overwrite the first one's rows
+    val path = java.nio.file.Files.createTempDirectory("graft_ex_tagclash").toString
+    ExactIndex.build(corpus, "text", "doc_id", path)
+    val b1 = Seq((70L, "first default tagged append content body")).toDF("doc_id", "text")
+    ExactIndex.append(b1, "text", "doc_id", path) // default tag a<N>
+    val tags1 = spark.read.parquet(s"${ExactIndex.dataRoot(spark, path)}/digests")
+      .select("ingest").distinct().as[String].collect().toSet
+    val firstTag = (tags1 - "base").head
+    // the first tag is UNMARKED, so compact leaves its partition but
+    // recounts meta exactly — the old a<nDocs> scheme would now re-issue
+    // a colliding tag
+    ExactIndex.compact(spark, path)
+    val b2 = Seq((71L, "second default tagged append content body")).toDF("doc_id", "text")
+    ExactIndex.append(b2, "text", "doc_id", path)
+    val root = ExactIndex.dataRoot(spark, path)
+    val tags2 = spark.read.parquet(s"$root/digests")
+      .select("ingest").distinct().as[String].collect().toSet
+    assert(tags2.size == 3, s"expected base + two distinct tags: $tags2")
+    // and the first append's digest is still gating: an exact copy of b1
+    // must be dropped
+    val replay = ExactIndex.dedupBatch(
+      Seq((72L, "first default tagged append content body")).toDF("doc_id", "text"),
+      "text", "doc_id", path)
+    assert(replay.count() == 0,
+      s"first default append's rows were lost (tags: $tags2, first=$firstTag)")
+  }
+
   test("incremental family on the sf0.001 fixture: survivors + drops partition the batch") {
     val d = graft.engine.Tables.read(spark, sfDir, "documents")
     val b = d.filter($"doc_id" % 10 >= 7)
