@@ -15,11 +15,12 @@ import org.apache.spark.sql.SparkSession
   * probe/topK entry does) — the returned tree's files are immutable, so an
   * in-flight plan is never invalidated by a concurrent maintenance write.
   * Maintenance (compact/retrain/rebuild) stages the new tree at v=N+1,
-  * commits it, and GARBAGE-COLLECTS only versions ≤ N-1 — the version a
-  * plan can still be reading (N) survives exactly one more maintenance
-  * cycle (the GRACE version). A plan pinned TWO maintenance cycles ago can
-  * lose files — re-create reader plans at least once per maintenance
-  * interval (a non-contract in practice: plans are per-query).
+  * commits it, and GARBAGE-COLLECTS only versions that are BOTH two or
+  * more cycles old AND were superseded at least [[minRetainMs]] ago (r16:
+  * the age floor) — so the version a plan pinned survives one full
+  * maintenance cycle at minimum, and survives maintenance BURSTS for as
+  * long as the configured retention (set it ≥ the longest query wall; a
+  * plan older than that can lose files).
   *
   * Legacy layout (data trees directly under `path`, pre-r15) is read
   * transparently: [[currentRoot]] falls back to `path` when no committed
@@ -81,10 +82,38 @@ private[pipeline] object IndexVersions {
     s"$path/v=$next"
   }
 
+  /** Minimum time a superseded version survives after it stopped being
+    * current, regardless of how many maintenance cycles have passed (r15
+    * verdict #2 / ADVICE: a cycle-counted grace window lets two
+    * back-to-back commits — compact then retrain — delete the root a slow
+    * in-flight probe pinned). Set it to at least the longest query wall
+    * the deployment serves; 0 restores pure cycle-counted GC. */
+  def minRetainMs(spark: SparkSession): Long =
+    spark.conf.get("graft.index.gc.minRetainMs", "900000").toLong
+
+  /** Epoch ms at which version `m` was SUPERSEDED: the commit time of the
+    * smallest committed version above it (a plan can have pinned `m` right
+    * up to that instant). */
+  private def supersededAt(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           committed: Seq[Int], m: Int): Long =
+    committed.filter(_ > m).minOption
+      .map { s =>
+        // a successor already GC'd in this pass was itself superseded long
+        // enough ago — anything below it is at least as old
+        try fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$path/v=$s/_COMMITTED"))
+          .getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }
+      .getOrElse(Long.MaxValue)
+
   /** Make the staged version visible (atomic `_COMMITTED` create) and GC
-    * everything older than the grace version: committed versions ≤ N-2
-    * always; the legacy root trees (`legacyDirs` under `path`) once the
-    * grace window has passed them (N ≥ 2). Call under the writer lock. */
+    * superseded versions: a committed version ≤ N-2 (and the legacy root
+    * trees once N ≥ 2) is deleted only when it ALSO stopped being current
+    * at least [[minRetainMs]] ago — the age floor that keeps a slow
+    * in-flight probe's pinned root alive through maintenance bursts. The
+    * newest superseded version (N-1, the grace copy) always survives one
+    * full cycle as before. Call under the writer lock. */
   def commit(spark: SparkSession, path: String, stagedRoot: String,
              legacyDirs: Seq[String]): Unit = {
     val (fs, _) = fsOf(spark, path)
@@ -92,13 +121,22 @@ private[pipeline] object IndexVersions {
     val ok = fs.createNewFile(
       new org.apache.hadoop.fs.Path(s"$stagedRoot/_COMMITTED"))
     require(ok, s"could not commit index version $n at $path")
-    versions(spark, path).filter { case (m, committed) => committed && m <= n - 2 }
-      .foreach { case (m, _) =>
+    val floor = minRetainMs(spark)
+    val now = System.currentTimeMillis()
+    val committed = (versions(spark, path).filter(_._2).map(_._1) :+ n)
+      .distinct.sorted
+    committed.filter(_ <= n - 2).foreach { m =>
+      if (now - supersededAt(fs, path, committed, m) >= floor) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$m"), true)
+        ()
       }
-    if (n >= 2) legacyDirs.foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
-      ()
     }
+    // legacy trees were superseded when the FIRST version committed
+    if (n >= 2 &&
+        now - supersededAt(fs, path, committed, 0) >= floor)
+      legacyDirs.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true)
+        ()
+      }
   }
 }

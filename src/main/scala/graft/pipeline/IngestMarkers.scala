@@ -85,21 +85,28 @@ private[pipeline] object IngestMarkers {
   /** Delete applied markers whose DIRECTORY NAME fails `keep`. Deletion
     * invalidates `_SUCCESS` FIRST so a crash or non-atomic object-store
     * delete can never leave a directory that still looks applied.
+    *
+    * Runs under the index's [[WriterLock]] (r15 ADVICE): an unlocked prune
+    * racing a compact's copyApplied could delete a marker file between the
+    * copy's list and read (failing the copy mid-flight), or finish after
+    * the snapshot and resurrect the pruned marker in the newly committed
+    * version. The root is resolved INSIDE the lock for the same reason.
     * @return names actually removed (both deletes verified). */
   def pruneAppliedMarkers(spark: SparkSession, path: String,
-                          keep: String => Boolean): Seq[String] = {
-    val dir = new org.apache.hadoop.fs.Path(
-      s"${IndexVersions.currentRoot(spark, path)}/applied")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath)
-      .filterNot(p => keep(p.getName))
-      .flatMap { p =>
-        val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        val invalidated = !fs.exists(success) || fs.delete(success, false)
-        if (invalidated && fs.delete(p, true)) Some(p.getName) else None
-      }
-  }
+                          keep: String => Boolean): Seq[String] =
+    WriterLock.withLock(spark, path) {
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${IndexVersions.currentRoot(spark, path)}/applied")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filterNot(p => keep(p.getName))
+        .flatMap { p =>
+          val success = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+          val invalidated = !fs.exists(success) || fs.delete(success, false)
+          if (invalidated && fs.delete(p, true)) Some(p.getName) else None
+        }
+    }
 
   /** Copy the applied tree from one RESOLVED data root into a staged
     * version's root so markers survive the version flip. Both arguments

@@ -123,11 +123,54 @@ object IvfIndex {
         assigned.select(col("id") +: Quantize.sqEncode(col("cv"), stats).as("codes") +:
           col("cluster") +: attrCols.map(col): _*)
       } else assigned
+    requireNoNullPartitionAttrs(payload, attrPartitionBy)
     payload.repartition(col("cluster"))
       .write.mode("overwrite")
       .partitionBy("cluster" +: attrPartitionBy: _*)
       .parquet(s"$path/vectors")
-    writeMeta(spark, path, built, appended = 0L, attrPartitionBy)
+    writeMeta(spark, path, built, appended = 0L, attrPartitionBy,
+      attrPartSchema(payload, attrPartitionBy), seq = 0L)
+  }
+
+  /** Physical partition values ride in DIRECTORY NAMES, where NULL becomes
+    * the unreadable `__HIVE_DEFAULT_PARTITION__` sentinel (r15 ADVICE) —
+    * reject at write time instead. */
+  private def requireNoNullPartitionAttrs(payload: DataFrame,
+                                          attrPartitionBy: Seq[String]): Unit =
+    if (attrPartitionBy.nonEmpty) {
+      val nulls = payload
+        .where(attrPartitionBy.map(c => col(c).isNull).reduce(_ || _))
+        .limit(1).count()
+      require(nulls == 0L,
+        s"attrPartitionBy columns ${attrPartitionBy.mkString(",")} must be " +
+          "non-null: partition values become directory names, and NULL " +
+          "lands in __HIVE_DEFAULT_PARTITION__ where predicates cannot see it")
+    }
+
+  /** DDL of the partition attr columns AS WRITTEN — pinned in meta so reads
+    * never re-infer types off directory names (r15 ADVICE: a numeric-looking
+    * string label round-trips as int under partition-column inference,
+    * silently breaking string predicates and diverging from the flat
+    * layout). */
+  private def attrPartSchema(payload: DataFrame,
+                             attrPartitionBy: Seq[String]): String =
+    if (attrPartitionBy.isEmpty) ""
+    else org.apache.spark.sql.types.StructType(
+      attrPartitionBy.map(c => payload.schema(c))).toDDL
+
+  /** The vectors tree of a RESOLVED root, with partition-column types
+    * pinned from meta when the index is attr-partitioned (directory-name
+    * type inference is never trusted). */
+  private def readVectors(spark: SparkSession, root: String,
+                          partSchema: String): DataFrame = {
+    val plain = spark.read.parquet(s"$root/vectors")
+    if (partSchema.isEmpty) plain
+    else {
+      val pinned = org.apache.spark.sql.types.StructType.fromDDL(partSchema)
+      val full = org.apache.spark.sql.types.StructType(plain.schema.map(f =>
+        pinned.find(_.name == f.name).getOrElse(f)))
+      spark.read.schema(full).parquet(s"$root/vectors")
+    }
   }
 
   private def writeSqStats(spark: SparkSession, path: String,
@@ -181,11 +224,16 @@ object IvfIndex {
     withWriterLock(spark, path) {
       val root = IndexVersions.writeRoot(spark, path)
       val cents = loadCentroids(spark, root)
+      // read meta BEFORE the write: the legacy-index fallback counts the
+      // vectors dir, and counting AFTER the append would fold the new batch
+      // into built_count and understate the staleness fraction. Meta also
+      // carries the pinned partition-attr schema the tree read needs.
+      val m = readMetaFull(spark, root)
+      val (built, appended, attrParts) = (m.built, m.appended, m.parts)
       // ONE vectors-tree open serves both the attr-column and codec
-      // sniffs, and ONE meta open serves counters + partition scheme
-      // (r15 review: the per-batch append path paid two extra parquet
-      // opens for data already in hand)
-      val tree = spark.read.parquet(s"$root/vectors")
+      // sniffs (r15 review: the per-batch append path paid two extra
+      // parquet opens for data already in hand)
+      val tree = readVectors(spark, root, m.partSchema)
       // the tree is self-describing: attr columns present in the index
       // must come with every appended batch (by their own names)
       val attrs = attrColsOf(tree)
@@ -194,10 +242,6 @@ object IvfIndex {
           transform(col(vecCol), _.cast("double")).as("cv") +:
           attrs.map(col): _*)
       val n = batch.count()
-      // read meta BEFORE the write: the legacy-index fallback counts the
-      // vectors dir, and counting AFTER the append would fold the new batch
-      // into built_count and understate the staleness fraction
-      val (built, appended, attrParts) = readMetaFull(spark, root)
       val assigned = batch
         .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
       val payload =
@@ -209,6 +253,7 @@ object IvfIndex {
             Quantize.sqEncode(col("cv"), stats).as("codes") +:
             col("cluster") +: attrs.map(col): _*)
         } else assigned
+      requireNoNullPartitionAttrs(payload, attrParts)
       payload.repartition(col("cluster"))
         .write.mode("append")
         .partitionBy("cluster" +: attrParts: _*)
@@ -219,7 +264,8 @@ object IvfIndex {
         retrainLocked(spark, path)
         0.0
       } else {
-        writeMeta(spark, root, built, newAppended, attrParts)
+        writeMeta(spark, root, built, newAppended, attrParts, m.partSchema,
+          m.seq + 1)
         fraction
       }
     }
@@ -249,7 +295,8 @@ object IvfIndex {
 
   private def retrainLocked(spark: SparkSession, path: String): Unit = {
     val root = IndexVersions.currentRoot(spark, path)
-    val raw = spark.read.parquet(s"$root/vectors")
+    val meta = readMetaFull(spark, root)
+    val raw = readVectors(spark, root, meta.partSchema)
     val codec = codecOf(raw)
     val attrs = attrColsOf(raw)
     // sq8: the originals are gone — rebuild from the reconstructions
@@ -262,46 +309,57 @@ object IvfIndex {
       } else raw.select(col("id") +: col("cv") +: attrs.map(col): _*)
     val staged = IndexVersions.stage(spark, path)
     buildAt(all, "id", "cv", staged, nLists = -1, corpusSize = -1L,
-      codec = codec, attrCols = attrs,
-      attrPartitionBy = readAttrPartitions(spark, root))
+      codec = codec, attrCols = attrs, attrPartitionBy = meta.parts)
     IndexVersions.commit(spark, path, staged, DataDirs)
   }
 
+  private final case class IvfMeta(built: Long, appended: Long,
+                                   parts: Seq[String], partSchema: String,
+                                   seq: Long)
+
+  /** Meta rows are APPEND-ONLY within a version (r15 ADVICE): each append
+    * adds one row with a higher `meta_seq` instead of overwriting the tree
+    * in place, so a serve reading meta mid-append always sees a complete
+    * file set — the previous row at worst, never FileNotFound. Readers take
+    * the max-seq row; build/retrain start a fresh dir at seq 0. */
   private def writeMeta(spark: SparkSession, path: String,
                         built: Long, appended: Long,
-                        attrPartitionBy: Seq[String] = Nil): Unit = {
+                        attrPartitionBy: Seq[String],
+                        partSchema: String, seq: Long): Unit = {
     import spark.implicits._
-    Seq((built, appended, attrPartitionBy.mkString(",")))
-      .toDF("built_count", "appended_count", "attr_partitions")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Seq((built, appended, attrPartitionBy.mkString(","), partSchema, seq))
+      .toDF("built_count", "appended_count", "attr_partitions",
+        "attr_part_schema", "meta_seq")
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
   }
-
-  /** Physical attr-partition columns recorded at build (empty for
-    * pre-r15 metas and unpartitioned indexes). */
-  private def readAttrPartitions(spark: SparkSession, root: String): Seq[String] =
-    readMetaFull(spark, root)._3
 
   /** (built_count, appended_count) from a RESOLVED data root; an index
     * persisted before the meta file existed counts as freshly built. */
   private def readMeta(spark: SparkSession, root: String): (Long, Long) = {
-    val (b, a, _) = readMetaFull(spark, root)
-    (b, a)
+    val m = readMetaFull(spark, root)
+    (m.built, m.appended)
   }
 
-  /** (built, appended, attrPartitionBy) in ONE meta open. */
-  private def readMetaFull(spark: SparkSession,
-                           root: String): (Long, Long, Seq[String]) =
+  /** The max-seq meta row in ONE dir open (mergeSchema: a pre-r16 meta dir
+    * holds overwrite-era rows without the seq column; they read as seq 0). */
+  private def readMetaFull(spark: SparkSession, root: String): IvfMeta =
     try {
-      val df = spark.read.parquet(s"$root/meta")
-      val r = df.head()
-      val parts =
-        if (!df.columns.contains("attr_partitions")) Nil
-        else Option(r.getAs[String]("attr_partitions"))
-          .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
-      (r.getLong(0), r.getLong(1), parts)
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/meta")
+      def opt[T](r: org.apache.spark.sql.Row, c: String): Option[T] =
+        if (df.columns.contains(c)) Option(r.getAs[T](c)) else None
+      val r =
+        if (df.columns.contains("meta_seq"))
+          df.orderBy(col("meta_seq").desc_nulls_last).head()
+        else df.head()
+      IvfMeta(
+        r.getAs[Long]("built_count"), r.getAs[Long]("appended_count"),
+        opt[String](r, "attr_partitions").filter(_.nonEmpty)
+          .map(_.split(",").toSeq).getOrElse(Nil),
+        opt[String](r, "attr_part_schema").getOrElse(""),
+        opt[java.lang.Long](r, "meta_seq").map(_.longValue).getOrElse(0L))
     } catch {
       case _: org.apache.spark.sql.AnalysisException =>
-        (spark.read.parquet(s"$root/vectors").count(), 0L, Nil)
+        IvfMeta(spark.read.parquet(s"$root/vectors").count(), 0L, Nil, "", 0L)
     }
 
   /** Load the centroids (nLists x dim — driver-tiny by construction)
@@ -375,7 +433,16 @@ object IvfIndex {
     // (IndexVersionsSpec races probes against retrains to prove it)
     val root = retryThroughSwap(IndexVersions.currentRoot(spark, path))
     val cents = retryThroughSwap(loadCentroids(spark, root))
-    val tree = retryThroughSwap(spark.read.parquet(s"$root/vectors"))
+    // the unfiltered serve never reads attr columns, so it skips the meta
+    // open; a filtered serve reads meta FIRST (retried — r15 ADVICE: this
+    // read raced in-place meta rewrites; meta is append-only now AND the
+    // read retries through version-flip windows) and pins the recorded
+    // partition-attr types so directory-name inference never shifts them
+    lazy val meta = retryThroughSwap(readMetaFull(spark, root))
+    val tree = predicate match {
+      case None => retryThroughSwap(spark.read.parquet(s"$root/vectors"))
+      case Some(_) => retryThroughSwap(readVectors(spark, root, meta.partSchema))
+    }
     // the tree stores the id column as `id`; let the predicate reference
     // it by the CALLER's idCol name (the natural spelling — probe-found
     // r14: `vec_id % 67 = 3` threw UNRESOLVED_COLUMN). Skipped when an
@@ -397,7 +464,7 @@ object IvfIndex {
         // total from the index meta (built+appended counters — one tiny
         // parquet row, zero scans of the tree); only the KEPT count needs
         // an attr-column scan
-        val total = { val (b, a) = readMeta(spark, root); b + a }
+        val total = meta.built + meta.appended
         val filtered = applyPred(p)
         val kept = filtered.count()
         val smallQueries =

@@ -13,6 +13,19 @@ import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReferenc
 class IndexVersionsSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Run `body` under an explicit GC age floor (r16: GC is time-floored by
+    * default; the cycle-counted asserts below pin floor 0 behavior). */
+  private def withGcFloor[A](ms: Long)(body: => A): A = {
+    val key = "graft.index.gc.minRetainMs"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, ms.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private val corpus = Seq(
     (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
     (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
@@ -49,7 +62,7 @@ class IndexVersionsSpec extends SparkTestBase {
     probes.get()
   }
 
-  test("MinhashIndex.probe races compact(): no failures, no mixed versions, markers survive") {
+  test("MinhashIndex.probe races compact(): no failures, no mixed versions, markers survive") { withGcFloor(0L) {
     val path = java.nio.file.Files.createTempDirectory("graft_vrace_mh").toString
     MinhashIndex.build(corpus, "text", "doc_id", path)
     // a few marked ingests so compact has real folding work
@@ -74,9 +87,9 @@ class IndexVersionsSpec extends SparkTestBase {
     val vs = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
     assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
-  }
+  } }
 
-  test("ExactIndex.dedupBatch races compact(): no failures, gate stable") {
+  test("ExactIndex.dedupBatch races compact(): no failures, gate stable") { withGcFloor(0L) {
     val path = java.nio.file.Files.createTempDirectory("graft_vrace_ex").toString
     ExactIndex.build(corpus, "text", "doc_id", path)
     Seq((40L, "brand new content that nothing in the corpus resembles at all"),
@@ -96,9 +109,9 @@ class IndexVersionsSpec extends SparkTestBase {
     val vs = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
     assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
-  }
+  } }
 
-  test("IvfIndex.topK races retrain(): no failures, identical neighbors throughout") {
+  test("IvfIndex.topK races retrain(): no failures, identical neighbors throughout") { withGcFloor(0L) {
     def unit(v: Array[Double]): Seq[Float] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(x => (x / n).toFloat).toSeq
@@ -127,9 +140,9 @@ class IndexVersionsSpec extends SparkTestBase {
     val vs = new java.io.File(path).listFiles()
       .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
     assert(vs.size <= 2, s"GC must keep at most current+grace: $vs")
-  }
+  } }
 
-  test("legacy layout reads transparently and the first maintenance write migrates it") {
+  test("legacy layout reads transparently and the first maintenance write migrates it") { withGcFloor(0L) {
     val path = java.nio.file.Files.createTempDirectory("graft_vrace_legacy").toString
     // forge a legacy (unversioned) index by moving a versioned build's
     // data trees to the root — exactly the pre-r15 on-disk shape
@@ -156,5 +169,69 @@ class IndexVersionsSpec extends SparkTestBase {
     val after = MinhashIndex.probe(batch, "text", "doc_id", path)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(after == legacyProbe)
+  } }
+
+  test("slow probes survive DOUBLE back-to-back maintenance under the GC age floor (r15 verdict #2)") {
+    // cycle-counted GC deletes v=N-2 unconditionally, so a plan pinned just
+    // before two rapid maintenance commits loses its files mid-execution.
+    // With the age floor, a superseded version survives until it has been
+    // non-current for minRetainMs — a plan created any time while it was
+    // current therefore has that long to finish. All three index families.
+    withGcFloor(600000L) {
+      // --- MinhashIndex: pin a probe plan, compact twice, THEN execute it
+      val mh = java.nio.file.Files.createTempDirectory("graft_floor_mh").toString
+      MinhashIndex.build(corpus, "text", "doc_id", mh)
+      val mhExpected = MinhashIndex.probe(batch, "text", "doc_id", mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mhPinned = MinhashIndex.probe(batch, "text", "doc_id", mh) // plan pins v=1
+      MinhashIndex.compact(spark, mh) // v=2
+      MinhashIndex.compact(spark, mh) // v=3 — cycle-counted GC would kill v=1 here
+      val got = mhPinned.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == mhExpected, "pinned probe lost files or diverged across a maintenance burst")
+      val mhVs = new java.io.File(mh).listFiles().filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+      assert(mhVs == Seq("v=1", "v=2", "v=3"), s"age floor must retain the burst's versions: $mhVs")
+
+      // --- ExactIndex: same shape over the digest gate's probe
+      val ex = java.nio.file.Files.createTempDirectory("graft_floor_ex").toString
+      ExactIndex.build(corpus, "text", "doc_id", ex)
+      val exExpected = ExactIndex.probe(batch, "text", "doc_id", ex)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exPinned = ExactIndex.probe(batch, "text", "doc_id", ex)
+      ExactIndex.compact(spark, ex)
+      ExactIndex.compact(spark, ex)
+      assert(exPinned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == exExpected)
+
+      // --- IvfIndex: pin a topK plan across two retrains
+      def unit(v: Array[Double]): Seq[Float] = {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / n).toFloat).toSeq
+      }
+      val vecs = (0L until 48L).map { i =>
+        (i, unit(Array.tabulate(6)(d => math.cos(i.toDouble * (d + 2) + d).abs + 0.1)))
+      }.toDF("vec_id", "embedding")
+      val ivf = java.nio.file.Files.createTempDirectory("graft_floor_ivf").toString
+      IvfIndex.build(vecs, "vec_id", "embedding", ivf, nLists = 4)
+      val queries = vecs.filter($"vec_id" < 2)
+      val ivfExpected = IvfIndex.topK(spark, ivf, queries, "vec_id", "embedding", k = 4)
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      val ivfPinned = IvfIndex.topK(spark, ivf, queries, "vec_id", "embedding", k = 4)
+        .orderBy("q_id", "rk")
+      IvfIndex.retrain(spark, ivf)
+      IvfIndex.retrain(spark, ivf)
+      val ivfGot = ivfPinned.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(ivfGot == ivfExpected, "pinned topK plan lost files or diverged across retrain burst")
+    }
+    // floor 0 restores cycle-counted GC: one more maintenance drops the backlog
+    withGcFloor(0L) {
+      val mh2 = java.nio.file.Files.createTempDirectory("graft_floor_gc").toString
+      MinhashIndex.build(corpus, "text", "doc_id", mh2)
+      MinhashIndex.compact(spark, mh2)
+      MinhashIndex.compact(spark, mh2)
+      MinhashIndex.compact(spark, mh2)
+      val vs = new java.io.File(mh2).listFiles().filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+      assert(vs.size <= 2, s"floor 0 must restore current+grace GC: $vs")
+    }
   }
 }

@@ -342,4 +342,66 @@ class IvfIndexSpec extends SparkTestBase {
     assert(c02.listFiles().exists(_.getName.startsWith("label=")),
       "retrain must preserve the attr-partition scheme")
   }
+
+  test("attrPartitionBy pins attr types through directory names and rejects NULL values (r15 ADVICE)") {
+    import org.apache.spark.sql.types.StringType
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 300)
+    // numeric-LOOKING string labels, including a leading zero that breaks
+    // under int round-tripping ("042" -> 42 -> "42")
+    val tagged = e.withColumn("tag",
+      concat(lit("0"), (col("vec_id") % 3).cast("string")))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_pin").toString
+    IvfIndex.build(tagged, "vec_id", "embedding", path,
+      nLists = 8, attrCols = Seq("tag"), attrPartitionBy = Seq("tag"))
+    val queries = tagged.filter(col("vec_id") < 3)
+    val res = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 10, nProbe = 8, predicate = Some(col("tag") === "01"))
+    assert(res.count() > 0, "string predicate over a numeric-looking partition label found no rows")
+    // under int inference, `tag = '1'` would CAST-match the rows labeled
+    // "01" — with the pinned string type it must match nothing, exactly
+    // like the flat layout
+    assert(IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 10, nProbe = 8, predicate = Some(col("tag") === "1")).count() == 0,
+      "'1' matched '01'-labeled rows: partition type inference leaked through")
+    // flat layout parity: same rows under the same predicate
+    val flat = java.nio.file.Files.createTempDirectory("graft_ivf_pin_flat").toString
+    IvfIndex.build(tagged, "vec_id", "embedding", flat,
+      nLists = 8, attrCols = Seq("tag"))
+    val a = IvfIndex.topK(spark, flat, queries, "vec_id", "embedding",
+      k = 10, nProbe = 8, predicate = Some(col("tag") === "01"))
+      .collect().map(_.toString).toSet
+    val b = res.collect().map(_.toString).toSet
+    assert(a == b, "partitioned layout diverged from flat under type pinning")
+    // appends keep the pinned type too
+    val extra = tagged.withColumn("vec_id", col("vec_id") + 200000L)
+      .limit(50)
+    IvfIndex.append(extra, "vec_id", "embedding", path)
+    val after = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 10, nProbe = 8, predicate = Some(col("tag") === "01"))
+    assert(after.count() > 0)
+    // NULL partition values are rejected at build AND append
+    val withNull = tagged.withColumn("tag",
+      when(col("vec_id") === 5, lit(null: String)).otherwise(col("tag")))
+    val npath = java.nio.file.Files.createTempDirectory("graft_ivf_null").toString
+    val eb = intercept[IllegalArgumentException] {
+      IvfIndex.build(withNull, "vec_id", "embedding", npath,
+        nLists = 8, attrCols = Seq("tag"), attrPartitionBy = Seq("tag"))
+    }
+    assert(eb.getMessage.contains("non-null"))
+    val ea = intercept[IllegalArgumentException] {
+      IvfIndex.append(withNull.withColumn("vec_id", col("vec_id") + 300000L),
+        "vec_id", "embedding", path)
+    }
+    assert(ea.getMessage.contains("non-null"))
+    // and the serve-path schema really is the recorded one
+    val pinnedTree = IvfIndex.topK(spark, path, queries, "vec_id", "embedding",
+      k = 2, nProbe = 8, predicate = Some(col("tag").isNotNull))
+    assert(pinnedTree.count() > 0)
+    val root = IvfIndex.dataRoot(spark, path)
+    // raw inference WOULD have made it an int — prove the divergence is real
+    val inferred = spark.read.parquet(s"$root/vectors").schema("tag").dataType
+    assert(inferred != StringType,
+      "fixture no longer triggers inference drift; pick labels that do")
+  }
 }
