@@ -8,43 +8,64 @@ import org.apache.spark.sql.SparkSession
   * interleave with a concurrent rebuild's swap and lose appended counts,
   * or write meta into a swapped-out tree). Reads take no lock — probe
   * paths retry through rename windows instead. Waits up to `waitMs` for a
-  * competing writer, then fails rather than proceeding unserialized; a
-  * crashed writer's stale lock is the operator's to delete (the lock file
-  * records owner/time for that call).
+  * competing writer, then fails rather than proceeding unserialized.
+  *
+  * Liveness (r16, r15 verdict #3): the lock is a LEASE, not a tombstone.
+  * The holder heartbeats the lock file's mtime every leaseMs/3 while the
+  * body runs; a waiter that finds the mtime older than
+  * `graft.index.lock.leaseMs` (default 60 s) treats the owner as dead and
+  * takes the lock over — no manual cleanup after a crashed writer. The
+  * takeover itself is race-free: a competitor must first RENAME the stale
+  * lock aside (atomic — exactly one concurrent renamer succeeds) before
+  * creating its own, so two waiters can never both "delete and recreate".
+  * If a live owner loses its lease anyway (a GC pause longer than the
+  * lease), release detects the foreign owner string and THROWS rather
+  * than deleting the usurper's lock — the operator learns the exclusion
+  * window was breached instead of silently racing.
   *
   * Atomicity of acquire (r11 review): local/file paths use NIO
   * `Files.createFile` (O_EXCL) because Hadoop's ChecksumFileSystem
   * implements `create(f, overwrite=false)` as a NON-atomic
   * exists-then-create; HDFS-like filesystems keep
   * `create(overwrite=false)`, which IS atomic there. Object stores
-  * without atomic create-if-absent (S3 before conditional writes) cannot
-  * honor a file mutex — coordinate writers externally on such storage.
+  * without atomic create-if-absent AND atomic rename (S3 before
+  * conditional writes) can honor neither the mutex nor the takeover —
+  * coordinate writers externally on such storage.
   *
-  * Shared by [[IvfIndex]] and [[MinhashIndex]] (factored in r14 so the
-  * two persisted-index families keep ONE copy of the acquire semantics).
+  * Shared by [[IvfIndex]], [[MinhashIndex]] and [[ExactIndex]] (factored
+  * in r14 so the persisted-index families keep ONE copy of the acquire
+  * semantics).
   */
 private[pipeline] object WriterLock {
+
+  /** Lease duration: a lock whose mtime lags now by more than this is an
+    * abandoned lock a waiter may take over. The holder heartbeats at a
+    * third of it, so only a pause > 2/3 lease can lose a live lease. */
+  def leaseMs(spark: SparkSession): Long =
+    spark.conf.get("graft.index.lock.leaseMs", "60000").toLong
 
   def withLock[A](spark: SparkSession, path: String,
                   waitMs: Long = 600000L)(body: => A): A = {
     val conf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
     val fs = lock.getFileSystem(conf)
+    val lease = leaseMs(spark)
     val owner =
-      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.currentTimeMillis()}"
+      s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.nanoTime()} ${Thread.currentThread().getId}"
     // "local" is decided by the filesystem the path RESOLVES to (r14
     // ADVICE): a scheme-less path under a non-file fs.defaultFS must take
     // the Hadoop branch — deciding off the raw URI scheme would acquire
     // via local NIO but release via the default filesystem
     val local = fs.getScheme == "file"
+    def nioPath = java.nio.file.Paths.get(
+      if (lock.toUri.getScheme == null) lock.toString else lock.toUri.getPath)
     // if the owner-write fails after create succeeded (disk full), delete
     // the just-created lock before rethrowing — otherwise every retry
     // fails FileAlreadyExists against the caller's own stale lock (r14
     // ADVICE)
     def tryAcquire(): Unit =
       if (local) {
-        val nio = java.nio.file.Paths.get(
-          if (lock.toUri.getScheme == null) lock.toString else lock.toUri.getPath)
+        val nio = nioPath
         java.nio.file.Files.createFile(nio) // atomic O_EXCL
         try { java.nio.file.Files.write(nio, owner.getBytes("UTF-8")); () }
         catch { case e: Throwable =>
@@ -54,19 +75,83 @@ private[pipeline] object WriterLock {
         try { out.write(owner.getBytes("UTF-8")); out.close() }
         catch { case e: Throwable => fs.delete(lock, false); throw e }
       }
+    /** The current lock file's content, or None if it vanished. */
+    def ownerOf(): Option[String] =
+      try {
+        val in = fs.open(lock)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      } catch { case _: java.io.IOException => None }
+    /** Claim an expired lease: rename the stale lock aside (atomic — one
+      * winner among concurrent claimants), then drop the renamed file.
+      * Loser's rename fails and it loops back to waiting. */
+    def tryTakeover(): Unit = {
+      val mtime =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      mtime.filter(System.currentTimeMillis() - _ > lease).foreach { _ =>
+        val claim = new org.apache.hadoop.fs.Path(
+          s"$path.lock.stale.${java.util.UUID.randomUUID()}")
+        val won = try fs.rename(lock, claim)
+                  catch { case _: java.io.IOException => false }
+        if (won) { fs.delete(claim, false); () }
+      }
+    }
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try { tryAcquire(); acquired = true }
       catch {
         case _: java.io.IOException if System.currentTimeMillis() < deadline =>
+          tryTakeover()
           Thread.sleep(200)
         case e: java.io.IOException =>
           throw new IllegalStateException(
             s"index writer lock at $path.lock not acquired within ${waitMs}ms " +
-              "(concurrent writer, or a stale lock from a crashed one)", e)
+              s"(concurrent writer holding a live lease under ${lease}ms heartbeats)", e)
       }
     }
-    try body finally fs.delete(lock, false)
+    // heartbeat: keep the lease alive for as long as the body runs — a
+    // long build must not look abandoned to waiters
+    @volatile var beating = true
+    val heartbeat = new Thread(() => {
+      while (beating) {
+        try Thread.sleep(math.max(lease / 3, 50L))
+        catch { case _: InterruptedException => () }
+        if (beating) {
+          val now = System.currentTimeMillis()
+          try {
+            if (local)
+              java.nio.file.Files.setLastModifiedTime(nioPath,
+                java.nio.file.attribute.FileTime.fromMillis(now))
+            else fs.setTimes(lock, now, -1)
+          } catch { case _: java.io.IOException => () } // lost/racing: acquire-side handles it
+        }
+      }
+    }, s"graft-writer-lock-heartbeat")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    var bodyError: Throwable = null
+    val result =
+      try body
+      catch { case t: Throwable => bodyError = t; null.asInstanceOf[A] }
+    beating = false
+    heartbeat.interrupt()
+    heartbeat.join(5000)
+    ownerOf() match {
+      case Some(o) if o == owner => fs.delete(lock, false); ()
+      case other =>
+        // the lease expired mid-body and another writer took over: do
+        // NOT delete the usurper's lock, and surface the breach — the
+        // body's writes may have raced the new owner's. A body error
+        // still takes precedence (the breach rides as suppressed).
+        val breach = new IllegalStateException(
+          s"writer lease on $path.lock lost while the body ran " +
+            s"(current owner: ${other.getOrElse("<gone>")}): increase " +
+            "graft.index.lock.leaseMs beyond worst-case pauses")
+        if (bodyError != null) { bodyError.addSuppressed(breach); throw bodyError }
+        throw breach
+    }
+    if (bodyError != null) throw bodyError
+    result
   }
 }
