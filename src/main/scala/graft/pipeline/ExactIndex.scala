@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   *    keep-min replay rule can tell "my own appended copy" from a genuine
   *    corpus duplicate. Partitioned by an `ingest` tag (`base` + one per
   *    append); a re-written tag REPLACES its rows — replay-idempotent.
-  *  - `<path>/meta`: (n_docs) — width-sizing metadata only (crash-window
-  *    replays may overcount; [[compact]] recounts exactly).
+  *  - `<path>/meta`: (n_docs) — always EXACTLY the stored digest rows
+  *    (r16: appends count the rows they actually wrote via footer counts,
+  *    so replays and within-batch duplicates never drift it).
   *  - `<path>/applied/<tag>`: survivor markers ([[IngestMarkers]]).
   *
   * Writers serialize via [[WriterLock]]; probes resolve the current
@@ -68,7 +69,10 @@ object ExactIndex {
         .withColumn("ingest", lit("base"))
         .repartition(width(spark, n), col("h"))
         .write.mode("overwrite").partitionBy("ingest").parquet(s"$root/digests")
-      writeMeta(spark, root, n)
+      // meta counts the rows actually STORED (distinct texts), not the
+      // corpus size — parquet footer counts only, no data read (r15
+      // verdict #8: meta used to drift upward until compact recounted)
+      writeMeta(spark, root, storedRows(spark, s"$root/digests"))
       IngestMarkers.copyApplied(spark, prevRoot, root)
       IndexVersions.commit(spark, path, root, DataDirs)
     }
@@ -110,12 +114,26 @@ object ExactIndex {
     // size files to the BATCH, not the session width (MinhashIndex
     // discipline): a small micro-batch writes one compact file
     val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
+    // exact meta (r15 verdict #8): count the tag's stored rows before and
+    // after the overwrite — footer counts of ONE partition, batch-local —
+    // so nDocs always equals the stored digest rows (a replayed tag
+    // replaces its rows instead of double-counting; within-batch
+    // duplicates collapse in digestRows and are not counted twice)
+    val oldTag = storedRows(spark, s"$root/digests/ingest=$t")
     digestRows(newDocs, textCol, idCol)
       .repartition(nOut, col("h"))
       .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
-    writeMeta(spark, root, m.nDocs + add)
+    val newTag = storedRows(spark, s"$root/digests/ingest=$t")
+    writeMeta(spark, root, m.nDocs - oldTag + newTag)
     markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
-    m.nDocs + add
+    m.nDocs - oldTag + newTag
+  }
+
+  /** Footer-only row count of a parquet tree; 0 when it does not exist. */
+  private def storedRows(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else spark.read.parquet(dir).count()
   }
 
   /** Fold marked ingest partitions into `base` (see
@@ -194,6 +212,10 @@ object ExactIndex {
                          tag: String): Unit =
     IngestMarkers.writeAppliedMarker(survivorIds, path, tag)
   def batchTag(batchId: Long): String = IngestMarkers.batchTag(batchId)
+  /** Applied ingest tags still holding their own partition — what a
+    * [[compact]] would fold ([[MinhashIndex.pendingCompactionTags]]). */
+  def pendingCompactionTags(spark: SparkSession, path: String): Int =
+    IngestMarkers.foldablePendingTags(spark, path, "digests")
   def pruneAppliedMarkersBelow(spark: SparkSession, path: String,
                                horizonBatchId: Long): Seq[String] =
     IngestMarkers.pruneAppliedMarkersBelow(spark, path, horizonBatchId)

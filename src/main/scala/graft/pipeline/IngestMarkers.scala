@@ -70,6 +70,26 @@ private[pipeline] object IngestMarkers {
     else Nil
   }
 
+  /** Number of ingest tags that are APPLIED (marker complete) and still
+    * hold their own partition under `<root>/<dataDir>` — the directories a
+    * compact would fold into base. The auto-compaction trigger
+    * ([[graft.streaming.StreamingOps]] gates) keys on this, NOT on the
+    * marker count: markers survive compaction (they are replay evidence),
+    * so counting them would re-fire every batch. */
+  def foldablePendingTags(spark: SparkSession, path: String,
+                          dataDir: String): Int = {
+    val root = IndexVersions.currentRoot(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$dataDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else {
+      val marked = markedTags(spark, path).toSet
+      fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("ingest=") => s.stripPrefix("ingest=") }
+        .count(t => t != "base" && marked(t))
+    }
+  }
+
   /** Delete the streaming gate's applied markers for batches BELOW
     * `horizonBatchId` (commit-horizon retention). Non-batch tags are left
     * alone. @return raw tags actually removed. */

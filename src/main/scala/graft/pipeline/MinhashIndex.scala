@@ -227,6 +227,12 @@ object MinhashIndex {
     * owns the format, so retention policies never reverse-engineer it. */
   def batchTag(batchId: Long): String = IngestMarkers.batchTag(batchId)
 
+  /** Applied ingest tags still holding their own partition — what a
+    * [[compact]] would fold. The streaming gates' auto-compaction
+    * threshold keys on this. */
+  def pendingCompactionTags(spark: SparkSession, path: String): Int =
+    IngestMarkers.foldablePendingTags(spark, path, "buckets")
+
   /** Delete the streaming gate's applied markers for batches BELOW
     * `horizonBatchId` — the commit-horizon policy the marker doc
     * prescribes (once the checkpoint commits a batch it can never be

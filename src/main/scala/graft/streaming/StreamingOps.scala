@@ -306,7 +306,8 @@ object StreamingOps {
     * mistake a colliding corpus id for a replayed self-match. */
   def incrementalDedupBatch(batch: DataFrame, textCol: String, idCol: String,
                             indexPath: String, minEstSim: Double,
-                            batchId: Long): DataFrame = {
+                            batchId: Long,
+                            autoCompactTags: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val tag = graft.pipeline.MinhashIndex.batchTag(batchId)
     graft.pipeline.MinhashIndex.appliedMarker(spark, indexPath, tag) match {
@@ -322,6 +323,14 @@ object StreamingOps {
         // snapshot and strand in the outgoing version (r15 review)
         graft.pipeline.MinhashIndex.appendApplied(survivors, textCol, idCol,
           indexPath, tag, survivors.select(col(idCol)))
+        // auto-compaction (r15 verdict #7): a long-running gate accumulates
+        // one ingest partition per micro-batch; once the APPLIED tags still
+        // holding their own partition reach the threshold, fold them —
+        // reader-safe (versioned commit) and crash-safe (unmarked tags are
+        // never folded, markers survive the flip)
+        if (autoCompactTags > 0 &&
+            graft.pipeline.MinhashIndex.pendingCompactionTags(spark, indexPath) >= autoCompactTags)
+          graft.pipeline.MinhashIndex.compact(spark, indexPath)
         survivors
     }
   }
@@ -336,12 +345,13 @@ object StreamingOps {
     * equality with the sequential batch fold). Replay-idempotent — see
     * [[incrementalDedupBatch]]. */
   def incrementalDedupStream(docs: DataFrame, textCol: String, idCol: String,
-                             indexPath: String, minEstSim: Double = 0.5)
+                             indexPath: String, minEstSim: Double = 0.5,
+                             autoCompactTags: Int = 0)
                             (onBatch: (DataFrame, DataFrame, Long) => Unit)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val survivors = incrementalDedupBatch(batch, textCol, idCol,
-        indexPath, minEstSim, id)
+        indexPath, minEstSim, id, autoCompactTags)
       onBatch(batch, survivors, id)
       ()
     }
@@ -352,7 +362,8 @@ object StreamingOps {
     * same id-space contract). */
   def incrementalExactDedupBatch(batch: DataFrame, textCol: String,
                                  idCol: String, indexPath: String,
-                                 batchId: Long): DataFrame = {
+                                 batchId: Long,
+                                 autoCompactTags: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val tag = graft.pipeline.ExactIndex.batchTag(batchId)
     graft.pipeline.ExactIndex.appliedMarker(spark, indexPath, tag) match {
@@ -366,6 +377,10 @@ object StreamingOps {
         // one locked append+marker step — see incrementalDedupBatch
         graft.pipeline.ExactIndex.appendApplied(survivors, textCol, idCol,
           indexPath, tag, survivors.select(col(idCol)))
+        // auto-compaction — see incrementalDedupBatch
+        if (autoCompactTags > 0 &&
+            graft.pipeline.ExactIndex.pendingCompactionTags(spark, indexPath) >= autoCompactTags)
+          graft.pipeline.ExactIndex.compact(spark, indexPath)
         survivors
     }
   }
@@ -376,12 +391,13 @@ object StreamingOps {
     * advances per micro-batch. Replay-idempotent — see
     * [[incrementalExactDedupBatch]]. */
   def incrementalExactDedupStream(docs: DataFrame, textCol: String,
-                                  idCol: String, indexPath: String)
+                                  idCol: String, indexPath: String,
+                                  autoCompactTags: Int = 0)
                                  (onBatch: (DataFrame, DataFrame, Long) => Unit)
       : DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val survivors = incrementalExactDedupBatch(batch, textCol, idCol,
-        indexPath, id)
+        indexPath, id, autoCompactTags)
       onBatch(batch, survivors, id)
       ()
     }

@@ -342,6 +342,81 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(ExactIndex.appliedMarker(spark, path, "b7").isEmpty)
   }
 
+  test("ExactIndex meta is EXACT: equals stored digest rows through dup-heavy appends and replays (r15 verdict #8)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ex_meta").toString
+    def storedRows(): Long =
+      spark.read.parquet(s"${ExactIndex.dataRoot(spark, path)}/digests").count()
+    def metaDocs(): Long = ExactIndex.readMeta(spark, path).nDocs
+    // build over a corpus WITH duplicate texts: meta counts distinct
+    // stored rows, not corpus size
+    val dupCorpus = Seq(
+      (1L, "same text twice"), (2L, "same text twice"),
+      (3L, "a second distinct document")).toDF("doc_id", "text")
+    ExactIndex.build(dupCorpus, "text", "doc_id", path)
+    assert(metaDocs() == 2L, "build meta must count stored rows (3 docs, 2 texts)")
+    assert(metaDocs() == storedRows())
+    // append with within-batch duplicates: only the distinct digests count
+    val dupBatch = Seq(
+      (10L, "brand new content"), (11L, "brand new content"),
+      (12L, "another brand new line")).toDF("doc_id", "text")
+    val total = ExactIndex.append(dupBatch, "text", "doc_id", path, tag = "t1")
+    assert(total == 4L, s"2 base + 2 distinct appended, got $total")
+    assert(metaDocs() == storedRows())
+    // replaying the SAME tag overwrites its rows — meta must not grow
+    val replayTotal = ExactIndex.append(dupBatch, "text", "doc_id", path, tag = "t1")
+    assert(replayTotal == 4L, s"tag replay must not drift meta, got $replayTotal")
+    assert(metaDocs() == storedRows())
+    // and compact's recount agrees (nothing to fix anymore)
+    ExactIndex.writeAppliedMarker(dupBatch.select($"doc_id"), path, "t1")
+    ExactIndex.compact(spark, path)
+    assert(metaDocs() == storedRows())
+    assert(metaDocs() == 4L)
+  }
+
+  test("auto-compaction: the streaming gate's ingest partitions PLATEAU with zero manual compact calls (r15 verdict #7)") {
+    import graft.streaming.StreamingOps
+    def ingestDirs(root: String, dataDir: String): Int =
+      Option(new java.io.File(s"$root/$dataDir").listFiles())
+        .map(_.count(_.getName.startsWith("ingest="))).getOrElse(0)
+    // --- exact gate, 12 micro-batches, threshold 4
+    val ex = java.nio.file.Files.createTempDirectory("graft_autocompact_ex").toString
+    ExactIndex.build(corpus, "text", "doc_id", ex)
+    var maxDirs = 0
+    val allSurvivors = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until 12).foreach { b =>
+      val batch = Seq(
+        (100L + b * 10, s"fresh exact content for micro batch number $b"),
+        (101L + b * 10, s"fresh exact content for micro batch number $b"), // in-batch dup
+        (102L + b * 10, "the quick brown fox jumps over the lazy dog near the river bank") // corpus dup
+      ).toDF("doc_id", "text")
+      val s = StreamingOps.incrementalExactDedupBatch(batch, "text", "doc_id",
+        ex, batchId = b.toLong, autoCompactTags = 4)
+      allSurvivors ++= s.select("doc_id").as[Long].collect()
+      maxDirs = math.max(maxDirs, ingestDirs(ExactIndex.dataRoot(spark, ex), "digests"))
+    }
+    // one dir per pending tag + base; the threshold bounds it
+    assert(maxDirs <= 6, s"ingest dirs must plateau at ~threshold+base, saw $maxDirs")
+    assert(ingestDirs(ExactIndex.dataRoot(spark, ex), "digests") <= 5)
+    // parity: each batch's min-id fresh doc survives, dups never do
+    assert(allSurvivors.sorted == (0 until 12).map(b => 100L + b * 10).sorted,
+      s"auto-compaction changed gate decisions: ${allSurvivors.sorted}")
+    assert(ExactIndex.readMeta(spark, ex).nDocs ==
+      spark.read.parquet(s"${ExactIndex.dataRoot(spark, ex)}/digests").count())
+    // --- minhash gate, same protocol
+    val mh = java.nio.file.Files.createTempDirectory("graft_autocompact_mh").toString
+    MinhashIndex.build(corpus, "text", "doc_id", mh)
+    var maxDirsMh = 0
+    (0 until 8).foreach { b =>
+      val batch = Seq(
+        (200L + b * 10, s"utterly unrelated minhash payload variant $b with distinct words ${b * 7}"))
+        .toDF("doc_id", "text")
+      StreamingOps.incrementalDedupBatch(batch, "text", "doc_id", mh,
+        minEstSim = 0.5, batchId = b.toLong, autoCompactTags = 3)
+      maxDirsMh = math.max(maxDirsMh, ingestDirs(MinhashIndex.dataRoot(spark, mh), "buckets"))
+    }
+    assert(maxDirsMh <= 5, s"minhash gate dirs must plateau, saw $maxDirsMh")
+  }
+
   test("ExactIndex.compact: marked tags fold to base with min-id keepers, unmarked survive, probes unchanged") {
     import graft.streaming.StreamingOps
     val path = java.nio.file.Files.createTempDirectory("graft_ex_compact").toString
