@@ -93,7 +93,7 @@ object GraftSql {
 
   /** Quote-aware top-level comma split (commas inside parens or single-
     * quoted literals do not split). */
-  private def splitArgs(s: String): Seq[String] = {
+  private[engine] def splitArgs(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0; var inQ = false
     val cur = new StringBuilder
@@ -254,12 +254,15 @@ object GraftSql {
     * DataFrame lowering by both [[sql]] and the injected dialect parser. */
   private[engine] def handlesSpecial(text: String): Boolean =
     GraftDdl.handles(text) || GraftMrSql.matches(text) ||
+      GraftTvf.matches(text) ||
       rangeRe.pattern.matcher(text).matches()
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case _ if GraftDdl.handles(text) => GraftDdl.run(spark, text)
     case _ if GraftMrSql.matches(text) => GraftMrSql.run(spark, text)
     case _ if GraftMrSql.mentions(text) => GraftMrSql.reject(text)
+    case _ if GraftTvf.matches(text) => GraftTvf.run(spark, text)
+    case _ if GraftTvf.mentions(text) => GraftTvf.reject(text)
     case rangeRe(selectList, table, where, tsCol, n, unit, fill) =>
       val (startMs, endMs) = rangeBounds(where, tsCol)
       val everyMs = n.toLong * unitMsOf(unit)

@@ -758,6 +758,60 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // ---- the SQL/JDBC face of the exact ingest gate (r15 verdict #1):
+    //      GRAFT_DEDUP_GATE('..', .., 'exact') lowers onto
+    //      ExactIndex.dedupBatch over the persisted digest index — same
+    //      full oracle as q_dedup_incremental_exact, so the wire result
+    //      hashes identically to the Scala path ----
+    Q.df("q_sql_dedup_gate",
+      duck = """WITH corpus AS (
+        |  SELECT -(doc_id + 1) AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 >= 7 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+        |batch AS (SELECT * FROM documents WHERE doc_id % 10 >= 7),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text),
+        |fresh AS (SELECT b.* FROM batch b JOIN keep USING (doc_id))
+        |SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars FROM fresh f
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+        |ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+      docs(s, dir).filter(col("doc_id") % 10 >= 7)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .createOrReplaceTempView("graft_tvf_batch")
+      graft.engine.GraftSql.sql(s,
+        s"SELECT * FROM GRAFT_DEDUP_GATE('${exactIndexPath(s, dir)}', " +
+          "'graft_tvf_batch', 'text', 'doc_id', 'exact') ORDER BY doc_id")
+    },
+
+    // ---- the minhash gate's SQL face: xxhash sketches have no SQL
+    //      replay, so the driver row pins SQL-path == Scala-path survivor
+    //      sets (counters 0), the q_dedup_incremental_exact_indexed
+    //      discipline ----
+    Q.df("q_sql_dedup_gate_minhash",
+      duck = """SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+        |  CAST(0 AS BIGINT) AS n_sql_only,
+        |  CAST(0 AS BIGINT) AS n_scala_only
+        |FROM documents WHERE doc_id % 10 >= 7""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 10 >= 7)
+      batch.createOrReplaceTempView("graft_tvf_mh_batch")
+      val viaSql = graft.engine.GraftSql.sql(s,
+        s"SELECT * FROM GRAFT_DEDUP_GATE('${minhashIndexPath(s, dir)}', " +
+          "'graft_tvf_mh_batch', 'text', 'doc_id', 'minhash', 0.5)")
+        .select(col("doc_id").as("g"))
+      val viaScala = MinhashIndex.dedupBatch(batch, "text", "doc_id",
+          minhashIndexPath(s, dir), 0.5)
+        .select(col("doc_id").as("r"))
+      val j = viaSql.join(viaScala, col("g") === col("r"), "full_outer")
+      val nB = batch.agg(count(lit(1)).as("n_batch_docs"))
+      val viol = j.agg(
+        coalesce(sum(when(col("r").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_sql_only"),
+        coalesce(sum(when(col("g").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_scala_only"))
+      nB.crossJoin(viol) // 1x1 anchor join
+    },
+
     // persisted exact-digest index parity (r15, r14 verdict #3): gating a
     // batch through the stored digests must equal the direct
     // incrementalExactDedup row for row — the index adds a disk
@@ -1353,6 +1407,30 @@ object PipelineQueries {
           e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
           predicate = Some(col("label") < 5))
         .orderBy("q_id", "rk")
+    },
+
+    // ---- the SQL/JDBC face of the persisted ANN serve (r15 verdict #1):
+    //      the GRAFT_ANN_TOPK table function lowers onto IvfIndex.topK —
+    //      the SAME oracle as the Scala-path rows, so a wire client's
+    //      result hashes identically to q_sim_ivf_indexed ----
+    Q.df("q_sql_ann_topk", duck = IvfAnnOracle) { (s, dir) =>
+      embs(s, dir).createOrReplaceTempView("graft_tvf_embs")
+      graft.engine.GraftSql.sql(s,
+        s"SELECT * FROM GRAFT_ANN_TOPK('${ivfIndexPath(s, dir)}', " +
+          "'SELECT * FROM graft_tvf_embs WHERE vec_id < 5', 'vec_id', " +
+          "'embedding', 10) ORDER BY q_id, rk")
+    },
+
+    // ---- filtered variant through the same front door: the quoted
+    //      predicate reaches the pruned index scan exactly like the Scala
+    //      path's predicate argument; oracle shared with
+    //      q_sim_ivf_indexed_filtered ----
+    Q.df("q_sql_ann_topk_filtered", duck = IvfFilteredOracle) { (s, dir) =>
+      embs(s, dir).createOrReplaceTempView("graft_tvf_embs")
+      graft.engine.GraftSql.sql(s,
+        s"SELECT * FROM GRAFT_ANN_TOPK('${ivfIndexPath(s, dir)}', " +
+          "'SELECT * FROM graft_tvf_embs WHERE vec_id < 5', 'vec_id', " +
+          "'embedding', 10, 'label < 5') ORDER BY q_id, rk")
     },
 
     // ---- the same serving path over the SQ8-coded index: the inverted

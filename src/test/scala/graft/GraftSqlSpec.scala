@@ -552,4 +552,31 @@ class GraftSqlSpec extends SparkTestBase {
     }
     assert(mrErr.getMessage.contains("MATCH_RECOGNIZE"), mrErr.getMessage)
   }
+
+  test("GRAFT table functions: unsupported forms and bad arguments fail with the grammar diagnostic") {
+    // mentions-but-not-matches: projecting columns instead of SELECT *
+    val e1 = intercept[IllegalArgumentException] {
+      graft.engine.GraftSql.sql(spark,
+        "SELECT q_id FROM GRAFT_ANN_TOPK('/tmp/x', 't', 'id', 'v', 5)")
+    }
+    assert(e1.getMessage.contains("unsupported GRAFT table-function"), e1.getMessage)
+    // wrong arity
+    val e2 = intercept[IllegalArgumentException] {
+      graft.engine.GraftSql.sql(spark,
+        "SELECT * FROM GRAFT_ANN_TOPK('/tmp/x', 't')")
+    }
+    assert(e2.getMessage.contains("5-7 arguments"), e2.getMessage)
+    // unknown gate kind
+    val e3 = intercept[IllegalArgumentException] {
+      graft.engine.GraftSql.sql(spark,
+        "SELECT * FROM GRAFT_DEDUP_GATE('/tmp/x', 't', 'text', 'id', 'fuzzy')")
+    }
+    assert(e3.getMessage.contains("unknown dedup gate kind"), e3.getMessage)
+    // unquoted string argument
+    val e4 = intercept[IllegalArgumentException] {
+      graft.engine.GraftSql.sql(spark,
+        "SELECT * FROM GRAFT_ANN_TOPK(/tmp/x, 't', 'id', 'v', 5)")
+    }
+    assert(e4.getMessage.contains("must be a quoted string"), e4.getMessage)
+  }
 }

@@ -96,6 +96,77 @@ class JdbcSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("ANN top-k and the dedup gate are reachable over JDBC and hash-match the Scala path (r15 verdict #1)") {
+    import org.apache.spark.sql.functions._
+    // server-side: persisted indexes a deployment would already have
+    val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 400)
+    val ivf = java.nio.file.Files.createTempDirectory("graft_jdbc_ivf").toString
+    graft.pipeline.IvfIndex.build(e, "vec_id", "embedding", ivf,
+      nLists = 8, attrCols = Seq("label"))
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 10 < 7).select("doc_id", "text")
+    val ex = java.nio.file.Files.createTempDirectory("graft_jdbc_ex").toString
+    graft.pipeline.ExactIndex.build(corpus, "text", "doc_id", ex)
+    // the Scala-path answers the wire must reproduce
+    val scalaAnn = graft.pipeline.IvfIndex.topK(spark, ivf,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val scalaAnnFiltered = graft.pipeline.IvfIndex.topK(spark, ivf,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5,
+        predicate = Some(col("label") < 5))
+      .orderBy("q_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val scalaGate = graft.pipeline.ExactIndex.dedupBatch(
+        d.filter(col("doc_id") % 10 >= 7).select("doc_id", "text"),
+        "text", "doc_id", ex)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+
+    val conn = connect(thriftPort)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW jdbc_embs USING parquet " +
+        s"OPTIONS (path '$sfDir/embeddings.parquet')")
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW jdbc_docs USING parquet " +
+        s"OPTIONS (path '$sfDir/documents.parquet')")
+
+      def annRows(sql: String): Seq[(Long, Long, Double, Int)] = {
+        val rs = st.executeQuery(sql)
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+          .toList
+      }
+      // 1. plain ANN top-k over the wire
+      val wireAnn = annRows(
+        s"SELECT * FROM GRAFT_ANN_TOPK('$ivf', " +
+          "'SELECT * FROM jdbc_embs WHERE vec_id < 3 AND vec_id < 400', " +
+          "'vec_id', 'embedding', 5) ORDER BY q_id, rk")
+      assert(wireAnn == scalaAnn, "wire ANN diverged from the Scala path")
+      // 2. filtered ANN: quoted predicate reaches the pruned scan
+      val wireFiltered = annRows(
+        s"SELECT * FROM GRAFT_ANN_TOPK('$ivf', " +
+          "'SELECT * FROM jdbc_embs WHERE vec_id < 3 AND vec_id < 400', " +
+          "'vec_id', 'embedding', 5, 'label < 5') ORDER BY q_id, rk")
+      assert(wireFiltered == scalaAnnFiltered, "wire filtered ANN diverged")
+      // 3. exact dedup gate over the wire
+      val rs = st.executeQuery(
+        s"SELECT * FROM GRAFT_DEDUP_GATE('$ex', " +
+          "'SELECT doc_id, text FROM jdbc_docs WHERE doc_id % 10 >= 7', " +
+          "'text', 'doc_id', 'exact') ORDER BY doc_id")
+      val wireGate = Iterator.continually(rs).takeWhile(_.next())
+        .map(_.getLong(1)).toList
+      assert(wireGate == scalaGate, "wire dedup gate diverged from the Scala path")
+      // 4. malformed forms fail with the grammar diagnostic, not a parse
+      //    mystery
+      val err = intercept[java.sql.SQLException](
+        st.executeQuery(s"SELECT * FROM GRAFT_ANN_TOPK('$ivf')"))
+      assert(err.getMessage.contains("GRAFT_ANN_TOPK takes 5-7 arguments") ||
+        err.getMessage.contains("unsupported GRAFT table-function"),
+        s"unexpected diagnostic: ${err.getMessage}")
+    } finally conn.close()
+  }
+
   test("GRANT/REVOKE observably gates wire queries (round-9 ask #8)") {
     val cat = graft.engine.GraftCatalog.forSession(spark)
     Seq("wire_u").foreach(u => if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
