@@ -9,11 +9,17 @@ import graft.pipeline.{Dedup, ExactIndex, MinhashIndex}
   * >= 7, corpus = the rest. Times the exact anti-join gate, the direct
   * cross band join, and the persisted-index build/probe/append cycle at
   * the given SF; run at two SFs, the wall ratios land in SCALING.md.
-  * Usage: runMain graft.tools.ProbeIncremental <sfDir>
+  * Usage: runMain graft.tools.ProbeIncremental <sfDir> [ops] [reps]
+  *   ops in {all, exact, minhash} (r16: the long-doc crossover reruns
+  *   measure one family per invocation), reps = timings per op (default 2).
   */
 object ProbeIncremental {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ops = if (args.length > 1) args(1) else "all"
+    require(Seq("all", "exact", "minhash").contains(ops),
+      s"ops must be all|exact|minhash, got $ops")
+    val reps = if (args.length > 2) args(2).toInt else 2
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[32]").appName("graft-probe-incr"))
       .getOrCreate()
@@ -29,56 +35,63 @@ object ProbeIncremental {
     val d = Tables.read(spark, dir, "documents")
     val batch = d.filter(col("doc_id") % 10 >= 7)
     val corpus = d.filter(col("doc_id") % 10 < 7)
-    println(s"[probe] $dir: batch=${batch.count()} corpus=${corpus.count()}")
+    val avgChars = d.agg(avg(length(col("text")))).head().getDouble(0)
+    println(f"[probe] $dir: batch=${batch.count()} corpus=${corpus.count()} avg_chars=$avgChars%.0f")
 
-    (1 to 2).foreach { i =>
-      time(s"incrementalExactDedup #$i") {
-        Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id").count()
+    if (ops == "all" || ops == "exact") {
+      (1 to reps).foreach { i =>
+        time(s"incrementalExactDedup #$i") {
+          Dedup.incrementalExactDedup(batch, corpus, "text", "doc_id").count()
+        }
       }
     }
-    (1 to 2).foreach { i =>
-      time(s"crossMinhashCandidates #$i") {
-        Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id").count()
+    if (ops == "all" || ops == "minhash") {
+      (1 to reps).foreach { i =>
+        time(s"crossMinhashCandidates #$i") {
+          Dedup.crossMinhashCandidates(batch, corpus, "text", "doc_id").count()
+        }
       }
-    }
-    (1 to 2).foreach { i =>
-      time(s"incrementalMinhashDedup #$i") {
-        Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id").count()
+      (1 to reps).foreach { i =>
+        time(s"incrementalMinhashDedup #$i") {
+          Dedup.incrementalMinhashDedup(batch, corpus, "text", "doc_id").count()
+        }
       }
-    }
-    val idx = java.nio.file.Files.createTempDirectory("graft_mh_probe").toString
-    time("MinhashIndex.build (corpus)") {
-      MinhashIndex.build(corpus, "text", "doc_id", idx); 0L
-    }
-    (1 to 2).foreach { i =>
-      time(s"MinhashIndex.probe #$i") {
-        MinhashIndex.probe(batch, "text", "doc_id", idx).count()
+      val idx = java.nio.file.Files.createTempDirectory("graft_mh_probe").toString
+      time("MinhashIndex.build (corpus)") {
+        MinhashIndex.build(corpus, "text", "doc_id", idx); 0L
       }
+      (1 to reps).foreach { i =>
+        time(s"MinhashIndex.probe #$i") {
+          MinhashIndex.probe(batch, "text", "doc_id", idx).count()
+        }
+      }
+      time("dedupBatch + append cycle") {
+        val surv = MinhashIndex.dedupBatch(batch, "text", "doc_id", idx)
+          .localCheckpoint()
+        MinhashIndex.append(surv, "text", "doc_id", idx)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     }
-    time("dedupBatch + append cycle") {
-      val surv = MinhashIndex.dedupBatch(batch, "text", "doc_id", idx)
-        .localCheckpoint()
-      MinhashIndex.append(surv, "text", "doc_id", idx)
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
 
-    // exact-digest index (r15): the probe must beat the direct gate's
-    // per-ingest corpus re-digest once the corpus dwarfs the batch
-    val exIdx = java.nio.file.Files.createTempDirectory("graft_ex_probe").toString
-    time("ExactIndex.build (corpus)") {
-      ExactIndex.build(corpus, "text", "doc_id", exIdx); 0L
-    }
-    (1 to 2).foreach { i =>
-      time(s"ExactIndex.dedupBatch #$i") {
-        ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx).count()
+    if (ops == "all" || ops == "exact") {
+      // exact-digest index (r15): the probe must beat the direct gate's
+      // per-ingest corpus re-digest once the corpus dwarfs the batch
+      val exIdx = java.nio.file.Files.createTempDirectory("graft_ex_probe").toString
+      time("ExactIndex.build (corpus)") {
+        ExactIndex.build(corpus, "text", "doc_id", exIdx); 0L
       }
+      (1 to reps).foreach { i =>
+        time(s"ExactIndex.dedupBatch #$i") {
+          ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx).count()
+        }
+      }
+      time("ExactIndex gate + append cycle") {
+        val surv = ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx)
+          .localCheckpoint()
+        ExactIndex.append(surv, "text", "doc_id", exIdx)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(exIdx))
     }
-    time("ExactIndex gate + append cycle") {
-      val surv = ExactIndex.dedupBatch(batch, "text", "doc_id", exIdx)
-        .localCheckpoint()
-      ExactIndex.append(surv, "text", "doc_id", exIdx)
-    }
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(exIdx))
     spark.stop()
   }
 }

@@ -54,9 +54,14 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/root/repo/scaledata/sf1")
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    // zipflong (r16, r15 verdict #4): the zipf vocabulary with LONG
+    // documents — 20-400 tokens (~1.2 KB avg text, mixed lengths) instead
+    // of 10-100 (~330 B). The persisted digest/band indexes exist for the
+    // regime where corpus TEXT dwarfs the stored sketch bytes; the short
+    // corpus (SCALING.md:1156, r15) could not measure that regime.
     val vocabMode = if (args.length > 2) args(2) else "uniform30"
-    require(Seq("uniform30", "zipf").contains(vocabMode),
-      s"vocab must be uniform30|zipf, got $vocabMode")
+    require(Seq("uniform30", "zipf", "zipflong").contains(vocabMode),
+      s"vocab must be uniform30|zipf|zipflong, got $vocabMode")
     // "docs" generates only documents+embeddings: the text/vector probes at
     // sf100 don't need a 600M-row lineitem to exist first
     val tablesMode = if (args.length > 3) args(3) else "all"
@@ -197,8 +202,11 @@ object ScaleGen {
       when(srcId =!= col("id") && u("dmu", col("id"), i) < 0.05,
         zipfTerm("dzm", col("id"), i))
         .otherwise(zipfTerm("dzv", srcId, i))
-    val words = transform(sequence(lit(1), (h("dn", 91, srcId) + 10).cast("int")),
-      if (vocabMode == "zipf") zipfDraw else uniformDraw)
+    val nTokens =
+      if (vocabMode == "zipflong") h("dn", 381, srcId) + 20 // 20-400, ~1.2 KB avg
+      else h("dn", 91, srcId) + 10 // 10-100
+    val words = transform(sequence(lit(1), nTokens.cast("int")),
+      if (vocabMode == "uniform30") uniformDraw else zipfDraw)
     val text = concat_ws(" ", words)
     write(spark.range(nDocs).select(
       col("id").as("doc_id"),
