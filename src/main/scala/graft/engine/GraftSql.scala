@@ -254,7 +254,7 @@ object GraftSql {
     * DataFrame lowering by both [[sql]] and the injected dialect parser. */
   private[engine] def handlesSpecial(text: String): Boolean =
     GraftDdl.handles(text) || GraftMrSql.matches(text) ||
-      GraftTvf.matches(text) ||
+      GraftTvf.matches(text) || GraftTvf.mentions(text) ||
       rangeRe.pattern.matcher(text).matches()
 
   def sql(spark: SparkSession, text: String): DataFrame = text match {

@@ -36,12 +36,17 @@ object GraftTvf {
 
   private val tvfRe =
     """(?is)^\s*SELECT\s+\*\s+FROM\s+(GRAFT_ANN_TOPK|GRAFT_DEDUP_GATE)\s*\((.*)\)\s*(?:ORDER\s+BY\s+([\w\s,]+?))?\s*;?\s*$""".r
-  private val mentionsRe = """(?i)\bGRAFT_(ANN_TOPK|DEDUP_GATE)\b""".r
+  private val mentionsRe = """(?i)\bGRAFT_(ANN_TOPK|DEDUP_GATE)\s*\(""".r
 
   /** Whole-statement TVF form — routed through [[run]]. */
   def matches(text: String): Boolean = tvfRe.pattern.matcher(text).matches()
 
-  /** The statement mentions a TVF but not in the supported form. */
+  /** The statement carries a CALL-shaped TVF mention but not in the
+    * supported form — routed to [[reject]] so the grammar diagnostic
+    * reaches the injected-parser path too (review r16: Catalyst's
+    * "could not resolve table-valued function" was all a JDBC client saw
+    * for a projected-columns variant). Call-shaped (name + paren), so a
+    * string literal merely naming the function stays out. */
   def mentions(text: String): Boolean =
     mentionsRe.findFirstIn(text).isDefined
 
@@ -84,7 +89,19 @@ object GraftTvf {
       }
       Option(orderBy) match {
         case Some(cols) =>
-          out.orderBy(cols.split(",").map(c => col(c.trim)).toSeq: _*)
+          // each item: a bare column, optionally ASC/DESC (review r16: a
+          // JDBC analyst's first instinct is ORDER BY cos DESC)
+          val sorts = cols.split(",").map(_.trim).map { item =>
+            item.split("\\s+").toSeq match {
+              case Seq(c) => col(c)
+              case Seq(c, dir) if dir.equalsIgnoreCase("ASC") => col(c).asc
+              case Seq(c, dir) if dir.equalsIgnoreCase("DESC") => col(c).desc
+              case _ => throw new IllegalArgumentException(
+                s"unsupported ORDER BY item '$item' after a GRAFT table " +
+                  "function: use <column> [ASC|DESC]")
+            }
+          }
+          out.orderBy(sorts.toSeq: _*)
         case None => out
       }
     case _ => reject(text)

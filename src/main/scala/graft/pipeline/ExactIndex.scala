@@ -105,7 +105,6 @@ object ExactIndex {
                            markerIds: Option[DataFrame]): Long = {
     val spark = newDocs.sparkSession
     val root = IndexVersions.writeRoot(spark, path)
-    val m = readMetaAt(spark, root)
     val add = if (batchSize > 0) batchSize else newDocs.count()
     // default tag from the on-disk auto-tag high-water mark, NOT nDocs
     // (compact can move nDocs backwards — MinhashIndex.defaultTag)
@@ -114,19 +113,18 @@ object ExactIndex {
     // size files to the BATCH, not the session width (MinhashIndex
     // discipline): a small micro-batch writes one compact file
     val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
-    // exact meta (r15 verdict #8): count the tag's stored rows before and
-    // after the overwrite — footer counts of ONE partition, batch-local —
-    // so nDocs always equals the stored digest rows (a replayed tag
-    // replaces its rows instead of double-counting; within-batch
-    // duplicates collapse in digestRows and are not counted twice)
-    val oldTag = storedRows(spark, s"$root/digests/ingest=$t")
     digestRows(newDocs, textCol, idCol)
       .repartition(nOut, col("h"))
       .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
-    val newTag = storedRows(spark, s"$root/digests/ingest=$t")
-    writeMeta(spark, root, m.nDocs - oldTag + newTag)
+    // exact meta (r15 verdict #8): ONE footer-only count of the whole
+    // tree AFTER the write — no data read, and exact in EVERY ordering,
+    // including the crash window where a previous attempt wrote the tag
+    // but died before its meta (review r16: arithmetic off the pre-crash
+    // meta undercounts there). Tree file count is bounded by compaction.
+    val stored = storedRows(spark, s"$root/digests")
+    writeMeta(spark, root, stored)
     markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
-    m.nDocs - oldTag + newTag
+    stored
   }
 
   /** Footer-only row count of a parquet tree; 0 when it does not exist. */

@@ -25,7 +25,8 @@ import org.apache.spark.sql.SparkSession
   * Legacy layout (data trees directly under `path`, pre-r15) is read
   * transparently: [[currentRoot]] falls back to `path` when no committed
   * version exists; the first versioned maintenance write leaves the legacy
-  * trees in place as the grace "version" and the second removes them.
+  * trees in place as the grace "version" and a later one removes them once
+  * the age floor passes (immediately, under `minRetainMs = 0`).
   *
   * Writers are serialized by [[WriterLock]] as before; this object owns
   * only version resolution, commit, and GC.
@@ -91,6 +92,17 @@ private[pipeline] object IndexVersions {
   def minRetainMs(spark: SparkSession): Long =
     spark.conf.get("graft.index.gc.minRetainMs", "900000").toLong
 
+  /** Disk-safety valve on the age floor (review r16): each retained
+    * version is a FULL copy of the index, and a high-frequency maintainer
+    * (a streaming gate auto-compacting every few seconds) multiplied by a
+    * 15-minute floor would hold hundreds of copies. At most this many
+    * superseded versions are kept regardless of age — beyond it the
+    * OLDEST go first, so a probe's exposure window under maintenance
+    * bursts is maxRetained cycles instead of the floor. Size the pair so
+    * floor / (compaction period) ≤ maxRetained in your deployment. */
+  def maxRetained(spark: SparkSession): Int =
+    spark.conf.get("graft.index.gc.maxRetained", "16").toInt
+
   /** Epoch ms at which version `m` was SUPERSEDED: the commit time of the
     * smallest committed version above it (a plan can have pinned `m` right
     * up to that instant). */
@@ -122,11 +134,15 @@ private[pipeline] object IndexVersions {
       new org.apache.hadoop.fs.Path(s"$stagedRoot/_COMMITTED"))
     require(ok, s"could not commit index version $n at $path")
     val floor = minRetainMs(spark)
+    val cap = math.max(maxRetained(spark), 1)
     val now = System.currentTimeMillis()
     val committed = (versions(spark, path).filter(_._2).map(_._1) :+ n)
       .distinct.sorted
-    committed.filter(_ <= n - 2).foreach { m =>
-      if (now - supersededAt(fs, path, committed, m) >= floor) {
+    val superseded = committed.filter(_ <= n - 2)
+    // oldest-first beyond the cap, age floor within it
+    val overCap = superseded.sorted.dropRight(cap).toSet
+    superseded.foreach { m =>
+      if (overCap(m) || now - supersededAt(fs, path, committed, m) >= floor) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$m"), true)
         ()
       }

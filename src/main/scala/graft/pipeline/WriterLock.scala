@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Liveness (r16, r15 verdict #3): the lock is a LEASE, not a tombstone.
   * The holder heartbeats the lock file's mtime every leaseMs/3 while the
-  * body runs; a waiter that finds the mtime older than
-  * `graft.index.lock.leaseMs` (default 60 s) treats the owner as dead and
-  * takes the lock over — no manual cleanup after a crashed writer. The
+  * body runs; a waiter that observes the SAME mtime persist for a full
+  * `graft.index.lock.leaseMs` (default 60 s) of its own elapsed time
+  * treats the owner as dead and takes the lock over — no manual cleanup
+  * after a crashed writer, and no cross-node clock comparison (skew
+  * larger than the lease cannot steal a live lock; only a missing
+  * heartbeat can lose one). The
   * takeover itself is race-free: a competitor must first RENAME the stale
   * lock aside (atomic — exactly one concurrent renamer succeeds) before
   * creating its own, so two waiters can never both "delete and recreate".
@@ -83,17 +86,33 @@ private[pipeline] object WriterLock {
       } catch { case _: java.io.IOException => None }
     /** Claim an expired lease: rename the stale lock aside (atomic — one
       * winner among concurrent claimants), then drop the renamed file.
-      * Loser's rename fails and it loops back to waiting. */
+      * Loser's rename fails and it loops back to waiting.
+      *
+      * Staleness is decided by OBSERVED mtime stability, never by
+      * comparing the holder's mtime against this waiter's clock (review
+      * r16): cross-node clock skew larger than the lease would otherwise
+      * steal a live, actively-heartbeating lock. The waiter records the
+      * mtime it sees and takes over only after the SAME mtime has
+      * persisted for a full lease of locally-elapsed time — a live
+      * holder's heartbeat (lease/3 cadence) always changes it first. */
+    var seenMtime = -1L
+    var seenAt = 0L
     def tryTakeover(): Unit = {
       val mtime =
         try Some(fs.getFileStatus(lock).getModificationTime)
         catch { case _: java.io.FileNotFoundException => None }
-      mtime.filter(System.currentTimeMillis() - _ > lease).foreach { _ =>
-        val claim = new org.apache.hadoop.fs.Path(
-          s"$path.lock.stale.${java.util.UUID.randomUUID()}")
-        val won = try fs.rename(lock, claim)
-                  catch { case _: java.io.IOException => false }
-        if (won) { fs.delete(claim, false); () }
+      mtime match {
+        case None => seenMtime = -1L
+        case Some(mt) =>
+          val now = System.currentTimeMillis()
+          if (mt != seenMtime) { seenMtime = mt; seenAt = now }
+          else if (now - seenAt > lease) {
+            val claim = new org.apache.hadoop.fs.Path(
+              s"$path.lock.stale.${java.util.UUID.randomUUID()}")
+            val won = try fs.rename(lock, claim)
+                      catch { case _: java.io.IOException => false }
+            if (won) { fs.delete(claim, false); seenMtime = -1L; () }
+          }
       }
     }
     val deadline = System.currentTimeMillis() + waitMs

@@ -27,6 +27,11 @@ import scala.util.Random
   */
 object FuzzQueries {
 
+  /** Per-(sf dir, seed) persisted exact indexes for the fz7 indexed-gate
+    * chains — built once per JVM, deleted at exit. */
+  private val fz7IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Numeric lineitem columns safe to aggregate. */
   private val nums = Vector("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val strs = Vector("l_returnflag", "l_linestatus")
@@ -820,8 +825,16 @@ object FuzzQueries {
               .select((-(col("doc_id") + 1)).as("doc_id"), col("text")))
           else base
         }
-        val path = java.nio.file.Files.createTempDirectory(s"graft_fz7_ex_$s").toString
-        graft.pipeline.ExactIndex.build(corpusIds, "text", "doc_id", path)
+        // memoized per (sf dir, seed) and cleaned at JVM exit: a sweep of
+        // hundreds of chains (or a builder re-invoked by compare retries)
+        // must not rebuild — or orphan — one digest tree per call
+        val path = fz7IndexCache.computeIfAbsent(s"$dir#$s", _ => {
+          val p = java.nio.file.Files.createTempDirectory(s"graft_fz7_ex_$s").toString
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))))
+          graft.pipeline.ExactIndex.build(corpusIds, "text", "doc_id", p)
+          p
+        })
         graft.pipeline.ExactIndex.dedupBatch(batch, "text", "doc_id", path)
       } else graft.pipeline.Dedup
         .incrementalExactDedup(batch, corpus, "text", "doc_id")

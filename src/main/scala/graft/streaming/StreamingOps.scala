@@ -327,7 +327,11 @@ object StreamingOps {
         // one ingest partition per micro-batch; once the APPLIED tags still
         // holding their own partition reach the threshold, fold them —
         // reader-safe (versioned commit) and crash-safe (unmarked tags are
-        // never folded, markers survive the flip)
+        // never folded, markers survive the flip). DISK NOTE: each compact
+        // commits a full index version that the GC age floor retains for
+        // graft.index.gc.minRetainMs (bounded by graft.index.gc.maxRetained
+        // copies) — size the threshold so floor / compaction-period stays
+        // within the retained-copy budget (IndexVersions.maxRetained).
         if (autoCompactTags > 0 &&
             graft.pipeline.MinhashIndex.pendingCompactionTags(spark, indexPath) >= autoCompactTags)
           graft.pipeline.MinhashIndex.compact(spark, indexPath)
