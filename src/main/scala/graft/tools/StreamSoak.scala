@@ -226,11 +226,23 @@ object StreamSoak {
         // StreamingMatch); churned keys must actually evict here. The
         // eviction latency is drain + watermark lag (60s) + TTL, so this
         // op churns on a 20-batch epoch with a 30s TTL to cycle several
-        // full evictions inside the 200-batch run.
+        // full evictions inside the run.
+        //
+        // maxSpan (r16): ~80% of churned keys END on an unbroken view run
+        // — a greedy OPEN attempt (a future view could extend it), which
+        // only the maxSpan bound can force-resolve. Under the default
+        // 7-day span those keys' buffers never drain and the TTL never
+        // arms: the r15/early-r16 artifacts' bounded=false was exactly
+        // this, with rows_removed counting only the ~20% of keys whose
+        // epoch happened to end on a click. A key-churn deployment MUST
+        // bound match duration (the operator doc's Flink-CEP `within`
+        // contract) — 90s here, giving eviction ≈ span+lag+TTL ≈ 180s
+        // and a ~9-epoch steady state well inside the 600-batch run.
         val out = StreamingMatch.matchRecognizeStream(df, "ts", "k",
           pattern = "V{3,}",
           defines = Map("V" -> (col("typ") === "view")),
-          watermark = "60 seconds", idleTTL = Some("30 seconds"))
+          watermark = "60 seconds", maxSpan = "90 seconds",
+          idleTTL = Some("30 seconds"))
         val q = out.writeStream.format("noop").outputMode("append").start()
         // 3x batches (r16, r15 verdict #6): this op's eviction latency
         // (drain + 60s watermark lag + TTL ≈ 110 batches) means a
