@@ -36,7 +36,8 @@ import graft.ts.GroupByRange
   *    prove 100 TB state.
   *
   * Usage: runMain graft.tools.StreamSoak [nBatches] [op] [outJson]
-  *   op in {minhash, range, match, tp, rocksdb, all} (default all,
+  *   op in {minhash, range, match, cadence, tp, rocksdb, autocompact,
+  *   all} (default all,
   *   10000 batches for the cadence phase). With outJson the per-stream
   *   metrics (rows/s, batches/s, state plateau, eviction counts) are
   *   written as ONE JSON object — the committed STREAM_r{N}.json round
@@ -264,6 +265,56 @@ object StreamSoak {
     jobs.foreach(_.join())
     jobs.clear()
 
+    // ---- AUTO-COMPACTION soak (r16, r15 verdict #7): a REAL
+    // incrementalExactDedupStream (parquet file source, AvailableNow
+    // restarts against one checkpoint — one micro-batch per feed) with
+    // autoCompactTags=5 and ZERO manual compact calls; the artifact
+    // records the ingest-partition plateau and gate parity. ----
+    var autoCompactJson: Option[String] = None
+    if (which == "autocompact") {
+      import org.apache.spark.sql.streaming.Trigger
+      val idx = java.nio.file.Files.createTempDirectory("graft_soak_ac").toString
+      graft.pipeline.ExactIndex.build(
+        Seq((0L, "seed corpus document one"), (1L, "seed corpus document two"))
+          .toDF("doc_id", "text"), "text", "doc_id", idx)
+      val src = java.nio.file.Files.createTempDirectory("graft_soak_ac_src").toString
+      def ingestDirs(): Int = {
+        val d = new java.io.File(
+          s"${graft.pipeline.ExactIndex.dataRoot(spark, idx)}/digests")
+        Option(d.listFiles()).map(_.count(_.getName.startsWith("ingest="))).getOrElse(0)
+      }
+      val survivors = scala.collection.mutable.ArrayBuffer[Long]()
+      var maxDirs = 0
+      val nB = 60
+      val t0 = System.nanoTime()
+      (0 until nB).foreach { i =>
+        // per batch: one fresh doc (min id keeper), its in-batch dup, and
+        // a corpus dup — only 100+i*10 may survive
+        Seq((100L + i * 10, s"fresh streaming doc body number $i"),
+            (101L + i * 10, s"fresh streaming doc body number $i"),
+            (102L + i * 10, "seed corpus document one"))
+          .toDF("doc_id", "text").write.mode("append").parquet(src)
+        val stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        val q = StreamingOps.incrementalExactDedupStream(
+            stream, "text", "doc_id", idx, autoCompactTags = 5) {
+            (_, s, _) => survivors ++= s.select(col("doc_id")).as[Long].collect()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$src/_ckpt")
+          .start()
+        q.awaitTermination()
+        maxDirs = math.max(maxDirs, ingestDirs())
+      }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val parity = survivors.sorted == (0 until nB).map(i => 100L + i * 10)
+      println(f"[soak] autocompact batches=$nB wall=$wall%.1f s maxIngestDirs=$maxDirs " +
+        f"finalIngestDirs=${ingestDirs()} parity=$parity manualCompacts=0")
+      autoCompactJson = Some(
+        s""""autocompact":{"batches":$nB,"auto_compact_tags":5,"wall_s":$wall,""" +
+          s""""max_ingest_dirs":$maxDirs,"final_ingest_dirs":${ingestDirs()},""" +
+          s""""manual_compacts":0,"parity":$parity}""")
+    }
+
     // ---- ROCKSDB parity phase (r15): the match op (richest per-key
     // state) re-run under RocksDBStateStoreProvider on IDENTICAL input;
     // results must equal the default provider's, batch for batch. ----
@@ -318,6 +369,7 @@ object StreamSoak {
       (if (tpRan || which.endsWith("_tp")) s""","tp_batches":$tpBatches,"tp_rows_per_batch":$tpRows"""
        else "") +
       rocksParity.map(p => s""","rocksdb_parity":$p""").getOrElse("") +
+      autoCompactJson.map(a => s",$a").getOrElse("") +
       ",\"streams\":{" +
       results.values().toArray(Array.empty[SoakResult])
         .sortBy(_.name).map(_.json).mkString(",") + "}}"
