@@ -223,6 +223,30 @@ class IndexVersionsSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
       assert(ivfGot == ivfExpected, "pinned topK plan lost files or diverged across retrain burst")
     }
+    // the retained-copy cap (review r16): under a huge floor, a
+    // maintenance BURST still cannot hold more than maxRetained
+    // superseded copies — the oldest go first
+    withGcFloor(600000L) {
+      val key = "graft.index.gc.maxRetained"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "2")
+      try {
+        val mh3 = java.nio.file.Files.createTempDirectory("graft_floor_cap").toString
+        MinhashIndex.build(corpus, "text", "doc_id", mh3) // v=1
+        (1 to 5).foreach(_ => MinhashIndex.compact(spark, mh3)) // v=2..6
+        val vs = new java.io.File(mh3).listFiles()
+          .filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
+        // current (v=6) + grace (v=5) + at most 2 superseded
+        assert(vs.size <= 4, s"cap must bound retained copies: $vs")
+        assert(vs.contains("v=6") && vs.contains("v=5"), s"newest must survive: $vs")
+        val expected = MinhashIndex.probe(batch, "text", "doc_id", mh3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(expected.nonEmpty)
+      } finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     // floor 0 restores cycle-counted GC: one more maintenance drops the backlog
     withGcFloor(0L) {
       val mh2 = java.nio.file.Files.createTempDirectory("graft_floor_gc").toString
