@@ -33,6 +33,8 @@ import org.apache.spark.sql.SparkSession
   */
 private[pipeline] object IndexVersions {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private val V = "^v=(\\d+)$".r
 
   private def fsOf(spark: SparkSession, path: String) = {
@@ -130,24 +132,41 @@ private[pipeline] object IndexVersions {
              legacyDirs: Seq[String]): Unit = {
     val (fs, _) = fsOf(spark, path)
     val n = stagedRoot.substring(stagedRoot.lastIndexOf("v=") + 2).toInt
-    val ok = fs.createNewFile(
-      new org.apache.hadoop.fs.Path(s"$stagedRoot/_COMMITTED"))
+    val committedFile = new org.apache.hadoop.fs.Path(s"$stagedRoot/_COMMITTED")
+    val ok = fs.createNewFile(committedFile)
     require(ok, s"could not commit index version $n at $path")
     val floor = minRetainMs(spark)
     val cap = math.max(maxRetained(spark), 1)
-    val now = System.currentTimeMillis()
+    // "now" comes from the STORAGE clock — the just-created _COMMITTED's
+    // own mtime — so the age comparison below is same-clock against the
+    // older _COMMITTED mtimes (r16 ADVICE: comparing this client's
+    // System.currentTimeMillis against the storage server's mtimes
+    // shortens the retention floor by the clock skew, exactly the
+    // cross-clock trap WriterLock was redesigned out of). Skew between
+    // DIFFERENT storage nodes of one store is assumed ≪ minRetainMs.
+    val now =
+      try fs.getFileStatus(committedFile).getModificationTime
+      catch { case _: java.io.IOException => System.currentTimeMillis() }
     val committed = (versions(spark, path).filter(_._2).map(_._1) :+ n)
       .distinct.sorted
     val superseded = committed.filter(_ <= n - 2)
     // oldest-first beyond the cap, age floor within it
     val overCap = superseded.sorted.dropRight(cap).toSet
+    if (overCap.nonEmpty)
+      log.warn(s"index GC at $path: ${overCap.size} superseded version(s) " +
+        s"exceed graft.index.gc.maxRetained=$cap and are deleted before the " +
+        s"age floor (${floor}ms); maintenance is cycling faster than " +
+        "floor/cap — slow it down or raise the cap if probes run long")
     superseded.foreach { m =>
       if (overCap(m) || now - supersededAt(fs, path, committed, m) >= floor) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$m"), true)
         ()
       }
     }
-    // legacy trees were superseded when the FIRST version committed
+    // legacy trees were superseded when the FIRST version committed.
+    // They sit outside the v=N numbering, so the maxRetained cap cannot
+    // order them; they honor the age floor only — one extra retained
+    // copy at most, gone after the first post-floor maintenance write.
     if (n >= 2 &&
         now - supersededAt(fs, path, committed, 0) >= floor)
       legacyDirs.foreach { d =>

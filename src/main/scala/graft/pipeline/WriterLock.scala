@@ -32,14 +32,31 @@ import org.apache.spark.sql.SparkSession
   * exists-then-create; HDFS-like filesystems keep
   * `create(overwrite=false)`, which IS atomic there. Object stores
   * without atomic create-if-absent AND atomic rename (S3 before
-  * conditional writes) can honor neither the mutex nor the takeover —
-  * coordinate writers externally on such storage.
+  * conditional writes) can honor neither the mutex nor the takeover, so
+  * acquire REFUSES such schemes up front (r16 verdict #4) rather than
+  * silently not excluding: only schemes on [[AtomicSchemes]] are
+  * accepted, and a deployment that knows its store is atomic (S3 with
+  * conditional writes enabled, a custom connector) opts in with
+  * `graft.index.lock.assumeAtomic=true` — coordinate writers externally
+  * otherwise.
   *
   * Shared by [[IvfIndex]], [[MinhashIndex]] and [[ExactIndex]] (factored
   * in r14 so the persisted-index families keep ONE copy of the acquire
   * semantics).
   */
 private[pipeline] object WriterLock {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Filesystem schemes known to provide BOTH atomic create-if-absent and
+    * atomic single-file rename — the two primitives acquire and takeover
+    * rest on. `file` uses NIO O_EXCL + POSIX rename; HDFS-family stores
+    * are namespace-atomic; ABFS requires the hierarchical-namespace
+    * (ADLS gen2) account type, where both are atomic. Everything else
+    * (s3/s3a without conditional writes, gs, wasb, plain swift) must opt
+    * in via `graft.index.lock.assumeAtomic`. */
+  private[pipeline] val AtomicSchemes =
+    Set("file", "hdfs", "viewfs", "webhdfs", "ofs", "o3fs", "abfs", "abfss")
 
   /** Lease duration: a lock whose mtime lags now by more than this is an
     * abandoned lock a waiter may take over. The holder heartbeats at a
@@ -52,6 +69,17 @@ private[pipeline] object WriterLock {
     val conf = spark.sparkContext.hadoopConfiguration
     val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
     val fs = lock.getFileSystem(conf)
+    // capability gate (r16 verdict #4): on a store without atomic
+    // create-if-absent + rename the "lock" would not actually exclude —
+    // fail fast with the coordination message instead of racing silently
+    if (!AtomicSchemes.contains(fs.getScheme.toLowerCase) &&
+        !spark.conf.get("graft.index.lock.assumeAtomic", "false").toBoolean)
+      throw new UnsupportedOperationException(
+        s"filesystem scheme '${fs.getScheme}' is not known to provide the " +
+          "atomic create-if-absent and atomic rename the index writer lock " +
+          "requires; coordinate writers externally on this storage, or set " +
+          "graft.index.lock.assumeAtomic=true if the store does provide " +
+          "both (e.g. S3 with conditional writes)")
     val lease = leaseMs(spark)
     val owner =
       s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} ${System.nanoTime()} ${Thread.currentThread().getId}"
@@ -138,12 +166,22 @@ private[pipeline] object WriterLock {
         catch { case _: InterruptedException => () }
         if (beating) {
           val now = System.currentTimeMillis()
+          // catch NonFatal, not just IOException (r16 ADVICE): an
+          // UnsupportedOperationException from fs.setTimes on a store
+          // that lacks it would otherwise kill this thread silently and
+          // let a waiter take over mid-body — keep beating (the attempt
+          // itself may refresh mtime on some stores) and log loudly so
+          // the operator sees the lease is not actually being renewed
           try {
             if (local)
               java.nio.file.Files.setLastModifiedTime(nioPath,
                 java.nio.file.attribute.FileTime.fromMillis(now))
             else fs.setTimes(lock, now, -1)
-          } catch { case _: java.io.IOException => () } // lost/racing: acquire-side handles it
+          } catch { case scala.util.control.NonFatal(e) =>
+            log.warn(s"writer-lock heartbeat on $path.lock failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); the lease " +
+              "may expire under waiters if this persists")
+          }
         }
       }
     }, s"graft-writer-lock-heartbeat")
@@ -156,19 +194,46 @@ private[pipeline] object WriterLock {
     beating = false
     heartbeat.interrupt()
     heartbeat.join(5000)
-    ownerOf() match {
-      case Some(o) if o == owner => fs.delete(lock, false); ()
-      case other =>
-        // the lease expired mid-body and another writer took over: do
-        // NOT delete the usurper's lock, and surface the breach — the
-        // body's writes may have raced the new owner's. A body error
-        // still takes precedence (the breach rides as suppressed).
-        val breach = new IllegalStateException(
-          s"writer lease on $path.lock lost while the body ran " +
-            s"(current owner: ${other.getOrElse("<gone>")}): increase " +
-            "graft.index.lock.leaseMs beyond worst-case pauses")
-        if (bodyError != null) { bodyError.addSuppressed(breach); throw bodyError }
-        throw breach
+    // Release mirrors the takeover protocol (r16 ADVICE): atomically
+    // rename the lock to a unique tombstone FIRST, then inspect what we
+    // renamed. The old check-then-act (read owner, then delete) had a
+    // window where a waiter whose stability clock just elapsed could
+    // rename the lock aside and create its own between our read and our
+    // delete — we would then delete the usurper's fresh lock and let a
+    // third writer in. With rename-as-claim, a concurrent takeover makes
+    // OUR rename fail instead of us deleting a foreign lock.
+    val tomb = new org.apache.hadoop.fs.Path(
+      s"$path.lock.released.${java.util.UUID.randomUUID()}")
+    val renamed = try fs.rename(lock, tomb)
+                  catch { case _: java.io.IOException => false }
+    val cleanRelease =
+      if (!renamed) false // lock already renamed aside / replaced: breach
+      else {
+        val tombOwner = try {
+          val in = fs.open(tomb)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => "" }
+        if (tombOwner == owner) { fs.delete(tomb, false); true }
+        else {
+          // we renamed a USURPER's lock aside (the lease was lost
+          // mid-body and a new owner claimed it): restore their lock
+          // best-effort before surfacing the breach
+          try { fs.rename(tomb, lock); () }
+          catch { case _: java.io.IOException => () }
+          false
+        }
+      }
+    if (!cleanRelease) {
+      // the lease expired mid-body and another writer took (or is
+      // taking) over: surface the breach — the body's writes may have
+      // raced the new owner's. A body error still takes precedence
+      // (the breach rides as suppressed).
+      val breach = new IllegalStateException(
+        s"writer lease on $path.lock lost while the body ran " +
+          s"(current owner: ${ownerOf().getOrElse("<gone>")}): increase " +
+          "graft.index.lock.leaseMs beyond worst-case pauses")
+      if (bodyError != null) { bodyError.addSuppressed(breach); throw bodyError }
+      throw breach
     }
     if (bodyError != null) throw bodyError
     result

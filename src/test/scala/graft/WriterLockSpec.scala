@@ -4,6 +4,15 @@ import java.nio.file.{Files, Paths}
 import java.nio.file.attribute.FileTime
 import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
 
+/** A local filesystem masquerading as an object store: the scheme is NOT
+  * on [[WriterLock.AtomicSchemes]], so acquire must refuse it unless the
+  * deployment opts in with graft.index.lock.assumeAtomic. */
+class FakeObjectStoreFileSystem
+    extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "fakeobj"
+  override def getUri: java.net.URI = java.net.URI.create("fakeobj://host/")
+}
+
 /** Lease-based writer lock (r15 verdict #3): a crashed owner's stale lock
   * is taken over after the lease expires (no manual cleanup), a LIVE
   * owner's heartbeat keeps waiters out for arbitrarily long bodies, and
@@ -103,6 +112,29 @@ class WriterLockSpec extends graft.SparkTestBase {
       assert(completions.get() == sleeps.size)
       assert(!Files.exists(Paths.get(s"$path.lock")))
     }
+  }
+
+  test("a scheme outside the atomic allowlist is refused at acquire; assumeAtomic opts in") {
+    // r16 verdict #4: on a store without atomic create-if-absent + rename
+    // the lock cannot exclude — acquire must fail fast with the
+    // external-coordination message, not silently proceed
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.fakeobj.impl", classOf[FakeObjectStoreFileSystem].getName)
+    val dir = Files.createTempDirectory("graft_lock_gate")
+    val path = s"fakeobj://host$dir/idx"
+    val e = intercept[UnsupportedOperationException] {
+      WriterLock.withLock(spark, path, waitMs = 1000L) { fail("gate bypassed") }
+    }
+    assert(e.getMessage.contains("coordinate writers externally"))
+    assert(e.getMessage.contains("assumeAtomic"))
+    // the documented override lets a deployment that KNOWS its store is
+    // atomic proceed
+    spark.conf.set("graft.index.lock.assumeAtomic", "true")
+    try {
+      var ran = false
+      WriterLock.withLock(spark, path, waitMs = 5000L) { ran = true }
+      assert(ran)
+    } finally spark.conf.unset("graft.index.lock.assumeAtomic")
   }
 
   test("two claimants racing ONE stale lock: exactly one enters at a time, both run") {
