@@ -8,5 +8,6 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
     graft.functions.GridDbScalarFunctions.register(spark)
+    GraftTableFunctions.register(spark)
   }
 }

@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped name registry for the persisted index families (r16
+  * verdict #2): the SQL lifecycle DDL (`CREATE ANN INDEX ix ON ...`,
+  * `ALTER INDEX ix COMPACT/RETRAIN/APPEND`, `DROP ANN|DEDUP INDEX ix`)
+  * binds a NAME to the index's filesystem path + family, and the GRAFT
+  * table functions accept either the name or a raw path. Names live with
+  * the session (like temp views): the on-disk index is the durable
+  * artifact, the name is a session convenience — re-attach in a new
+  * session with `CREATE ... OPTIONS(path '<existing>', attach true)`.
+  *
+  * The reference's index DDL is grammar rules 15-112
+  * (/root/reference/server/sql_internal_parser.cpp:835-1190, DDLProcessor
+  * server/sql_processor_ddl.cpp); its indexes are container-column trees
+  * inside the storage engine, ours are the persisted ANN/dedup index
+  * trees — name-addressed the same way, path-addressed underneath.
+  */
+object GraftIndexRegistry {
+
+  /** family: "ann" | "exact" | "minhash". */
+  final case class IndexDef(name: String, family: String, path: String,
+                            table: String, idCol: String, valCol: String)
+
+  private val bySession =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IndexDef]]
+
+  private def map(spark: SparkSession) =
+    bySession.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, IndexDef])
+
+  def put(spark: SparkSession, d: IndexDef): Unit = {
+    map(spark).put(d.name.toLowerCase, d); ()
+  }
+
+  def get(spark: SparkSession, name: String): Option[IndexDef] =
+    Option(map(spark).get(name.toLowerCase))
+
+  def remove(spark: SparkSession, name: String): Option[IndexDef] =
+    Option(map(spark).remove(name.toLowerCase))
+
+  def list(spark: SparkSession): Seq[IndexDef] = {
+    import scala.jdk.CollectionConverters._
+    map(spark).values.asScala.toSeq.sortBy(_.name)
+  }
+
+  /** Resolve a TVF index argument: a registered name wins (checked
+    * against `wantFamily` when given — GRAFT_ANN_TOPK over a dedup index
+    * is a usage error, not a scan of the wrong tree); anything else is
+    * taken as a filesystem path. */
+  def resolvePath(spark: SparkSession, s: String,
+                  wantFamily: Option[String]): String =
+    get(spark, s) match {
+      case Some(d) =>
+        val compatible = wantFamily.forall {
+          case "ann" => d.family == "ann"
+          case k => d.family == k // exact|minhash must match the gate kind
+        }
+        if (!compatible) throw new IllegalArgumentException(
+          s"index '${d.name}' is a ${d.family} index; this function needs " +
+            s"a ${wantFamily.get} index")
+        d.path
+      case None => s
+    }
+}

@@ -251,18 +251,27 @@ object GraftSql {
   }
 
   /** Statement forms Catalyst's parser cannot express — routed through the
-    * DataFrame lowering by both [[sql]] and the injected dialect parser. */
+    * DataFrame lowering by both [[sql]] and the injected dialect parser.
+    * The GRAFT table functions are NOT here (r17, r16 verdict #1): they
+    * are genuine Catalyst table functions now ([[GraftTableFunctions]]),
+    * resolved by the analyzer in any FROM clause — no text routing, and
+    * the old reject diagnostic (which also fired on the call shape inside
+    * string literals — r16 ADVICE) retires with it. */
   private[engine] def handlesSpecial(text: String): Boolean =
     GraftDdl.handles(text) || GraftMrSql.matches(text) ||
-      GraftTvf.matches(text) || GraftTvf.mentions(text) ||
       rangeRe.pattern.matcher(text).matches()
 
-  def sql(spark: SparkSession, text: String): DataFrame = text match {
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    // sessions built without GraftExtensions still get the table
+    // functions through this front door (idempotent map put)
+    GraftTableFunctions.register(spark)
+    sqlRouted(spark, text)
+  }
+
+  private def sqlRouted(spark: SparkSession, text: String): DataFrame = text match {
     case _ if GraftDdl.handles(text) => GraftDdl.run(spark, text)
     case _ if GraftMrSql.matches(text) => GraftMrSql.run(spark, text)
     case _ if GraftMrSql.mentions(text) => GraftMrSql.reject(text)
-    case _ if GraftTvf.matches(text) => GraftTvf.run(spark, text)
-    case _ if GraftTvf.mentions(text) => GraftTvf.reject(text)
     case rangeRe(selectList, table, where, tsCol, n, unit, fill) =>
       val (startMs, endMs) = rangeBounds(where, tsCol)
       val everyMs = n.toLong * unitMsOf(unit)

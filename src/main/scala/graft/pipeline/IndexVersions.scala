@@ -42,6 +42,12 @@ private[pipeline] object IndexVersions {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** (version, committed?) pairs of every `v=N` dir under `path`
+    * ([[IndexStats]] reads this listing for observability). */
+  private[pipeline] def versionList(spark: SparkSession,
+                                    path: String): Seq[(Int, Boolean)] =
+    versions(spark, path)
+
   /** (version, committed?) pairs of every `v=N` dir under `path`. */
   private def versions(spark: SparkSession,
                        path: String): Seq[(Int, Boolean)] = {
@@ -108,6 +114,11 @@ private[pipeline] object IndexVersions {
   /** Epoch ms at which version `m` was SUPERSEDED: the commit time of the
     * smallest committed version above it (a plan can have pinned `m` right
     * up to that instant). */
+  private[pipeline] def supersededAtOf(fs: org.apache.hadoop.fs.FileSystem,
+                                       path: String, committed: Seq[Int],
+                                       m: Int): Long =
+    supersededAt(fs, path, committed, m)
+
   private def supersededAt(fs: org.apache.hadoop.fs.FileSystem, path: String,
                            committed: Seq[Int], m: Int): Long =
     committed.filter(_ > m).minOption

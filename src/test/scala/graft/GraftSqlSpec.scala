@@ -553,30 +553,30 @@ class GraftSqlSpec extends SparkTestBase {
     assert(mrErr.getMessage.contains("MATCH_RECOGNIZE"), mrErr.getMessage)
   }
 
-  test("GRAFT table functions: unsupported forms and bad arguments fail with the grammar diagnostic") {
-    // mentions-but-not-matches: projecting columns instead of SELECT *
-    val e1 = intercept[IllegalArgumentException] {
-      graft.engine.GraftSql.sql(spark,
-        "SELECT q_id FROM GRAFT_ANN_TOPK('/tmp/x', 't', 'id', 'v', 5)")
+  test("GRAFT table functions: bad arguments fail with the usage diagnostic; literals stay data") {
+    def fails(sql: String): String = {
+      val e = intercept[Exception] { graft.engine.GraftSql.sql(spark, sql) }
+      // the builder's IllegalArgumentException may surface directly or
+      // wrapped by the analyzer — match on the message either way
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     }
-    assert(e1.getMessage.contains("unsupported GRAFT table-function"), e1.getMessage)
-    // wrong arity
-    val e2 = intercept[IllegalArgumentException] {
-      graft.engine.GraftSql.sql(spark,
-        "SELECT * FROM GRAFT_ANN_TOPK('/tmp/x', 't')")
-    }
-    assert(e2.getMessage.contains("5-7 arguments"), e2.getMessage)
-    // unknown gate kind
-    val e3 = intercept[IllegalArgumentException] {
-      graft.engine.GraftSql.sql(spark,
-        "SELECT * FROM GRAFT_DEDUP_GATE('/tmp/x', 't', 'text', 'id', 'fuzzy')")
-    }
-    assert(e3.getMessage.contains("unknown dedup gate kind"), e3.getMessage)
-    // unquoted string argument
-    val e4 = intercept[IllegalArgumentException] {
-      graft.engine.GraftSql.sql(spark,
-        "SELECT * FROM GRAFT_ANN_TOPK(/tmp/x, 't', 'id', 'v', 5)")
-    }
-    assert(e4.getMessage.contains("must be a quoted string"), e4.getMessage)
+    // wrong arity carries the usage line
+    val e2 = fails("SELECT * FROM GRAFT_ANN_TOPK('/tmp/x', 't')")
+    assert(e2.contains("5-7 arguments") && e2.contains("Usage:"), e2)
+    // unknown gate kind reports itself before any table resolution
+    val e3 = fails("SELECT * FROM GRAFT_DEDUP_GATE('/tmp/x', 't', 'text', 'id', 'fuzzy')")
+    assert(e3.contains("unknown dedup gate kind"), e3)
+    // a non-literal argument names the offending expression
+    val e4 = fails("SELECT * FROM GRAFT_ANN_TOPK(1 + 2, 't', 'id', 'v', 5)")
+    assert(e4.contains("must be a string literal"), e4)
+    // BM25 needs at least one term
+    val e5 = fails("SELECT * FROM GRAFT_SEARCH_BM25('t', 'text', 'id', '  ', 5)")
+    assert(e5.contains("at least one term"), e5)
+    // the call shape inside a string literal is DATA, not a call (r16
+    // ADVICE: the old whole-statement router rejected this statement)
+    val lit = graft.engine.GraftSql.sql(spark,
+      "SELECT 'GRAFT_ANN_TOPK(x)' AS s").collect()
+    assert(lit.head.getString(0) == "GRAFT_ANN_TOPK(x)")
   }
 }

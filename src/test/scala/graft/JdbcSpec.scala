@@ -157,13 +157,68 @@ class JdbcSpec extends SparkTestBase {
       val wireGate = Iterator.continually(rs).takeWhile(_.next())
         .map(_.getLong(1)).toList
       assert(wireGate == scalaGate, "wire dedup gate diverged from the Scala path")
-      // 4. malformed forms fail with the grammar diagnostic, not a parse
+      // 4. malformed forms fail with the usage diagnostic, not a parse
       //    mystery
       val err = intercept[java.sql.SQLException](
         st.executeQuery(s"SELECT * FROM GRAFT_ANN_TOPK('$ivf')"))
-      assert(err.getMessage.contains("GRAFT_ANN_TOPK takes 5-7 arguments") ||
-        err.getMessage.contains("unsupported GRAFT table-function"),
+      assert(err.getMessage.contains("GRAFT_ANN_TOPK takes 5-7 arguments"),
         s"unexpected diagnostic: ${err.getMessage}")
+
+      // 5. COMPOSED form (r16 verdict #1): the TVF is a genuine Catalyst
+      //    relation — aliased, joined to a dimension, projected, in one
+      //    wire statement; rows must match the Scala-side composition
+      val scalaComposed = graft.pipeline.IvfIndex.topK(spark, ivf,
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+        .join(e.select(col("vec_id").as("cand_id"), col("label")),
+          col("c_id") === col("cand_id"))
+        .select("q_id", "rk", "c_id", "label")
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getAs[Number](3).longValue)).toSeq
+      val rsC = st.executeQuery(
+        s"SELECT t.q_id, t.rk, t.c_id, em.label FROM GRAFT_ANN_TOPK('$ivf', " +
+          "'SELECT * FROM jdbc_embs WHERE vec_id < 3 AND vec_id < 400', " +
+          "'vec_id', 'embedding', 5) t " +
+          "JOIN jdbc_embs em ON em.vec_id = t.c_id ORDER BY t.q_id, t.rk")
+      val wireComposed = Iterator.continually(rsC).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .toList
+      assert(wireComposed == scalaComposed,
+        "composed wire TVF diverged from the Scala-side composition")
+
+      // 6. CREATE VIEW over the TVF, then consume the view WITHOUT naming
+      //    the function — catalog-resolved like any view
+      st.execute(
+        s"CREATE OR REPLACE TEMPORARY VIEW jdbc_ann_v AS SELECT * FROM " +
+          s"GRAFT_ANN_TOPK('$ivf', " +
+          "'SELECT * FROM jdbc_embs WHERE vec_id < 3 AND vec_id < 400', " +
+          "'vec_id', 'embedding', 5)")
+      val rsV = st.executeQuery(
+        "SELECT q_id, COUNT(*) AS n FROM jdbc_ann_v GROUP BY q_id ORDER BY q_id")
+      val viewAgg = Iterator.continually(rsV).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toList
+      assert(viewAgg == List((0L, 5L), (1L, 5L), (2L, 5L)), viewAgg.toString)
+
+      // 7. the r17 functions over the wire: BM25 + index stats
+      val scalaBm25 = graft.pipeline.Search.bm25(d, "text", "doc_id",
+          Seq("spark", "join", "merge"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rsB = st.executeQuery(
+        "SELECT * FROM GRAFT_SEARCH_BM25('jdbc_docs', 'text', 'doc_id', " +
+          "'spark join merge', 10)")
+      val wireBm25 = Iterator.continually(rsB).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getDouble(2))).toList
+      assert(wireBm25 == scalaBm25, "wire BM25 diverged from the Scala path")
+      val rsS = st.executeQuery(
+        s"SELECT retained_by, family, meta FROM GRAFT_INDEX_STATS('$ex')")
+      assert(rsS.next())
+      assert(rsS.getString(1) == "current" && rsS.getString(2) == "exact" &&
+        rsS.getString(3).startsWith("n_docs="), "index stats over the wire")
+
+      // 8. the call shape inside a string literal is DATA, not a function
+      //    call (r16 ADVICE: the old text router rejected this statement)
+      val rsL = st.executeQuery("SELECT 'GRAFT_ANN_TOPK(x)' AS s")
+      assert(rsL.next() && rsL.getString(1) == "GRAFT_ANN_TOPK(x)")
     } finally conn.close()
   }
 
