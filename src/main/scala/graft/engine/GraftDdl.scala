@@ -129,6 +129,11 @@ object GraftDdl {
   def run(spark: SparkSession, cat: GraftCatalog, text0: String): DataFrame = {
     val text = text0.trim.stripSuffix(";").trim
     text match {
+      // persisted ANN/dedup index lifecycle (r16 verdict #2) — distinct
+      // verbs (CREATE ANN|DEDUP INDEX, ALTER INDEX, DROP ANN|DEDUP
+      // INDEX), so no overlap with GridDB's container-column CREATE/DROP
+      // INDEX below; source tables are read-auth-gated inside
+      case _ if GraftIndexDdl.handles(text) => GraftIndexDdl.run(spark, text)
       case createTableRe(ifNot, name) => createTable(spark, cat, text, Option(ifNot), name)
       case dropTableRe(ifEx, name) =>
         if (cat.exists(name)) cat.dropContainer(name)

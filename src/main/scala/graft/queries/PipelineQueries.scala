@@ -1593,6 +1593,33 @@ object PipelineQueries {
           s"pending_tags, meta FROM GRAFT_INDEX_STATS('${exactIndexPath(s, dir)}')")
     },
 
+    // ---- SQL index lifecycle (r16 verdict #2): the index is BUILT by
+    //      DDL (CREATE ANN INDEX ... OPTIONS(lists 16, attrs 'label')) and
+    //      served by NAME — the full-oracle replay is the same IvfAnnOracle
+    //      as the path-addressed rows, so the DDL-built tree is pinned
+    //      byte-equivalent to IvfIndex.build; append/compact/retrain/drop
+    //      are exercised in GraftIndexDdlSpec + the JDBC wire case ----
+    Q.df("q_sql_index_lifecycle", duck = IvfAnnOracle) { (s, dir) =>
+      embs(s, dir).createOrReplaceTempView("graft_tvf_embs")
+      val p = ivfIndexCache.computeIfAbsent(s"$dir#lifecycle", _ => {
+        val p0 = java.nio.file.Files.createTempDirectory("graft_ddl_ivf")
+          .toString + "/ix"
+        graft.engine.GraftSql.sql(s,
+          "CREATE ANN INDEX graft_life_ix ON graft_tvf_embs(vec_id, " +
+            s"embedding) OPTIONS(lists 16, attrs 'label', path '$p0')")
+        p0
+      })
+      // idempotent re-attach: a session that hits the warm cross-session
+      // cache still needs the NAME bound in ITS registry
+      graft.engine.GraftSql.sql(s,
+        "CREATE ANN INDEX IF NOT EXISTS graft_life_ix ON graft_tvf_embs(" +
+          s"vec_id, embedding) OPTIONS(path '$p', attach true)")
+      graft.engine.GraftSql.sql(s,
+        "SELECT * FROM GRAFT_ANN_TOPK('graft_life_ix', " +
+          "'SELECT * FROM graft_tvf_embs WHERE vec_id < 5', 'vec_id', " +
+          "'embedding', 10) ORDER BY q_id, rk")
+    },
+
     // ---- the same serving path over the SQ8-coded index: the inverted
     //      lists store int8 codes (~4x smaller — the part of the index
     //      that scales with the corpus), scored via the decode-fused

@@ -222,6 +222,52 @@ class JdbcSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("index lifecycle DDL over JDBC: build an IVF index on the wire, serve, retrain, drop (r16 verdict #2)") {
+    val conn = connect(thriftPort)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE OR REPLACE TEMPORARY VIEW life_embs USING parquet " +
+        s"OPTIONS (path '$sfDir/embeddings.parquet')")
+      val p = java.nio.file.Files.createTempDirectory("graft_jdbc_life")
+        .toString + "/ix"
+      // 1. CREATE ANN INDEX entirely over the wire
+      val rs0 = st.executeQuery("CREATE ANN INDEX wire_ix ON life_embs(" +
+        s"vec_id, embedding) OPTIONS(lists 8, attrs 'label', path '$p')")
+      assert(rs0.next() && rs0.getString(1) == "CREATE INDEX")
+      // 2. serve GRAFT_ANN_TOPK from the DDL-built index BY NAME; rows
+      //    must match the Scala path over the same tree
+      val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      val expect = graft.pipeline.IvfIndex.topK(spark, p,
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val rs1 = st.executeQuery("SELECT * FROM GRAFT_ANN_TOPK('wire_ix', " +
+        "'SELECT * FROM life_embs WHERE vec_id < 3', 'vec_id', " +
+        "'embedding', 5) ORDER BY q_id, rk")
+      val wire = Iterator.continually(rs1).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+        .toList
+      assert(wire == expect, "wire-built index served different neighbors")
+      // 3. APPEND + RETRAIN + stats over the wire
+      st.execute("ALTER INDEX wire_ix APPEND FROM (SELECT vec_id + 900000 " +
+        "AS vec_id, embedding, label FROM life_embs)")
+      st.execute("SET graft.index.gc.minRetainMs = 0")
+      st.execute("ALTER INDEX wire_ix RETRAIN")
+      val rs2 = st.executeQuery("SELECT family, retained_by FROM " +
+        "GRAFT_INDEX_STATS('wire_ix') WHERE current")
+      assert(rs2.next() && rs2.getString(1) == "ann" &&
+        rs2.getString(2) == "current")
+      // 4. DROP deletes the tree and unbinds the name
+      st.execute("DROP ANN INDEX wire_ix")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      val err = intercept[java.sql.SQLException](
+        st.executeQuery("ALTER INDEX wire_ix COMPACT"))
+      assert(err.getMessage.contains("not registered"), err.getMessage)
+    } finally conn.close()
+  }
+
   test("GRANT/REVOKE observably gates wire queries (round-9 ask #8)") {
     val cat = graft.engine.GraftCatalog.forSession(spark)
     Seq("wire_u").foreach(u => if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
