@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *    keep-min replay rule can tell "my own appended copy" from a genuine
   *    corpus duplicate. Partitioned by an `ingest` tag (`base` + one per
   *    append); a re-written tag REPLACES its rows — replay-idempotent.
-  *  - `<path>/meta`: (n_docs) — always EXACTLY the stored digest rows
-  *    (r16: appends count the rows they actually wrote via footer counts,
-  *    so replays and within-batch duplicates never drift it).
+  *  - `<path>/meta`: (n_docs) — always EXACTLY the stored digest rows.
+  *  - `<path>/tagmeta`: (tag, n_rows) per ingest partition (r17, r16
+  *    verdict #6) — appends footer-count ONLY the tag they wrote and sum
+  *    the rest from here (one directory listed instead of the whole
+  *    tree); a tag orphaned by a crash before its meta write is missing
+  *    from tagmeta and reconciles by a footer count on the next write.
   *  - `<path>/applied/<tag>`: survivor markers ([[IngestMarkers]]).
   *
   * Writers serialize via [[WriterLock]]; probes resolve the current
@@ -49,7 +52,7 @@ object ExactIndex {
 
   /** The data subtrees a version of this index owns (see
     * [[IndexVersions]] — also the legacy-root GC list). */
-  private val DataDirs = Seq("digests", "meta", "applied")
+  private val DataDirs = Seq("digests", "meta", "tagmeta", "applied")
 
   /** The CURRENT version's data root (see [[MinhashIndex.dataRoot]]). */
   def dataRoot(spark: SparkSession, path: String): String =
@@ -72,7 +75,7 @@ object ExactIndex {
       // meta counts the rows actually STORED (distinct texts), not the
       // corpus size — parquet footer counts only, no data read (r15
       // verdict #8: meta used to drift upward until compact recounted)
-      writeMeta(spark, root, storedRows(spark, s"$root/digests"))
+      refreshMeta(spark, root, recount = Set("base"))
       IngestMarkers.copyApplied(spark, prevRoot, root)
       IndexVersions.commit(spark, path, root, DataDirs)
     }
@@ -116,15 +119,60 @@ object ExactIndex {
     digestRows(newDocs, textCol, idCol)
       .repartition(nOut, col("h"))
       .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
-    // exact meta (r15 verdict #8): ONE footer-only count of the whole
-    // tree AFTER the write — no data read, and exact in EVERY ordering,
-    // including the crash window where a previous attempt wrote the tag
-    // but died before its meta (review r16: arithmetic off the pre-crash
-    // meta undercounts there). Tree file count is bounded by compaction.
-    val stored = storedRows(spark, s"$root/digests")
-    writeMeta(spark, root, stored)
+    // exact meta via PER-TAG footer counts (r16 verdict #6 — replaces the
+    // r16 whole-tree count, which listed every file of every tag on each
+    // append): the common append footer-counts ONE directory (the tag it
+    // just wrote) and carries the other tags' counts forward from the
+    // stored tagmeta. Exact in EVERY ordering: the count map is keyed by
+    // the tag directories ON DISK, so a tag orphaned by a crash between
+    // its digest write and its meta write is simply missing from tagmeta
+    // and gets footer-counted on the next write — no arithmetic off a
+    // stale total (the r16 review's undercount), no silent drift.
+    val stored = refreshMeta(spark, root, recount = Set(t))
     markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
     stored
+  }
+
+  /** Recompute meta from per-tag footer counts at a RESOLVED root: tags
+    * in `recount` (plus any tag absent from the stored tagmeta) are
+    * footer-counted from their own directory; the rest reuse their stored
+    * count. Writes tagmeta + the n_docs meta and returns the total. */
+  private def refreshMeta(spark: SparkSession, root: String,
+                          recount: Set[String]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/digests")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith("ingest=") => s.stripPrefix("ingest=") }
+    val prior = readTagMeta(spark, root)
+    val counts = onDisk.map { tg =>
+      if (recount(tg) || !prior.contains(tg))
+        tg -> storedRows(spark, s"$root/digests/ingest=$tg")
+      else tg -> prior(tg)
+    }
+    writeTagMeta(spark, root, counts)
+    val total = counts.map(_._2).sum
+    writeMeta(spark, root, total)
+    total
+  }
+
+  private def writeTagMeta(spark: SparkSession, root: String,
+                           counts: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    counts.toDF("tag", "n_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/tagmeta")
+  }
+
+  /** Stored per-tag counts; empty for a pre-r17 tree (every tag then
+    * footer-counts once and the map materializes). */
+  private def readTagMeta(spark: SparkSession,
+                          root: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tagmeta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else spark.read.parquet(s"$root/tagmeta").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** Footer-only row count of a parquet tree; 0 when it does not exist. */
@@ -154,8 +202,9 @@ object ExactIndex {
           .select(col("id"), col("h"), col("ingest").cast("string")))
         .repartition(width(spark, m.nDocs), col("h"))
         .write.mode("overwrite").partitionBy("ingest").parquet(s"$staged/digests")
-      val nDocs = spark.read.parquet(s"$staged/digests").count()
-      writeMeta(spark, staged, nDocs)
+      // the staged tree has no tagmeta yet, so every surviving tag
+      // footer-counts once — the full recount a compact owes anyway
+      refreshMeta(spark, staged, recount = Set.empty)
       IngestMarkers.copyApplied(spark, root, staged)
       IndexVersions.commit(spark, path, staged, DataDirs)
     }

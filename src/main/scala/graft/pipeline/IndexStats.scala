@@ -110,7 +110,7 @@ object IndexStats {
       if (familyOf(fs, path) != "unknown" && path != currentRoot) {
         val at = IndexVersions.supersededAtOf(fs, path, committed, 0)
         val (files, bytes) = Seq("digests", "buckets", "vectors",
-            "centroids", "meta", "applied", "sqstats")
+            "centroids", "meta", "tagmeta", "applied", "sqstats")
           .map(d => contentOf(fs, new org.apache.hadoop.fs.Path(s"$path/$d")))
           .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         Seq((-1, true, false, Some(at).filter(_ != Long.MaxValue),

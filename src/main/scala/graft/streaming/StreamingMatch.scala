@@ -47,6 +47,8 @@ import graft.mr.PatternRegex
   */
 object StreamingMatch {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // (bufferedRows as (tsMs, defineBits), matchesEmitted)
   private type MrState = (Seq[(Long, Seq[Boolean])], Long)
 
@@ -75,6 +77,24 @@ object StreamingMatch {
     // parse "<n> <unit>" the same way Spark's interval literals do
     val spanMs = intervalMs(maxSpan)
     val idleTtlMs = idleTTL.map(intervalMs)
+    // r17 (r16 verdict #7): STREAM_r16 proved state is bounded only under
+    // the maxSpan/within contract PLUS a bounded key domain — without
+    // idleTTL every distinct key retains its (match_num) entry forever,
+    // so a key-churn stream grows state monotonically and the operator
+    // only finds out when the state store exhausts memory. Say so at
+    // stream START, loudly; deployments that want the guard hard set
+    // graft.stream.mr.requireBoundedKeys=true.
+    if (idleTtlMs.isEmpty) {
+      val msg = "matchRecognizeStream without idleTTL keeps a per-key " +
+        "match_num entry for every key ever seen — state is bounded only " +
+        "if the key domain is. Under key churn pass idleTTL (a key " +
+        "returning after the TTL restarts match_num at 1), or set " +
+        "graft.stream.mr.requireBoundedKeys=true to make this an error."
+      if (spark.conf.get("graft.stream.mr.requireBoundedKeys", "false")
+          .toBoolean)
+        throw new IllegalArgumentException(msg)
+      log.warn(msg)
+    }
 
     val typed = stream
       .withWatermark(tsCol, watermark)

@@ -307,12 +307,29 @@ object StreamSoak {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val parity = survivors.sorted == (0 until nB).map(i => 100L + i * 10)
+      // r17 (r16 verdict #5): the stats surface must agree with the
+      // kernel's own counters after the soak — exactly one current
+      // version, pending foldable tags equal, every retained version
+      // carrying a legal GC disposition
+      val st = graft.pipeline.IndexStats.stats(spark, idx)
+        .select("version", "current", "retained_by", "pending_tags").collect()
+      val statsCurrent = st.count(_.getBoolean(1))
+      val statsPending = st.find(_.getBoolean(1)).map(_.getInt(3)).getOrElse(-1)
+      val kernelPending =
+        graft.pipeline.ExactIndex.pendingCompactionTags(spark, idx)
+      val legal = Set("current", "grace", "floor", "expired", "cap",
+        "staging", "legacy")
+      val statsOk = statsCurrent == 1 && statsPending == kernelPending &&
+        st.forall(r => legal(r.getString(2)))
       println(f"[soak] autocompact batches=$nB wall=$wall%.1f s maxIngestDirs=$maxDirs " +
-        f"finalIngestDirs=${ingestDirs()} parity=$parity manualCompacts=0")
+        f"finalIngestDirs=${ingestDirs()} parity=$parity manualCompacts=0 " +
+        s"statsVersions=${st.length} statsPending=$statsPending statsOk=$statsOk")
       autoCompactJson = Some(
         s""""autocompact":{"batches":$nB,"auto_compact_tags":5,"wall_s":$wall,""" +
           s""""max_ingest_dirs":$maxDirs,"final_ingest_dirs":${ingestDirs()},""" +
-          s""""manual_compacts":0,"parity":$parity}""")
+          s""""manual_compacts":0,"parity":$parity,""" +
+          s""""stats_versions":${st.length},"stats_pending_tags":$statsPending,""" +
+          s""""stats_consistent":$statsOk}""")
     }
 
     // ---- ROCKSDB parity phase (r15): the match op (richest per-key

@@ -371,6 +371,20 @@ class IncrementalDedupSpec extends SparkTestBase {
     ExactIndex.compact(spark, path)
     assert(metaDocs() == storedRows())
     assert(metaDocs() == 4L)
+    // r17 (r16 verdict #6): appends now carry per-tag footer counts
+    // forward (tagmeta) instead of footer-listing the whole tree — the
+    // crash window must STAY exact: forge a tag directory written by a
+    // "crashed" append that never reached its meta write; the next append
+    // finds it missing from tagmeta and footer-counts it once
+    Seq((100L, "orphaned by a crash")).toDF("doc_id", "text")
+      .select($"doc_id".as("id"), org.apache.spark.sql.functions.md5($"text").as("h"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${ExactIndex.dataRoot(spark, path)}/digests/ingest=zzcrash")
+    val total2 = ExactIndex.append(
+      Seq((20L, "post-crash batch")).toDF("doc_id", "text"),
+      "text", "doc_id", path, tag = "t2")
+    assert(total2 == 6L, s"4 compacted + 1 orphaned + 1 new, got $total2")
+    assert(metaDocs() == storedRows())
   }
 
   test("auto-compaction: the streaming gate's ingest partitions PLATEAU with zero manual compact calls (r15 verdict #7)") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{ExactIndex, IvfIndex, MinhashIndex}
+import graft.pipeline.{ExactIndex, IndexStats, IvfIndex, MinhashIndex}
 import org.apache.spark.sql.functions._
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicReference}
 
@@ -190,6 +190,15 @@ class IndexVersionsSpec extends SparkTestBase {
       assert(got == mhExpected, "pinned probe lost files or diverged across a maintenance burst")
       val mhVs = new java.io.File(mh).listFiles().filter(_.getName.startsWith("v=")).map(_.getName).sorted.toSeq
       assert(mhVs == Seq("v=1", "v=2", "v=3"), s"age floor must retain the burst's versions: $mhVs")
+      // r17 (r16 verdict #5): the stats surface reports the same picture —
+      // v=3 current, v=2 the grace copy, v=1 held by the age floor
+      val disp = IndexStats.stats(spark, mh)
+        .select("version", "retained_by").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(disp == Map(3 -> "current", 2 -> "grace", 1 -> "floor"),
+        s"stats dispositions diverged from the GC rule: $disp")
+      assert(IndexStats.stats(spark, mh).select("family").head().getString(0)
+        == "minhash")
 
       // --- ExactIndex: same shape over the digest gate's probe
       val ex = java.nio.file.Files.createTempDirectory("graft_floor_ex").toString

@@ -419,6 +419,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming MATCH_RECOGNIZE without idleTTL is guarded: opt-in conf makes it an error (r16 verdict #7)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val input = MemoryStream[(Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "k", "typ")
+    def build() = graft.streaming.StreamingMatch.matchRecognizeStream(
+      df, "ts", "k", pattern = "V{2,}",
+      defines = Map("V" -> (col("typ") === "view")),
+      watermark = "1 hour")
+    // default: construction proceeds (a loud warning, spec'd by STREAM
+    // soak notes — bounded key domains are legitimate)
+    build()
+    // hard mode: a key-churn deployment turns the warning into a failure
+    spark.conf.set("graft.stream.mr.requireBoundedKeys", "true")
+    try {
+      val e = intercept[IllegalArgumentException](build())
+      assert(e.getMessage.contains("idleTTL") &&
+        e.getMessage.contains("key domain"), e.getMessage)
+      // an idleTTL satisfies the guard
+      graft.streaming.StreamingMatch.matchRecognizeStream(
+        df, "ts", "k", pattern = "V{2,}",
+        defines = Map("V" -> (col("typ") === "view")),
+        watermark = "1 hour", idleTTL = Some("1 day"))
+    } finally spark.conf.unset("graft.stream.mr.requireBoundedKeys")
+  }
+
   test("streaming MATCH_RECOGNIZE: closed matches emit, open runs wait") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val s: org.apache.spark.sql.SparkSession = spark
