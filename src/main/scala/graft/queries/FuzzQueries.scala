@@ -857,6 +857,165 @@ object FuzzQueries {
     (builder, duck)
   }
 
+  /** TVF/DDL-form chains (r17, r16 verdict #8 extension): statements are
+    * the SQL TABLE-FUNCTION and index-DDL surface added in r16/r17 —
+    * GRAFT_SEARCH_BM25 (plain and COMPOSED through a join),
+    * GRAFT_DECONTAMINATE, and GRAFT_DEDUP_GATE over an index created by
+    * CREATE DEDUP INDEX (half the gate draws also ALTER INDEX ... APPEND
+    * and gate a second batch against the appended tree). Every form
+    * replays in DuckDB, so a divergence anywhere in the registry-TVF
+    * lowering, the DDL build, or the append path fails the compare. */
+  private val fz8IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def genFuzz8(s: Int): ((SparkSession, String) => DataFrame, String) = {
+    // golden-ratio scramble: java.util.Random's FIRST draw is heavily
+    // correlated across sequential seeds (all 10 pinned seeds drew the
+    // same form before the mix)
+    val r = new Random((0x5EED8L + s) * 0x9E3779B97F4A7C15L)
+    val form = r.nextInt(4)
+    val vocab = Seq("spark", "join", "merge", "data", "query", "stream",
+      "index", "table")
+
+    def bm25Ctes(srcPred: String, terms: Seq[String]): String =
+      s"""toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS t
+         |  FROM documents$srcPred),
+         |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+         |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+         |hits AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+         |         WHERE w IN (${terms.map(t => s"'$t'").mkString(", ")})),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM hits GROUP BY doc_id, w),
+         |dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY w),
+         |sc AS (
+         |  SELECT tf.doc_id AS id,
+         |    ROUND(SUM(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |        * (tf.tf * 2.2)
+         |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+         |  FROM tf
+         |  JOIN dfq USING (w)
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY tf.doc_id)""".stripMargin
+
+    form match {
+      case 0 | 1 =>
+        val terms = r.shuffle(vocab).take(1 + r.nextInt(3))
+        val k = Seq(5, 10, 15)(r.nextInt(3))
+        val (dMod, dRem) = Seq((0, 0), (2, 0), (3, 1))(r.nextInt(3))
+        val srcPred = if (dMod == 0) "" else s" WHERE doc_id % $dMod = $dRem"
+        val src = if (dMod == 0) "documents"
+          else s"SELECT * FROM documents WHERE doc_id % $dMod = $dRem"
+        val call = s"GRAFT_SEARCH_BM25('$src', 'text', 'doc_id', " +
+          s"'${terms.mkString(" ")}', $k)"
+        if (form == 0) {
+          val duck = s"WITH ${bm25Ctes(srcPred, terms)}\n" +
+            s"SELECT id, score FROM sc ORDER BY score DESC, id LIMIT $k"
+          val builder = (sp: SparkSession, dir: String) => {
+            graft.engine.Tables.registerAll(sp, dir)
+            graft.engine.GraftSql.sql(sp, s"SELECT * FROM $call")
+          }
+          (builder, duck)
+        } else {
+          // COMPOSED: the TVF joined to the documents dimension
+          val duck = s"WITH ${bm25Ctes(srcPred, terms)},\n" +
+            s"topk AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT $k)\n" +
+            "SELECT t.id, t.score, d.lang FROM topk t " +
+            "JOIN documents d ON d.doc_id = t.id ORDER BY t.score DESC, t.id"
+          val builder = (sp: SparkSession, dir: String) => {
+            graft.engine.Tables.registerAll(sp, dir)
+            graft.engine.GraftSql.sql(sp,
+              s"SELECT b.id, b.score, d.lang FROM $call b " +
+                "JOIN documents d ON d.doc_id = b.id ORDER BY b.score DESC, b.id")
+          }
+          (builder, duck)
+        }
+
+      case 2 =>
+        val n = 2 + r.nextInt(2) // word n-grams, 2..3
+        val m = Seq(83, 89, 97)(r.nextInt(3))
+        val duck =
+          s"""WITH base AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+             |  FROM documents),
+             |dg AS (SELECT doc_id, array_to_string(t[i:i+${n - 1}], ' ') AS ng
+             |       FROM base, UNNEST(generate_series(1, len(t)-${n - 1})) AS u(i)
+             |       WHERE doc_id % $m <> 0),
+             |bg AS (SELECT DISTINCT array_to_string(t[i:i+${n - 1}], ' ') AS ng
+             |       FROM base, UNNEST(generate_series(1, len(t)-${n - 1})) AS u(i)
+             |       WHERE doc_id % $m = 0)
+             |SELECT dg.doc_id, COUNT(DISTINCT dg.ng) AS n_shared_ngrams
+             |FROM dg JOIN bg ON dg.ng = bg.ng
+             |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+        val builder = (sp: SparkSession, dir: String) => {
+          graft.engine.Tables.registerAll(sp, dir)
+          graft.engine.GraftSql.sql(sp,
+            "SELECT * FROM GRAFT_DECONTAMINATE(" +
+              s"'SELECT * FROM documents WHERE doc_id % $m <> 0', " +
+              "'doc_id', 'text', " +
+              s"'SELECT * FROM documents WHERE doc_id % $m = 0', " +
+              s"'text', $n) ORDER BY doc_id")
+        }
+        (builder, duck)
+
+      case _ =>
+        // dedup gate over a DDL-created exact index; half the draws also
+        // ALTER INDEX ... APPEND a first batch and gate a second one
+        val dDen = Seq(5, 7)(r.nextInt(2))
+        val twoStep = r.nextBoolean()
+        val corpusSel =
+          s"SELECT doc_id, text FROM documents WHERE doc_id % $dDen < ${dDen - 2}"
+        val b1Sel =
+          s"SELECT doc_id, text FROM documents WHERE doc_id % $dDen = ${dDen - 2}"
+        val b2Sel =
+          s"SELECT doc_id, text FROM documents WHERE doc_id % $dDen = ${dDen - 1}"
+        val gateSel = if (twoStep) b2Sel else b1Sel
+        // after APPEND FROM (b1) the indexed text set is corpus ∪ batch1
+        val corpusTexts =
+          if (twoStep) s"$corpusSel UNION ALL $b1Sel" else corpusSel
+        val duck =
+          s"""WITH corpus AS ($corpusTexts),
+             |batch AS ($gateSel),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM batch GROUP BY text),
+             |fresh AS (SELECT b.doc_id, b.text FROM batch b JOIN keep USING (doc_id))
+             |SELECT f.doc_id FROM fresh f
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+             |ORDER BY f.doc_id""".stripMargin
+        val builder = (sp: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.col
+          graft.engine.Tables.registerAll(sp, dir)
+          graft.engine.Tables.read(sp, dir, "documents")
+            .filter(col("doc_id") % dDen < dDen - 2).select("doc_id", "text")
+            .createOrReplaceTempView(s"fz8corpus_$s")
+          val path = fz8IndexCache.computeIfAbsent(s"$dir#$s", _ => {
+            val p = java.nio.file.Files
+              .createTempDirectory(s"graft_fz8_ex_$s").toString + "/ix"
+            Runtime.getRuntime.addShutdownHook(new Thread(() =>
+              org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(p).getParentFile)))
+            graft.engine.GraftSql.sql(sp,
+              s"CREATE DEDUP INDEX fz8ix_$s ON fz8corpus_$s(doc_id, text) " +
+                s"OPTIONS(kind 'exact', path '$p')")
+            if (twoStep)
+              graft.engine.GraftSql.sql(sp,
+                s"ALTER INDEX fz8ix_$s APPEND FROM ($b1Sel)")
+            p
+          })
+          // idempotent re-attach: a session hitting the warm cross-session
+          // cache still needs the name bound in ITS registry
+          graft.engine.GraftSql.sql(sp,
+            s"CREATE DEDUP INDEX IF NOT EXISTS fz8ix_$s ON fz8corpus_$s(" +
+              s"doc_id, text) OPTIONS(kind 'exact', path '$path', attach true)")
+          graft.engine.GraftSql.sql(sp,
+            s"SELECT doc_id FROM GRAFT_DEDUP_GATE('fz8ix_$s', " +
+              s"'${gateSel.replace("'", "''")}', 'text', 'doc_id', 'exact') " +
+              "ORDER BY doc_id")
+        }
+        (builder, duck)
+    }
+  }
+
   /** Seeds are pinned: the registered fuzz set must be bit-stable across
     * rounds (golden continuity + stable driver compare), so widening means
     * ADDING seeds, never reinterpreting old ones. */
@@ -867,6 +1026,7 @@ object FuzzQueries {
   private val seeds5: Seq[Int] = 0 until 12
   private val seeds6: Seq[Int] = 0 until 10
   private val seeds7: Seq[Int] = 0 until 10
+  private val seeds8: Seq[Int] = 0 until 10
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
@@ -904,5 +1064,8 @@ object FuzzQueries {
   } ++ seeds7.map { s =>
     val (builder, duck) = genFuzz7(s)
     Q.df(f"q_fuzz7_$s%02d", duck = duck)(builder)
+  } ++ seeds8.map { s =>
+    val (builder, duck) = genFuzz8(s)
+    Q.df(f"q_fuzz8_$s%02d", duck = duck)(builder)
   }
 }

@@ -81,6 +81,13 @@ object FuzzSweep {
         dump(f"fz_fz7_$s%04d", duck)(builder(spark, sfDir))
       }
     }
+    // optional 11th/12th args: TVF/index-DDL chain (genFuzz8) seed range
+    if (args.length > 11) {
+      for (s <- args(10).toInt until args(11).toInt) {
+        val (builder, duck) = graft.queries.FuzzQueries.genFuzz8(s)
+        dump(f"fz_fz8_$s%04d", duck)(builder(spark, sfDir))
+      }
+    }
     // the TQL run + comparison-soundness projection is TqlFuzz.runTql —
     // one copy shared with the registered fuzz queries (r14 review)
     for (s <- tqlFrom until tqlUntil) {
