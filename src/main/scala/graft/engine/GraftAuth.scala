@@ -151,6 +151,19 @@ object GraftAuth {
   private def credentials(session: SparkSession): (String, String) =
     (session.conf.get(UserKey, ""), session.conf.get(PasswordKey, ""))
 
+  /** Gate a filesystem path an index-DDL statement will WRITE into or
+    * recursively DELETE (r17 review: CREATE ANN|DEDUP INDEX ...
+    * OPTIONS(path '<dir>') and DROP ... INDEX bypassed the protected-path
+    * gate entirely — preCheck's path scan is scoped to CREATE TABLE/VIEW
+    * registrations, and the drop never produces a plan for check()).
+    * No-op when enforcement is off or no paths are protected. */
+  def demandPath(session: SparkSession, raw: String, write: Boolean): Unit =
+    state match {
+      case Some((cat, _, _, paths)) if paths.nonEmpty =>
+        pathCanonical(raw, paths).foreach(t => demand(session, cat, t, write))
+      case _ => ()
+    }
+
   private def demand(session: SparkSession, cat: GraftCatalog,
                      canonical: String, write: Boolean): Unit = {
     val (user, pass) = credentials(session)

@@ -96,9 +96,6 @@ object GraftIndexDdl {
   def run(spark: SparkSession, text: String): DataFrame = text match {
     case createRe(kindWord, ifNot, name, table, idCol, valCol, optText) =>
       val opts = Option(optText).map(parseOptions).getOrElse(Map.empty)
-      val known = Set("lists", "codec", "attrs", "path", "attach", "kind",
-        "shingle", "minhashk", "bands")
-      opts.keys.find(!known(_)).foreach(k => reject(s"unknown option '$k'"))
       val family = kindWord.toUpperCase match {
         case "ANN" => "ann"
         case "DEDUP" => opts.getOrElse("kind", "exact").toLowerCase match {
@@ -106,8 +103,18 @@ object GraftIndexDdl {
           case other => reject(s"unknown dedup index kind '$other'")
         }
       }
-      if (kindWord.equalsIgnoreCase("ANN") && opts.contains("kind"))
-        reject("'kind' applies to DEDUP indexes only")
+      // options validate PER FAMILY (r17 review: one shared set silently
+      // dropped e.g. `bands` on an exact index — the user believes the
+      // tuning took effect and gets defaults)
+      val known = family match {
+        case "ann" => Set("lists", "codec", "attrs", "path", "attach")
+        case "exact" => Set("kind", "path", "attach")
+        case "minhash" =>
+          Set("kind", "shingle", "minhashk", "bands", "path", "attach")
+      }
+      opts.keys.find(!known(_)).foreach(k =>
+        reject(s"unknown option '$k' for a $family index " +
+          s"(accepted: ${known.toSeq.sorted.mkString(", ")})"))
       GraftIndexRegistry.get(spark, name) match {
         case Some(d) =>
           if (ifNot != null) return status(spark, "CREATE INDEX", name, d.path)
@@ -116,6 +123,10 @@ object GraftIndexDdl {
       }
       val path = opts.getOrElse("path", defaultPath(spark, name))
       val attach = opts.get("attach").exists(_.equalsIgnoreCase("true"))
+      // protected-path gate (r17 review): building WRITES the directory,
+      // attaching registers an alias over it (SELECT, like a CREATE VIEW
+      // path registration)
+      GraftAuth.demandPath(spark, path, write = !attach)
       if (attach) {
         // adopt an existing tree: verify something committed lives there
         val root = graft.pipeline.IvfIndex.dataRoot(spark, path)
@@ -156,6 +167,7 @@ object GraftIndexDdl {
         throw new IllegalArgumentException(
           s"index $name is not registered in this session (CREATE ... " +
             "OPTIONS(path '<dir>', attach true) re-attaches a persisted one)"))
+      GraftAuth.demandPath(spark, d.path, write = true)
       Option(maintenance).map(_.toUpperCase) match {
         case Some("COMPACT") => d.family match {
           case "exact" => graft.pipeline.ExactIndex.compact(spark, d.path)
@@ -208,10 +220,17 @@ object GraftIndexDdl {
           if (expectAnn != (d.family == "ann"))
             reject(s"index $name is a ${d.family} index — use DROP " +
               s"${if (d.family == "ann") "ANN" else "DEDUP"} INDEX")
+          GraftAuth.demandPath(spark, d.path, write = true)
+          // delete under the writer lock (r17 review): an unserialized
+          // drop raced a live appender — the tree vanished under its
+          // in-flight write (which then resurrected orphan directories)
+          // and deleting the LIVE lock file let a third writer in. The
+          // lock's own release removes the lock file after the body.
           val p = new org.apache.hadoop.fs.Path(d.path)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.delete(p, true)
-          fs.delete(new org.apache.hadoop.fs.Path(s"${d.path}.lock"), false)
+          graft.pipeline.WriterLock.withLock(spark, d.path) {
+            fs.delete(p, true); ()
+          }
           GraftIndexRegistry.remove(spark, name)
           status(spark, "DROP INDEX", name, d.path)
       }

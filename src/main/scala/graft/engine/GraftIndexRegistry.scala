@@ -23,27 +23,36 @@ object GraftIndexRegistry {
   final case class IndexDef(name: String, family: String, path: String,
                             table: String, idCol: String, valCol: String)
 
-  private val bySession =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, IndexDef]]
-
-  private def map(spark: SparkSession) =
-    bySession.computeIfAbsent(spark,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, IndexDef])
+  // WEAKLY keyed by session (r17 review: a Thrift server makes a session
+  // per connection, and a strong static key would pin every one of them
+  // — SessionState, analyzer, cached plans — forever). All access goes
+  // through the synchronized wrapper; reads never insert.
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, IndexDef]])
 
   def put(spark: SparkSession, d: IndexDef): Unit = {
-    map(spark).put(d.name.toLowerCase, d); ()
+    bySession.synchronized {
+      var m = bySession.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, IndexDef]
+        bySession.put(spark, m)
+      }
+      m.put(d.name.toLowerCase, d)
+    }
+    ()
   }
 
   def get(spark: SparkSession, name: String): Option[IndexDef] =
-    Option(map(spark).get(name.toLowerCase))
+    Option(bySession.get(spark)).flatMap(m => Option(m.get(name.toLowerCase)))
 
   def remove(spark: SparkSession, name: String): Option[IndexDef] =
-    Option(map(spark).remove(name.toLowerCase))
+    Option(bySession.get(spark)).flatMap(m => Option(m.remove(name.toLowerCase)))
 
   def list(spark: SparkSession): Seq[IndexDef] = {
     import scala.jdk.CollectionConverters._
-    map(spark).values.asScala.toSeq.sortBy(_.name)
+    Option(bySession.get(spark))
+      .map(_.values.asScala.toSeq.sortBy(_.name)).getOrElse(Nil)
   }
 
   /** Resolve a TVF index argument: a registered name wins (checked

@@ -52,7 +52,7 @@ object ExactIndex {
 
   /** The data subtrees a version of this index owns (see
     * [[IndexVersions]] — also the legacy-root GC list). */
-  private val DataDirs = Seq("digests", "meta", "tagmeta", "applied")
+  private[pipeline] val DataDirs = Seq("digests", "meta", "tagmeta", "applied")
 
   /** The CURRENT version's data root (see [[MinhashIndex.dataRoot]]). */
   def dataRoot(spark: SparkSession, path: String): String =
@@ -165,14 +165,20 @@ object ExactIndex {
   }
 
   /** Stored per-tag counts; empty for a pre-r17 tree (every tag then
-    * footer-counts once and the map materializes). */
+    * footer-counts once and the map materializes) — and empty for a
+    * CORRUPTED tagmeta dir too (r17 review: a writer killed mid-overwrite
+    * leaves the dir existing but holding no committed parquet; treating
+    * that as fatal would fail every later append — falling back to the
+    * empty map forces a full footer recount, which self-heals it). */
   private def readTagMeta(spark: SparkSession,
                           root: String): Map[String, Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/tagmeta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Map.empty
-    else spark.read.parquet(s"$root/tagmeta").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    else
+      try spark.read.parquet(s"$root/tagmeta").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
 
   /** Footer-only row count of a parquet tree; 0 when it does not exist. */

@@ -109,8 +109,11 @@ object IndexStats {
     val legacyRows =
       if (familyOf(fs, path) != "unknown" && path != currentRoot) {
         val at = IndexVersions.supersededAtOf(fs, path, committed, 0)
-        val (files, bytes) = Seq("digests", "buckets", "vectors",
-            "centroids", "meta", "tagmeta", "applied", "sqstats")
+        // the union of every family's own DataDirs list — owned by the
+        // kernels, so a family adding a subtree is covered automatically
+        val (files, bytes) =
+          (ExactIndex.DataDirs ++ MinhashIndex.DataDirs ++
+            IvfIndex.DataDirs).distinct
           .map(d => contentOf(fs, new org.apache.hadoop.fs.Path(s"$path/$d")))
           .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         Seq((-1, true, false, Some(at).filter(_ != Long.MaxValue),

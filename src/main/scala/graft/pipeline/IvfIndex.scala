@@ -50,7 +50,7 @@ object IvfIndex {
     * filtered serve's predicate evaluates inside the pruned parquet scan. */
   /** The data subtrees a version of this index owns (see
     * [[IndexVersions]] — also the legacy-root GC list). */
-  private val DataDirs = Seq("centroids", "vectors", "meta", "sqstats")
+  private[pipeline] val DataDirs = Seq("centroids", "vectors", "meta", "sqstats")
 
   /** The CURRENT version's data root (see [[MinhashIndex.dataRoot]]). */
   def dataRoot(spark: SparkSession, path: String): String =

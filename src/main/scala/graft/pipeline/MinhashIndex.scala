@@ -28,7 +28,7 @@ object MinhashIndex {
 
   /** The data subtrees a version of this index owns (see
     * [[IndexVersions]] — also the legacy-root GC list). */
-  private val DataDirs = Seq("buckets", "meta", "applied")
+  private[pipeline] val DataDirs = Seq("buckets", "meta", "applied")
 
   /** The CURRENT version's data root — where `buckets`/`meta`/`applied`
     * live right now. Public for tests/probes that inspect the physical

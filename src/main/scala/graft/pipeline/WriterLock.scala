@@ -44,7 +44,7 @@ import org.apache.spark.sql.SparkSession
   * in r14 so the persisted-index families keep ONE copy of the acquire
   * semantics).
   */
-private[pipeline] object WriterLock {
+private[graft] object WriterLock {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -209,18 +209,47 @@ private[pipeline] object WriterLock {
     val cleanRelease =
       if (!renamed) false // lock already renamed aside / replaced: breach
       else {
-        val tombOwner = try {
-          val in = fs.open(tomb)
-          try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        } catch { case _: java.io.IOException => "" }
-        if (tombOwner == owner) { fs.delete(tomb, false); true }
-        else {
-          // we renamed a USURPER's lock aside (the lease was lost
-          // mid-body and a new owner claimed it): restore their lock
-          // best-effort before surfacing the breach
-          try { fs.rename(tomb, lock); () }
-          catch { case _: java.io.IOException => () }
-          false
+        // read what we renamed, RETRYING through transient store hiccups
+        // (r17 review: one failed read used to be misclassified as "we
+        // renamed a usurper's lock" — our own healthy release then threw
+        // a spurious breach and restored a dead, never-heartbeated lock)
+        var tombOwner: Option[String] = None
+        var attempt = 0
+        while (tombOwner.isEmpty && attempt < 5) {
+          attempt += 1
+          try {
+            val in = fs.open(tomb)
+            try tombOwner = Some(new String(in.readAllBytes(), "UTF-8"))
+            finally in.close()
+          } catch {
+            case _: java.io.IOException if attempt < 5 => Thread.sleep(100)
+            case _: java.io.IOException => ()
+          }
+        }
+        tombOwner match {
+          case Some(o) if o == owner => fs.delete(tomb, false); true
+          case Some(_) =>
+            // we renamed a USURPER's lock aside (the lease was lost
+            // mid-body and a new owner claimed it): restore their lock
+            // best-effort before surfacing the breach
+            try { fs.rename(tomb, lock); () }
+            catch { case _: java.io.IOException => () }
+            false
+          case None =>
+            // persistently unreadable: INDETERMINATE, not a proven
+            // breach. Restore the file to the lock position (if it was
+            // ours it is dead and the stability takeover reclaims it in
+            // one lease; if it was a usurper's it keeps excluding) and
+            // say exactly what happened — never silently delete what
+            // might be a foreign lock.
+            try { fs.rename(tomb, lock); () }
+            catch { case _: java.io.IOException => () }
+            val e = new IllegalStateException(
+              s"indeterminate release of $path.lock: the renamed lock " +
+                "file could not be read back after 5 attempts; the lock " +
+                "was restored and will clear via lease takeover")
+            if (bodyError != null) { bodyError.addSuppressed(e); throw bodyError }
+            throw e
         }
       }
     if (!cleanRelease) {

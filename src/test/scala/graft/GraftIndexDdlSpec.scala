@@ -112,6 +112,82 @@ class GraftIndexDdlSpec extends SparkTestBase {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(pEx)))
   }
 
+  test("index DDL is gated on protected storage paths (r17 review)") {
+    val cat = graft.engine.GraftCatalog.forSession(spark)
+    Seq("ixpath_u").foreach(u =>
+      if (cat.metaUsers.collect().exists(_.getString(0) == u)) cat.dropUser(u))
+    cat.createUser("ixpath_u", Some("pw"))
+    val prot = java.nio.file.Files.createTempDirectory("graft_prot_ix").toString
+    graft.engine.GraftAuth.install(cat, Set("prot_tab_ix"),
+      protectedPaths = Map(prot -> "prot_tab_ix"))
+    graft.engine.Tables.read(spark, sfDir, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+      .createOrReplaceTempView("ddl_gate_docs")
+    try {
+      // no credentials: CREATE into the protected directory is refused
+      // BEFORE any byte is written
+      val e1 = intercept[SecurityException](
+        sql("CREATE DEDUP INDEX gated_ix ON ddl_gate_docs(doc_id, text) " +
+          s"OPTIONS(kind 'exact', path '$prot/ix')"))
+      assert(e1.getMessage.contains("authentication failed"), e1.getMessage)
+      assert(graft.engine.GraftIndexRegistry.get(spark, "gated_ix").isEmpty)
+      // SELECT grant covers attach (alias registration) but not build
+      cat.grant("SELECT", "prot_tab_ix", "ixpath_u")
+      spark.conf.set("graft.auth.user", "ixpath_u")
+      spark.conf.set("graft.auth.password", "pw")
+      val e2 = intercept[SecurityException](
+        sql("CREATE DEDUP INDEX gated_ix ON ddl_gate_docs(doc_id, text) " +
+          s"OPTIONS(kind 'exact', path '$prot/ix')"))
+      assert(e2.getMessage.contains("privilege"), e2.getMessage)
+      // ALL grant lets the build through; DROP (a recursive delete of the
+      // protected directory) demands write too — revoke and try
+      cat.grant("ALL", "prot_tab_ix", "ixpath_u")
+      sql("CREATE DEDUP INDEX gated_ix ON ddl_gate_docs(doc_id, text) " +
+        s"OPTIONS(kind 'exact', path '$prot/ix')")
+      cat.revoke("ALL", "prot_tab_ix", "ixpath_u")
+      val e3 = intercept[SecurityException](sql("DROP DEDUP INDEX gated_ix"))
+      assert(e3.getMessage.contains("privilege"), e3.getMessage)
+      cat.grant("ALL", "prot_tab_ix", "ixpath_u")
+      sql("DROP DEDUP INDEX gated_ix")
+    } finally {
+      spark.conf.unset("graft.auth.user")
+      spark.conf.unset("graft.auth.password")
+      graft.engine.GraftAuth.uninstall()
+      cat.dropUser("ixpath_u")
+    }
+  }
+
+  test("DROP INDEX serializes against a live writer's lease (r17 review)") {
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    d.createOrReplaceTempView("ddl_drop_docs")
+    val p = tempPath("graft_ddl_droplock")
+    sql("CREATE DEDUP INDEX ddl_drop ON ddl_drop_docs(doc_id, text) " +
+      s"OPTIONS(kind 'exact', path '$p')")
+    // a "writer" holds the lock with a slow body; the DROP must wait for
+    // the release instead of deleting the tree (and the live lock file)
+    // out from under it
+    val writerInBody = new java.util.concurrent.CountDownLatch(1)
+    val writerDone = new java.util.concurrent.atomic.AtomicLong(0L)
+    val writer = new Thread(() => {
+      graft.pipeline.WriterLock.withLock(spark, p) {
+        writerInBody.countDown()
+        Thread.sleep(1200)
+        writerDone.set(System.nanoTime())
+      }
+    })
+    writer.start()
+    assert(writerInBody.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    sql("DROP DEDUP INDEX ddl_drop") // must block on the lease
+    val dropDone = System.nanoTime()
+    writer.join(10000)
+    assert(writerDone.get() != 0L && dropDone > writerDone.get(),
+      "DROP deleted the tree while a writer held a live lease")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$p.lock")),
+      "the drop's own lock release must clean the lock file")
+  }
+
   test("attach binds an existing tree; grammar and option diagnostics") {
     val d = graft.engine.Tables.read(spark, sfDir, "documents")
       .filter(col("doc_id") < 200)

@@ -385,6 +385,18 @@ class IncrementalDedupSpec extends SparkTestBase {
       "text", "doc_id", path, tag = "t2")
     assert(total2 == 6L, s"4 compacted + 1 orphaned + 1 new, got $total2")
     assert(metaDocs() == storedRows())
+    // a CORRUPTED tagmeta (writer killed mid-overwrite: dir exists, no
+    // committed parquet) must not brick the index — the next append
+    // falls back to a full footer recount and self-heals (r17 review)
+    val tagmeta = new java.io.File(
+      s"${ExactIndex.dataRoot(spark, path)}/tagmeta")
+    org.apache.commons.io.FileUtils.deleteDirectory(tagmeta)
+    assert(tagmeta.mkdirs())
+    val total3 = ExactIndex.append(
+      Seq((30L, "post-corruption batch")).toDF("doc_id", "text"),
+      "text", "doc_id", path, tag = "t3")
+    assert(total3 == 7L, s"recount through corrupted tagmeta, got $total3")
+    assert(metaDocs() == storedRows())
   }
 
   test("auto-compaction: the streaming gate's ingest partitions PLATEAU with zero manual compact calls (r15 verdict #7)") {
