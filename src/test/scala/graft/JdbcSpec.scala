@@ -219,6 +219,16 @@ class JdbcSpec extends SparkTestBase {
       //    call (r16 ADVICE: the old text router rejected this statement)
       val rsL = st.executeQuery("SELECT 'GRAFT_ANN_TOPK(x)' AS s")
       assert(rsL.next() && rsL.getString(1) == "GRAFT_ANN_TOPK(x)")
+
+      // 9. the TVF under a CTE — the remaining composition shape
+      val rsW = st.executeQuery(
+        s"WITH ann AS (SELECT * FROM GRAFT_ANN_TOPK('$ivf', " +
+          "'SELECT * FROM jdbc_embs WHERE vec_id < 3 AND vec_id < 400', " +
+          "'vec_id', 'embedding', 5)) " +
+          "SELECT q_id, COUNT(*) AS n FROM ann GROUP BY q_id ORDER BY q_id")
+      val cteAgg = Iterator.continually(rsW).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toList
+      assert(cteAgg == List((0L, 5L), (1L, 5L), (2L, 5L)), cteAgg.toString)
     } finally conn.close()
   }
 
