@@ -31,7 +31,8 @@ object GraftDdl {
     * starting with a DDL/DML verb — SELECT and friends stay in GraftSql). */
   def handles(sqlText: String): Boolean = sqlText match {
     case headRe(_) => true
-    case _ => false
+    // SHOW GRAFT INDEXES starts with a verb headRe does not carry
+    case _ => GraftIndexDdl.handles(sqlText)
   }
 
   def run(spark: SparkSession, text0: String): DataFrame =

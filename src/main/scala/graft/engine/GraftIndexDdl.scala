@@ -46,8 +46,10 @@ object GraftIndexDdl {
     """(?is)^ALTER\s+INDEX\s+"?(\w+)"?\s+(?:(COMPACT|RETRAIN)|APPEND\s+FROM\s+(.+?))\s*$""".r
   private val dropRe =
     """(?is)^DROP\s+(ANN|DEDUP)\s+INDEX\s+(?:(IF\s+EXISTS)\s+)?"?(\w+)"?\s*$""".r
+  private val showRe =
+    """(?is)^\s*SHOW\s+GRAFT\s+INDEXES\s*;?\s*$""".r
   private val headRe =
-    """(?is)^\s*(?:(?:CREATE|DROP)\s+(?:ANN|DEDUP)\s+INDEX|ALTER\s+INDEX)\b""".r
+    """(?is)^\s*(?:(?:CREATE|DROP)\s+(?:ANN|DEDUP)\s+INDEX|ALTER\s+INDEX|SHOW\s+GRAFT\s+INDEXES)\b""".r
 
   /** True when the statement is index-lifecycle DDL this object owns. */
   def handles(text: String): Boolean = headRe.findFirstIn(text).isDefined
@@ -94,6 +96,14 @@ object GraftIndexDdl {
   }
 
   def run(spark: SparkSession, text: String): DataFrame = text match {
+    case showRe() =>
+      // the session's registered index names — the catalog face of
+      // GraftIndexRegistry (per-tree details live in GRAFT_INDEX_STATS)
+      import spark.implicits._
+      GraftIndexRegistry.list(spark)
+        .map(d => (d.name, d.family, d.path, d.table, d.idCol, d.valCol))
+        .toDF("index", "family", "path", "table", "id_col", "val_col")
+
     case createRe(kindWord, ifNot, name, table, idCol, valCol, optText) =>
       val opts = Option(optText).map(parseOptions).getOrElse(Map.empty)
       val family = kindWord.toUpperCase match {

@@ -1593,6 +1593,21 @@ object PipelineQueries {
           s"pending_tags, meta FROM GRAFT_INDEX_STATS('${exactIndexPath(s, dir)}')")
     },
 
+    // ---- stats over the SECOND family (minhash): meta carries the
+    //      sketch parameters + the corpus count, all deterministic, so
+    //      this is a full oracle too (columns render sorted by name) ----
+    Q.df("q_sql_index_stats_minhash",
+      duck = """SELECT CAST(1 AS INTEGER) AS version, TRUE AS committed,
+        |  TRUE AS "current", 'current' AS retained_by,
+        |  'minhash' AS family, CAST(0 AS INTEGER) AS pending_tags,
+        |  'bands=4,k=16,n_docs=' || CAST(COUNT(*) AS VARCHAR) ||
+        |    ',shingle_n=3' AS meta
+        |FROM documents WHERE doc_id % 10 < 7""".stripMargin) { (s, dir) =>
+      graft.engine.GraftSql.sql(s,
+        s"SELECT version, committed, current, retained_by, family, " +
+          s"pending_tags, meta FROM GRAFT_INDEX_STATS('${minhashIndexPath(s, dir)}')")
+    },
+
     // ---- SQL index lifecycle (r16 verdict #2): the index is BUILT by
     //      DDL (CREATE ANN INDEX ... OPTIONS(lists 16, attrs 'label')) and
     //      served by NAME — the full-oracle replay is the same IvfAnnOracle

@@ -188,6 +188,25 @@ class GraftIndexDdlSpec extends SparkTestBase {
       "the drop's own lock release must clean the lock file")
   }
 
+  test("SHOW GRAFT INDEXES lists the session's registered names") {
+    val d = graft.engine.Tables.read(spark, sfDir, "documents")
+      .filter(col("doc_id") < 100).select("doc_id", "text")
+    d.createOrReplaceTempView("ddl_show_docs")
+    val p = tempPath("graft_ddl_show")
+    sql("CREATE DEDUP INDEX ddl_show_ix ON ddl_show_docs(doc_id, text) " +
+      s"OPTIONS(kind 'exact', path '$p')")
+    try {
+      val rows = sql("SHOW GRAFT INDEXES").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows.exists { case (n, f, path) =>
+        n == "ddl_show_ix" && f == "exact" && path == p
+      }, rows.mkString(", "))
+      // the listing flows through the session front door too
+      assert(spark.sql("SHOW GRAFT INDEXES").columns.toSeq ==
+        Seq("index", "family", "path", "table", "id_col", "val_col"))
+    } finally sql("DROP DEDUP INDEX ddl_show_ix")
+  }
+
   test("attach binds an existing tree; grammar and option diagnostics") {
     val d = graft.engine.Tables.read(spark, sfDir, "documents")
       .filter(col("doc_id") < 200)
