@@ -214,6 +214,32 @@ class JdbcSpec extends SparkTestBase {
       assert(rsS.next())
       assert(rsS.getString(1) == "current" && rsS.getString(2) == "exact" &&
         rsS.getString(3).startsWith("n_docs="), "index stats over the wire")
+      // hybrid RRF: ranks are exact integers, rrf a 6-digit round — the
+      // wire rows must match the Scala kernel value for value
+      val scalaRrf = graft.pipeline.Search.hybridTopK(d, "text", "doc_id",
+          graft.engine.Tables.read(spark, sfDir, "embeddings"), "embedding",
+          "vec_id", Seq("spark", "join", "merge"), queryId = 0L, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val rsR = st.executeQuery(
+        "SELECT * FROM GRAFT_HYBRID_RRF('jdbc_docs', 'text', 'doc_id', " +
+          "'jdbc_embs', 'embedding', 'vec_id', 'spark join merge', 0, 10)")
+      val wireRrf = Iterator.continually(rsR).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getDouble(2))).toList
+      assert(wireRrf == scalaRrf, "wire hybrid RRF diverged from the Scala path")
+      // n-gram decontamination over the wire, same split as the oracle row
+      val scalaDecon = graft.pipeline.Curation.ngramOverlap(
+          d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 97 === 0), "text", n = 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val rsD = st.executeQuery(
+        "SELECT * FROM GRAFT_DECONTAMINATE(" +
+          "'SELECT * FROM jdbc_docs WHERE doc_id % 97 <> 0', 'doc_id', " +
+          "'text', 'SELECT * FROM jdbc_docs WHERE doc_id % 97 = 0', " +
+          "'text', 3) ORDER BY doc_id")
+      val wireDecon = Iterator.continually(rsD).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2))).toList
+      assert(wireDecon == scalaDecon, "wire decontamination diverged")
 
       // 8. the call shape inside a string literal is DATA, not a function
       //    call (r16 ADVICE: the old text router rejected this statement)
