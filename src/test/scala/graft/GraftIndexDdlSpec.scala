@@ -101,10 +101,16 @@ class GraftIndexDdlSpec extends SparkTestBase {
     try sql("ALTER INDEX ddl_ex COMPACT")
     finally spark.conf.unset("graft.index.gc.minRetainMs")
     assert(pending("ddl_ex") == 0, "compact should fold the tag")
-    // minhash family check + drop both
+    // minhash family check + the minhash gate BY NAME: a re-keyed copy
+    // of the indexed corpus sketches identically (est 1.0 >= 0.5) and
+    // gates out completely
     val st = sql("SELECT family FROM GRAFT_INDEX_STATS('ddl_mh') " +
       "WHERE current").collect()
     assert(st.head.getString(0) == "minhash")
+    val mhGated = sql("SELECT * FROM GRAFT_DEDUP_GATE('ddl_mh', " +
+      "'SELECT doc_id + 5000000 AS doc_id, text FROM ddl_docs', " +
+      "'text', 'doc_id', 'minhash', 0.5)").count()
+    assert(mhGated == 0L, s"re-keyed corpus should gate out, got $mhGated")
     val eVerb = intercept[IllegalArgumentException](sql("DROP ANN INDEX ddl_ex"))
     assert(eVerb.getMessage.contains("DROP DEDUP INDEX"), eVerb.getMessage)
     sql("DROP DEDUP INDEX ddl_ex")
