@@ -1026,7 +1026,10 @@ object FuzzQueries {
   private val seeds5: Seq[Int] = 0 until 12
   private val seeds6: Seq[Int] = 0 until 10
   private val seeds7: Seq[Int] = 0 until 10
-  private val seeds8: Seq[Int] = 0 until 10
+  // 0-9 skew toward the bm25 forms; 10-15 add three dedup-gate-DDL and
+  // two decontaminate draws so every fuzz8 form is driver-checked each
+  // round (widening = ADDING seeds, the pinning rule above)
+  private val seeds8: Seq[Int] = 0 until 16
 
   val qs: Seq[Q] = seeds.map { s =>
     val text = genSql(s)
