@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions.expr
@@ -47,14 +46,17 @@ object GraftTableFunctions {
   type Builder = Seq[Expression] => LogicalPlan
 
   // ---- literal-argument extraction -----------------------------------
-  // TVF arguments arrive as parsed (unresolved) expressions; the GRAFT
-  // forms take literals only. A bare identifier (UnresolvedAttribute) is
-  // accepted wherever a string is expected — `FROM graft_index_stats(ix)`
-  // reads as naturally as the quoted form.
+  // TVF arguments arrive as parsed expressions; the GRAFT forms take
+  // literals ONLY. A bare identifier never reaches the builder — the
+  // analyzer refuses to resolve a table function whose arguments hold
+  // unresolved attributes (UNRESOLVED_COLUMN), so `graft_index_stats(ix)`
+  // must be spelled `graft_index_stats('ix')`. In a LATERAL join a
+  // correlated column DOES resolve — to an attribute, not a literal —
+  // and the diagnostic below names the unsupported correlation instead
+  // of silently reading the column name as the argument value.
 
   private def strOpt(e: Expression): Option[String] = e match {
     case Literal(v, StringType) if v != null => Some(v.toString)
-    case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
     case _ => None
   }
 
@@ -76,7 +78,9 @@ object GraftTableFunctions {
   private def str(args: Seq[Expression], i: Int, fn: String,
                   what: String): String =
     strOpt(args(i)).getOrElse(fail(fn,
-      s"$what (argument ${i + 1}) must be a string literal, got: ${args(i).sql}"))
+      s"$what (argument ${i + 1}) must be a string literal " +
+        "(correlated/LATERAL column arguments are not supported), got: " +
+        args(i).sql))
 
   private def num(args: Seq[Expression], i: Int, fn: String,
                   what: String): Double =

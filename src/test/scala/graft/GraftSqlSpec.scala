@@ -578,5 +578,16 @@ class GraftSqlSpec extends SparkTestBase {
     val lit = graft.engine.GraftSql.sql(spark,
       "SELECT 'GRAFT_ANN_TOPK(x)' AS s").collect()
     assert(lit.head.getString(0) == "GRAFT_ANN_TOPK(x)")
+    // a bare identifier argument never reaches the builder: the analyzer
+    // refuses the unresolved attribute (quote your names) — and a
+    // RESOLVED non-literal (the LATERAL correlation shape) gets the
+    // builder's own diagnostic naming the unsupported correlation
+    graft.engine.Tables.registerAll(spark, sfDir)
+    val e6 = fails("SELECT * FROM GRAFT_SEARCH_BM25(documents, 'text', " +
+      "'doc_id', 'spark', 5)")
+    assert(e6.contains("UNRESOLVED_COLUMN") || e6.contains("cannot be resolved"), e6)
+    val e7 = fails("SELECT * FROM GRAFT_SEARCH_BM25('documents', 'text', " +
+      "'doc_id', concat('a', 'b'), 5)")
+    assert(e7.contains("correlated/LATERAL") || e7.contains("string literal"), e7)
   }
 }
