@@ -123,8 +123,14 @@ object GraftTableFunctions {
     * see through the argument string (r17: the registry path must not
     * become a read-gate bypass). */
   private[engine] def inputFrame(spark: SparkSession, s: String): DataFrame = {
+    // a bare (possibly dotted) name, or a backticked multipart name —
+    // spark.table parses backticks natively; anything else is a query
+    val namePart = """(?:[A-Za-z_]\w*|`(?:[^`]|``)+`)"""
     val df =
-      if (s.matches("(?i)[A-Za-z_][\\w.]*")) spark.table(s) else spark.sql(s)
+      if (s.matches("(?i)[A-Za-z_][\\w.]*") ||
+          s.matches(s"$namePart(?:\\.$namePart)*"))
+        spark.table(s)
+      else spark.sql(s)
     GraftAuth.check(spark, df.queryExecution.logical)
     df
   }

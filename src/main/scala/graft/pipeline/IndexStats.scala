@@ -109,11 +109,19 @@ object IndexStats {
     val legacyRows =
       if (familyOf(fs, path) != "unknown" && path != currentRoot) {
         val at = IndexVersions.supersededAtOf(fs, path, committed, 0)
-        // the union of every family's own DataDirs list — owned by the
-        // kernels, so a family adding a subtree is covered automatically
-        val (files, bytes) =
-          (ExactIndex.DataDirs ++ MinhashIndex.DataDirs ++
+        // the DETECTED family's own DataDirs list (r17 ADVICE: the
+        // all-family union was correct only while no two families share
+        // a dir name — a family adding an overlapping subtree would have
+        // double-counted); still owned by the kernels, so a family
+        // adding a subtree stays covered automatically
+        val familyDirs = familyOf(fs, path) match {
+          case "exact" => ExactIndex.DataDirs
+          case "minhash" => MinhashIndex.DataDirs
+          case "ann" => IvfIndex.DataDirs
+          case _ => (ExactIndex.DataDirs ++ MinhashIndex.DataDirs ++
             IvfIndex.DataDirs).distinct
+        }
+        val (files, bytes) = familyDirs
           .map(d => contentOf(fs, new org.apache.hadoop.fs.Path(s"$path/$d")))
           .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
         Seq((-1, true, false, Some(at).filter(_ != Long.MaxValue),

@@ -204,6 +204,7 @@ private[graft] object WriterLock {
     // OUR rename fail instead of us deleting a foreign lock.
     val tomb = new org.apache.hadoop.fs.Path(
       s"$path.lock.released.${java.util.UUID.randomUUID()}")
+    var restoreFailed = false
     val renamed = try fs.rename(lock, tomb)
                   catch { case _: java.io.IOException => false }
     val cleanRelease =
@@ -231,9 +232,21 @@ private[graft] object WriterLock {
           case Some(_) =>
             // we renamed a USURPER's lock aside (the lease was lost
             // mid-body and a new owner claimed it): restore their lock
-            // best-effort before surfacing the breach
-            try { fs.rename(tomb, lock); () }
-            catch { case _: java.io.IOException => () }
+            // best-effort before surfacing the breach. If a third waiter
+            // created a fresh lock meanwhile the restore rename FAILS —
+            // the usurper then believes it holds a lock that no longer
+            // exists while the third writer proceeds, so the failure is
+            // logged and carried into the breach exception (r17 ADVICE:
+            // it used to be swallowed silently).
+            val restored =
+              try fs.rename(tomb, lock)
+              catch { case _: java.io.IOException => false }
+            if (!restored) {
+              restoreFailed = true
+              log.warn(s"restoring the usurper's lock at $path.lock " +
+                "failed (a third writer likely created a fresh lock): " +
+                "TWO writers may now believe they hold the lock")
+            }
             false
           case None =>
             // persistently unreadable: INDETERMINATE, not a proven
@@ -260,7 +273,12 @@ private[graft] object WriterLock {
       val breach = new IllegalStateException(
         s"writer lease on $path.lock lost while the body ran " +
           s"(current owner: ${ownerOf().getOrElse("<gone>")}): increase " +
-          "graft.index.lock.leaseMs beyond worst-case pauses")
+          "graft.index.lock.leaseMs beyond worst-case pauses" +
+          (if (restoreFailed)
+            "; ADDITIONALLY the usurper's lock could not be restored " +
+              "after being renamed aside — a third writer holds a fresh " +
+              "lock and TWO writers may be live"
+          else ""))
       if (bodyError != null) { bodyError.addSuppressed(breach); throw bodyError }
       throw breach
     }

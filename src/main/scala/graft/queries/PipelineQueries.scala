@@ -1619,19 +1619,51 @@ object PipelineQueries {
       val p = ivfIndexCache.computeIfAbsent(s"$dir#lifecycle", _ => {
         val p0 = java.nio.file.Files.createTempDirectory("graft_ddl_ivf")
           .toString + "/ix"
+        // OR REPLACE (r17 verdict #1): names are DURABLE in the warehouse
+        // catalog now, and a previous JVM's registration points at a temp
+        // tree that no longer exists — replace rebinds unconditionally
         graft.engine.GraftSql.sql(s,
-          "CREATE ANN INDEX graft_life_ix ON graft_tvf_embs(vec_id, " +
-            s"embedding) OPTIONS(lists 16, attrs 'label', path '$p0')")
+          "CREATE OR REPLACE ANN INDEX graft_life_ix ON graft_tvf_embs(" +
+            s"vec_id, embedding) OPTIONS(lists 16, attrs 'label', path '$p0')")
         p0
       })
-      // idempotent re-attach: a session that hits the warm cross-session
-      // cache still needs the NAME bound in ITS registry
+      // re-bind idempotently on the warm cross-session cache: the durable
+      // entry may be a stale previous-JVM path, so rebind by REPLACE
       graft.engine.GraftSql.sql(s,
-        "CREATE ANN INDEX IF NOT EXISTS graft_life_ix ON graft_tvf_embs(" +
+        "CREATE OR REPLACE ANN INDEX graft_life_ix ON graft_tvf_embs(" +
           s"vec_id, embedding) OPTIONS(path '$p', attach true)")
       graft.engine.GraftSql.sql(s,
         "SELECT * FROM GRAFT_ANN_TOPK('graft_life_ix', " +
           "'SELECT * FROM graft_tvf_embs WHERE vec_id < 5', 'vec_id', " +
+          "'embedding', 10) ORDER BY q_id, rk")
+    },
+
+    // ---- DURABLE index names (r17 verdict #1): the registration above
+    //      lives in the warehouse-backed catalog, so a DIFFERENT session
+    //      (sharing the warehouse the way every Thrift connection does)
+    //      serves by NAME with no re-attach — same full IvfAnnOracle, so
+    //      the cross-session serve is hash-pinned to the Scala path ----
+    Q.df("q_sql_index_catalog", duck = IvfAnnOracle) { (s, dir) =>
+      embs(s, dir).createOrReplaceTempView("graft_tvf_embs")
+      val p = ivfIndexCache.computeIfAbsent(s"$dir#lifecycle", _ => {
+        val p0 = java.nio.file.Files.createTempDirectory("graft_ddl_ivf")
+          .toString + "/ix"
+        graft.engine.GraftSql.sql(s,
+          "CREATE OR REPLACE ANN INDEX graft_life_ix ON graft_tvf_embs(" +
+            s"vec_id, embedding) OPTIONS(lists 16, attrs 'label', path '$p0')")
+        p0
+      })
+      graft.engine.GraftSql.sql(s,
+        "CREATE OR REPLACE ANN INDEX graft_life_ix ON graft_tvf_embs(" +
+          s"vec_id, embedding) OPTIONS(path '$p', attach true)")
+      // a FRESH session: no temp views, no session registry — the name
+      // must resolve through the durable catalog alone (the query side is
+      // passed as a SELECT over a view registered in the new session)
+      val s2 = s.newSession()
+      embs(s2, dir).createOrReplaceTempView("graft_catalog_embs")
+      graft.engine.GraftSql.sql(s2,
+        "SELECT * FROM GRAFT_ANN_TOPK('graft_life_ix', " +
+          "'SELECT * FROM graft_catalog_embs WHERE vec_id < 5', 'vec_id', " +
           "'embedding', 10) ORDER BY q_id, rk")
     },
 

@@ -266,6 +266,7 @@ class JdbcSpec extends SparkTestBase {
         s"OPTIONS (path '$sfDir/embeddings.parquet')")
       val p = java.nio.file.Files.createTempDirectory("graft_jdbc_life")
         .toString + "/ix"
+      st.execute("DROP ANN INDEX IF EXISTS wire_ix") // durable leftovers
       // 1. CREATE ANN INDEX entirely over the wire
       val rs0 = st.executeQuery("CREATE ANN INDEX wire_ix ON life_embs(" +
         s"vec_id, embedding) OPTIONS(lists 8, attrs 'label', path '$p')")
@@ -302,6 +303,69 @@ class JdbcSpec extends SparkTestBase {
         st.executeQuery("ALTER INDEX wire_ix COMPACT"))
       assert(err.getMessage.contains("not registered"), err.getMessage)
     } finally conn.close()
+  }
+
+  test("index names are durable ACROSS connections; tagged APPEND retries are idempotent on the wire (r17 verdicts #1/#2)") {
+    // the thrift server gives each connection an isolated session — the
+    // exact shape the durable warehouse catalog exists for: CREATE on
+    // connection A, serve by NAME on connection B, retry an APPEND on B,
+    // DROP on connection C
+    val connA = connect(thriftPort)
+    val connB = connect(thriftPort)
+    val connC = connect(thriftPort)
+    try {
+      val stA = connA.createStatement()
+      stA.execute("CREATE OR REPLACE TEMPORARY VIEW dur_embs USING parquet " +
+        s"OPTIONS (path '$sfDir/embeddings.parquet')")
+      val p = java.nio.file.Files.createTempDirectory("graft_jdbc_dur")
+        .toString + "/ix"
+      stA.execute("DROP ANN INDEX IF EXISTS wire_dur_ix")
+      stA.execute("CREATE ANN INDEX wire_dur_ix ON dur_embs(vec_id, " +
+        s"embedding) OPTIONS(lists 8, path '$p')")
+      // connection B: fresh session, no re-attach — the name must resolve
+      // through the warehouse catalog
+      val stB = connB.createStatement()
+      stB.execute("CREATE OR REPLACE TEMPORARY VIEW dur_embs_b USING parquet " +
+        s"OPTIONS (path '$sfDir/embeddings.parquet')")
+      val e = graft.engine.Tables.read(spark, sfDir, "embeddings")
+      val expect = graft.pipeline.IvfIndex.topK(spark, p,
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      val rs = stB.executeQuery("SELECT * FROM GRAFT_ANN_TOPK(" +
+        "'wire_dur_ix', 'SELECT * FROM dur_embs_b WHERE vec_id < 3', " +
+        "'vec_id', 'embedding', 5) ORDER BY q_id, rk")
+      val wire = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+        .toList
+      assert(wire == expect,
+        "cross-connection serve by durable name diverged from the Scala path")
+      // SHOW on connection B lists the durable entry (temporary=false)
+      val rsShow = stB.executeQuery("SHOW GRAFT INDEXES")
+      var sawDurable = false
+      while (rsShow.next())
+        if (rsShow.getString(1) == "wire_dur_ix" &&
+            !rsShow.getBoolean(7)) sawDurable = true
+      assert(sawDurable, "SHOW must list the durable entry on a new connection")
+      // a RETRIED tagged APPEND on B must not double-insert (the retry a
+      // JDBC client issues after a timeout on a completed statement)
+      val append = "ALTER INDEX wire_dur_ix APPEND FROM (SELECT vec_id + " +
+        "700000 AS vec_id, embedding FROM dur_embs_b WHERE vec_id < 40) " +
+        "TAG 'wire_retry_1'"
+      stB.execute(append)
+      val frac1 = graft.pipeline.IvfIndex.appendedFraction(spark, p)
+      stB.execute(append) // the retry
+      assert(graft.pipeline.IvfIndex.appendedFraction(spark, p) == frac1,
+        "a retried tagged APPEND double-inserted over the wire")
+      // connection C drops by name; the other connections observe it gone
+      connC.createStatement().execute("DROP ANN INDEX wire_dur_ix")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      val err = intercept[java.sql.SQLException](
+        stA.executeQuery("ALTER INDEX wire_dur_ix RETRAIN"))
+      assert(err.getMessage.contains("not registered"), err.getMessage)
+    } finally { connA.close(); connB.close(); connC.close() }
   }
 
   test("GRANT/REVOKE observably gates wire queries (round-9 ask #8)") {
