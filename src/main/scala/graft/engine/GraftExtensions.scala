@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // resolved by the analyzer, so they compose with joins, CTEs,
     // projections and CREATE VIEW from any front door (r16 verdict #1)
     GraftTableFunctions.descriptors.foreach(e.injectTableFunction(_))
+    // LATERAL GRAFT_ANN_TOPK: the placeholder the TVF builder returns
+    // for correlated arguments rewrites into the batched probe join in
+    // the analyzer's main resolution batch (r17 verdict #3)
+    e.injectResolutionRule(session => new ResolveGraftLateralAnnTopk(session))
     // GridDB-dialect statement parser: hints, time-fn call forms, DDL,
     // MATCH_RECOGNIZE and GROUP BY RANGE work through ANY sql entry point
     // of the session — including the Thrift/JDBC server (JdbcSpec drives

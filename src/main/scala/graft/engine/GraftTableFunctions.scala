@@ -47,13 +47,15 @@ object GraftTableFunctions {
 
   // ---- literal-argument extraction -----------------------------------
   // TVF arguments arrive as parsed expressions; the GRAFT forms take
-  // literals ONLY. A bare identifier never reaches the builder — the
-  // analyzer refuses to resolve a table function whose arguments hold
-  // unresolved attributes (UNRESOLVED_COLUMN), so `graft_index_stats(ix)`
-  // must be spelled `graft_index_stats('ix')`. In a LATERAL join a
-  // correlated column DOES resolve — to an attribute, not a literal —
-  // and the diagnostic below names the unsupported correlation instead
-  // of silently reading the column name as the argument value.
+  // literals ONLY — except GRAFT_ANN_TOPK's correlated form (r17 verdict
+  // #3), where the query id/vector arrive as OuterReferences from a
+  // LATERAL join and route to [[GraftLateralAnnTopk]]. A bare identifier
+  // never reaches the builder — the analyzer refuses to resolve a table
+  // function whose arguments hold unresolved attributes
+  // (UNRESOLVED_COLUMN), so `graft_index_stats(ix)` must be spelled
+  // `graft_index_stats('ix')`. For every OTHER function a correlated
+  // column still fails with the diagnostic below instead of silently
+  // reading the column name as the argument value.
 
   private def strOpt(e: Expression): Option[String] = e match {
     case Literal(v, StringType) if v != null => Some(v.toString)
@@ -91,7 +93,9 @@ object GraftTableFunctions {
     "graft_ann_topk" ->
       ("GRAFT_ANN_TOPK(index, queries, 'idCol', 'vecCol', k [, nProbe] " +
         "[, 'predicate']) — index: a registered index name or path; " +
-        "queries: a table/view name or a full SELECT"),
+        "queries: a table/view name or a full SELECT. Correlated form " +
+        "(in a LATERAL join): GRAFT_ANN_TOPK(index, qIdExpr, qVecExpr, " +
+        "k [, nProbe] [, 'predicate'])"),
     "graft_dedup_gate" ->
       ("GRAFT_DEDUP_GATE(index, batch, 'textCol', 'idCol', " +
         "'exact'|'minhash' [, minEstSim])"),
@@ -135,8 +139,18 @@ object GraftTableFunctions {
     df
   }
 
+  /** True when the expression carries a correlated (LATERAL) column. */
+  private def correlated(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.OuterReference])
+
   private def annTopK(args: Seq[Expression]): LogicalPlan = {
     val fn = "graft_ann_topk"
+    // correlated (LATERAL) form (r17 verdict #3): the 2nd/3rd arguments
+    // are OUTER-ROW expressions, not literals — return the placeholder
+    // the injected ResolveGraftLateralAnnTopk rule rewrites into the
+    // batched probe join
+    if (args.length >= 3 && (correlated(args(1)) || correlated(args(2))))
+      return annTopKLateral(args)
     arity(fn, args, 5, 7)
     val spark = SparkSession.active
     val path = GraftIndexRegistry.resolvePath(spark, str(args, 0, fn, "index"),
@@ -156,6 +170,34 @@ object GraftTableFunctions {
     val queries = inputFrame(spark, str(args, 1, fn, "queries"))
     graft.pipeline.IvfIndex.topK(spark, path, queries, idCol, vecCol, k,
       nProbe = nProbe, predicate = predicate).queryExecution.logical
+  }
+
+  /** The correlated form: GRAFT_ANN_TOPK(index, qIdExpr, qVecExpr, k
+    * [, nProbe] [, 'predicate']) inside a LATERAL join. Scalar arguments
+    * validate here; the index path resolves (auth-gated) here; the
+    * enclosing LateralJoin rewrites in [[ResolveGraftLateralAnnTopk]]. */
+  private def annTopKLateral(args: Seq[Expression]): LogicalPlan = {
+    val fn = "graft_ann_topk"
+    if (args.size < 4 || args.size > 6)
+      fail(fn, "the correlated form takes 4-6 arguments " +
+        "(index, qIdExpr, qVecExpr, k [, nProbe] [, 'predicate']), got " +
+        args.size.toString)
+    val spark = SparkSession.active
+    val path = GraftIndexRegistry.resolvePath(spark, str(args, 0, fn, "index"),
+      wantFamily = Some("ann"))
+    if (!correlated(args(1)) || !correlated(args(2)))
+      fail(fn, "the correlated form needs BOTH the query id (argument 2) " +
+        "and the query vector (argument 3) from the outer row")
+    val k = num(args, 3, fn, "k").toInt
+    val tail = args.drop(4)
+    if (tail.exists(a => numOpt(a).isEmpty && strOpt(a).isEmpty) ||
+        tail.count(a => numOpt(a).isDefined) > 1 ||
+        tail.count(a => numOpt(a).isEmpty && strOpt(a).isDefined) > 1)
+      fail(fn, "optional arguments are [nProbe][, 'predicate'] — one of each")
+    val nProbe = tail.flatMap(numOpt).headOption.map(_.toInt).getOrElse(4)
+    val predicate =
+      tail.filter(a => numOpt(a).isEmpty).flatMap(strOpt).headOption
+    GraftLateralAnnTopk(path, args(1), args(2), k, nProbe, predicate)
   }
 
   private def dedupGate(args: Seq[Expression]): LogicalPlan = {

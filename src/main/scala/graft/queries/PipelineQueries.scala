@@ -1528,6 +1528,21 @@ object PipelineQueries {
            |ORDER BY t.q_id, t.rk""".stripMargin)
     },
 
+    // ---- CORRELATED (LATERAL) TVF (r17 verdict #3): the query id and
+    //      vector come from the OUTER row; the analyzer rewrite lowers
+    //      the lateral join onto the SAME batched probe kernel, so the
+    //      full IvfAnnOracle pins it hash-identical to every other ANN
+    //      serve face ----
+    Q.df("q_sql_ann_lateral", duck = IvfAnnOracle) { (s, dir) =>
+      embs(s, dir).createOrReplaceTempView("graft_tvf_embs")
+      graft.engine.GraftSql.sql(s,
+        s"""SELECT o.vec_id AS q_id, t.c_id, t.cos, t.rk
+           |FROM (SELECT * FROM graft_tvf_embs WHERE vec_id < 5) o,
+           |LATERAL GRAFT_ANN_TOPK('${ivfIndexPath(s, dir)}', o.vec_id,
+           |  o.embedding, 10) t
+           |ORDER BY q_id, rk""".stripMargin)
+    },
+
     // ---- CREATE VIEW over the TVF + an aggregate over the view: the
     //      second statement never names the function — it resolves
     //      through the session catalog like any view ----

@@ -359,6 +359,23 @@ class JdbcSpec extends SparkTestBase {
       stB.execute(append) // the retry
       assert(graft.pipeline.IvfIndex.appendedFraction(spark, p) == frac1,
         "a retried tagged APPEND double-inserted over the wire")
+      // the CORRELATED (lateral) form over the wire, by the durable name
+      // (r17 verdict #3): per-outer-row probing from plain JDBC SQL
+      val rsLat = stB.executeQuery(
+        "SELECT o.vec_id, t.c_id, t.cos, t.rk FROM (SELECT * FROM " +
+          "dur_embs_b WHERE vec_id < 3) o, LATERAL GRAFT_ANN_TOPK(" +
+          "'wire_dur_ix', o.vec_id, o.embedding, 5) t ORDER BY o.vec_id, t.rk")
+      val lat = Iterator.continually(rsLat).takeWhile(_.next())
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+        .toList
+      val expectLat = graft.pipeline.IvfIndex.topK(spark, p,
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+          "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq
+      assert(lat == expectLat,
+        "lateral wire serve diverged from the batched kernel")
       // connection C drops by name; the other connections observe it gone
       connC.createStatement().execute("DROP ANN INDEX wire_dur_ix")
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
