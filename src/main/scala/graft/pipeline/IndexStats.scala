@@ -6,8 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * one row per [[IndexVersions]] version (plus the legacy root when
   * pre-versioned trees still exist), with the GC disposition each version
   * currently holds, the on-disk footprint, the index family, the pending
-  * foldable ingest tags, and the family meta rendered as `k=v` pairs.
-  * Exposed to SQL/JDBC as `GRAFT_INDEX_STATS(index)`.
+  * foldable ingest tags, the newest applied STREAMING batch
+  * (`last_batch_tag`/`last_batch_rows` — the gate-progress observables
+  * that move micro-batch by micro-batch, r17 verdict #6), and the family
+  * meta rendered as `k=v` pairs. Exposed to SQL/JDBC as
+  * `GRAFT_INDEX_STATS(index)`.
   *
   * `retained_by` tokens (mirroring [[IndexVersions.commit]]'s GC rule):
   *  - `current`: the version probes resolve right now
@@ -98,6 +101,23 @@ object IndexStats {
       case "minhash" => IngestMarkers.foldablePendingTags(spark, path, "buckets")
       case _ => 0
     }
+    // streaming-gate progress (r17 verdict #6): the highest APPLIED batch
+    // marker (`b<id>`, written by the incremental gates' foreachBatch
+    // commit protocol) and its recorded survivor count — the observable
+    // that moves batch-by-batch while a gate runs. One dir listing plus
+    // one single-file marker count, only when batch markers exist;
+    // non-batch tags (DDL/client appends) do not participate.
+    val lastBatch = IngestMarkers.markedTags(spark, path)
+      .flatMap { t => "b(\\d+)".r.unapplySeq(t).flatMap(_.headOption)
+        .map(id => (id.toLong, t)) }
+      .maxByOption(_._1)
+    val (lastBatchTag, lastBatchRows) = lastBatch match {
+      case Some((_, t)) =>
+        val rows = IngestMarkers.appliedMarker(spark, path, t)
+          .map(_.count()).getOrElse(-1L)
+        (t, rows)
+      case None => ("", -1L)
+    }
     val meta = metaSummary(spark, currentRoot)
     val versionRows = vs.map { case (v, c) =>
       val (at, label) = disposition(v, c)
@@ -136,6 +156,10 @@ object IndexStats {
       .withColumn("family", org.apache.spark.sql.functions.lit(family))
       .withColumn("pending_tags",
         org.apache.spark.sql.functions.lit(pendingTags))
+      .withColumn("last_batch_tag",
+        org.apache.spark.sql.functions.lit(lastBatchTag))
+      .withColumn("last_batch_rows",
+        org.apache.spark.sql.functions.lit(lastBatchRows))
       .withColumn("meta", org.apache.spark.sql.functions.lit(meta))
   }
 }

@@ -506,6 +506,49 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(collected.sorted == Seq(60L, 62L))
   }
 
+  test("GRAFT_INDEX_STATS observes a streaming gate batch-by-batch (r17 verdict #6)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_obs_stream").toString
+    ExactIndex.build(corpus, "text", "doc_id", idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_obs_src").toString
+    def stats() = graft.engine.GraftSql.sql(spark,
+      s"SELECT last_batch_tag, last_batch_rows, pending_tags FROM " +
+        s"GRAFT_INDEX_STATS('$idxPath') WHERE current").collect().head
+    // before any batch: no batch marker to report
+    val s0 = stats()
+    assert(s0.getString(0) == "" && s0.getLong(1) == -1L, s0.toString)
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = graft.streaming.StreamingOps
+        .incrementalExactDedupStream(stream, "text", "doc_id", idxPath) {
+          (_, _, _) => ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$srcDir/_ckpt")
+        .start()
+      q.awaitTermination()
+    }
+    // batch 0: two fresh docs survive -> b0 / 2 rows / 1 foldable tag
+    Seq((80L, "observability stream first fresh body"),
+        (81L, "observability stream second fresh body"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    drain()
+    val s1 = stats()
+    assert(s1.getString(0) == "b0" && s1.getLong(1) == 2L &&
+      s1.getInt(2) == 1, s1.toString)
+    // batch 1: one duplicate of a survivor + one fresh -> b1 / 1 row; the
+    // stats view MOVES with the stream (tag advances, counts are the
+    // batch's own survivors)
+    Seq((82L, "observability stream first fresh body"),
+        (83L, "observability stream third fresh body"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    drain()
+    val s2 = stats()
+    assert(s2.getString(0) == "b1" && s2.getLong(1) == 1L &&
+      s2.getInt(2) == 2, s2.toString)
+  }
+
   test("default append tags never reuse an issued tag after compact shrinks the meta count (r15 review)") {
     // build 2 docs, append 1 under a DEFAULT tag, mark it, compact (exact
     // recount can only move nDocs down or hold) — a second default append
