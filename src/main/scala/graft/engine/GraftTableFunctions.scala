@@ -305,10 +305,26 @@ object GraftTableFunctions {
       d("graft_index_stats", indexStats))
   }
 
-  /** Register into an existing session's table-function registry
-    * (idempotent — re-registration replaces the same builder). */
-  def register(spark: SparkSession): Unit =
-    descriptors.foreach { case (id, info, b) =>
-      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, b)
+  // once-per-session guard (r18): operators call registerAll on every
+  // query build — unguarded, each build re-registered all six TVFs and
+  // logged six "replaced a previously registered function" WARNs (sync
+  // stderr I/O per build; a bench run emits ~900 of them). Same weak-key +
+  // sentinel-probe discipline as GridDbScalarFunctions.register.
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register into an existing session's table-function registry, once per
+    * session (re-registration replaces the same builder, so the guard is
+    * purely a cost/log-noise fix; the sentinel probe self-repairs if the
+    * registry was cleared out from under us). */
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    val reg = spark.sessionState.tableFunctionRegistry
+    val fresh = registered.add(spark)
+    if (fresh || !reg.functionExists(descriptors.head._1)) {
+      descriptors.foreach { case (id, info, b) =>
+        reg.registerFunction(id, info, b)
+      }
     }
+  }
 }

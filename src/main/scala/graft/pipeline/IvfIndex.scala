@@ -396,6 +396,50 @@ object IvfIndex {
     spark.read.parquet(s"$root/centroids").orderBy("cluster")
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** In-process centroid cache for the serve path (r18, guide §1/§5: the
+    * coarse quantizer is the one piece of an IVF index every production
+    * engine pins in RAM). Centroids within a committed version root are
+    * immutable — build/retrain stage a NEW `v=N` and appends never touch
+    * `centroids/` — so a (root, _COMMITTED-mtime) key can never serve
+    * stale data: a DROP + re-CREATE that recycles `v=1` gets a fresh
+    * commit stamp. Legacy (unversioned) roots have no commit marker and
+    * skip the cache. Bounded LRU of soft references: at most
+    * [[Similarity.MaxCentroidCells]] doubles per entry, entries evict
+    * under memory pressure or beyond 64 indexes. */
+  private val centroidCache =
+    new java.util.LinkedHashMap[(String, Long),
+        java.lang.ref.SoftReference[Array[Array[Double]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            java.lang.ref.SoftReference[Array[Array[Double]]]]): Boolean =
+        size() > 64
+    }
+
+  private def commitStamp(spark: SparkSession, root: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$root/_COMMITTED")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getModificationTime
+    } catch { case _: java.io.IOException => -1L }
+
+  private def centroidsFor(spark: SparkSession, root: String): Array[Array[Double]] = {
+    val stamp = commitStamp(spark, root)
+    if (stamp < 0) loadCentroids(spark, root) // legacy root: no version identity
+    else {
+      val key = (root, stamp)
+      val hit = centroidCache.synchronized {
+        Option(centroidCache.get(key)).flatMap(r => Option(r.get))
+      }
+      hit.getOrElse {
+        val cents = loadCentroids(spark, root)
+        centroidCache.synchronized {
+          centroidCache.put(key, new java.lang.ref.SoftReference(cents))
+        }
+        cents
+      }
+    }
+  }
+
   /** Top-k cosine neighbors of each query row against the indexed corpus.
     * Only the probed clusters' partitions are scanned: the probed-list
     * collect is bounded by nLists (distinct BEFORE collect), so pruning is
@@ -460,7 +504,7 @@ object IvfIndex {
     // retrain can neither invalidate this plan nor mix versions
     // (IndexVersionsSpec races probes against retrains to prove it)
     val root = retryThroughSwap(IndexVersions.currentRoot(spark, path))
-    val cents = retryThroughSwap(loadCentroids(spark, root))
+    val cents = retryThroughSwap(centroidsFor(spark, root))
     // the unfiltered serve never reads attr columns, so it skips the meta
     // open; a filtered serve reads meta FIRST (retried — r15 ADVICE: this
     // read raced in-place meta rewrites; meta is append-only now AND the
@@ -540,26 +584,36 @@ object IvfIndex {
       .withColumn("cluster",
         explode(transform(slice(array_sort(Similarity.distances(col("qv"), cents)), 1, effProbe),
           d => d.getField("cid"))))
-    // bounded by nLists distinct values regardless of |queries|
-    val probed = q.select("cluster").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE gate job serves both the probe set and the broadcast-size gate
+    // (r18, guide §1.2: was TWO full evaluations of the query-side plan —
+    // a distinct+collect for the probed lists plus a limit(max+1).count()
+    // for the gate). collect_set is bounded by nLists regardless of
+    // |queries|; every non-null query vector contributes exactly
+    // min(effProbe, nLists) exploded rows, so the row count recovers the
+    // EFFECTIVE query count — the honest gate, since the broadcast
+    // relation IS this exploded frame (null-vector rows never reach it).
+    val gate = q.agg(collect_set(col("cluster")).as("cids"),
+      count(lit(1)).as("n")).head()
+    val probed = gate.getSeq[Int](0)
+    val perQuery = math.max(1L, math.min(effProbe.toLong, cents.length.toLong))
+    val smallQuerySide = gate.getLong(1) / perQuery <= maxBroadcastQueries
     val pruned = filteredTree
       .filter(col("cluster").isInCollection(probed))
-    // limit(max+1) short-circuits: the gate never scans past the
-    // threshold, so an arbitrarily expensive query plan is not evaluated
-    // in full just to pick the join strategy
-    val smallQuerySide =
-      queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
-        .count() <= maxBroadcastQueries
     // On the broadcast branch the pruned read's parallelism is otherwise
     // the probed dirs' FILE layout (one compact file per list by design),
     // so a drift-skewed list would score on ~one task — a narrow
     // round-robin shuffle of the probed fraction (already bounded to
     // ~nProbe/nLists of the corpus) frees scan parallelism from layout.
+    // Size-adaptive since r18 (guide §2.4): Parallelism.spread applies the
+    // measured floor/ceiling — a sub-32MB pruned read finishes on one core
+    // faster than the exchange + extra AQE stage cost, and a huge one
+    // already carries row-group splits — instead of unconditionally paying
+    // a 32-way shuffle of a driver-SF-sized fraction every serve.
     // The shuffle_hash branch re-exchanges by cluster anyway; a
     // round-robin there would just shuffle the corpus fraction twice.
     val (vectors, qSide) =
       if (smallQuerySide)
-        (pruned.repartition(spark.sessionState.conf.numShufflePartitions), broadcast(q))
+        (graft.engine.Parallelism.spread(pruned), broadcast(q))
       else (pruned, q.hint("shuffle_hash"))
     // sq8 index: score straight off the codes with the decode-fused ADC
     // kernel — the scan reads the ~4x-smaller codes column and no decoded
