@@ -91,12 +91,22 @@ object GroupByRange {
         }
         filled.drop("__empty").orderBy((keyCols :+ col("ts_ms")): _*)
       case FillLinear =>
-        val wp = Window.partitionBy(part: _*).orderBy(col("ts_ms"))
+        // unkeyed: materialize the constant partition key as a column (r18,
+        // guide §2.4) — a raw expression key re-projects as a fresh `_w0`
+        // per Window node, so the asc/desc pair paid TWO Exchanges; under
+        // one named column the desc window reuses the asc exchange and only
+        // re-sorts (2 Exchange -> 1)
+        val (joinedP, partC) =
+          if (keys.isEmpty)
+            (joined.withColumn("__cpart", pmod(col("ts_ms"), lit(1))),
+              Seq(col("__cpart")))
+          else (joined, part)
+        val wp = Window.partitionBy(partC: _*).orderBy(col("ts_ms"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wn = Window.partitionBy(part: _*).orderBy(col("ts_ms").desc)
+        val wn = Window.partitionBy(partC: _*).orderBy(col("ts_ms").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val anchorT = when(!col("__empty"), col("ts_ms"))
-        val base = joined
+        val base = joinedP
           .withColumn("__pt", last(anchorT, ignoreNulls = true).over(wp))
           .withColumn("__nt", last(anchorT, ignoreNulls = true).over(wn))
         val filled = aggNames.foldLeft(base) { (d, c) =>
@@ -109,7 +119,8 @@ object GroupByRange {
                   (col("__nt") - col("__pt")).cast("double")))
             .otherwise(lit(null)))
         }
-        filled.drop("__empty", "__pt", "__nt").orderBy((keyCols :+ col("ts_ms")): _*)
+        filled.drop("__empty", "__pt", "__nt", "__cpart")
+          .orderBy((keyCols :+ col("ts_ms")): _*)
     }
   }
 

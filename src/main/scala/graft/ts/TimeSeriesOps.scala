@@ -335,13 +335,17 @@ object TimeSeriesOps {
         col("e.pc").as("pc"), col("e.nc").as("nc"), lit(0).as("is_grid"))
       .unionByName(spark.range(n + 1).select(col("id").as("k"), lit(2).as("tie"),
         nullRow.as("pc"), nullRow.as("nc"), lit(1).as("is_grid")))
-    // constant partition key: frame is grid-sized by construction
-    val cpart = pmod(col("k"), lit(1))
-    val wP = Window.partitionBy(cpart).orderBy(col("k").asc, col("tie").asc)
+    // constant partition key: frame is grid-sized by construction.
+    // MATERIALIZED as a column (r18, guide §2.4): a raw expression key is
+    // re-projected by ExtractWindowExpressions as a fresh `_w0` attribute
+    // per Window node, so the asc/desc pair read as DIFFERENT partitionings
+    // and paid TWO Exchanges; under one named column the second window
+    // reuses the first's exchange and only re-sorts (2 Exchange -> 1).
+    val wP = Window.partitionBy(col("__cpart")).orderBy(col("k").asc, col("tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wN = Window.partitionBy(cpart).orderBy(col("k").desc, col("tie").asc)
+    val wN = Window.partitionBy(col("__cpart")).orderBy(col("k").desc, col("tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val g = frame
+    val g = frame.withColumn("__cpart", pmod(col("k"), lit(1)))
       .withColumn("p", last(col("pc"), ignoreNulls = true).over(wP))
       .withColumn("nx", last(col("nc"), ignoreNulls = true).over(wN))
       .filter(col("is_grid") === 1 && col("p").isNotNull && col("nx").isNotNull)
