@@ -106,14 +106,26 @@ object Dedup {
     * the keep-first companion of [[exactGroups]] (which reports only the
     * n>1 groups and so cannot express "keep one of each"; composing a
     * pipeline on its keepers empties a duplicate-free corpus — caught by
-    * the q_fuzz6 chain differential). One shuffle on the content digest,
-    * group sizes = duplicate counts. Returns the surviving rows with their
-    * original schema. */
-  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.join(
-      docs.groupBy(md5(col(textCol)).as("__h"))
-        .agg(min(col(idCol)).as(idCol)).select(idCol),
-      idCol)
+    * the q_fuzz6 chain differential). Returns the surviving rows with
+    * their original schema.
+    *
+    * ONE scan + ONE digest shuffle since r18 (guide §2.3/§2.4): the former
+    * keeper-join form scanned the corpus twice (agg leg + join leg) and
+    * shuffled the full payload a second time by id; min_by carries the
+    * whole min-id row through the same digest aggregate, and as a
+    * DeclarativeAggregate it partial-aggregates map-side — a giant
+    * duplicate group (boilerplate text at crawl scale) combines inside
+    * each task instead of skewing a window or a join. Row set is
+    * identical: the min-id row of every digest group (a group whose ids
+    * are all NULL contributed nothing before — the keeper join never
+    * matched NULL — and is filtered the same here). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val cols = docs.columns.toSeq
+    docs.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__keep"))
+      .filter(col("__keep").isNotNull && col(s"__keep.$idCol").isNotNull)
+      .select(cols.map(c => col("__keep").getField(c).as(c)): _*)
+  }
 
   /** Word tokens, lowercased. */
   def tokens(textCol: String): Column = split(lower(col(textCol)), " ")
