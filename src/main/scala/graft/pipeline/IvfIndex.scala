@@ -265,7 +265,6 @@ object IvfIndex {
         .select(col(idCol).as("id") +:
           transform(col(vecCol), _.cast("double")).as("cv") +:
           attrs.map(col): _*)
-      val n = batch.count()
       val assigned = batch
         .withColumn("cluster", Similarity.assignCluster(col("cv"), cents))
       val payload =
@@ -278,10 +277,20 @@ object IvfIndex {
             col("cluster") +: attrs.map(col): _*)
         } else assigned
       requireNoNullPartitionAttrs(payload, attrParts)
-      payload.repartition(col("cluster"))
+      // the batch count rides the WRITE job as an observed metric (r18,
+      // guide §1.2: was a separate full pass over the batch before the
+      // write — one extra job per wire/DDL append). Attached to the
+      // written frame ONLY: an Observation binds to the first action that
+      // executes its node, and the null-partition probe above runs a
+      // limit(1) that must not capture a partial count.
+      val obs = org.apache.spark.sql.Observation(
+        "graft_append_" + java.util.UUID.randomUUID())
+      payload.observe(obs, count(lit(1)).as("n"))
+        .repartition(col("cluster"))
         .write.mode("append")
         .partitionBy("cluster" +: attrParts: _*)
         .parquet(s"$root/vectors")
+      val n = obs.get("n").asInstanceOf[Long]
       if (tag != null)
         IngestMarkers.writeAppliedMarkerAt(batch.select("id"), root, tag)
       val newAppended = appended + n
