@@ -994,8 +994,15 @@ object FuzzQueries {
             Runtime.getRuntime.addShutdownHook(new Thread(() =>
               org.apache.commons.io.FileUtils.deleteQuietly(
                 new java.io.File(p).getParentFile)))
+            // OR REPLACE (r18): plain CREATE registers the name DURABLY
+            // since the warehouse catalog landed, and this builder's temp
+            // tree dies with the JVM — a SECOND Verify/Bench run in the
+            // same working dir would hit "already exists" against a stale
+            // catalog entry pointing at the deleted tree. REPLACE rebinds
+            // the durable name to this run's fresh tree; the query's
+            // result is unchanged (the DDL is setup, not output).
             graft.engine.GraftSql.sql(sp,
-              s"CREATE DEDUP INDEX fz8ix_$s ON fz8corpus_$s(doc_id, text) " +
+              s"CREATE OR REPLACE DEDUP INDEX fz8ix_$s ON fz8corpus_$s(doc_id, text) " +
                 s"OPTIONS(kind 'exact', path '$p')")
             if (twoStep)
               graft.engine.GraftSql.sql(sp,
