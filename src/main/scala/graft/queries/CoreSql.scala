@@ -51,8 +51,31 @@ object CoreSql {
       bench = true),
 
     // ---- 6-table join with region filter (TPC-H Q5 shape) ----
+    // Spark-side join order puts LINEITEM FIRST (r19, guide §3.1): in the
+    // customer-first spelling the planner's size-only estimates made the
+    // whole unfiltered fact the BROADCAST BUILD side of join #2 (a join
+    // output is estimated as the product of its children, so the
+    // customer⨝orders subtree always looks bigger than lineitem's pruned
+    // scan). Left-deep from lineitem, every build side is a genuinely
+    // small filtered relation (orders-by-date, customer, supplier, nation,
+    // region) and the fact STREAMS through all five joins; past the
+    // broadcast cliff the same shape degrades to the one fundamental
+    // l_orderkey shuffle. Inner-join reorder + exact DECIMAL sums = result
+    // identical; the oracle keeps the original spelling as proof.
     Q.sql("q5_join_region",
       s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON c_custkey = o_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+      duck = s"""SELECT n_name, CAST(SUM($discPrice) AS DOUBLE) AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON l_orderkey = o_orderkey
@@ -198,8 +221,25 @@ object CoreSql {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // ---- window functions: ROW_NUMBER / LAG / LEAD / running SUM ----
-    Q.sql("q_window_row_number",
-      """SELECT o_custkey, o_orderkey, rn, prev_price, next_price, running
+    // Spark side range-partitions the scan by o_custkey (r19, guide §2.4):
+    // RangePartitioning(o_custkey) satisfies BOTH the Window's clustered
+    // distribution AND the final ORDER BY (o_custkey, rn)'s ordered
+    // distribution (o_custkey is the ordering prefix, equal keys are
+    // co-located, and rn is the window order within each key), so the
+    // plan needs ONE exchange instead of a hash exchange for the window
+    // plus a full range exchange for the sort. Built via the DataFrame
+    // API because the SQL spelling cannot express it: ORDER BY attributes
+    // resolved through a derived-table alias carry a different qualifier
+    // than the repartition hint's, and RangePartitioning.satisfies
+    // compares SortOrders with plain equality — the exchange reappears.
+    // SIZE-GATED like Parallelism.spread (r19 A/B, local[32]): the range
+    // exchange needs a boundary-sampling pass over the input, a fixed
+    // ~2-stage cost that loses below ~tens of MB (sf0.1: 0.355 -> 0.414 s
+    // median) and wins once the saved exchange carries real bytes (sf10z
+    // 350 MB orders: 3.53 -> 2.89 s median, 1.22x). Both shapes compute
+    // the identical ordered row set; the oracle keeps the original SQL.
+    Q.df("q_window_row_number",
+      duck = """SELECT o_custkey, o_orderkey, rn, prev_price, next_price, running
         |FROM (
         |  SELECT o_custkey, o_orderkey,
         |    row_number() OVER w AS rn,
@@ -212,7 +252,25 @@ object CoreSql {
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |) t WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
-      bench = true),
+      bench = true) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      graft.engine.Tables.registerAll(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val orders = s.table("orders")
+      val big = orders.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(64L << 20)
+      (if (big) orders.repartitionByRange(col("o_custkey")) else orders)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"),
+          lag("o_totalprice", 1, -1.0).over(w).as("prev_price"),
+          lead("o_totalprice", 1, -1.0).over(w).as("next_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(run)
+            .cast("double").as("running"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
 
     // ---- window with time-RANGE frame (24h trailing avg per user) ----
     Q.sql("q_window_range_time",
