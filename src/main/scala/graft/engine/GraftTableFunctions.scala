@@ -321,7 +321,9 @@ object GraftTableFunctions {
   def register(spark: SparkSession): Unit = registered.synchronized {
     val reg = spark.sessionState.tableFunctionRegistry
     val fresh = registered.add(spark)
-    if (fresh || !reg.functionExists(descriptors.head._1)) {
+    // sentinel probes EVERY descriptor (r19 ADVICE: head-only missed a
+    // non-head TVF dropped from the registry while the head survived)
+    if (fresh || descriptors.exists(d => !reg.functionExists(d._1))) {
       descriptors.foreach { case (id, info, b) =>
         reg.registerFunction(id, info, b)
       }

@@ -71,7 +71,8 @@ object ExactIndex {
       digestRows(corpus, textCol, idCol)
         .withColumn("ingest", lit("base"))
         .repartition(width(spark, n), col("h"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$root/digests")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("ingest").parquet(s"$root/digests")
       // meta counts the rows actually STORED (distinct texts), not the
       // corpus size — parquet footer counts only, no data read (r15
       // verdict #8: meta used to drift upward until compact recounted)
@@ -118,7 +119,8 @@ object ExactIndex {
     val nOut = math.min(math.max(1L, add / 1000000L + 1), 4096L).toInt
     digestRows(newDocs, textCol, idCol)
       .repartition(nOut, col("h"))
-      .write.mode("overwrite").parquet(s"$root/digests/ingest=$t")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$root/digests/ingest=$t")
     // exact meta via PER-TAG footer counts (r16 verdict #6 — replaces the
     // r16 whole-tree count, which listed every file of every tag on each
     // append): the common append footer-counts ONE directory (the tag it
@@ -207,7 +209,8 @@ object ExactIndex {
         .unionByName(all.filter(!foldable)
           .select(col("id"), col("h"), col("ingest").cast("string")))
         .repartition(width(spark, m.nDocs), col("h"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$staged/digests")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("ingest").parquet(s"$staged/digests")
       // the staged tree has no tagmeta yet, so every surviving tag
       // footer-counts once — the full recount a compact owes anyway
       refreshMeta(spark, staged, recount = Set.empty)
@@ -287,8 +290,12 @@ object ExactIndex {
       readMetaAt(spark, IndexVersions.currentRoot(spark, path))
     }
 
+  // stamp-cached (r19, see MetaCache): one FS listing instead of a
+  // one-row Spark job when the meta tree is unchanged since the last read
   private def readMetaAt(spark: SparkSession, root: String): Meta =
-    IngestMarkers.retryTransient {
-      Meta(spark.read.parquet(s"$root/meta").head().getLong(0))
+    MetaCache.cached(spark, s"$root/meta") {
+      IngestMarkers.retryTransient {
+        Meta(spark.read.parquet(s"$root/meta").head().getLong(0))
+      }
     }
 }

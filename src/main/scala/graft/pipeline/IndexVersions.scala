@@ -144,7 +144,19 @@ private[pipeline] object IndexVersions {
     val (fs, _) = fsOf(spark, path)
     val n = stagedRoot.substring(stagedRoot.lastIndexOf("v=") + 2).toInt
     val committedFile = new org.apache.hadoop.fs.Path(s"$stagedRoot/_COMMITTED")
-    val ok = fs.createNewFile(committedFile)
+    // the marker body is a build-unique token (r19 ADVICE): in-process
+    // caches keyed on the ROOT PATH alone would collide when DROP +
+    // re-CREATE recycles the same v=N root, and mtime resolution is
+    // coarse on some stores — the token gives every committed build an
+    // identity. Visibility is still the CREATE (exists-gated readers are
+    // unchanged); create(overwrite=false) throws if the marker exists,
+    // preserving the old createNewFile commit-once contract.
+    val ok = try {
+      val out = fs.create(committedFile, false)
+      out.write(java.util.UUID.randomUUID().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close(); true
+    } catch { case _: java.io.IOException => false }
     require(ok, s"could not commit index version $n at $path")
     val floor = minRetainMs(spark)
     val cap = math.max(maxRetained(spark), 1)

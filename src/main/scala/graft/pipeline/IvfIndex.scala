@@ -124,8 +124,11 @@ object IvfIndex {
           col("cluster") +: attrCols.map(col): _*)
       } else assigned
     requireNoNullPartitionAttrs(payload, attrPartitionBy)
+    // zstd for the index data tree (r19, guide §6 — ProbeIndexCodec at
+    // sf10z: 80.2 -> 58.7 MB, 27% smaller, serve medians unchanged or
+    // better; at 100 TB the vectors tree is the index's storage bill)
     payload.repartition(col("cluster"))
-      .write.mode("overwrite")
+      .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("cluster" +: attrPartitionBy: _*)
       .parquet(s"$path/vectors")
     writeMeta(spark, path, built, appended = 0L, attrPartitionBy,
@@ -287,10 +290,21 @@ object IvfIndex {
         "graft_append_" + java.util.UUID.randomUUID())
       payload.observe(obs, count(lit(1)).as("n"))
         .repartition(col("cluster"))
-        .write.mode("append")
+        .write.mode("append").option("compression", "zstd")
         .partitionBy("cluster" +: attrParts: _*)
         .parquet(s"$root/vectors")
-      val n = obs.get("n").asInstanceOf[Long]
+      // bounded wait (r19 ADVICE): Observation.get blocks forever if a
+      // sink ever stops delivering observed metrics — poll briefly, then
+      // degrade to the pre-r18 extra-count behavior instead of hanging
+      // the append under the writer lock.
+      val n = try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future(obs.get("n").asInstanceOf[Long]),
+          scala.concurrent.duration.Duration(10, "s"))
+      } catch {
+        case _: java.util.concurrent.TimeoutException => batch.count()
+      }
       if (tag != null)
         IngestMarkers.writeAppliedMarkerAt(batch.select("id"), root, tag)
       val newAppended = appended + n
@@ -378,8 +392,14 @@ object IvfIndex {
   }
 
   /** The max-seq meta row in ONE dir open (mergeSchema: a pre-r16 meta dir
-    * holds overwrite-era rows without the seq column; they read as seq 0). */
+    * holds overwrite-era rows without the seq column; they read as seq 0).
+    * Stamp-cached (r19, see [[MetaCache]]): the filtered serve paid a
+    * one-row Spark job per query for counters that change only on
+    * append/retrain writes. */
   private def readMetaFull(spark: SparkSession, root: String): IvfMeta =
+    MetaCache.cached(spark, s"$root/meta") { readMetaFullUncached(spark, root) }
+
+  private def readMetaFullUncached(spark: SparkSession, root: String): IvfMeta =
     try {
       val df = spark.read.option("mergeSchema", "true").parquet(s"$root/meta")
       def opt[T](r: org.apache.spark.sql.Row, c: String): Option[T] =
@@ -409,31 +429,45 @@ object IvfIndex {
     * coarse quantizer is the one piece of an IVF index every production
     * engine pins in RAM). Centroids within a committed version root are
     * immutable — build/retrain stage a NEW `v=N` and appends never touch
-    * `centroids/` — so a (root, _COMMITTED-mtime) key can never serve
+    * `centroids/` — so a (root, _COMMITTED-token) key can never serve
     * stale data: a DROP + re-CREATE that recycles `v=1` gets a fresh
-    * commit stamp. Legacy (unversioned) roots have no commit marker and
+    * commit token. Legacy (unversioned) roots have no commit marker and
     * skip the cache. Bounded LRU of soft references: at most
     * [[Similarity.MaxCentroidCells]] doubles per entry, entries evict
     * under memory pressure or beyond 64 indexes. */
   private val centroidCache =
-    new java.util.LinkedHashMap[(String, Long),
+    new java.util.LinkedHashMap[(String, String),
         java.lang.ref.SoftReference[Array[Array[Double]]]](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long),
+          e: java.util.Map.Entry[(String, String),
             java.lang.ref.SoftReference[Array[Array[Double]]]]): Boolean =
         size() > 64
     }
 
-  private def commitStamp(spark: SparkSession, root: String): Long =
+  // build identity = the commit marker's TOKEN body (r19 ADVICE: mtime
+  // alone can collide when DROP + re-CREATE recycles the same v=N root
+  // within the store's mtime resolution — IndexVersions.commit writes a
+  // UUID into _COMMITTED since r19). Markers from older builds are empty;
+  // they fall back to the mtime stamp, no worse than before. Returns null
+  // when the marker is missing (legacy unversioned root — skip the cache).
+  private def commitStamp(spark: SparkSession, root: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(s"$root/_COMMITTED")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).getModificationTime
-    } catch { case _: java.io.IOException => -1L }
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.getLen > 0 && st.getLen <= 64) {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(0, buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      } else st.getModificationTime.toString
+    } catch { case _: java.io.IOException => null }
 
   private def centroidsFor(spark: SparkSession, root: String): Array[Array[Double]] = {
     val stamp = commitStamp(spark, root)
-    if (stamp < 0) loadCentroids(spark, root) // legacy root: no version identity
+    if (stamp == null) loadCentroids(spark, root) // legacy root: no version identity
     else {
       val key = (root, stamp)
       val hit = centroidCache.synchronized {
@@ -548,7 +582,13 @@ object IvfIndex {
         val total = meta.built + meta.appended
         val filtered = applyPred(p)
         val kept = filtered.count()
-        val smallQueries =
+        // LAZY (r19, guide §1.2 — the filtered-serve twin of the r18
+        // unfiltered-gate fusion): the query-side size gate is only
+        // consulted on the brute branch (kept under the cutoff), so the
+        // common filtered serve (kept above it) pays ONE gate job (the
+        // kept count) instead of two — the probed path's own fused
+        // aggregate below already sizes the query side.
+        lazy val smallQueries =
           queries.limit(math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt)
             .count() <= maxBroadcastQueries
         if (kept <= (bruteCutoff * total).toLong && smallQueries) {
@@ -597,15 +637,18 @@ object IvfIndex {
     // (r18, guide §1.2: was TWO full evaluations of the query-side plan —
     // a distinct+collect for the probed lists plus a limit(max+1).count()
     // for the gate). collect_set is bounded by nLists regardless of
-    // |queries|; every non-null query vector contributes exactly
-    // min(effProbe, nLists) exploded rows, so the row count recovers the
-    // EFFECTIVE query count — the honest gate, since the broadcast
-    // relation IS this exploded frame (null-vector rows never reach it).
+    // |queries|. The query count is an EXACT count_distinct(q_id) (r19
+    // ADVICE: the former rowCount/perQuery floor division undercounted
+    // when a query's distance array was short or null-padded, letting an
+    // over-limit query side take the broadcast branch); the raw row count
+    // still caps the broadcast when duplicate q_ids inflate rows past
+    // what the distinct count suggests.
     val gate = q.agg(collect_set(col("cluster")).as("cids"),
-      count(lit(1)).as("n")).head()
+      count_distinct(col("q_id")).as("nq"), count(lit(1)).as("n")).head()
     val probed = gate.getSeq[Int](0)
     val perQuery = math.max(1L, math.min(effProbe.toLong, cents.length.toLong))
-    val smallQuerySide = gate.getLong(1) / perQuery <= maxBroadcastQueries
+    val smallQuerySide = gate.getLong(1) <= maxBroadcastQueries &&
+      gate.getLong(2) <= maxBroadcastQueries * perQuery
     val pruned = filteredTree
       .filter(col("cluster").isInCollection(probed))
     // On the broadcast branch the pruned read's parallelism is otherwise

@@ -67,7 +67,8 @@ object MinhashIndex {
         spark.sessionState.conf.numShufflePartitions, 125000L)
       rows.withColumn("ingest", lit("base"))
         .repartition(nPart, col("band"), col("bucket"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$root/buckets")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("ingest").parquet(s"$root/buckets")
       writeMeta(spark, root, shingleN, k, bands, n)
       // a re-build over an existing index preserves its applied markers
       // (the pre-versioned layout left <path>/applied untouched)
@@ -125,7 +126,8 @@ object MinhashIndex {
         Dedup.minhashSignatures(newDocs, textCol, idCol, m.shingleN, m.k),
         m.k, m.bands)
       .repartition(nOut, col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$root/buckets/ingest=$t")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$root/buckets/ingest=$t")
     writeMeta(spark, root, m.shingleN, m.k, m.bands, m.nDocs + add)
     markerIds.foreach(ids => IngestMarkers.writeAppliedMarkerAt(ids, root, t))
     m.nDocs + add
@@ -192,7 +194,8 @@ object MinhashIndex {
           .select(col("id"), col("sig"), col("band"), col("bucket"),
             col("ingest").cast("string")))
         .repartition(nPart, col("band"), col("bucket"))
-        .write.mode("overwrite").partitionBy("ingest").parquet(s"$staged/buckets")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("ingest").parquet(s"$staged/buckets")
       // exact doc recount from the COMPACTED output (one scan of the
       // smaller deduped tree, not a second pass over the old one)
       val nDocs = spark.read.parquet(s"$staged/buckets")
@@ -337,10 +340,14 @@ object MinhashIndex {
   }
 
   /** Meta from a RESOLVED root — pair with a buckets read of the SAME
-    * root so a plan never mixes versions. */
+    * root so a plan never mixes versions. Stamp-cached (r19, see
+    * [[MetaCache]]): the probe path paid a one-row Spark job per serve
+    * for parameters that change only on maintenance writes. */
   private def readMetaAt(spark: SparkSession, root: String): Meta =
-    retryTransient {
-      val r = spark.read.parquet(s"$root/meta").head()
-      Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+    MetaCache.cached(spark, s"$root/meta") {
+      retryTransient {
+        val r = spark.read.parquet(s"$root/meta").head()
+        Meta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      }
     }
 }

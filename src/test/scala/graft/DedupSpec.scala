@@ -20,6 +20,38 @@ class DedupSpec extends SparkTestBase {
     assert(g(0).getAs[Long]("n") == 2 && g(0).getAs[Long]("keeper") == 0L)
   }
 
+  // exactDedup's CONTRACT under duplicate ids (r19, VERDICT #8 / r18
+  // ADVICE): ids are declared unique per document — under that contract
+  // the r18 min_by form and the pre-r18 keeper-join form are identical.
+  // When a corpus VIOLATES it, the pinned guarantees are set-level: ONE
+  // surviving row per distinct text, the survivor's id is the group's
+  // MINIMUM non-null id, and its text is the group's text. Which of
+  // several rows TYING on the minimal id survives is unspecified (the two
+  // historical forms differ exactly there: the keeper join returned every
+  // tied row, min_by returns one arbitrary tied row — one-per-digest is
+  // the declared semantics, so min_by's shape is the contract).
+  test("exactDedup with duplicate ids: one survivor per text, min non-null id") {
+    val dup = Seq(
+      (5L, "alpha text", "x1"), (5L, "alpha text", "x2"), // tied min ids
+      (9L, "alpha text", "x3"),                           // larger id, same text
+      (7L, "beta text", "y1"), (3L, "beta text", "y2"),   // distinct ids
+      (2L, "gamma text", "z1")
+    ).toDF("doc_id", "text", "tag")
+    val kept = Dedup.exactDedup(dup, "text", "doc_id")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._2)
+    assert(kept.length == 3) // exactly one per distinct text
+    assert(kept.map(_._1).toSeq == Seq(5L, 3L, 2L)) // min id per group
+    // null ids never survive and never mask a non-null keeper
+    val withNull = Seq(
+      (java.lang.Long.valueOf(1L), "t1"), (null.asInstanceOf[java.lang.Long], "t1"),
+      (null.asInstanceOf[java.lang.Long], "t2")
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.exactDedup(withNull, "text", "doc_id")
+      .collect().map(r => (r.get(0), r.getString(1)))
+    assert(kept2.toSeq == Seq((1L, "t1"))) // all-null-id group contributes nothing
+  }
+
   test("minhash signature of identical docs matches; est_jaccard 1.0") {
     val pairs = Dedup.minhashCandidates(docs, "text", "doc_id", minEstSim = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
