@@ -23,11 +23,18 @@ object ProbeR19Gate {
       shufflePartitions = GraftSession.shuffleWidthFor(
         TableStats.treeSize(dir), cpus.toInt)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // count SQL EXECUTIONS (one per action — head/count/collect), not raw
+    // Spark jobs: AQE materializes every exchange stage as its own job, so
+    // job counts measure plan stage-iness, not how many times the serve
+    // evaluates a query
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            jobs.incrementAndGet(); ()
+          case _ => ()
+        }
     })
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("probe_gate_ivf").toString
@@ -40,11 +47,18 @@ object ProbeR19Gate {
       Thread.sleep(1000)
       jobs.set(0)
       val t0 = System.nanoTime()
-      IvfIndex.topK(spark, idx, q, "vec_id", "embedding", k = 10,
-        predicate = pred).count()
+      // the gate jobs are the EAGER driver jobs topK runs before returning
+      // its lazy frame — count them separately from the action's own jobs
+      // (AQE materializes each exchange stage as a job, so the action side
+      // is noisy by design)
+      val df = IvfIndex.topK(spark, idx, q, "vec_id", "embedding", k = 10,
+        predicate = pred)
+      Thread.sleep(500)
+      val gateJobs = jobs.get
+      df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000)
-      println(f"[gate] $tag%-28s jobs=${jobs.get}%2d wall=$dt%.3f s")
+      println(f"[gate] $tag%-28s gateJobs=$gateJobs%2d totalJobs=${jobs.get}%2d wall=$dt%.3f s")
     }
     serve("unfiltered", None)
     serve("filtered ~50% (overfetch)", Some(col("label") < 5))
