@@ -29,8 +29,15 @@ object MatchRecognizeQueries {
         |FROM v JOIN m ON v.user_id = m.user_id AND v.grp = m.grp
         |ORDER BY v.user_id, m.match_num, v.event_id""".stripMargin,
       bench = true) { (s, dir) =>
+      // project BEFORE the NFA (r19, guide §2.3): MapPartitions is opaque
+      // to Catalyst, so the final 4-column select cannot prune the
+      // exchange feeding it — unprojected, every row shipped `value` and
+      // `props` (the widest column of events) into the shuffle and the
+      // row-object region for nothing. Output columns are unchanged.
       MatchRecognize.allRowsPerMatch(
-          Tables.events(s, dir), keys = Seq("user_id"),
+          Tables.events(s, dir)
+            .select("user_id", "event_id", "ts", "event_type"),
+          keys = Seq("user_id"),
           orderCols = Seq("ts", "event_id"),
           pattern = "V{3,}",
           defines = Map("V" -> (col("event_type") === "view")))

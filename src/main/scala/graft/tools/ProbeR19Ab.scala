@@ -53,10 +53,21 @@ object ProbeR19Ab {
         |ORDER BY o_custkey, rn""".stripMargin)
     def winNew: DataFrame =
       graft.queries.Registry.byName("q_window_row_number").build(spark, dir)
+    def mrOld: DataFrame =
+      graft.mr.MatchRecognize.allRowsPerMatch(
+          Tables.events(spark, dir), keys = Seq("user_id"),
+          orderCols = Seq("ts", "event_id"),
+          pattern = "V{3,}",
+          defines = Map("V" -> (org.apache.spark.sql.functions.col("event_type") === "view")))
+        .select("user_id", "event_id", "match_num", "classifier")
+        .orderBy("user_id", "match_num", "event_id")
+    def mrNew: DataFrame =
+      graft.queries.Registry.byName("q_mr_view_runs").build(spark, dir)
 
     if (args.contains("--explain")) {
       Seq("q5_old" -> q5Old, "q5_new" -> q5New,
-          "win_old" -> winOld, "win_new" -> winNew).foreach { case (n, df) =>
+          "win_old" -> winOld, "win_new" -> winNew,
+          "mr_old" -> mrOld, "mr_new" -> mrNew).foreach { case (n, df) =>
         println(s"========== $n ==========")
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
@@ -68,7 +79,8 @@ object ProbeR19Ab {
     }
     val arms = Seq(
       "q5_old" -> (() => q5Old), "q5_new" -> (() => q5New),
-      "win_old" -> (() => winOld), "win_new" -> (() => winNew))
+      "win_old" -> (() => winOld), "win_new" -> (() => winNew),
+      "mr_old" -> (() => mrOld), "mr_new" -> (() => mrNew))
     // warm every arm once
     arms.foreach { case (_, f) => time(f()) }
     val acc = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
